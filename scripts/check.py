@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: run graft.Verify,
+then execute each oracle SQL in DuckDB over the same parquet tables and
+compare (columns sorted by name, rows sorted, exact value compare with
+float tolerance reporting)."""
+import json, math, subprocess, sys
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+RUN_VERIFY = "--no-run" not in sys.argv
+
+if RUN_VERIFY:
+    r = subprocess.run(
+        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print("VERIFY-ERR:", line)
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails, passes, weak = [], [], []
+import glob, os
+have = {os.path.basename(p) for p in glob.glob(f"{OUT}/*") if os.path.isdir(p)}
+
+for name in sorted(have):
+    if name not in oracle:
+        n = con.execute(f"SELECT count(*) FROM '{OUT}/{name}/*.parquet'").fetchone()[0]
+        weak.append((name, n))
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetch_df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    got = con.execute(f"SELECT * FROM '{OUT}/{name}/*.parquet'").fetch_df()
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        fails.append((name, f"columns: oracle={list(exp.columns)} got={list(got.columns)}"))
+        continue
+    if len(exp) != len(got):
+        fails.append((name, f"rows: oracle={len(exp)} got={len(got)}"))
+        continue
+    exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    bad = None
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        if e.dtype.kind == 'f' or g.dtype.kind == 'f':
+            diff = (e.astype(float) - g.astype(float)).abs()
+            both_nan = e.isna() & g.isna()
+            mism = (~both_nan) & (e.isna() | g.isna() | (diff > 0))
+            if mism.any():
+                i = mism.idxmax()
+                mx = diff.max()
+                bad = f"col {c}: {int(mism.sum())} mismatches, maxdiff={mx}, first: oracle={e[i]} got={g[i]}"
+                break
+        else:
+            mism = (e.astype(str) != g.astype(str))
+            if mism.any():
+                i = mism.idxmax()
+                bad = f"col {c}: {int(mism.sum())} mismatches, first: oracle={e[i]} got={g[i]}"
+                break
+    if bad:
+        fails.append((name, bad))
+    else:
+        passes.append(name)
+
+print(f"\n=== PASS ({len(passes)}): {' '.join(passes)}")
+print(f"=== WEAK/rows-only ({len(weak)}): {' '.join(f'{n}({c})' for n, c in weak)}")
+print(f"=== FAIL ({len(fails)}):")
+for n, msg in fails:
+    print(f"  {n}: {msg}")
+missing = set(oracle) - have
+if missing:
+    print(f"=== MISSING parquet for: {sorted(missing)}")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,383 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
+  * Tables (lineitem, orders, customer, nation, events, documents,
+  * embeddings) are registered by the driver over the same parquet dir.
+  * Conventions mirrored on the Spark side: bucket timestamps → epoch
+  * seconds BIGINT, doubles → ROUND(x, 6), deterministic tie-breaks on
+  * id columns wherever order matters.
+  */
+object Oracles {
+
+  private val hourlyMean =
+    """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+       avg(value) AS v FROM events GROUP BY 1, 2"""
+
+  val all: Map[String, String] = Map(
+    "a1_mean" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT event_type, b AS bucket_s, ROUND(v, 6) AS v FROM s""",
+
+    "a2_sum" ->
+      """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+         ROUND(sum(value), 6) AS v FROM events GROUP BY 1, 2""",
+
+    "a3_min_max" ->
+      """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+         ROUND(min(value), 6) AS min_v, ROUND(max(value), 6) AS max_v
+         FROM events GROUP BY 1, 2""",
+
+    "a4_median" ->
+      """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+         ROUND(quantile_cont(value, 0.5), 6) AS v FROM events GROUP BY 1, 2""",
+
+    "a5_std" ->
+      """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+         ROUND(stddev_samp(value), 6) AS v FROM events
+         GROUP BY 1, 2 HAVING count(*) > 1""",
+
+    "a6_count" ->
+      """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+         count(*) AS n FROM events GROUP BY 1, 2""",
+
+    "a7_first_last" ->
+      """WITH e AS (
+           SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+                  value AS v,
+                  row_number() OVER (PARTITION BY event_type,
+                    CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT)
+                    ORDER BY ts, event_id) AS rf,
+                  row_number() OVER (PARTITION BY event_type,
+                    CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT)
+                    ORDER BY ts DESC, event_id DESC) AS rl
+           FROM events)
+         SELECT event_type, b AS bucket_s,
+                ROUND(max(CASE WHEN rf = 1 THEN v END), 6) AS first_v,
+                ROUND(max(CASE WHEN rl = 1 THEN v END), 6) AS last_v
+         FROM e GROUP BY 1, 2""",
+
+    "a8_p95" ->
+      """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+         ROUND(quantile_cont(value, 0.95), 6) AS v FROM events GROUP BY 1, 2""",
+
+    "a9_rate_mean" ->
+      """WITH d AS (
+           SELECT event_type, ts,
+                  value - lag(value) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS dv
+           FROM events)
+         SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                ROUND(avg(dv), 6) AS v
+         FROM d WHERE dv IS NOT NULL GROUP BY 1, 2""",
+
+    "a10_resample" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT event_type,
+                CAST(FLOOR(b/86400)*86400 AS BIGINT) AS bucket_s,
+                ROUND(avg(v), 6) AS v
+         FROM s GROUP BY 1, 2""",
+
+    "a11_truncate" ->
+      s"""WITH s AS ($hourlyMean),
+         m AS (SELECT event_type, b, v, max(b) OVER (PARTITION BY event_type) AS mx
+               FROM s)
+         SELECT event_type, count(*) AS n, min(b) AS min_bucket_s
+         FROM m WHERE b > mx - 7*86400 GROUP BY 1""",
+
+    "a12_fetch" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT event_type, b AS bucket_s, ROUND(v, 6) AS v FROM s
+         WHERE b >= epoch(TIMESTAMP '2024-01-10 13:00:00')
+           AND b <= epoch(TIMESTAMP '2024-01-20 00:00:00')""",
+
+    "b1_bucket_5m" ->
+      """SELECT event_type, CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_s,
+         ROUND(avg(value), 6) AS v FROM events GROUP BY 1, 2""",
+
+    "b2_week_sunday" ->
+      """SELECT CAST(epoch(date_trunc('day', ts - to_days(CAST(dayofweek(ts) AS INT)))) AS BIGINT) AS week_s,
+         count(*) AS n, ROUND(sum(value), 6) AS sum_v
+         FROM events GROUP BY 1""",
+
+    "b2_month" ->
+      """SELECT CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS month_s,
+         count(*) AS n FROM events GROUP BY 1""",
+
+    "b3_labels" ->
+      """SELECT CAST(dayofweek(ts) AS INT) AS dow,
+                CAST(quarter(ts) AS INT) AS q,
+                CASE WHEN month(ts) <= 6 THEN 1 ELSE 2 END AS hy,
+         count(*) AS n, ROUND(avg(value), 6) AS v
+         FROM events GROUP BY 1, 2, 3""",
+
+    "m1_merge_dedup" ->
+      """WITH newb AS (
+           SELECT user_id, event_type, ts, value*2 AS value, event_id, 0 AS prio
+           FROM events WHERE event_id % 3 = 0),
+         oldb AS (
+           SELECT user_id, event_type, ts, value, event_id, 1 AS prio FROM events),
+         u AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id, event_type, ts
+             ORDER BY prio, event_id) AS rn
+           FROM (SELECT * FROM newb UNION ALL SELECT * FROM oldb))
+         SELECT event_type, count(*) AS n, ROUND(sum(value), 6) AS sum_v
+         FROM u WHERE rn = 1 GROUP BY 1""",
+
+    "x2_arith" ->
+      s"""WITH s AS ($hourlyMean),
+         c AS (SELECT b, v FROM s WHERE event_type = 'click'),
+         e AS (SELECT b, v FROM s WHERE event_type = 'error')
+         SELECT c.b AS bucket_s, ROUND((c.v + e.v) / 2, 6) AS v
+         FROM c JOIN e USING (b)""",
+
+    "x3_clip" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT b AS bucket_s, ROUND(LEAST(GREATEST(v, 10), 80), 6) AS v
+         FROM s WHERE event_type = 'view'""",
+
+    "x4_unary" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT b AS bucket_s, ROUND(ABS(-v), 6) AS v
+         FROM s WHERE event_type = 'click'""",
+
+    "x5_rateofchange" ->
+      s"""WITH s AS ($hourlyMean),
+         c AS (SELECT b, v, row_number() OVER (ORDER BY b) AS rn,
+                      v - lag(v) OVER (ORDER BY b) AS dv
+               FROM s WHERE event_type = 'click')
+         SELECT b AS bucket_s, ROUND(dv, 6) AS v FROM c WHERE rn > 1""",
+
+    "x6_rateofchangesec" ->
+      s"""WITH s AS ($hourlyMean),
+         c AS (SELECT b, v, row_number() OVER (ORDER BY b) AS rn,
+                      (v - lag(v) OVER (ORDER BY b)) /
+                      (b - lag(b) OVER (ORDER BY b)) AS dv
+               FROM s WHERE event_type = 'click')
+         SELECT b AS bucket_s, ROUND(dv, 6) AS v FROM c WHERE rn > 1""",
+
+    "x7_aggregate_mean" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT b AS bucket_s, ROUND(avg(v), 6) AS v FROM s GROUP BY 1""",
+
+    "x7_aggregate_std" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT b AS bucket_s, ROUND(stddev_pop(v), 6) AS v FROM s GROUP BY 1
+         HAVING stddev_pop(v) IS NOT NULL""",
+
+    "x8_rolling_sum4" ->
+      s"""WITH s AS ($hourlyMean),
+         c AS (SELECT b, row_number() OVER (ORDER BY b) AS rn,
+                      sum(v) OVER (ORDER BY b
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rv
+               FROM s WHERE event_type = 'click')
+         SELECT b AS bucket_s, ROUND(rv, 6) AS v FROM c WHERE rn >= 4""",
+
+    "x9_resample_dsl" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT CAST(FLOOR(b/86400)*86400 AS BIGINT) AS bucket_s,
+                ROUND(avg(v), 6) AS v
+         FROM s WHERE event_type = 'click' GROUP BY 1""",
+
+    "p3_align_fill0" ->
+      s"""WITH s AS ($hourlyMean),
+         c AS (SELECT b, v FROM s WHERE event_type = 'click'),
+         p AS (SELECT b, v FROM s WHERE event_type = 'purchase')
+         SELECT COALESCE(c.b, p.b) AS bucket_s,
+                ROUND(COALESCE(c.v, 0), 6) AS click_v,
+                ROUND(COALESCE(p.v, 0), 6) AS purchase_v
+         FROM c FULL OUTER JOIN p ON c.b = p.b""",
+
+    "p4_ffill" ->
+      s"""WITH s AS ($hourlyMean),
+         g AS (SELECT DISTINCT b FROM s),
+         c AS (SELECT b, v FROM s WHERE event_type = 'click'),
+         j AS (SELECT g.b, c.v FROM g LEFT JOIN c ON g.b = c.b)
+         SELECT b AS bucket_s,
+                ROUND(last_value(v IGNORE NULLS) OVER (ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS click_ff
+         FROM j""",
+
+    "p5_overlap" ->
+      s"""WITH s AS ($hourlyMean),
+         g AS (SELECT b, count(*) AS k FROM s GROUP BY b)
+         SELECT ROUND(100.0 * sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) / count(*), 6)
+           AS pct FROM g""",
+
+    "s1_search_measures" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT event_type, b AS bucket_s, ROUND(v, 6) AS v FROM s
+         WHERE v > 80 OR v * 2 < 30""",
+
+    "r1_filter_dsl" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 6) AS acctbal FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000""",
+
+    "r2_string_grammar" ->
+      """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+         WHERE (c_mktsegment = 'AUTOMOBILE' OR c_mktsegment = 'MACHINERY')
+           AND NOT c_acctbal < 0 AND c_nationkey IN (1, 2, 3, 4, 5)""",
+
+    "r3_lifespan" ->
+      """SELECT o_custkey,
+                CAST((epoch(max(o_orderdate)) - epoch(min(o_orderdate))) / 86400
+                  AS BIGINT) AS lifespan_days
+         FROM orders GROUP BY 1
+         HAVING CAST((epoch(max(o_orderdate)) - epoch(min(o_orderdate))) / 86400
+           AS BIGINT) > 30""",
+
+    "r4_pagination" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_custkey > 100
+         ORDER BY c_custkey LIMIT 50""",
+
+    "r5_history_union" ->
+      """WITH n AS (
+           SELECT o_orderkey, o_custkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_custkey) AS n
+           FROM orders)
+         SELECT o_orderkey, o_custkey, CAST(rn AS INT) AS revision
+         FROM n WHERE rn < n
+         UNION ALL
+         SELECT o_orderkey, o_custkey, -1 AS revision FROM n WHERE rn = n""",
+
+    "r6_metric_list" ->
+      """SELECT o_custkey, count(*) AS n, ROUND(sum(o_totalprice), 6) AS total
+         FROM orders WHERE o_orderstatus = 'O' GROUP BY 1""",
+
+    "r7_details_join" ->
+      """SELECT c_custkey, n_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey""",
+
+    "r8_delete_count" ->
+      """SELECT count(*) AS deleted FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice < 30000""",
+
+    "r9_policy_rules" ->
+      """WITH rules(pattern, policy) AS (
+           VALUES ('%', 'low'), ('c%', 'medium'), ('cl%', 'high'), ('s%', 'bool')),
+         names AS (SELECT DISTINCT event_type AS name FROM events),
+         j AS (SELECT name, policy,
+                      row_number() OVER (PARTITION BY name
+                        ORDER BY length(pattern) DESC, pattern) AS rk
+               FROM names JOIN rules ON name LIKE pattern)
+         SELECT name, policy FROM j WHERE rk = 1""",
+
+    "g1_scoped_agg" ->
+      """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_s,
+                ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' GROUP BY 1""",
+
+    "g2_groupby_agg" ->
+      """SELECT n_name,
+                ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""",
+
+    "g3_history_weight" ->
+      """WITH m AS (
+           SELECT user_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+                  avg(value) AS mv
+           FROM events GROUP BY 1, 2),
+         revs(grp, rev_start_s, rev_end_s) AS (
+           VALUES ('A', 1704067200, 1705321800), ('B', 1705321800, 1706745600)),
+         w AS (SELECT DISTINCT user_id FROM events),
+         rv AS (SELECT * FROM w CROSS JOIN revs),
+         j AS (
+           SELECT rv.grp, m.b,
+                  m.mv * (LEAST(m.b + 3600, rv.rev_end_s) -
+                          GREATEST(m.b, rv.rev_start_s)) / 3600.0 AS wv
+           FROM m JOIN rv ON m.user_id = rv.user_id
+           WHERE m.b < rv.rev_end_s AND m.b + 3600 > rv.rev_start_s)
+         SELECT grp, b AS bucket_s, ROUND(sum(wv), 6) AS v FROM j GROUP BY 1, 2""",
+
+    "dd1_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS content_hash,
+         min(doc_id) AS canonical_id, count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+
+    "txt1_tokens" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE array_length(string_split_regex(trim(text), '\s+'))
+                END AS n_words,
+                length(text) AS n_chars_m
+         FROM documents""",
+
+    "txt2_quality" ->
+      """WITH q AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(string_split_regex(trim(text), '\s+'))
+             END AS n_words,
+             length(text) AS nc,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+               AS np,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> lower(x) IN ('the','a','an','and','or','of','to','in','is',
+                                 'was','it','for','on','with','as','at','by')))
+               AS nstop,
+             list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+               x -> length(x))) AS wlen
+           FROM documents)
+         SELECT doc_id, n_words,
+           ROUND(CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc ELSE 0 END, 6)
+             AS punct_ratio,
+           ROUND(CASE WHEN n_words > 0 THEN CAST(nstop AS DOUBLE)/n_words
+                 ELSE 0 END, 6) AS stopword_ratio,
+           ROUND(CASE WHEN n_words > 0 THEN CAST(wlen AS DOUBLE)/n_words
+                 ELSE 0 END, 6) AS mean_word_len,
+           ROUND(LEAST(1.0, GREATEST(0.0,
+             0.25 * LEAST(CAST(n_words AS DOUBLE)/50.0, 1.0)
+             + 0.25 * LEAST((CASE WHEN n_words > 0
+                 THEN CAST(nstop AS DOUBLE)/n_words ELSE 0 END) * 5.0, 1.0)
+             + 0.25 * (1.0 - LEAST((CASE WHEN nc > 0
+                 THEN CAST(np AS DOUBLE)/nc ELSE 0 END) * 5.0, 1.0))
+             + 0.25 * (CASE WHEN (CASE WHEN n_words > 0
+                 THEN CAST(wlen AS DOUBLE)/n_words ELSE 0 END)
+                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END))), 6)
+             AS quality_score
+         FROM q""",
+
+    "txt3_langid" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS ws,
+                  GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE array_length(string_split_regex(lower(trim(text)), '\s+'))
+                  END, 1) AS n
+           FROM documents)
+         SELECT doc_id,
+           ROUND(CAST(len(list_filter(ws, x -> x IN ('the','and','of','to','is',
+             'in','that','it','for','with'))) AS DOUBLE) / n, 6) AS en_score,
+           ROUND(CAST(len(list_filter(ws, x -> x IN ('der','die','das','und',
+             'ist','nicht','ein','mit','für','von'))) AS DOUBLE) / n, 6)
+             AS de_score,
+           ROUND(CAST(len(list_filter(ws, x -> x IN ('el','la','los','las','y',
+             'es','un','una','por','como'))) AS DOUBLE) / n, 6) AS es_score
+         FROM w""",
+
+    "sim1_bruteforce_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT q.query_id, e.vec_id AS corpus_id,
+                  list_sum(list_transform(list_zip(q.qv, e.emb),
+                    x -> x[1] * x[2])) /
+                  (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+                   sqrt(list_sum(list_transform(e.emb, x -> x * x)))) AS cosine
+           FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+         SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine,
+                CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 5"""
+  )
+}

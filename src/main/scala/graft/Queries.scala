@@ -1,0 +1,381 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Granularity
+import graft.timeseries.{Bucketing, Kernels, TimeSeriesOps}
+import graft.ops.{Compiler, Parser}
+import graft.catalog.{Filter, FilterParser, HistoryAgg, Pagination}
+import graft.query.MeasureSearch
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** The operator inventory as driver-checkable queries (SURVEY §2 ids in
+  * the names). Every query with a DuckDB-expressible semantic carries an
+  * oracle in [[Oracles]]; output columns are named identically on both
+  * sides, timestamps are emitted as epoch-second longs, and doubles are
+  * rounded to 6 decimals on both sides so the hash compare is stable.
+  */
+object Queries {
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark reads as LongType
+    * (spark.sql.legacy.parquet.nanosAsLong); data is µs-aligned so the
+    * conversion to TimestampType is lossless.
+    */
+  def events(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  private val H = 3600L
+  private def bucketS(g: Long, ts: Column = col("bucket")): Column =
+    unix_timestamp(ts).cast("long").as("bucket_s")
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Hourly per-event-type series via the kernel registry. */
+  private def hourly(s: SparkSession, dir: String, method: String): DataFrame =
+    Kernels.aggregate(events(s, dir), method, Granularity.seconds(H),
+      Seq("event_type"), "ts", "value", tieCols = Seq("event_id"))
+
+  /** Long-format hourly mean series keyed by DSL ref name. */
+  private def hourlyLong(s: SparkSession, dir: String,
+                         types: Seq[String]): DataFrame =
+    hourly(s, dir, "mean")
+      .filter(col("event_type").isin(types: _*))
+      .select(concat(col("event_type"), lit("/mean")).as("ref"),
+        col("bucket"), col("value"))
+
+  private def grid(s: SparkSession, dir: String, types: Seq[String]) =
+    Compiler.align(hourlyLong(s, dir, types), types.map(t => s"$t/mean"))
+
+  private val allTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // ---------------------------------------------------------------- measure plane
+
+  val measureQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_mean" -> ((s, dir) =>
+      hourly(s, dir, "mean").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+    "a2_sum" -> ((s, dir) =>
+      hourly(s, dir, "sum").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+    "a3_min_max" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("bucket", Bucketing.floorTimestamp(col("ts"), H * 1_000_000_000L))
+        .groupBy("event_type", "bucket")
+        .agg(r6(min("value")).as("min_v"), r6(max("value")).as("max_v"))
+        .select(col("event_type"), bucketS(H), col("min_v"), col("max_v"))),
+    "a4_median" -> ((s, dir) =>
+      hourly(s, dir, "median").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+    "a5_std" -> ((s, dir) =>
+      hourly(s, dir, "std").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+    "a6_count" -> ((s, dir) =>
+      hourly(s, dir, "count").select(col("event_type"), bucketS(H),
+        col("value").cast("long").as("n"))),
+    "a7_first_last" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("bucket", Bucketing.floorTimestamp(col("ts"), H * 1_000_000_000L))
+        .groupBy("event_type", "bucket")
+        .agg(r6(min_by(col("value"), struct(col("ts"), col("event_id")))).as("first_v"),
+             r6(max_by(col("value"), struct(col("ts"), col("event_id")))).as("last_v"))
+        .select(col("event_type"), bucketS(H), col("first_v"), col("last_v"))),
+    "a8_p95" -> ((s, dir) =>
+      hourly(s, dir, "95pct").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+    "a9_rate_mean" -> ((s, dir) =>
+      hourly(s, dir, "rate:mean").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+    "a10_resample" -> ((s, dir) =>
+      TimeSeriesOps.resample(hourly(s, dir, "mean"), "mean",
+          Granularity.seconds(86400), Seq("event_type"))
+        .select(col("event_type"), bucketS(86400), r6(col("value")).as("v"))),
+    "a11_truncate" -> ((s, dir) =>
+      TimeSeriesOps.truncate(
+          hourly(s, dir, "mean"), 7L * 86400 * 1_000_000_000L, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(unix_timestamp(col("bucket")).cast("long")).as("min_bucket_s"))),
+    "a12_fetch" -> ((s, dir) =>
+      TimeSeriesOps.fetch(hourly(s, dir, "mean"), Granularity.seconds(H),
+          Some(java.sql.Timestamp.valueOf("2024-01-10 13:37:00")),
+          Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+        .select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+    "b1_bucket_5m" -> ((s, dir) =>
+      Kernels.aggregate(events(s, dir), "mean", Granularity.seconds(300),
+          Seq("event_type"), "ts", "value")
+        .select(col("event_type"), bucketS(300), r6(col("value")).as("v"))),
+    "b2_week_sunday" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("bucket", Bucketing.calendarBucket(col("ts"), "W"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), r6(sum("value")).as("sum_v"))
+        .select(unix_timestamp(col("bucket")).cast("long").as("week_s"),
+          col("n"), col("sum_v"))),
+    "b2_month" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("bucket", Bucketing.calendarBucket(col("ts"), "M"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("bucket")).cast("long").as("month_s"), col("n"))),
+    "b3_labels" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.groupBy(
+          Bucketing.calendarLabel(col("ts"), "day_of_week").as("dow"),
+          Bucketing.calendarLabel(col("ts"), "quarter_of_year").as("q"),
+          Bucketing.calendarLabel(col("ts"), "half_of_year").as("hy"))
+        .agg(count(lit(1)).as("n"), r6(avg("value")).as("v"))
+    }),
+    "m1_merge_dedup" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val newB = ev.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") * 2)
+      val merged = TimeSeriesOps.merge(newB, ev,
+        Seq("user_id", "event_type"), "ts", col("event_id"))
+      merged.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r6(sum("value")).as("sum_v"))
+    }))
+
+  // ---------------------------------------------------------------- DSL plane
+
+  val dslQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x2_arith" -> ((s, dir) => {
+      val g = Compiler.eval(
+        Parser.parse("(/ (+ (metric click mean) (metric error mean)) 2)"),
+        grid(s, dir, Seq("click", "error")))
+      // /v1/aggregates defaults to fill="dropna" → NaN/null rows dropped
+      // post-eval (rest/aggregates/api.py:522-523, processor.py:237-244)
+      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+        .filter(col("v").isNotNull)
+    }),
+    "x3_clip" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse("(clip (metric view mean) 10 80)"),
+        grid(s, dir, Seq("view")))
+      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+    }),
+    "x4_unary" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse("(abs (neg (metric click mean)))"),
+        grid(s, dir, Seq("click")))
+      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+    }),
+    "x5_rateofchange" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse("(rateofchange (metric click mean))"),
+        grid(s, dir, Seq("click")))
+      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+    }),
+    "x6_rateofchangesec" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse("(rateofchangesec (metric click mean))"),
+        grid(s, dir, Seq("click")))
+      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+    }),
+    "x7_aggregate_mean" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse(
+        "(aggregate mean (metric (click mean) (error mean) (purchase mean) (signup mean) (view mean)))"),
+        grid(s, dir, allTypes))
+      g.df.select(bucketS(H), r6(col("aggregated")).as("v"))
+    }),
+    "x7_aggregate_std" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse(
+        "(aggregate std (metric (click mean) (error mean) (purchase mean) (signup mean) (view mean)))"),
+        grid(s, dir, allTypes))
+      // population std across the metric axis (numpy nanstd, ddof=0)
+      g.df.select(bucketS(H), r6(col("aggregated")).as("v"))
+        .filter(col("v").isNotNull)
+    }),
+    "x8_rolling_sum4" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse("(rolling sum 4 (metric click mean))"),
+        grid(s, dir, Seq("click")))
+      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+    }),
+    "x9_resample_dsl" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse("(resample mean 86400 (metric click mean))"),
+        grid(s, dir, Seq("click")))
+      g.df.select(bucketS(86400), r6(col(g.cols.head)).as("v"))
+    }),
+    "p3_align_fill0" -> ((s, dir) => {
+      val g = grid(s, dir, Seq("click", "purchase"))
+      val filled = TimeSeriesOps.fill(g.df, g.cols, "0")
+      filled.select(bucketS(H),
+        r6(col("click/mean")).as("click_v"), r6(col("purchase/mean")).as("purchase_v"))
+    }),
+    "p4_ffill" -> ((s, dir) => {
+      val g = grid(s, dir, allTypes)
+      val filled = TimeSeriesOps.fill(g.df, Seq("click/mean"), "ffill")
+      filled.select(bucketS(H), r6(col("click/mean")).as("click_ff"))
+    }),
+    "p5_overlap" -> ((s, dir) => {
+      val g = grid(s, dir, allTypes)
+      val (_, pct) = Compiler.overlapPercent(g, trim = false)
+      import s.implicits._
+      Seq(math.rint(pct * 1e6) / 1e6).toDF("pct")
+    }),
+    "s1_search_measures" -> ((s, dir) => {
+      import MeasureSearch._
+      val pred = Or(Seq(
+        Cmp(">", Value, Const(80)),
+        Cmp("<", Arith("*", Value, Const(2)), Const(30))))
+      hourly(s, dir, "mean").filter(MeasureSearch.compile(pred, col("value")))
+        .select(col("event_type"), bucketS(H), r6(col("value")).as("v"))
+    }))
+
+  // ---------------------------------------------------------------- catalog plane
+
+  val catalogQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_filter_dsl" -> ((s, dir) => {
+      val f = Filter.And(Seq(
+        Filter.Cmp("=", "c_mktsegment", "BUILDING"),
+        Filter.Cmp(">", "c_acctbal", 1000.0)))
+      table(s, dir, "customer").filter(Filter.compile(f))
+        .select(col("c_custkey"), col("c_name"), r6(col("c_acctbal")).as("acctbal"))
+    }),
+    "r2_string_grammar" -> ((s, dir) => {
+      val f = FilterParser.parse(
+        "(c_mktsegment = \"AUTOMOBILE\" or c_mktsegment = \"MACHINERY\") " +
+          "and not c_acctbal < 0 and c_nationkey in [1, 2, 3, 4, 5]")
+      table(s, dir, "customer").filter(Filter.compile(f))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    }),
+    "r3_lifespan" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(min("o_orderdate").as("started_at"), max("o_orderdate").as("ended_at"))
+        .withColumn("lifespan_days",
+          ((unix_timestamp(col("ended_at")) - unix_timestamp(col("started_at"))) / 86400L)
+            .cast("long"))
+        .filter(col("lifespan_days") > 30)
+        .select(col("o_custkey"), col("lifespan_days"))),
+    "r4_pagination" -> ((s, dir) =>
+      Pagination(table(s, dir, "customer"),
+          Seq("c_custkey" -> true), "c_custkey", Some(100L), 50)
+        .select(col("c_custkey"), col("c_name"))),
+    "r5_history_union" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val numbered = o.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+      val history = numbered.filter(col("rn") < col("n"))
+        .select(col("o_orderkey"), col("o_custkey"), col("rn").cast("int").as("revision"))
+      val current = numbered.filter(col("rn") === col("n"))
+        .select(col("o_orderkey"), col("o_custkey"), lit(-1).as("revision"))
+      history.unionByName(current)
+    }),
+    "r6_metric_list" -> ((s, dir) => {
+      val o = table(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      o.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), r6(sum("o_totalprice")).as("total"))
+    }),
+    "r7_details_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+    }),
+    "r8_delete_count" -> ((s, dir) => {
+      val f = Filter.And(Seq(
+        Filter.Cmp("=", "o_orderstatus", "F"),
+        Filter.Cmp("<", "o_totalprice", 30000.0)))
+      table(s, dir, "orders").filter(Filter.compile(f))
+        .agg(count(lit(1)).as("deleted"))
+    }),
+    "r9_policy_rules" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq(("%", "low"), ("c%", "medium"), ("cl%", "high"), ("s%", "bool"))
+        .toDF("pattern", "policy")
+      val names = events(s, dir).select(col("event_type").as("name")).distinct()
+      // longest-pattern-wins fnmatch (indexer/__init__.py:460-466)
+      val j = names.join(broadcast(rules), expr("name LIKE pattern"))
+      val w = Window.partitionBy(col("name"))
+        .orderBy(length(col("pattern")).desc, col("pattern"))
+      j.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("name"), col("policy"))
+    }),
+    "g1_scoped_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+             count(lit(1)).as("n"))
+        .select(unix_timestamp(col("month")).cast("long").as("month_s"),
+          col("revenue"), col("n"))
+    }),
+    "g2_groupby_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))),
+          o("o_custkey") === c("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+             count(lit(1)).as("n"))
+    }),
+    "g3_history_weight" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_timestamp(col("ts")).cast("long").as("ts_s"),
+          col("value"))
+      import s.implicits._
+      val cut = java.time.Instant.parse("2024-01-15T12:30:00Z").getEpochSecond
+      val lo = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+      val hi = java.time.Instant.parse("2024-02-01T00:00:00Z").getEpochSecond
+      val users = ev.select(col("user_id")).distinct()
+      val revisions = users.crossJoin(
+        Seq(("A", lo, cut), ("B", cut, hi)).toDF("grp", "rev_start_s", "rev_end_s"))
+      HistoryAgg.weightedGroupAgg(ev, revisions, H, "user_id")
+        .select(col("grp"), col("bucket_s"), r6(col("v")).as("v"))
+    }))
+
+  // ---------------------------------------------------------------- LLM pipeline
+
+  val llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"))
+        .select(col("content_hash"), col("canonical_id"), col("dup_count"))),
+    "dd2_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(table(s, dir, "documents"), n = 3, numHashes = 64,
+        bands = 16, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))),
+    "dd3_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), radius = 3)),
+    "dd4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardAllPairs(
+          table(s, dir, "documents").filter(col("doc_id") < 200), n = 3, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))),
+    "sim1_bruteforce_cosine" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+          col("rank"))
+    }),
+    "sim2_ivf_ann" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.ivfTopK(em, em.filter(col("vec_id") < 10), k = 5,
+        nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+          col("rank"))
+    }),
+    "txt1_tokens" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("n_words"),
+          length(col("text")).as("n_chars_m"))),
+    "txt2_quality" -> ((s, dir) =>
+      TextAnalysis.qualitySignals(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"),
+          r6(col("punct_ratio")).as("punct_ratio"),
+          r6(col("stopword_ratio")).as("stopword_ratio"),
+          r6(col("mean_word_len")).as("mean_word_len"),
+          r6(col("quality_score")).as("quality_score"))),
+    "txt3_langid" -> ((s, dir) =>
+      TextAnalysis.languageScores(table(s, dir, "documents"))
+        .select(col("doc_id"), r6(col("en_score")).as("en_score"),
+          r6(col("de_score")).as("de_score"),
+          r6(col("es_score")).as("es_score"))),
+    "txt4_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(table(s, dir, "documents"))
+        .select(col("doc_id"), col("content_hash"), col("winnow_fp"))))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    measureQueries ++ dslQueries ++ catalogQueries ++ llmQueries
+}

@@ -1,0 +1,160 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Boolean attribute-filter DSL of the resource catalog
+  * (reference: schema rest/api.py:1381-1437, SQL compiler
+  * indexer/sqlalchemy.py:1469-1618). The JSON tree
+  * `{"and": [{"=": {"type": "instance"}}, {">": {"started_at": ...}}]}`
+  * compiles to a Catalyst `Column` predicate, so it pushes down to the
+  * parquet scan like any WHERE clause.
+  */
+sealed trait Filter
+object Filter {
+  final case class Cmp(op: String, attr: String, value: Any) extends Filter
+  final case class In(attr: String, values: Seq[Any]) extends Filter
+  final case class Like(attr: String, pattern: String) extends Filter
+  final case class And(subs: Seq[Filter]) extends Filter
+  final case class Or(subs: Seq[Filter]) extends Filter
+  final case class Not(sub: Filter) extends Filter
+
+  private def litOf(v: Any): Column = v match {
+    case null => lit(null)
+    case x => lit(x)
+  }
+
+  /** Compile to a Catalyst predicate. `!=` is null-safe per the reference
+    * (`attr IS NULL OR attr != v`, sqlalchemy.py:1593-1595); empty `in`
+    * is FALSE (sqlalchemy.py:1462-1466).
+    */
+  def compile(f: Filter): Column = f match {
+    case Cmp(op, a, v) => op match {
+      case "=" | "==" | "eq" => col(a) === litOf(v)
+      case "<" | "lt"        => col(a) < litOf(v)
+      case ">" | "gt"        => col(a) > litOf(v)
+      case "<=" | "le" | "≤" => col(a) <= litOf(v)
+      case ">=" | "ge" | "≥" => col(a) >= litOf(v)
+      case "!=" | "ne" | "≠" => col(a).isNull || col(a) =!= litOf(v)
+      case other => throw new IllegalArgumentException(s"op $other")
+    }
+    case In(_, Nil)    => lit(false)
+    case In(a, vs)     => col(a).isin(vs: _*)
+    case Like(a, p)    => col(a).like(p)
+    case And(subs)     => subs.map(compile).reduce(_ && _)
+    case Or(subs)      => subs.map(compile).reduce(_ || _)
+    case Not(sub)      => !compile(sub)
+  }
+}
+
+/** String filter grammar (reference rest/api.py:1298-1378, pyparsing
+  * infixNotation): infix text like
+  *   `(a=1 and not b>2) or c in [1, 2] or name like "x%"`
+  * with quoted strings, numbers, null, booleans. Recursive-descent with
+  * standard precedence: not > and > or.
+  */
+object FilterParser {
+  import Filter._
+
+  def parse(s: String): Filter = {
+    val p = new P(tokenize(s))
+    val f = p.orExpr()
+    require(p.eof, s"trailing tokens at ${p.rest}")
+    f
+  }
+
+  private val tokenRe =
+    ("""\s*("(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'|<=|>=|!=|==|≠|≤|≥|[()\[\],=<>]|""" +
+     """-?[0-9]+\.[0-9]+|-?[0-9]+|[A-Za-z_][A-Za-z0-9_.:-]*)""").r
+
+  private def tokenize(s: String): List[String] = {
+    var rest = s
+    val out = scala.collection.mutable.ListBuffer[String]()
+    while (rest.trim.nonEmpty) {
+      tokenRe.findPrefixMatchOf(rest) match {
+        case Some(m) => out += m.group(1); rest = rest.substring(m.end)
+        case None => throw new IllegalArgumentException(s"bad token at: $rest")
+      }
+    }
+    out.toList
+  }
+
+  private class P(var toks: List[String]) {
+    def eof: Boolean = toks.isEmpty
+    def rest: String = toks.mkString(" ")
+    private def peek: Option[String] = toks.headOption
+    private def next(): String = { val h = toks.head; toks = toks.tail; h }
+    private def expect(t: String): Unit = {
+      val g = next(); require(g.equalsIgnoreCase(t), s"expected $t got $g")
+    }
+
+    def orExpr(): Filter = {
+      var l = andExpr()
+      while (peek.exists(t => t.equalsIgnoreCase("or") || t == "∨")) {
+        next(); l = Or(Seq(l, andExpr()))
+      }
+      l
+    }
+    def andExpr(): Filter = {
+      var l = notExpr()
+      while (peek.exists(t => t.equalsIgnoreCase("and") || t == "∧")) {
+        next(); l = And(Seq(l, notExpr()))
+      }
+      l
+    }
+    def notExpr(): Filter =
+      if (peek.exists(t => t.equalsIgnoreCase("not") || t == "¬")) { next(); Not(notExpr()) }
+      else atom()
+
+    def atom(): Filter = peek match {
+      case Some("(") => next(); val f = orExpr(); expect(")"); f
+      case _ =>
+        val attr = next()
+        val op = next()
+        op.toLowerCase match {
+          case "in" =>
+            expect("["); val vs = scala.collection.mutable.ListBuffer[Any]()
+            while (!peek.contains("]")) {
+              vs += value(next()); if (peek.contains(",")) next()
+            }
+            expect("]"); In(attr, vs.toSeq)
+          case "like" => Like(attr, value(next()).toString)
+          case o if Set("=", "==", "eq", "<", ">", "<=", ">=", "!=", "≠", "≤", "≥").contains(o) =>
+            Cmp(o, attr, value(next()))
+          case o => throw new IllegalArgumentException(s"unknown operator $o")
+        }
+    }
+
+    private def value(t: String): Any = t match {
+      case _ if t.startsWith("\"") || t.startsWith("'") =>
+        t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\'", "'")
+      case "null" | "None" => null
+      case "true" | "True" => true
+      case "false" | "False" => false
+      case _ if t.matches("-?[0-9]+") => t.toLong
+      case _ if t.matches("-?[0-9]+\\.[0-9]+") => t.toDouble
+      case _ => t // bare word: uuid / enum string
+    }
+  }
+}
+
+/** R4 keyset pagination + multi-sort (rest/api.py:215-236,
+  * sqlalchemy.py:1309-1343): `sort=attr:dir` list with a unique-key
+  * tiebreaker, `marker` = last-seen unique key, limit clamped.
+  */
+object Pagination {
+  def apply(df: DataFrame, sorts: Seq[(String, Boolean)], uniqueKey: String,
+            marker: Option[Any], limit: Int, maxLimit: Int = 1000): DataFrame = {
+    val withTie =
+      if (sorts.exists(_._1 == uniqueKey)) sorts
+      else sorts :+ (uniqueKey -> true)
+    val ordered = df.orderBy(withTie.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc
+    }: _*)
+    val afterMarker = marker match {
+      case Some(m) => ordered.filter(col(uniqueKey) > lit(m))
+      case None => ordered
+    }
+    afterMarker.limit(math.min(limit, maxLimit))
+  }
+}

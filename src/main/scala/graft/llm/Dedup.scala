@@ -1,0 +1,152 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All stages are pure Catalyst expressions (whole-stage codegen, no
+  * UDFs): shingling via `split`/`transform`, hashing via `xxhash64`,
+  * minhash via array `aggregate`, banding via `groupBy` — so the LSH
+  * candidate generation is a single shuffle on the band key and scales
+  * linearly with corpus size instead of O(n²) pairwise comparison.
+  */
+object Dedup {
+
+  /** Normalize text for fingerprinting: lowercase, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact dedup: hash-groupBy on normalized text. Returns one row per
+    * distinct content with `dup_count` and the canonical (minimum) id.
+    * At 100 TB this is a single hash aggregate on a 64-bit key — the
+    * md5/xxhash key avoids shuffling full document bodies.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(normalized(col(textCol))))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("canonical_id"),
+           count(lit(1)).as("dup_count"))
+
+  /** Word n-gram shingles of a document (array of strings). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(normalized(text), " ")
+    // sliding n-grams: transform over index range, join n words
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => when(size(words) >= n,
+          concat_ws(" ", slice(words, i + 1, lit(n))))),
+      x => x.isNotNull))
+  }
+
+  /** MinHash signature: k independent min-hashes of the shingle set.
+    * Hash family: xxhash64(shingle, seed) per seed — a standard
+    * tabulation-free approximation of a universal family.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
+    * `rows` rows; docs sharing any band bucket become candidates; then
+    * exact n-gram Jaccard verifies. Returns pairs `(id_a, id_b, jaccard)`
+    * with id_a < id_b and jaccard >= threshold.
+    *
+    * Scale path: the band explode produces `bands` rows per doc; the
+    * self-join runs per-bucket (skew-safe with AQE); no full cross join.
+    */
+  def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+                 bands: Int = 32, threshold: Double = 0.5,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rows = numHashes / bands
+    val sh = docs.select(col(idCol).as("id"),
+        shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sh.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), lit(b * rows + 1), lit(rows))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate id pairs
+    * (brute-force variant over all pairs — correctness oracle for LSH).
+    */
+  def ngramJaccardAllPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash (64-bit): sign of per-bit weighted sums of token hashes.
+    * Near-dups = small Hamming distance. Computed with explode +
+    * groupBy — one shuffle on doc id; the 64 bit-sums are a single
+    * aggregate projection.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(normalized(col(textCol)), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail.toSeq: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius, using the
+    * pigeonhole trick: split the 64-bit signature into `radius + 1`
+    * chunks — any pair within the radius shares at least one exact
+    * chunk → candidate join on (chunk index, chunk value), then exact
+    * Hamming filter via bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, radius: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = radius + 1
+    val bitsPer = 64 / chunks
+    val sig = simhash(docs, idCol, textCol)
+    val banded = sig.select(col("id"), col("simhash"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftrightunsigned(col("simhash"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1))
+      }: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    val l = banded.select(col("chunk"), col("ck"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val r = banded.select(col("chunk"), col("ck"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    l.join(r, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Catalyst expressions (codegen'd per-row work, no shuffle).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token estimate: word-boundary pieces + digits +
+    * punctuation each count; long words split every ~4 chars (the
+    * common BPE average for English).
+    */
+  def tokenEstimate(text: Column): Column = {
+    val pieces = size(filter(
+      split(text, "(?<=\\W)|(?=\\W)"), p => length(trim(p)) > 0))
+    val longWordExtra = aggregate(
+      split(trim(text), "\\s+"),
+      lit(0),
+      (acc, w) => acc + when(length(w) > 4, (length(w) - 1) / 4).otherwise(0))
+    pieces + longWordExtra
+  }
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "was", "it", "for", "on", "with", "as", "at", "by")
+
+  /** Quality signals (length, punctuation ratio, stopword ratio, mean
+    * word length) + a composite score in [0, 1]. Heuristics in the
+    * spirit of C4/Gopher quality filters.
+    */
+  def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val nWords = wordCount(t)
+    val nChars = length(t)
+    val punct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val stopHits = size(filter(words, w => lower(w).isin(stopwordsEn: _*)))
+    df.withColumn("n_words", nWords)
+      .withColumn("n_chars_m", nChars)
+      .withColumn("punct_ratio",
+        when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nWords > 0, stopHits.cast("double") / nWords).otherwise(0.0))
+      .withColumn("mean_word_len",
+        when(nWords > 0,
+          aggregate(words, lit(0), (a, w) => a + length(w)).cast("double") / nWords)
+          .otherwise(0.0))
+      .withColumn("quality_score",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.25) * least(nWords.cast("double") / 50.0, lit(1.0))
+            + lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0))
+            + lit(0.25) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0)))
+            + lit(0.25) * when(col("mean_word_len").between(3.0, 10.0), 1.0)
+                .otherwise(0.0))))
+  }
+
+  /** Language-ID n-gram heuristic: score each candidate language by its
+    * marker-token hit rate; emit the argmax and its score. Marker sets
+    * are tiny in-plan literal arrays — at scale this is a pure map
+    * stage.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "por", "como"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "不", "们"))
+
+  /** Per-language marker hit rates as columns `<lang>_score`. */
+  def languageScores(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val n = greatest(size(words), lit(1)).cast("double")
+    langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"${lang}_score",
+        size(filter(words, w => w.isin(markers: _*))) / n)
+    }
+  }
+
+  def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val n = greatest(size(words), lit(1)).cast("double")
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct((size(filter(words, w => w.isin(markers: _*))) / n).as("score"),
+             lit(lang).as("lang"))
+    }
+    df.withColumn("__best", greatest(scored: _*))
+      .withColumn("lang_pred", col("__best.lang"))
+      .withColumn("lang_score", col("__best.score"))
+      .drop("__best")
+  }
+
+  /** Document fingerprint: 64-bit content hash of normalized text
+    * (xxhash64) + a rolling-window shingle fingerprint (min of window
+    * hashes — a winnowing-style selection).
+    */
+  def fingerprint(df: DataFrame, textCol: String = "text",
+                  window: Int = 5): DataFrame = {
+    val norm = Dedup.normalized(col(textCol))
+    val sh = Dedup.shingles(col(textCol), window)
+    df.withColumn("content_hash", xxhash64(norm))
+      .withColumn("winnow_fp",
+        when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s))))
+          .otherwise(xxhash64(norm)))
+  }
+}

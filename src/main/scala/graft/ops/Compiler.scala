@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Granularity
+import graft.timeseries.Bucketing
+
+/** Aligned evaluation grid: `bucket` timestamp column + one double column
+  * per series (reference builds a numpy matrix, processor.py:165-198; we
+  * keep it a DataFrame so Catalyst optimizes the whole expression tree).
+  */
+final case class Grid(df: DataFrame, cols: Seq[String])
+
+/** Compiles the cross-metric DSL AST to Spark plans over a [[Grid]].
+  *
+  * The reference interprets the AST with numpy ufuncs over the matrix
+  * (operations.py:331-365); here every elementwise op becomes a Catalyst
+  * expression (whole-stage codegen), rolling becomes a row window, and
+  * aggregate-across-metrics becomes an unpivot + hash aggregate.
+  */
+object Compiler {
+
+  /** P3 grid build: long-format series `(ref, bucket, value)` → pivoted
+    * grid with the union of all timestamps (missing cells = null).
+    * Single shuffle on bucket.
+    */
+  def align(long: DataFrame, refs: Seq[String], refCol: String = "ref",
+            bucketCol: String = "bucket", valueCol: String = "value"): Grid = {
+    val df = long.groupBy(col(bucketCol).as("bucket"))
+      .pivot(refCol, refs)
+      .agg(first(col(valueCol)))
+    Grid(df, refs)
+  }
+
+  /** P5 overlap: fraction (0-100) of grid rows where every series is
+    * present. When from/to are unset the reference first trims the grid
+    * to [first, last] fully-overlapping row (processor.py:200-220).
+    */
+  def overlapPercent(grid: Grid, trim: Boolean): (Grid, Double) = {
+    val allPresent = grid.cols.map(c => col(c).isNotNull && !isnan(col(c)))
+      .reduce(_ && _)
+    val trimmed = if (trim) {
+      val bounds = grid.df.filter(allPresent)
+        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .collect()(0)
+      if (bounds.isNullAt(0)) grid.copy(df = grid.df.limit(0))
+      else grid.copy(df = grid.df.filter(
+        col("bucket") >= bounds.getTimestamp(0) &&
+        col("bucket") <= bounds.getTimestamp(1)))
+    } else grid
+    val counts = trimmed.df
+      .agg(count(lit(1)).as("n"), count(when(allPresent, 1)).as("k"))
+      .collect()(0)
+    val pct = if (counts.getLong(0) == 0) 0.0
+      else counts.getLong(1) * 100.0 / counts.getLong(0)
+    (trimmed, pct)
+  }
+
+  /** Cross-metric AGG_MAP (operations.py:26-49): nan-skipping,
+    * POPULATION std/var (numpy default ddof=0) — contrast the
+    * archive-policy sample std.
+    */
+  private def acrossAgg(agg: String, v: Column): Column = agg match {
+    case "mean"   => avg(v)
+    case "sum"    => sum(v)
+    case "min"    => min(v)
+    case "max"    => max(v)
+    case "count"  => count(v).cast("double")
+    case "median" => median(v)
+    case "std"    => stddev_pop(v)
+    case "var"    => var_pop(v)
+    case other    => throw new IllegalArgumentException(s"aggregate op $other")
+  }
+
+  private def binCol(op: String, l: Column, r: Column): Column = op match {
+    case "eq"  => (l === r).cast("double")
+    case "ne"  => (l =!= r).cast("double")
+    case "lt"  => (l < r).cast("double")
+    case "gt"  => (l > r).cast("double")
+    case "le"  => (l <= r).cast("double")
+    case "ge"  => (l >= r).cast("double")
+    case "add" => l + r
+    case "sub" => l - r
+    case "mul" => l * r
+    case "div" => l / r
+    case "mod" => l % r
+    case "pow" => pow(l, r)
+    case "max2" => greatest(l, r)
+    case "min2" => least(l, r)
+    case "clip_min" => greatest(l, r)
+    case "clip_max" => least(l, r)
+  }
+
+  private def unCol(op: String, c: Column): Column = op match {
+    case "abs" | "absolute" => abs(c)
+    case "neg" | "negative" => negate(c)
+    case "cos"   => cos(c)
+    case "sin"   => sin(c)
+    case "tan"   => tan(c)
+    case "floor" => floor(c).cast("double")
+    case "ceil"  => ceil(c).cast("double")
+  }
+
+  /** Evaluate an AST node against the base grid. */
+  def eval(node: Node, base: Grid): Grid = node match {
+    case MetricLeaf(refs) =>
+      val names = refs.map { case (m, a) => refName(m, a) }
+      names.foreach { n =>
+        require(base.cols.contains(n), s"series $n not in grid ${base.cols}")
+      }
+      Grid(base.df.select((col("bucket") +: names.map(col)): _*), names)
+
+    case Num(v) =>
+      // bare scalar grid: broadcast column over base timestamps
+      Grid(base.df.select(col("bucket"), lit(v).as("scalar")), Seq("scalar"))
+
+    case Bin(op, l, r) => (l, r) match {
+      case (Num(v), rn) =>
+        val g = eval(rn, base)
+        mapCols(g, c => binCol(op, lit(v), c))
+      case (ln, Num(v)) =>
+        val g = eval(ln, base)
+        mapCols(g, c => binCol(op, c, lit(v)))
+      case (ln, rn) =>
+        val lg = eval(ln, base)
+        val rg = eval(rn, base)
+        zipGrids(lg, rg, (a, b) => binCol(op, a, b))
+    }
+
+    case Clip(sub, lo, hi) =>
+      val g = eval(sub, base)
+      val loC = lo match { case Num(v) => lit(v); case _ => sys.error("clip bounds must be scalars") }
+      val hiC = hi match { case Num(v) => lit(v); case _ => sys.error("clip bounds must be scalars") }
+      mapCols(g, c => least(greatest(c, loC), hiC))
+
+    case Un(op, sub) => mapCols(eval(sub, base), c => unCol(op, c))
+
+    case RateOfChange(perSec, sub) =>
+      val g = eval(sub, base)
+      val w = Window.orderBy(col("bucket"))
+      val dt = unix_micros(col("bucket")) - lag(unix_micros(col("bucket")), 1).over(w)
+      val out = g.cols.foldLeft(g.df) { (d, c) =>
+        val diff = col(c) - lag(col(c), 1).over(w)
+        d.withColumn(c, if (perSec) diff / (dt.cast("double") / 1e6) else diff)
+      }
+      // numpy.diff drops the first timestamp row (operations.py:139-141)
+      Grid(out.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1).drop("__rn"), g.cols)
+
+    case AggAcross(agg, sub) =>
+      val g = eval(sub, base)
+      val (isRate, a) =
+        if (agg.startsWith("rate:")) (true, agg.stripPrefix("rate:")) else (false, agg)
+      val src = if (isRate) eval(RateOfChange(perSecond = false, sub), base) else g
+      // unpivot cols → (bucket, value); nulls dropped (nan-skipping aggs)
+      val stacked = src.df.select(col("bucket"),
+        explode(array(src.cols.map(c => col(c).cast("double")): _*)).as("v"))
+        .filter(col("v").isNotNull && !isnan(col("v")))
+      Grid(stacked.groupBy(col("bucket")).agg(acrossAgg(a, col("v")).as("aggregated")),
+        Seq("aggregated"))
+
+    case Rolling(agg, n, sub) =>
+      val g = eval(sub, base)
+      val w = Window.orderBy(col("bucket")).rowsBetween(-(n - 1), 0)
+      val rolled = g.cols.foldLeft(g.df) { (d, c) =>
+        d.withColumn(s"__r_$c", acrossAgg(agg, col(c)).over(w))
+          .withColumn(s"__n_$c", count(col(c)).over(w))
+      }
+      // emit only full windows (operations.py:245-250)
+      val wAll = Window.orderBy(col("bucket"))
+      val out = rolled.withColumn("__rn", row_number().over(wAll))
+        .filter(col("__rn") >= n)
+        .select((col("bucket") +: g.cols.map(c => col(s"__r_$c").as(c))): _*)
+      Grid(out, g.cols)
+
+    case Resample(agg, gran, sub) =>
+      val g = eval(sub, base)
+      val floored = g.df.withColumn("bucket", Bucketing.bucket(col("bucket"), gran))
+      val out = floored.groupBy(col("bucket"))
+        .agg(g.cols.map(c => acrossAgg(agg, col(c)).as(c)).head,
+             g.cols.map(c => acrossAgg(agg, col(c)).as(c)).tail: _*)
+      Grid(out, g.cols)
+  }
+
+  def refName(metric: String, agg: String): String = s"$metric/$agg"
+
+  private def mapCols(g: Grid, f: Column => Column): Grid =
+    Grid(g.df.select((col("bucket") +: g.cols.map(c => f(col(c)).as(c))): _*), g.cols)
+
+  /** series⊕series: timestamps must match (operations.py:170-179 errors on
+    * mismatch — we inner-join on bucket); columns pair up positionally,
+    * single-column grids broadcast across the other side's columns.
+    */
+  private def zipGrids(l: Grid, r: Grid, f: (Column, Column) => Column): Grid = {
+    val rRenamed = r.cols.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+    val joined = l.df.join(rRenamed, Seq("bucket"), "inner")
+    val pairs: Seq[(String, String, String)] =
+      if (l.cols.size == r.cols.size) l.cols.zip(r.cols).map { case (a, b) => (a, s"__r_$b", a) }
+      else if (r.cols.size == 1) l.cols.map(a => (a, s"__r_${r.cols.head}", a))
+      else if (l.cols.size == 1) r.cols.map(b => (l.cols.head, s"__r_$b", b))
+      else sys.error(s"shape mismatch: ${l.cols} vs ${r.cols}")
+    val outCols = pairs.map { case (a, b, n) => f(col(a), col(b)).as(n) }
+    Grid(joined.select((col("bucket") +: outCols): _*), pairs.map(_._3))
+  }
+}

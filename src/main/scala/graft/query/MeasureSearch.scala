@@ -1,0 +1,57 @@
+package graft.query
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** S1 measure-value threshold search (`POST /v1/search/metric`,
+  * reference rest/api.py:1514-1652 `MeasureQuery`): a boolean tree of
+  * comparisons whose operands may be arithmetic over the aggregated
+  * value. Compiles to a single Catalyst predicate over the aggregate
+  * frame — filter pushdown comes free.
+  */
+object MeasureSearch {
+
+  sealed trait Expr
+  case object Value extends Expr
+  final case class Const(v: Double) extends Expr
+  final case class Arith(op: String, l: Expr, r: Expr) extends Expr
+
+  sealed trait Pred
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Pred
+  final case class And(ps: Seq[Pred]) extends Pred
+  final case class Or(ps: Seq[Pred]) extends Pred
+  final case class Not(p: Pred) extends Pred
+
+  def compileExpr(e: Expr, value: Column): Column = e match {
+    case Value => value
+    case Const(v) => lit(v)
+    case Arith(op, l, r) =>
+      val (a, b) = (compileExpr(l, value), compileExpr(r, value))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+        case "**" => pow(a, b)
+        case other => throw new IllegalArgumentException(s"arith $other")
+      }
+  }
+
+  def compile(p: Pred, value: Column): Column = p match {
+    case Cmp(op, l, r) =>
+      val (a, b) = (compileExpr(l, value), compileExpr(r, value))
+      op match {
+        case "=" | "==" | "eq" => a === b
+        case "<" | "lt" => a < b
+        case ">" | "gt" => a > b
+        case "<=" | "le" => a <= b
+        case ">=" | "ge" => a >= b
+        case "!=" | "ne" => a =!= b
+        case other => throw new IllegalArgumentException(s"cmp $other")
+      }
+    case And(ps) => ps.map(compile(_, value)).reduce(_ && _)
+    case Or(ps)  => ps.map(compile(_, value)).reduce(_ || _)
+    case Not(q)  => !compile(q, value)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Granularity
+
+/** Series-level operators over long-format frames
+  * `(keyCols..., bucket|timestamp, value)`.
+  */
+object TimeSeriesOps {
+
+  /** M1 `combine_timeseries` (carbonara.py:92-105): concat + dedup by
+    * timestamp, NEW data wins on conflict; within one batch the FIRST
+    * occurrence at a duplicate timestamp wins (pinned by
+    * tests/test_carbonara.py:84-104).
+    *
+    * `newDf` and `oldDf` must share schema `(keyCols..., tsCol, value)`.
+    * `orderCol` breaks within-batch ties (e.g. a monotonically-increasing
+    * ingest sequence); pass a literal if batches are pre-deduped.
+    *
+    * One shuffle on (keyCols, ts); window + filter stays in the same
+    * exchange as the row_number sort.
+    */
+  def merge(newDf: DataFrame, oldDf: DataFrame, keyCols: Seq[String],
+            tsCol: String, orderCol: Column): DataFrame = {
+    val tagged = newDf.withColumn("__prio", lit(0))
+      .unionByName(oldDf.withColumn("__prio", lit(1)))
+    val w = Window.partitionBy((keyCols.map(col) :+ col(tsCol)): _*)
+      .orderBy(col("__prio"), orderCol)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__prio", "__rn")
+  }
+
+  /** A10 resample (carbonara.py:594-598): re-aggregate an
+    * already-aggregated series to a coarser granularity with the SAME
+    * method. Note gnocchi semantics: resampled mean = mean-of-means (each
+    * fine bucket weighs equally), not a weighted mean.
+    */
+  def resample(agg: DataFrame, method: String, coarser: Granularity,
+               keyCols: Seq[String], bucketCol: String = "bucket",
+               valueCol: String = "value"): DataFrame = {
+    val base = Kernels.baseMethod(method)
+    val re = agg.withColumn("__b2", Bucketing.bucket(col(bucketCol), coarser))
+    val grouped = re.groupBy((keyCols.map(col) :+ col("__b2").as(bucketCol)): _*)
+      .agg(Kernels.aggColumn(base, col(valueCol), col(bucketCol)).as(valueCol),
+           count(col(valueCol)).as("__n"))
+    val filtered =
+      if (Kernels.needsCountGt1(base)) grouped.filter(col("__n") > 1) else grouped
+    filtered.drop("__n")
+  }
+
+  /** A11 truncate (carbonara.py:618-638): retention — keep points
+    * strictly newer than `lastTs - timespan`, per series.
+    */
+  def truncate(df: DataFrame, timespanNs: Long, keyCols: Seq[String],
+               tsCol: String = "bucket"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val lastTs = max(col(tsCol)).over(w)
+    df.withColumn("__cut", lastTs - expr(s"INTERVAL ${timespanNs / 1000} MICROSECOND"))
+      .filter(col(tsCol) > col("__cut"))
+      .drop("__cut")
+  }
+
+  /** A12 fetch (carbonara.py:809-822): slice `[floor(from, g), to]` —
+    * `from` is floored to the granularity so a 17:02 query returns the
+    * 17:00 bucket. Plain predicates → parquet row-group pruning.
+    */
+  def fetch(agg: DataFrame, granularity: Granularity,
+            from: Option[java.sql.Timestamp], to: Option[java.sql.Timestamp],
+            bucketCol: String = "bucket"): DataFrame = {
+    val lo = from.map(f => col(bucketCol) >= Bucketing.bucket(lit(f), granularity))
+    val hi = to.map(t => col(bucketCol) <= lit(t))
+    Seq(lo, hi).flatten.foldLeft(agg)((d, p) => d.filter(p))
+  }
+
+  /** P4 fill policies (processor.py:173-196; utils.py:373-381) applied to
+    * value columns of an aligned grid. `cols` are the per-series value
+    * columns; ts ordering within the whole grid (no partition key — the
+    * grid is one logical series set; callers partition by group key
+    * upstream if needed).
+    */
+  def fill(grid: DataFrame, cols: Seq[String], policy: String,
+           tsCol: String = "bucket", partitionCols: Seq[String] = Nil): DataFrame = {
+    def wAsc = {
+      val base = if (partitionCols.nonEmpty)
+        Window.partitionBy(partitionCols.map(col): _*) else Window.partitionBy()
+      base.orderBy(col(tsCol)).rowsBetween(Window.unboundedPreceding, 0)
+    }
+    def wDesc = {
+      val base = if (partitionCols.nonEmpty)
+        Window.partitionBy(partitionCols.map(col): _*) else Window.partitionBy()
+      base.orderBy(col(tsCol)).rowsBetween(0, Window.unboundedFollowing)
+    }
+    policy match {
+      case "null" => grid
+      case "dropna" =>
+        grid.filter(cols.map(c => col(c).isNotNull && !isnan(col(c))).reduce(_ && _))
+      case "ffill" =>
+        cols.foldLeft(grid)((d, c) =>
+          d.withColumn(c, last(col(c), ignoreNulls = true).over(wAsc)))
+      case "bfill" =>
+        cols.foldLeft(grid)((d, c) =>
+          d.withColumn(c, first(col(c), ignoreNulls = true).over(wDesc)))
+      case "full_ffill" =>
+        val f = fill(grid, cols, "ffill", tsCol, partitionCols)
+        fill(f, cols, "bfill", tsCol, partitionCols)
+      case "full_bfill" =>
+        val b = fill(grid, cols, "bfill", tsCol, partitionCols)
+        fill(b, cols, "ffill", tsCol, partitionCols)
+      case num if num.matches("-?[0-9.]+") =>
+        cols.foldLeft(grid)((d, c) =>
+          d.withColumn(c, coalesce(col(c), lit(num.toDouble))))
+      case other => throw new IllegalArgumentException(s"fill policy $other")
+    }
+  }
+}
