@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Granularity
+import graft.timeseries.{Bucketing, Kernels, TimeSeriesOps}
+
+/** Golden tests ported from the reference's test_carbonara.py —
+  * they pin exact aggregation semantics.
+  */
+class KernelsSpec extends SparkSpec {
+
+  private def agg(method: String, rows: (String, String, Double)*)(g: Long = 60) =
+    Kernels.aggregate(measures(rows: _*), method, Granularity.seconds(g),
+      Seq("metric_id"), "timestamp", "value")
+      .orderBy("bucket")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2)))
+      .toSeq
+
+  // test_carbonara.py:111-141 — base series [12:00:00->3, 12:00:04->5, 12:00:09->6]
+  val base = Seq(
+    ("m", "2014-01-01 12:00:00", 3.0),
+    ("m", "2014-01-01 12:00:04", 5.0),
+    ("m", "2014-01-01 12:00:09", 6.0))
+
+  test("mean per minute bucket") {
+    assert(agg("mean", base: _*)() ==
+      Seq(("2014-01-01 12:00:00.0", (3.0 + 5 + 6) / 3)))
+  }
+
+  test("sum, min, max, count") {
+    assert(agg("sum", base: _*)() == Seq(("2014-01-01 12:00:00.0", 14.0)))
+    assert(agg("min", base: _*)() == Seq(("2014-01-01 12:00:00.0", 3.0)))
+    assert(agg("max", base: _*)() == Seq(("2014-01-01 12:00:00.0", 6.0)))
+    assert(agg("count", base: _*)() == Seq(("2014-01-01 12:00:00.0", 3.0)))
+  }
+
+  test("median: mean-of-two-middles for even counts (carbonara.py:162-171)") {
+    val four = base :+ (("m", "2014-01-01 12:00:10", 9.0))
+    assert(agg("median", four: _*)() == Seq(("2014-01-01 12:00:00.0", 5.5)))
+  }
+
+  test("74pct: exact linear interpolation (test_carbonara.py:243-278)") {
+    // numpy percentile linear: sorted [3,5,6], pos = (3-1)*0.74 = 1.48
+    // → 5 + 0.48*(6-5) = 5.48
+    val got = agg("74pct", base: _*)()
+    assert(got.size == 1)
+    assert(math.abs(got.head._2 - 5.48) < 1e-9, s"got $got")
+  }
+
+  test("std is SAMPLE std and n<=1 buckets are dropped (carbonara.py:173-182)") {
+    val rows = base :+ (("m", "2014-01-01 12:01:30", 42.0)) // second bucket n=1
+    val got = agg("std", rows: _*)()
+    assert(got.size == 1, s"n=1 bucket must be dropped entirely: $got")
+    // numpy ddof=1 of [3,5,6] = 1.5275252316519468
+    assert(math.abs(got.head._2 - 1.5275252316519468) < 1e-12)
+  }
+
+  test("first/last by timestamp order (carbonara.py:187-195)") {
+    assert(agg("first", base: _*)() == Seq(("2014-01-01 12:00:00.0", 3.0)))
+    assert(agg("last", base: _*)() == Seq(("2014-01-01 12:00:00.0", 6.0)))
+  }
+
+  test("rate: first-difference before bucketing (carbonara.py:212-221)") {
+    // diffs: 5-3=2, 6-5=1 → mean = 1.5; first point consumed
+    assert(agg("rate:mean", base: _*)() == Seq(("2014-01-01 12:00:00.0", 1.5)))
+  }
+
+  test("rate: forbidden on calendar granularity") {
+    intercept[IllegalArgumentException] {
+      Kernels.aggregate(measures(base: _*), "rate:mean",
+        Granularity.Calendar("M"), Seq("metric_id"), "timestamp", "value")
+    }
+  }
+
+  test("merge: new batch wins, first occurrence wins within batch (test_carbonara.py:84-104)") {
+    // batch with duplicate timestamps: first occurrence at dup ts wins
+    val s = spark
+    import s.implicits._
+    val newB = Seq(
+      ("m", ts("2014-01-01 13:00:10"), 3.0, 1L),
+      ("m", ts("2014-01-01 13:00:11"), 9.0, 2L),
+      ("m", ts("2014-01-01 13:00:11"), 8.0, 3L),
+      ("m", ts("2014-01-01 13:00:11"), 7.0, 4L))
+      .toDF("metric_id", "timestamp", "value", "seq")
+    val old = Seq(
+      ("m", ts("2014-01-01 13:00:10"), 1.0, 1L),
+      ("m", ts("2014-01-01 13:00:12"), 4.0, 2L))
+      .toDF("metric_id", "timestamp", "value", "seq")
+    val got = TimeSeriesOps.merge(newB, old, Seq("metric_id"), "timestamp", col("seq"))
+      .orderBy("timestamp").select("timestamp", "value").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSeq
+    assert(got == Seq(
+      ("2014-01-01 13:00:10.0", 3.0),  // new wins over stored 1.0
+      ("2014-01-01 13:00:11.0", 9.0),  // first occurrence of dup wins
+      ("2014-01-01 13:00:12.0", 4.0))) // stored point kept
+  }
+
+  test("resample is mean-of-means, not weighted mean (carbonara.py:594-598)") {
+    val rows = Seq(
+      ("m", "2014-01-01 12:00:00", 1.0), ("m", "2014-01-01 12:00:01", 1.0),
+      ("m", "2014-01-01 12:00:02", 1.0), ("m", "2014-01-01 12:01:00", 4.0))
+    val fine = Kernels.aggregate(measures(rows: _*), "mean",
+      Granularity.seconds(60), Seq("metric_id"), "timestamp", "value")
+    val got = TimeSeriesOps.resample(fine, "mean", Granularity.seconds(3600),
+      Seq("metric_id")).collect().map(_.getDouble(2)).toSeq
+    assert(got == Seq((1.0 + 4.0) / 2)) // NOT (1+1+1+4)/4
+  }
+
+  test("truncate keeps points strictly newer than last - timespan") {
+    val rows = Seq(
+      ("m", "2014-01-01 12:00:00", 1.0),
+      ("m", "2014-01-01 12:10:00", 2.0),
+      ("m", "2014-01-01 13:00:00", 3.0))
+    val agg = Kernels.aggregate(measures(rows: _*), "mean",
+      Granularity.seconds(60), Seq("metric_id"), "timestamp", "value")
+    val got = TimeSeriesOps.truncate(agg, 3600L * 1_000_000_000L, Seq("metric_id"))
+      .orderBy("bucket").collect().map(_.getDouble(2)).toSeq
+    assert(got == Seq(2.0, 3.0)) // 12:00 == 13:00 - 1h → strictly-before drop
+  }
+
+  test("fetch floors `from` to granularity (carbonara.py:809-822)") {
+    val agg = Kernels.aggregate(measures(base: _*), "mean",
+      Granularity.seconds(60), Seq("metric_id"), "timestamp", "value")
+    val got = TimeSeriesOps.fetch(agg, Granularity.seconds(60),
+      Some(ts("2014-01-01 12:00:30")), None).collect()
+    assert(got.length == 1) // 12:00:30 floored to 12:00 → bucket included
+  }
+
+  test("calendar buckets: week anchored Sunday (calendar.py:40-44)") {
+    // 2014-01-01 is a Wednesday → week bucket = Sunday 2013-12-29
+    val df = measures(("m", "2014-01-01 12:00:00", 1.0))
+      .select(Bucketing.calendarBucket(col("timestamp"), "W").as("b"))
+    assert(df.collect()(0).getTimestamp(0).toString == "2013-12-29 00:00:00.0")
+  }
+
+  test("calendar buckets: half-year") {
+    val df = measures(
+      ("m", "2014-03-01 00:00:00", 1.0), ("m", "2014-09-01 00:00:00", 1.0))
+      .select(Bucketing.calendarBucket(col("timestamp"), "H").as("b"))
+      .orderBy("b")
+    assert(df.collect().map(_.getTimestamp(0).toString).toSeq ==
+      Seq("2014-01-01 00:00:00.0", "2014-07-01 00:00:00.0"))
+  }
+}

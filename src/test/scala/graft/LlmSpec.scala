@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+class LlmSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalized duplicates") {
+    val d = docs(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
+    val got = Dedup.exact(d).orderBy("canonical_id")
+      .select("canonical_id", "dup_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds the near-duplicate pair brute-force finds") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs(
+      (1L, base),
+      (2L, base + " tomorrow"), // near dup of 1
+      (3L, "completely different content about spark catalyst expression trees"))
+    val lsh = Dedup.minhashLsh(d, n = 2, numHashes = 64, bands = 32, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.ngramJaccardAllPairs(d, n = 2, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == Set((1L, 2L)))
+    assert(lsh == brute)
+  }
+
+  test("simhash: identical docs distance 0, near dups within small radius") {
+    val base = "one two three four five six seven eight nine ten"
+    val d = docs((1L, base), (2L, base), (3L, base + " eleven"))
+    val pairs = Dedup.simhashPairs(d, radius = 8)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 8)
+  }
+
+  test("cosine of orthogonal and identical vectors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)), (3L, Array(2.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 1), k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq
+    assert(got == Seq((3L, 1.0), (2L, 0.0)))
+  }
+
+  test("IVF recall: top-1 matches brute force on clustered data") {
+    val s = spark
+    import s.implicits._
+    // two clear clusters around (1,0) and (0,1)
+    val vecs = (0 until 20).map { i =>
+      val c = i % 2
+      val eps = (i / 2) * 0.01
+      (i.toLong, if (c == 0) Array(1.0, eps) else Array(eps, 1.0))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 2)
+    def top1(r: org.apache.spark.sql.DataFrame) =
+      r.filter(col("rank") === 1).select("query_id", "corpus_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bf = top1(Similarity.bruteForceTopK(df, q, 1))
+    val ivf = top1(Similarity.ivfTopK(df, q, 1, nlist = 4, nprobe = 2))
+    assert(bf == ivf)
+  }
+
+  test("word count and quality signals") {
+    val d = docs((1L, "the quick brown fox"), (2L, ""), (3L, "  a  b  "))
+    val got = d.select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 4, 2L -> 0, 3L -> 2))
+    val q = TextAnalysis.qualitySignals(docs((1L, "the of and to in is!!")))
+      .select("stopword_ratio").collect()(0).getDouble(0)
+    assert(q > 0.8) // all-stopword text
+  }
+
+  test("language scores favor matching marker set") {
+    val d = docs((1L, "the cat and the dog of the house"),
+      (2L, "el gato y la casa por la noche"))
+    val got = TextAnalysis.languageId(d).select("doc_id", "lang_pred")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+  }
+}

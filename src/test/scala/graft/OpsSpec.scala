@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Granularity
+import graft.ops._
+import graft.timeseries.TimeSeriesOps
+
+/** Cross-metric DSL goldens ported from test_aggregates.py. */
+class OpsSpec extends SparkSpec {
+
+  private def mkGrid(rows: (String, String, Double)*): Grid = {
+    val s = spark
+    import s.implicits._
+    val long = rows.map { case (ref, t, v) => (ref, ts(t), v) }
+      .toDF("ref", "bucket", "value")
+    Compiler.align(long, rows.map(_._1).distinct)
+  }
+
+  private def values(g: Grid): Seq[(String, Seq[Double])] =
+    g.df.orderBy("bucket").collect().map { r =>
+      (r.getTimestamp(0).toString,
+        g.cols.indices.map(i => if (r.isNullAt(i + 1)) Double.NaN else r.getDouble(i + 1)))
+    }.toSeq
+
+  val twoSeries = Seq(
+    ("m1/mean", "2014-01-01 12:00:00", 1.0),
+    ("m1/mean", "2014-01-01 12:01:00", 2.0),
+    ("m1/mean", "2014-01-01 12:02:00", 3.0),
+    ("m2/mean", "2014-01-01 12:00:00", 4.0),
+    ("m2/mean", "2014-01-01 12:01:00", 5.0),
+    ("m2/mean", "2014-01-01 12:02:00", 6.0))
+
+  test("scalar broadcast: (* 4 (metric m1 mean))") {
+    val g = Compiler.eval(Parser.parse("(* 4 (metric m1 mean))"), mkGrid(twoSeries: _*))
+    assert(values(g).map(_._2.head) == Seq(4.0, 8.0, 12.0))
+  }
+
+  test("series⊕series pairwise: (- (metric m2 mean) (metric m1 mean))") {
+    val g = Compiler.eval(Parser.parse("(- (metric m2 mean) (metric m1 mean))"),
+      mkGrid(twoSeries: _*))
+    assert(values(g).map(_._2.head) == Seq(3.0, 3.0, 3.0))
+  }
+
+  test("comparison yields 1.0/0.0 (numpy semantics, operations.py:160-188)") {
+    val g = Compiler.eval(Parser.parse("(> (metric m1 mean) 1.5)"), mkGrid(twoSeries: _*))
+    assert(values(g).map(_._2.head) == Seq(0.0, 1.0, 1.0))
+  }
+
+  test("clip ternary (operations.py:108-110)") {
+    val g = Compiler.eval(Parser.parse("(clip (metric m1 mean) 1.5 2.5)"),
+      mkGrid(twoSeries: _*))
+    assert(values(g).map(_._2.head) == Seq(1.5, 2.0, 2.5))
+  }
+
+  test("rolling sum 2 emitted only from the window-th point (test_aggregates.py:1427-1470)") {
+    val g = Compiler.eval(Parser.parse("(rolling sum 2 (metric m1 mean))"),
+      mkGrid(twoSeries: _*))
+    assert(values(g).map(_._2.head) == Seq(3.0, 5.0)) // first point dropped
+  }
+
+  test("aggregate mean across metrics per timestamp (operations.py:232-240)") {
+    val g = Compiler.eval(
+      Parser.parse("(aggregate mean (metric (m1 mean) (m2 mean)))"),
+      mkGrid(twoSeries: _*))
+    assert(values(g).map(_._2.head) == Seq(2.5, 3.5, 4.5))
+  }
+
+  test("aggregate std is POPULATION std (numpy nanstd ddof=0) — contrast kernel std") {
+    val g = Compiler.eval(
+      Parser.parse("(aggregate std (metric (m1 mean) (m2 mean)))"),
+      mkGrid(twoSeries: _*))
+    assert(values(g).map(_._2.head) == Seq(1.5, 1.5, 1.5)) // pop std of {1,4}
+  }
+
+  test("rateofchange drops the first timestamp (operations.py:139-141)") {
+    val g = Compiler.eval(Parser.parse("(rateofchange (metric m1 mean))"),
+      mkGrid(twoSeries: _*))
+    assert(values(g).map(_._2.head) == Seq(1.0, 1.0))
+  }
+
+  test("rateofchangesec divides by elapsed seconds (operations.py:128-136)") {
+    val g = Compiler.eval(Parser.parse("(rateofchangesec (metric m1 mean))"),
+      mkGrid(twoSeries: _*))
+    assert(values(g).map(_._2.head) == Seq(1.0 / 60, 1.0 / 60))
+  }
+
+  test("nan-skipping: aggregate over partially-missing grid") {
+    val sparse = twoSeries :+ (("m1/mean", "2014-01-01 12:03:00", 10.0))
+    val g = Compiler.eval(
+      Parser.parse("(aggregate sum (metric (m1 mean) (m2 mean)))"), mkGrid(sparse: _*))
+    assert(values(g).map(_._2.head) == Seq(5.0, 7.0, 9.0, 10.0))
+  }
+
+  test("fill=ffill then overlap trim (processor.py:173-220)") {
+    val sparse = Seq(
+      ("a", "2014-01-01 12:00:00", 1.0),
+      ("a", "2014-01-01 12:02:00", 3.0),
+      ("b", "2014-01-01 12:00:00", 7.0),
+      ("b", "2014-01-01 12:01:00", 8.0),
+      ("b", "2014-01-01 12:02:00", 9.0))
+    val g = mkGrid(sparse: _*)
+    val filled = TimeSeriesOps.fill(g.df, Seq("a"), "ffill")
+    val got = filled.orderBy("bucket").select("a").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 1.0, 3.0))
+  }
+
+  test("overlap percent + trim (processor.py:200-220)") {
+    val sparse = Seq(
+      ("a", "2014-01-01 12:01:00", 1.0),
+      ("a", "2014-01-01 12:02:00", 3.0),
+      ("b", "2014-01-01 12:00:00", 7.0),
+      ("b", "2014-01-01 12:01:00", 8.0),
+      ("b", "2014-01-01 12:02:00", 9.0),
+      ("b", "2014-01-01 12:03:00", 9.5))
+    val g = mkGrid(sparse: _*)
+    val (trimmed, pct) = Compiler.overlapPercent(g, trim = true)
+    assert(pct == 100.0) // within trimmed [12:01, 12:02] all present
+    assert(trimmed.df.count() == 2)
+    val (_, pctNoTrim) = Compiler.overlapPercent(g, trim = false)
+    assert(pctNoTrim == 50.0)
+  }
+}
