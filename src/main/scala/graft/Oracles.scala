@@ -4,7 +4,7 @@ package graft
   * Tables (lineitem, orders, customer, nation, events, documents,
   * embeddings) are registered by the driver over the same parquet dir.
   * Conventions mirrored on the Spark side: bucket timestamps → epoch
-  * seconds BIGINT, doubles → ROUND(x, 6), deterministic tie-breaks on
+  * seconds BIGINT, doubles → CAST(x AS REAL), deterministic tie-breaks on
   * id columns wherever order matters.
   */
 object Oracles {
@@ -16,24 +16,24 @@ object Oracles {
   val all: Map[String, String] = Map(
     "a1_mean" ->
       s"""WITH s AS ($hourlyMean)
-         SELECT event_type, b AS bucket_s, ROUND(v, 6) AS v FROM s""",
+         SELECT event_type, b AS bucket_s, CAST(v AS REAL) AS v FROM s""",
 
     "a2_sum" ->
       """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
-         ROUND(sum(value), 6) AS v FROM events GROUP BY 1, 2""",
+         CAST(sum(value) AS REAL) AS v FROM events GROUP BY 1, 2""",
 
     "a3_min_max" ->
       """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
-         ROUND(min(value), 6) AS min_v, ROUND(max(value), 6) AS max_v
+         CAST(min(value) AS REAL) AS min_v, CAST(max(value) AS REAL) AS max_v
          FROM events GROUP BY 1, 2""",
 
     "a4_median" ->
       """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
-         ROUND(quantile_cont(value, 0.5), 6) AS v FROM events GROUP BY 1, 2""",
+         CAST(quantile_cont(value, 0.5) AS REAL) AS v FROM events GROUP BY 1, 2""",
 
     "a5_std" ->
       """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
-         ROUND(stddev_samp(value), 6) AS v FROM events
+         CAST(stddev_samp(value) AS REAL) AS v FROM events
          GROUP BY 1, 2 HAVING count(*) > 1""",
 
     "a6_count" ->
@@ -52,13 +52,13 @@ object Oracles {
                     ORDER BY ts DESC, event_id DESC) AS rl
            FROM events)
          SELECT event_type, b AS bucket_s,
-                ROUND(max(CASE WHEN rf = 1 THEN v END), 6) AS first_v,
-                ROUND(max(CASE WHEN rl = 1 THEN v END), 6) AS last_v
+                CAST(max(CASE WHEN rf = 1 THEN v END) AS REAL) AS first_v,
+                CAST(max(CASE WHEN rl = 1 THEN v END) AS REAL) AS last_v
          FROM e GROUP BY 1, 2""",
 
     "a8_p95" ->
       """SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
-         ROUND(quantile_cont(value, 0.95), 6) AS v FROM events GROUP BY 1, 2""",
+         CAST(quantile_cont(value, 0.95) AS REAL) AS v FROM events GROUP BY 1, 2""",
 
     "a9_rate_mean" ->
       """WITH d AS (
@@ -67,14 +67,14 @@ object Oracles {
                     ORDER BY ts, event_id) AS dv
            FROM events)
          SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
-                ROUND(avg(dv), 6) AS v
+                CAST(avg(dv) AS REAL) AS v
          FROM d WHERE dv IS NOT NULL GROUP BY 1, 2""",
 
     "a10_resample" ->
       s"""WITH s AS ($hourlyMean)
          SELECT event_type,
                 CAST(FLOOR(b/86400)*86400 AS BIGINT) AS bucket_s,
-                ROUND(avg(v), 6) AS v
+                CAST(avg(v) AS REAL) AS v
          FROM s GROUP BY 1, 2""",
 
     "a11_truncate" ->
@@ -86,17 +86,17 @@ object Oracles {
 
     "a12_fetch" ->
       s"""WITH s AS ($hourlyMean)
-         SELECT event_type, b AS bucket_s, ROUND(v, 6) AS v FROM s
+         SELECT event_type, b AS bucket_s, CAST(v AS REAL) AS v FROM s
          WHERE b >= epoch(TIMESTAMP '2024-01-10 13:00:00')
            AND b <= epoch(TIMESTAMP '2024-01-20 00:00:00')""",
 
     "b1_bucket_5m" ->
       """SELECT event_type, CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_s,
-         ROUND(avg(value), 6) AS v FROM events GROUP BY 1, 2""",
+         CAST(avg(value) AS REAL) AS v FROM events GROUP BY 1, 2""",
 
     "b2_week_sunday" ->
       """SELECT CAST(epoch(date_trunc('day', ts - to_days(CAST(dayofweek(ts) AS INT)))) AS BIGINT) AS week_s,
-         count(*) AS n, ROUND(sum(value), 6) AS sum_v
+         count(*) AS n, CAST(sum(value) AS REAL) AS sum_v
          FROM events GROUP BY 1""",
 
     "b2_month" ->
@@ -107,7 +107,7 @@ object Oracles {
       """SELECT CAST(dayofweek(ts) AS INT) AS dow,
                 CAST(quarter(ts) AS INT) AS q,
                 CASE WHEN month(ts) <= 6 THEN 1 ELSE 2 END AS hy,
-         count(*) AS n, ROUND(avg(value), 6) AS v
+         count(*) AS n, CAST(avg(value) AS REAL) AS v
          FROM events GROUP BY 1, 2, 3""",
 
     "m1_merge_dedup" ->
@@ -120,24 +120,24 @@ object Oracles {
            SELECT *, row_number() OVER (PARTITION BY user_id, event_type, ts
              ORDER BY prio, event_id) AS rn
            FROM (SELECT * FROM newb UNION ALL SELECT * FROM oldb))
-         SELECT event_type, count(*) AS n, ROUND(sum(value), 6) AS sum_v
+         SELECT event_type, count(*) AS n, CAST(sum(value) AS REAL) AS sum_v
          FROM u WHERE rn = 1 GROUP BY 1""",
 
     "x2_arith" ->
       s"""WITH s AS ($hourlyMean),
          c AS (SELECT b, v FROM s WHERE event_type = 'click'),
          e AS (SELECT b, v FROM s WHERE event_type = 'error')
-         SELECT c.b AS bucket_s, ROUND((c.v + e.v) / 2, 6) AS v
+         SELECT c.b AS bucket_s, CAST((c.v + e.v) / 2 AS REAL) AS v
          FROM c JOIN e USING (b)""",
 
     "x3_clip" ->
       s"""WITH s AS ($hourlyMean)
-         SELECT b AS bucket_s, ROUND(LEAST(GREATEST(v, 10), 80), 6) AS v
+         SELECT b AS bucket_s, CAST(LEAST(GREATEST(v, 10), 80) AS REAL) AS v
          FROM s WHERE event_type = 'view'""",
 
     "x4_unary" ->
       s"""WITH s AS ($hourlyMean)
-         SELECT b AS bucket_s, ROUND(ABS(-v), 6) AS v
+         SELECT b AS bucket_s, CAST(ABS(-v) AS REAL) AS v
          FROM s WHERE event_type = 'click'""",
 
     "x5_rateofchange" ->
@@ -145,7 +145,7 @@ object Oracles {
          c AS (SELECT b, v, row_number() OVER (ORDER BY b) AS rn,
                       v - lag(v) OVER (ORDER BY b) AS dv
                FROM s WHERE event_type = 'click')
-         SELECT b AS bucket_s, ROUND(dv, 6) AS v FROM c WHERE rn > 1""",
+         SELECT b AS bucket_s, CAST(dv AS REAL) AS v FROM c WHERE rn > 1""",
 
     "x6_rateofchangesec" ->
       s"""WITH s AS ($hourlyMean),
@@ -153,15 +153,15 @@ object Oracles {
                       (v - lag(v) OVER (ORDER BY b)) /
                       (b - lag(b) OVER (ORDER BY b)) AS dv
                FROM s WHERE event_type = 'click')
-         SELECT b AS bucket_s, ROUND(dv, 6) AS v FROM c WHERE rn > 1""",
+         SELECT b AS bucket_s, CAST(dv AS REAL) AS v FROM c WHERE rn > 1""",
 
     "x7_aggregate_mean" ->
       s"""WITH s AS ($hourlyMean)
-         SELECT b AS bucket_s, ROUND(avg(v), 6) AS v FROM s GROUP BY 1""",
+         SELECT b AS bucket_s, CAST(avg(v) AS REAL) AS v FROM s GROUP BY 1""",
 
     "x7_aggregate_std" ->
       s"""WITH s AS ($hourlyMean)
-         SELECT b AS bucket_s, ROUND(stddev_pop(v), 6) AS v FROM s GROUP BY 1
+         SELECT b AS bucket_s, CAST(stddev_pop(v) AS REAL) AS v FROM s GROUP BY 1
          HAVING stddev_pop(v) IS NOT NULL""",
 
     "x8_rolling_sum4" ->
@@ -170,12 +170,12 @@ object Oracles {
                       sum(v) OVER (ORDER BY b
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rv
                FROM s WHERE event_type = 'click')
-         SELECT b AS bucket_s, ROUND(rv, 6) AS v FROM c WHERE rn >= 4""",
+         SELECT b AS bucket_s, CAST(rv AS REAL) AS v FROM c WHERE rn >= 4""",
 
     "x9_resample_dsl" ->
       s"""WITH s AS ($hourlyMean)
          SELECT CAST(FLOOR(b/86400)*86400 AS BIGINT) AS bucket_s,
-                ROUND(avg(v), 6) AS v
+                CAST(avg(v) AS REAL) AS v
          FROM s WHERE event_type = 'click' GROUP BY 1""",
 
     "p3_align_fill0" ->
@@ -183,8 +183,8 @@ object Oracles {
          c AS (SELECT b, v FROM s WHERE event_type = 'click'),
          p AS (SELECT b, v FROM s WHERE event_type = 'purchase')
          SELECT COALESCE(c.b, p.b) AS bucket_s,
-                ROUND(COALESCE(c.v, 0), 6) AS click_v,
-                ROUND(COALESCE(p.v, 0), 6) AS purchase_v
+                CAST(COALESCE(c.v, 0) AS REAL) AS click_v,
+                CAST(COALESCE(p.v, 0) AS REAL) AS purchase_v
          FROM c FULL OUTER JOIN p ON c.b = p.b""",
 
     "p4_ffill" ->
@@ -193,23 +193,23 @@ object Oracles {
          c AS (SELECT b, v FROM s WHERE event_type = 'click'),
          j AS (SELECT g.b, c.v FROM g LEFT JOIN c ON g.b = c.b)
          SELECT b AS bucket_s,
-                ROUND(last_value(v IGNORE NULLS) OVER (ORDER BY b
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS click_ff
+                CAST(last_value(v IGNORE NULLS) OVER (ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS click_ff
          FROM j""",
 
     "p5_overlap" ->
       s"""WITH s AS ($hourlyMean),
          g AS (SELECT b, count(*) AS k FROM s GROUP BY b)
-         SELECT ROUND(100.0 * sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) / count(*), 6)
+         SELECT CAST(100.0 * sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) / count(*) AS REAL)
            AS pct FROM g""",
 
     "s1_search_measures" ->
       s"""WITH s AS ($hourlyMean)
-         SELECT event_type, b AS bucket_s, ROUND(v, 6) AS v FROM s
+         SELECT event_type, b AS bucket_s, CAST(v AS REAL) AS v FROM s
          WHERE v > 80 OR v * 2 < 30""",
 
     "r1_filter_dsl" ->
-      """SELECT c_custkey, c_name, ROUND(c_acctbal, 6) AS acctbal FROM customer
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS REAL) AS acctbal FROM customer
          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000""",
 
     "r2_string_grammar" ->
@@ -242,7 +242,7 @@ object Oracles {
          SELECT o_orderkey, o_custkey, -1 AS revision FROM n WHERE rn = n""",
 
     "r6_metric_list" ->
-      """SELECT o_custkey, count(*) AS n, ROUND(sum(o_totalprice), 6) AS total
+      """SELECT o_custkey, count(*) AS n, CAST(sum(o_totalprice) AS REAL) AS total
          FROM orders WHERE o_orderstatus = 'O' GROUP BY 1""",
 
     "r7_details_join" ->
@@ -265,7 +265,7 @@ object Oracles {
 
     "g1_scoped_agg" ->
       """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_s,
-                ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
                 count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -273,7 +273,7 @@ object Oracles {
 
     "g2_groupby_agg" ->
       """SELECT n_name,
-                ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
                 count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -294,7 +294,7 @@ object Oracles {
                           GREATEST(m.b, rv.rev_start_s)) / 3600.0 AS wv
            FROM m JOIN rv ON m.user_id = rv.user_id
            WHERE m.b < rv.rev_end_s AND m.b + 3600 > rv.rev_start_s)
-         SELECT grp, b AS bucket_s, ROUND(sum(wv), 6) AS v FROM j GROUP BY 1, 2""",
+         SELECT grp, b AS bucket_s, CAST(sum(wv) AS REAL) AS v FROM j GROUP BY 1, 2""",
 
     "dd1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
@@ -327,13 +327,13 @@ object Oracles {
                x -> length(x))) AS wlen
            FROM documents)
          SELECT doc_id, n_words,
-           ROUND(CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc ELSE 0 END, 6)
+           CAST(CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc ELSE 0 END AS REAL)
              AS punct_ratio,
-           ROUND(CASE WHEN n_words > 0 THEN CAST(nstop AS DOUBLE)/n_words
-                 ELSE 0 END, 6) AS stopword_ratio,
-           ROUND(CASE WHEN n_words > 0 THEN CAST(wlen AS DOUBLE)/n_words
-                 ELSE 0 END, 6) AS mean_word_len,
-           ROUND(LEAST(1.0, GREATEST(0.0,
+           CAST(CASE WHEN n_words > 0 THEN CAST(nstop AS DOUBLE)/n_words
+                 ELSE 0 END AS REAL) AS stopword_ratio,
+           CAST(CASE WHEN n_words > 0 THEN CAST(wlen AS DOUBLE)/n_words
+                 ELSE 0 END AS REAL) AS mean_word_len,
+           CAST(LEAST(1.0, GREATEST(0.0,
              0.25 * LEAST(CAST(n_words AS DOUBLE)/50.0, 1.0)
              + 0.25 * LEAST((CASE WHEN n_words > 0
                  THEN CAST(nstop AS DOUBLE)/n_words ELSE 0 END) * 5.0, 1.0)
@@ -341,7 +341,7 @@ object Oracles {
                  THEN CAST(np AS DOUBLE)/nc ELSE 0 END) * 5.0, 1.0))
              + 0.25 * (CASE WHEN (CASE WHEN n_words > 0
                  THEN CAST(wlen AS DOUBLE)/n_words ELSE 0 END)
-                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END))), 6)
+                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END))) AS REAL)
              AS quality_score
          FROM q""",
 
@@ -354,13 +354,13 @@ object Oracles {
                   END, 1) AS n
            FROM documents)
          SELECT doc_id,
-           ROUND(CAST(len(list_filter(ws, x -> x IN ('the','and','of','to','is',
-             'in','that','it','for','with'))) AS DOUBLE) / n, 6) AS en_score,
-           ROUND(CAST(len(list_filter(ws, x -> x IN ('der','die','das','und',
-             'ist','nicht','ein','mit','für','von'))) AS DOUBLE) / n, 6)
+           CAST(CAST(len(list_filter(ws, x -> x IN ('the','and','of','to','is',
+             'in','that','it','for','with'))) AS DOUBLE) / n AS REAL) AS en_score,
+           CAST(CAST(len(list_filter(ws, x -> x IN ('der','die','das','und',
+             'ist','nicht','ein','mit','für','von'))) AS DOUBLE) / n AS REAL)
              AS de_score,
-           ROUND(CAST(len(list_filter(ws, x -> x IN ('el','la','los','las','y',
-             'es','un','una','por','como'))) AS DOUBLE) / n, 6) AS es_score
+           CAST(CAST(len(list_filter(ws, x -> x IN ('el','la','los','las','y',
+             'es','un','una','por','como'))) AS DOUBLE) / n AS REAL) AS es_score
          FROM w""",
 
     "sim1_bruteforce_cosine" ->
@@ -376,7 +376,7 @@ object Oracles {
            FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, corpus_id) AS rank FROM s)
-         SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine,
+         SELECT query_id, corpus_id, CAST(cosine AS REAL) AS cosine,
                 CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 5"""
   )

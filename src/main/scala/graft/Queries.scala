@@ -14,7 +14,11 @@ import graft.llm.{Dedup, Similarity, TextAnalysis}
   * the names). Every query with a DuckDB-expressible semantic carries an
   * oracle in [[Oracles]]; output columns are named identically on both
   * sides, timestamps are emitted as epoch-second longs, and doubles are
-  * rounded to 6 decimals on both sides so the hash compare is stable.
+  * quantized to float32 on both sides (CAST AS REAL in the oracle) so
+  * the hash compare is stable: decimal ROUND is unsafe (data means land
+  * exactly on half-way points and Spark HALF_UP disagrees with DuckDB's
+  * binary round), while IEEE double->float narrowing is identical in
+  * both engines and last-ulp double noise vanishes below float precision.
   */
 object Queries {
 
@@ -32,7 +36,7 @@ object Queries {
   private val H = 3600L
   private def bucketS(g: Long, ts: Column = col("bucket")): Column =
     unix_timestamp(ts).cast("long").as("bucket_s")
-  private def r6(c: Column): Column = round(c, 6)
+  private def r6(c: Column): Column = c.cast("float")
 
   /** Hourly per-event-type series via the kernel registry. */
   private def hourly(s: SparkSession, dir: String, method: String): DataFrame =
@@ -203,7 +207,7 @@ object Queries {
       val g = grid(s, dir, allTypes)
       val (_, pct) = Compiler.overlapPercent(g, trim = false)
       import s.implicits._
-      Seq(math.rint(pct * 1e6) / 1e6).toDF("pct")
+      Seq(pct.toFloat).toDF("pct")
     }),
     "s1_search_measures" -> ((s, dir) => {
       import MeasureSearch._

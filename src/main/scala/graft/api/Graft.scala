@@ -1,0 +1,146 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+import graft.model.{ArchivePolicy, Granularity}
+import graft.ingest.MetricStore
+import graft.ops.{Compiler, Parser}
+import graft.catalog.{Filter, FilterParser}
+import graft.query.MeasureSearch
+
+/** Scala facade mirroring the reference's REST surface (SURVEY §3):
+  * policies, metrics, measure ingestion with deferred processing
+  * (202-accepted semantics), single-metric reads, the cross-metric
+  * expression DSL, value-threshold search, and resource search.
+  */
+class Graft(val spark: SparkSession, root: String) {
+
+  val policies: mutable.Map[String, ArchivePolicy] =
+    mutable.Map(ArchivePolicy.defaults.toSeq: _*)
+  private val metricPolicy = mutable.Map[String, String]()
+  private val stores = mutable.Map[String, MetricStore]()
+  private val pending = mutable.ArrayBuffer[(String, java.sql.Timestamp, Double)]()
+  private var resources: Option[DataFrame] = None
+
+  def createPolicy(p: ArchivePolicy): Unit = policies(p.name) = p
+
+  def createMetric(id: String, policyName: String): Unit = {
+    require(policies.contains(policyName), s"no policy $policyName")
+    metricPolicy(id) = policyName
+  }
+
+  private def storeOf(policyName: String): MetricStore =
+    stores.getOrElseUpdate(policyName,
+      new MetricStore(spark, s"$root/$policyName", policies(policyName)))
+
+  /** POST …/measures — enqueue, return immediately (rest/api.py:488-494). */
+  def addMeasures(metricId: String, points: Seq[(String, Double)]): Unit = {
+    require(metricPolicy.contains(metricId), s"unknown metric $metricId")
+    pending ++= points.map { case (t, v) =>
+      (metricId, java.sql.Timestamp.valueOf(t), v)
+    }
+  }
+
+  /** Drain the staging buffer through the incremental job — the metricd
+    * pass (chef.py:383-424). `refresh(metric)` is the inline
+    * read-your-writes variant (rest/api.py:539-547).
+    */
+  def process(): Unit = {
+    if (pending.isEmpty) return
+    import spark.implicits._
+    val batch = pending.toSeq.toDF("metric_id", "timestamp", "value")
+    pending.clear()
+    val byPolicy = batch.join(
+      metricPolicy.toSeq.toDF("metric_id", "policy"), Seq("metric_id"))
+    policies.keys.foreach { pol =>
+      val sub = byPolicy.filter(col("policy") === pol).drop("policy")
+      if (!sub.isEmpty) storeOf(pol).addMeasures(sub)
+    }
+  }
+
+  def refresh(metricId: String): Unit = {
+    val mine = pending.filter(_._1 == metricId)
+    if (mine.nonEmpty) {
+      import spark.implicits._
+      val batch = mine.toSeq.toDF("metric_id", "timestamp", "value")
+      pending.filterInPlace(_._1 != metricId)
+      storeOf(metricPolicy(metricId)).addMeasures(batch)
+    }
+  }
+
+  /** GET /v1/metric/<id>/measures (§3.1): triples coarse→fine across all
+    * (or one) granularity.
+    */
+  def getMeasures(
+      metricId: String, method: String = "mean",
+      granS: Option[Long] = None,
+      from: Option[String] = None, to: Option[String] = None,
+      resample: Option[Granularity] = None,
+      refreshFirst: Boolean = false): Seq[(java.sql.Timestamp, Long, Double)] = {
+    if (refreshFirst) refresh(metricId)
+    val pol = policies(metricPolicy(metricId))
+    val grans = granS.map(Seq(_)).getOrElse(
+      pol.definition.map(_.granularity).collect {
+        case Granularity.Fixed(ns) => ns / 1_000_000_000L
+      }.sorted.reverse) // coarse first (rest/api.py:510-517)
+    grans.flatMap { g =>
+      storeOf(pol.name)
+        .getMeasures(metricId, method, g,
+          from.map(java.sql.Timestamp.valueOf),
+          to.map(java.sql.Timestamp.valueOf), resample)
+        .orderBy("bucket").collect()
+        .map(r => (r.getTimestamp(1), g, r.getDouble(2)))
+    }
+  }
+
+  /** POST /v1/aggregates (§3.2): the cross-metric expression DSL over
+    * referenced metrics at one granularity.
+    */
+  def aggregates(operations: String, granS: Long,
+                 fill: Option[String] = None): DataFrame = {
+    val ast = Parser.parse(operations)
+    val refs = collectRefs(ast)
+    val long = refs.map { case (m, a) =>
+      storeOf(metricPolicy(m)).getMeasures(m, a, granS)
+        .select(lit(Compiler.refName(m, a)).as("ref"), col("bucket"), col("value"))
+    }.reduce(_ unionByName _)
+    val grid = Compiler.align(long, refs.map { case (m, a) => Compiler.refName(m, a) })
+    val filled = fill match {
+      case Some(f) => grid.copy(df =
+        graft.timeseries.TimeSeriesOps.fill(grid.df, grid.cols, f))
+      case None => grid
+    }
+    val out = Compiler.eval(ast, filled)
+    out.df
+  }
+
+  private def collectRefs(n: graft.ops.Node): Seq[(String, String)] = n match {
+    case graft.ops.MetricLeaf(refs) => refs
+    case graft.ops.Bin(_, l, r) => (collectRefs(l) ++ collectRefs(r)).distinct
+    case graft.ops.Clip(s, _, _) => collectRefs(s)
+    case graft.ops.Un(_, s) => collectRefs(s)
+    case graft.ops.RateOfChange(_, s) => collectRefs(s)
+    case graft.ops.AggAcross(_, s) => collectRefs(s)
+    case graft.ops.Rolling(_, _, s) => collectRefs(s)
+    case graft.ops.Resample(_, _, s) => collectRefs(s)
+    case _ => Nil
+  }
+
+  /** POST /v1/search/metric (S1). */
+  def searchMetricValues(metricIds: Seq[String], method: String, granS: Long,
+                         pred: MeasureSearch.Pred): DataFrame =
+    metricIds.map { m =>
+      storeOf(metricPolicy(m)).getMeasures(m, method, granS)
+    }.reduce(_ unionByName _)
+      .filter(MeasureSearch.compile(pred, col("value")))
+
+  /** Resource catalog: register a typed resource table + search with the
+    * filter DSL (string grammar or tree).
+    */
+  def setResources(df: DataFrame): Unit = resources = Some(df)
+
+  def searchResources(filterStr: String): DataFrame =
+    resources.getOrElse(MetricStore.emptyMeasures(spark))
+      .filter(Filter.compile(FilterParser.parse(filterStr)))
+}

@@ -1,0 +1,214 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{ArchivePolicy, Granularity}
+import graft.timeseries.{Kernels, TimeSeriesOps}
+
+/** Materialized aggregate store + incremental aggregation job.
+  *
+  * Replaces the reference's incoming/chef/metricd pipeline
+  * (storage/__init__.py:583-742): sacks, distributed locks and the hash
+  * ring disappear — shuffle partitioning by metric_id gives the
+  * parallelism, and idempotent dynamic-partition overwrites give the
+  * exactly-once the locks were for.
+  *
+  * Layout (mirrors the reference's keying, SURVEY §1.4):
+  *   raw/                           raw-measure buffer, back-window bounded
+  *   agg/method=<m>/gran_s=<g>/split=<k>/   aggregate rows
+  * where split = floor(bucket_epoch / (gran_s * 3600)) — the SplitKey
+  * rule of ≤3600 points per partition per granularity
+  * (carbonara.py:494). Reads prune on (method, gran_s, split) so a
+  * time-range fetch touches only its splits at any corpus size.
+  */
+class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
+  import MetricStore._
+
+  private val rawPath = s"$root/raw"
+  private val aggPath = s"$root/agg"
+
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  private def fixedGrans: Seq[Long] = policy.definition.collect {
+    case item if item.granularity.isInstanceOf[Granularity.Fixed] =>
+      item.granularity.asInstanceOf[Granularity.Fixed].ns / 1_000_000_000L
+  }
+
+  private def timespanS(granS: Long): Option[Long] =
+    policy.definition.collectFirst {
+      case item if item.granularity == Granularity.seconds(granS) =>
+        item.completed.timespanNs.map(_ / 1_000_000_000L)
+    }.flatten
+
+  private def readOr(path: String, schemaOf: => DataFrame): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: Throwable => schemaOf.limit(0) }
+
+  def rawBuffer: DataFrame = readOr(rawPath, emptyMeasures(spark))
+
+  def aggregates: DataFrame = readOr(aggPath, emptyAggregates(spark))
+
+  /** The incremental job: merge a batch of new measures into the raw
+    * buffer (back-window acceptance, new-wins dedup), recompute ONLY the
+    * affected (metric, granularity, bucket≥first-new) groups
+    * (storage/__init__.py:643-668), and overwrite only the touched split
+    * partitions.
+    */
+  def addMeasures(batch: DataFrame): Unit = {
+    val blockS = fixedGrans.max
+    // rate: methods need one extra block of history (chef.py:261-262)
+    val backBlocks = policy.backWindow +
+      (if (policy.aggregationMethods.exists(_.startsWith("rate:"))) 1 else 0)
+
+    // ---- M2 BoundTimeSerie.set_values order (carbonara.py:354-373):
+    // 1. acceptance: drop INCOMING points older than the back window
+    //    computed from the OLD buffer's last timestamp;
+    // 2. merge (new wins);
+    // 3. aggregate from the merged series (so accepted late points still
+    //    reach their buckets);
+    // 4. only then truncate the stored buffer to the NEW last timestamp.
+    val oldLast = rawBuffer.groupBy("metric_id")
+      .agg(max(unix_timestamp(col("timestamp"))).as("__old_last_s"))
+    val accepted = batch.select("metric_id", "timestamp", "value")
+      .join(broadcast(oldLast), Seq("metric_id"), "left")
+      .filter(col("__old_last_s").isNull ||
+        unix_timestamp(col("timestamp")) >=
+          (floor(col("__old_last_s") / blockS) * blockS -
+            lit(blockS.toLong * backBlocks)).cast("long"))
+      .drop("__old_last_s")
+    val merged = TimeSeriesOps.merge(
+      accepted,
+      rawBuffer.select("metric_id", "timestamp", "value"),
+      Seq("metric_id"), "timestamp", lit(0))
+      .cache()
+    val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("metric_id"))
+    val bounded = merged
+      .withColumn("__last_s", max(unix_timestamp(col("timestamp"))).over(wm))
+      .withColumn("__floor_s",
+        (floor(col("__last_s") / blockS) * blockS - lit(blockS.toLong * backBlocks)).cast("long"))
+      .filter(unix_timestamp(col("timestamp")) >= col("__floor_s"))
+      .drop("__last_s", "__floor_s")
+
+    // first affected timestamp per metric = min accepted new timestamp
+    val firstNew = accepted.groupBy("metric_id")
+      .agg(min(unix_timestamp(col("timestamp"))).as("__first_new_s"))
+
+    val newAggRows = fixedGrans.map { granS =>
+      val affectedRaw = merged.join(broadcast(firstNew), Seq("metric_id"))
+        .filter(unix_timestamp(col("timestamp")) >=
+          (floor(col("__first_new_s") / granS) * granS - lit(blockS)).cast("long"))
+        .drop("__first_new_s")
+      policy.aggregationMethods.toSeq.sorted.map { method =>
+        Kernels.aggregate(affectedRaw, method, Granularity.seconds(granS),
+            Seq("metric_id"), "timestamp", "value")
+          .join(broadcast(firstNew), Seq("metric_id"))
+          .filter(unix_timestamp(col("bucket")) >=
+            (floor(col("__first_new_s") / granS) * granS).cast("long"))
+          .drop("__first_new_s")
+          .select(col("metric_id"), col("bucket"), col("value"),
+            lit(method).as("method"), lit(granS).as("gran_s"),
+            splitOf(col("bucket"), granS).as("split"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+
+    // keep stored rows of touched splits that predate the recompute range
+    val touched = newAggRows.select("method", "gran_s", "split").distinct()
+    val boundary = newAggRows.groupBy("metric_id", "method", "gran_s")
+      .agg(min(unix_timestamp(col("bucket"))).as("__lo_s"))
+    val kept = aggregates
+      .join(touched, Seq("method", "gran_s", "split")) // only touched partitions
+      .join(boundary, Seq("metric_id", "method", "gran_s"), "left")
+      .filter(col("__lo_s").isNull ||
+        unix_timestamp(col("bucket")) < col("__lo_s"))
+      .drop("__lo_s")
+
+    // localCheckpoint: materialize before the write so the job never
+    // reads aggPath files that the dynamic overwrite is about to replace
+    val out = kept.select(newAggRows.columns.map(col).toSeq: _*)
+      .unionByName(newAggRows)
+      .localCheckpoint(true)
+    out.write
+      .partitionBy("method", "gran_s", "split")
+      .mode(SaveMode.Overwrite) // dynamic: only touched splits rewritten
+      .parquet(aggPath)
+
+    bounded.write.mode(SaveMode.Overwrite).parquet(s"$rawPath.tmp")
+    spark.read.parquet(s"$rawPath.tmp").write.mode(SaveMode.Overwrite).parquet(rawPath)
+    merged.unpersist()
+  }
+
+  /** Single-metric read (§3.1): partition-pruned scan + fetch slicing;
+    * optional resample to a coarser granularity (A10).
+    */
+  def getMeasures(
+      metricId: String, method: String, granS: Long,
+      from: Option[java.sql.Timestamp] = None,
+      to: Option[java.sql.Timestamp] = None,
+      resample: Option[Granularity] = None): DataFrame = {
+    var df = aggregates
+      .filter(col("method") === method && col("gran_s") === granS &&
+        col("metric_id") === metricId)
+    for (f <- from) df = df.filter(col("split") >= splitOf(lit(f), granS))
+    for (t <- to) df = df.filter(col("split") <= splitOf(lit(t), granS))
+    df = TimeSeriesOps.fetch(df, Granularity.seconds(granS), from, to)
+    // retention truncate on read (A11, storage/__init__.py:332-333)
+    for (tsS <- timespanS(granS))
+      df = TimeSeriesOps.truncate(df, tsS * 1_000_000_000L,
+        Seq("metric_id", "method", "gran_s"))
+    resample match {
+      case Some(g) =>
+        TimeSeriesOps.resample(df, method, g, Seq("metric_id", "method", "gran_s"))
+          .select("metric_id", "bucket", "value")
+      case None => df.select("metric_id", "bucket", "value")
+    }
+  }
+
+  /** J3 retention expiry: physically drop whole splits strictly older
+    * than the oldest key to keep (storage/__init__.py:516-527).
+    */
+  def expireRetention(nowS: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    for (granS <- fixedGrans; tsS <- timespanS(granS)) {
+      val oldestSplit = (nowS - tsS) / (granS * 3600)
+      for (method <- policy.aggregationMethods.toSeq.sorted) {
+        val dir = new org.apache.hadoop.fs.Path(
+          s"$aggPath/method=$method/gran_s=$granS")
+        if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName // split=<k>
+          if (name.startsWith("split=") &&
+              name.stripPrefix("split=").toLong < oldestSplit)
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+}
+
+object MetricStore {
+  /** SplitKey rule: 3600 buckets per split per granularity
+    * (carbonara.py:479-567, POINTS_PER_SPLIT at :494). */
+  def splitOf(bucket: org.apache.spark.sql.Column, granS: Long) =
+    floor(unix_timestamp(bucket) / (granS * 3600)).cast("long")
+
+  def emptyMeasures(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("metric_id", StringType),
+        StructField("timestamp", TimestampType),
+        StructField("value", DoubleType))))
+  }
+
+  def emptyAggregates(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("metric_id", StringType),
+        StructField("bucket", TimestampType),
+        StructField("value", DoubleType),
+        StructField("method", StringType),
+        StructField("gran_s", LongType),
+        StructField("split", LongType))))
+  }
+}

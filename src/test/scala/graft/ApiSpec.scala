@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import graft.api.Graft
+import graft.model.{ArchivePolicy, ArchivePolicyItem, Granularity}
+import graft.query.MeasureSearch
+
+/** End-to-end minimum slice (SURVEY §7.2), mirroring the reference's
+  * gabbi scenario tests/functional/gabbits/aggregation.yaml:10-120.
+  */
+class ApiSpec extends SparkSpec {
+
+  private def freshGraft(): Graft = {
+    val dir = Files.createTempDirectory("graft-api").toString
+    val g = new Graft(spark, dir)
+    // policy low' = {1 s, 300 s} like the gabbi scenario
+    g.createPolicy(ArchivePolicy("gabbi-low", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(1), None, None),
+          ArchivePolicyItem(Granularity.seconds(300), None, None)),
+      Set("mean", "max", "sum")))
+    g
+  }
+
+  test("minimum slice: policy -> metric -> measures -> job -> triples") {
+    val g = freshGraft()
+    g.createMetric("m1", "gabbi-low")
+    g.addMeasures("m1", Seq(
+      ("2015-03-06 14:33:57", 43.1), ("2015-03-06 14:34:12", 12.0)))
+    g.process()
+    val got = g.getMeasures("m1", "mean")
+      .map { case (t, gr, v) => (t.toString, gr, math.rint(v * 100) / 100) }
+    assert(got == Seq(
+      ("2015-03-06 14:30:00.0", 300L, 27.55), // coarse first
+      ("2015-03-06 14:33:57.0", 1L, 43.1),
+      ("2015-03-06 14:34:12.0", 1L, 12.0)))
+  }
+
+  test("cross-metric aggregate mean over two metrics (aggregation.yaml)") {
+    val g = freshGraft()
+    g.createMetric("m1", "gabbi-low")
+    g.createMetric("m2", "gabbi-low")
+    g.addMeasures("m1", Seq(
+      ("2015-03-06 14:33:57", 43.1), ("2015-03-06 14:34:12", 12.0)))
+    g.addMeasures("m2", Seq(
+      ("2015-03-06 14:33:57", 3.1), ("2015-03-06 14:34:12", 2.0),
+      ("2015-03-06 14:35:12", 5.0)))
+    g.process()
+    val out = g.aggregates(
+      "(aggregate mean (metric (m1 mean) (m2 mean)))", 300)
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(0).toString, math.rint(r.getDouble(1) * 1000) / 1000))
+    // 14:30 bucket: m1 mean = 27.55, m2 mean = 2.55 → 15.05; 14:35: m2 only → 5.0
+    assert(out.toSeq == Seq(
+      ("2015-03-06 14:30:00.0", 15.05), ("2015-03-06 14:35:00.0", 5.0)))
+  }
+
+  test("expression with scalar + rolling (metric-derived style)") {
+    val g = freshGraft()
+    g.createMetric("m1", "gabbi-low")
+    g.addMeasures("m1", Seq(
+      ("2015-03-06 14:30:01", 1.0), ("2015-03-06 14:35:01", 2.0),
+      ("2015-03-06 14:40:01", 3.0), ("2015-03-06 14:45:01", 4.0)))
+    g.process()
+    val out = g.aggregates("(* 4 (rolling sum 2 (metric m1 max)))", 300)
+      .orderBy("bucket").collect().map(_.getDouble(1)).toSeq
+    assert(out == Seq(12.0, 20.0, 28.0)) // 4*(1+2), 4*(2+3), 4*(3+4)
+  }
+
+  test("read-your-writes refresh (rest/api.py:539-547)") {
+    val g = freshGraft()
+    g.createMetric("m1", "gabbi-low")
+    g.addMeasures("m1", Seq(("2015-03-06 14:33:57", 10.0)))
+    // no process() — refresh inline
+    val got = g.getMeasures("m1", "mean", granS = Some(300), refreshFirst = true)
+    assert(got.map(_._3) == Seq(10.0))
+  }
+
+  test("value-threshold search across metrics (S1)") {
+    val g = freshGraft()
+    g.createMetric("m1", "gabbi-low")
+    g.createMetric("m2", "gabbi-low")
+    g.addMeasures("m1", Seq(("2015-03-06 14:33:57", 100.0)))
+    g.addMeasures("m2", Seq(("2015-03-06 14:33:57", 5.0)))
+    g.process()
+    import MeasureSearch._
+    val got = g.searchMetricValues(Seq("m1", "m2"), "mean", 300,
+      Cmp(">", Arith("*", Value, Const(2)), Const(50)))
+      .select("metric_id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("m1"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ingest.MetricStore
+import graft.model.{ArchivePolicy, ArchivePolicyItem, Granularity}
+
+/** Incremental-aggregation-job behaviors from test_storage.py /
+  * test_chef.py: late data within the back window, new-wins rewrite,
+  * incremental == full recompute, retention expiry.
+  */
+class IngestSpec extends SparkSpec {
+
+  private def newStore(backWindow: Int = 0,
+                       methods: Set[String] = Set("mean", "sum", "count")) = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val policy = ArchivePolicy("test", backWindow,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      methods)
+    new MetricStore(spark, dir, policy)
+  }
+
+  test("two batches accumulate; overlapping timestamps: new wins") {
+    val store = newStore()
+    store.addMeasures(measures(
+      ("m", "2014-01-01 12:00:01", 1.0), ("m", "2014-01-01 12:00:02", 2.0)))
+    store.addMeasures(measures(
+      ("m", "2014-01-01 12:00:02", 20.0), ("m", "2014-01-01 12:01:00", 3.0)))
+    val got = store.getMeasures("m", "mean", 60).orderBy("bucket")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getDouble(2))).toSeq
+    assert(got == Seq(
+      ("2014-01-01 12:00:00.0", (1.0 + 20.0) / 2), // 2.0 replaced by 20.0
+      ("2014-01-01 12:01:00.0", 3.0)))
+  }
+
+  test("incremental result == full recompute (storage/__init__.py:643-668)") {
+    val storeInc = newStore()
+    val storeFull = newStore()
+    val b1 = measures(
+      ("m", "2014-01-01 12:00:01", 1.0), ("m", "2014-01-01 12:05:00", 5.0),
+      ("n", "2014-01-01 12:00:30", 7.0))
+    val b2 = measures(
+      ("m", "2014-01-01 12:05:30", 6.0), ("n", "2014-01-01 12:06:00", 8.0))
+    storeInc.addMeasures(b1); storeInc.addMeasures(b2)
+    storeFull.addMeasures(b1.unionByName(b2))
+    def dump(s: MetricStore) = s.aggregates
+      .select("metric_id", "method", "bucket", "value")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2).toString, r.getDouble(3))).toSet
+    assert(dump(storeInc) == dump(storeFull))
+  }
+
+  test("back-window rejects too-old points (carbonara.py:354-373)") {
+    val store = newStore(backWindow = 0)
+    store.addMeasures(measures(("m", "2014-01-01 13:00:00", 9.0)))
+    // block = 60 s, back_window 0 → floor = 13:00; 12:59:59 is too old
+    store.addMeasures(measures(("m", "2014-01-01 12:59:59", 1.0)))
+    val got = store.getMeasures("m", "mean", 60).collect()
+    assert(got.map(_.getDouble(2)).toSeq == Seq(9.0))
+  }
+
+  test("back-window 1 accepts one block back") {
+    val store = newStore(backWindow = 1)
+    store.addMeasures(measures(("m", "2014-01-01 13:00:00", 9.0)))
+    store.addMeasures(measures(("m", "2014-01-01 12:59:59", 1.0)))
+    val got = store.getMeasures("m", "mean", 60).orderBy("bucket").collect()
+    assert(got.map(_.getDouble(2)).toSeq == Seq(1.0, 9.0))
+  }
+
+  test("rate: methods survive incremental batching (+1 block history)") {
+    val storeInc = newStore(methods = Set("rate:sum"))
+    val storeFull = newStore(methods = Set("rate:sum"))
+    val b1 = measures(
+      ("m", "2014-01-01 12:00:10", 1.0), ("m", "2014-01-01 12:00:50", 4.0))
+    val b2 = measures(("m", "2014-01-01 12:01:10", 9.0))
+    storeInc.addMeasures(b1); storeInc.addMeasures(b2)
+    storeFull.addMeasures(b1.unionByName(b2))
+    def dump(s: MetricStore) = s.aggregates
+      .select("bucket", "value").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSet
+    // diffs: 3 @12:00:50, 5 @12:01:10 → buckets 12:00 → 3.0, 12:01 → 5.0
+    assert(dump(storeFull) ==
+      Set(("2014-01-01 12:00:00.0", 3.0), ("2014-01-01 12:01:00.0", 5.0)))
+    assert(dump(storeInc) == dump(storeFull))
+  }
+
+  test("retention expiry drops old splits (J3)") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val policy = ArchivePolicy("short", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None,
+        Some(3600L * 1_000_000_000L))), // keep 1 h
+      Set("mean"))
+    val store = new MetricStore(spark, dir, policy)
+    store.addMeasures(measures(
+      ("m", "2014-01-01 00:00:30", 1.0),   // split 0 relative to day
+      ("m", "2014-01-05 12:00:30", 2.0)))  // recent split
+    val nowS = java.sql.Timestamp.valueOf("2014-01-05 12:30:00").getTime / 1000
+    store.expireRetention(nowS)
+    val got = store.aggregates.select("value").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(2.0))
+  }
+}
