@@ -40,13 +40,20 @@ object Dedup {
       x => x.isNotNull))
   }
 
-  /** MinHash signature: k independent min-hashes of the shingle set.
-    * Hash family: xxhash64(shingle, seed) per seed — a standard
-    * tabulation-free approximation of a universal family.
+  /** MinHash signature over an ALREADY-HASHED shingle column
+    * (array<long>): the k functions re-hash the fixed-width long with a
+    * per-function salt, so signature cost is k cheap 16-byte hashes per
+    * shingle instead of k variable-length string hashes.
+    *
+    * IMPORTANT: `hashedCol` must be a column REFERENCE (a withColumn
+    * alias), not an inline expression — an expression tree pasted into
+    * the k lambdas is duplicated per use and the string-hash pass runs
+    * k times. (Wraparound multiply-add would be cheaper still, but
+    * Spark 4 ANSI mode makes `*` overflow-checked.)
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
+  def minhashSignature(hashedCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(hashedCol, h => xxhash64(h, lit(i.toLong))))
     }: _*)
 
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
@@ -64,20 +71,30 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
         shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sh.select(col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), lit(b * rows + 1), lit(rows))), b))))
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+    // Band buckets as ROW-LEVEL expressions over the hashed-shingle
+    // column: every minhash references col("shh") directly, so the
+    // shingle hashing runs once per row. (Routing them through an
+    // intermediate `sig` array column referenced inside the band lambda
+    // lets CollapseProject inline the whole signature per band element —
+    // a silent 16x recompute.)
+    def mh(i: Int): Column =
+      array_min(transform(col("shh"), h => xxhash64(h, lit(i.toLong))))
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(((b * rows until (b + 1) * rows).map(mh) :+ lit(b.toLong)): _*)
+    }
+    val banded = sh.select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+    // candidates as id pairs ONLY — dedup before re-attaching the shingle
+    // arrays, so the distinct shuffles 16 bytes/row, not whole documents
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-    cand
+      .select("id_a", "id_b").distinct()
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", col("inter") / col("uni"))

@@ -97,16 +97,35 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: 64-bit content hash of normalized text
-    * (xxhash64) + a rolling-window shingle fingerprint (min of window
-    * hashes — a winnowing-style selection).
+    * (xxhash64) + a rolling-hash winnowing fingerprint: each word is
+    * hashed once, consecutive `window`-word hashes combine through a
+    * polynomial rolling hash, and the minimum window hash is selected
+    * (winnowing). Pure long arithmetic after one hash pass — no n-gram
+    * string materialization.
     */
   def fingerprint(df: DataFrame, textCol: String = "text",
                   window: Int = 5): DataFrame = {
     val norm = Dedup.normalized(col(textCol))
-    val sh = Dedup.shingles(col(textCol), window)
-    df.withColumn("content_hash", xxhash64(norm))
+    def rotl(c: Column, r: Int): Column =
+      shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
+    // Hash every word once into a named column, then roll by XOR-ing
+    // `window` position-rotated SLICES of that column zip_with'd
+    // together — all array references are row-level, so the work per
+    // document is O(window · words), never O(words²).
+    val withWh = df
+      .withColumn("__wh", transform(split(norm, " "), w => xxhash64(w)))
+      .withColumn("__n", size(col("__wh")) - (window - 1))
+    val shifted = (0 until window).map { j =>
+      transform(slice(col("__wh"), lit(j + 1), greatest(col("__n"), lit(1))),
+        h => rotl(h, 1 + j * 7))
+    }
+    val rolling = shifted.reduce((a, b) => zip_with(a, b, (x, y) =>
+      coalesce(x.bitwiseXOR(y), lit(null))))
+    withWh
+      .withColumn("content_hash", xxhash64(norm))
       .withColumn("winnow_fp",
-        when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s))))
+        when(col("__n") >= 1, array_min(filter(rolling, x => x.isNotNull)))
           .otherwise(xxhash64(norm)))
+      .drop("__wh", "__n")
   }
 }
