@@ -15,6 +15,13 @@ object SparkEntry {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // InferFiltersFromGenerate copies the generator's input expression
+    // into a `size(e) > 0` filter; when that input is computed (e.g. a
+    // shingle pipeline), pushdown then drags the duplicated expression
+    // below exchanges onto the scan side — serializing arbitrarily
+    // heavy per-row work into the (often single-task) read stage.
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Resource-scoped aggregation (SURVEY §2.6 G1): revenue per month for

@@ -29,15 +29,37 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("dup_count"))
 
-  /** Word n-gram shingles of a document (array of strings). */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(normalized(text), " ")
-    // sliding n-grams: transform over index range, join n words
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => when(size(words) >= n,
-          concat_ws(" ", slice(words, i + 1, lit(n))))),
-      x => x.isNotNull))
+  /** Spread a small or under-partitioned input across the cluster
+    * before CPU-heavy per-row work. At scale inputs arrive with many
+    * file splits and this is a no-op; a single-row-group parquet file
+    * would otherwise pin the whole shingling stage to one task.
+    */
+  private[llm] def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Attach word n-gram shingles of `textCol` as array column `out`.
+    * The word array is materialized as a named column first, so the
+    * per-shingle lambda only slices an attribute reference — an inline
+    * `split(...)` tree inside the lambda would re-tokenize the whole
+    * document once per shingle element (O(words²) per document).
+    */
+  private def withShingles(df: DataFrame, textCol: String, n: Int,
+                           out: String): DataFrame = {
+    val w = col("__words")
+    // n-grams by zipping n shifted slices of the word array: every
+    // reference to `w` is row-level (evaluated once per row), and the
+    // transform lambda touches only its own struct element. Slicing
+    // `w` inside an index lambda instead would re-evaluate the word
+    // array per element — O(words²) per document if an optimizer rule
+    // (pushdown, CollapseProject) ever inlines the split() tree here.
+    val g = greatest(size(w) - (n - 1), lit(0))
+    val zipped = arrays_zip((0 until n).map(j => slice(w, lit(j + 1), g)): _*)
+    df.withColumn("__words", split(normalized(col(textCol)), " "))
+      .withColumn(out, array_distinct(transform(zipped, s =>
+        concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))))
+      .drop("__words")
   }
 
   /** MinHash signature over an ALREADY-HASHED shingle column
@@ -68,22 +90,29 @@ object Dedup {
                  bands: Int = 32, threshold: Double = 0.5,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rows = numHashes / bands
-    val sh = docs.select(col(idCol).as("id"),
-        shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
-    // Band buckets as ROW-LEVEL expressions over the hashed-shingle
-    // column: every minhash references col("shh") directly, so the
-    // shingle hashing runs once per row. (Routing them through an
-    // intermediate `sig` array column referenced inside the band lambda
-    // lets CollapseProject inline the whole signature per band element —
-    // a silent 16x recompute.)
-    def mh(i: Int): Column =
-      array_min(transform(col("shh"), h => xxhash64(h, lit(i.toLong))))
+    // No emptiness filter on `sh`: docs with no shingles emit no rows
+    // from the explode and can never join as candidates — and a
+    // `size(sh) > 0` predicate would be pushed below the rebalance
+    // exchange, re-evaluating the whole shingle pipeline single-task
+    // on the scan side.
+    val sh = withShingles(rebalance(docs), textCol, n, "sh")
+      .select(col(idCol).as("id"), col("sh"))
+    // Signature via explode + groupBy rather than per-row array
+    // lambdas: the k minima become codegen'd `min` aggregates in one
+    // HashAggregate (partial map-side combine, then a k-long-wide
+    // shuffle keyed on id), where `transform` lambdas are interpreted
+    // per element. Shingles are distinct, so explode preserves set
+    // semantics.
+    val hashed = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("h"), lit(i.toLong))).as(s"m$i"))
+    val sig = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
-      xxhash64(((b * rows until (b + 1) * rows).map(mh) :+ lit(b.toLong)): _*)
+      xxhash64(((b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+        :+ lit(b.toLong)): _*)
     }
-    val banded = sh.select(col("id"), posexplode(array(bandCols: _*)))
+    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // candidates as id pairs ONLY — dedup before re-attaching the shingle
     // arrays, so the distinct shuffles 16 bytes/row, not whole documents
@@ -108,7 +137,8 @@ object Dedup {
   def ngramJaccardAllPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = withShingles(rebalance(docs), textCol, n, "sh")
+      .select(col(idCol).as("id"), col("sh"))
     val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     l.crossJoin(r).filter(col("id_a") < col("id_b"))
@@ -126,7 +156,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+    val toks = rebalance(docs).select(col(idCol).as("id"),
         explode(split(normalized(col(textCol)), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { b =>
