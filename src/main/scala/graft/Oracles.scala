@@ -378,6 +378,39 @@ object Oracles {
                  ORDER BY cosine DESC, corpus_id) AS rank FROM s)
          SELECT query_id, corpus_id, CAST(cosine AS REAL) AS cosine,
                 CAST(rank AS INT) AS rank
-         FROM r WHERE rank <= 5"""
+         FROM r WHERE rank <= 5""",
+
+    "dd5_embedding_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings WHERE vec_id < 200),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_sum(list_transform(list_zip(a.emb, b.emb),
+                    x -> x[1] * x[2])) /
+                  (sqrt(list_sum(list_transform(a.emb, x -> x * x))) *
+                   sqrt(list_sum(list_transform(b.emb, x -> x * x)))) AS cosine
+           FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
+         SELECT id_a, id_b, CAST(cosine AS REAL) AS cosine
+         FROM p WHERE cosine >= 0.95""",
+
+    "mm1_payload_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                32 AS width,
+                CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) AS height
+         FROM documents""",
+
+    // DuckDB has no substring/md5 over BLOB; the corpus is pure ASCII
+    // (checked octet_length(encode(text)) == length(text)), so VARCHAR
+    // char positions equal the payload byte positions and md5(VARCHAR)
+    // hashes the same UTF-8 bytes Spark hashes.
+    "mm2_frame_sample" ->
+      """WITH x AS (SELECT doc_id AS media_id, text,
+                           unnest(range(0, length(text) // 64, 2)) AS frame_no
+                    FROM documents)
+         SELECT media_id, frame_no,
+                md5(substring(text, CAST(frame_no * 64 + 1 AS INT), 64))
+                  AS frame_md5
+         FROM x"""
   )
 }

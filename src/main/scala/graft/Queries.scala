@@ -8,7 +8,7 @@ import graft.timeseries.{Bucketing, Kernels, TimeSeriesOps}
 import graft.ops.{Compiler, Parser}
 import graft.catalog.{Filter, FilterParser, HistoryAgg, Pagination}
 import graft.query.MeasureSearch
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** The operator inventory as driver-checkable queries (SURVEY §2 ids in
   * the names). Every query with a DuckDB-expressible semantic carries an
@@ -378,7 +378,36 @@ object Queries {
           r6(col("es_score")).as("es_score"))),
     "txt4_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(table(s, dir, "documents"))
-        .select(col("doc_id"), col("content_hash"), col("winnow_fp"))))
+        .select(col("doc_id"), col("content_hash"), col("winnow_fp"))),
+    "dd5_embedding_dup" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .filter(col("vec_id") < 200)
+      Dedup.embeddingNearDup(em, threshold = 0.95,
+        idCol = "vec_id", vecCol = "embedding")
+        .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
+    }),
+    "mm1_payload_meta" -> ((s, dir) =>
+      Multimodal.withPayload(table(s, dir, "documents"))
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.width").as("width"),
+          col("meta.height").as("height"))),
+    "mm2_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+          Multimodal.withPayload(table(s, dir, "documents")),
+          frameSize = 64, every = 2)
+        .select(col("media_id"), col("frame_no"), col("frame_md5"))),
+    "mm3_decode_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.withPayload(table(s, dir, "documents")))
+        .select(col("media_id"), col("width"), col("height"),
+          r6(col("mean_byte")).as("mean_byte"), col("min_byte"),
+          col("max_byte"))),
+    "mm4_resize" -> ((s, dir) =>
+      Multimodal.resize(
+          Multimodal.withPayload(table(s, dir, "documents")), 8, 8)
+        .select(col("media_id"), md5(col("payload")).as("payload_md5"),
+          col("meta.width").as("width"), col("meta.height").as("height"))))
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     measureQueries ++ dslQueries ++ catalogQueries ++ llmQueries

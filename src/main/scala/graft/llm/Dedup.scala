@@ -149,6 +149,29 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicates: pairs of vectors with cosine
+    * similarity >= `threshold`. Norms are precomputed per row so the
+    * pair stage only evaluates the dot product. Brute-force all-pairs
+    * — the correctness path; at scale, bucket candidates first with
+    * [[Similarity.lshBuckets]] (random-hyperplane LSH) and apply the
+    * same verify to bucket-mates only.
+    */
+  def embeddingNearDup(em: DataFrame, threshold: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val base = rebalance(em).select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val l = base.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val r = base.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** SimHash (64-bit): sign of per-bit weighted sums of token hashes.
     * Near-dups = small Hamming distance. Computed with explode +
     * groupBy — one shuffle on doc id; the 64 bit-sums are a single

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    Multimodal.withPayload(rows.toDF("doc_id", "text"))
+  }
+
+  test("payload metadata: bytes, fake dims") {
+    val m = media((1L, "a" * 100))
+    val r = m.select("meta.n_bytes", "meta.width", "meta.height").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((100, 32, 4)))
+  }
+
+  test("frame sampling slices payload into every-2nd 8-byte frame") {
+    val text = "0123456789abcdefghijklmnopqrstuv0123" // 36 bytes -> 4 frames
+    val frames = Multimodal.frameSample(media((7L, text)), frameSize = 8,
+        every = 2)
+      .orderBy("frame_no").collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    val f0 = new String(frames(0).getAs[Array[Byte]]("frame_bytes"), "UTF-8")
+    val f2 = new String(frames(1).getAs[Array[Byte]]("frame_bytes"), "UTF-8")
+    assert(f0 == "01234567" && f2 == "ghijklmn")
+  }
+
+  test("short payload produces no frames") {
+    assert(Multimodal.frameSample(media((1L, "tiny")), frameSize = 64).count() == 0)
+  }
+
+  test("decode features: mean/min/max/histogram over payload bytes") {
+    val r = Multimodal.decodeFeatures(media((1L, "ab"))).head()
+    // 'a'=97, 'b'=98 -> mean 97.5, both in histogram bin 6 (96..111)
+    assert(r.getAs[Double]("mean_byte") == 97.5)
+    assert(r.getAs[Int]("min_byte") == 97 && r.getAs[Int]("max_byte") == 98)
+    assert(r.getAs[Seq[Long]]("hist16")(6) == 2L)
+  }
+
+  test("resize: nearest-neighbor picks expected source pixels") {
+    // 64 bytes = 2 rows of 32; resize to 2x2 samples rows {0,1} cols {0,16}
+    val text = ("A" * 16 + "B" * 16) + ("C" * 16 + "D" * 16)
+    val r = Multimodal.resize(media((1L, text)), 2, 2).head()
+    val px = new String(r.getAs[Array[Byte]]("payload"), "UTF-8")
+    assert(px == "ABCD")
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Int]("width") == 2 && meta.getAs[Int]("height") == 2)
+  }
+
+  test("embedding near-dup finds the duplicated vector pair") {
+    val s = spark
+    import s.implicits._
+    val em = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.01, 0.0)), // near dup of 1
+      (3L, Seq(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.llm.Dedup.embeddingNearDup(em, threshold = 0.95,
+        idCol = "vec_id", vecCol = "embedding")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
