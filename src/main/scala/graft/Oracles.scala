@@ -103,6 +103,17 @@ object Oracles {
       """SELECT CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS month_s,
          count(*) AS n FROM events GROUP BY 1""",
 
+    "b2_quarter" ->
+      """SELECT CAST(epoch(date_trunc('quarter', ts)) AS BIGINT) AS quarter_s,
+         count(*) AS n FROM events GROUP BY 1""",
+
+    "b2_half" ->
+      """SELECT CAST(epoch(CASE WHEN month(ts) <= 6
+                THEN date_trunc('year', ts)
+                ELSE date_trunc('year', ts) + INTERVAL 6 MONTH END) AS BIGINT)
+                AS half_s,
+         count(*) AS n FROM events GROUP BY 1""",
+
     "b3_labels" ->
       """SELECT CAST(dayofweek(ts) AS INT) AS dow,
                 CAST(quarter(ts) AS INT) AS q,
@@ -164,6 +175,16 @@ object Oracles {
          SELECT b AS bucket_s, CAST(stddev_pop(v) AS REAL) AS v FROM s GROUP BY 1
          HAVING stddev_pop(v) IS NOT NULL""",
 
+    "x7_aggregate_var" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT b AS bucket_s, CAST(var_pop(v) AS REAL) AS v FROM s GROUP BY 1
+         HAVING var_pop(v) IS NOT NULL""",
+
+    "x7_aggregate_max" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT b AS bucket_s, CAST(max(v) AS REAL) AS v FROM s GROUP BY 1
+         HAVING max(v) IS NOT NULL""",
+
     "x8_rolling_sum4" ->
       s"""WITH s AS ($hourlyMean),
          c AS (SELECT b, row_number() OVER (ORDER BY b) AS rn,
@@ -195,6 +216,17 @@ object Oracles {
          SELECT b AS bucket_s,
                 CAST(last_value(v IGNORE NULLS) OVER (ORDER BY b
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS click_ff
+         FROM j""",
+
+    "p4_bfill" ->
+      s"""WITH s AS ($hourlyMean),
+         g AS (SELECT DISTINCT b FROM s),
+         c AS (SELECT b, v FROM s WHERE event_type = 'click'),
+         j AS (SELECT g.b, c.v FROM g LEFT JOIN c ON g.b = c.b)
+         SELECT b AS bucket_s,
+                CAST(first_value(v IGNORE NULLS) OVER (ORDER BY b
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS REAL)
+                  AS click_bf
          FROM j""",
 
     "p5_overlap" ->
@@ -411,6 +443,22 @@ object Oracles {
          SELECT media_id, frame_no,
                 md5(substring(text, CAST(frame_no * 64 + 1 AS INT), 64))
                   AS frame_md5
-         FROM x"""
+         FROM x""",
+
+    // i2/i4 render events as wire-protocol lines in Spark, parse them
+    // back, and aggregate; the oracle aggregates events directly —
+    // exactness of the string round-trip is part of what's checked.
+    "i2_influx_lines" ->
+      """SELECT 'h' || CAST(user_id AS VARCHAR) AS resource_id,
+                'cpu.value@type=' || event_type AS metric,
+                count(*) AS n, CAST(sum(value) AS REAL) AS sum_v
+         FROM events GROUP BY 1, 2""",
+
+    "i4_statsd_flush" ->
+      """SELECT event_type AS bucket, 'ms' AS kind, count(*) AS n,
+                CAST(avg(value) AS REAL) AS mean,
+                CAST(min(value) AS REAL) AS lower,
+                CAST(max(value) AS REAL) AS upper
+         FROM events GROUP BY 1"""
   )
 }

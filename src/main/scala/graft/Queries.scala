@@ -118,6 +118,20 @@ object Queries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"))
         .select(unix_timestamp(col("bucket")).cast("long").as("month_s"), col("n"))),
+    "b2_quarter" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("bucket", Bucketing.calendarBucket(col("ts"), "Q"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("bucket")).cast("long").as("quarter_s"),
+          col("n"))),
+    "b2_half" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("bucket", Bucketing.calendarBucket(col("ts"), "H"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("bucket")).cast("long").as("half_s"),
+          col("n"))),
     "b3_labels" -> ((s, dir) => {
       val e = events(s, dir)
       e.groupBy(
@@ -182,6 +196,20 @@ object Queries {
       g.df.select(bucketS(H), r6(col("aggregated")).as("v"))
         .filter(col("v").isNotNull)
     }),
+    "x7_aggregate_var" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse(
+        "(aggregate var (metric (click mean) (error mean) (purchase mean) (signup mean) (view mean)))"),
+        grid(s, dir, allTypes))
+      g.df.select(bucketS(H), r6(col("aggregated")).as("v"))
+        .filter(col("v").isNotNull)
+    }),
+    "x7_aggregate_max" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse(
+        "(aggregate max (metric (click mean) (error mean) (purchase mean) (signup mean) (view mean)))"),
+        grid(s, dir, allTypes))
+      g.df.select(bucketS(H), r6(col("aggregated")).as("v"))
+        .filter(col("v").isNotNull)
+    }),
     "x8_rolling_sum4" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse("(rolling sum 4 (metric click mean))"),
         grid(s, dir, Seq("click")))
@@ -202,6 +230,11 @@ object Queries {
       val g = grid(s, dir, allTypes)
       val filled = TimeSeriesOps.fill(g.df, Seq("click/mean"), "ffill")
       filled.select(bucketS(H), r6(col("click/mean")).as("click_ff"))
+    }),
+    "p4_bfill" -> ((s, dir) => {
+      val g = grid(s, dir, allTypes)
+      val filled = TimeSeriesOps.fill(g.df, Seq("click/mean"), "bfill")
+      filled.select(bucketS(H), r6(col("click/mean")).as("click_bf"))
     }),
     "p5_overlap" -> ((s, dir) => {
       val g = grid(s, dir, allTypes)
@@ -407,7 +440,34 @@ object Queries {
       Multimodal.resize(
           Multimodal.withPayload(table(s, dir, "documents")), 8, 8)
         .select(col("media_id"), md5(col("payload")).as("payload_md5"),
-          col("meta.width").as("width"), col("meta.height").as("height"))))
+          col("meta.width").as("width"), col("meta.height").as("height"))),
+    // Protocol round-trips: render events as wire lines, parse them
+    // back, aggregate — the oracle aggregates events directly, so the
+    // whole parser is under the hash compare. Double values survive
+    // exactly via cast-to-string round-tripping (shortest repr).
+    "i2_influx_lines" -> ((s, dir) => {
+      val lines = events(s, dir).select(concat(
+          lit("cpu,host=h"), col("user_id"),
+          lit(",type="), col("event_type"),
+          lit(" value="), col("value").cast("string"),
+          lit(" "), (unix_micros(col("ts")) * 1000).cast("string"))
+        .as("line"))
+      ingest.LineProtocol.parse(lines)
+        .groupBy("resource_id", "metric")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+        .select(col("resource_id"), col("metric"), col("n"),
+          r6(col("sum_v")).as("sum_v"))
+    }),
+    "i4_statsd_flush" -> ((s, dir) => {
+      val lines = events(s, dir).select(
+        concat(col("event_type"), lit(":"), col("value").cast("string"),
+          lit("|ms")).as("line"),
+        col("event_id").as("seq"))
+      ingest.Statsd.flush(ingest.Statsd.parse(lines))
+        .select(col("bucket"), col("kind"), col("n"),
+          r6(col("mean")).as("mean"), r6(col("lower")).as("lower"),
+          r6(col("upper")).as("upper"))
+    }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     measureQueries ++ dslQueries ++ catalogQueries ++ llmQueries

@@ -127,6 +127,25 @@ class Graft(val spark: SparkSession, root: String) {
     case _ => Nil
   }
 
+  /** J7 backlog report (/v1/status, incoming/__init__.py:202-214):
+    * pending (staged, unprocessed) measure counts per metric.
+    */
+  def status(): Map[String, Long] =
+    pending.groupBy(_._1).map { case (m, pts) => m -> pts.size.toLong }
+
+  /** J4 metric delete + expunge (chef.py:297-345): drop the metric's
+    * staged measures, stored aggregates, and raw buffer, then forget
+    * the metric. The reference marks status='delete' and lets the
+    * janitor expunge asynchronously; one synchronous call covers both
+    * here — idempotent rewrites replace the janitor's locking.
+    */
+  def deleteMetric(metricId: String): Unit = {
+    require(metricPolicy.contains(metricId), s"unknown metric $metricId")
+    pending.filterInPlace(_._1 != metricId)
+    storeOf(metricPolicy(metricId)).expungeMetric(metricId)
+    metricPolicy.remove(metricId)
+  }
+
   /** POST /v1/search/metric (S1). */
   def searchMetricValues(metricIds: Seq[String], method: String, granS: Long,
                          pred: MeasureSearch.Pred): DataFrame =

@@ -1,0 +1,37 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Catalog maintenance jobs (SURVEY §2.10 J6): resource end-dating and
+  * auto-clean, reference chef.py:57-184. Pure DataFrame transforms —
+  * the caller persists the returned catalog state, so the jobs compose
+  * with whatever table format holds the catalog.
+  */
+object Maintenance {
+
+  /** End-date resources whose every metric has been inactive for at
+    * least `inactiveS` seconds as of `nowS` (chef.py:57-117).
+    * `lastActivity` is `(resource_id, last_ts_s)` — typically
+    * max(last_measure_timestamp) over the resource's metrics; resources
+    * with no row in it are left untouched (no metrics ≠ inactive).
+    */
+  def endDateInactive(resources: DataFrame, lastActivity: DataFrame,
+                      nowS: Long, inactiveS: Long): DataFrame =
+    resources
+      .join(lastActivity.select(col("resource_id").as("id"),
+        col("last_ts_s")), Seq("id"), "left")
+      .withColumn("ended_at",
+        when(col("ended_at").isNull && col("last_ts_s").isNotNull &&
+            col("last_ts_s") <= nowS - inactiveS,
+          to_timestamp(from_unixtime(col("last_ts_s"))))
+        .otherwise(col("ended_at")))
+      .drop("last_ts_s")
+
+  /** Delete resources ended more than `graceS` seconds ago
+    * (chef.py:119-184) — returns the surviving catalog.
+    */
+  def autoClean(resources: DataFrame, nowS: Long, graceS: Long): DataFrame =
+    resources.filter(col("ended_at").isNull ||
+      unix_timestamp(col("ended_at")) > nowS - graceS)
+}

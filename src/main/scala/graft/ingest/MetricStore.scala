@@ -163,6 +163,22 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     }
   }
 
+  /** J4 metric expunge (chef.py:297-345): remove one metric's rows from
+    * the raw buffer and every aggregate split. Aggregate files key
+    * metrics inside split partitions, so this is a filtered rewrite of
+    * the touched partitions; at 100 TB scale the same layout would add
+    * a metric-hash partition column to turn this into partition drops.
+    */
+  def expungeMetric(metricId: String): Unit = {
+    val agg = aggregates.filter(col("metric_id") =!= metricId)
+      .localCheckpoint(true)
+    agg.write.partitionBy("method", "gran_s", "split")
+      .mode(SaveMode.Overwrite).parquet(aggPath)
+    val raw = rawBuffer.filter(col("metric_id") =!= metricId)
+      .localCheckpoint(true)
+    raw.write.mode(SaveMode.Overwrite).parquet(rawPath)
+  }
+
   /** J3 retention expiry: physically drop whole splits strictly older
     * than the oldest key to keep (storage/__init__.py:516-527).
     */

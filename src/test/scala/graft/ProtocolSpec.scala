@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.{LineProtocol, Statsd}
+
+class ProtocolSpec extends SparkSpec {
+
+  private def lines(ls: String*) = {
+    val s = spark
+    import s.implicits._
+    ls.toDF("line")
+  }
+
+  test("influx: tags sorted, resource tag extracted, fields fan out") {
+    val parsed = LineProtocol.parse(lines(
+      "cpu,zone=us,host=web1 user=3.5,sys=1.5i 1700000000000000000"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("ts_ns"), r.getDouble(3))).toSet
+    assert(parsed == Set(
+      ("web1", "cpu.user@zone=us", 1700000000000000000L, 3.5),
+      ("web1", "cpu.sys@zone=us", 1700000000000000000L, 1.5)))
+  }
+
+  test("influx: escaped separators, booleans, strings skipped, no ts") {
+    val parsed = LineProtocol.parse(lines(
+      """disk\ io,host=a\,b ok=t,label="x y",v=2 """)).collect()
+    val byMetric = parsed.map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(byMetric == Map("disk io.ok" -> 1.0, "disk io.v" -> 2.0))
+    assert(parsed.forall(_.getString(0) == "a,b"))
+    assert(parsed.forall(_.isNullAt(2)))
+  }
+
+  test("influx: malformed lines and comments dropped") {
+    assert(LineProtocol.parse(lines("# comment", "", "junk")).count() == 0)
+  }
+
+  test("statsd: counter sampling, gauge last-write, timer distribution") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("hits:1|c|@0.5", 1L), ("hits:2|c", 2L),
+      ("temp:10|g", 3L), ("temp:12|g", 4L),
+      ("lat:100|ms", 5L), ("lat:300|ms", 6L))
+      .toDF("line", "seq")
+    val out = Statsd.flush(Statsd.parse(df)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("hits", "c")).getAs[Double]("counter") == 4.0) // 1/0.5 + 2
+    assert(out(("temp", "g")).getAs[Double]("gauge") == 12.0)
+    val lat = out(("lat", "ms"))
+    assert(lat.getAs[Long]("n") == 2 && lat.getAs[Double]("mean") == 200.0
+      && lat.getAs[Double]("lower") == 100.0
+      && lat.getAs[Double]("upper") == 300.0)
+  }
+}
