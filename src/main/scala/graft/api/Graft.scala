@@ -94,6 +94,43 @@ class Graft(val spark: SparkSession, root: String) {
     }
   }
 
+  /** P1 granularity planning (processor.py:89-132): granularities
+    * common to every referenced metric's policy, coarse first; empty
+    * intersection is the reference's `UnAggregableTimeseries('No
+    * granularity match')`.
+    */
+  def commonGranularities(metricIds: Seq[String]): Seq[Long] = {
+    val granSets = metricIds.map { m =>
+      policies(metricPolicy(m)).definition.map(_.granularity).collect {
+        case Granularity.Fixed(ns) => ns / 1_000_000_000L
+      }.toSet
+    }
+    val common = granSets.reduceOption(_ intersect _).getOrElse(Set.empty)
+    if (common.isEmpty)
+      throw new IllegalArgumentException("No granularity match")
+    common.toSeq.sorted.reverse
+  }
+
+  private def requireMethod(metricId: String, method: String): Unit = {
+    val pol = policies(metricPolicy(metricId))
+    if (!pol.aggregationMethods.contains(method))
+      throw new IllegalArgumentException(
+        s"Aggregation method '$method' for metric $metricId does not exist")
+  }
+
+  /** POST /v1/aggregates with plan-time granularity resolution: no
+    * `granS` → evaluate at every common granularity, coarse→fine,
+    * concatenated with a `gran_s` column (processor.py:229-272 output
+    * shaping).
+    */
+  def aggregatesAuto(operations: String,
+                     fill: Option[String] = None): DataFrame = {
+    val refs = collectRefs(Parser.parse(operations))
+    commonGranularities(refs.map(_._1).distinct)
+      .map(g => aggregates(operations, g, fill).withColumn("gran_s", lit(g)))
+      .reduce(_ unionByName _)
+  }
+
   /** POST /v1/aggregates (§3.2): the cross-metric expression DSL over
     * referenced metrics at one granularity.
     */
@@ -101,6 +138,7 @@ class Graft(val spark: SparkSession, root: String) {
                  fill: Option[String] = None): DataFrame = {
     val ast = Parser.parse(operations)
     val refs = collectRefs(ast)
+    refs.foreach { case (m, a) => requireMethod(m, a) }
     val long = refs.map { case (m, a) =>
       storeOf(metricPolicy(m)).getMeasures(m, a, granS)
         .select(lit(Compiler.refName(m, a)).as("ref"), col("bucket"), col("value"))

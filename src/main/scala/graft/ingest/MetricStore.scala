@@ -163,6 +163,37 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     }
   }
 
+  /** J2 split compaction (storage/__init__.py:528-550): rewrite the
+    * aggregate table clustered by its partition key so each immutable
+    * split directory collapses to one file. Optional — the analogue of
+    * the reference's "compress for fun" pass / OPTIMIZE.
+    */
+  def compact(): Unit = {
+    val agg = aggregates
+      .repartition(col("method"), col("gran_s"), col("split"))
+      .localCheckpoint(true)
+    agg.write.partitionBy("method", "gran_s", "split")
+      .mode(SaveMode.Overwrite).parquet(aggPath)
+  }
+
+  /** J5 raw-buffer re-truncation (chef.py:186-295): re-apply the
+    * back-window bound to the stored raw buffer without new measures —
+    * the `needs_raw_data_truncation` pass after a back_window shrink.
+    */
+  def truncateRaw(): Unit = {
+    val blockS = fixedGrans.max
+    val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("metric_id"))
+    val bounded = rawBuffer
+      .withColumn("__last_s", max(unix_timestamp(col("timestamp"))).over(wm))
+      .withColumn("__floor_s",
+        (floor(col("__last_s") / blockS) * blockS -
+          lit(blockS * policy.backWindow.toLong)).cast("long"))
+      .filter(unix_timestamp(col("timestamp")) >= col("__floor_s"))
+      .drop("__last_s", "__floor_s")
+      .localCheckpoint(true)
+    bounded.write.mode(SaveMode.Overwrite).parquet(rawPath)
+  }
+
   /** J4 metric expunge (chef.py:297-345): remove one metric's rows from
     * the raw buffer and every aggregate split. Aggregate files key
     * metrics inside split partitions, so this is a filtered rewrite of

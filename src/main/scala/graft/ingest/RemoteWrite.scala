@@ -1,0 +1,77 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Prometheus remote-write and collectd/amqp1d ingestion SEMANTICS
+  * (reference: rest/api.py:2319-2371, gnocchi/amqp1d.py:60-160).
+  *
+  * The wire codecs are out of scope here — prometheus remote-write is
+  * snappy-compressed protobuf and amqp1d is an AMQP 1.0 transport,
+  * neither of which has a library in this build — so these operators
+  * take the decoded payload shape and perform the semantic mapping to
+  * measures, which is the part that runs at data scale anyway (pure
+  * Catalyst: map lookups, explode, no shuffle).
+  */
+object RemoteWrite {
+
+  /** Prometheus: rows `(labels map<string,string>, ts_ms, value)` →
+    * measures with resource id `job@instance` and metric `__name__`
+    * (rest/api.py:2337-2359). Unnamed series are dropped; NaN samples
+    * (prometheus staleness markers) are dropped.
+    */
+  def prometheusToMeasures(samples: DataFrame): DataFrame =
+    samples
+      .withColumn("metric", col("labels").getItem("__name__"))
+      .filter(col("metric").isNotNull && !isnan(col("value")))
+      .select(
+        concat_ws("@",
+          coalesce(col("labels").getItem("job"), lit("unknown")),
+          coalesce(col("labels").getItem("instance"), lit("unknown")))
+          .as("resource_id"),
+        col("metric"),
+        timestamp_millis(col("ts_ms")).as("timestamp"),
+        col("value"))
+
+  private val collectdSchema = ArrayType(StructType(Seq(
+    StructField("host", StringType),
+    StructField("plugin", StringType),
+    StructField("plugin_instance", StringType),
+    StructField("type", StringType),
+    StructField("type_instance", StringType),
+    StructField("time", DoubleType),
+    StructField("dsnames", ArrayType(StringType)),
+    StructField("values", ArrayType(DoubleType)))))
+
+  /** Collectd JSON (the amqp1d payload): one measure per entry of the
+    * `values` array, metric named
+    * `plugin[-plugin_instance].type[-type_instance][.dsname]`,
+    * resource = host.
+    */
+  def collectdToMeasures(json: DataFrame, jsonCol: String = "body"): DataFrame = {
+    val rec = explode(from_json(col(jsonCol), collectdSchema)).as("r")
+    json.select(rec)
+      .select(col("r.*"))
+      .withColumn("__z", arrays_zip(col("dsnames"), col("values")))
+      .select(col("host"), col("plugin"), col("plugin_instance"),
+        col("type"), col("type_instance"), col("time"),
+        explode(col("__z")).as("dv"))
+      .select(
+        col("host").as("resource_id"),
+        concat(
+          concat_ws("-", col("plugin"),
+            when(col("plugin_instance") === "", null)
+              .otherwise(col("plugin_instance"))),
+          lit("."),
+          concat_ws("-", col("type"),
+            when(col("type_instance") === "", null)
+              .otherwise(col("type_instance"))),
+          when(col("dv.dsnames").isNotNull && col("dv.dsnames") =!= "value",
+            concat(lit("."), col("dv.dsnames"))).otherwise(lit("")))
+          .as("metric"),
+        timestamp_seconds(col("time")).as("timestamp"),
+        col("dv.values").as("value"))
+      .filter(col("value").isNotNull)
+  }
+}

@@ -75,6 +75,32 @@ class ApiSpec extends SparkSpec {
     assert(got.map(_._3) == Seq(10.0))
   }
 
+  test("P1 planning: common granularities, no-match and bad-method errors") {
+    val g = freshGraft()
+    g.createPolicy(ArchivePolicy("coarse-only", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(300), None, None)),
+      Set("mean")))
+    g.createPolicy(ArchivePolicy("fine-only", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(1), None, None)),
+      Set("mean")))
+    g.createMetric("m1", "gabbi-low")
+    g.createMetric("m2", "coarse-only")
+    g.createMetric("m3", "fine-only")
+    assert(g.commonGranularities(Seq("m1", "m2")) == Seq(300L))
+    val e1 = intercept[IllegalArgumentException](
+      g.commonGranularities(Seq("m2", "m3")))
+    assert(e1.getMessage.contains("No granularity match"))
+    g.addMeasures("m1", Seq(("2015-03-06 14:33:57", 2.0)))
+    g.process()
+    // auto granularity: one result row per common granularity
+    val auto = g.aggregatesAuto("(* 2 (metric m1 mean))")
+      .select("gran_s").collect().map(_.getLong(0)).toSeq
+    assert(auto == Seq(300L, 1L)) // coarse first
+    val e2 = intercept[IllegalArgumentException](
+      g.aggregates("(metric m1 median)", 300))
+    assert(e2.getMessage.contains("does not exist"))
+  }
+
   test("value-threshold search across metrics (S1)") {
     val g = freshGraft()
     g.createMetric("m1", "gabbi-low")

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.RemoteWrite
+
+class RemoteWriteSpec extends SparkSpec {
+
+  test("prometheus mapping: job@instance resource, __name__ metric, NaN dropped") {
+    val s = spark
+    import s.implicits._
+    val samples = Seq(
+      (Map("__name__" -> "up", "job" -> "api", "instance" -> "h1:9090"),
+        1700000000000L, 1.0),
+      (Map("__name__" -> "up", "job" -> "api", "instance" -> "h1:9090"),
+        1700000015000L, Double.NaN), // staleness marker
+      (Map("job" -> "api"), 1700000000000L, 5.0)) // unnamed -> dropped
+      .toDF("labels", "ts_ms", "value")
+    val out = RemoteWrite.prometheusToMeasures(samples).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "api@h1:9090")
+    assert(out(0).getString(1) == "up")
+    assert(out(0).getDouble(3) == 1.0)
+  }
+
+  test("collectd mapping: per-dsname fan-out, instance dashes") {
+    val s = spark
+    import s.implicits._
+    val body =
+      """[{"host":"web1","plugin":"cpu","plugin_instance":"0",
+          "type":"cpu","type_instance":"idle","time":1700000000.25,
+          "dsnames":["value"],"values":[99.5]},
+         {"host":"web1","plugin":"df","plugin_instance":"",
+          "type":"df_complex","type_instance":"free","time":1700000000.0,
+          "dsnames":["read","write"],"values":[1.0,2.0]}]"""
+        .replaceAll("\n\\s*", "")
+    val out = RemoteWrite.collectdToMeasures(Seq(body).toDF("body"))
+      .collect().map(r => (r.getString(1), r.getDouble(3))).toSet
+    assert(out == Set(
+      ("cpu-0.cpu-idle", 99.5),
+      ("df.df_complex-free.read", 1.0),
+      ("df.df_complex-free.write", 2.0)))
+  }
+
+  test("store compact and raw re-truncation keep data readable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-j2").toString
+    val g = new graft.api.Graft(spark, root)
+    g.createMetric("m", "low")
+    g.addMeasures("m", Seq(("2024-01-01 10:00:00", 1.0),
+      ("2024-01-01 10:05:00", 3.0)))
+    g.process()
+    val store = new graft.ingest.MetricStore(spark, s"$root/low",
+      g.policies("low"))
+    val before = g.getMeasures("m", "mean")
+    store.compact()
+    store.truncateRaw()
+    assert(g.getMeasures("m", "mean") == before)
+  }
+}
