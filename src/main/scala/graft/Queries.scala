@@ -96,11 +96,24 @@ object Queries {
           hourly(s, dir, "mean"), 7L * 86400 * 1_000_000_000L, Seq("event_type"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), min(unix_timestamp(col("bucket")).cast("long")).as("min_bucket_s"))),
-    "a12_fetch" -> ((s, dir) =>
-      TimeSeriesOps.fetch(hourly(s, dir, "mean"), Granularity.seconds(H),
-          Some(java.sql.Timestamp.valueOf("2024-01-10 13:37:00")),
-          Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
-        .select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+    "a12_fetch" -> ((s, dir) => {
+      val fromTs = java.sql.Timestamp.valueOf("2024-01-10 13:37:00")
+      val toTs = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      // pre-filter on the RAW ns-long ts so the slice reaches the
+      // parquet scan (PushedFilters -> row-group pruning); a predicate
+      // on the derived bucket column cannot push down and reads the
+      // whole corpus at scale. [floor(from,g), floor(to,g)+g) is a
+      // superset of the bucket slice; exact fetch still applies after.
+      val loNs = (fromTs.getTime / 1000) / H * H * 1_000_000_000L
+      val hiNs = ((toTs.getTime / 1000) / H * H + H) * 1_000_000_000L
+      val raw = table(s, dir, "events")
+        .filter(col("ts") >= loNs && col("ts") < hiNs)
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val agg = Kernels.aggregate(raw, "mean", Granularity.seconds(H),
+        Seq("event_type"), "ts", "value", tieCols = Seq("event_id"))
+      TimeSeriesOps.fetch(agg, Granularity.seconds(H), Some(fromTs), Some(toTs))
+        .select(col("event_type"), bucketS(H), r6(col("value")).as("v"))
+    }),
     "b1_bucket_5m" -> ((s, dir) =>
       Kernels.aggregate(events(s, dir), "mean", Granularity.seconds(300),
           Seq("event_type"), "ts", "value")

@@ -63,6 +63,30 @@ object TimeSeriesOps {
       .drop("__cut")
   }
 
+  /** Raw-scan variant of A12 for reads that aggregate on the fly: the
+    * bucket slice `[floor(from,g), floor(to,g)+g)` is rewritten as a
+    * predicate on the RAW timestamp column, so it reaches the parquet
+    * scan (`PushedFilters`) and prunes row groups — a filter on the
+    * derived bucket expression cannot push down and would read the
+    * whole corpus at scale. Equivalence: for g-aligned F,
+    * floor(ts/g)*g >= F  <=>  ts >= F, and
+    * floor(ts/g)*g <= floor(to,g)  <=>  ts < floor(to,g)+g.
+    */
+  def fetchRaw(raw: DataFrame, granularity: Granularity,
+               from: Option[java.sql.Timestamp],
+               to: Option[java.sql.Timestamp],
+               tsCol: String = "timestamp"): DataFrame = {
+    val gS = granularity match {
+      case Granularity.Fixed(ns) => ns / 1_000_000_000L
+      case _ => throw new IllegalArgumentException(
+        "fetchRaw needs a fixed granularity")
+    }
+    def floorS(t: java.sql.Timestamp) = (t.getTime / 1000) / gS * gS
+    val lo = from.map(f => col(tsCol) >= timestamp_seconds(lit(floorS(f))))
+    val hi = to.map(t => col(tsCol) < timestamp_seconds(lit(floorS(t) + gS)))
+    Seq(lo, hi).flatten.foldLeft(raw)((d, p) => d.filter(p))
+  }
+
   /** A12 fetch (carbonara.py:809-822): slice `[floor(from, g), to]` —
     * `from` is floored to the granularity so a 17:02 query returns the
     * 17:00 bucket. Plain predicates → parquet row-group pruning.
