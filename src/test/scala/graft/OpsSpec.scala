@@ -58,6 +58,21 @@ class OpsSpec extends SparkSpec {
     assert(values(g).map(_._2.head) == Seq(3.0, 5.0)) // first point dropped
   }
 
+  test("rolling window longer than the series emits nothing " +
+      "(reference errors, operations.py:245-250 — empty is the " +
+      "distributed analogue: length is unknowable at plan time)") {
+    val g = Compiler.eval(Parser.parse("(rolling sum 5 (metric m1 mean))"),
+      mkGrid(twoSeries: _*))
+    assert(g.df.count() == 0)
+  }
+
+  test("binary op over partially-overlapping series: missing cells stay null") {
+    val g = Compiler.eval(Parser.parse("(+ (metric m1 mean) (metric m3 mean))"),
+      mkGrid(twoSeries :+ (("m3/mean", "2014-01-01 12:01:00", 10.0)): _*))
+    val vs = values(g).map(_._2.head)
+    assert(vs(1) == 12.0 && vs.count(_.isNaN) == 2)
+  }
+
   test("aggregate mean across metrics per timestamp (operations.py:232-240)") {
     val g = Compiler.eval(
       Parser.parse("(aggregate mean (metric (m1 mean) (m2 mean)))"),
