@@ -127,7 +127,13 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     val out = kept.select(newAggRows.columns.map(col).toSeq: _*)
       .unionByName(newAggRows)
       .localCheckpoint(true)
-    out.write
+    out
+      // cluster rows by (metric_id, bucket) inside each file: parquet
+      // row-group min/max stats on metric_id then let a single-metric
+      // read skip row groups instead of scanning the whole split —
+      // the within-file analogue of the partition pruning above
+      .sortWithinPartitions("metric_id", "bucket")
+      .write
       .partitionBy("method", "gran_s", "split")
       .mode(SaveMode.Overwrite) // dynamic: only touched splits rewritten
       .parquet(aggPath)
@@ -172,7 +178,8 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     val agg = aggregates
       .repartition(col("method"), col("gran_s"), col("split"))
       .localCheckpoint(true)
-    agg.write.partitionBy("method", "gran_s", "split")
+    agg.sortWithinPartitions("metric_id", "bucket")
+      .write.partitionBy("method", "gran_s", "split")
       .mode(SaveMode.Overwrite).parquet(aggPath)
   }
 

@@ -75,6 +75,19 @@ class ApiSpec extends SparkSpec {
     assert(got.map(_._3) == Seq(10.0))
   }
 
+  test("calendar resample through the facade (resample-calendar.yaml)") {
+    val g = freshGraft()
+    g.createMetric("m1", "gabbi-low")
+    g.addMeasures("m1", Seq(
+      ("2015-03-06 14:33:57", 43.1), ("2015-03-06 14:34:12", 12.0),
+      ("2015-04-10 00:00:00", 30.0)))
+    g.process()
+    val got = g.getMeasures("m1", "mean", granS = Some(300),
+      resample = Some(Granularity.Calendar("M")))
+    assert(got.map { case (t, _, v) => (t.toString.take(10), v) } ==
+      Seq(("2015-03-01", 27.55), ("2015-04-01", 30.0)))
+  }
+
   test("P1 planning: common granularities, no-match and bad-method errors") {
     val g = freshGraft()
     g.createPolicy(ArchivePolicy("coarse-only", 0,
