@@ -139,9 +139,18 @@ class Graft(val spark: SparkSession, root: String) {
     val ast = Parser.parse(operations)
     val refs = collectRefs(ast)
     refs.foreach { case (m, a) => requireMethod(m, a) }
-    val long = refs.map { case (m, a) =>
-      storeOf(metricPolicy(m)).getMeasures(m, a, granS)
-        .select(lit(Compiler.refName(m, a)).as("ref"), col("bucket"), col("value"))
+    // P2: one pruned scan per policy store with IN predicates, not a
+    // read per referenced series (processor.py:134-137)
+    val long = refs.groupBy { case (m, _) => metricPolicy(m) }.map {
+      case (pol, polRefs) =>
+        storeOf(pol).getMeasuresMany(polRefs.map(_._1).distinct,
+            polRefs.map(_._2).distinct, granS)
+          .join(broadcast {
+            import spark.implicits._
+            polRefs.toDF("metric_id", "method")
+          }, Seq("metric_id", "method"))
+          .select(concat(col("metric_id"), lit("/"), col("method")).as("ref"),
+            col("bucket"), col("value"))
     }.reduce(_ unionByName _)
     val grid = Compiler.align(long, refs.map { case (m, a) => Compiler.refName(m, a) })
     val filled = fill match {
@@ -200,4 +209,63 @@ class Graft(val spark: SparkSession, root: String) {
   def searchResources(filterStr: String): DataFrame =
     resources.getOrElse(MetricStore.emptyMeasures(spark))
       .filter(Filter.compile(FilterParser.parse(filterStr)))
+
+  /** R4: searchResources with keyset pagination. */
+  def searchResources(filterStr: String, sorts: Seq[(String, Boolean)],
+                      uniqueKey: String, marker: Option[Any],
+                      limit: Int): DataFrame =
+    graft.catalog.Pagination(searchResources(filterStr), sorts, uniqueKey,
+      marker, limit)
+
+  private var metricsCatalog: Option[DataFrame] = None
+
+  /** Metric catalog `(metric_id, resource_id, name)` — the named-metric
+    * side of resources (indexer metric table, sqlalchemy_base.py:79-122).
+    */
+  def setMetrics(df: DataFrame): Unit = metricsCatalog = Some(df)
+
+  /** G1/G2 resource-scoped group-by aggregation
+    * (rest/aggregates/api.py:541-672): resolve resources by filter,
+    * match metrics by (glob) name, fetch every matched series in one
+    * pruned scan, and collapse per (group attrs, bucket) — Spark turns
+    * the reference's per-group loop into one shuffle. Covers the
+    * `(aggregate <acrossAgg> (metric <name> <method>))` shape; richer
+    * nested expressions evaluate per-metric via [[aggregates]].
+    */
+  def groupByAggregates(metricName: String, method: String, granS: Long,
+                        filterStr: String, groupby: Seq[String],
+                        acrossAgg: String = "mean"): DataFrame = {
+    val res = searchResources(filterStr)
+    val mets = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
+      .filter(col("name").like(metricName.replace("*", "%")))
+      .join(broadcast(res.select((col("id").as("resource_id") +:
+        groupby.map(col)): _*)), Seq("resource_id"))
+    val ids = mets.select("metric_id").distinct()
+      .collect().map(_.getString(0)).toSeq // metric list, as the reference
+    val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
+      storeOf(pol).getMeasuresMany(polIds, Seq(method), granS)
+    }.reduceOption(_ unionByName _)
+      .getOrElse(MetricStore.emptyAggregates(spark)
+        .select("metric_id", "method", "bucket", "value"))
+    val acrossCol = acrossAgg match {
+      case "mean" => avg(col("value")); case "sum" => sum(col("value"))
+      case "min" => min(col("value")); case "max" => max(col("value"))
+      case "count" => count(col("value")).cast("double")
+      case other => sys.error(s"unsupported across-agg $other")
+    }
+    series.join(broadcast(mets.select(
+        (col("metric_id") +: groupby.map(col)): _*)), Seq("metric_id"))
+      .groupBy((groupby.map(col) :+ col("bucket")): _*)
+      .agg(acrossCol.as("value"))
+  }
+
+  /** P6 output shaping (processor.py:229-272): collect a single-metric
+    * read into the reference's triple form, or an `aggregates` result
+    * into `ref -> [(bucket, gran, value)]`.
+    */
+  def shaped(df: DataFrame, granS: Long): Seq[(java.sql.Timestamp, Long, Double)] =
+    df.orderBy("bucket").collect().toSeq.map { r =>
+      (r.getAs[java.sql.Timestamp]("bucket"), granS,
+        r.getAs[Double](r.length - 1))
+    }
 }

@@ -169,6 +169,23 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     }
   }
 
+  /** P2 multi-series fetch (processor.py:134-137): ONE pruned scan with
+    * IN predicates instead of the reference's per-series thread-pool
+    * fan-out — returns (metric_id, method, bucket, value) for every
+    * requested combination present in the store.
+    */
+  def getMeasuresMany(metricIds: Seq[String], methods: Seq[String],
+                      granS: Long): DataFrame = {
+    var df = aggregates
+      .filter(col("gran_s") === granS &&
+        col("method").isin(methods: _*) &&
+        col("metric_id").isin(metricIds: _*))
+    for (tsS <- timespanS(granS)) // retention truncate on read, as A11
+      df = TimeSeriesOps.truncate(df, tsS * 1_000_000_000L,
+        Seq("metric_id", "method", "gran_s"))
+    df.select("metric_id", "method", "bucket", "value")
+  }
+
   /** J2 split compaction (storage/__init__.py:528-550): rewrite the
     * aggregate table clustered by its partition key so each immutable
     * split directory collapses to one file. Optional — the analogue of

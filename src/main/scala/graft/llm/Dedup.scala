@@ -94,17 +94,19 @@ object Dedup {
     // from the explode and can never join as candidates — and a
     // `size(sh) > 0` predicate would be pushed below the rebalance
     // exchange, re-evaluating the whole shingle pipeline single-task
-    // on the scan side.
+    // on the scan side. Shingles are hashed to 64-bit longs up front:
+    // the signature, banding, and the exact-jaccard verify all work on
+    // fixed-width longs (string set ≡ hash set modulo ~2^-64 collision).
     val sh = withShingles(rebalance(docs), textCol, n, "sh")
-      .select(col(idCol).as("id"), col("sh"))
+      .select(col(idCol).as("id"),
+        transform(col("sh"), s => xxhash64(s)).as("shh"))
     // Signature via explode + groupBy rather than per-row array
     // lambdas: the k minima become codegen'd `min` aggregates in one
     // HashAggregate (partial map-side combine, then a k-long-wide
     // shuffle keyed on id), where `transform` lambdas are interpreted
     // per element. Shingles are distinct, so explode preserves set
     // semantics.
-    val hashed = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+    val hashed = sh.select(col("id"), explode(col("shh")).as("h"))
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(col("h"), lit(i.toLong))).as(s"m$i"))
     val sig = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
@@ -121,8 +123,8 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val shA = sh.select(col("id").as("id_a"), col("shh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("shh").as("sh_b"))
     cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

@@ -114,6 +114,31 @@ class ApiSpec extends SparkSpec {
     assert(e2.getMessage.contains("does not exist"))
   }
 
+  test("resource-scoped group-by aggregation (G1/G2) via metric catalog") {
+    val s = spark
+    import s.implicits._
+    val g = freshGraft()
+    for (m <- Seq("cpu1", "cpu2", "cpu3")) g.createMetric(m, "gabbi-low")
+    g.addMeasures("cpu1", Seq(("2015-03-06 14:33:00", 10.0)))
+    g.addMeasures("cpu2", Seq(("2015-03-06 14:33:30", 30.0)))
+    g.addMeasures("cpu3", Seq(("2015-03-06 14:33:59", 100.0)))
+    g.process()
+    g.setResources(Seq(("r1", "east"), ("r2", "east"), ("r3", "west"))
+      .toDF("id", "zone"))
+    g.setMetrics(Seq(("cpu1", "r1", "cpu.util"), ("cpu2", "r2", "cpu.util"),
+      ("cpu3", "r3", "cpu.util")).toDF("metric_id", "resource_id", "name"))
+    val got = g.groupByAggregates("cpu.*", "mean", 300,
+        filterStr = "zone in [\"east\", \"west\"]", groupby = Seq("zone"))
+      .orderBy("zone").collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(got == Seq(("east", 20.0), ("west", 100.0)))
+    // filter scoping: only west resources
+    val west = g.groupByAggregates("cpu.*", "mean", 300,
+        filterStr = "zone = \"west\"", groupby = Seq("zone"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(west == Seq(("west", 100.0)))
+  }
+
   test("value-threshold search across metrics (S1)") {
     val g = freshGraft()
     g.createMetric("m1", "gabbi-low")
