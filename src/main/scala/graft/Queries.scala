@@ -406,6 +406,14 @@ object Queries {
         .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
           col("rank"))
     }),
+    "sim3_lsh_ann" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.lshTopK(em, em.filter(col("vec_id") < 10), k = 5,
+        nbits = 16, radius = 3)
+        .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+          col("rank"))
+    }),
     "txt1_tokens" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("n_words"),

@@ -79,6 +79,44 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** LSH-bucketed ANN: corpus and queries are hashed into
+    * random-hyperplane buckets ([[lshBuckets]]); a query compares only
+    * against corpus vectors whose bucket is within `radius` sign flips
+    * (pigeonhole chunk join, like simhash pairs), then exact cosine
+    * re-ranks. At 100 TB the corpus is written bucketed by `lsh_bucket`
+    * so a probe is a bucket-pruned scan.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nbits: Int = 16, radius: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val chunks = radius + 1
+    val bitsPer = nbits / chunks
+    def chunked(df: DataFrame, role: String): DataFrame =
+      lshBuckets(df, nbits, idCol, vecCol)
+        .select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_v"),
+          posexplode(array((0 until chunks).map { c =>
+            shiftrightunsigned(col("lsh_bucket"), c * bitsPer)
+              .bitwiseAND(lit((1L << bitsPer) - 1))
+          }: _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    // candidate pairs as ids only — the distinct shuffles 16 bytes/row,
+    // not embedding vectors; vectors re-attach after dedup
+    val cand = chunked(corpus, "corpus").drop("corpus_v")
+      .join(broadcast(chunked(queries, "query").drop("query_v")),
+        Seq("chunk", "ck"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id").distinct()
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_v"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+    val scored = cand.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", cosine(col("query_v"), col("corpus_v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** Random-hyperplane LSH bucketing for cosine: `nbits` signs of dot
     * products with pseudo-random hyperplanes (deterministic from the
     * dimension index via a hash-derived ±1 pattern — no RNG state).

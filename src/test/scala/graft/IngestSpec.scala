@@ -84,6 +84,17 @@ class IngestSpec extends SparkSpec {
     assert(dump(storeInc) == dump(storeFull))
   }
 
+  test("split-key math: 3600 buckets per split (carbonara.py:730-871)") {
+    val s = spark
+    import s.implicits._
+    // gran 5 s -> one split spans 18000 s; epoch 18000*k..18000*(k+1)-1
+    val df = Seq("1970-01-01 00:00:00", "1970-01-01 04:59:55",
+      "1970-01-01 05:00:00").map(java.sql.Timestamp.valueOf).toDF("bucket")
+    val got = df.select(graft.ingest.MetricStore.splitOf(col("bucket"), 5))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 0L, 1L))
+  }
+
   test("retention expiry drops old splits (J3)") {
     val dir = Files.createTempDirectory("graft-store").toString
     val policy = ArchivePolicy("short", 0,

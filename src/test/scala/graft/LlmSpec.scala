@@ -34,6 +34,24 @@ class LlmSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("lsh ANN: near-identical vector is found as top candidate") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(1.0, 0.2, -0.5, 0.8)
+    val em = (Seq(
+      (1L, base),
+      (2L, base.map(_ * 1.01)), // same direction -> same LSH signs
+      (3L, base.map(-_))) ++
+      (4L to 20L).map(i => (i, Seq(math.cos(i * 1.0), math.sin(i * 2.0),
+        math.cos(i * 3.0), math.sin(i * 0.5)))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(em, em.filter($"vec_id" === 1), k = 3,
+        nbits = 16, radius = 3)
+      .orderBy("rank").collect()
+    assert(got.head.getLong(1) == 2L) // rank 1 = the near-duplicate
+    assert(got.head.getDouble(2) > 0.999)
+  }
+
   test("simhash: identical docs distance 0, near dups within small radius") {
     val base = "one two three four five six seven eight nine ten"
     val d = docs((1L, base), (2L, base), (3L, base + " eleven"))
