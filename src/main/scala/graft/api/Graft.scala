@@ -133,12 +133,22 @@ class Graft(val spark: SparkSession, root: String) {
 
   /** POST /v1/aggregates (§3.2): the cross-metric expression DSL over
     * referenced metrics at one granularity.
+    *
+    * P5 contract (processor.py:200-220): when `neededOverlap` is given
+    * and no fill is set, the grid is trimmed to its overlapping span
+    * (from/to are unset in this facade) and the overlap fraction must
+    * reach the threshold or the query errors (`UnAggregableTimeseries`
+    * in the reference). The REST layer defaulted `fill="dropna"` when
+    * neither was given (rest/aggregates/api.py:522-523); here fill
+    * stays explicit so NaN-skipping evaluation remains reachable.
     */
   def aggregates(operations: String, granS: Long,
-                 fill: Option[String] = None): DataFrame = {
+                 fill: Option[String] = None,
+                 neededOverlap: Option[Double] = None): DataFrame = {
     val ast = Parser.parse(operations)
     val refs = collectRefs(ast)
     refs.foreach { case (m, a) => requireMethod(m, a) }
+    val effFill = fill
     // P2: one pruned scan per policy store with IN predicates, not a
     // read per referenced series (processor.py:134-137)
     val long = refs.groupBy { case (m, _) => metricPolicy(m) }.map {
@@ -153,10 +163,18 @@ class Graft(val spark: SparkSession, root: String) {
             col("bucket"), col("value"))
     }.reduce(_ unionByName _)
     val grid = Compiler.align(long, refs.map { case (m, a) => Compiler.refName(m, a) })
-    val filled = fill match {
-      case Some(f) => grid.copy(df =
-        graft.timeseries.TimeSeriesOps.fill(grid.df, grid.cols, f))
-      case None => grid
+    val checked = neededOverlap match {
+      case Some(need) if effFill.isEmpty =>
+        val (trimmed, pct) = Compiler.overlapPercent(grid, trim = true)
+        if (pct < need) throw new IllegalArgumentException(
+          f"Unable to aggregate: overlap $pct%.1f%% < needed $need%.1f%%")
+        trimmed
+      case _ => grid
+    }
+    val filled = effFill match {
+      case Some(f) => checked.copy(df =
+        graft.timeseries.TimeSeriesOps.fill(checked.df, checked.cols, f))
+      case None => checked
     }
     val out = Compiler.eval(ast, filled)
     out.df

@@ -184,12 +184,14 @@ object Dedup {
     val toks = rebalance(docs).select(col(idCol).as("id"),
         explode(split(normalized(col(textCol)), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
-    }
-    val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail.toSeq: _*)
+    // per-bit ONES counts (shift+mask, codegen'd) instead of ±1
+    // conditionals: sign_b = (2·ones_b > n), identical tie behavior
+    val aggs = (0 until 64).map { b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L))).as(s"o$b")
+    } :+ count(lit(1)).as("n")
+    val agg = toks.groupBy("id").agg(aggs.head, aggs.tail.toSeq: _*)
     val sig = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      when(col(s"o$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("id"), sig.as("simhash"))
   }

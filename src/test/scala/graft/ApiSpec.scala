@@ -114,6 +114,35 @@ class ApiSpec extends SparkSpec {
     assert(e2.getMessage.contains("does not exist"))
   }
 
+  test("P5 facade contract: default dropna, needed_overlap trims or errors") {
+    val g = freshGraft()
+    g.createMetric("m1", "gabbi-low")
+    g.createMetric("m2", "gabbi-low")
+    g.addMeasures("m1", Seq(("2015-03-06 14:30:00", 1.0),
+      ("2015-03-06 14:35:00", 2.0), ("2015-03-06 14:40:00", 3.0)))
+    g.addMeasures("m2", Seq(("2015-03-06 14:35:00", 10.0)))
+    g.process()
+    // fill = dropna: only the overlapping bucket survives
+    val got = g.aggregates("(+ (metric m1 mean) (metric m2 mean))", 300,
+        fill = Some("dropna"))
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(12.0))
+    // from/to unset -> grid trims to the overlapping span, so even
+    // needed_overlap=100 passes on a partially-overlapping grid
+    val ok = g.aggregates("(+ (metric m1 mean) (metric m2 mean))", 300,
+        neededOverlap = Some(100.0))
+      .collect().map(_.getDouble(1)).toSeq
+    assert(ok == Seq(12.0))
+    // zero overlap anywhere: UnAggregableTimeseries analogue
+    g.createMetric("m3", "gabbi-low")
+    g.addMeasures("m3", Seq(("2015-03-07 00:00:00", 5.0)))
+    g.process()
+    val e = intercept[IllegalArgumentException](
+      g.aggregates("(+ (metric m1 mean) (metric m3 mean))", 300,
+        neededOverlap = Some(100.0)).collect())
+    assert(e.getMessage.contains("Unable to aggregate"))
+  }
+
   test("resource-scoped group-by aggregation (G1/G2) via metric catalog") {
     val s = spark
     import s.implicits._
