@@ -445,6 +445,22 @@ object Oracles {
                   AS frame_md5
          FROM x""",
 
+    // ASCII corpus: payload bytes == per-char ascii codes, so the
+    // mapPartitions decode path is fully hash-verified against a
+    // char-code list built in SQL.
+    "mm3_decode_features" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+                list_transform(range(1, length(text)+1),
+                  i -> ascii(substring(text, CAST(i AS INT), 1))) AS bytes
+              FROM documents)
+         SELECT media_id, 32 AS width,
+                CAST(ceil(len(bytes)/32.0) AS INT) AS height,
+                CAST(CAST(list_sum(bytes) AS DOUBLE)/len(bytes) AS REAL)
+                  AS mean_byte,
+                CAST(list_min(bytes) AS INT) AS min_byte,
+                CAST(list_max(bytes) AS INT) AS max_byte
+         FROM b""",
+
     // i2/i4 render events as wire-protocol lines in Spark, parse them
     // back, and aggregate; the oracle aggregates events directly —
     // exactness of the string round-trip is part of what's checked.
