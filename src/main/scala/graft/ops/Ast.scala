@@ -148,4 +148,53 @@ object Parser {
     case ")" :: tail => Some(tail)
     case _ => throw new IllegalArgumentException(s"expected ) at $toks")
   }
+
+  /** JSON form of the operations schema (rest/aggregates/api.py:74-126):
+    * nested arrays with the same head-first shape as the s-expression
+    * form, e.g. `["*", 4, ["metric", "m1", "mean"]]`. Both forms parse
+    * to the same AST.
+    */
+  def parseJson(s: String): Node = {
+    import org.json4s._
+    fromJson(org.json4s.jackson.JsonMethods.parse(s))
+  }
+
+  private def fromJson(v: org.json4s.JValue): Node = {
+    import org.json4s._
+    v match {
+      case JInt(n)     => Num(n.toDouble)
+      case JLong(n)    => Num(n.toDouble)
+      case JDouble(n)  => Num(n)
+      case JDecimal(n) => Num(n.toDouble)
+      case JArray(JString("metric") :: rest) =>
+        val refs = rest match {
+          case JString(m) :: JString(a) :: Nil => Seq((m, a))
+          case pairs => pairs.map {
+            case JArray(JString(m) :: JString(a) :: Nil) => (m, a)
+            case other => throw new IllegalArgumentException(
+              s"bad metric ref: $other")
+          }
+        }
+        MetricLeaf(refs)
+      case JArray(JString("aggregate") :: JString(agg) :: sub :: Nil) =>
+        AggAcross(agg, fromJson(sub))
+      case JArray(JString("rolling") :: JString(agg) :: w :: sub :: Nil) =>
+        Rolling(agg, fromJson(w) match { case Num(n) => n.toInt
+          case _ => throw new IllegalArgumentException("bad window") },
+          fromJson(sub))
+      case JArray(JString("resample") :: JString(agg) :: JString(g) :: sub :: Nil) =>
+        Resample(agg, graft.model.Granularity.parse(g), fromJson(sub))
+      case JArray(JString("rateofchange") :: sub :: Nil) =>
+        RateOfChange(perSecond = false, fromJson(sub))
+      case JArray(JString("rateofchangesec") :: sub :: Nil) =>
+        RateOfChange(perSecond = true, fromJson(sub))
+      case JArray(JString("clip") :: sub :: lo :: hi :: Nil) =>
+        Clip(fromJson(sub), fromJson(lo), fromJson(hi))
+      case JArray(JString(op) :: sub :: Nil) if unOps.contains(op) =>
+        Un(op, fromJson(sub))
+      case JArray(JString(op) :: l :: r :: Nil) if binOps.contains(op) =>
+        Bin(binOps(op), fromJson(l), fromJson(r))
+      case other => throw new IllegalArgumentException(s"unknown form: $other")
+    }
+  }
 }

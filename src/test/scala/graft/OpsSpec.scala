@@ -73,6 +73,19 @@ class OpsSpec extends SparkSpec {
     assert(vs(1) == 12.0 && vs.count(_.isNaN) == 2)
   }
 
+  test("JSON operations form parses to the same AST as the string form " +
+      "(rest/aggregates/api.py:74-126)") {
+    val str = Parser.parse(
+      "(* 4 (rolling sum 2 (metric (m1 mean) (m2 max))))")
+    val json = Parser.parseJson(
+      """["*", 4, ["rolling", "sum", 2, ["metric", ["m1", "mean"], ["m2", "max"]]]]""")
+    assert(str == json)
+    assert(Parser.parseJson("""["metric", "m1", "mean"]""") ==
+      Parser.parse("(metric m1 mean)"))
+    assert(Parser.parseJson("""["clip", ["metric", "m1", "mean"], 1.5, 2.5]""") ==
+      Parser.parse("(clip (metric m1 mean) 1.5 2.5)"))
+  }
+
   test("aggregate mean across metrics per timestamp (operations.py:232-240)") {
     val g = Compiler.eval(
       Parser.parse("(aggregate mean (metric (m1 mean) (m2 mean)))"),
