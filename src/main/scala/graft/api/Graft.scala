@@ -30,6 +30,42 @@ class Graft(val spark: SparkSession, root: String) {
     metricPolicy(id) = policyName
   }
 
+  private val policyRules = mutable.ArrayBuffer[(String, String)]()
+
+  /** R9 archive-policy rules (indexer/__init__.py:460-466): glob
+    * pattern → policy; metric creation without an explicit policy takes
+    * the LONGEST matching pattern.
+    */
+  def createPolicyRule(pattern: String, policyName: String): Unit = {
+    require(policies.contains(policyName), s"no policy $policyName")
+    policyRules += ((pattern, policyName))
+  }
+
+  /** Create a metric letting the rules pick the policy. */
+  def createMetric(id: String): Unit = {
+    val matched = policyRules
+      .filter { case (p, _) =>
+        java.util.regex.Pattern.matches(
+          p.replace(".", "\\.").replace("*", ".*").replace("?", "."), id)
+      }
+      .sortBy { case (p, _) => (-p.length, p) }
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        s"no archive policy rule matches metric $id"))
+    createMetric(id, matched._2)
+  }
+
+  /** R8 delete-by-query (sqlalchemy.py:1034-1066): drop resources
+    * matching the filter, returning the count.
+    */
+  def deleteResources(filterStr: String): Long = {
+    val pred = Filter.compile(FilterParser.parse(filterStr))
+    val current = resources.getOrElse(
+      return 0L)
+    val n = current.filter(pred).count()
+    resources = Some(current.filter(!pred))
+    n
+  }
+
   private def storeOf(policyName: String): MetricStore =
     stores.getOrElseUpdate(policyName,
       new MetricStore(spark, s"$root/$policyName", policies(policyName)))

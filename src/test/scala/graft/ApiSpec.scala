@@ -168,6 +168,26 @@ class ApiSpec extends SparkSpec {
     assert(west == Seq(("west", 100.0)))
   }
 
+  test("R9 policy rules: longest glob wins; R8 delete-by-query counts") {
+    val s = spark
+    import s.implicits._
+    val g = freshGraft()
+    g.createPolicyRule("*", "gabbi-low")
+    g.createPolicyRule("disk.*", "gabbi-low")
+    val e = intercept[IllegalArgumentException](g.createPolicyRule("x", "nope"))
+    assert(e.getMessage.contains("no policy"))
+    g.createMetric("disk.io.read") // matches both; longest pattern wins
+    g.createMetric("cpu.util")     // matches "*"
+    g.addMeasures("disk.io.read", Seq(("2015-03-06 14:33:57", 1.0)))
+    g.process()
+    assert(g.getMeasures("disk.io.read", "mean").nonEmpty)
+    g.setResources(Seq(("r1", "east"), ("r2", "west"), ("r3", "west"))
+      .toDF("id", "zone"))
+    assert(g.deleteResources("zone = \"west\"") == 2L)
+    assert(g.searchResources("zone = \"east\"").count() == 1L)
+    assert(g.searchResources("zone = \"west\"").count() == 0L)
+  }
+
   test("value-threshold search across metrics (S1)") {
     val g = freshGraft()
     g.createMetric("m1", "gabbi-low")
