@@ -17,8 +17,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM + parquet footers once so per-query numbers are steady
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warm the JVM, parquet footers, and codegen paths once so
+    // per-query numbers are steady state, not first-query JIT cost
+    for (t <- Seq("lineitem", "orders", "customer", "events", "documents",
+        "embeddings", "region", "nation", "part", "supplier"))
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("event_type").count().write.format("noop")
+      .mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
