@@ -84,6 +84,19 @@ class IngestSpec extends SparkSpec {
     assert(dump(storeInc) == dump(storeFull))
   }
 
+  test("duplicate batch delivery is idempotent (exactly-once via overwrite)") {
+    val store = newStore()
+    val batch = measures(
+      ("m", "2024-01-01 10:00:10", 2.0), ("m", "2024-01-01 10:00:40", 4.0))
+    store.addMeasures(batch)
+    def snap() = store.aggregates
+      .select("metric_id", "method", "bucket", "value")
+      .collect().map(_.toSeq).toSet
+    val first = snap()
+    store.addMeasures(batch) // at-least-once delivery re-sends the batch
+    assert(snap() == first)
+  }
+
   test("split-key math: 3600 buckets per split (carbonara.py:730-871)") {
     val s = spark
     import s.implicits._
