@@ -92,7 +92,7 @@ object ResourceTypes {
       casted
         .withColumn("type", coalesce(col("type"), lit(name)))
         .withColumn("__violations", violation)
-        .select((structType.fieldNames.map(col) :+ col("__violations")): _*)
+        .select((structType.fieldNames.toSeq.map(col) :+ col("__violations")): _*)
     }
   }
 }
