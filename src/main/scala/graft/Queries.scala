@@ -34,7 +34,7 @@ object Queries {
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
 
   private val H = 3600L
-  private def bucketS(g: Long, ts: Column = col("bucket")): Column =
+  private def bucketS(ts: Column = col("bucket")): Column =
     unix_timestamp(ts).cast("long").as("bucket_s")
   private def r6(c: Column): Column = c.cast("float")
 
@@ -60,21 +60,21 @@ object Queries {
 
   val measureQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_mean" -> ((s, dir) =>
-      hourly(s, dir, "mean").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+      hourly(s, dir, "mean").select(col("event_type"), bucketS(), r6(col("value")).as("v"))),
     "a2_sum" -> ((s, dir) =>
-      hourly(s, dir, "sum").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+      hourly(s, dir, "sum").select(col("event_type"), bucketS(), r6(col("value")).as("v"))),
     "a3_min_max" -> ((s, dir) =>
       events(s, dir)
         .withColumn("bucket", Bucketing.floorTimestamp(col("ts"), H * 1_000_000_000L))
         .groupBy("event_type", "bucket")
         .agg(r6(min("value")).as("min_v"), r6(max("value")).as("max_v"))
-        .select(col("event_type"), bucketS(H), col("min_v"), col("max_v"))),
+        .select(col("event_type"), bucketS(), col("min_v"), col("max_v"))),
     "a4_median" -> ((s, dir) =>
-      hourly(s, dir, "median").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+      hourly(s, dir, "median").select(col("event_type"), bucketS(), r6(col("value")).as("v"))),
     "a5_std" -> ((s, dir) =>
-      hourly(s, dir, "std").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+      hourly(s, dir, "std").select(col("event_type"), bucketS(), r6(col("value")).as("v"))),
     "a6_count" -> ((s, dir) =>
-      hourly(s, dir, "count").select(col("event_type"), bucketS(H),
+      hourly(s, dir, "count").select(col("event_type"), bucketS(),
         col("value").cast("long").as("n"))),
     "a7_first_last" -> ((s, dir) =>
       events(s, dir)
@@ -82,15 +82,15 @@ object Queries {
         .groupBy("event_type", "bucket")
         .agg(r6(min_by(col("value"), struct(col("ts"), col("event_id")))).as("first_v"),
              r6(max_by(col("value"), struct(col("ts"), col("event_id")))).as("last_v"))
-        .select(col("event_type"), bucketS(H), col("first_v"), col("last_v"))),
+        .select(col("event_type"), bucketS(), col("first_v"), col("last_v"))),
     "a8_p95" -> ((s, dir) =>
-      hourly(s, dir, "95pct").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+      hourly(s, dir, "95pct").select(col("event_type"), bucketS(), r6(col("value")).as("v"))),
     "a9_rate_mean" -> ((s, dir) =>
-      hourly(s, dir, "rate:mean").select(col("event_type"), bucketS(H), r6(col("value")).as("v"))),
+      hourly(s, dir, "rate:mean").select(col("event_type"), bucketS(), r6(col("value")).as("v"))),
     "a10_resample" -> ((s, dir) =>
       TimeSeriesOps.resample(hourly(s, dir, "mean"), "mean",
           Granularity.seconds(86400), Seq("event_type"))
-        .select(col("event_type"), bucketS(86400), r6(col("value")).as("v"))),
+        .select(col("event_type"), bucketS(), r6(col("value")).as("v"))),
     "a11_truncate" -> ((s, dir) =>
       TimeSeriesOps.truncate(
           hourly(s, dir, "mean"), 7L * 86400 * 1_000_000_000L, Seq("event_type"))
@@ -112,12 +112,12 @@ object Queries {
       val agg = Kernels.aggregate(raw, "mean", Granularity.seconds(H),
         Seq("event_type"), "ts", "value", tieCols = Seq("event_id"))
       TimeSeriesOps.fetch(agg, Granularity.seconds(H), Some(fromTs), Some(toTs))
-        .select(col("event_type"), bucketS(H), r6(col("value")).as("v"))
+        .select(col("event_type"), bucketS(), r6(col("value")).as("v"))
     }),
     "b1_bucket_5m" -> ((s, dir) =>
       Kernels.aggregate(events(s, dir), "mean", Granularity.seconds(300),
           Seq("event_type"), "ts", "value")
-        .select(col("event_type"), bucketS(300), r6(col("value")).as("v"))),
+        .select(col("event_type"), bucketS(), r6(col("value")).as("v"))),
     "b2_week_sunday" -> ((s, dir) =>
       events(s, dir)
         .withColumn("bucket", Bucketing.calendarBucket(col("ts"), "W"))
@@ -172,82 +172,82 @@ object Queries {
         grid(s, dir, Seq("click", "error")))
       // /v1/aggregates defaults to fill="dropna" → NaN/null rows dropped
       // post-eval (rest/aggregates/api.py:522-523, processor.py:237-244)
-      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
         .filter(col("v").isNotNull)
     }),
     "x3_clip" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse("(clip (metric view mean) 10 80)"),
         grid(s, dir, Seq("view")))
-      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
     }),
     "x4_unary" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse("(abs (neg (metric click mean)))"),
         grid(s, dir, Seq("click")))
-      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
     }),
     "x5_rateofchange" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse("(rateofchange (metric click mean))"),
         grid(s, dir, Seq("click")))
-      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
     }),
     "x6_rateofchangesec" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse("(rateofchangesec (metric click mean))"),
         grid(s, dir, Seq("click")))
-      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
     }),
     "x7_aggregate_mean" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse(
         "(aggregate mean (metric (click mean) (error mean) (purchase mean) (signup mean) (view mean)))"),
         grid(s, dir, allTypes))
-      g.df.select(bucketS(H), r6(col("aggregated")).as("v"))
+      g.df.select(bucketS(), r6(col("aggregated")).as("v"))
     }),
     "x7_aggregate_std" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse(
         "(aggregate std (metric (click mean) (error mean) (purchase mean) (signup mean) (view mean)))"),
         grid(s, dir, allTypes))
       // population std across the metric axis (numpy nanstd, ddof=0)
-      g.df.select(bucketS(H), r6(col("aggregated")).as("v"))
+      g.df.select(bucketS(), r6(col("aggregated")).as("v"))
         .filter(col("v").isNotNull)
     }),
     "x7_aggregate_var" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse(
         "(aggregate var (metric (click mean) (error mean) (purchase mean) (signup mean) (view mean)))"),
         grid(s, dir, allTypes))
-      g.df.select(bucketS(H), r6(col("aggregated")).as("v"))
+      g.df.select(bucketS(), r6(col("aggregated")).as("v"))
         .filter(col("v").isNotNull)
     }),
     "x7_aggregate_max" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse(
         "(aggregate max (metric (click mean) (error mean) (purchase mean) (signup mean) (view mean)))"),
         grid(s, dir, allTypes))
-      g.df.select(bucketS(H), r6(col("aggregated")).as("v"))
+      g.df.select(bucketS(), r6(col("aggregated")).as("v"))
         .filter(col("v").isNotNull)
     }),
     "x8_rolling_sum4" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse("(rolling sum 4 (metric click mean))"),
         grid(s, dir, Seq("click")))
-      g.df.select(bucketS(H), r6(col(g.cols.head)).as("v"))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
     }),
     "x9_resample_dsl" -> ((s, dir) => {
       val g = Compiler.eval(Parser.parse("(resample mean 86400 (metric click mean))"),
         grid(s, dir, Seq("click")))
-      g.df.select(bucketS(86400), r6(col(g.cols.head)).as("v"))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
     }),
     "p3_align_fill0" -> ((s, dir) => {
       val g = grid(s, dir, Seq("click", "purchase"))
       val filled = TimeSeriesOps.fill(g.df, g.cols, "0")
-      filled.select(bucketS(H),
+      filled.select(bucketS(),
         r6(col("click/mean")).as("click_v"), r6(col("purchase/mean")).as("purchase_v"))
     }),
     "p4_ffill" -> ((s, dir) => {
       val g = grid(s, dir, allTypes)
       val filled = TimeSeriesOps.fill(g.df, Seq("click/mean"), "ffill")
-      filled.select(bucketS(H), r6(col("click/mean")).as("click_ff"))
+      filled.select(bucketS(), r6(col("click/mean")).as("click_ff"))
     }),
     "p4_bfill" -> ((s, dir) => {
       val g = grid(s, dir, allTypes)
       val filled = TimeSeriesOps.fill(g.df, Seq("click/mean"), "bfill")
-      filled.select(bucketS(H), r6(col("click/mean")).as("click_bf"))
+      filled.select(bucketS(), r6(col("click/mean")).as("click_bf"))
     }),
     "p5_overlap" -> ((s, dir) => {
       val g = grid(s, dir, allTypes)
@@ -261,7 +261,7 @@ object Queries {
         Cmp(">", Value, Const(80)),
         Cmp("<", Arith("*", Value, Const(2)), Const(30))))
       hourly(s, dir, "mean").filter(MeasureSearch.compile(pred, col("value")))
-        .select(col("event_type"), bucketS(H), r6(col("value")).as("v"))
+        .select(col("event_type"), bucketS(), r6(col("value")).as("v"))
     }))
 
   // ---------------------------------------------------------------- catalog plane

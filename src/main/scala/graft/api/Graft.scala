@@ -44,10 +44,7 @@ class Graft(val spark: SparkSession, root: String) {
   /** Create a metric letting the rules pick the policy. */
   def createMetric(id: String): Unit = {
     val matched = policyRules
-      .filter { case (p, _) =>
-        java.util.regex.Pattern.matches(
-          p.replace(".", "\\.").replace("*", ".*").replace("?", "."), id)
-      }
+      .filter { case (p, _) => graft.catalog.Fnmatch.matches(p, id) }
       .sortBy { case (p, _) => (-p.length, p) }
       .headOption.getOrElse(throw new IllegalArgumentException(
         s"no archive policy rule matches metric $id"))
@@ -261,7 +258,8 @@ class Graft(val spark: SparkSession, root: String) {
   def setResources(df: DataFrame): Unit = resources = Some(df)
 
   def searchResources(filterStr: String): DataFrame =
-    resources.getOrElse(MetricStore.emptyMeasures(spark))
+    resources.getOrElse(throw new IllegalStateException(
+        "no resource table registered — call setResources(df) first"))
       .filter(Filter.compile(FilterParser.parse(filterStr)))
 
   /** R4: searchResources with keyset pagination. */
@@ -290,8 +288,10 @@ class Graft(val spark: SparkSession, root: String) {
                         filterStr: String, groupby: Seq[String],
                         acrossAgg: String = "mean"): DataFrame = {
     val res = searchResources(filterStr)
+    // full fnmatch semantics incl. `?` and char classes
+    // (rest/aggregates/api.py:684-710)
     val mets = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
-      .filter(col("name").like(metricName.replace("*", "%")))
+      .filter(col("name").rlike(graft.catalog.Fnmatch.regex(metricName)))
       .join(broadcast(res.select((col("id").as("resource_id") +:
         groupby.map(col)): _*)), Seq("resource_id"))
     val ids = mets.select("metric_id").distinct()

@@ -24,23 +24,39 @@ object Filter {
     case x => lit(x)
   }
 
+  /** Computed fields (sqlalchemy.py:1541-1568): filterable attributes
+    * that compile to derived expressions, not physical columns —
+    * `lifespan` = ended_at − started_at (compared in seconds here; the
+    * reference compares timedeltas) and `created_by_user_id` /
+    * `created_by_project_id` split the `creator` column's
+    * "user:project" form. Every comparison in the DSL goes through
+    * this hook, so saved searches over these fields work unchanged.
+    */
+  def fieldCol(attr: String): Column = attr match {
+    case "lifespan" =>
+      unix_timestamp(col("ended_at")) - unix_timestamp(col("started_at"))
+    case "created_by_user_id"    => split_part(col("creator"), lit(":"), lit(1))
+    case "created_by_project_id" => split_part(col("creator"), lit(":"), lit(2))
+    case a => col(a)
+  }
+
   /** Compile to a Catalyst predicate. `!=` is null-safe per the reference
     * (`attr IS NULL OR attr != v`, sqlalchemy.py:1593-1595); empty `in`
     * is FALSE (sqlalchemy.py:1462-1466).
     */
   def compile(f: Filter): Column = f match {
     case Cmp(op, a, v) => op match {
-      case "=" | "==" | "eq" => col(a) === litOf(v)
-      case "<" | "lt"        => col(a) < litOf(v)
-      case ">" | "gt"        => col(a) > litOf(v)
-      case "<=" | "le" | "≤" => col(a) <= litOf(v)
-      case ">=" | "ge" | "≥" => col(a) >= litOf(v)
-      case "!=" | "ne" | "≠" => col(a).isNull || col(a) =!= litOf(v)
+      case "=" | "==" | "eq" => fieldCol(a) === litOf(v)
+      case "<" | "lt"        => fieldCol(a) < litOf(v)
+      case ">" | "gt"        => fieldCol(a) > litOf(v)
+      case "<=" | "le" | "≤" => fieldCol(a) <= litOf(v)
+      case ">=" | "ge" | "≥" => fieldCol(a) >= litOf(v)
+      case "!=" | "ne" | "≠" => fieldCol(a).isNull || fieldCol(a) =!= litOf(v)
       case other => throw new IllegalArgumentException(s"op $other")
     }
     case In(_, Nil)    => lit(false)
-    case In(a, vs)     => col(a).isin(vs: _*)
-    case Like(a, p)    => col(a).like(p)
+    case In(a, vs)     => fieldCol(a).isin(vs: _*)
+    case Like(a, p)    => fieldCol(a).like(p)
     case And(subs)     => subs.map(compile).reduce(_ && _)
     case Or(subs)      => subs.map(compile).reduce(_ || _)
     case Not(sub)      => !compile(sub)
@@ -138,9 +154,52 @@ object FilterParser {
   }
 }
 
+/** fnmatch-style glob matching (reference uses Python fnmatch for
+  * archive-policy rules, indexer/__init__.py:460-466, and metric
+  * wildcards in groupby aggregates, rest/aggregates/api.py:684-710):
+  * `*` any run, `?` any one char, `[seq]`/`[!seq]` char classes.
+  */
+object Fnmatch {
+  /** Translate a glob to an anchored Java regex (fnmatch.translate). */
+  def regex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append(".")
+        case '[' =>
+          val close = glob.indexOf(']', i + 2) // []] = literal ] in class
+          if (close < 0) sb.append("\\[")
+          else {
+            val body0 = glob.substring(i + 1, close)
+            val body = if (body0.startsWith("!")) "^" + body0.substring(1) else body0
+            sb.append("[").append(body.replace("\\", "\\\\")).append("]")
+            i = close
+          }
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
+    }
+    sb.append("$").toString
+  }
+
+  def matches(glob: String, s: String): Boolean = s.matches(regex(glob))
+}
+
 /** R4 keyset pagination + multi-sort (rest/api.py:215-236,
-  * sqlalchemy.py:1309-1343): `sort=attr:dir` list with a unique-key
-  * tiebreaker, `marker` = last-seen unique key, limit clamped.
+  * sqlalchemy.py:1309-1343 / oslo_db `paginate_query`): `sort=attr:dir`
+  * list with a unique-key tiebreaker, `marker` = unique key of the last
+  * row of the previous page (history listings accept `id@revision`),
+  * limit clamped.
+  *
+  * The marker row is looked up (one pruned point read — the reference
+  * fetches the marker resource the same way, sqlalchemy.py:1309-1320)
+  * and expanded into the full lexicographic keyset predicate over the
+  * sort tuple:
+  *   (s1 > m1) OR (s1 = m1 AND s2 > m2) OR … (with < for desc columns)
+  * so pages are correct under any sort spec, not just unique-key-asc.
+  * Null ordering matches `orderBy`: asc = nulls first, desc = nulls last.
   */
 object Pagination {
   def apply(df: DataFrame, sorts: Seq[(String, Boolean)], uniqueKey: String,
@@ -152,9 +211,45 @@ object Pagination {
       if (asc) col(c).asc else col(c).desc
     }: _*)
     val afterMarker = marker match {
-      case Some(m) => ordered.filter(col(uniqueKey) > lit(m))
+      case Some(m) => ordered.filter(keysetPredicate(df, withTie, uniqueKey, m))
       case None => ordered
     }
     afterMarker.limit(math.min(limit, maxLimit))
+  }
+
+  /** `id@revision` history marker (sqlalchemy.py:1325-1343): resolves
+    * against (uniqueKey, revision); plain markers resolve on uniqueKey.
+    */
+  private def markerLookup(df: DataFrame, uniqueKey: String, m: Any): Column =
+    m match {
+      case s: String if s.contains("@") && df.columns.contains("revision") =>
+        val Array(id, rev) = s.split("@", 2)
+        col(uniqueKey) === lit(id) && col("revision") === lit(rev.toLong)
+      case other => col(uniqueKey) === lit(other)
+    }
+
+  private def keysetPredicate(df: DataFrame, sorts: Seq[(String, Boolean)],
+                              uniqueKey: String, m: Any): Column = {
+    val sortCols = sorts.map(_._1)
+    val markerRow = df.filter(markerLookup(df, uniqueKey, m))
+      .select(sortCols.map(col): _*).limit(1).collect()
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        s"Invalid marker: $m"))
+    val strict = sorts.zipWithIndex.map { case ((c, asc), i) =>
+      val mv = markerRow.get(i)
+      if (mv == null) {
+        // orderBy: asc = nulls FIRST (everything non-null follows),
+        // desc = nulls LAST (nothing strictly follows a null marker)
+        if (asc) col(c).isNotNull else lit(false)
+      } else if (asc) col(c) > lit(mv) // asc nulls precede: none follow
+      else col(c).isNull || col(c) < lit(mv) // desc: nulls sort last
+
+    }
+    val eq = sorts.zipWithIndex.map { case ((c, _), i) =>
+      col(c) <=> lit(markerRow.get(i))
+    }
+    sorts.indices.map { i =>
+      (eq.take(i) :+ strict(i)).reduce(_ && _)
+    }.reduce(_ || _)
   }
 }

@@ -29,10 +29,20 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
 
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-  private def fixedGrans: Seq[Long] = policy.definition.collect {
+  private val fixedGranNs: Seq[Long] = policy.definition.collect {
     case item if item.granularity.isInstanceOf[Granularity.Fixed] =>
-      item.granularity.asInstanceOf[Granularity.Fixed].ns / 1_000_000_000L
+      item.granularity.asInstanceOf[Granularity.Fixed].ns
   }
+  // Fail at construction, not with a divide-by-zero deep in addMeasures:
+  // the store keys blocks/splits in whole seconds.
+  require(fixedGranNs.nonEmpty,
+    s"policy ${policy.name}: MetricStore requires at least one fixed " +
+      "granularity (calendar-only policies are not storable)")
+  require(fixedGranNs.forall(_ % 1_000_000_000L == 0),
+    s"policy ${policy.name}: sub-second granularities are not supported " +
+      "by MetricStore (second-aligned fixed granularities only)")
+
+  private def fixedGrans: Seq[Long] = fixedGranNs.map(_ / 1_000_000_000L)
 
   private def timespanS(granS: Long): Option[Long] =
     policy.definition.collectFirst {
@@ -44,7 +54,8 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     try spark.read.parquet(path)
     catch { case _: Throwable => schemaOf.limit(0) }
 
-  def rawBuffer: DataFrame = readOr(rawPath, emptyMeasures(spark))
+  def rawBuffer: DataFrame =
+    readOr(rawPath, emptyMeasures(spark).withColumn("sack", lit(0)))
 
   def aggregates: DataFrame = readOr(aggPath, emptyAggregates(spark))
 
@@ -138,8 +149,20 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .mode(SaveMode.Overwrite) // dynamic: only touched splits rewritten
       .parquet(aggPath)
 
-    bounded.write.mode(SaveMode.Overwrite).parquet(s"$rawPath.tmp")
-    spark.read.parquet(s"$rawPath.tmp").write.mode(SaveMode.Overwrite).parquet(rawPath)
+    // Raw buffer is sack-partitioned (the reference's sack analogue,
+    // incoming/__init__.py:243-244): a batch rewrites ONLY the sacks of
+    // the metrics it touches — O(batch's sacks), not O(buffer) — and the
+    // eager localCheckpoint materializes the new content before the
+    // dynamic overwrite replaces the files it was derived from.
+    val touchedSacks = accepted.select(sackOf(col("metric_id")).as("sack"))
+      .distinct()
+    bounded.withColumn("sack", sackOf(col("metric_id")))
+      .join(broadcast(touchedSacks), Seq("sack"))
+      .localCheckpoint(true)
+      .sortWithinPartitions("metric_id", "timestamp")
+      .write.partitionBy("sack")
+      .mode(SaveMode.Overwrite) // dynamic: only touched sacks rewritten
+      .parquet(rawPath)
     merged.unpersist()
   }
 
@@ -214,24 +237,67 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
           lit(blockS * policy.backWindow.toLong)).cast("long"))
       .filter(unix_timestamp(col("timestamp")) >= col("__floor_s"))
       .drop("__last_s", "__floor_s")
+      .withColumn("sack", sackOf(col("metric_id")))
       .localCheckpoint(true)
-    bounded.write.mode(SaveMode.Overwrite).parquet(rawPath)
+    bounded.write.partitionBy("sack").mode(SaveMode.Overwrite).parquet(rawPath)
   }
 
   /** J4 metric expunge (chef.py:297-345): remove one metric's rows from
-    * the raw buffer and every aggregate split. Aggregate files key
-    * metrics inside split partitions, so this is a filtered rewrite of
-    * the touched partitions; at 100 TB scale the same layout would add
-    * a metric-hash partition column to turn this into partition drops.
+    * the raw buffer and every aggregate split.
+    *
+    * Aggregate side: enumerate the (method, gran_s, split) partitions
+    * that contain the metric (plan-time scalar list, bounded by the
+    * retention window — the reference enumerates objects the same way,
+    * storage/__init__.py:516-527), rewrite only those, and explicitly
+    * delete the ones left with no surviving rows — dynamic partition
+    * overwrite only replaces partitions that RECEIVE output, so a
+    * filtered rewrite alone would leave all-expunged splits on disk.
+    * Raw side: the sack layout makes this a one-sack rewrite (or a
+    * directory drop when the sack held only this metric).
     */
   def expungeMetric(metricId: String): Unit = {
-    val agg = aggregates.filter(col("metric_id") =!= metricId)
-      .localCheckpoint(true)
-    agg.write.partitionBy("method", "gran_s", "split")
-      .mode(SaveMode.Overwrite).parquet(aggPath)
-    val raw = rawBuffer.filter(col("metric_id") =!= metricId)
-      .localCheckpoint(true)
-    raw.write.mode(SaveMode.Overwrite).parquet(rawPath)
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+    val touched = aggregates.filter(col("metric_id") === metricId)
+      .select(col("method"), col("gran_s").cast("long"),
+        col("split").cast("long"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (touched.nonEmpty) {
+      val touchedDf = touched.toSeq.toDF("method", "gran_s", "split")
+      val remaining = aggregates
+        .join(broadcast(touchedDf), Seq("method", "gran_s", "split"))
+        .filter(col("metric_id") =!= metricId)
+        .localCheckpoint(true)
+      val kept = remaining
+        .select(col("method"), col("gran_s").cast("long"),
+          col("split").cast("long"))
+        .distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      if (!kept.isEmpty)
+        remaining.sortWithinPartitions("metric_id", "bucket")
+          .write.partitionBy("method", "gran_s", "split")
+          .mode(SaveMode.Overwrite).parquet(aggPath)
+      touched.filterNot(kept).foreach { case (m, g, s) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$aggPath/method=$m/gran_s=$g/split=$s"), true)
+      }
+    }
+
+    val sackId = spark.range(1).select(sackOf(lit(metricId))).head.getInt(0)
+    val raw = rawBuffer
+    val sackRows = raw.filter(col("sack") === sackId)
+    if (!sackRows.filter(col("metric_id") === metricId).isEmpty) {
+      val remainingRaw = sackRows.filter(col("metric_id") =!= metricId)
+        .localCheckpoint(true)
+      if (remainingRaw.isEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$rawPath/sack=$sackId"), true)
+      else
+        remainingRaw.write.partitionBy("sack")
+          .mode(SaveMode.Overwrite).parquet(rawPath)
+    }
   }
 
   /** J3 retention expiry: physically drop whole splits strictly older
@@ -261,6 +327,16 @@ object MetricStore {
     * (carbonara.py:479-567, POINTS_PER_SPLIT at :494). */
   def splitOf(bucket: org.apache.spark.sql.Column, granS: Long) =
     floor(unix_timestamp(bucket) / (granS * 3600)).cast("long")
+
+  /** Sack count for the raw buffer layout (the reference defaults to
+    * 128 sacks, incoming/__init__.py:43; 32 here to match local[32] —
+    * a deploy-time constant either way). */
+  val NumSacks = 32
+
+  /** Sack assignment — hash-bucket of the metric id, the analogue of
+    * `metric_id.int % NUM_SACKS` (incoming/__init__.py:243-244). */
+  def sackOf(metricId: org.apache.spark.sql.Column) =
+    pmod(xxhash64(metricId), lit(NumSacks.toLong)).cast("int")
 
   def emptyMeasures(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._

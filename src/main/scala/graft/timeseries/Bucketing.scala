@@ -57,7 +57,8 @@ object Bucketing {
   def calendarLabel(ts: Column, name: String): Column = name match {
     case "month_of_year"    => month(ts)
     case "iso_week_of_year" => weekofyear(ts)
-    case "day_of_year"      => dayofyear(ts)
+    // reference is 0-based: (D - Y).astype(int) with no +1 (calendar.py:52-54)
+    case "day_of_year"      => dayofyear(ts) - 1
     case "day_of_month"     => dayofmonth(ts)
     case "day_of_week"      => dayofweek(ts) - 1 // reference: Sunday=0 .. Saturday=6
     case "quarter_of_year"  => quarter(ts)

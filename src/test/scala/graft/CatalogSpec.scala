@@ -2,8 +2,81 @@ package graft
 
 import graft.catalog._
 import graft.model.{ArchivePolicy, Granularity}
+import org.apache.spark.sql.functions._
 
 class CatalogSpec extends SparkSpec {
+
+  test("keyset pagination pages correctly under a non-unique multi-sort") {
+    val s = spark
+    import s.implicits._
+    // seg is non-unique; sorting by (seg asc, id asc)
+    val df = Seq((1L, "b"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "a"),
+      (6L, "c"), (7L, "a"), (8L, "b")).toDF("id", "seg")
+    val sorts = Seq("seg" -> true)
+    val full = df.orderBy(col("seg").asc, col("id").asc)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    // page through with limit 3, marker = last id of previous page
+    var marker: Option[Any] = None
+    var got = Seq.empty[Long]
+    var page = Pagination(df, sorts, "id", marker, 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    while (page.nonEmpty) {
+      got ++= page
+      marker = Some(page.last)
+      page = Pagination(df, sorts, "id", marker, 3)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    }
+    assert(got == full) // naive `id > marker` drops id 2,3 after marker 4
+
+    // descending primary sort
+    val fullDesc = df.orderBy(col("seg").desc, col("id").asc)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val p1 = Pagination(df, Seq("seg" -> false), "id", None, 4)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val p2 = Pagination(df, Seq("seg" -> false), "id", Some(p1.last), 4)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(p1 ++ p2 == fullDesc)
+  }
+
+  test("id@revision history marker (sqlalchemy.py:1325-1343)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("r1", 1L), ("r1", 2L), ("r1", 3L), ("r2", 1L), ("r2", 2L))
+      .toDF("id", "revision")
+    val page = Pagination(df, Seq("id" -> true, "revision" -> true), "id",
+      Some("r1@2"), 10)
+      .select("id", "revision").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(page == Seq(("r1", 3L), ("r2", 1L), ("r2", 2L)))
+  }
+
+  test("fnmatch: * ? and char classes (indexer/__init__.py:460-466)") {
+    assert(Fnmatch.matches("cpu.*", "cpu.util"))
+    assert(Fnmatch.matches("cpu?util", "cpu.util"))
+    assert(!Fnmatch.matches("cpu?util", "cpu..util"))
+    assert(Fnmatch.matches("disk[0-9].io", "disk3.io"))
+    assert(!Fnmatch.matches("disk[!0-9].io", "disk3.io"))
+    assert(!Fnmatch.matches("a+b", "aab")) // regex chars are literal
+    assert(Fnmatch.matches("a+b", "a+b"))
+  }
+
+  test("computed filter fields: lifespan and created_by_* (sqlalchemy.py:1541-1568)") {
+    val s = spark
+    import s.implicits._
+    val res = Seq(
+      ("r1", "2024-01-01 00:00:00", "2024-01-31 00:00:00", "alice:proj1"),
+      ("r2", "2024-01-01 00:00:00", "2024-01-02 00:00:00", "bob:proj2"),
+      ("r3", "2024-01-01 00:00:00", null, "alice:proj2"))
+      .toDF("id", "started_at", "ended_at", "creator")
+      .withColumn("started_at", to_timestamp(col("started_at")))
+      .withColumn("ended_at", to_timestamp(col("ended_at")))
+    def ids(q: String) =
+      res.filter(Filter.compile(FilterParser.parse(q)))
+        .select("id").collect().map(_.getString(0)).toSeq.sorted
+    assert(ids(s"lifespan > ${7 * 86400}") == Seq("r1"))
+    assert(ids("created_by_user_id = \"alice\"") == Seq("r1", "r3"))
+    assert(ids("created_by_project_id = \"proj2\"") == Seq("r2", "r3"))
+    assert(ids("created_by_user_id = \"alice\" and lifespan < 86401") == Nil)
+  }
 
   test("string grammar: precedence and parentheses (rest/api.py:1298-1378)") {
     val f = FilterParser.parse("(a = 1 and not b > 2) or c in [1, 2]")

@@ -97,6 +97,56 @@ class IngestSpec extends SparkSpec {
     assert(snap() == first)
   }
 
+  test("sack layout: a batch rewrites only the touched metric's sack") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val policy = ArchivePolicy("test", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)), Set("mean"))
+    val store = new MetricStore(spark, dir, policy)
+    // pick two metric ids landing in different sacks
+    val ids = (0 until 64).map(i => s"m$i")
+    val sackOfId = ids.map { id =>
+      id -> spark.range(1).select(MetricStore.sackOf(lit(id))).head.getInt(0)
+    }.toMap
+    val (mA, mB) = {
+      val a = ids.head
+      val b = ids.find(i => sackOfId(i) != sackOfId(a)).get
+      (a, b)
+    }
+    store.addMeasures(measures(
+      (mA, "2014-01-01 12:00:01", 1.0), (mB, "2014-01-01 12:00:02", 2.0)))
+    def sackFiles(sack: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/raw/sack=$sack")
+      if (!d.exists) Map.empty
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val aBefore = sackFiles(sackOfId(mA))
+    val bBefore = sackFiles(sackOfId(mB))
+    assert(aBefore.nonEmpty && bBefore.nonEmpty)
+    Thread.sleep(1100) // mtime granularity
+    store.addMeasures(measures((mB, "2014-01-01 12:02:00", 3.0)))
+    // metric A's sack files untouched; metric B's sack rewritten
+    assert(sackFiles(sackOfId(mA)) == aBefore)
+    assert(sackFiles(sackOfId(mB)) != bBefore)
+    // and the data is still complete
+    assert(store.getMeasures(mA, "mean", 60).count() == 1)
+    assert(store.getMeasures(mB, "mean", 60).count() == 2)
+  }
+
+  test("store rejects calendar-only and sub-second policies at construction") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    intercept[IllegalArgumentException] {
+      new MetricStore(spark, dir, ArchivePolicy("cal", 0,
+        Seq(ArchivePolicyItem(Granularity.Calendar("M"), None, None)),
+        Set("mean")))
+    }
+    intercept[IllegalArgumentException] {
+      new MetricStore(spark, dir, ArchivePolicy("sub", 0,
+        Seq(ArchivePolicyItem(Granularity.Fixed(500_000_000L), None, None)),
+        Set("mean")))
+    }
+  }
+
   test("split-key math: 3600 buckets per split (carbonara.py:730-871)") {
     val s = spark
     import s.implicits._
