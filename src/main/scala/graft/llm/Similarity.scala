@@ -37,25 +37,68 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Deterministic k-means centroids for [[ivfTopK]]: init from the
+    * `nlist` corpus vectors with the smallest xxhash64(id) (a
+    * pseudo-random but reproducible sample — no RNG state), then
+    * `iters` Lloyd iterations. Each iteration is one broadcast-join
+    * assignment pass plus a (cell, dim) aggregation; centroids
+    * themselves are plan-time scalars (nlist × dim doubles). At 100 TB
+    * train on a hash-sample of the corpus via `sampleMod` (keep ids
+    * with xxhash64(id) % sampleMod == 0) — k-means quality needs only
+    * a representative sample, not the full corpus.
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                      sampleMod: Int = 1,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val train0 = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val train = (if (sampleMod > 1)
+      train0.filter(pmod(xxhash64(col("cid")), lit(sampleMod.toLong)) === 0)
+    else train0).cache()
+    var cents: Array[Seq[Double]] = train
+      .withColumn("__h", xxhash64(col("cid")))
+      .orderBy("__h").limit(nlist)
+      .select("cv").collect().map(_.getSeq[Double](0))
+    def centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", "centroid")
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("cdist").desc, col("cell"))
+      val assigned = train.crossJoin(broadcast(centDf))
+        .withColumn("cdist", cosine(col("cv"), col("centroid")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+      val means = assigned.select(col("cell"), posexplode(col("cv")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .collect().groupBy(_.getInt(0))
+      cents = Array.tabulate(nlist) { cell =>
+        means.get(cell)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .getOrElse(cents(cell)) // empty cell keeps its old centroid
+      }
+    }
+    train.unpersist()
+    centDf
+  }
+
   /** IVF-style ANN: partition the corpus into `nlist` cells around
-    * deterministically-sampled centroids (one k-means assignment pass);
-    * a query probes only the `nprobe` nearest cells. At 100 TB the
-    * corpus is bucketed by `cell` on disk so a probe is a partition-
-    * pruned scan, not a full pass.
+    * deterministic k-means centroids ([[kmeansCentroids]]); a query
+    * probes only the `nprobe` nearest cells. At 100 TB the corpus is
+    * bucketed by `cell` on disk so a probe is a partition-pruned scan,
+    * not a full pass.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // deterministic centroids: the nlist corpus vectors with smallest ids
-    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cent_tmp"), col(vecCol).as("centroid"))
-      .withColumn("cell", row_number().over(Window.orderBy(col("cent_tmp"))) - 1)
-      .drop("cent_tmp")
+    val centroids = kmeansCentroids(corpus, nlist, iters,
+      idCol = idCol, vecCol = vecCol)
 
     def nearestCells(df: DataFrame, vc: String, n: Int, out: String): DataFrame = {
       val scored = df.crossJoin(broadcast(centroids))
         .withColumn("cdist", cosine(col(vc), col("centroid")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").desc)
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").desc, col("cell"))
       scored.withColumn("crank", row_number().over(w))
         .filter(col("crank") <= n)
         .drop("centroid", "cdist", "crank")
@@ -79,31 +122,33 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
-  /** LSH-bucketed ANN: corpus and queries are hashed into
-    * random-hyperplane buckets ([[lshBuckets]]); a query compares only
-    * against corpus vectors whose bucket is within `radius` sign flips
-    * (pigeonhole chunk join, like simhash pairs), then exact cosine
-    * re-ranks. At 100 TB the corpus is written bucketed by `lsh_bucket`
-    * so a probe is a bucket-pruned scan.
+  /** LSH-bucketed ANN: corpus and queries are hashed into `tables`
+    * independent random-hyperplane bucket tables of `bitsPerTable` sign
+    * bits each (OR-amplification); a query compares only against corpus
+    * vectors sharing a bucket in ANY table, then exact cosine re-ranks.
+    * Recall for a neighbor at angle θ is 1 − (1 − (1−θ/π)^b)^L — tune
+    * b up for selectivity (bucket size ~ n/2^b per table), L up for
+    * recall. At 100 TB the corpus is written bucketed by table key so a
+    * probe is a bucket-pruned scan of L·n/2^b vectors per query. (The
+    * previous single-table chunk-share scheme pigeonholed into 2^4
+    * buckets per chunk — unbounded bucket cardinality at corpus scale.)
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nbits: Int = 16, radius: Int = 3,
+              bitsPerTable: Int = 8, tables: Int = 16,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val chunks = radius + 1
-    val bitsPer = nbits / chunks
-    def chunked(df: DataFrame, role: String): DataFrame =
-      lshBuckets(df, nbits, idCol, vecCol)
-        .select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_v"),
-          posexplode(array((0 until chunks).map { c =>
-            shiftrightunsigned(col("lsh_bucket"), c * bitsPer)
-              .bitwiseAND(lit((1L << bitsPer) - 1))
-          }: _*)))
-        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    def keyed(df: DataFrame, role: String): DataFrame = {
+      val base = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as("__v"))
+      val withT = (0 until tables).foldLeft(base) { (d, t) =>
+        lshBuckets(d, bitsPerTable, s"${role}_id", "__v", seed = t)
+          .withColumnRenamed("lsh_bucket", s"__t$t")
+      }
+      val keys = (0 until tables).map(t => xxhash64(lit(t.toLong), col(s"__t$t")))
+      withT.select(col(s"${role}_id"), explode(array(keys: _*)).as("ck"))
+    }
     // candidate pairs as ids only — the distinct shuffles 16 bytes/row,
     // not embedding vectors; vectors re-attach after dedup
-    val cand = chunked(corpus, "corpus").drop("corpus_v")
-      .join(broadcast(chunked(queries, "query").drop("query_v")),
-        Seq("chunk", "ck"))
+    val cand = keyed(corpus, "corpus")
+      .join(broadcast(keyed(queries, "query")), Seq("ck"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select("query_id", "corpus_id").distinct()
     val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_v"))
@@ -120,16 +165,20 @@ object Similarity {
   /** Random-hyperplane LSH bucketing for cosine: `nbits` signs of dot
     * products with pseudo-random hyperplanes (deterministic from the
     * dimension index via a hash-derived ±1 pattern — no RNG state).
-    * Candidates share a bucket; exact cosine re-ranks.
+    * Candidates share a bucket; exact cosine re-ranks. `seed` selects
+    * an independent hyperplane family (for multi-table
+    * OR-amplification in [[lshTopK]] / [[Dedup.embeddingNearDup]]).
     */
   def lshBuckets(df: DataFrame, nbits: Int = 16,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // hyperplane b, dim i weight = ±1 from parity of xxhash64(b, i)
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 seed: Int = 0): DataFrame = {
+    // hyperplane b, dim i weight = ±1 from parity of xxhash64(seed, b, i)
     val sig = (0 until nbits).map { b =>
       val proj = aggregate(
         zip_with(col(vecCol),
           transform(sequence(lit(0), size(col(vecCol)) - 1),
-            i => when(pmod(xxhash64(lit(b), i), lit(2)) === 0, 1.0d).otherwise(-1.0d)),
+            i => when(pmod(xxhash64(lit(seed), lit(b), i), lit(2)) === 0, 1.0d)
+              .otherwise(-1.0d)),
           (x, w) => x * w),
         lit(0.0d), (acc, v) => acc + v)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))

@@ -96,6 +96,41 @@ object TextAnalysis {
       .drop("__best")
   }
 
+  /** Winnowing fingerprint, SQL-replicable variant: word k-gram md5
+    * hex digests compared lexicographically; per-window minima
+    * (winnowing, Schleimer et al. 2003) collected as a sorted distinct
+    * comma-joined set, plus md5 content hash. Same selection semantics
+    * as [[fingerprint]] — winnowing only needs a total order on a
+    * well-mixed hash — but every step is ANSI-SQL-expressible, so an
+    * independent engine can replay it bit-for-bit. Edge cases: fewer
+    * than `k` words → fingerprint = content hash; fewer than `window`
+    * k-grams → single global minimum.
+    */
+  def fingerprintSql(df: DataFrame, textCol: String = "text",
+                     k: Int = 3, window: Int = 4): DataFrame = {
+    val norm = Dedup.normalized(col(textCol))
+    val d1 = df.withColumn("__w", split(norm, " "))
+      .withColumn("__nk", size(col("__w")) - (k - 1))
+    // k-gram md5s in POSITIONAL order (winnowing is order-sensitive —
+    // no distinct here); the when() guards matter: sequence(1, 0)
+    // would count DOWN, not produce an empty array
+    val grams = transform(sequence(lit(1), col("__nk")),
+      i => md5(concat_ws(" ",
+        (0 until k).map(j => element_at(col("__w"), i + j)): _*)))
+    val d2 = d1.withColumn("__h",
+        when(col("__nk") >= 1, grams).otherwise(array().cast("array<string>")))
+      .withColumn("__nw", size(col("__h")) - (window - 1))
+    val mins = transform(sequence(lit(1), col("__nw")),
+      j => array_min(slice(col("__h"), j, lit(window))))
+    d2.withColumn("content_hash", md5(norm))
+      .withColumn("winnow_fp",
+        when(col("__nw") >= 1,
+          array_join(array_sort(array_distinct(mins)), ","))
+          .when(size(col("__h")) >= 1, array_min(col("__h")))
+          .otherwise(md5(norm)))
+      .drop("__w", "__nk", "__h", "__nw")
+  }
+
   /** Document fingerprint: 64-bit content hash of normalized text
     * (xxhash64) + a rolling-hash winnowing fingerprint: each word is
     * hashed once, consecutive `window`-word hashes combine through a

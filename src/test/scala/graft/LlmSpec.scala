@@ -46,10 +46,43 @@ class LlmSpec extends SparkSpec {
         math.cos(i * 3.0), math.sin(i * 0.5)))))
       .toDF("vec_id", "embedding")
     val got = Similarity.lshTopK(em, em.filter($"vec_id" === 1), k = 3,
-        nbits = 16, radius = 3)
+        bitsPerTable = 8, tables = 16)
       .orderBy("rank").collect()
     assert(got.head.getLong(1) == 2L) // rank 1 = the near-duplicate
     assert(got.head.getDouble(2) > 0.999)
+  }
+
+  test("embedding near-dup LSH default path finds synthetic near-identicals") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(d => math.sin(seed * 7.3 + d * 1.7))
+    // 3 near-dup pairs (tiny perturbation, cosine > 0.99) + 40 unrelated
+    val em = ((0 until 3).flatMap { p =>
+      val v = vec(p)
+      Seq((p * 2L, v), (p * 2L + 1, v.map(_ * 1.001).updated(0, v.head + 0.003)))
+    } ++ (100L until 140L).map(i => (i, vec(i.toInt)))).toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDup(em, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDupExact(em, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // recall ≈0.992 per pair at b=16/L=24; 3 pairs
+  }
+
+  test("brute-force paths refuse oversized inputs (O(n²) guard)") {
+    val s = spark
+    import s.implicits._
+    val big = (0L until 50L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardAllPairs(big, maxRows = 10).count()
+    }
+    val bigEm = (0L until 50L).map(i => (i, Seq(i.toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupExact(bigEm, threshold = 0.9, maxRows = 10).count()
+    }
   }
 
   test("simhash: identical docs distance 0, near dups within small radius") {
@@ -60,6 +93,27 @@ class LlmSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs((1L, 2L)) == 0)
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 8)
+  }
+
+  test("fingerprintSql: winnowing minima and edge cases (hand-computed)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docs(
+      (1L, "a b"),                   // <3 words -> content hash
+      (2L, "a b c d e f"),           // 4 k-grams -> exactly 1 window
+      (3L, "One  two THREE four five six seven eight")) // 6 k-grams, 3 windows
+    val got = TextAnalysis.fingerprintSql(d)
+      .select("doc_id", "content_hash", "winnow_fp").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L) == ((md5hex("a b"), md5hex("a b"))))
+    val k2 = Seq("a b c", "b c d", "c d e", "d e f").map(md5hex)
+    assert(got(2L)._2 == k2.min)
+    val w3 = "one two three four five six seven eight".split(" ").toSeq
+    val k3 = w3.sliding(3).map(_.mkString(" ")).map(md5hex).toSeq
+    val mins = k3.sliding(4).map(_.min).toSeq
+    assert(got(3L)._1 == md5hex(w3.mkString(" ")))
+    assert(got(3L)._2 == mins.distinct.sorted.mkString(","))
   }
 
   test("cosine of orthogonal and identical vectors") {
