@@ -397,6 +397,30 @@ object Oracles {
          SELECT id_a, id_b, CAST(jaccard AS REAL) AS jaccard
          FROM p WHERE jaccard >= 0.4""",
 
+    "g3b_history_windows" ->
+      """WITH m AS (
+           SELECT user_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+                  avg(value) AS mv
+           FROM events GROUP BY 1, 2),
+         c AS (
+           SELECT user_id,
+                  CAST(FLOOR(epoch(min(ts))/86400)*86400 + 7*86400 + 1800
+                    AS BIGINT) AS cut_s
+           FROM events GROUP BY 1),
+         rv AS (
+           SELECT user_id, 'w1' AS grp, CAST(0 AS BIGINT) AS rs, cut_s AS re
+           FROM c
+           UNION ALL
+           SELECT user_id, 'w2', cut_s, CAST(4000000000 AS BIGINT) FROM c),
+         j AS (
+           SELECT rv.grp, m.b,
+                  m.mv * (LEAST(m.b + 3600, rv.re) -
+                          GREATEST(m.b, rv.rs)) / 3600.0 AS wv
+           FROM m JOIN rv ON m.user_id = rv.user_id
+           WHERE m.b < rv.re AND m.b + 3600 > rv.rs)
+         SELECT grp, b AS bucket_s, CAST(sum(wv) AS REAL) AS v
+         FROM j GROUP BY 1, 2""",
+
     "dd1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
            AS content_hash,

@@ -403,6 +403,27 @@ object Queries {
         Seq(("A", lo, cut), ("B", cut, hi)).toDF("grp", "rev_start_s", "rev_end_s"))
       HistoryAgg.weightedGroupAgg(ev, revisions, H, "user_id")
         .select(col("grp"), col("bucket_s"), r6(col("v")).as("v"))
+    }),
+    // G3/G4 use_history with PER-RESOURCE revision windows derived from
+    // the data (each user's history flips window at first-event-day +
+    // 7d + 30min — the half-hour offset forces fractional bucket
+    // weighting at every revision edge)
+    "g3b_history_windows" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        unix_timestamp(col("ts")).cast("long").as("ts_s"), col("value"))
+      val cuts = ev.groupBy("user_id")
+        .agg(((floor(min(col("ts_s")) / 86400L) * 86400L) + 7L * 86400 + 1800)
+          .cast("long").as("cut_s"))
+      val revs = cuts
+        .withColumn("w", explode(array(
+          struct(lit("w1").as("grp"), lit(0L).as("rev_start_s"),
+            col("cut_s").as("rev_end_s")),
+          struct(lit("w2").as("grp"), col("cut_s").as("rev_start_s"),
+            lit(4_000_000_000L).as("rev_end_s")))))
+        .select(col("user_id"), col("w.grp").as("grp"),
+          col("w.rev_start_s").as("rev_start_s"), col("w.rev_end_s").as("rev_end_s"))
+      HistoryAgg.weightedGroupAgg(ev, revs, H, "user_id")
+        .select(col("grp"), col("bucket_s"), r6(col("v")).as("v"))
     }))
 
   // ---------------------------------------------------------------- LLM pipeline

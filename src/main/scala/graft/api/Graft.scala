@@ -75,20 +75,47 @@ class Graft(val spark: SparkSession, root: String) {
     }
   }
 
+  private val lastMeasure = mutable.Map[String, java.sql.Timestamp]()
+
+  /** Metric metadata: when the metric last received measures
+    * (`update_last_measure_timestamp`, storage/__init__.py:702). */
+  def lastMeasureTimestamp(metricId: String): Option[java.sql.Timestamp] =
+    lastMeasure.get(metricId)
+
   /** Drain the staging buffer through the incremental job — the metricd
     * pass (chef.py:383-424). `refresh(metric)` is the inline
-    * read-your-writes variant (rest/api.py:539-547).
+    * read-your-writes variant (rest/api.py:539-547). Ingest also
+    * advances `last_measure_timestamp` and resurrects ended resources
+    * whose metrics received current measures
+    * (storage/__init__.py:694-725).
     */
   def process(): Unit = {
     if (pending.isEmpty) return
     import spark.implicits._
-    val batch = pending.toSeq.toDF("metric_id", "timestamp", "value")
+    val staged = pending.toSeq
+    val batch = staged.toDF("metric_id", "timestamp", "value")
     pending.clear()
     val byPolicy = batch.join(
       metricPolicy.toSeq.toDF("metric_id", "policy"), Seq("metric_id"))
     policies.keys.foreach { pol =>
       val sub = byPolicy.filter(col("policy") === pol).drop("policy")
       if (!sub.isEmpty) storeOf(pol).addMeasures(sub)
+    }
+    // metadata updates: last-measure timestamps + resource resurrection
+    val maxima = staged.groupBy(_._1).map { case (m, pts) =>
+      m -> pts.map(_._2).maxBy(_.getTime)
+    }
+    maxima.foreach { case (m, t) =>
+      if (lastMeasure.get(m).forall(_.getTime < t.getTime)) lastMeasure(m) = t
+    }
+    for (res <- resources; mets <- metricsCatalog) {
+      val activity = maxima.toSeq
+        .map { case (m, t) => (m, t.getTime / 1000) }
+        .toDF("metric_id", "last_ts_s")
+        .join(mets.select("metric_id", "resource_id"), Seq("metric_id"))
+        .groupBy(col("resource_id"))
+        .agg(max(col("last_ts_s")).as("last_ts_s"))
+      resources = Some(graft.catalog.Maintenance.resurrect(res, activity))
     }
   }
 
@@ -195,7 +222,11 @@ class Graft(val spark: SparkSession, root: String) {
           .select(concat(col("metric_id"), lit("/"), col("method")).as("ref"),
             col("bucket"), col("value"))
     }.reduce(_ unionByName _)
-    val grid = Compiler.align(long, refs.map { case (m, a) => Compiler.refName(m, a) })
+    // X10 grid sanity (operations.py:303-328): buckets must sit on the
+    // requested granularity before any operator runs
+    val grid = Compiler.sanityCheck(
+      Compiler.align(long, refs.map { case (m, a) => Compiler.refName(m, a) }),
+      granS * 1_000_000_000L)
     val checked = neededOverlap match {
       case Some(need) if effFill.isEmpty =>
         val (trimmed, pct) = Compiler.overlapPercent(grid, trim = true)
@@ -206,7 +237,8 @@ class Graft(val spark: SparkSession, root: String) {
     }
     val filled = effFill match {
       case Some(f) => checked.copy(df =
-        graft.timeseries.TimeSeriesOps.fill(checked.df, checked.cols, f))
+        graft.timeseries.TimeSeriesOps.fill(checked.df, checked.cols, f,
+          partitionCols = checked.partCols))
       case None => checked
     }
     val out = Compiler.eval(ast, filled)
@@ -311,6 +343,52 @@ class Graft(val spark: SparkSession, root: String) {
         (col("metric_id") +: groupby.map(col)): _*)), Seq("metric_id"))
       .groupBy((groupby.map(col) :+ col("bucket")): _*)
       .agg(acrossCol.as("value"))
+  }
+
+  private var resourceHistoryTbl: Option[DataFrame] = None
+
+  /** Resource revision history (ResourceHistory table,
+    * sqlalchemy_base.py:301-318): one row per attribute revision with
+    * `revision_start`/`revision_end` (NULL end = current row).
+    */
+  def setResourceHistory(df: DataFrame): Unit = resourceHistoryTbl = Some(df)
+
+  /** G3/G4 `use_history=true` group-by aggregation end-to-end
+    * (rest/aggregates/api.py:191-493): revision windows come from the
+    * catalog's resource history — a resource contributes each bucket to
+    * the group its attribute had AT THAT TIME, fractionally
+    * (overlap/granularity) where a bucket straddles a revision edge,
+    * summed per (group, bucket) (api.py:231-259,462-470).
+    */
+  def groupByAggregatesHistory(metricName: String, method: String,
+                               granS: Long, filterStr: String,
+                               groupby: String): DataFrame = {
+    val pred = Filter.compile(FilterParser.parse(filterStr))
+    val hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
+      "no resource history table — call setResourceHistory(df) first"))
+      .filter(pred)
+    val mets = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
+      .filter(col("name").rlike(graft.catalog.Fnmatch.regex(metricName)))
+    // revision windows per metric, epoch-second bounds; open revisions
+    // (NULL revision_end) extend to +inf
+    val revs = mets.join(
+        hist.select(col("id").as("resource_id"),
+          col(groupby).as("grp"),
+          unix_timestamp(col("revision_start")).as("rev_start_s"),
+          coalesce(unix_timestamp(col("revision_end")),
+            lit(Long.MaxValue / 4)).as("rev_end_s")),
+        Seq("resource_id"))
+      .select(col("metric_id"), col("grp"), col("rev_start_s"), col("rev_end_s"))
+    val ids = revs.select("metric_id").distinct()
+      .collect().map(_.getString(0)).toSeq // metric list, as the reference
+    val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
+      storeOf(pol).getMeasuresMany(polIds, Seq(method), granS)
+    }.reduceOption(_ unionByName _)
+      .getOrElse(MetricStore.emptyAggregates(spark)
+        .select("metric_id", "method", "bucket", "value"))
+      .select(col("metric_id"),
+        unix_timestamp(col("bucket")).cast("long").as("ts_s"), col("value"))
+    graft.catalog.HistoryAgg.weightedGroupAgg(series, revs, granS, "metric_id")
   }
 
   /** P6 output shaping (processor.py:229-272): collect a single-metric

@@ -34,4 +34,22 @@ object Maintenance {
   def autoClean(resources: DataFrame, nowS: Long, graceS: Long): DataFrame =
     resources.filter(col("ended_at").isNull ||
       unix_timestamp(col("ended_at")) > nowS - graceS)
+
+  /** Resource resurrection on ingest (storage/__init__.py:694-725):
+    * a measure batch arriving for an ended resource clears `ended_at`,
+    * but ONLY when the batch's latest measure timestamp is at or after
+    * the end date — older (backfill) measures do not restore the
+    * resource. `activity` = (resource_id, last_ts_s) per-resource
+    * latest measure epoch-seconds from the batch.
+    */
+  def resurrect(resources: DataFrame, activity: DataFrame): DataFrame =
+    resources
+      .join(activity.select(col("resource_id").as("id"), col("last_ts_s")),
+        Seq("id"), "left")
+      .withColumn("ended_at",
+        when(col("ended_at").isNotNull && col("last_ts_s").isNotNull &&
+            unix_timestamp(col("ended_at")) <= col("last_ts_s"),
+          lit(null).cast("timestamp"))
+        .otherwise(col("ended_at")))
+      .drop("last_ts_s")
 }

@@ -9,8 +9,17 @@ import graft.timeseries.Bucketing
 /** Aligned evaluation grid: `bucket` timestamp column + one double column
   * per series (reference builds a numpy matrix, processor.py:165-198; we
   * keep it a DataFrame so Catalyst optimizes the whole expression tree).
+  *
+  * `partCols` are optional grouping dimensions (e.g. a groupby attribute
+  * in a fleet-wide query): every window/aggregate in the compiler
+  * partitions by them, so a grid carrying thousands of groups evaluates
+  * as parallel per-group tasks instead of collapsing into the single
+  * sorted partition an unpartitioned window would force. An empty list
+  * (a single bounded series set — the reference's only shape) keeps the
+  * one-partition window, which is exactly the reference's semantics.
   */
-final case class Grid(df: DataFrame, cols: Seq[String])
+final case class Grid(df: DataFrame, cols: Seq[String],
+                      partCols: Seq[String] = Nil)
 
 /** Compiles the cross-metric DSL AST to Spark plans over a [[Grid]].
   *
@@ -26,11 +35,30 @@ object Compiler {
     * Single shuffle on bucket.
     */
   def align(long: DataFrame, refs: Seq[String], refCol: String = "ref",
-            bucketCol: String = "bucket", valueCol: String = "value"): Grid = {
-    val df = long.groupBy(col(bucketCol).as("bucket"))
+            bucketCol: String = "bucket", valueCol: String = "value",
+            partCols: Seq[String] = Nil): Grid = {
+    val df = long
+      .groupBy((partCols.map(col) :+ col(bucketCol).as("bucket")): _*)
       .pivot(refCol, refs)
       .agg(first(col(valueCol)))
-    Grid(df, refs)
+    Grid(df, refs, partCols)
+  }
+
+  /** X10 grid sanity (operations.py:303-328): all bucket timestamps
+    * must share one residue modulo the declared granularity (⇒ every
+    * inter-bucket gap is a whole multiple of it — the reference checks
+    * the first gap; an aligned grid satisfies the stronger form).
+    * Plan-time scalar check, like the reference's.
+    */
+  def sanityCheck(grid: Grid, granNs: Long): Grid = {
+    val granUs = math.max(granNs / 1000, 1)
+    val distinctResidues = grid.df
+      .select(pmod(unix_micros(col("bucket")), lit(granUs)).as("r"))
+      .agg(count_distinct(col("r")).as("k")).collect()(0).getLong(0)
+    if (distinctResidues > 1) throw new IllegalArgumentException(
+      s"timestamps and granularity don't match: ${granNs}ns grid carries " +
+        s"$distinctResidues distinct residues")
+    grid
   }
 
   /** P5 overlap: fraction (0-100) of grid rows where every series is
@@ -102,6 +130,15 @@ object Compiler {
     case "ceil"  => ceil(c).cast("double")
   }
 
+  /** Key columns of a grid: grouping dims + the bucket timestamp. */
+  private def keyCols(g: Grid): Seq[Column] =
+    g.partCols.map(col) :+ col("bucket")
+
+  /** Per-grid window: partitioned by the grouping dims so multi-group
+    * grids never serialize into one sorted task. */
+  private def seriesWindow(g: Grid) =
+    Window.partitionBy(g.partCols.map(col): _*).orderBy(col("bucket"))
+
   /** Evaluate an AST node against the base grid. */
   def eval(node: Node, base: Grid): Grid = node match {
     case MetricLeaf(refs) =>
@@ -109,11 +146,13 @@ object Compiler {
       names.foreach { n =>
         require(base.cols.contains(n), s"series $n not in grid ${base.cols}")
       }
-      Grid(base.df.select((col("bucket") +: names.map(col)): _*), names)
+      Grid(base.df.select((keyCols(base) ++ names.map(col)): _*), names,
+        base.partCols)
 
     case Num(v) =>
       // bare scalar grid: broadcast column over base timestamps
-      Grid(base.df.select(col("bucket"), lit(v).as("scalar")), Seq("scalar"))
+      Grid(base.df.select((keyCols(base) :+ lit(v).as("scalar")): _*),
+        Seq("scalar"), base.partCols)
 
     case Bin(op, l, r) => (l, r) match {
       case (Num(v), rn) =>
@@ -138,7 +177,7 @@ object Compiler {
 
     case RateOfChange(perSec, sub) =>
       val g = eval(sub, base)
-      val w = Window.orderBy(col("bucket"))
+      val w = seriesWindow(g)
       val dt = unix_micros(col("bucket")) - lag(unix_micros(col("bucket")), 1).over(w)
       val out = g.cols.foldLeft(g.df) { (d, c) =>
         val diff = col(c) - lag(col(c), 1).over(w)
@@ -146,7 +185,7 @@ object Compiler {
       }
       // numpy.diff drops the first timestamp row (operations.py:139-141)
       Grid(out.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1).drop("__rn"), g.cols)
+        .filter(col("__rn") > 1).drop("__rn"), g.cols, g.partCols)
 
     case AggAcross(agg, sub) =>
       val g = eval(sub, base)
@@ -154,53 +193,58 @@ object Compiler {
         if (agg.startsWith("rate:")) (true, agg.stripPrefix("rate:")) else (false, agg)
       val src = if (isRate) eval(RateOfChange(perSecond = false, sub), base) else g
       // unpivot cols → (bucket, value); nulls dropped (nan-skipping aggs)
-      val stacked = src.df.select(col("bucket"),
-        explode(array(src.cols.map(c => col(c).cast("double")): _*)).as("v"))
+      val stacked = src.df.select((keyCols(src) :+
+        explode(array(src.cols.map(c => col(c).cast("double")): _*)).as("v")): _*)
         .filter(col("v").isNotNull && !isnan(col("v")))
-      Grid(stacked.groupBy(col("bucket")).agg(acrossAgg(a, col("v")).as("aggregated")),
-        Seq("aggregated"))
+      Grid(stacked.groupBy(keyCols(src): _*)
+        .agg(acrossAgg(a, col("v")).as("aggregated")),
+        Seq("aggregated"), src.partCols)
 
     case Rolling(agg, n, sub) =>
       val g = eval(sub, base)
-      val w = Window.orderBy(col("bucket")).rowsBetween(-(n - 1), 0)
+      val w = seriesWindow(g).rowsBetween(-(n - 1), 0)
       val rolled = g.cols.foldLeft(g.df) { (d, c) =>
         d.withColumn(s"__r_$c", acrossAgg(agg, col(c)).over(w))
           .withColumn(s"__n_$c", count(col(c)).over(w))
       }
       // emit only full windows (operations.py:245-250)
-      val wAll = Window.orderBy(col("bucket"))
-      val out = rolled.withColumn("__rn", row_number().over(wAll))
+      val out = rolled.withColumn("__rn", row_number().over(seriesWindow(g)))
         .filter(col("__rn") >= n)
-        .select((col("bucket") +: g.cols.map(c => col(s"__r_$c").as(c))): _*)
-      Grid(out, g.cols)
+        .select((keyCols(g) ++ g.cols.map(c => col(s"__r_$c").as(c))): _*)
+      Grid(out, g.cols, g.partCols)
 
     case Resample(agg, gran, sub) =>
       val g = eval(sub, base)
       val floored = g.df.withColumn("bucket", Bucketing.bucket(col("bucket"), gran))
-      val out = floored.groupBy(col("bucket"))
+      val out = floored.groupBy(keyCols(g): _*)
         .agg(g.cols.map(c => acrossAgg(agg, col(c)).as(c)).head,
              g.cols.map(c => acrossAgg(agg, col(c)).as(c)).tail: _*)
-      Grid(out, g.cols)
+      Grid(out, g.cols, g.partCols)
   }
 
   def refName(metric: String, agg: String): String = s"$metric/$agg"
 
   private def mapCols(g: Grid, f: Column => Column): Grid =
-    Grid(g.df.select((col("bucket") +: g.cols.map(c => f(col(c)).as(c))): _*), g.cols)
+    Grid(g.df.select((keyCols(g) ++ g.cols.map(c => f(col(c)).as(c))): _*),
+      g.cols, g.partCols)
 
   /** series⊕series: timestamps must match (operations.py:170-179 errors on
-    * mismatch — we inner-join on bucket); columns pair up positionally,
-    * single-column grids broadcast across the other side's columns.
+    * mismatch — we inner-join on (partCols, bucket)); columns pair up
+    * positionally, single-column grids broadcast across the other
+    * side's columns.
     */
   private def zipGrids(l: Grid, r: Grid, f: (Column, Column) => Column): Grid = {
+    require(l.partCols == r.partCols,
+      s"grid partition mismatch: ${l.partCols} vs ${r.partCols}")
     val rRenamed = r.cols.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
-    val joined = l.df.join(rRenamed, Seq("bucket"), "inner")
+    val joined = l.df.join(rRenamed, l.partCols :+ "bucket", "inner")
     val pairs: Seq[(String, String, String)] =
       if (l.cols.size == r.cols.size) l.cols.zip(r.cols).map { case (a, b) => (a, s"__r_$b", a) }
       else if (r.cols.size == 1) l.cols.map(a => (a, s"__r_${r.cols.head}", a))
       else if (l.cols.size == 1) r.cols.map(b => (l.cols.head, s"__r_$b", b))
       else sys.error(s"shape mismatch: ${l.cols} vs ${r.cols}")
     val outCols = pairs.map { case (a, b, n) => f(col(a), col(b)).as(n) }
-    Grid(joined.select((col("bucket") +: outCols): _*), pairs.map(_._3))
+    Grid(joined.select((keyCols(l) ++ outCols): _*), pairs.map(_._3),
+      l.partCols)
   }
 }

@@ -201,4 +201,33 @@ class ApiSpec extends SparkSpec {
       .select("metric_id").collect().map(_.getString(0)).toSeq
     assert(got == Seq("m1"))
   }
+
+  test("use_history group-by: revision windows weight buckets fractionally " +
+      "(rest/aggregates/api.py:191-493)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-api").toString
+    val g = new Graft(spark, dir)
+    g.createMetric("m1", "medium") // 60 s granularity
+    g.setMetrics(Seq(("m1", "r1", "cpu.util"))
+      .toDF("metric_id", "resource_id", "name"))
+    g.setResourceHistory(Seq(
+      // r1 is flavor 'a' until 12:01:30, then 'b' (open revision)
+      ("r1", "a", ts("2024-01-01 11:00:00"), Some(ts("2024-01-01 12:01:30"))),
+      ("r1", "b", ts("2024-01-01 12:01:30"), Option.empty[java.sql.Timestamp]))
+      .toDF("id", "flavor", "revision_start", "revision_end"))
+    g.addMeasures("m1", Seq(
+      ("2024-01-01 12:00:10", 2.0), ("2024-01-01 12:00:50", 4.0), // mean 3
+      ("2024-01-01 12:01:10", 6.0),                               // mean 6
+      ("2024-01-01 12:02:30", 8.0)))                              // mean 8
+    g.process()
+    val got = g.groupByAggregatesHistory("cpu.*", "mean", 60,
+        "id = \"r1\"", "flavor")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val t0 = ts("2024-01-01 12:00:00").getTime / 1000
+    // bucket 12:01 straddles the revision edge: 30 s to 'a', 30 s to 'b'
+    assert(got == Map(
+      (("a", t0), 3.0), (("a", t0 + 60), 3.0),
+      (("b", t0 + 60), 3.0), (("b", t0 + 120), 8.0)))
+  }
 }

@@ -24,6 +24,33 @@ class MaintenanceSpec extends SparkSpec {
     intercept[NoSuchElementException](g.getMeasures("m1", "mean"))
   }
 
+  test("resurrection round-trip: end-date -> current ingest un-ends the resource " +
+      "(storage/__init__.py:694-725)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-res").toString
+    val g = new Graft(spark, root)
+    g.createMetric("m1", "low")
+    g.createMetric("m2", "low")
+    g.setMetrics(Seq(("m1", "r1", "cpu"), ("m2", "r2", "cpu"))
+      .toDF("metric_id", "resource_id", "name"))
+    g.setResources(Seq(
+      ("r1", Some(ts("2024-01-01 12:00:00"))), // ended at noon
+      ("r2", Some(ts("2024-01-01 12:00:00"))))
+      .toDF("id", "ended_at"))
+    // m1 gets a measure AFTER the end date -> r1 resurrects;
+    // m2 gets only an older backfill point -> r2 stays ended
+    g.addMeasures("m1", Seq(("2024-01-01 13:00:00", 1.0)))
+    g.addMeasures("m2", Seq(("2024-01-01 10:00:00", 2.0)))
+    g.process()
+    val endedAt = g.searchResources("id != \"zzz\"")
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(endedAt("r1") == null)
+    assert(endedAt("r2") != null)
+    assert(g.lastMeasureTimestamp("m1").contains(ts("2024-01-01 13:00:00")))
+    assert(g.lastMeasureTimestamp("m2").contains(ts("2024-01-01 10:00:00")))
+  }
+
   test("endDateInactive + autoClean lifecycle") {
     val s = spark
     import s.implicits._

@@ -132,6 +132,63 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(1.0, 1.0, 3.0))
   }
 
+  test("multi-group grid: windows partition per group, no single-partition exchange") {
+    val s = spark
+    import s.implicits._
+    val long = Seq(
+      ("g1", "m1/mean", "2014-01-01 12:00:00", 1.0),
+      ("g1", "m1/mean", "2014-01-01 12:01:00", 2.0),
+      ("g1", "m1/mean", "2014-01-01 12:02:00", 4.0),
+      ("g2", "m1/mean", "2014-01-01 12:00:00", 10.0),
+      ("g2", "m1/mean", "2014-01-01 12:01:00", 30.0),
+      ("g2", "m1/mean", "2014-01-01 12:02:00", 70.0))
+      .map { case (g, ref, t, v) => (g, ref, ts(t), v) }
+      .toDF("grp", "ref", "bucket", "value")
+    val grid = Compiler.align(long, Seq("m1/mean"), partCols = Seq("grp"))
+
+    // rateofchange must diff WITHIN each group (and drop each group's
+    // first row), not across the concatenated groups
+    val roc = Compiler.eval(Parser.parse("(rateofchange (metric m1 mean))"), grid)
+    val got = roc.df.orderBy("grp", "bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(got == Seq(("g1", 1.0), ("g1", 2.0), ("g2", 20.0), ("g2", 40.0)))
+    assert(!roc.df.queryExecution.executedPlan.toString.contains("SinglePartition"))
+
+    // rolling full-window rule applies per group
+    val roll = Compiler.eval(Parser.parse("(rolling sum 3 (metric m1 mean))"), grid)
+    val rollGot = roll.df.orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(rollGot == Seq(("g1", 7.0), ("g2", 110.0)))
+
+    // fill=ffill partitioned by group: g2's leading null must NOT
+    // inherit g1's last value
+    val holey = Seq(
+      ("g1", ts("2014-01-01 12:00:00"), Some(5.0)),
+      ("g1", ts("2014-01-01 12:01:00"), None),
+      ("g2", ts("2014-01-01 12:00:00"), None),
+      ("g2", ts("2014-01-01 12:01:00"), Some(9.0)))
+      .toDF("grp", "bucket", "v")
+    val filled = TimeSeriesOps.fill(holey, Seq("v"), "ffill",
+        partitionCols = Seq("grp"))
+      .orderBy("grp", "bucket").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(filled.toSeq == Seq(
+      ("g1", Some(5.0)), ("g1", Some(5.0)), ("g2", None), ("g2", Some(9.0))))
+  }
+
+  test("X10 grid sanity: off-granularity timestamps are rejected (operations.py:303-328)") {
+    val aligned = mkGrid(
+      ("m1/mean", "2014-01-01 12:00:00", 1.0),
+      ("m1/mean", "2014-01-01 12:01:00", 2.0))
+    Compiler.sanityCheck(aligned, 60L * 1_000_000_000L) // fine
+    val skewed = mkGrid(
+      ("m1/mean", "2014-01-01 12:00:00", 1.0),
+      ("m1/mean", "2014-01-01 12:01:30", 2.0)) // 90 s gap on a 60 s grid
+    intercept[IllegalArgumentException] {
+      Compiler.sanityCheck(skewed, 60L * 1_000_000_000L)
+    }
+  }
+
   test("overlap percent + trim (processor.py:200-220)") {
     val sparse = Seq(
       ("a", "2014-01-01 12:01:00", 1.0),
