@@ -1,15 +1,86 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every query on SPARK_GRAFT_SF_DIR, forcing full
   * materialization via the noop sink (count() alone would let Catalyst
   * prune unreferenced computed columns), prints one JSON line.
+  *
+  * Scale section: sf0.1 costs ~0.45 s/query of fixed job overhead, so
+  * per-query numbers there measure scheduling, not data. The bench
+  * therefore also materializes a SPARK_GRAFT_SCALE-times amplified
+  * copy of the fact tables (key-shifted unions — denser keys, same
+  * time range) to parquet once, and times the headline plan shapes on
+  * it: those numbers are data-dominated and regress visibly when a
+  * shuffle or scan grows. Reported under "scale" in the JSON; "value"
+  * stays the standard-query total for round-over-round comparability.
   */
 object Bench {
+
+  private def timed[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Key-shifted union amplification: `factor` copies with disjoint id
+    * spaces, identical time range (series get denser, buckets heavier —
+    * the 100 TB shape, not just more partitions of the same data).
+    */
+  private def amplify(spark: SparkSession, sfDir: String, outDir: String,
+                      factor: Int): Double = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_done"))) return 0.0
+    val t = timed {
+      val rep = broadcast(spark.range(factor).select(col("id").as("__rep")))
+      def write(name: String, shift: DataFrame => DataFrame): Unit =
+        shift(spark.read.parquet(s"$sfDir/$name.parquet").crossJoin(rep))
+          .drop("__rep")
+          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      write("events", df => df
+        .withColumn("user_id", col("user_id") + col("__rep") * 1_000_000L)
+        .withColumn("event_id", col("event_id") + col("__rep") * 10_000_000_000L))
+      write("documents", df => df
+        .withColumn("doc_id", col("doc_id") + col("__rep") * 1_000_000L))
+      write("lineitem", df => df
+        .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * 1_000_000_000L))
+      write("orders", df => df
+        .withColumn("o_orderkey", col("o_orderkey") + col("__rep") * 1_000_000_000L))
+      // dimensions stay broadcast-sized: copy as-is
+      for (d <- Seq("customer", "nation", "region"))
+        spark.read.parquet(s"$sfDir/$d.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$d.parquet")
+      fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_done")).close()
+    }
+    t
+  }
+
+  /** Headline data-dominated shapes over the amplified tables. */
+  private def scaleQueries(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = Seq(
+    "scale_a1_hourly_mean" -> (() =>
+      Queries.all("a1_mean")(s, dir)),
+    "scale_a12_fetch_slice" -> (() =>
+      Queries.all("a12_fetch")(s, dir)),
+    "scale_b1_bucket_5m" -> (() =>
+      Queries.all("b1_bucket_5m")(s, dir)),
+    "scale_m1_merge_dedup" -> (() =>
+      Queries.all("m1_merge_dedup")(s, dir)),
+    "scale_g1_scoped_agg" -> (() =>
+      Queries.all("g1_scoped_agg")(s, dir)),
+    "scale_dd1_exact_dedup" -> (() =>
+      Queries.all("dd1_exact_dedup")(s, dir)),
+    "scale_txt2_quality" -> (() =>
+      Queries.all("txt2_quality")(s, dir)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaleF = sys.env.getOrElse("SPARK_GRAFT_SCALE", "32").toInt
     val spark = SparkEntry.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,20 +96,46 @@ object Bench {
     spark.read.parquet(s"$sfDir/events.parquet")
       .groupBy("event_type").count().write.format("noop")
       .mode("overwrite").save()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { noop(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       // a failed query must read as a regression, not a speedup
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else 1e9)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val scaleResults: Seq[(String, Double)] =
+      if (scaleF <= 1) Nil
+      else {
+        val scaleDir = s"/tmp/graft-bench-scale-${scaleF}x"
+        val ampSec = amplify(spark, sfDir, scaleDir, scaleF)
+        // warm footers on the amplified tables too
+        for (t <- Seq("events", "documents", "lineitem", "orders", "customer"))
+          spark.read.parquet(s"$scaleDir/$t.parquet").count()
+        ("scale_amplify_write" -> ampSec) +: scaleQueries(spark, scaleDir)
+          .map { case (name, fn) =>
+            val t =
+              try timed(noop(fn()))
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); 1e9
+              }
+            (name, t)
+          }
+      }
+
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val scaleTotal = scaleResults.filterNot(_._1 == "scale_amplify_write")
+      .map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(results)},"sf":"$sfDir",""" +
+      s""""scale":{"factor":$scaleF,"total":$scaleTotal,""" +
+      s""""queries":${jmap(scaleResults)}}}""")
     spark.stop()
   }
 }

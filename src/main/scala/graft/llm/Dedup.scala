@@ -201,13 +201,12 @@ object Dedup {
                        bitsPerTable: Int = 16, tables: Int = 24): DataFrame = {
     val base = rebalance(em).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
-    val keyed = (0 until tables).foldLeft(base) { (d, t) =>
-      Similarity.lshBuckets(d, bitsPerTable, "id", "v", seed = t)
-        .withColumnRenamed("lsh_bucket", s"__t$t")
-    }
-    val keys = (0 until tables).map(t => xxhash64(lit(t.toLong), col(s"__t$t")))
+    val dim = base.select(size(col("v"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1) // probe once for all tables
+    val keys = (0 until tables).map(t => xxhash64(lit(t.toLong),
+      Similarity.lshBucketCol(col("v"), bitsPerTable, t, dim)))
     // candidate pairs as ids only; vectors re-attach after the distinct
-    val banded = keyed.select(col("id"), explode(array(keys: _*)).as("ck"))
+    val banded = base.select(col("id"), explode(array(keys: _*)).as("ck"))
     val l = banded.select(col("ck"), col("id").as("id_a"))
     val r = banded.select(col("ck"), col("id").as("id_b"))
     val cand = l.join(r, Seq("ck")).filter(col("id_a") < col("id_b"))

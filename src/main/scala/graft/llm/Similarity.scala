@@ -138,12 +138,11 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def keyed(df: DataFrame, role: String): DataFrame = {
       val base = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as("__v"))
-      val withT = (0 until tables).foldLeft(base) { (d, t) =>
-        lshBuckets(d, bitsPerTable, s"${role}_id", "__v", seed = t)
-          .withColumnRenamed("lsh_bucket", s"__t$t")
-      }
-      val keys = (0 until tables).map(t => xxhash64(lit(t.toLong), col(s"__t$t")))
-      withT.select(col(s"${role}_id"), explode(array(keys: _*)).as("ck"))
+      val dim = base.select(size(col("__v"))).head(1).headOption
+        .map(_.getInt(0)).getOrElse(1) // probe once for all tables
+      val keys = (0 until tables).map(t =>
+        xxhash64(lit(t.toLong), lshBucketCol(col("__v"), bitsPerTable, t, dim)))
+      base.select(col(s"${role}_id"), explode(array(keys: _*)).as("ck"))
     }
     // candidate pairs as ids only — the distinct shuffles 16 bytes/row,
     // not embedding vectors; vectors re-attach after dedup
@@ -162,27 +161,47 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Hyperplane weight ±1 from the parity of xxhash64(seed, bit, dim):
+    * computed AT PLAN TIME with the same XXH64 chain Catalyst's
+    * xxhash64(lit(seed), lit(b), i) evaluates (seed 42, one hashInt per
+    * argument), so the buckets are bit-identical to the expression form
+    * — but the per-row cost drops from O(nbits·dim) hash evaluations to
+    * a literal-array dot product, and the codegen tree stays small.
+    */
+  private def hyperplane(seed: Int, b: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val h = XXH64.hashInt(i,
+        XXH64.hashInt(b, XXH64.hashInt(seed, 42L)))
+      if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0 // pmod parity
+    }
+
   /** Random-hyperplane LSH bucketing for cosine: `nbits` signs of dot
     * products with pseudo-random hyperplanes (deterministic from the
     * dimension index via a hash-derived ±1 pattern — no RNG state).
     * Candidates share a bucket; exact cosine re-ranks. `seed` selects
     * an independent hyperplane family (for multi-table
     * OR-amplification in [[lshTopK]] / [[Dedup.embeddingNearDup]]).
+    * `dim` (the embedding width) is probed from the first row when not
+    * given — pass it explicitly when bucketing repeatedly.
     */
   def lshBuckets(df: DataFrame, nbits: Int = 16,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 seed: Int = 0): DataFrame = {
-    // hyperplane b, dim i weight = ±1 from parity of xxhash64(seed, b, i)
-    val sig = (0 until nbits).map { b =>
+                 seed: Int = 0, dim: Int = -1): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else df.select(size(col(vecCol))).head(1).headOption
+        .map(_.getInt(0)).getOrElse(1)
+    df.withColumn("lsh_bucket", lshBucketCol(col(vecCol), nbits, seed, d))
+  }
+
+  /** The bucket signature as a bare Column — multi-table callers build
+    * all tables in ONE projection instead of chained withColumns. */
+  def lshBucketCol(vec: Column, nbits: Int, seed: Int, dim: Int): Column =
+    (0 until nbits).map { b =>
       val proj = aggregate(
-        zip_with(col(vecCol),
-          transform(sequence(lit(0), size(col(vecCol)) - 1),
-            i => when(pmod(xxhash64(lit(seed), lit(b), i), lit(2)) === 0, 1.0d)
-              .otherwise(-1.0d)),
-          (x, w) => x * w),
+        zip_with(vec, typedlit(hyperplane(seed, b, dim)), (x, w) => x * w),
         lit(0.0d), (acc, v) => acc + v)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    df.withColumn("lsh_bucket", sig)
-  }
 }
