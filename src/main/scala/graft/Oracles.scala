@@ -615,9 +615,15 @@ object Oracles {
          SELECT media_id, md5(rs) AS payload_md5, 8 AS width, 8 AS height
          FROM r""",
 
-    // i2/i4 render events as wire-protocol lines in Spark, parse them
-    // back, and aggregate; the oracle aggregates events directly —
+    // i1/i2/i4 render events as wire-protocol bodies in Spark, parse
+    // them back, and aggregate; the oracle aggregates events directly —
     // exactness of the string round-trip is part of what's checked.
+    "i1_json_measures" ->
+      """SELECT 'cpu.' || event_type AS metric_id, count(*) AS n,
+                CAST(sum(value) AS REAL) AS sum_v,
+                CAST(FLOOR(max(epoch(ts))) AS BIGINT) AS max_ts_s
+         FROM events GROUP BY 1""",
+
     "i2_influx_lines" ->
       """SELECT 'h' || CAST(user_id AS VARCHAR) AS resource_id,
                 'cpu.value@type=' || event_type AS metric,

@@ -442,8 +442,9 @@ object Queries {
     // count) — the oracle pins the sf0.01 count and mismatches = 0.
     "dd3_simhash" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val pigeon = Dedup.simhashPairs(docs, radius = 3)
-      val sig = Dedup.simhash(docs)
+      // one signature pass shared by both arms (cache: ~16 bytes/doc)
+      val sig = Dedup.simhash(docs).cache()
+      val pigeon = Dedup.simhashPairsOnSig(sig, radius = 3)
       val l = sig.select(col("id").as("id_a"), col("simhash").as("sig_a"))
       val r = sig.select(col("id").as("id_b"), col("simhash").as("sig_b"))
       val brute = l.join(r, col("id_a") < col("id_b"))
@@ -568,10 +569,23 @@ object Queries {
           Multimodal.withPayload(table(s, dir, "documents")), 8, 8)
         .select(col("media_id"), md5(col("payload")).as("payload_md5"),
           col("meta.width").as("width"), col("meta.height").as("height"))),
-    // Protocol round-trips: render events as wire lines, parse them
+    // Protocol round-trips: render events as wire bodies, parse them
     // back, aggregate — the oracle aggregates events directly, so the
     // whole parser is under the hash compare. Double values survive
     // exactly via cast-to-string round-tripping (shortest repr).
+    "i1_json_measures" -> ((s, dir) => {
+      val body = events(s, dir).select(to_json(
+        map(concat(lit("cpu."), col("event_type")),
+          array(struct(
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp"),
+            col("value").as("value"))))).as("body"))
+      ingest.JsonMeasures.parseBatch(body)
+        .groupBy("metric_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_v"),
+          max(unix_timestamp(col("timestamp"))).cast("long").as("max_ts_s"))
+        .select(col("metric_id"), col("n"), r6(col("sum_v")).as("sum_v"),
+          col("max_ts_s"))
+    }),
     "i2_influx_lines" -> ((s, dir) => {
       val lines = events(s, dir).select(concat(
           lit("cpu,host=h"), col("user_id"),

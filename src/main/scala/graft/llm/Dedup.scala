@@ -279,7 +279,14 @@ object Dedup {
     * buckets per chunk: O(n²/65k) candidate pairs at corpus scale.
     */
   def simhashPairs(docs: DataFrame, radius: Int = 3, chunks: Int = 0,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashPairsOnSig(simhash(docs, idCol, textCol), radius, chunks)
+
+  /** [[simhashPairs]] over precomputed `(id, simhash)` signatures —
+    * callers that also need the signatures (e.g. a brute-force verify)
+    * compute them once, cache, and share. */
+  def simhashPairsOnSig(sig: DataFrame, radius: Int = 3,
+                        chunks: Int = 0): DataFrame = {
     // auto: 8 chunks keeps combo count small for typical radii; larger
     // radii fall back to the naive radius+1 split (m=1) — C(r+1, 1)
     // keys — since C(8, 8−r) explodes past r≈5
@@ -290,7 +297,6 @@ object Dedup {
     val nKeys = (0 until nc).combinations(m).size
     require(nKeys <= 1024,
       s"C($nc, $m) = $nKeys combination keys per doc — reduce chunks or radius")
-    val sig = simhash(docs, idCol, textCol)
     // uneven split: the first (64 % nc) chunks get one extra bit
     val base = 64 / nc
     val rem = 64 % nc

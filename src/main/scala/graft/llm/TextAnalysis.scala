@@ -35,10 +35,14 @@ object TextAnalysis {
     * word length) + a composite score in [0, 1]. Heuristics in the
     * spirit of C4/Gopher quality filters.
     */
-  def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def qualitySignals(df0: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val words = split(trim(t), "\\s+")
-    val nWords = wordCount(t)
+    // tokenize ONCE into a named column: every signal below references
+    // the attribute, so the regex split runs once per document instead
+    // of once per signal (3× less per-row work on a corpus scan)
+    val df = df0.withColumn("__words", split(trim(t), "\\s+"))
+    val words = col("__words")
+    val nWords = when(length(trim(t)) === 0, 0).otherwise(size(words))
     val nChars = length(t)
     val punct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
     val stopHits = size(filter(words, w => lower(w).isin(stopwordsEn: _*)))
@@ -59,6 +63,7 @@ object TextAnalysis {
             + lit(0.25) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0)))
             + lit(0.25) * when(col("mean_word_len").between(3.0, 10.0), 1.0)
                 .otherwise(0.0))))
+      .drop("__words")
   }
 
   /** Language-ID n-gram heuristic: score each candidate language by its

@@ -51,4 +51,29 @@ class ProtocolSpec extends SparkSpec {
       && lat.getAs[Double]("lower") == 100.0
       && lat.getAs[Double]("upper") == 300.0)
   }
+
+  test("json measures: ISO and epoch timestamps, single + batch forms " +
+      "(rest/api.py:455-468,1855-1860)") {
+    val s = spark
+    import s.implicits._
+    val single = Seq(
+      ("m1", """[{"timestamp": "2014-01-01T12:00:01", "value": 8.0},
+                 {"timestamp": "1388577662.5", "value": 9.0}]"""))
+      .toDF("metric_id", "body")
+    val got = graft.ingest.JsonMeasures.parse(single)
+      .orderBy("timestamp")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getDouble(2))).toSeq
+    assert(got == Seq(
+      ("2014-01-01 12:00:01.0", 8.0),
+      ("2014-01-01 12:01:02.5", 9.0))) // epoch 1388577662.5 UTC
+    val batch = Seq(
+      ("""{"m1": [{"timestamp": "2014-01-01T12:00:00", "value": 1.0}],
+          "m2": [{"timestamp": "2014-01-01T12:00:00", "value": 2.0},
+                 {"timestamp": "2014-01-01T12:01:00", "value": 3.0}]}"""))
+      .toDF("body")
+    val counts = graft.ingest.JsonMeasures.parseBatch(batch)
+      .groupBy("metric_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("m1" -> 1L, "m2" -> 2L))
+  }
 }
