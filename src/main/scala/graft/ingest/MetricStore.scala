@@ -78,7 +78,17 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // 3. aggregate from the merged series (so accepted late points still
     //    reach their buckets);
     // 4. only then truncate the stored buffer to the NEW last timestamp.
-    val oldLast = rawBuffer.groupBy("metric_id")
+    //
+    // The buffer read is restricted UP FRONT to the sacks the batch
+    // touches — a partition-pruned scan on the sack layout — so the
+    // whole job is O(batch's sacks), untouched metrics never enter the
+    // merge/window/truncate pipeline.
+    val batchSacks = batch.select(sackOf(col("metric_id")).as("sack"))
+      .distinct().collect().map(_.getInt(0))
+    val rawTouched =
+      rawBuffer.filter(col("sack").isin(batchSacks.toSeq: _*))
+        .select("metric_id", "timestamp", "value")
+    val oldLast = rawTouched.groupBy("metric_id")
       .agg(max(unix_timestamp(col("timestamp"))).as("__old_last_s"))
     val accepted = batch.select("metric_id", "timestamp", "value")
       .join(broadcast(oldLast), Seq("metric_id"), "left")
@@ -88,8 +98,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
             lit(blockS.toLong * backBlocks)).cast("long"))
       .drop("__old_last_s")
     val merged = TimeSeriesOps.merge(
-      accepted,
-      rawBuffer.select("metric_id", "timestamp", "value"),
+      accepted, rawTouched,
       Seq("metric_id"), "timestamp", lit(0))
       .cache()
     val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("metric_id"))
