@@ -421,6 +421,42 @@ object Oracles {
          SELECT grp, b AS bucket_s, CAST(sum(wv) AS REAL) AS v
          FROM j GROUP BY 1, 2""",
 
+    "g5_grouped_ratio" ->
+      """WITH m AS (
+           SELECT user_id % 3 AS grp, user_id, event_type,
+                  CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+                  avg(value) AS v
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1, 2, 3, 4),
+         c AS (SELECT grp, b, sum(v) AS cs FROM m
+               WHERE event_type = 'click' GROUP BY 1, 2),
+         w AS (SELECT grp, b, sum(v) AS ws FROM m
+               WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.grp, c.b AS bucket_s, CAST(100*c.cs/w.ws AS REAL) AS value
+         FROM c JOIN w ON c.grp = w.grp AND c.b = w.b""",
+
+    "g5b_grouped_rolling" ->
+      """WITH m AS (
+           SELECT user_id % 3 AS grp, user_id,
+                  CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+                  avg(value) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+         bu AS (SELECT DISTINCT grp, b FROM m),
+         u AS (SELECT DISTINCT grp, user_id FROM m),
+         d AS (
+           SELECT bu.grp, bu.b, u.user_id, m.v
+           FROM bu JOIN u ON bu.grp = u.grp
+           LEFT JOIN m ON m.grp = bu.grp AND m.user_id = u.user_id
+                      AND m.b = bu.b),
+         r AS (
+           SELECT grp, user_id, b,
+                  avg(v) OVER (PARTITION BY grp, user_id ORDER BY b
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rv,
+                  row_number() OVER (PARTITION BY grp, user_id ORDER BY b) AS rn
+           FROM d)
+         SELECT grp, b AS bucket_s, CAST(max(rv) AS REAL) AS value
+         FROM r WHERE rn >= 3 AND rv IS NOT NULL GROUP BY 1, 2""",
+
     "dd1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
            AS content_hash,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model.Granularity
 import graft.timeseries.{Bucketing, Kernels, TimeSeriesOps}
-import graft.ops.{Compiler, Parser}
+import graft.ops.{Compiler, GroupedOps, Parser}
 import graft.catalog.{Filter, FilterParser, HistoryAgg, Pagination}
 import graft.query.MeasureSearch
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -424,7 +424,35 @@ object Queries {
           col("w.rev_start_s").as("rev_start_s"), col("w.rev_end_s").as("rev_end_s"))
       HistoryAgg.weightedGroupAgg(ev, revs, H, "user_id")
         .select(col("grp"), col("bucket_s"), r6(col("v")).as("v"))
+    }),
+    // G5: resource-grouped NESTED operations (api.py:191-493 groupby ×
+    // the full operations grammar). "Resources" = users (grp = id%3),
+    // "metrics" = event types, series = hourly means per (user, type).
+    "g5_grouped_ratio" -> ((s, dir) => {
+      GroupedOps.run(Parser.parse(
+          "(* 100 (/ (aggregate sum (metric click mean)) " +
+            "(aggregate sum (metric view mean))))"),
+          Seq("grp"), { case (name, _) => userHourly(s, dir, name) }, None)
+        .filter(col("value").isNotNull)
+        .select(col("grp"), bucketS(), r6(col("value")).as("value"))
+    }),
+    // rolling window per series INSIDE the group collapse: positional
+    // over the densified per-group bucket union, full windows only
+    "g5b_grouped_rolling" -> ((s, dir) => {
+      GroupedOps.run(Parser.parse(
+          "(aggregate max (rolling mean 3 (metric click mean)))"),
+          Seq("grp"), { case (name, _) => userHourly(s, dir, name) }, None)
+        .select(col("grp"), bucketS(), r6(col("value")).as("value"))
     }))
+
+  /** Hourly mean series per (user-group, user) of one event type — the
+    * grouped-ops leaf expansion over the events table. */
+  private def userHourly(s: SparkSession, dir: String, eventType: String): DataFrame =
+    events(s, dir).filter(col("event_type") === eventType)
+      .groupBy((col("user_id") % 3).as("grp"),
+        col("user_id").cast("string").as("sid"),
+        Bucketing.floorTimestamp(col("ts"), H * 1_000_000_000L).as("bucket"))
+      .agg(avg("value").as("value"))
 
   // ---------------------------------------------------------------- LLM pipeline
 

@@ -108,7 +108,10 @@ class Graft(val spark: SparkSession, root: String) {
     maxima.foreach { case (m, t) =>
       if (lastMeasure.get(m).forall(_.getTime < t.getTime)) lastMeasure(m) = t
     }
-    for (res <- resources; mets <- metricsCatalog) {
+    // resurrection needs lifecycle columns; typed tables without them
+    // (no end-dating in play) have nothing to un-end-date
+    for (res <- resources if res.columns.contains("ended_at");
+         mets <- metricsCatalog) {
       val activity = maxima.toSeq
         .map { case (m, t) => (m, t.getTime / 1000) }
         .toDF("metric_id", "last_ts_s")
@@ -343,6 +346,49 @@ class Graft(val spark: SparkSession, root: String) {
         (col("metric_id") +: groupby.map(col)): _*)), Seq("metric_id"))
       .groupBy((groupby.map(col) :+ col("bucket")): _*)
       .agg(acrossCol.as("value"))
+  }
+
+  /** G2+X*: resource-grouped evaluation of an ARBITRARY nested
+    * operations expression (rest/aggregates/api.py:541-672 with a full
+    * `operations` body, e.g.
+    * `(* 100 (/ (aggregate sum (metric mem.used mean)) (aggregate sum
+    * (metric mem.total mean))))` per availability zone).
+    *
+    * Metric leaves name metrics by (glob) NAME, expanding to one series
+    * per matched resource in each group. Everything below an
+    * `(aggregate ...)` evaluates in long format partitioned by
+    * (group, series) — see [[graft.ops.GroupedOps]] — each aggregate
+    * collapses with one shuffle on (group, bucket), and the remaining
+    * scalar tree runs per group through the partCols-aware grid
+    * [[Compiler]]. Output: `(groupby..., bucket, value)`.
+    */
+  def groupByAggregatesOps(operations: String, granS: Long,
+                           filterStr: String, groupby: Seq[String],
+                           fill: Option[String] = None): DataFrame = {
+    import graft.ops.GroupedOps
+    val res = searchResources(filterStr)
+    // expand each distinct ref once: glob-match the catalog, label with
+    // the resource's group attrs, one pruned store scan per policy
+    GroupedOps.run(Parser.parse(operations), groupby, { case (name, method) =>
+      val mets = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
+        .filter(col("name").rlike(graft.catalog.Fnmatch.regex(name)))
+        .join(broadcast(res.select((col("id").as("resource_id") +:
+          groupby.map(col)): _*)), Seq("resource_id"))
+      val ids = mets.select("metric_id").distinct()
+        .collect().map(_.getString(0)).toSeq // metric list, as the reference
+      ids.foreach(requireMethod(_, method))
+      val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
+        storeOf(pol).getMeasuresMany(polIds, Seq(method), granS)
+      }.reduceOption(_ unionByName _)
+        .getOrElse(MetricStore.emptyAggregates(spark)
+          .select("metric_id", "method", "bucket", "value"))
+      series
+        .join(broadcast(mets.select(
+          (col("metric_id") +: groupby.map(col)): _*)), Seq("metric_id"))
+        .select((groupby.map(col) ++ Seq(
+          concat(col("metric_id"), lit("/"), lit(method)).as("sid"),
+          col("bucket"), col("value"))): _*)
+    }, fill)
   }
 
   private var resourceHistoryTbl: Option[DataFrame] = None

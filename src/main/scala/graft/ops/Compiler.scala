@@ -89,7 +89,7 @@ object Compiler {
     * POPULATION std/var (numpy default ddof=0) — contrast the
     * archive-policy sample std.
     */
-  private def acrossAgg(agg: String, v: Column): Column = agg match {
+  private[ops] def acrossAgg(agg: String, v: Column): Column = agg match {
     case "mean"   => avg(v)
     case "sum"    => sum(v)
     case "min"    => min(v)
@@ -101,7 +101,7 @@ object Compiler {
     case other    => throw new IllegalArgumentException(s"aggregate op $other")
   }
 
-  private def binCol(op: String, l: Column, r: Column): Column = op match {
+  private[ops] def binCol(op: String, l: Column, r: Column): Column = op match {
     case "eq"  => (l === r).cast("double")
     case "ne"  => (l =!= r).cast("double")
     case "lt"  => (l < r).cast("double")
@@ -120,7 +120,7 @@ object Compiler {
     case "clip_max" => least(l, r)
   }
 
-  private def unCol(op: String, c: Column): Column = op match {
+  private[ops] def unCol(op: String, c: Column): Column = op match {
     case "abs" | "absolute" => abs(c)
     case "neg" | "negative" => negate(c)
     case "cos"   => cos(c)

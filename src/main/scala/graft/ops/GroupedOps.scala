@@ -1,0 +1,266 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.timeseries.Bucketing
+
+/** Long-format evaluation of the operations DSL for RESOURCE-GROUPED
+  * queries (`POST /v1/aggregates` with `groupby`,
+  * rest/aggregates/api.py:191-493 + operations.py:331-365).
+  *
+  * In a grouped query a `(metric <name> <method>)` leaf names a metric
+  * that exists once per resource, so the leaf's width — the number of
+  * series columns in the reference's numpy matrix — varies per group.
+  * A pivoted [[Grid]] cannot carry per-group variable columns, so
+  * everything below an `(aggregate ...)` collapse evaluates here in
+  * LONG format: `(grpCols..., sid, bucket, value)`, one row per series
+  * point. Per-series operators (rolling, resample, rateofchange,
+  * scalar arithmetic) become windows/aggregations partitioned by
+  * `(grpCols, sid)` — thousands of groups × series evaluate as parallel
+  * tasks, never via a per-group driver loop. An `(aggregate ...)` node
+  * collapses the metric axis with ONE shuffle on `(grpCols, bucket)`,
+  * after which the result is a single synthetic series (`sid="__agg"`)
+  * per group.
+  *
+  * The caller (api.Graft.groupByAggregatesOps) rewrites each maximal
+  * `aggregate` subtree into a synthetic grid column and lets
+  * [[Compiler]] run the remaining scalar tree per group via Grid
+  * partCols — so the full nested grammar (`(* 100 (/ (aggregate sum
+  * (metric used mean)) (aggregate sum (metric total mean))))`) is
+  * supported end-to-end.
+  */
+object GroupedOps {
+
+  /** Distinct `(name, method)` metric references in a tree. */
+  def collectRefs(n: Node): Seq[(String, String)] = n match {
+    case MetricLeaf(refs)       => refs
+    case Bin(_, l, r)           => (collectRefs(l) ++ collectRefs(r)).distinct
+    case Clip(s, _, _)          => collectRefs(s)
+    case Un(_, s)               => collectRefs(s)
+    case RateOfChange(_, s)     => collectRefs(s)
+    case AggAcross(_, s)        => collectRefs(s)
+    case Rolling(_, _, s)       => collectRefs(s)
+    case Resample(_, _, s)      => collectRefs(s)
+    case _                      => Nil
+  }
+
+  /** Full grouped evaluation: expand each referenced metric once via
+    * `expand` (sparse long frame `(grpCols..., sid, bucket, value)`),
+    * densify to the per-group bucket union only when a positional
+    * operator or fill policy demands it, collapse every aggregate
+    * subtree in long format, and run the remaining scalar tree per
+    * group through the partCols-aware grid [[Compiler]].
+    * Output: `(grpCols..., bucket, value)`.
+    */
+  def run(ast: Node, grpCols: Seq[String],
+          expand: ((String, String)) => DataFrame,
+          fill: Option[String]): DataFrame = {
+    val refFrames = collectRefs(ast).map(r => r -> expand(r)).toMap
+    val dense = fill.isDefined || needsDense(ast)
+    lazy val buckets = refFrames.values
+      .map(_.select((grpCols.map(col) :+ col("bucket")): _*))
+      .reduce(_ unionByName _).distinct()
+    val leafFn: MetricLeaf => DataFrame = ml => ml.refs.map { r =>
+        val df = refFrames(r)
+        if (dense) densify(df, grpCols, buckets, fill) else df
+      }.reduce(_ unionByName _)
+    val acc = scala.collection.mutable.ArrayBuffer[(String, Node)]()
+    val rewritten = rewrite(ast, acc)
+    rewritten match {
+      case MetricLeaf(Seq((only, _))) =>
+        // whole expression is one aggregate subtree — no grid needed
+        evalLong(acc.find(_._1 == only).get._2, grpCols, leafFn)
+          .select((grpCols.map(col) ++ Seq(col("bucket"), col("value"))): _*)
+      case _ =>
+        val synthNames = acc.map { case (n, _) => Compiler.refName(n, "grouped") }
+        val long = acc.map { case (name, sub) =>
+          evalLong(sub, grpCols, leafFn)
+            .select((grpCols.map(col) ++ Seq(
+              lit(Compiler.refName(name, "grouped")).as("ref"),
+              col("bucket"), col("value"))): _*)
+        }.reduce(_ unionByName _)
+        val grid = Compiler.align(long, synthNames.toSeq, partCols = grpCols)
+        val out = Compiler.eval(rewritten, grid)
+        out.df.select((grpCols.map(col) ++ Seq(col("bucket"),
+          col(out.cols.head).as("value"))): _*)
+    }
+  }
+
+  /** True when `n` is single-series per group by construction (every
+    * metric axis below it has been collapsed by an aggregate).
+    * Series⊕series arithmetic is only well-defined between collapsed
+    * sides: numpy pairs matrix columns positionally, which has no
+    * stable meaning across a per-group variable metric set.
+    */
+  def collapsed(n: Node): Boolean = n match {
+    case AggAcross(_, _)      => true
+    case Num(_)               => true
+    case MetricLeaf(_)        => false
+    case Bin(_, l, r)         => collapsed(l) && collapsed(r)
+    case Clip(s, _, _)        => collapsed(s)
+    case Un(_, s)             => collapsed(s)
+    case RateOfChange(_, s)   => collapsed(s)
+    case Rolling(_, _, s)     => collapsed(s)
+    case Resample(_, _, s)    => collapsed(s)
+  }
+
+  /** Evaluate `node` to a long frame `(grpCols..., sid, bucket, value)`.
+    * `leaf` expands a metric leaf to its per-group series (densified to
+    * the group's bucket union by the caller, mirroring grid alignment).
+    */
+  def evalLong(node: Node, grpCols: Seq[String],
+               leaf: MetricLeaf => DataFrame): DataFrame = {
+    val seriesKeys = grpCols :+ "sid"
+    def sw = Window.partitionBy(seriesKeys.map(col): _*).orderBy(col("bucket"))
+    def mapValue(df: DataFrame, f: Column => Column): DataFrame =
+      df.withColumn("value", f(col("value")))
+    def ev(n: Node): DataFrame = evalLong(n, grpCols, leaf)
+
+    node match {
+      case m: MetricLeaf => leaf(m)
+
+      case Num(_) => throw new IllegalArgumentException(
+        "bare scalar is not a series in a grouped operation")
+
+      case Bin(op, Num(v), r) => mapValue(ev(r), c => Compiler.binCol(op, lit(v), c))
+      case Bin(op, l, Num(v)) => mapValue(ev(l), c => Compiler.binCol(op, c, lit(v)))
+
+      case Bin(op, l, r) =>
+        val (lc, rc) = (collapsed(l), collapsed(r))
+        if (!lc && !rc) throw new IllegalArgumentException(
+          "series⊕series between uncollapsed metric sets is ambiguous in a " +
+            "grouped query; collapse each side with (aggregate ...) first")
+        // inner join on (grp, bucket) = zipGrids' timestamp-alignment
+        // rule; a collapsed single series broadcasts across the other
+        // side's series exactly like a 1-column grid.
+        if (rc) {
+          val rdf = ev(r).select((grpCols.map(col) :+ col("bucket") :+
+            col("value").as("__rv")): _*)
+          ev(l).join(rdf, grpCols :+ "bucket")
+            .withColumn("value", Compiler.binCol(op, col("value"), col("__rv")))
+            .drop("__rv")
+        } else {
+          val ldf = ev(l).select((grpCols.map(col) :+ col("bucket") :+
+            col("value").as("__lv")): _*)
+          ev(r).join(ldf, grpCols :+ "bucket")
+            .withColumn("value", Compiler.binCol(op, col("__lv"), col("value")))
+            .drop("__lv")
+        }
+
+      case Clip(sub, lo, hi) =>
+        val loC = lo match { case Num(v) => lit(v)
+          case _ => throw new IllegalArgumentException("clip bounds must be scalars") }
+        val hiC = hi match { case Num(v) => lit(v)
+          case _ => throw new IllegalArgumentException("clip bounds must be scalars") }
+        mapValue(ev(sub), c => least(greatest(c, loC), hiC))
+
+      case Un(op, sub) => mapValue(ev(sub), c => Compiler.unCol(op, c))
+
+      case RateOfChange(perSec, sub) =>
+        val df = ev(sub)
+        val dt = unix_micros(col("bucket")) -
+          lag(unix_micros(col("bucket")), 1).over(sw)
+        val diff = col("value") - lag(col("value"), 1).over(sw)
+        df.withColumn("value",
+            if (perSec) diff / (dt.cast("double") / 1e6) else diff)
+          .withColumn("__rn", row_number().over(sw))
+          .filter(col("__rn") > 1).drop("__rn") // numpy.diff drops row 1
+
+      case Rolling(agg, n, sub) =>
+        val df = ev(sub)
+        val w = sw.rowsBetween(-(n - 1), 0)
+        df.withColumn("__roll", Compiler.acrossAgg(agg, col("value")).over(w))
+          .withColumn("__rn", row_number().over(sw))
+          .filter(col("__rn") >= n) // full windows only (operations.py:245-250)
+          .withColumn("value", col("__roll")).drop("__roll", "__rn")
+
+      case Resample(agg, gran, sub) =>
+        ev(sub)
+          .withColumn("bucket", Bucketing.bucket(col("bucket"), gran))
+          .groupBy((seriesKeys.map(col) :+ col("bucket")): _*)
+          .agg(Compiler.acrossAgg(agg, col("value")).as("value"))
+
+      case AggAcross(agg, sub) =>
+        val (isRate, a) =
+          if (agg.startsWith("rate:")) (true, agg.stripPrefix("rate:"))
+          else (false, agg)
+        val src = if (isRate) ev(RateOfChange(perSecond = false, sub)) else ev(sub)
+        src.filter(col("value").isNotNull && !isnan(col("value")))
+          .groupBy((grpCols.map(col) :+ col("bucket")): _*)
+          .agg(Compiler.acrossAgg(a, col("value")).as("value"))
+          .withColumn("sid", lit("__agg"))
+          .select((grpCols.map(col) ++ Seq(col("sid"), col("bucket"),
+            col("value"))): _*)
+    }
+  }
+
+  /** Rewrite every maximal `(aggregate ...)` subtree into a synthetic
+    * metric leaf named `__g<i>` and collect the subtrees, leaving a
+    * scalar tree the grid [[Compiler]] can evaluate per group. A metric
+    * leaf OUTSIDE any aggregate is an error: its per-group width is
+    * variable, so no grid column can represent it.
+    */
+  def rewrite(n: Node,
+              acc: scala.collection.mutable.ArrayBuffer[(String, Node)]): Node =
+    n match {
+      case a @ AggAcross(_, _) =>
+        val name = s"__g${acc.size}"
+        acc += ((name, a))
+        MetricLeaf(Seq((name, "grouped")))
+      case MetricLeaf(_) => throw new IllegalArgumentException(
+        "grouped operations require every metric reference to be collapsed " +
+          "by an (aggregate ...) node")
+      case Bin(op, l, r)    => Bin(op, rewrite(l, acc), rewrite(r, acc))
+      case Clip(s, lo, hi)  => Clip(rewrite(s, acc), lo, hi)
+      case Un(op, s)        => Un(op, rewrite(s, acc))
+      case RateOfChange(p, s) => RateOfChange(p, rewrite(s, acc))
+      case Rolling(a, w, s) => Rolling(a, w, rewrite(s, acc))
+      case Resample(a, g, s) => Resample(a, g, rewrite(s, acc))
+      case other: Num       => other
+    }
+
+  /** Densify a sparse series frame `(grpCols..., sid, bucket, value)` to
+    * the per-group bucket union `buckets` `(grpCols..., bucket)` —
+    * the long-format equivalent of grid alignment's null cells — and
+    * apply a fill policy (processor.py fill / TimeSeriesOps.fill
+    * semantics; `dropna`/`null` keep NaN-skipping sparse evaluation).
+    */
+  def densify(df: DataFrame, grpCols: Seq[String], buckets: DataFrame,
+              fill: Option[String]): DataFrame = {
+    val seriesKeys = grpCols :+ "sid"
+    val series = df.select(seriesKeys.map(col): _*).distinct()
+    val dense = buckets.join(series, grpCols) // co-partitioned on grpCols
+      .join(df, seriesKeys :+ "bucket", "left")
+    val sw = Window.partitionBy(seriesKeys.map(col): _*).orderBy(col("bucket"))
+    fill match {
+      case None | Some("dropna") | Some("null") => dense // null cells NaN-skip
+      case Some("ffill") => dense.withColumn("value",
+        last(col("value"), ignoreNulls = true).over(
+          sw.rowsBetween(Window.unboundedPreceding, 0)))
+      case Some("bfill") => dense.withColumn("value",
+        first(col("value"), ignoreNulls = true).over(
+          sw.rowsBetween(0, Window.unboundedFollowing)))
+      case Some(num) => dense.withColumn("value",
+        coalesce(col("value"), lit(num.toDouble)))
+    }
+  }
+
+  /** True when the tree contains a POSITIONAL operator (rolling /
+    * rateofchange) over uncollapsed leaf series: those windows count
+    * grid rows, so the leaves must be densified to the group's bucket
+    * union first. Pure `(aggregate agg (metric ...))` shapes skip the
+    * densify join entirely — collapse filters nulls anyway.
+    */
+  def needsDense(n: Node): Boolean = n match {
+    case Rolling(_, _, s)     => !collapsed(s) || needsDense(s)
+    case RateOfChange(_, s)   => !collapsed(s) || needsDense(s)
+    case Bin(_, l, r)         => needsDense(l) || needsDense(r)
+    case Clip(s, _, _)        => needsDense(s)
+    case Un(_, s)             => needsDense(s)
+    case Resample(_, _, s)    => needsDense(s)
+    case AggAcross(agg, s)    => // rate:* wraps sub in a rateofchange
+      (agg.startsWith("rate:") && !collapsed(s)) || needsDense(s)
+    case _                    => false
+  }
+}
