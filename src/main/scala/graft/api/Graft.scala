@@ -207,17 +207,20 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def aggregates(operations: String, granS: Long,
                  fill: Option[String] = None,
-                 neededOverlap: Option[Double] = None): DataFrame = {
+                 neededOverlap: Option[Double] = None,
+                 from: Option[java.sql.Timestamp] = None,
+                 to: Option[java.sql.Timestamp] = None): DataFrame = {
     val ast = Parser.parse(operations)
     val refs = collectRefs(ast)
     refs.foreach { case (m, a) => requireMethod(m, a) }
     val effFill = fill
     // P2: one pruned scan per policy store with IN predicates, not a
-    // read per referenced series (processor.py:134-137)
+    // read per referenced series (processor.py:134-137); start/stop
+    // prune split partitions at the scan
     val long = refs.groupBy { case (m, _) => metricPolicy(m) }.map {
       case (pol, polRefs) =>
         storeOf(pol).getMeasuresMany(polRefs.map(_._1).distinct,
-            polRefs.map(_._2).distinct, granS)
+            polRefs.map(_._2).distinct, granS, from, to)
           .join(broadcast {
             import spark.implicits._
             polRefs.toDF("metric_id", "method")
@@ -232,7 +235,10 @@ class Graft(val spark: SparkSession, root: String) {
       granS * 1_000_000_000L)
     val checked = neededOverlap match {
       case Some(need) if effFill.isEmpty =>
-        val (trimmed, pct) = Compiler.overlapPercent(grid, trim = true)
+        // the reference trims to the overlapping span only when the
+        // caller gave no explicit bounds (processor.py:200-220)
+        val (trimmed, pct) = Compiler.overlapPercent(grid,
+          trim = from.isEmpty && to.isEmpty)
         if (pct < need) throw new IllegalArgumentException(
           f"Unable to aggregate: overlap $pct%.1f%% < needed $need%.1f%%")
         trimmed
@@ -304,6 +310,68 @@ class Graft(val spark: SparkSession, root: String) {
     graft.catalog.Pagination(searchResources(filterStr), sorts, uniqueKey,
       marker, limit)
 
+  private val resourceTypes =
+    scala.collection.mutable.Map[String, graft.catalog.ResourceTypes.ResourceType]()
+
+  /** Resource-type lifecycle (POST/PATCH/DELETE /v1/resource_type,
+    * resource_type.py + indexer/sqlalchemy.py:340-480). PATCH applies
+    * each attribute change's backfill to BOTH the registered resource
+    * table and the history table, mirroring the reference's ALTER of
+    * `tablename` and `tablename_history`.
+    */
+  def createResourceType(rt: graft.catalog.ResourceTypes.ResourceType): Unit = {
+    require(!resourceTypes.contains(rt.name),
+      s"resource type ${rt.name} already exists")
+    rt.attrs.foreach(a => graft.catalog.ResourceTypes.requireValidName(a.name))
+    resourceTypes(rt.name) = rt
+  }
+
+  def resourceType(name: String): graft.catalog.ResourceTypes.ResourceType =
+    resourceTypes.getOrElse(name,
+      throw new IllegalArgumentException(s"no resource type $name"))
+
+  def patchResourceType(
+      name: String,
+      add: Seq[(graft.catalog.ResourceTypes.AttrSpec, Option[Any])] = Nil,
+      del: Seq[String] = Nil,
+      update: Seq[(String, Boolean, Option[Any])] = Nil): Unit = {
+    var rt = resourceType(name)
+    val fns = scala.collection.mutable.ArrayBuffer[DataFrame => DataFrame]()
+    for ((spec, fill) <- add) {
+      val (next, fn) = rt.addAttribute(spec, fill); rt = next; fns += fn
+    }
+    for (attr <- del) {
+      val (next, fn) = rt.removeAttribute(attr); rt = next; fns += fn
+    }
+    for ((attr, required, fill) <- update) {
+      val (next, fn) = rt.updateAttribute(attr, required, fill)
+      rt = next; fns += fn
+    }
+    val all = fns.reduceOption(_ andThen _).getOrElse(identity[DataFrame] _)
+    // apply to the type's slice of each registered table; a table
+    // without a `type` column holds one type and transforms wholesale
+    def retype(df: DataFrame): DataFrame =
+      if (df.columns.contains("type"))
+        df.filter(col("type") === name).transform(all)
+          .unionByName(df.filter(col("type").isNull || col("type") =!= name),
+            allowMissingColumns = true)
+      else all(df)
+    resources = resources.map(retype)
+    resourceHistoryTbl = resourceHistoryTbl.map(retype)
+    resourceTypes(name) = rt
+  }
+
+  def deleteResourceType(name: String): Unit = {
+    val _ = resourceType(name)
+    // the reference 400s when resources of the type still exist
+    // (sqlalchemy.py delete_resource_type → ResourceTypeInUse)
+    for (res <- resources if res.columns.contains("type")) {
+      require(res.filter(col("type") === name).isEmpty,
+        s"resource type $name is still in use")
+    }
+    resourceTypes.remove(name)
+  }
+
   private var metricsCatalog: Option[DataFrame] = None
 
   /** Metric catalog `(metric_id, resource_id, name)` — the named-metric
@@ -321,7 +389,9 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def groupByAggregates(metricName: String, method: String, granS: Long,
                         filterStr: String, groupby: Seq[String],
-                        acrossAgg: String = "mean"): DataFrame = {
+                        acrossAgg: String = "mean",
+                        from: Option[java.sql.Timestamp] = None,
+                        to: Option[java.sql.Timestamp] = None): DataFrame = {
     val res = searchResources(filterStr)
     // full fnmatch semantics incl. `?` and char classes
     // (rest/aggregates/api.py:684-710)
@@ -332,7 +402,7 @@ class Graft(val spark: SparkSession, root: String) {
     val ids = mets.select("metric_id").distinct()
       .collect().map(_.getString(0)).toSeq // metric list, as the reference
     val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
-      storeOf(pol).getMeasuresMany(polIds, Seq(method), granS)
+      storeOf(pol).getMeasuresMany(polIds, Seq(method), granS, from, to)
     }.reduceOption(_ unionByName _)
       .getOrElse(MetricStore.emptyAggregates(spark)
         .select("metric_id", "method", "bucket", "value"))
@@ -364,7 +434,9 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def groupByAggregatesOps(operations: String, granS: Long,
                            filterStr: String, groupby: Seq[String],
-                           fill: Option[String] = None): DataFrame = {
+                           fill: Option[String] = None,
+                           from: Option[java.sql.Timestamp] = None,
+                           to: Option[java.sql.Timestamp] = None): DataFrame = {
     import graft.ops.GroupedOps
     val res = searchResources(filterStr)
     // expand each distinct ref once: glob-match the catalog, label with
@@ -378,7 +450,7 @@ class Graft(val spark: SparkSession, root: String) {
         .collect().map(_.getString(0)).toSeq // metric list, as the reference
       ids.foreach(requireMethod(_, method))
       val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
-        storeOf(pol).getMeasuresMany(polIds, Seq(method), granS)
+        storeOf(pol).getMeasuresMany(polIds, Seq(method), granS, from, to)
       }.reduceOption(_ unionByName _)
         .getOrElse(MetricStore.emptyAggregates(spark)
           .select("metric_id", "method", "bucket", "value"))
@@ -408,11 +480,18 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def groupByAggregatesHistory(metricName: String, method: String,
                                granS: Long, filterStr: String,
-                               groupby: String): DataFrame = {
+                               groupby: String,
+                               from: Option[java.sql.Timestamp] = None,
+                               to: Option[java.sql.Timestamp] = None): DataFrame = {
     val pred = Filter.compile(FilterParser.parse(filterStr))
-    val hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
+    var hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
       "no resource history table — call setResourceHistory(df) first"))
       .filter(pred)
+    // G4 period filter (api.py:279-299): prune revisions outside the
+    // query window before the interval join
+    for (f <- from) hist = hist.filter(
+      col("revision_end").isNull || col("revision_end") >= f)
+    for (t <- to) hist = hist.filter(col("revision_start") < t)
     val mets = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
       .filter(col("name").rlike(graft.catalog.Fnmatch.regex(metricName)))
     // revision windows per metric, epoch-second bounds; open revisions
@@ -428,7 +507,7 @@ class Graft(val spark: SparkSession, root: String) {
     val ids = revs.select("metric_id").distinct()
       .collect().map(_.getString(0)).toSeq // metric list, as the reference
     val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
-      storeOf(pol).getMeasuresMany(polIds, Seq(method), granS)
+      storeOf(pol).getMeasuresMany(polIds, Seq(method), granS, from, to)
     }.reduceOption(_ unionByName _)
       .getOrElse(MetricStore.emptyAggregates(spark)
         .select("metric_id", "method", "bucket", "value"))

@@ -47,6 +47,15 @@ object ResourceTypes {
     StructField("revision_start", TimestampType),
     StructField("revision_end", TimestampType))
 
+  /** Attribute-name rule (resource_type.py:82-86): ≤63 chars, starts
+    * alphanumeric, no clash with built-in columns. */
+  private val validAttrName = "^[a-zA-Z0-9][a-zA-Z0-9_]*$".r
+  def requireValidName(n: String): Unit = {
+    require(n.length <= 63 && validAttrName.matches(n) &&
+      !builtinFields.exists(_.name == n),
+      s"invalid resource attribute name: $n")
+  }
+
   final case class ResourceType(name: String, attrs: Seq[AttrSpec]) {
     /** The runtime schema: built-ins + declared attributes. */
     def structType: StructType =
@@ -93,6 +102,66 @@ object ResourceTypes {
         .withColumn("type", coalesce(col("type"), lit(name)))
         .withColumn("__violations", violation)
         .select((structType.fieldNames.toSeq.map(col) :+ col("__violations")): _*)
+    }
+
+    /** ALTER: add an attribute (PATCH /v1/resource_type/<name>,
+      * resource_type.py:66-104 + indexer/sqlalchemy.py:394-460). A
+      * required attribute must carry a `fill` value — existing rows
+      * have no value for it (the reference's "must not be empty if
+      * required=True"). Returns the new type plus the backfill to map
+      * over the type's CURRENT AND HISTORY tables (the reference
+      * ALTERs both `tablename` and `tablename_history`).
+      */
+    def addAttribute(spec: AttrSpec,
+                     fill: Option[Any]): (ResourceType, DataFrame => DataFrame) = {
+      requireValidName(spec.name)
+      require(attrs.forall(_.name != spec.name),
+        s"attribute ${spec.name} already exists on type $name")
+      require(!spec.required || fill.isDefined,
+        s"Option 'fill' of resource attribute ${spec.name} is invalid: " +
+          "must not be empty if required=True")
+      val next = copy(attrs = attrs :+ spec)
+      val backfill: DataFrame => DataFrame = { df =>
+        val base =
+          if (df.columns.contains(spec.name)) df
+          else df.withColumn(spec.name, lit(null).cast(spec.tpe.dataType))
+        fill match {
+          case Some(v) => base.withColumn(spec.name,
+            coalesce(col(spec.name), lit(v).cast(spec.tpe.dataType)))
+          case None => base
+        }
+      }
+      (next, backfill)
+    }
+
+    /** ALTER: drop an attribute (sqlalchemy.py:417-419 drop_column on
+      * both tables). */
+    def removeAttribute(attrName: String): (ResourceType, DataFrame => DataFrame) = {
+      require(attrs.exists(_.name == attrName),
+        s"no attribute $attrName on type $name")
+      (copy(attrs = attrs.filterNot(_.name == attrName)), _.drop(attrName))
+    }
+
+    /** ALTER: fill remaining nulls of an existing optional attribute
+      * when it becomes required (`fill_null_attribute_values`,
+      * sqlalchemy.py:409-410 + 462-480). */
+    def updateAttribute(attrName: String, required: Boolean,
+                        fill: Option[Any]): (ResourceType, DataFrame => DataFrame) = {
+      val spec = attrs.find(_.name == attrName).getOrElse(
+        throw new IllegalArgumentException(s"no attribute $attrName on type $name"))
+      require(!required || spec.required || fill.isDefined,
+        s"Option 'fill' of resource attribute $attrName is invalid: " +
+          "must not be empty if required=True")
+      val next = copy(attrs = attrs.map(a =>
+        if (a.name == attrName) a.copy(required = required) else a))
+      val backfill: DataFrame => DataFrame = { df =>
+        fill match {
+          case Some(v) => df.withColumn(attrName,
+            coalesce(col(attrName), lit(v).cast(spec.tpe.dataType)))
+          case None => df
+        }
+      }
+      (next, backfill)
     }
   }
 }

@@ -207,11 +207,18 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * requested combination present in the store.
     */
   def getMeasuresMany(metricIds: Seq[String], methods: Seq[String],
-                      granS: Long): DataFrame = {
+                      granS: Long,
+                      from: Option[java.sql.Timestamp] = None,
+                      to: Option[java.sql.Timestamp] = None): DataFrame = {
     var df = aggregates
       .filter(col("gran_s") === granS &&
         col("method").isin(methods: _*) &&
         col("metric_id").isin(metricIds: _*))
+    // start/stop prune split partitions before the fetch slice, so a
+    // time-bounded fleet query reads only its splits' files
+    for (f <- from) df = df.filter(col("split") >= splitOf(lit(f), granS))
+    for (t <- to) df = df.filter(col("split") <= splitOf(lit(t), granS))
+    df = TimeSeriesOps.fetch(df, Granularity.seconds(granS), from, to)
     for (tsS <- timespanS(granS)) // retention truncate on read, as A11
       df = TimeSeriesOps.truncate(df, tsS * 1_000_000_000L,
         Seq("metric_id", "method", "gran_s"))

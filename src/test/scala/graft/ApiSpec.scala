@@ -66,6 +66,23 @@ class ApiSpec extends SparkSpec {
     assert(out == Seq(12.0, 20.0, 28.0)) // 4*(1+2), 4*(2+3), 4*(3+4)
   }
 
+  test("aggregates start/stop: from floored to granularity, to inclusive") {
+    val g = freshGraft()
+    g.createMetric("m1", "gabbi-low")
+    g.addMeasures("m1", Seq(
+      ("2015-03-06 14:30:01", 1.0), ("2015-03-06 14:35:01", 2.0),
+      ("2015-03-06 14:40:01", 3.0), ("2015-03-06 14:45:01", 4.0)))
+    g.process()
+    val out = g.aggregates("(metric m1 mean)", 300,
+        from = Some(java.sql.Timestamp.valueOf("2015-03-06 14:36:00")),
+        to = Some(java.sql.Timestamp.valueOf("2015-03-06 14:44:00")))
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSeq
+    // carbonara fetch slices [floor(from, g), to] — 14:36 → 14:35 bucket
+    assert(out == Seq(
+      ("2015-03-06 14:35:00.0", 2.0), ("2015-03-06 14:40:00.0", 3.0)))
+  }
+
   test("read-your-writes refresh (rest/api.py:539-547)") {
     val g = freshGraft()
     g.createMetric("m1", "gabbi-low")
