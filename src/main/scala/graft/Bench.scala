@@ -75,7 +75,9 @@ object Bench {
     "scale_dd1_exact_dedup" -> (() =>
       Queries.all("dd1_exact_dedup")(s, dir)),
     "scale_txt2_quality" -> (() =>
-      Queries.all("txt2_quality")(s, dir)))
+      Queries.all("txt2_quality")(s, dir)),
+    "scale_g5_grouped_ratio" -> (() =>
+      Queries.all("g5_grouped_ratio")(s, dir)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -139,8 +139,51 @@ object Compiler {
   private def seriesWindow(g: Grid) =
     Window.partitionBy(g.partCols.map(col): _*).orderBy(col("bucket"))
 
+  /** Try to compile a PURELY ELEMENTWISE tree (metric leaves, scalars,
+    * binary/unary/clip ops — nothing that changes the row set) into
+    * named column expressions over one base-grid row. Succeeding means
+    * series⊕series arithmetic becomes a single projection instead of a
+    * zipGrids SELF-JOIN of the grid — which would re-evaluate the
+    * entire upstream plan (scans, collapses) once per side. Pairing
+    * rules mirror zipGrids: positional for equal widths, a single
+    * column broadcasts across the other side.
+    */
+  private def elementwise(node: Node,
+                          base: Grid): Option[Seq[(String, Column)]] = node match {
+    case MetricLeaf(refs) =>
+      val names = refs.map { case (m, a) => refName(m, a) }
+      if (names.forall(base.cols.contains)) Some(names.map(n => n -> col(n)))
+      else None
+    case Num(v) => Some(Seq("scalar" -> lit(v)))
+    case Bin(op, l, r) =>
+      for (lc <- elementwise(l, base); rc <- elementwise(r, base);
+           pairs <-
+             (if (lc.size == rc.size) Some(lc.zip(rc).map {
+                case ((n, a), (_, b)) => n -> binCol(op, a, b) })
+              else if (rc.size == 1) Some(lc.map { case (n, a) =>
+                n -> binCol(op, a, rc.head._2) })
+              else if (lc.size == 1) Some(rc.map { case (n, b) =>
+                n -> binCol(op, lc.head._2, b) })
+              else None))
+        yield pairs
+    case Clip(sub, Num(lo), Num(hi)) =>
+      elementwise(sub, base).map(_.map { case (n, c) =>
+        n -> least(greatest(c, lit(lo)), lit(hi)) })
+    case Un(op, sub) =>
+      elementwise(sub, base).map(_.map { case (n, c) => n -> unCol(op, c) })
+    case _ => None
+  }
+
   /** Evaluate an AST node against the base grid. */
-  def eval(node: Node, base: Grid): Grid = node match {
+  def eval(node: Node, base: Grid): Grid = elementwise(node, base) match {
+    case Some(cols) =>
+      Grid(base.df.select((keyCols(base) ++
+          cols.map { case (n, c) => c.as(n) }): _*),
+        cols.map(_._1), base.partCols)
+    case None => evalRec(node, base)
+  }
+
+  private def evalRec(node: Node, base: Grid): Grid = node match {
     case MetricLeaf(refs) =>
       val names = refs.map { case (m, a) => refName(m, a) }
       names.foreach { n =>
