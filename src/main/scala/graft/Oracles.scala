@@ -421,6 +421,12 @@ object Oracles {
          SELECT grp, b AS bucket_s, CAST(sum(wv) AS REAL) AS v
          FROM j GROUP BY 1, 2""",
 
+    "i3_remote_write" ->
+      """SELECT event_type AS metric,
+                'load@' || CAST(user_id AS VARCHAR) AS resource_id,
+                count(*) AS n, CAST(sum(value) AS REAL) AS sum_v
+         FROM events GROUP BY 1, 2""",
+
     "g5_grouped_ratio" ->
       """WITH m AS (
            SELECT user_id % 3 AS grp, user_id, event_type,

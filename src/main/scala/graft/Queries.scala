@@ -627,6 +627,29 @@ object Queries {
         .select(col("resource_id"), col("metric"), col("n"),
           r6(col("sum_v")).as("sum_v"))
     }),
+    // I3 full wire: one snappy+protobuf WriteRequest per (user, type)
+    // series, decoded back through the real codec, then aggregated
+    "i3_remote_write" -> ((s, dir) => {
+      import s.implicits._
+      val bodies = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          (unix_micros(col("ts")) / 1000).cast("long").as("ts_ms"),
+          col("value"))
+        .as[(Long, String, Long, Double)]
+        .groupByKey { case (u, t, _, _) => (u, t) }
+        .mapGroups { (key: (Long, String),
+                      it: Iterator[(Long, String, Long, Double)]) =>
+          val samples = it.map { case (_, _, ts, v) => (ts, v) }.toSeq
+          org.xerial.snappy.Snappy.compress(
+            ingest.PromProto.encodeWriteRequest(Seq(ingest.PromProto.Series(
+              Map("__name__" -> key._2, "job" -> "load",
+                "instance" -> key._1.toString),
+              samples))))
+        }.toDF("body")
+      ingest.RemoteWrite.remoteWriteToMeasures(bodies)
+        .groupBy("metric", "resource_id")
+        .agg(count(lit(1)).as("n"), r6(sum("value")).as("sum_v"))
+    }),
     "i4_statsd_flush" -> ((s, dir) => {
       val lines = events(s, dir).select(
         concat(col("event_type"), lit(":"), col("value").cast("string"),

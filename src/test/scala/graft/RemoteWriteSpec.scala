@@ -22,6 +22,33 @@ class RemoteWriteSpec extends SparkSpec {
     assert(out(0).getDouble(3) == 1.0)
   }
 
+  test("remote-write WIRE round trip: snappy + protobuf WriteRequest") {
+    import graft.ingest.PromProto
+    val s = spark
+    import s.implicits._
+    val req = PromProto.encodeWriteRequest(Seq(
+      PromProto.Series(
+        Map("__name__" -> "up", "job" -> "api", "instance" -> "h1:9090"),
+        Seq((1700000000000L, 1.0), (1700000015000L, 0.5))),
+      PromProto.Series(
+        Map("__name__" -> "cpu", "job" -> "api", "instance" -> "h2:9090"),
+        Seq((1700000000000L, 42.0)))))
+    val body = org.xerial.snappy.Snappy.compress(req)
+    val out = RemoteWrite.remoteWriteToMeasures(Seq(body).toDF("body"))
+      .orderBy("timestamp", "metric")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2).getTime, r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("api@h2:9090", "cpu", 1700000000000L, 42.0),
+      ("api@h1:9090", "up", 1700000000000L, 1.0),
+      ("api@h1:9090", "up", 1700000015000L, 0.5)))
+    // unknown fields (e.g. exemplars = field 3) are skipped, not fatal
+    val withUnknown = req ++ Array[Byte](0x1a, 0x02, 0x08, 0x00) // field 3 len 2
+    val parsed = PromProto.parseWriteRequest(withUnknown)
+    assert(parsed.map(_.samples.size).sum == 3)
+  }
+
   test("collectd mapping: per-dsname fan-out, instance dashes") {
     val s = spark
     import s.implicits._
