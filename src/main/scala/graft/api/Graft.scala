@@ -250,7 +250,14 @@ class Graft(val spark: SparkSession, root: String) {
           partitionCols = checked.partCols))
       case None => checked
     }
-    val out = Compiler.eval(ast, filled)
+    // a non-elementwise series⊕series self-joins the grid: share the
+    // built grid rather than re-running the scans per join side
+    val shared =
+      if (Compiler.hasGridJoin(ast))
+        filled.copy(df = filled.df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else filled
+    val out = Compiler.eval(ast, shared)
     out.df
   }
 

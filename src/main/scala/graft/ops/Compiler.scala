@@ -174,6 +174,34 @@ object Compiler {
     case _ => None
   }
 
+  /** Structural version of the elementwise test (no grid needed). */
+  private def ewShape(n: Node): Boolean = n match {
+    case Num(_) | MetricLeaf(_)  => true
+    case Bin(_, l, r)            => ewShape(l) && ewShape(r)
+    case Clip(s, Num(_), Num(_)) => ewShape(s)
+    case Un(_, s)                => ewShape(s)
+    case _                       => false
+  }
+
+  /** True when evaluating `n` will hit the zipGrids self-join — a
+    * series⊕series Bin where a side changes the row set (rolling,
+    * rateofchange, aggregate, resample below it). Callers should
+    * persist the base grid first: the join re-evaluates the grid's
+    * entire upstream plan once per side otherwise.
+    */
+  def hasGridJoin(n: Node): Boolean = n match {
+    case Bin(_, l, r) if !l.isInstanceOf[Num] && !r.isInstanceOf[Num] =>
+      !(ewShape(l) && ewShape(r)) || hasGridJoin(l) || hasGridJoin(r)
+    case Bin(_, l, r)       => hasGridJoin(l) || hasGridJoin(r)
+    case Clip(s, _, _)      => hasGridJoin(s)
+    case Un(_, s)           => hasGridJoin(s)
+    case RateOfChange(_, s) => hasGridJoin(s)
+    case AggAcross(_, s)    => hasGridJoin(s)
+    case Rolling(_, _, s)   => hasGridJoin(s)
+    case Resample(_, _, s)  => hasGridJoin(s)
+    case _                  => false
+  }
+
   /** Evaluate an AST node against the base grid. */
   def eval(node: Node, base: Grid): Grid = elementwise(node, base) match {
     case Some(cols) =>

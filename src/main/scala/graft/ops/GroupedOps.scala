@@ -56,8 +56,17 @@ object GroupedOps {
   def run(ast: Node, grpCols: Seq[String],
           expand: ((String, String)) => DataFrame,
           fill: Option[String]): DataFrame = {
-    val refFrames = collectRefs(ast).map(r => r -> expand(r)).toMap
     val dense = fill.isDefined || needsDense(ast)
+    val counts = leafRefCounts(ast)
+    // a ref frame consumed by more than one plan branch (densify reads
+    // it three ways; a ref shared across aggregate subtrees feeds each)
+    // would be re-evaluated per consumer — persist those once
+    val refFrames = collectRefs(ast).map { r =>
+      val df = expand(r)
+      r -> (if (dense || counts.getOrElse(r, 0) > 1)
+              df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else df)
+    }.toMap
     lazy val buckets = refFrames.values
       .map(_.select((grpCols.map(col) :+ col("bucket")): _*))
       .reduce(_ unionByName _).distinct()
@@ -80,11 +89,34 @@ object GroupedOps {
               lit(Compiler.refName(name, "grouped")).as("ref"),
               col("bucket"), col("value"))): _*)
         }.reduce(_ unionByName _)
-        val grid = Compiler.align(long, synthNames.toSeq, partCols = grpCols)
+        val grid0 = Compiler.align(long, synthNames.toSeq, partCols = grpCols)
+        // a non-elementwise series⊕series in the scalar tree self-joins
+        // the grid — share the pivoted grid instead of rebuilding it
+        val grid =
+          if (Compiler.hasGridJoin(rewritten))
+            grid0.copy(df = grid0.df.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          else grid0
         val out = Compiler.eval(rewritten, grid)
         out.df.select((grpCols.map(col) ++ Seq(col("bucket"),
           col(out.cols.head).as("value"))): _*)
     }
+  }
+
+  /** Leaf occurrences per `(name, method)` ref — NOT deduplicated. */
+  private def leafRefCounts(n: Node): Map[(String, String), Int] = n match {
+    case MetricLeaf(refs)   => refs.groupBy(identity).view.mapValues(_.size).toMap
+    case Bin(_, l, r) =>
+      val (a, b) = (leafRefCounts(l), leafRefCounts(r))
+      (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap
+    case Clip(s, _, _)      => leafRefCounts(s)
+    case Un(_, s)           => leafRefCounts(s)
+    case RateOfChange(_, s) => leafRefCounts(s)
+    case AggAcross(_, s)    => leafRefCounts(s)
+    case Rolling(_, _, s)   => leafRefCounts(s)
+    case Resample(_, _, s)  => leafRefCounts(s)
+    case _                  => Map.empty
   }
 
   /** True when `n` is single-series per group by construction (every
