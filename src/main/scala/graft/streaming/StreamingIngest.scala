@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery}
 import graft.ingest.MetricStore
 
 /** Structured Streaming ingestion: the streaming analogue of the
@@ -31,6 +32,53 @@ object StreamingIngest {
         if (!batch.isEmpty) store.addMeasures(batch)
       }
       .start()
+  }
+
+  final case class Point(metric_id: String, ts_ms: Long, value: Double)
+  final case class BoundState(points: Seq[(Long, Double)])
+
+  /** M2 as CUSTOM STREAMING STATE (BoundTimeSerie.set_values,
+    * carbonara.py:321-476, via flatMapGroupsWithState): per metric the
+    * state is the open buffer of the last `backWindow`+1 blocks.
+    * Each micro-batch:
+    *   1. incoming points older than `floor(last, block) −
+    *      block×backWindow` are REJECTED (the reference raises/drops);
+    *   2. survivors merge into the buffer, newest batch winning on a
+    *      duplicate timestamp (M1 semantics);
+    *   3. points that fall out of the advancing window are EMITTED
+    *      downstream — they are immutable now, the streaming analogue
+    *      of "run the aggregation callback, then truncate the buffer".
+    * State is bounded by construction (≤ backWindow+1 blocks/metric),
+    * so a million-metric stream holds a million small buffers sharded
+    * across executors by the groupByKey hash — no global state.
+    */
+  def boundedSeries(measures: Dataset[Point], blockS: Long,
+                    backWindow: Int): Dataset[Point] = {
+    val spark = measures.sparkSession
+    import spark.implicits._
+    measures.groupByKey(_.metric_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (metric: String, it: Iterator[Point], state: GroupState[BoundState]) => {
+          val prev = state.getOption.map(_.points).getOrElse(Seq.empty)
+          val incoming = it.map(p => (p.ts_ms, p.value)).toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val lastMs = (prev.map(_._1) ++ incoming.map(_._1)).max
+            val firstBlockMs =
+              (lastMs / 1000 / blockS * blockS - blockS * backWindow) * 1000
+            // reject too-old input (carbonara.py:465-468)
+            val accepted = incoming.filter(_._1 >= firstBlockMs)
+            // merge, new wins on duplicate ts; first occurrence wins
+            // within one batch (carbonara.py:92-105)
+            val merged = scala.collection.mutable.LinkedHashMap[Long, Double]()
+            for ((t, v) <- accepted if !merged.contains(t)) merged(t) = v
+            for ((t, v) <- prev if !merged.contains(t)) merged(t) = v
+            val (open, closed) = merged.toSeq.partition(_._1 >= firstBlockMs)
+            state.update(BoundState(open.sortBy(_._1)))
+            closed.sortBy(_._1).iterator
+              .map { case (t, v) => Point(metric, t, v) }
+          }
+        })
   }
 
   /** Pure-streaming windowed aggregation (no store): watermarked

@@ -36,6 +36,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boundedSeries state: reject-old, new-wins merge, emit-on-close") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import StreamingIngest.Point
+    val in = MemoryStream[Point]
+    // block = 60 s, backWindow = 1 → window spans [floor(last,60)-60, ∞)
+    val out = StreamingIngest.boundedSeries(in.toDS(), 60L, 1)
+    val q = out.writeStream.format("memory").queryName("bound")
+      .outputMode("append").start()
+    def emitted() = s.sql("SELECT ts_ms, value FROM bound ORDER BY ts_ms")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    try {
+      val t0 = ts("2024-01-01 10:00:00").getTime
+      in.addData(Point("m", t0, 1.0), Point("m", t0 + 30_000, 2.0))
+      q.processAllAvailable()
+      assert(emitted().isEmpty) // everything still open
+      // duplicate ts: NEW batch wins in the buffer (M1); too-old point
+      // (< 09:59 after last=10:00:30) is rejected outright
+      in.addData(Point("m", t0 + 30_000, 20.0), Point("m", t0 - 120_000, 9.9))
+      q.processAllAvailable()
+      assert(emitted().isEmpty)
+      // advance two blocks: window floor moves to 10:01 → both 10:00
+      // block points close and emit with the merged (new-wins) value
+      in.addData(Point("m", t0 + 150_000, 3.0))
+      q.processAllAvailable()
+      assert(emitted() == Seq((t0, 1.0), (t0 + 30_000, 20.0)))
+    } finally q.stop()
+  }
+
   test("file-source stream drains micro-batches through the incremental job") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val staging = s"$root/staging"; val ckpt = s"$root/ckpt"
