@@ -79,6 +79,43 @@ object Bench {
     "scale_g5_grouped_ratio" -> (() =>
       Queries.all("g5_grouped_ratio")(s, dir)))
 
+  /** J1/P2 at scale: time the WRITE path (sack-partitioned raw buffer +
+    * split-partitioned incremental aggregation) and the multi-series
+    * READ over the amplified events, 256 metrics. The standard queries
+    * never touch the store, so ingest regressions (e.g. an O(buffer)
+    * rewrite creeping back) would otherwise be invisible.
+    */
+  private def ingestBench(spark: SparkSession,
+                          scaleDir: String): Seq[(String, Double)] = {
+    import graft.model.{ArchivePolicy, ArchivePolicyItem, Granularity}
+    val root = "/tmp/graft-bench-ingest"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val store = new graft.ingest.MetricStore(spark, root,
+      ArchivePolicy("bench", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean", "sum", "max", "count")))
+    val measures = spark.read.parquet(s"$scaleDir/events.parquet")
+      .select(concat(lit("u"), pmod(col("user_id"), lit(256))).as("metric_id"),
+        timestamp_micros((col("ts") / 1000).cast("long")).as("timestamp"),
+        col("value"))
+    val tWrite =
+      try timed(store.addMeasures(measures))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scale_j1_ingest FAILED: ${e.getMessage}")
+        1e9
+      }
+    val ids = (0 until 256).map(i => s"u$i")
+    val tRead =
+      try timed(noop(store.getMeasuresMany(ids, Seq("mean", "max"), 3600L)))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scale_p2_read FAILED: ${e.getMessage}")
+        1e9
+      }
+    Seq("scale_j1_ingest" -> tWrite, "scale_p2_read" -> tRead)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -118,7 +155,7 @@ object Bench {
         // warm footers on the amplified tables too
         for (t <- Seq("events", "documents", "lineitem", "orders", "customer"))
           spark.read.parquet(s"$scaleDir/$t.parquet").count()
-        ("scale_amplify_write" -> ampSec) +: scaleQueries(spark, scaleDir)
+        (("scale_amplify_write" -> ampSec) +: scaleQueries(spark, scaleDir)
           .map { case (name, fn) =>
             val t =
               try timed(noop(fn()))
@@ -126,7 +163,7 @@ object Bench {
                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); 1e9
               }
             (name, t)
-          }
+          }) ++ ingestBench(spark, scaleDir)
       }
 
     def jmap(rs: Seq[(String, Double)]): String =
