@@ -25,6 +25,40 @@ class Graft(val spark: SparkSession, root: String) {
 
   def createPolicy(p: ArchivePolicy): Unit = policies(p.name) = p
 
+  /** PATCH /v1/archive_policy/<name> (sqlalchemy.py:642-662): only
+    * timespan/points may change — granularities can be neither added,
+    * dropped, nor altered (`UnsupportedArchivePolicyChange`). The
+    * policy's store is re-opened with the new definition so the
+    * retention-on-read (A11) and future truncations pick it up; stored
+    * splits are untouched until the next J3/J5 pass, as in the
+    * reference.
+    */
+  def updatePolicy(name: String,
+                   items: Seq[graft.model.ArchivePolicyItem],
+                   backWindow: Option[Int] = None): Unit = {
+    val cur = policies.getOrElse(name,
+      throw new IllegalArgumentException(s"no policy $name"))
+    require(cur.definition.size == items.size,
+      s"$name: Cannot add or drop granularities")
+    val curSorted = cur.definition.sortBy(_.granularity.token)
+    val newSorted = items.sortBy(_.granularity.token)
+    for ((c, n) <- curSorted.zip(newSorted))
+      require(c.granularity == n.granularity,
+        s"$name: ${c.granularity.token} granularity interval was changed")
+    policies(name) = cur.copy(definition = items,
+      backWindow = backWindow.getOrElse(cur.backWindow))
+    stores.remove(name) // reopen lazily with the updated policy
+  }
+
+  /** GET /v1/capability (rest/api.py:2172-2177): the closed operator
+    * set — basic kernels plus their `rate:` variants and Npct forms
+    * are accepted dynamically by the kernel registry.
+    */
+  def capabilities: Set[String] = {
+    val base = graft.model.ArchivePolicy.basicMethods
+    base ++ base.map("rate:" + _)
+  }
+
   def createMetric(id: String, policyName: String): Unit = {
     require(policies.contains(policyName), s"no policy $policyName")
     metricPolicy(id) = policyName
@@ -41,15 +75,16 @@ class Graft(val spark: SparkSession, root: String) {
     policyRules += ((pattern, policyName))
   }
 
+  /** Longest-matching-rule policy for a metric name
+    * (indexer/__init__.py:460-466). */
+  private def rulePolicy(metricName: String): String = policyRules
+    .filter { case (p, _) => graft.catalog.Fnmatch.matches(p, metricName) }
+    .sortBy { case (p, _) => (-p.length, p) }
+    .headOption.map(_._2).getOrElse(throw new IllegalArgumentException(
+      s"no archive policy rule matches metric $metricName"))
+
   /** Create a metric letting the rules pick the policy. */
-  def createMetric(id: String): Unit = {
-    val matched = policyRules
-      .filter { case (p, _) => graft.catalog.Fnmatch.matches(p, id) }
-      .sortBy { case (p, _) => (-p.length, p) }
-      .headOption.getOrElse(throw new IllegalArgumentException(
-        s"no archive policy rule matches metric $id"))
-    createMetric(id, matched._2)
-  }
+  def createMetric(id: String): Unit = createMetric(id, rulePolicy(id))
 
   /** R8 delete-by-query (sqlalchemy.py:1034-1066): drop resources
     * matching the filter, returning the count.
@@ -73,6 +108,85 @@ class Graft(val spark: SparkSession, root: String) {
     pending ++= points.map { case (t, v) =>
       (metricId, java.sql.Timestamp.valueOf(t), v)
     }
+  }
+
+  /** POST /v1/batch/resources/metrics/measures?create_metrics=
+    * (rest/api.py:1726-1848): body maps resource id → metric NAME →
+    * measures, where measures is either a bare array or
+    * `{archive_policy_name, unit, measures}`. Unknown (resource, name)
+    * pairs reject with the 400 list unless `createMetrics`, which
+    * creates them — explicit policy if given, else the R9 rules — and
+    * registers the named metric in the catalog.
+    */
+  def batchAddMeasures(json: String, createMetrics: Boolean = false): Unit = {
+    import org.json4s._
+    val body = jackson.JsonMethods.parse(json) match {
+      case JObject(fields) => fields
+      case other => throw new IllegalArgumentException(s"bad batch body: $other")
+    }
+    // plan-time metric listing, as the reference's list_metrics call
+    val known: Map[(String, String), String] = metricsCatalog.map(
+        _.select("resource_id", "name", "metric_id").collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap)
+      .getOrElse(Map.empty)
+    def tsOf(v: JValue): java.sql.Timestamp = v match {
+      case JString(s) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
+        new java.sql.Timestamp((s.toDouble * 1000).toLong)
+      case JString(s) => java.sql.Timestamp.from(java.time.Instant.parse(
+        if (s.contains("T") && !s.endsWith("Z") && !s.contains("+")) s + "Z"
+        else s))
+      case JInt(n)     => new java.sql.Timestamp(n.toLong * 1000)
+      case JLong(n)    => new java.sql.Timestamp(n * 1000)
+      case JDouble(n)  => new java.sql.Timestamp((n * 1000).toLong)
+      case JDecimal(n) => new java.sql.Timestamp((n * 1000).toLong)
+      case other => throw new IllegalArgumentException(s"bad timestamp: $other")
+    }
+    def numOf(v: JValue): Double = v match {
+      case JInt(n) => n.toDouble; case JLong(n) => n.toDouble
+      case JDouble(n) => n;       case JDecimal(n) => n.toDouble
+      case other => throw new IllegalArgumentException(s"bad value: $other")
+    }
+    val unknown = mutable.ArrayBuffer[(String, String)]()
+    val created = mutable.ArrayBuffer[(String, String, String)]()
+    val staged = mutable.ArrayBuffer[(String, java.sql.Timestamp, Double)]()
+    for ((rid, JObject(metrics)) <- body; (name, payload) <- metrics) {
+      val (polOpt, measures) = payload match {
+        case JArray(ms) => (None, ms)
+        case o: JObject =>
+          val pol = o \ "archive_policy_name" match {
+            case JString(p) => Some(p); case _ => None
+          }
+          val ms = o \ "measures" match { case JArray(a) => a; case _ => Nil }
+          (pol, ms)
+        case other =>
+          throw new IllegalArgumentException(s"bad measures for $name: $other")
+      }
+      val metricId = known.get((rid, name)) match {
+        case Some(id) => Some(id)
+        case None if createMetrics =>
+          val id = s"$rid/$name"
+          createMetric(id, polOpt.getOrElse(rulePolicy(name)))
+          created += ((id, rid, name))
+          Some(id)
+        case None => unknown += ((rid, name)); None
+      }
+      for (id <- metricId; m <- measures) m match {
+        case JObject(f) =>
+          val fm = f.toMap
+          staged += ((id, tsOf(fm("timestamp")), numOf(fm("value"))))
+        case other => throw new IllegalArgumentException(s"bad measure: $other")
+      }
+    }
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      "Unknown metrics: " + unknown.map { case (r, n) => s"$r/$n" }
+        .sorted.mkString(", "))
+    if (created.nonEmpty) {
+      import spark.implicits._
+      val rows = created.toSeq.toDF("metric_id", "resource_id", "name")
+      metricsCatalog = Some(metricsCatalog
+        .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
+    }
+    pending ++= staged
   }
 
   private val lastMeasure = mutable.Map[String, java.sql.Timestamp]()

@@ -66,6 +66,49 @@ class ApiSpec extends SparkSpec {
     assert(out == Seq(12.0, 20.0, 28.0)) // 4*(1+2), 4*(2+3), 4*(3+4)
   }
 
+  test("batch measures: auto-create via rules, unknown 400s, policy update") {
+    val s = spark
+    import s.implicits._
+    val g = freshGraft()
+    g.createPolicyRule("*", "gabbi-low")
+    g.createMetric("m-cpu", "gabbi-low")
+    g.setMetrics(Seq(("m-cpu", "r1", "cpu"))
+      .toDF("metric_id", "resource_id", "name"))
+    // unknown metric without create_metrics → the reference's 400
+    val e = intercept[IllegalArgumentException](g.batchAddMeasures(
+      """{"r1": {"mem": [{"timestamp": "2015-03-06T14:33:57", "value": 2}]}}"""))
+    assert(e.getMessage.contains("r1/mem"))
+    // with create_metrics: rules pick the policy; catalog gains the row
+    g.batchAddMeasures(
+      """{"r1": {"cpu": [{"timestamp": "2015-03-06T14:33:57", "value": 43.1},
+                         {"timestamp": 1425652452, "value": 12}],
+                 "mem": {"archive_policy_name": "gabbi-low",
+                         "measures": [{"timestamp": "2015-03-06T14:33:57",
+                                       "value": 2.0}]}}}""",
+      createMetrics = true)
+    g.process()
+    assert(g.getMeasures("m-cpu", "mean", granS = Some(300))
+      .map(_._3) == Seq(27.55))
+    assert(g.getMeasures("r1/mem", "mean", granS = Some(300))
+      .map(_._3) == Seq(2.0))
+    // capabilities expose the closed kernel set + rate: variants
+    assert(g.capabilities.contains("mean") && g.capabilities.contains("rate:mean"))
+    // policy update: timespan may change, granularity may not
+    import graft.model.{ArchivePolicyItem, Granularity}
+    g.updatePolicy("gabbi-low", Seq(
+      ArchivePolicyItem(Granularity.seconds(1), Some(100L), None),
+      ArchivePolicyItem(Granularity.seconds(300), Some(12L), None)))
+    assert(g.policies("gabbi-low").definition.flatMap(_.points) ==
+      Seq(100L, 12L))
+    val e2 = intercept[IllegalArgumentException](g.updatePolicy("gabbi-low",
+      Seq(ArchivePolicyItem(Granularity.seconds(2), None, None),
+        ArchivePolicyItem(Granularity.seconds(300), None, None))))
+    assert(e2.getMessage.contains("granularity"))
+    val e3 = intercept[IllegalArgumentException](g.updatePolicy("gabbi-low",
+      Seq(ArchivePolicyItem(Granularity.seconds(1), None, None))))
+    assert(e3.getMessage.contains("add or drop"))
+  }
+
   test("aggregates start/stop: from floored to granularity, to inclusive") {
     val g = freshGraft()
     g.createMetric("m1", "gabbi-low")
