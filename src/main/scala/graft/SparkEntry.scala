@@ -11,6 +11,7 @@ object SparkEntry {
     * table is readable (Spark has no TIMESTAMP(NANOS) type).
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

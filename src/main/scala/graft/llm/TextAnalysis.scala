@@ -9,25 +9,28 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** All signals below come from the native single-pass
+    * [[graft.functions.TextSignals]] expression (registered as
+    * `text_signals` by GraftExtensions): one string traversal inside
+    * whole-stage codegen replaces a split-to-array plus several
+    * interpreted higher-order functions per signal.
+    */
+  private def signals(text: Column): Column =
+    call_function("text_signals", text)
+
   /** Whitespace token count. */
-  def wordCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+  def wordCount(text: Column): Column = signals(text).getField("n_words")
 
   /** BPE-ish subword token estimate: word-boundary pieces + digits +
     * punctuation each count; long words split every ~4 chars (the
     * common BPE average for English).
     */
   def tokenEstimate(text: Column): Column = {
-    val pieces = size(filter(
-      split(text, "(?<=\\W)|(?=\\W)"), p => length(trim(p)) > 0))
-    val longWordExtra = aggregate(
-      split(trim(text), "\\s+"),
-      lit(0),
-      (acc, w) => acc + when(length(w) > 4, (length(w) - 1) / 4).otherwise(0))
-    pieces + longWordExtra
+    val sig = signals(text)
+    sig.getField("pieces") + sig.getField("long_word_extra")
   }
 
+  /** Kept in sync with graft.functions.TextSignals.stopwordsEn. */
   private val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "was", "it", "for", "on", "with", "as", "at", "by")
 
@@ -36,16 +39,12 @@ object TextAnalysis {
     * spirit of C4/Gopher quality filters.
     */
   def qualitySignals(df0: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    // tokenize ONCE into a named column: every signal below references
-    // the attribute, so the regex split runs once per document instead
-    // of once per signal (3× less per-row work on a corpus scan)
-    val df = df0.withColumn("__words", split(trim(t), "\\s+"))
-    val words = col("__words")
-    val nWords = when(length(trim(t)) === 0, 0).otherwise(size(words))
-    val nChars = length(t)
-    val punct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
-    val stopHits = size(filter(words, w => lower(w).isin(stopwordsEn: _*)))
+    val df = df0.withColumn("__sig", signals(col(textCol)))
+    val sig = col("__sig")
+    val nWords = sig.getField("n_words")
+    val nChars = sig.getField("n_chars")
+    val punct = sig.getField("n_punct")
+    val stopHits = sig.getField("n_stop")
     df.withColumn("n_words", nWords)
       .withColumn("n_chars_m", nChars)
       .withColumn("punct_ratio",
@@ -54,7 +53,7 @@ object TextAnalysis {
         when(nWords > 0, stopHits.cast("double") / nWords).otherwise(0.0))
       .withColumn("mean_word_len",
         when(nWords > 0,
-          aggregate(words, lit(0), (a, w) => a + length(w)).cast("double") / nWords)
+          sig.getField("word_len_sum").cast("double") / nWords)
           .otherwise(0.0))
       .withColumn("quality_score",
         least(lit(1.0), greatest(lit(0.0),
@@ -63,7 +62,7 @@ object TextAnalysis {
             + lit(0.25) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0)))
             + lit(0.25) * when(col("mean_word_len").between(3.0, 10.0), 1.0)
                 .otherwise(0.0))))
-      .drop("__words")
+      .drop("__sig")
   }
 
   /** Language-ID n-gram heuristic: score each candidate language by its

@@ -26,6 +26,10 @@ object TimeSeriesOps {
             tsCol: String, orderCol: Column): DataFrame = {
     val tagged = newDf.withColumn("__prio", lit(0))
       .unionByName(oldDf.withColumn("__prio", lit(1)))
+    // row_number window rather than a min_by hash aggregate: Spark 4's
+    // WindowGroupLimit already dedups rank-1 windows map-side before
+    // the shuffle, and measured throughput matches the min_by variant
+    // without carrying a full-row struct through the aggregate
     val w = Window.partitionBy((keyCols.map(col) :+ col(tsCol)): _*)
       .orderBy(col("__prio"), orderCol)
     tagged.withColumn("__rn", row_number().over(w))
