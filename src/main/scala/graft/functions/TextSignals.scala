@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
-  ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,10 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     [A-Za-z0-9_]; whitespace is Java regex `\s` (6 ASCII chars);
   *   - lengths count codepoints (UTF8String.numChars semantics).
   */
-case class TextSignals(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+case class TextSignals(child: Expression) extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // AbstractDataType is private[sql] in Spark 4, so ExpectsInputTypes
+  // can't be mixed in from outside — check the input type directly.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"text_signals requires STRING input, got ${child.dataType.catalogString}")
   override def dataType: DataType = TextSignals.schema
   override def prettyName: String = "text_signals"
 
