@@ -570,7 +570,7 @@ object Oracles {
     // ≈0.3–0.5 here, a hard regime for any sublinear index; the
     // near-dup regime is pinned separately in LlmSpec)
     "sim2_ivf_recall" ->
-      """SELECT CAST(42 AS BIGINT) AS hits, CAST(50 AS BIGINT) AS total""",
+      """SELECT CAST(44 AS BIGINT) AS hits, CAST(50 AS BIGINT) AS total""",
 
     "sim3_lsh_recall" ->
       """SELECT CAST(47 AS BIGINT) AS hits, CAST(50 AS BIGINT) AS total""",
@@ -677,6 +677,75 @@ object Oracles {
                 CAST(avg(value) AS REAL) AS mean,
                 CAST(min(value) AS REAL) AS lower,
                 CAST(max(value) AS REAL) AS upper
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+
+    // dd6: exact-jaccard near-dup pairs (dd2's oracle semantics) fed
+    // through a recursive min-label closure — components = min
+    // reachable id; one (canonical, size) row per cluster.
+    "dd6_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM d),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE len(a.sh) > 0 AND len(b.sh) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b, id_a FROM p),
+         n AS (SELECT DISTINCT u AS id FROM e),
+         r(id, m) AS (
+           SELECT id, id FROM n
+           UNION
+           SELECT e.u, r.m FROM e JOIN r ON e.v = r.id),
+         comp AS (SELECT id, min(m) AS component FROM r GROUP BY 1)
+         SELECT component AS canonical_id, count(*) AS cluster_size
+         FROM comp GROUP BY 1""",
+
+    "txt5_repetition" ->
+      """WITH l AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, chr(10)),
+                    x -> trim(x) <> '') AS ls
+           FROM documents),
+         ln AS (
+           SELECT doc_id,
+                  CASE WHEN len(ls) > 0
+                    THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+                           / len(ls)
+                    ELSE 0 END AS dup_line_frac
+           FROM l),
+         w AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ') AS ws
+           FROM documents),
+         gr AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(ws),1)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS gram
+           FROM w),
+         c AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
+         t AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS tf
+               FROM c GROUP BY 1)
+         SELECT ln.doc_id,
+                CAST(ln.dup_line_frac AS REAL) AS dup_line_frac,
+                CAST(coalesce(t.tf, 0) AS REAL) AS top_2gram_frac
+         FROM ln LEFT JOIN t ON ln.doc_id = t.doc_id""",
+
+    // cl1: the Spark side proves its assignment is the argmax over all
+    // centroids (violations = 0) — the oracle checks the invariant and
+    // the row count without replaying Lloyd's algorithm in SQL.
+    "cl1_kmeans" ->
+      """SELECT CAST(0 AS BIGINT) AS violations,
+                (SELECT count(*) FROM embeddings) AS n"""
   )
 }

@@ -659,6 +659,37 @@ object Queries {
         .select(col("bucket"), col("kind"), col("n"),
           r6(col("mean")).as("mean"), r6(col("lower")).as("lower"),
           r6(col("upper")).as("upper"))
+    }),
+    // Fuzzy-dedup clustering: LSH near-dup pairs (dd2's parameters)
+    // → connected components → one (canonical, size) row per cluster.
+    // The oracle replays it as exact-jaccard pairs + a recursive
+    // min-label closure in SQL.
+    "dd6_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashLsh(table(s, dir, "documents"), n = 3, numHashes = 64,
+          bands = 16, threshold = 0.4))),
+    "txt5_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(table(s, dir, "documents"))
+        .select(col("doc_id"), r6(col("dup_line_frac")).as("dup_line_frac"),
+          r6(col("top_2gram_frac")).as("top_2gram_frac"))),
+    // K-means assignment self-check: every vector's assigned-cell
+    // cosine must be the true argmax over ALL centroids (tolerance for
+    // float noise); emits (violations=0, n=corpus size) — both
+    // SQL-checkable without replaying Lloyd's algorithm in the oracle.
+    // Cluster-recovery semantics are pinned in LlmSpec on synthetic
+    // well-separated clusters.
+    "cl1_kmeans" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val cents = Similarity.kmeansCentroids(em, nlist = 8, iters = 3)
+      val best = em.crossJoin(broadcast(cents))
+        .withColumn("c", Similarity.cosine(col("embedding"), col("centroid")))
+        .groupBy("vec_id").agg(max(col("c")).as("best_c"))
+      val assigned = Similarity.kmeansAssignWith(em, cents)
+      assigned.join(best, Seq("vec_id"))
+        .agg(sum(when(col("centroid_cosine") < col("best_c") - 1e-9, 1L)
+          .otherwise(0L)).as("violations"),
+          count(lit(1)).as("n"))
     }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

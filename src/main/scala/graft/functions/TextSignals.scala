@@ -26,8 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * included (pinned by TextSignalsPropertySpec differential tests):
   *   - words = `split(trim(text), "\\s+")`: Spark trim removes ONLY
   *     ' ' spaces, so a leading tab/newline yields a leading empty
-  *     token that counts into n_words (Java split keeps a leading
-  *     empty from a non-zero-width match at position 0);
+  *     token that counts into n_words, and a trailing tab/newline a
+  *     trailing empty token (Spark split keeps trailing empties,
+  *     unlike Java's String.split — DuckDB string_split_regex agrees
+  *     with Spark here, pinned by TextSignalsSpec);
   *   - pieces = `split(text, "(?<=\\W)|(?=\\W)")` filtered on
   *     `trim(p)` nonempty: every `\W` char is its own piece; only
   *     ' ' pieces are dropped (tabs/newlines count);
@@ -106,17 +108,24 @@ object TextSignals {
         if (!inWordRun) { pieces += 1; inWordRun = true }
       } else {
         inWordRun = false
-        if (cp != ' ') pieces += 1 // every \W char is its own piece
+        // every \W char is its own piece; Java regex lookarounds match
+        // BETWEEN the surrogates of a supplementary codepoint, so a
+        // non-word astral char (emoji) splits into 2 one-surrogate
+        // pieces (pinned by TextSignalsSpec)
+        if (cp != ' ') pieces += (if (cp > 0xFFFF) 2 else 1)
       }
       i += Character.charCount(cp)
     }
 
     // words over the space-trimmed region: tokens are maximal non-\s
     // runs; a leading \s char (tab/newline the trim left behind) adds
-    // one empty leading token, trailing ones add nothing (Java split)
+    // one empty leading token and a trailing one adds one empty
+    // trailing token (Spark split keeps both; Java split would drop
+    // the trailing one)
     var nWords = 0; var nStop = 0; var lenSum = 0; var longExtra = 0
     if (hi > lo) {
       if (isWs(s.codePointAt(lo))) nWords += 1 // leading empty token
+      if (isWs(s.charAt(hi - 1))) nWords += 1  // trailing empty token
       var j = lo
       val wordCp = new Array[Int](8) // stopwords are short; overflow = no match
       while (j < hi) {

@@ -241,6 +241,97 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Connected components over an undirected edge list — the cluster
+    * step of a fuzzy-dedup pipeline (near-dup PAIRS from
+    * [[minhashLsh]] / [[simhashPairs]] / [[embeddingNearDup]] become
+    * duplicate CLUSTERS with one canonical survivor each).
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round is two
+    * groupBy-join passes that rewire every node toward the minimum id
+    * in its neighborhood; the edge set converges to stars centered at
+    * each component's minimum in O(log² n) rounds w.h.p. — no
+    * O(diameter) label-propagation chains, no driver-side graph. Per
+    * round the lineage is cut with localCheckpoint (the iterated plan
+    * would otherwise grow exponentially); convergence is detected by
+    * an order-independent (count, xor-hash) aggregate of the edge set.
+    *
+    * Returns `(id, component)` for every node appearing in `edges`,
+    * where `component` is the minimum id of the node's component
+    * (centers map to themselves).
+    */
+  def connectedComponents(edges0: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b",
+                          maxIter: Int = 50): DataFrame = {
+    val ini = edges0
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+    val nodes = ini.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+
+    // one star pass over a bidirectional adjacency: for every node u,
+    // m = min(Γ(u) ∪ {u}); large-star rewires the strictly LARGER
+    // neighbors to m, small-star the smaller-or-equal ones (keeping
+    // u→m itself). Emitted edges always point high→low, so the
+    // canonical (u > v) invariant is preserved without re-sorting.
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val bi = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bi.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val j = bi.join(mins, "u")
+      val out =
+        if (large) j.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else j.filter(col("v") <= col("u") && col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(mins.filter(col("m") =!= col("u"))
+            .select(col("u"), col("m").as("v")))
+      out.filter(col("u") =!= col("v")).distinct()
+    }
+
+    // order-independent edge-set fingerprint: xor of per-edge hashes
+    // (sum would overflow-throw under Spark 4 ANSI mode)
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var cur = ini.localCheckpoint(true)
+    var curSig = sig(cur)
+    var converged = cur.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = star(star(cur, large = true), large = false)
+        .localCheckpoint(true)
+      val nextSig = sig(next)
+      converged = nextSig == curSig && next.exceptAll(cur).isEmpty
+      cur = next; curSig = nextSig; it += 1
+    }
+    if (!converged && it >= maxIter) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
+
+    nodes.join(cur.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Fuzzy-dedup clustering: near-dup pairs → duplicate clusters.
+    * Returns one row per multi-member cluster: the canonical id
+    * (cluster minimum — the survivor a dedup pass keeps) and the
+    * cluster size. Singletons (docs with no near-dup) are not emitted:
+    * at corpus scale the pair list is tiny relative to the corpus and
+    * the survivor set is `docs ANTI JOIN (members − canonicals)`.
+    */
+  def duplicateClusters(pairs: DataFrame, srcCol: String = "id_a",
+                        dstCol: String = "id_b"): DataFrame =
+    connectedComponents(pairs, srcCol, dstCol)
+      .groupBy(col("component").as("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+
   /** SimHash (64-bit): sign of per-bit weighted sums of token hashes.
     * Near-dups = small Hamming distance. Computed with explode +
     * groupBy — one shuffle on doc id; the 64 bit-sums are a single

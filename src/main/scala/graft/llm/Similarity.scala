@@ -57,10 +57,26 @@ object Similarity {
     val train = (if (sampleMod > 1)
       train0.filter(pmod(xxhash64(col("cid")), lit(sampleMod.toLong)) === 0)
     else train0).cache()
+    // deterministic farthest-point (k-center greedy) seeding: first
+    // seed = min-hash row, each next seed the point least similar to
+    // every chosen one (hash tiebreak). Unlike a pure hash sample this
+    // cannot put two seeds inside one tight cluster, so Lloyd starts
+    // from spread-out cells — the classic k-means++ motivation without
+    // RNG state. nlist extra plan-time jobs over the (sampled) train
+    // set, each a single scan.
     var cents: Array[Seq[Double]] = train
       .withColumn("__h", xxhash64(col("cid")))
-      .orderBy("__h").limit(nlist)
+      .orderBy("__h").limit(1)
       .select("cv").collect().map(_.getSeq[Double](0))
+    while (cents.nonEmpty && cents.length < nlist) {
+      val sims = cents.map(c => cosine(col("cv"), typedlit(c)))
+      val far = train
+        .withColumn("__maxc", greatest((sims :+ lit(-2.0d)): _*))
+        .withColumn("__h", xxhash64(col("cid")))
+        .orderBy(asc("__maxc"), asc("__h")).limit(1)
+        .select("cv").collect()
+      cents = cents :+ far.head.getSeq[Double](0)
+    }
     def centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("cell", "centroid")
     for (_ <- 0 until iters) {
@@ -81,6 +97,40 @@ object Similarity {
     }
     train.unpersist()
     centDf
+  }
+
+  /** K-means cluster assignment as a first-class operator: every
+    * corpus vector labeled with its nearest [[kmeansCentroids]] cell
+    * (cosine) and the similarity to that centroid. This is the
+    * embedding-clustering step of a training-data pipeline (topic
+    * bucketing, stratified sampling, per-cluster quotas) and the build
+    * side of the IVF index — at 100 TB, write the corpus partitioned
+    * by `cell` and both use cases become partition-pruned scans. One
+    * broadcast join + one window per vector; centroids are plan-time
+    * scalars trained on a hash-sample (`sampleMod`).
+    */
+  def kmeansAssign(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                   sampleMod: Int = 1,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    kmeansAssignWith(corpus,
+      kmeansCentroids(corpus, nlist, iters, sampleMod, idCol, vecCol),
+      idCol, vecCol)
+
+  /** [[kmeansAssign]] against an already-trained `(cell, centroid)`
+    * table — callers needing both centroids and assignments (IVF index
+    * build, the cl1 argmax self-check) train once and reuse. */
+  def kmeansAssignWith(corpus: DataFrame, centroids: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cdist").desc, col("cell"))
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col(vecCol), col("centroid")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col(idCol), col("cell"),
+        col("cdist").as("centroid_cosine"))
   }
 
   /** IVF-style ANN: partition the corpus into `nlist` cells around

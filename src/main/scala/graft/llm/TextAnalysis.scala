@@ -100,6 +100,43 @@ object TextAnalysis {
       .drop("__best")
   }
 
+  /** Repetition signals in the spirit of the Gopher quality filters
+    * (Rae et al. 2021 §A1.1): the fraction of non-blank lines that are
+    * duplicates of another line in the same document, and the fraction
+    * of word 2-gram occurrences taken by the single most frequent
+    * 2-gram. High values flag boilerplate / machine-generated text.
+    *
+    * The line signal is per-row array algebra (no shuffle). The top
+    * 2-gram share needs a per-(doc, gram) count — that is explode +
+    * two-level hash aggregation, linear in corpus size with map-side
+    * partial combines (a per-row HOF mode() would be O(grams²) per
+    * document). Both ratios are 0 for documents without lines/grams.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val withLine = df.withColumn("__nl", size(lines))
+      .withColumn("dup_line_frac",
+        when(col("__nl") > 0,
+          (col("__nl") - size(array_distinct(lines))).cast("double") /
+            col("__nl"))
+          .otherwise(0.0))
+      .drop("__nl")
+    val grams = df
+      .withColumn("__w", split(Dedup.normalized(col(textCol)), " "))
+      .withColumn("__g", arrays_zip(
+        slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
+        slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0)))))
+      .select(col(idCol), explode(col("__g")).as("g"))
+    val top = grams.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg((max(col("__c")).cast("double") / sum(col("__c")))
+        .as("top_2gram_frac"))
+    withLine.join(top, Seq(idCol), "left")
+      .withColumn("top_2gram_frac", coalesce(col("top_2gram_frac"), lit(0.0)))
+  }
+
   /** Winnowing fingerprint, SQL-replicable variant: word k-gram md5
     * hex digests compared lexicographically; per-window minima
     * (winnowing, Schleimer et al. 2003) collected as a sorted distinct

@@ -165,4 +165,87 @@ class LlmSpec extends SparkSpec {
     assert(got(1L) == "en")
     assert(got(2L) == "es")
   }
+
+  private def components(edges: (Long, Long)*): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: chain, star, isolated pair, self-loop") {
+    // 9←8←7←6←5 chain (worst case for naive propagation), star at 1,
+    // isolated pair (20,21), self-loop (30,30) dropped entirely
+    val got = components((5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L),
+      (1L, 2L), (1L, 3L), (1L, 4L), (20L, 21L), (30L, 30L))
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 5L,
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components match union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical = min of component: min over members sharing a root
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    val want = nodes.map(n => n -> minOfRoot(find(n))).toMap
+    assert(components(edges: _*) == want)
+  }
+
+  test("duplicateClusters sizes over known pairs") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 10L -> 2L))
+  }
+
+  test("repetition signals: dup-line and top-2-gram fractions") {
+    val d = docs(
+      (1L, "spam line\nspam line\nspam line\nreal content here"),
+      (2L, "a b a b a b"), // 2-grams: "a b"×3, "b a"×2 → top 3/5
+      (3L, "all distinct words here"),
+      (4L, ""))
+    val got = TextAnalysis.repetitionSignals(d)
+      .select("doc_id", "dup_line_frac", "top_2gram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 0.5) // 4 lines, 2 are copies of the first
+    assert(math.abs(got(2L)._2 - 0.6) < 1e-9)
+    assert(got(3L) == (0.0, 1.0 / 3.0))
+    assert(got(4L) == (0.0, 0.0))
+  }
+
+  test("kmeansAssign recovers well-separated clusters") {
+    val s = spark
+    import s.implicits._
+    // 3 orthogonal directions, 8 noisy members each
+    val base = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0))
+    val vecs = for (g <- 0 until 3; i <- 0 until 8) yield
+      ((g * 8 + i).toLong,
+        base(g).zipWithIndex.map { case (v, d) =>
+          v + 0.05 * math.sin((g * 8 + i) * 3.1 + d) })
+    val em = vecs.toDF("vec_id", "embedding")
+    val rows = Similarity.kmeansAssign(em, nlist = 3, iters = 5).collect()
+    val got = rows.map(r => (r.getLong(0), r.getInt(1)))
+    val byGroup = got.groupBy(_._1 / 8).view.mapValues(_.map(_._2).toSet).toMap
+    // every synthetic group lands in exactly one cell, all distinct
+    assert(byGroup.values.forall(_.size == 1), s"split groups: $byGroup")
+    assert(byGroup.values.flatten.toSet.size == 3, s"merged groups: $byGroup")
+    // assigned cosine is high for every member
+    assert(rows.map(_.getDouble(2)).min > 0.99)
+  }
 }
