@@ -746,6 +746,221 @@ object Oracles {
     // the row count without replaying Lloyd's algorithm in SQL.
     "cl1_kmeans" ->
       """SELECT CAST(0 AS BIGINT) AS violations,
-                (SELECT count(*) FROM embeddings) AS n"""
+                (SELECT count(*) FROM embeddings) AS n""",
+
+    // ---- store plane: the oracle recomputes what the materialized
+    // store must contain after each write/maintenance sequence.
+    "j1_store_roundtrip" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events GROUP BY 1, 2),
+         b AS (SELECT metric_id,
+                      CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                      value
+               FROM d)
+         SELECT metric_id, 'mean' AS method, bucket_s,
+                CAST(avg(value) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s
+         UNION ALL
+         SELECT metric_id, 'max' AS method, bucket_s,
+                CAST(max(value) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s
+         UNION ALL
+         SELECT metric_id, 'count' AS method, bucket_s,
+                CAST(count(*) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s""",
+
+    // back-window acceptance threshold per metric: floor(last/block) -
+    // backWindow blocks (block = 3600 s, backWindow = 3); late replays
+    // below it are dropped, re-deliveries above it override (new wins)
+    "m2_backwindow" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events GROUP BY 1, 2),
+         th AS (SELECT metric_id,
+                       CAST(FLOOR(FLOOR(epoch(max(ts)))/3600)*3600 - 3*3600
+                            AS BIGINT) AS thresh_s
+                FROM d GROUP BY 1),
+         f AS (SELECT d.metric_id, d.ts,
+                      CASE WHEN d.ts >= TIMESTAMP '2024-01-30 18:00:00'
+                            AND FLOOR(epoch(d.ts)) >= t.thresh_s
+                        THEN d.value + 500 ELSE d.value END AS value
+               FROM d JOIN th t ON d.metric_id = t.metric_id),
+         b AS (SELECT metric_id,
+                      CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                      value
+               FROM f)
+         SELECT metric_id, 'mean' AS method, bucket_s,
+                CAST(avg(value) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s
+         UNION ALL
+         SELECT metric_id, 'count' AS method, bucket_s,
+                CAST(count(*) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s""",
+
+    // SplitKey arithmetic: split = floor(bucket/(300*3600)); expiry
+    // keeps splits >= floor((now - timespan)/(300*3600)), timespan 10 d
+    "j3_retention" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events GROUP BY 1, 2),
+         n AS (SELECT CAST(max(FLOOR(epoch(ts))) AS BIGINT) AS now_s FROM d),
+         b AS (SELECT metric_id,
+                      CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_s,
+                      value
+               FROM d)
+         SELECT metric_id, bucket_s, CAST(avg(value) AS REAL) AS v
+         FROM b, n
+         WHERE FLOOR(bucket_s/1080000.0) >= FLOOR((now_s - 864000)/1080000.0)
+         GROUP BY metric_id, bucket_s""",
+
+    "j4_expunge" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events
+                    WHERE event_type <> 'click' GROUP BY 1, 2),
+         b AS (SELECT metric_id,
+                      CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                      value
+               FROM d)
+         SELECT metric_id, 'mean' AS method, bucket_s,
+                CAST(avg(value) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s
+         UNION ALL
+         SELECT metric_id, 'count' AS method, bucket_s,
+                CAST(count(*) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s""",
+
+    // ---- training-data assembly
+    "smp1_stratified_sample" ->
+      """SELECT source, doc_id FROM documents
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""",
+
+    "smp2_hash_split" ->
+      """SELECT doc_id,
+                CASE WHEN md5('graft:' || CAST(doc_id AS VARCHAR)) < '0d'
+                       THEN 'test'
+                     WHEN md5('graft:' || CAST(doc_id AS VARCHAR)) < '1a'
+                       THEN 'val'
+                     ELSE 'train' END AS split
+         FROM documents""",
+
+    "pk1_pack_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE array_length(string_split_regex(trim(text), '\s+'))
+                       END AS BIGINT) AS tk
+           FROM documents),
+         c AS (
+           SELECT doc_id, tk,
+                  COALESCE(SUM(tk) OVER (ORDER BY source, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS off
+           FROM t)
+         SELECT doc_id, off AS token_offset,
+                CAST(FLOOR(off/512.0) AS BIGINT) AS first_win,
+                CAST(FLOOR((off + greatest(tk, 1) - 1)/512.0) AS BIGINT)
+                  AS last_win
+         FROM c""",
+
+    "dc1_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM d),
+         bg AS (SELECT list_distinct(flatten(list(sh))) AS bsh
+                FROM g WHERE doc_id % 50 = 0),
+         h AS (SELECT doc_id, len(list_intersect(sh, bsh)) AS nh
+               FROM g, bg WHERE doc_id % 50 <> 0)
+         SELECT doc_id, CAST(nh AS BIGINT) AS n_hit_grams
+         FROM h WHERE nh > 0""",
+
+    "pii1_scrub" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com from 10.0.'
+                         || CAST(doc_id % 256 AS VARCHAR) || '.'
+                         || CAST(doc_id % 100 AS VARCHAR)
+                         || ' tel 555-123-4567'
+                    ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(t,
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(t,
+                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'))
+                  AS scrub_md5
+         FROM p""",
+
+    "qf1_quality_filter" ->
+      """WITH q AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(string_split_regex(trim(text), '\s+'))
+             END AS n_words,
+             length(text) AS nc,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+               AS np,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> lower(x) IN ('the','a','an','and','or','of','to','in','is',
+                                 'was','it','for','on','with','as','at','by')))
+               AS nstop,
+             list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+               x -> length(x))) AS wlen
+           FROM documents),
+         sig AS (
+           SELECT doc_id, n_words,
+                  CASE WHEN n_words > 0 THEN CAST(nstop AS DOUBLE)/n_words
+                       ELSE 0 END AS stop_r,
+                  CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc
+                       ELSE 0 END AS punct_r,
+                  CASE WHEN n_words > 0 THEN CAST(wlen AS DOUBLE)/n_words
+                       ELSE 0 END AS mwl
+           FROM q),
+         w AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                        'g')), ' ') AS ws
+               FROM documents),
+         gr AS (SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(ws),1)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS gram
+                FROM w),
+         c AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
+         t AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS tf
+               FROM c GROUP BY 1),
+         fl AS (
+           SELECT s.doc_id, s.n_words, s.stop_r, s.punct_r, s.mwl,
+                  coalesce(t.tf, 0) AS tf
+           FROM sig s LEFT JOIN t ON s.doc_id = t.doc_id),
+         r AS (
+           SELECT doc_id,
+                  (CASE WHEN n_words < 40 THEN 1 ELSE 0 END
+                   + CASE WHEN stop_r < 0.04 THEN 2 ELSE 0 END
+                   + CASE WHEN punct_r > 0.10 THEN 4 ELSE 0 END
+                   + CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 8 ELSE 0 END
+                   + CASE WHEN tf > 0.06 THEN 16 ELSE 0 END) AS reasons
+           FROM fl)
+         SELECT doc_id,
+                CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+                CAST(reasons AS BIGINT) AS reasons
+         FROM r"""
   )
 }

@@ -8,7 +8,9 @@ import graft.timeseries.{Bucketing, Kernels, TimeSeriesOps}
 import graft.ops.{Compiler, GroupedOps, Parser}
 import graft.catalog.{Filter, FilterParser, HistoryAgg, Pagination}
 import graft.query.MeasureSearch
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.model.{ArchivePolicy, ArchivePolicyItem}
+import graft.ingest.MetricStore
 
 /** The operator inventory as driver-checkable queries (SURVEY §2 ids in
   * the names). Every query with a DuckDB-expressible semantic carries an
@@ -692,6 +694,139 @@ object Queries {
           count(lit(1)).as("n"))
     }))
 
+  // ---------------------------------------------------------------- store plane
+
+  /** Store-ingest input: measures deduped to one value per (metric,
+    * timestamp) via max event_id. The store's new-wins merge tie-breaks
+    * duplicate timestamps WITHIN a batch by delivery order, which no
+    * independent oracle can replay — so the store queries pre-collapse
+    * duplicates deterministically and put the whole write/read machinery
+    * (sack-partitioned buffer, back-window, split overwrite, pruned
+    * multi-series scan) under the hash compare instead.
+    */
+  private def dedupMeasures(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(col("event_type").as("metric_id"),
+        col("ts").as("timestamp"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+
+  /** Fresh store under /tmp, wiped at query start (path deterministic
+    * per (tag, sf dir) so repeated runs are idempotent). */
+  private def freshStore(s: SparkSession, tag: String, dir: String,
+                         policy: ArchivePolicy): MetricStore = {
+    val root = s"/tmp/graft-q-store/$tag-${math.abs(dir.hashCode)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    new MetricStore(s, root, policy)
+  }
+
+  val storeQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1/I7/P2 under the oracle hash: one incremental-job batch into a
+    // fresh store, read back through the partition-pruned multi-series
+    // scan; the oracle recomputes the same hourly aggregates directly.
+    "j1_store_roundtrip" -> ((s, dir) => {
+      val store = freshStore(s, "j1", dir, ArchivePolicy("j1", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean", "max", "count")))
+      store.addMeasures(dedupMeasures(s, dir))
+      store.getMeasuresMany(allTypes, Seq("mean", "max", "count"), 3600L)
+        .select(col("metric_id"), col("method"), bucketS(),
+          r6(col("value")).as("v"))
+    }),
+    // M2 back-window acceptance + cross-batch new-wins merge: batch 2
+    // replays the first days with poisoned values (+1000 — must be
+    // REJECTED by the back window or hourly means shift visibly) and
+    // re-delivers the final hours with +500 (must be ACCEPTED, and must
+    // OVERRIDE batch 1's points at the same timestamps — new wins).
+    "m2_backwindow" -> ((s, dir) => {
+      val store = freshStore(s, "m2", dir, ArchivePolicy("m2", 3,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean", "count")))
+      val d = dedupMeasures(s, dir).cache()
+      store.addMeasures(d)
+      val late = d
+        .filter(col("timestamp") < lit("2024-01-05 00:00:00").cast("timestamp"))
+        .withColumn("value", col("value") + 1000)
+      val redo = d
+        .filter(col("timestamp") >= lit("2024-01-30 18:00:00").cast("timestamp"))
+        .withColumn("value", col("value") + 500)
+      store.addMeasures(late.unionByName(redo))
+      d.unpersist()
+      store.getMeasuresMany(allTypes, Seq("mean", "count"), 3600L)
+        .select(col("metric_id"), col("method"), bucketS(),
+          r6(col("value")).as("v"))
+    }),
+    // J3 physical retention expiry: 300 s granularity with a 10-day
+    // timespan; expiry drops whole split directories strictly older
+    // than the oldest key to keep — the oracle replays the SplitKey
+    // arithmetic (split = floor(bucket / (300·3600))).
+    "j3_retention" -> ((s, dir) => {
+      val store = freshStore(s, "j3", dir, ArchivePolicy("j3", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(300), Some(2880L), None)),
+        Set("mean")))
+      val d = dedupMeasures(s, dir)
+      store.addMeasures(d)
+      val nowS = d.agg(max(unix_timestamp(col("timestamp")))).head.getLong(0)
+      store.expireRetention(nowS)
+      store.aggregates
+        .select(col("metric_id"), bucketS(), r6(col("value")).as("v"))
+    }),
+    // J4 metric expunge: one metric's rows vanish from every split (and
+    // splits left empty are deleted, not stranded by the dynamic
+    // overwrite); the oracle is the j1 aggregate minus that metric.
+    "j4_expunge" -> ((s, dir) => {
+      val store = freshStore(s, "j4", dir, ArchivePolicy("j4", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean", "count")))
+      store.addMeasures(dedupMeasures(s, dir))
+      store.expungeMetric("click")
+      store.aggregates
+        .select(col("metric_id"), col("method"), bucketS(),
+          r6(col("value")).as("v"))
+    }))
+
+  // ------------------------------------------------- training-data assembly
+
+  val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "smp1_stratified_sample" -> ((s, dir) =>
+      Pipeline.stratifiedSample(table(s, dir, "documents"), "source", k = 5)
+        .select(col("source"), col("doc_id"))),
+    "smp2_hash_split" -> ((s, dir) =>
+      Pipeline.hashSplit(table(s, dir, "documents"))
+        .select(col("doc_id"), col("split"))),
+    "pk1_pack_chunks" -> ((s, dir) =>
+      Pipeline.packChunks(table(s, dir, "documents"),
+          TextAnalysis.wordCount(col("text")), budget = 512,
+          strataCol = "source")
+        .select(col("doc_id"), col("token_offset"), col("first_win"),
+          col("last_win"))),
+    // benchmark set = every 50th doc; corpus docs sharing any word
+    // 3-gram with it are flagged with their distinct-overlap count
+    "dc1_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Pipeline.decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 3)
+    }),
+    // synthetic corpus carries no PII — inject a deterministic payload
+    // on every 7th doc so detection, counting, and scrubbing all sit
+    // under the hash compare (scrubbed text enters as its md5)
+    "pii1_scrub" -> ((s, dir) => {
+      val withPii = table(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 100).cast("string"), lit(" tel 555-123-4567")))
+          .otherwise(col("text")))
+      TextAnalysis.piiSignals(withPii)
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+          col("n_phones"), md5(col("scrubbed")).as("scrub_md5"))
+    }),
+    "qf1_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(table(s, dir, "documents"))
+        .select(col("doc_id"), col("keep"), col("reasons"))))
+
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    measureQueries ++ dslQueries ++ catalogQueries ++ llmQueries
+    measureQueries ++ dslQueries ++ catalogQueries ++ llmQueries ++
+      storeQueries ++ pipelineQueries
 }

@@ -65,8 +65,8 @@ object Dedup {
     * `split(...)` tree inside the lambda would re-tokenize the whole
     * document once per shingle element (O(words²) per document).
     */
-  private def withShingles(df: DataFrame, textCol: String, n: Int,
-                           out: String): DataFrame = {
+  private[llm] def withShingles(df: DataFrame, textCol: String, n: Int,
+                                out: String): DataFrame = {
     val w = col("__words")
     // n-grams by zipping n shifted slices of the word array: every
     // reference to `w` is row-level (evaluated once per row), and the

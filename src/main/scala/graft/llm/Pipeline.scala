@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dataset-assembly operators for training-data pipelines: deterministic
+  * sampling and split assignment, sequence packing, and benchmark
+  * decontamination. Greenfield (no reference citation — these extend the
+  * engine toward the LLM-pipeline north star); everything is seeded by
+  * content-independent id hashes so reruns and backfills are
+  * reproducible across cluster sizes and partitionings.
+  */
+object Pipeline {
+
+  /** Deterministic stratified sampling: the `k` documents per stratum
+    * whose md5(id) sorts lowest — a reproducible uniform draw without a
+    * seed-and-shuffle (rerunning over a grown corpus keeps previously
+    * sampled ids stable except where new ids hash below the old kth).
+    *
+    * Scale shape: `row_number` under a `<= k` filter becomes a
+    * WindowGroupLimit in Spark 3.5+ — per-partition top-k heaps run
+    * map-side BEFORE the shuffle, so each stratum moves at most
+    * (k × input partitions) rows, not its full population.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, k: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Deterministic train/val/test split on a salted id hash: a document
+    * keeps its split for life regardless of corpus growth, partitioning,
+    * or cluster size (the property a seeded `randomSplit` lacks). Split
+    * fractions are hex-prefix thresholds on the md5 digest — lexicographic
+    * compare of lowercase hex, so any engine can replay the assignment.
+    * Defaults: test ≈ 13/256, val ≈ (26−13)/256, train = rest.
+    */
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+                salt: String = "graft",
+                testHexLt: String = "0d", valHexLt: String = "1a"): DataFrame =
+    df.withColumn("__h", md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .withColumn("split",
+        when(col("__h") < testHexLt, "test")
+          .when(col("__h") < valHexLt, "val")
+          .otherwise("train"))
+      .drop("__h")
+
+  /** Sequence packing: lay documents out in a deterministic global order
+    * (strata ascending, id ascending within) and chunk the concatenated
+    * token stream into fixed `budget`-token context windows — documents
+    * split across window boundaries, GPT-style pretraining packing.
+    * Emits `token_offset` (global stream position of the document's
+    * first token) and the `[first_win, last_win]` window range.
+    *
+    * Scale shape: a single global running sum serializes into ONE window
+    * task. Instead the running sum is per-stratum (parallel tasks), and
+    * each stratum's global base offset comes from a prefix sum over the
+    * per-stratum totals — a frame of |strata| rows, broadcast back. The
+    * only single-task work is the tiny totals prefix.
+    */
+  def packChunks(df: DataFrame, tokens: Column, budget: Int,
+                 strataCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val base = df.withColumn("__t", tokens.cast("long"))
+    val wIn = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = base.withColumn("__cum_in",
+      coalesce(sum(col("__t")).over(wIn), lit(0L)))
+    val totals = base.groupBy(strataCol).agg(sum(col("__t")).as("__tot"))
+    val wTot = Window.orderBy(col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wTot), lit(0L)))
+      .select(col(strataCol), col("__off"))
+    within.join(broadcast(offsets), Seq(strataCol))
+      .withColumn("token_offset", col("__cum_in") + col("__off"))
+      .withColumn("first_win",
+        floor(col("token_offset") / budget).cast("long"))
+      .withColumn("last_win",
+        floor((col("token_offset") + greatest(col("__t"), lit(1L)) - 1) / budget)
+          .cast("long"))
+      .drop("__t", "__cum_in", "__off")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with an eval/benchmark set — the standard n-gram-overlap
+    * rule for scrubbing test-set leakage out of pretraining data.
+    * Returns `(id, n_hit_grams)` for contaminated documents only
+    * (n_hit_grams = distinct shared n-grams).
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * — distinct 64-bit gram hashes, broadcast — so the corpus side is
+    * one explode + broadcast hash join + partial-aggregated groupBy:
+    * no shuffle of document bodies, no corpus self-join.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val cg = Dedup.withShingles(Dedup.rebalance(corpus), textCol, n, "__sh")
+      .select(col(idCol).as("id"), explode(col("__sh")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val bg = Dedup.withShingles(bench, textCol, n, "__sh")
+      .select(explode(col("__sh")).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    cg.join(broadcast(bg), Seq("gh"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+}

@@ -137,6 +137,59 @@ object TextAnalysis {
       .withColumn("top_2gram_frac", coalesce(col("top_2gram_frac"), lit(0.0)))
   }
 
+  /** PII patterns kept to the regex intersection of Java regex and RE2
+    * (char classes, bounded quantifiers, \b, non-capturing groups) so
+    * independent engines replay them identically. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII detection + scrubbing: per-document match counts for emails /
+    * IPv4 addresses / NANP-style phone numbers, and a `scrubbed` text
+    * column with each class replaced by a typed placeholder. Pure
+    * codegen'd per-row regex work — a map stage at any scale. Scrub
+    * order (email → ip → phone) is fixed so results are deterministic
+    * when classes overlap textually.
+    */
+  def piiSignals(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailRe)).cast("long"))
+      .withColumn("n_ipv4", regexp_count(col(textCol), lit(ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phoneRe)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+            ipv4Re, "<IP>"),
+          phoneRe, "<PHONE>"))
+
+  /** Composite quality filter in the Gopher/C4 style: combine the
+    * [[qualitySignals]] and [[repetitionSignals]] measurements into a
+    * keep/drop decision with a `reasons` bitmask (1 = too short,
+    * 2 = low stopword ratio, 4 = high punctuation, 8 = word length out
+    * of range, 16 = repetitive top 2-gram). One signal pass + the
+    * 2-gram aggregation — thresholds are plain column predicates on
+    * exact integer ratios, so the decision replays bit-identically in
+    * any engine.
+    */
+  def qualityFilter(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    minWords: Int = 40, minStopRatio: Double = 0.04,
+                    maxPunctRatio: Double = 0.10,
+                    minMeanWordLen: Double = 3.0,
+                    maxMeanWordLen: Double = 10.0,
+                    maxTop2GramFrac: Double = 0.06): DataFrame = {
+    val sig = repetitionSignals(qualitySignals(df, textCol), idCol, textCol)
+    sig
+      .withColumn("reasons",
+        when(col("n_words") < minWords, 1L).otherwise(0L) +
+        when(col("stopword_ratio") < minStopRatio, 2L).otherwise(0L) +
+        when(col("punct_ratio") > maxPunctRatio, 4L).otherwise(0L) +
+        when(!col("mean_word_len").between(minMeanWordLen, maxMeanWordLen), 8L)
+          .otherwise(0L) +
+        when(col("top_2gram_frac") > maxTop2GramFrac, 16L).otherwise(0L))
+      .withColumn("keep", (col("reasons") === 0L).cast("long"))
+  }
+
   /** Winnowing fingerprint, SQL-replicable variant: word k-gram md5
     * hex digests compared lexicographically; per-window minima
     * (winnowing, Schleimer et al. 2003) collected as a sorted distinct

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Pipeline, TextAnalysis}
+
+class PipelineSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  /** Independent md5 (java.security, not Spark) for cross-checking the
+    * hash-seeded sampling/split operators. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("stratifiedSample keeps exactly the k lowest-md5 ids per stratum") {
+    val d = docs((0L to 19L).map(i =>
+      (i, s"s${i % 2}", s"text $i")): _*)
+    val got = Pipeline.stratifiedSample(d, "source", k = 3)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = (0L to 19L).groupBy(i => s"s${i % 2}").toSeq.flatMap {
+      case (src, ids) =>
+        ids.sortBy(i => (md5hex(i.toString), i)).take(3).map(i => (src, i))
+    }.toSet
+    assert(got == expected)
+    assert(got.size == 6)
+  }
+
+  test("hashSplit assigns by salted md5 hex thresholds, deterministically") {
+    val d = docs((0L to 99L).map(i => (i, "s", s"t$i")): _*)
+    val got = Pipeline.hashSplit(d).select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    (0L to 99L).foreach { i =>
+      val h = md5hex(s"graft:$i")
+      val exp =
+        if (h < "0d") "test" else if (h < "1a") "val" else "train"
+      assert(got(i) == exp, s"doc $i hash $h")
+    }
+    // rerun is identical (content-independent, seedless)
+    val again = Pipeline.hashSplit(d).select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(again == got)
+  }
+
+  test("packChunks: global offsets stitch strata; windows split docs") {
+    // strata a: docs 1 (3 tok), 2 (5 tok); strata b: doc 3 (4 tok)
+    val d = docs(
+      (1L, "a", "w w w"),
+      (2L, "a", "w w w w w"),
+      (3L, "b", "w w w w"))
+    val got = Pipeline.packChunks(d, TextAnalysis.wordCount(col("text")),
+        budget = 4, strataCol = "source")
+      .select("doc_id", "token_offset", "first_win", "last_win").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // stream: [doc1: 0-2][doc2: 3-7][doc3: 8-11], windows of 4
+    assert(got(1L) == (0L, 0L, 0L))
+    assert(got(2L) == (3L, 0L, 1L)) // spans windows 0 and 1
+    assert(got(3L) == (8L, 2L, 2L))
+  }
+
+  test("packChunks: empty doc occupies its offset with no extra window") {
+    val d = docs((1L, "a", "x y"), (2L, "a", " "), (3L, "a", "z"))
+    val got = Pipeline.packChunks(d, TextAnalysis.wordCount(col("text")),
+        budget = 10, strataCol = "source")
+      .select("doc_id", "token_offset", "first_win", "last_win").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(2L) == (2L, 0L, 0L))
+    assert(got(3L) == (2L, 0L, 0L)) // empty doc consumed no tokens
+  }
+
+  test("decontaminate flags docs sharing a 3-gram with the benchmark set") {
+    val bench = docs((100L, "b", "alpha beta gamma delta"))
+    val corpus = docs(
+      (1L, "c", "alpha beta gamma something else entirely"), // shares 1
+      (2L, "c", "beta gamma delta and alpha beta gamma too"), // shares 2
+      (3L, "c", "no overlap with anything here at all"))
+    val got = Pipeline.decontaminate(corpus, bench, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("piiSignals counts and scrubs emails, ips, phones") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or b@x.io, host 10.0.0.1, tel 555-123-4567"),
+      (2L, "clean text without identifiers")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiSignals(d)
+      .select("doc_id", "n_emails", "n_ipv4", "n_phones", "scrubbed")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L)._1 == 2L)
+    assert(got(1L)._2 == 1L)
+    assert(got(1L)._3 == 1L)
+    assert(got(1L)._4 ==
+      "mail me at <EMAIL> or <EMAIL>, host <IP>, tel <PHONE>")
+    assert(got(2L) == ((0L, 0L, 0L, "clean text without identifiers")))
+  }
+
+  test("qualityFilter sets the right reason bits") {
+    val longWords = (1 to 50).map(i => s"word$i").mkString(" ")
+    val stopRich = (1 to 25).map(_ => "the table").mkString(" ") // 50 words
+    val repetitive = (1 to 25).map(_ => "dup gram").mkString(" ")
+    val d = docs(
+      (1L, "s", "short text only"), // bit 1 (short) + bit 2 (no stopwords)
+      (2L, "s", longWords), // no stopwords -> bit 2
+      (3L, "s", stopRich)) // stopword-rich but "the table" repeats -> bit 16
+    val got = TextAnalysis.qualityFilter(d)
+      .select("doc_id", "keep", "reasons").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L)._2 == (1L | 2L | 16L))
+    assert(got(2L) == ((0L, 2L)))
+    assert((got(3L)._2 & 16L) == 16L)
+    assert(got.values.forall { case (k, r) => (k == 1L) == (r == 0L) })
+    val _ = repetitive
+  }
+}
