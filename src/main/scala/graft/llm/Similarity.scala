@@ -50,7 +50,8 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
                       sampleMod: Int = 1,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      seedSample: Int = 8192): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val train0 = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
@@ -62,20 +63,43 @@ object Similarity {
     // every chosen one (hash tiebreak). Unlike a pure hash sample this
     // cannot put two seeds inside one tight cluster, so Lloyd starts
     // from spread-out cells — the classic k-means++ motivation without
-    // RNG state. nlist extra plan-time jobs over the (sampled) train
-    // set, each a single scan.
-    var cents: Array[Seq[Double]] = train
+    // RNG state. The greedy runs DRIVER-SIDE over the `seedSample`
+    // lowest-xxhash64 vectors: one TakeOrdered pass over the (sampled)
+    // train set + k·|sample|·dim local flops, instead of k sequential
+    // full scans. Whenever the corpus fits in the sample the result is
+    // bit-identical to the distributed greedy (same summation order,
+    // same (maxCosine, hash) argmin tiebreak).
+    val sample: Array[(Long, Seq[Double])] = train
       .withColumn("__h", xxhash64(col("cid")))
-      .orderBy("__h").limit(1)
-      .select("cv").collect().map(_.getSeq[Double](0))
-    while (cents.nonEmpty && cents.length < nlist) {
-      val sims = cents.map(c => cosine(col("cv"), typedlit(c)))
-      val far = train
-        .withColumn("__maxc", greatest((sims :+ lit(-2.0d)): _*))
-        .withColumn("__h", xxhash64(col("cid")))
-        .orderBy(asc("__maxc"), asc("__h")).limit(1)
-        .select("cv").collect()
-      cents = cents :+ far.head.getSeq[Double](0)
+      .orderBy("__h").limit(seedSample)
+      .select(col("__h"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def dotL(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosL(a: Seq[Double], b: Seq[Double]): Double =
+      dotL(a, b) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b)))
+    var cents: Array[Seq[Double]] = sample.headOption.map(_._2).toArray
+    if (cents.nonEmpty) {
+      val maxc = Array.fill(sample.length)(-2.0)
+      while (cents.length < nlist) {
+        val newest = cents.last
+        var best = 0
+        var bestC = Double.MaxValue
+        var bestH = Long.MaxValue
+        var i = 0
+        while (i < sample.length) {
+          val c = cosL(sample(i)._2, newest)
+          if (c > maxc(i)) maxc(i) = c
+          if (maxc(i) < bestC ||
+              (maxc(i) == bestC && sample(i)._1 < bestH)) {
+            best = i; bestC = maxc(i); bestH = sample(i)._1
+          }
+          i += 1
+        }
+        cents = cents :+ sample(best)._2
+      }
     }
     def centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("cell", "centroid")
