@@ -77,7 +77,11 @@ object Bench {
     "scale_txt2_quality" -> (() =>
       Queries.all("txt2_quality")(s, dir)),
     "scale_g5_grouped_ratio" -> (() =>
-      Queries.all("g5_grouped_ratio")(s, dir)))
+      Queries.all("g5_grouped_ratio")(s, dir)),
+    "scale_dc1_decontaminate" -> (() =>
+      Queries.all("dc1_decontaminate")(s, dir)),
+    "scale_qf1_quality_filter" -> (() =>
+      Queries.all("qf1_quality_filter")(s, dir)))
 
   /** J1/P2 at scale: time the WRITE path (sack-partitioned raw buffer +
     * split-partitioned incremental aggregation) and the multi-series

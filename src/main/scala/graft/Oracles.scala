@@ -798,6 +798,31 @@ object Oracles {
                 CAST(count(*) AS REAL) AS v
          FROM b GROUP BY metric_id, bucket_s""",
 
+    "j2_compaction" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events GROUP BY 1, 2)
+         SELECT metric_id,
+                CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                CAST(avg(value) AS REAL) AS v
+         FROM d GROUP BY 1, 2""",
+
+    // raw buffer after back_window shrink 3 -> 0: only the final
+    // 3600 s block per metric survives the re-truncation
+    "j5_raw_truncation" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events GROUP BY 1, 2),
+         th AS (SELECT metric_id,
+                       CAST(FLOOR(FLOOR(epoch(max(ts)))/3600)*3600 AS BIGINT)
+                         AS floor_s
+                FROM d GROUP BY 1)
+         SELECT d.metric_id, count(*) AS n,
+                CAST(min(FLOOR(epoch(d.ts))) AS BIGINT) AS min_ts_s
+         FROM d JOIN th t ON d.metric_id = t.metric_id
+         WHERE FLOOR(epoch(d.ts)) >= t.floor_s
+         GROUP BY 1""",
+
     // SplitKey arithmetic: split = floor(bucket/(300*3600)); expiry
     // keeps splits >= floor((now - timespan)/(300*3600)), timespan 10 d
     "j3_retention" ->

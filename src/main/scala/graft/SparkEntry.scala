@@ -35,8 +35,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (minhash/simhash/xxhash-based fingerprints, approximate ANN) —
-    * driver records a weaker rows-only check for those. */
+    * the same parquet tables. EVERY query carries an oracle: ops whose
+    * kernels are not SQL-expressible (minhash/simhash signatures,
+    * approximate ANN) are posed as self-verifying queries instead —
+    * recall vs the in-engine exact baseline, symmetric difference vs a
+    * brute-force arm — whose outcome the oracle pins. */
   def oracleSql: Map[String, String] = Oracles.all
 }
