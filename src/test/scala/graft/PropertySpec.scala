@@ -83,4 +83,86 @@ class PropertySpec extends SparkSpec {
       acc.toSeq == full
     }, n = 30)
   }
+
+  test("packChunks: offsets tile the token stream exactly, any corpus") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val genDocs = Gen.listOfN(40, for {
+      src <- Gen.oneOf("a", "b", "c")
+      nw <- Gen.chooseNum(0, 12)
+    } yield (src, List.fill(nw)("w").mkString(" ")))
+    check(Prop.forAll(genDocs, Gen.chooseNum(1, 20)) { (docs, budget) =>
+      val df = docs.zipWithIndex
+        .map { case ((src, t), i) => (i.toLong, src, t) }
+        .toDF("doc_id", "source", "text")
+      val got = graft.llm.Pipeline.packChunks(df,
+          graft.llm.TextAnalysis.wordCount(col("text")), budget, "source")
+        .select("source", "doc_id", "token_offset", "first_win", "last_win")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(t => (t._1, t._2))
+      val toks = docs.zipWithIndex
+        .map { case ((src, t), i) =>
+          ((src, i.toLong), t.split(" ").count(_.nonEmpty).toLong) }
+        .sortBy(_._1)
+      // ground truth: sequential scan in (source, id) order
+      var cum = 0L
+      val ok = got.zip(toks).forall { case ((_, _, off, fw, lw), (_, n)) =>
+        val expFw = cum / budget
+        val expLw = (cum + math.max(n, 1) - 1) / budget
+        val pass = off == cum && fw == expFw && lw == expLw
+        cum += n
+        pass
+      }
+      ok && cum == toks.map(_._2).sum
+    }, n = 40)
+  }
+
+  test("hashSplit: exhaustive, deterministic, content-independent") {
+    val s = spark
+    import s.implicits._
+    check(Prop.forAll(Gen.listOfN(30, Gen.chooseNum(0L, 1_000_000L))) { ids0 =>
+      val ids = ids0.distinct
+      val df = ids.map(i => (i, s"text-$i")).toDF("doc_id", "text")
+      val got = graft.llm.Pipeline.hashSplit(df)
+        .select("doc_id", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      // every doc gets exactly one of the three labels, and relabeling
+      // the text changes nothing (split depends only on the id)
+      val relabeled = graft.llm.Pipeline.hashSplit(
+          ids.map(i => (i, "other")).toDF("doc_id", "text"))
+        .select("doc_id", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      got.values.forall(Set("train", "val", "test")) && relabeled == got
+    }, n = 20)
+  }
+
+  test("decontaminate: flags exactly the docs sharing an n-gram") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val genDoc = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(12, genDoc), Gen.listOfN(2, genDoc)) {
+      (corpus, bench) =>
+        val cdf = corpus.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val bdf = bench.zipWithIndex
+          .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+        val got = graft.llm.Pipeline.decontaminate(cdf, bdf, n = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        def grams(t: String): Set[String] =
+          t.split(" ").filter(_.nonEmpty).sliding(2).filter(_.size == 2)
+            .map(_.mkString(" ")).toSet
+        val bg = bench.flatMap(grams).toSet
+        val exp = corpus.zipWithIndex.flatMap { case (t, i) =>
+          val hits = grams(t).intersect(bg).size
+          if (hits > 0) Some((i.toLong, hits.toLong)) else None
+        }.toMap
+        got == exp
+    }, n = 30)
+  }
 }
