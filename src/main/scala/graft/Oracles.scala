@@ -839,6 +839,28 @@ object Oracles {
          WHERE FLOOR(bucket_s/1080000.0) >= FLOOR((now_s - 864000)/1080000.0)
          GROUP BY metric_id, bucket_s""",
 
+    "j6_end_dating" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS id,
+                           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+                    FROM events),
+         a AS (SELECT id, max(ts_s) AS last_s FROM e GROUP BY 1),
+         n AS (SELECT max(last_s) AS now_s FROM a),
+         d AS (SELECT a.id,
+                      CASE WHEN a.last_s <= n.now_s - 3*86400
+                        THEN a.last_s END AS ended_s,
+                      n.now_s AS now_s
+               FROM a, n),
+         r AS (SELECT id,
+                      CASE WHEN ended_s IS NOT NULL
+                            AND CAST(id AS BIGINT) % 7 = 0
+                        THEN NULL ELSE ended_s END AS ended_s,
+                      now_s
+               FROM d)
+         SELECT id, ended_s,
+                CAST(CASE WHEN ended_s IS NULL OR ended_s > now_s - 5*86400
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+         FROM r""",
+
     "j4_expunge" ->
       """WITH d AS (SELECT event_type AS metric_id, ts,
                            arg_max(value, event_id) AS value

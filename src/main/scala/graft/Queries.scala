@@ -817,6 +817,37 @@ object Queries {
         .agg(count(lit(1)).as("n"),
           min(unix_timestamp(col("timestamp"))).cast("long").as("min_ts_s"))
     }),
+    // J6 end-dating + resurrection + auto-clean over a catalog derived
+    // from the data: users are resources, last event = last activity.
+    // Users idle ≥ 3 d at corpus end get end-dated at their last
+    // activity; every 7th user then receives a fresh measure (ingest
+    // resurrection clears ended_at); auto-clean drops resources ended
+    // more than 5 d ago. Output: (id, ended_s, kept) — three classes.
+    "j6_end_dating" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id").cast("string").as("id"),
+        unix_timestamp(col("ts")).cast("long").as("ts_s"))
+      val res = ev.groupBy("id")
+        .agg(min(col("ts_s")).as("started_s"))
+        .withColumn("started_at", to_timestamp(from_unixtime(col("started_s"))))
+        .withColumn("ended_at", lit(null).cast("timestamp"))
+        .select("id", "started_at", "ended_at")
+      val act = ev.groupBy(col("id").as("resource_id"))
+        .agg(max(col("ts_s")).as("last_ts_s"))
+      val nowS = act.agg(max("last_ts_s")).head.getLong(0)
+      val ended = graft.catalog.Maintenance.endDateInactive(
+        res, act, nowS, inactiveS = 3L * 86400)
+      val fresh = act.filter(col("resource_id").cast("long") % 7 === 0)
+        .withColumn("last_ts_s", lit(nowS))
+      val resur = graft.catalog.Maintenance.resurrect(ended, fresh)
+      val kept = graft.catalog.Maintenance.autoClean(resur, nowS,
+          graceS = 5L * 86400)
+        .select(col("id"), lit(1L).as("kept"))
+      resur
+        .select(col("id"),
+          unix_timestamp(col("ended_at")).cast("long").as("ended_s"))
+        .join(kept, Seq("id"), "left")
+        .withColumn("kept", coalesce(col("kept"), lit(0L)))
+    }),
     // J4 metric expunge: one metric's rows vanish from every split (and
     // splits left empty are deleted, not stranded by the dynamic
     // overwrite); the oracle is the j1 aggregate minus that metric.

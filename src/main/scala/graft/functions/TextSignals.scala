@@ -172,5 +172,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("text_signals"),
       new ExpressionInfo("graft.functions.TextSignals", "text_signals"),
       (children: Seq[Expression]) => TextSignals(children.head)))
+    ext.injectFunction((new FunctionIdentifier("repetition_signals"),
+      new ExpressionInfo("graft.functions.RepetitionSignals",
+        "repetition_signals"),
+      (children: Seq[Expression]) => RepetitionSignals(children.head)))
   }
 }

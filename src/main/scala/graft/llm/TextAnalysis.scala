@@ -106,46 +106,29 @@ object TextAnalysis {
     * of word 2-gram occurrences taken by the single most frequent
     * 2-gram. High values flag boilerplate / machine-generated text.
     *
-    * Both signals are per-row array algebra — NO shuffle, no explode:
-    * the top 2-gram share sorts the document's gram-hash array and
-    * takes its longest equal run (O(g log g) per row inside codegen).
-    * The earlier explode + two-level hash aggregation shuffled a
-    * (doc, gram) pair per gram corpus-wide — 7× slower on the
-    * 32×-amplified corpus for identical results. Both ratios are 0 for
+    * Both signals come from the native single-pass
+    * [[graft.functions.RepetitionSignals]] expression (registered as
+    * `repetition_signals`): one string traversal with a small per-row
+    * hash table, inside whole-stage codegen. The Column formulations
+    * (explode + two-level hash aggregation, or per-row sort + HOF
+    * aggregate) measured 17 s / 10 s on the 32×-amplified corpus —
+    * corpus-wide gram shuffles in the first case, interpreted
+    * per-element lambda frames in the second. Both ratios are 0 for
     * documents without lines/grams.
     */
   def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
-    val withLine = df.withColumn("__nl", size(lines))
+    val sig = call_function("repetition_signals", col(textCol))
+    df.withColumn("__rep", sig)
       .withColumn("dup_line_frac",
-        when(col("__nl") > 0,
-          (col("__nl") - size(array_distinct(lines))).cast("double") /
-            col("__nl"))
+        when(col("__rep.n_lines") > 0,
+          col("__rep.n_dup_lines").cast("double") / col("__rep.n_lines"))
           .otherwise(0.0))
-      .drop("__nl")
-    // grams as 64-bit hashes (equal-run counting needs equality only);
-    // __w materialized first so the two slices don't re-tokenize
-    val n1 = greatest(size(col("__w")) - 1, lit(0))
-    val gramHashes = transform(
-      arrays_zip(slice(col("__w"), lit(1), n1), slice(col("__w"), lit(2), n1)),
-      s => xxhash64(s.getField("0"), s.getField("1")))
-    // longest equal run over the sorted array via one aggregate pass:
-    // acc = (prev, current run, best run)
-    val run = (acc: Column, x: Column) =>
-      when(x === acc.getField("p"), acc.getField("r") + 1).otherwise(lit(1L))
-    val best = aggregate(sort_array(col("__g")),
-      struct(lit(Long.MinValue).as("p"), lit(0L).as("r"), lit(0L).as("b")),
-      (acc, x) => struct(x.as("p"), run(acc, x).as("r"),
-        greatest(acc.getField("b"), run(acc, x)).as("b")),
-      acc => acc.getField("b"))
-    withLine
-      .withColumn("__w", split(Dedup.normalized(col(textCol)), " "))
-      .withColumn("__g", gramHashes)
       .withColumn("top_2gram_frac",
-        when(size(col("__g")) > 0,
-          best.cast("double") / size(col("__g"))).otherwise(0.0))
-      .drop("__w", "__g")
+        when(col("__rep.n_grams") > 0,
+          col("__rep.top_gram").cast("double") / col("__rep.n_grams"))
+          .otherwise(0.0))
+      .drop("__rep")
   }
 
   /** PII patterns kept to the regex intersection of Java regex and RE2

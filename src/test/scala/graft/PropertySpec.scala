@@ -84,6 +84,36 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("repetition_signals: native == reference semantics, any text") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // plain-Scala reference for the pinned Column semantics
+    def ref(text: String): (Int, Int, Int, Int) = {
+      val lines = text.split("\n", -1).filter(_.exists(_ != ' '))
+      val nLines = lines.length
+      val nDup = nLines - lines.distinct.length
+      val toks = text.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val top = if (grams.isEmpty) 0 else grams.groupBy(identity).values.map(_.size).max
+      (nLines, nDup, grams.size, top)
+    }
+    val token = Gen.oneOf("aa", "bb", "cc", "the", "x,y", "Zz", " ", "\t",
+      "\n", "  ", "aa aa")
+    val genText = Gen.listOf(token).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(25, genText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+          call_function("repetition_signals", col("text")).as("r"))
+        .select("doc_id", "r.n_lines", "r.n_dup_lines", "r.n_grams", "r.top_gram")
+        .collect()
+        .map(r => (r.getLong(0),
+          (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+      texts.zipWithIndex.forall { case (t, i) => got(i.toLong) == ref(t) }
+    }, n = 40)
+  }
+
   test("packChunks: offsets tile the token stream exactly, any corpus") {
     val s = spark
     import s.implicits._
