@@ -35,7 +35,8 @@ object Bench {
                       factor: Int): Double = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_done"))) return 0.0
+    // layout version bumps force a rebuild when the amplified set grows
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_done_v2"))) return 0.0
     val t = timed {
       val rep = broadcast(spark.range(factor).select(col("id").as("__rep")))
       def write(name: String, shift: DataFrame => DataFrame): Unit =
@@ -47,6 +48,16 @@ object Bench {
         .withColumn("event_id", col("event_id") + col("__rep") * 10_000_000_000L))
       write("documents", df => df
         .withColumn("doc_id", col("doc_id") + col("__rep") * 1_000_000L))
+      // embeddings: rotate each copy's coordinates by __rep positions —
+      // distinct directions per copy (plain id-shifted clones would be
+      // exact duplicates and blow up every near-dup bucket artificially)
+      write("embeddings", df => {
+        val k = pmod(col("__rep"), size(col("embedding"))).cast("int")
+        df.withColumn("vec_id", col("vec_id") + col("__rep") * 1_000_000L)
+          .withColumn("embedding", concat(
+            slice(col("embedding"), k + 1, size(col("embedding")) - k),
+            slice(col("embedding"), lit(1), k)))
+      })
       write("lineitem", df => df
         .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * 1_000_000_000L))
       write("orders", df => df
@@ -55,7 +66,7 @@ object Bench {
       for (d <- Seq("customer", "nation", "region"))
         spark.read.parquet(s"$sfDir/$d.parquet")
           .write.mode("overwrite").parquet(s"$outDir/$d.parquet")
-      fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_done")).close()
+      fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_done_v2")).close()
     }
     t
   }
@@ -81,7 +92,20 @@ object Bench {
     "scale_dc1_decontaminate" -> (() =>
       Queries.all("dc1_decontaminate")(s, dir)),
     "scale_qf1_quality_filter" -> (() =>
-      Queries.all("qf1_quality_filter")(s, dir)))
+      Queries.all("qf1_quality_filter")(s, dir)),
+    // ANN at scale: rotated-copy embeddings (160k vectors at 32×) —
+    // index build + probe, and the LSH near-dup default path
+    "scale_sim2_ivf" -> (() => {
+      val em = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.llm.Similarity.ivfTopK(em, em.filter(col("vec_id") < 10),
+        k = 5, nlist = 16, nprobe = 4)
+    }),
+    "scale_dd5_embedding_dup" -> (() => {
+      val em = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.llm.Dedup.embeddingNearDup(em, threshold = 0.95)
+    }))
 
   /** J1/P2 at scale: time the WRITE path (sack-partitioned raw buffer +
     * split-partitioned incremental aggregation) and the multi-series

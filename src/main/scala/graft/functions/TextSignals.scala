@@ -176,5 +176,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions.RepetitionSignals",
         "repetition_signals"),
       (children: Seq[Expression]) => RepetitionSignals(children.head)))
+    ext.injectFunction((new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo("graft.functions.VecDot", "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
   }
 }

@@ -10,12 +10,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product of two `array<double>` columns — the native
+    * [[graft.functions.VecDot]] expression (one fused JVM loop inside
+    * codegen; the zip_with/aggregate HOF form interprets a lambda per
+    * element, billions of frames in ANN bucketing passes). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+  def l2norm(a: Column): Column = sqrt(call_function("vec_dot", a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -273,9 +274,8 @@ object Similarity {
     * all tables in ONE projection instead of chained withColumns. */
   def lshBucketCol(vec: Column, nbits: Int, seed: Int, dim: Int): Column =
     (0 until nbits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, typedlit(hyperplane(seed, b, dim)), (x, w) => x * w),
-        lit(0.0d), (acc, v) => acc + v)
+      val proj = call_function("vec_dot", vec,
+        typedlit(hyperplane(seed, b, dim)))
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 }
