@@ -741,6 +741,14 @@ object Oracles {
                 CAST(coalesce(t.tf, 0) AS REAL) AS top_2gram_frac
          FROM ln LEFT JOIN t ON ln.doc_id = t.doc_id""",
 
+    "e1_json_props" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(avg(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS REAL) AS avg_k,
+                CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                    AS BIGINT) >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         FROM events GROUP BY 1""",
+
     // cl1: the Spark side proves its assignment is the argmax over all
     // centroids (violations = 0) — the oracle checks the invariant and
     // the row count without replaying Lloyd's algorithm in SQL.

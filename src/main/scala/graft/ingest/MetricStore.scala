@@ -118,17 +118,19 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
         .filter(unix_timestamp(col("timestamp")) >=
           (floor(col("__first_new_s") / granS) * granS - lit(blockS)).cast("long"))
         .drop("__first_new_s")
-      policy.aggregationMethods.toSeq.sorted.map { method =>
-        Kernels.aggregate(affectedRaw, method, Granularity.seconds(granS),
-            Seq("metric_id"), "timestamp", "value")
-          .join(broadcast(firstNew), Seq("metric_id"))
-          .filter(unix_timestamp(col("bucket")) >=
-            (floor(col("__first_new_s") / granS) * granS).cast("long"))
-          .drop("__first_new_s")
-          .select(col("metric_id"), col("bucket"), col("value"),
-            lit(method).as("method"), lit(granS).as("gran_s"),
-            splitOf(col("bucket"), granS).as("split"))
-      }.reduce(_ unionByName _)
+      // one shared hash aggregate for every non-rate method (unpivoted
+      // to long form), plus one pass per rate: method — the batch's
+      // shuffle count no longer scales with the policy's method list
+      Kernels.aggregateAll(affectedRaw,
+          policy.aggregationMethods.toSeq.sorted, Granularity.seconds(granS),
+          Seq("metric_id"), "timestamp", "value")
+        .join(broadcast(firstNew), Seq("metric_id"))
+        .filter(unix_timestamp(col("bucket")) >=
+          (floor(col("__first_new_s") / granS) * granS).cast("long"))
+        .drop("__first_new_s")
+        .select(col("metric_id"), col("bucket"), col("value"),
+          col("method"), lit(granS).as("gran_s"),
+          splitOf(col("bucket"), granS).as("split"))
     }.reduce(_ unionByName _)
 
     // keep stored rows of touched splits that predate the recompute range

@@ -94,4 +94,55 @@ object Kernels {
       if (needsCountGt1(base)) grouped.filter(col("__n") > 1) else grouped
     filtered.drop("__n")
   }
+
+  /** Every method of an archive policy in (at most) 1 + #rate-method
+    * shuffles: the non-rate methods share ONE hash aggregate over the
+    * bucketed input (one agg column each) and unpivot to long format;
+    * each `rate:` method keeps the single-method path because its
+    * input is the per-series diff, not the raw values. Emits
+    * `keyCols..., bucket, method, value` — the ingest job's per-batch
+    * shuffle count stops scaling with the policy's method list (the
+    * reference's default policies carry 6-18 series per metric).
+    */
+  def aggregateAll(
+      df: DataFrame,
+      methods: Seq[String],
+      granularity: Granularity,
+      keyCols: Seq[String],
+      tsCol: String = "timestamp",
+      valueCol: String = "value",
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(methods.nonEmpty, "aggregateAll needs at least one method")
+    val (rate, plain) = methods.partition(isRate)
+    val plainDf =
+      if (plain.isEmpty) Nil
+      else {
+        val bucketed =
+          df.withColumn("bucket", Bucketing.bucket(col(tsCol), granularity))
+        val aggs = plain.zipWithIndex.map { case (m, i) =>
+          aggColumn(m, col(valueCol), col(tsCol)).as(s"__v$i")
+        } :+ count(col(valueCol)).as("__n")
+        val grouped = bucketed
+          .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        val mvs = plain.zipWithIndex.map { case (m, i) =>
+          struct(lit(m).as("method"), col(s"__v$i").as("value"))
+        }
+        val dropWhenSingleton = plain.filter(needsCountGt1)
+        Seq(grouped
+          .select((keyCols.map(col) :+ col("bucket") :+ col("__n") :+
+            explode(array(mvs: _*)).as("__mv")): _*)
+          .filter(col("__n") > 1 ||
+            !col("__mv.method").isin(dropWhenSingleton: _*))
+          .select((keyCols.map(col) :+ col("bucket") :+
+            col("__mv.method").as("method") :+
+            col("__mv.value").as("value")): _*))
+      }
+    val rateDfs = rate.map { m =>
+      aggregate(df, m, granularity, keyCols, tsCol, valueCol, tieCols)
+        .select((keyCols.map(col) :+ col("bucket") :+
+          lit(m).as("method") :+ col("value")): _*)
+    }
+    (plainDf ++ rateDfs).reduce(_ unionByName _)
+  }
 }

@@ -142,4 +142,29 @@ class KernelsSpec extends SparkSpec {
     assert(df.collect().map(_.getTimestamp(0).toString).toSeq ==
       Seq("2014-01-01 00:00:00.0", "2014-07-01 00:00:00.0"))
   }
+
+  test("aggregateAll == per-method aggregate for a full method mix") {
+    val df = measures(
+      ("m1", "2014-01-01 12:00:01", 2.0), ("m1", "2014-01-01 12:00:20", 6.0),
+      ("m1", "2014-01-01 12:01:05", 4.0), // singleton bucket → std dropped
+      ("m2", "2014-01-01 12:00:10", 1.0), ("m2", "2014-01-01 12:00:40", 3.0),
+      ("m2", "2014-01-01 12:01:10", 9.0), ("m2", "2014-01-01 12:01:50", 5.0))
+    val methods = Seq("mean", "sum", "min", "max", "count", "std",
+      "median", "first", "last", "95pct", "rate:mean")
+    val fused = Kernels.aggregateAll(df, methods, Granularity.seconds(60),
+        Seq("metric_id"), "timestamp", "value")
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).toString, r.getString(2)),
+        r.getDouble(3))).toMap
+    val separate = methods.flatMap { m =>
+      Kernels.aggregate(df, m, Granularity.seconds(60),
+          Seq("metric_id"), "timestamp", "value")
+        .collect()
+        .map(r => ((r.getString(0), r.getTimestamp(1).toString, m),
+          r.getDouble(2)))
+    }.toMap
+    assert(fused == separate)
+    // std singleton bucket really is absent, not null
+    assert(!fused.contains(("m1", "2014-01-01 12:01:00.0", "std")))
+  }
 }
