@@ -179,5 +179,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("vec_dot"),
       new ExpressionInfo("graft.functions.VecDot", "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo("graft.functions.MinhashSig", "minhash_sig"),
+      (children: Seq[Expression]) => MinhashSig(children(0), children(1))))
   }
 }

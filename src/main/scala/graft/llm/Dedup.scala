@@ -111,28 +111,29 @@ object Dedup {
                  idCol: String = "doc_id", textCol: String = "text",
                  maxBucket: Int = 100000): DataFrame = {
     val rows = numHashes / bands
-    // No emptiness filter on `sh`: docs with no shingles emit no rows
-    // from the explode and can never join as candidates — and a
-    // `size(sh) > 0` predicate would be pushed below the rebalance
-    // exchange, re-evaluating the whole shingle pipeline single-task
-    // on the scan side. Shingles are hashed to 64-bit longs up front:
+    // No emptiness filter on `sh` — a `size(sh) > 0` predicate would
+    // be pushed below the rebalance exchange, re-evaluating the whole
+    // shingle pipeline single-task on the scan side. Shingle-less docs
+    // share the degenerate all-MaxValue signature and can band
+    // together, but the exact-jaccard verify discards those pairs
+    // (0/0 = NULL fails every threshold) and the bucket cap bounds the
+    // candidate blow-up. Shingles are hashed to 64-bit longs up front:
     // the signature, banding, and the exact-jaccard verify all work on
     // fixed-width longs (string set ≡ hash set modulo ~2^-64 collision).
     val sh = withShingles(rebalance(docs), textCol, n, "sh")
       .select(col(idCol).as("id"),
         transform(col("sh"), s => xxhash64(s)).as("shh"))
-    // Signature via explode + groupBy rather than per-row array
-    // lambdas: the k minima become codegen'd `min` aggregates in one
-    // HashAggregate (partial map-side combine, then a k-long-wide
-    // shuffle keyed on id), where `transform` lambdas are interpreted
-    // per element. Shingles are distinct, so explode preserves set
-    // semantics.
-    val hashed = sh.select(col("id"), explode(col("shh")).as("h"))
-    val minAggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("h"), lit(i.toLong))).as(s"m$i"))
-    val sig = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    // Signatures via the native minhash_sig expression: one fused loop
+    // per row, bit-identical to the earlier explode + 64 min-aggregate
+    // formulation (same XXH64 chain) but with no k× row amplification
+    // and no signature shuffle — only the banded candidates move.
+    // minhash_sig is a non-cheap alias, so CollapseProject will NOT
+    // inline it into the per-band element_at references.
+    val sig = sh.select(col("id"),
+      call_function("minhash_sig", col("shh"), lit(numHashes)).as("__sig"))
     val bandCols = (0 until bands).map { b =>
-      xxhash64(((b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      xxhash64(((b * rows until (b + 1) * rows)
+        .map(i => element_at(col("__sig"), i + 1))
         :+ lit(b.toLong)): _*)
     }
     val banded0 = sig.select(col("id"), posexplode(array(bandCols: _*)))
