@@ -105,6 +105,29 @@ object Bench {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.llm.Dedup.embeddingNearDup(em, threshold = 0.95)
+    }),
+    // cross-doc repeated spans over the amplified corpus (every copy
+    // shares its source doc's grams — the all-dup worst case)
+    "scale_dd7_repeated_spans" -> (() =>
+      graft.llm.Dedup.repeatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"), w = 5)),
+    // IVF-PQ at scale: coarse cells prune, 8-nibble codes score, raw
+    // vectors touched only in the shortlist re-rank
+    "scale_sim4_ivfpq" -> (() => {
+      val em = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val books = graft.llm.Pq.train(em, m = 8, k = 16, iters = 10)
+      graft.llm.Pq.ivfAdcTopK(em, em.filter(col("vec_id") < 10), books,
+        k = 5, nlist = 16, nprobe = 4)
+    }),
+    // SemDeDup at scale: nClusters grows with the corpus (cells stay
+    // ~600 vectors, bounding the per-cell quadratic pass); centroids
+    // train on a 1/8 hash-sample
+    "scale_sd1_semdedup" -> (() => {
+      val em = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.llm.Dedup.semDedup(em, nClusters = 256, threshold = 0.95,
+        iters = 2, sampleMod = 8)
     }))
 
   /** J1/P2 at scale: time the WRITE path (sack-partitioned raw buffer +
@@ -165,12 +188,23 @@ object Bench {
       .mode("overwrite").save()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+      // one untimed execution first: Janino compile + JIT of THIS
+      // query's generated code costs 1–15 s once per JVM and amortizes
+      // to zero at any real scale — the timed run measures data work,
+      // not compiler work (the heaviest DSL plans were 10× codegen
+      // cost at sf0.1). Store-backed queries wipe and rebuild their
+      // /tmp store per call, so the timed run repeats identical work.
+      val ok0 =
         try { noop(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
+      val t0 = System.nanoTime()
+      val ok = ok0 &&
+        (try { noop(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        })
       // a failed query must read as a regression, not a speedup
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else 1e9)
     }

@@ -397,6 +397,55 @@ object Oracles {
          SELECT id_a, id_b, CAST(jaccard AS REAL) AS jaccard
          FROM p WHERE jaccard >= 0.4""",
 
+    // repeated-span replay: positional 5-grams, dup = gram in ≥2
+    // distinct docs (grouping on gram STRINGS where Spark groups on
+    // xxhash64(gram) — equal counts modulo ~2⁻⁶⁴ collisions)
+    "dd7_repeated_spans" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w)-4,0)+1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                         w[i+3] || ' ' || w[i+4])) AS gram
+           FROM d),
+         pgd AS (SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY 1, 2),
+         nd AS (SELECT gram, count(*) AS ndocs FROM pgd GROUP BY 1)
+         SELECT pgd.doc_id, CAST(sum(occ) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS BIGINT)
+                  AS n_dup_grams,
+                CAST(CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END)
+                  AS DOUBLE) / sum(occ) AS REAL) AS dup_frac
+         FROM pgd JOIN nd USING (gram) GROUP BY 1""",
+
+    "txt6_idf" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_distinct(string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                    AS toks
+           FROM documents),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0),
+         n AS (SELECT count(*) AS n_docs FROM d2),
+         t AS (SELECT unnest(toks) AS token FROM d2)
+         SELECT token, CAST(count(*) AS BIGINT) AS df,
+                CAST(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / count(*))
+                  AS REAL) AS idf
+         FROM t WHERE token <> '' GROUP BY token""",
+
+    // SemDeDup: deterministic centroids ⇒ pinned sf0.01 goldens; the
+    // witness arm (recomputed cosines ≥ τ) is structurally 0; recall
+    // vs the exact lower-id dup set on id<200 loses 2 cross-cell pairs
+    "sd1_semdedup" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n,
+                CAST(24 AS BIGINT) AS n_dropped,
+                CAST(0 AS BIGINT) AS witness_violations,
+                CAST(5 AS BIGINT) AS exact_dups_200,
+                CAST(3 AS BIGINT) AS recovered_200""",
+
     "g3b_history_windows" ->
       """WITH m AS (
            SELECT user_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
@@ -574,6 +623,12 @@ object Oracles {
 
     "sim3_lsh_recall" ->
       """SELECT CAST(47 AS BIGINT) AS hits, CAST(50 AS BIGINT) AS total""",
+
+    // PQ ADC shortlist-50 + exact re-rank, m=8 k=16 codebooks — same
+    // hard-regime caveat as sim2/sim3 (top-5 cosines ≈0.3–0.5; the
+    // well-separated regime is pinned in LlmSpec)
+    "sim4_pq_recall" ->
+      """SELECT CAST(40 AS BIGINT) AS hits, CAST(50 AS BIGINT) AS total""",
 
     // winnowing over md5 k-gram digests — replayed step-for-step:
     // positional 3-gram md5s, window-4 lexicographic minima, sorted

@@ -8,7 +8,7 @@ import graft.timeseries.{Bucketing, Kernels, TimeSeriesOps}
 import graft.ops.{Compiler, GroupedOps, Parser}
 import graft.catalog.{Filter, FilterParser, HistoryAgg, Pagination}
 import graft.query.MeasureSearch
-import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Pipeline, Pq, Similarity, TextAnalysis}
 import graft.model.{ArchivePolicy, ArchivePolicyItem}
 import graft.ingest.MetricStore
 
@@ -699,6 +699,59 @@ object Queries {
     // SQL-checkable without replaying Lloyd's algorithm in the oracle.
     // Cluster-recovery semantics are pinned in LlmSpec on synthetic
     // well-separated clusters.
+    // PQ ANN recall@5 vs the exact baseline: ADC shortlist (codes are
+    // 8 nibbles/vector — the corpus side of the candidate join never
+    // carries raw vectors) + exact re-rank of the top-50.
+    "sim4_pq_recall" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val books = Pq.train(em, m = 8, k = 16, iters = 10, sampleN = 2048)
+      val got = Pq.adcTopK(em, em.filter(col("vec_id") < 10), books,
+        k = 5, shortlist = 50)
+      val exact = Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 10),
+        k = 5)
+      got.select("query_id", "corpus_id")
+        .intersect(exact.select("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("total")))
+    }),
+    "dd7_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(table(s, dir, "documents"), w = 5)
+        .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+          r6(col("dup_frac")).as("dup_frac"))),
+    "txt6_idf" -> ((s, dir) =>
+      TextAnalysis.docFrequency(table(s, dir, "documents"))
+        .select(col("token"), col("df"), r6(col("idf")).as("idf"))),
+    // SemDeDup cell-restricted dedup vs ground truth: corpus size +
+    // drop count (pinned goldens — centroids are deterministic), every
+    // recorded witness recomputed from raw vectors (must clear the
+    // threshold: violations = 0 structurally), and recall of the exact
+    // lower-id near-dup set on the bounded id<200 slice (cell
+    // restriction can only LOSE cross-cell pairs; the golden pins how
+    // many survive).
+    "sd1_semdedup" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val tau = 0.4
+      val dd = Dedup.semDedup(em, nClusters = 8, threshold = tau).cache()
+      val dropped = dd.filter(col("dropped"))
+      val viol = dropped
+        .join(em.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(em.select(col("vec_id").as("witness_id"),
+          col("embedding").as("__wv")), Seq("witness_id"))
+        .withColumn("__c", Similarity.cosine(col("embedding"), col("__wv")))
+        .agg(coalesce(sum(when(col("__c") < tau - 1e-9, 1L).otherwise(0L)),
+          lit(0L)).as("witness_violations"))
+      val exactDups = Dedup.embeddingNearDupExact(
+          em.filter(col("vec_id") < 200), threshold = tau)
+        .select(col("id_b").as("vec_id")).distinct()
+      dd.agg(count(lit(1)).as("n"),
+          sum(col("dropped").cast("long")).as("n_dropped"))
+        .crossJoin(viol)
+        .crossJoin(exactDups.agg(count(lit(1)).as("exact_dups_200")))
+        .crossJoin(exactDups.join(dropped, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("recovered_200")))
+    }),
     "cl1_kmeans" -> ((s, dir) => {
       val em = table(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))

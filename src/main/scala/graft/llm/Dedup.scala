@@ -413,4 +413,97 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= radius)
   }
+
+  /** Semantic dedup over an embedding column (SemDeDup, Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the corpus around deterministic
+    * k-means centroids ([[Similarity.kmeansCentroids]]), then compare
+    * pairs ONLY within a cluster — a vector is `dropped` when a
+    * lower-id vector in the same cell has cosine ≥ `threshold` (the
+    * witness with the highest cosine, min-id tiebreak, is recorded).
+    * Chained drops keep the greedy-by-id semantics of [[exact]]: a
+    * dropped vector's witness may itself be dropped; survivors are
+    * exactly the rows with `dropped = false`.
+    *
+    * Scale shape: the quadratic work is Σ|cell|², bounded by growing
+    * `nClusters` with the corpus (the SemDeDup design point — cells of
+    * ~n/k vectors); the self-join shuffles both sides hash-partitioned
+    * on `cell`, so each cell's pairwise pass is one local task. At
+    * 100 TB write the corpus bucketed by `cell` once and the join
+    * becomes co-located. Centroids are plan-time scalars trained on a
+    * hash-sample; no RNG state anywhere, so the drop set is
+    * reproducible run-to-run.
+    */
+  def semDedup(em: DataFrame, nClusters: Int = 8, threshold: Double = 0.8,
+               iters: Int = 3, sampleMod: Int = 1,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cents = Similarity.kmeansCentroids(em, nClusters, iters, sampleMod,
+      idCol, vecCol)
+    val assigned = Similarity.kmeansAssignWith(em, cents, idCol, vecCol)
+    val base = rebalance(em).select(col(idCol), col(vecCol))
+      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+      .withColumn("__nrm", Similarity.l2norm(col(vecCol)))
+    val a = base.select(col("cell"), col(idCol).as("__ida"),
+      col(vecCol).as("__va"), col("__nrm").as("__na"))
+    val b = base.select(col("cell"), col(idCol).as("__idb"),
+      col(vecCol).as("__vb"), col("__nrm").as("__nb"))
+    val wit = a.join(b, Seq("cell"))
+      .filter(col("__idb") < col("__ida"))
+      .withColumn("__cos",
+        Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("__ida").as(idCol))
+      .agg(max(struct(col("__cos").as("c"), (-col("__idb")).as("negid")))
+        .as("__w"))
+      .select(col(idCol), col("__w.c").as("witness_cosine"),
+        (-col("__w.negid")).cast("long").as("witness_id"))
+    base.select(col(idCol), col("cell"))
+      .join(wit, Seq(idCol), "left")
+      .withColumn("dropped", col("witness_id").isNotNull)
+  }
+
+  /** Cross-document repeated-span detection (the n-gram form of exact
+    * substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 §4.1): every
+    * positional word `w`-gram is hashed; a gram occurring in ≥ 2
+    * DISTINCT documents marks each of its occurrences as duplicated
+    * text. Returns one row per document (with ≥ 1 gram): total gram
+    * positions, positions covered by corpus-duplicated grams, and the
+    * duplicated fraction — the signal a pipeline thresholds to drop or
+    * trim boilerplate-heavy documents. Within-document repetition is
+    * deliberately excluded (countDistinct doc), that's
+    * [[TextAnalysis.repetitionSignals]]'s job.
+    *
+    * Scale shape: the expensive explode runs ONCE (Catalyst does not
+    * dedupe shared subplans — a self-join formulation would re-shingle
+    * the corpus per consumer); positions immediately collapse to
+    * distinct (gram, doc) pairs with an occurrence count (map-side
+    * partial agg, 24 bytes/row — never the gram text), a gram-
+    * partitioned window counts sharing docs, and one final aggregate
+    * rolls up per document. A boilerplate hot gram carries one row per
+    * sharing DOC (not per occurrence) through the window — the
+    * pre-aggregation is what bounds it.
+    */
+  def repeatedSpans(docs: DataFrame, w: Int = 5, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val words = col("__words")
+    val g = greatest(size(words) - (w - 1), lit(0))
+    val zipped = arrays_zip((0 until w).map(j =>
+      slice(words, lit(j + 1), g)): _*)
+    val perGramDoc = rebalance(docs)
+      .withColumn("__words", split(normalized(col(textCol)), " "))
+      .select(col(idCol), explode(transform(zipped, s =>
+        xxhash64(concat_ws(" ",
+          (0 until w).map(j => s.getField(j.toString)): _*)))).as("gh"))
+      .groupBy(col("gh"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+    val nd = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    perGramDoc
+      .withColumn("__nd", count(lit(1)).over(nd))
+      .groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("n_grams"),
+        sum(when(col("__nd") >= 2, col("__occ")).otherwise(0L))
+          .as("n_dup_grams"))
+      .withColumn("dup_frac", col("n_dup_grams") / col("n_grams"))
+  }
 }

@@ -1,0 +1,241 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Product quantization for ANN at corpus scale (Jégou, Douze, Schmid,
+  * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+  * 2011). The embedding is split into `m` subvectors; each subspace
+  * gets a `k`-centroid codebook; a vector is stored as `m` small codes
+  * (m=8, k=16 ⇒ 8 nibbles — 64× smaller than 64 float64 dims).
+  *
+  * Why this matters at 100 TB: the ANN candidate join shuffles CODES
+  * (bytes) instead of raw vectors (kilobytes), and the asymmetric-
+  * distance scoring of a candidate is `m` array lookups into a
+  * per-query table — the corpus' raw vectors are touched only for the
+  * final exact re-rank of a small shortlist. Codebooks are plan-time
+  * literals (m·k·(dim/m) doubles), trained driver-side on a
+  * deterministic hash-sample — the standard recipe; PQ quality needs a
+  * representative sample, not the corpus.
+  *
+  * Everything is deterministic: sample = lowest xxhash64(id) rows,
+  * k-center greedy seeding (max-min L2, hash tiebreak), fixed Lloyd
+  * iteration count, first-index argmin ties.
+  */
+object Pq {
+
+  /** `books(s)(c)` = centroid `c` of subspace `s`, each of length
+    * dim/m. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Train per-subspace L2 k-means codebooks driver-side on the
+    * `sampleN` corpus vectors with the smallest xxhash64(id) — one
+    * TakeOrdered pass over the corpus, then pure local arithmetic.
+    */
+  def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 10,
+            sampleN: Int = 2048,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): Codebooks = {
+    val sample: Array[(Long, Array[Double])] = corpus
+      .select(xxhash64(col(idCol)).as("__h"), col(vecCol).as("__v"))
+      .orderBy("__h").limit(sampleN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "Pq.train: empty corpus")
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"Pq.train: dim $dim not divisible by m=$m")
+    val d = dim / m
+
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }; s
+    }
+
+    Array.tabulate(m) { s =>
+      val sub = sample.map { case (h, v) => (h, v.slice(s * d, (s + 1) * d)) }
+      // k-center greedy seeding: start from the min-hash row; each next
+      // seed is the point with the largest distance to its nearest
+      // chosen seed (hash tiebreak) — no RNG, spreads seeds out.
+      var cents = Array(sub.head._2)
+      val minD = Array.fill(sub.length)(Double.MaxValue)
+      while (cents.length < math.min(k, sub.length)) {
+        val newest = cents.last
+        var best = 0; var bestD = -1.0; var bestH = Long.MaxValue
+        var i = 0
+        while (i < sub.length) {
+          val dd = l2(sub(i)._2, newest)
+          if (dd < minD(i)) minD(i) = dd
+          if (minD(i) > bestD ||
+              (minD(i) == bestD && sub(i)._1 < bestH)) {
+            best = i; bestD = minD(i); bestH = sub(i)._1
+          }
+          i += 1
+        }
+        cents = cents :+ sub(best)._2
+      }
+      // Lloyd under L2, empty cell keeps its centroid (deterministic)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](d))
+        val counts = new Array[Long](cents.length)
+        for ((_, v) <- sub) {
+          var bc = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val dd = l2(v, cents(c))
+            if (dd < bd) { bd = dd; bc = c }
+            c += 1
+          }
+          counts(bc) += 1
+          var j = 0
+          while (j < d) { sums(bc)(j) += v(j); j += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** Attach `pq_code` (array<int>, length m): per subspace the L2
+    * argmin over the codebook, computed as `‖c‖² − 2⟨x_s, c⟩` with
+    * literal centroids (the `‖x_s‖²` term is constant under the
+    * argmin). Two-step select keeps every distance array a named,
+    * single-evaluation column — `array_position(arr, array_min(arr))`
+    * references it twice, and ties break to the first index.
+    */
+  def encode(df: DataFrame, books: Codebooks,
+             vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val d = books(0)(0).length
+    val subCols = (0 until m).map(s =>
+      slice(col(vecCol), s * d + 1, d).as(s"__sub$s"))
+    val distCols = (0 until m).map { s =>
+      array(books(s).map { c =>
+        val n2 = c.map(x => x * x).sum
+        lit(n2) - lit(2.0) * call_function("vec_dot",
+          col(s"__sub$s"), typedlit(c.toSeq))
+      }: _*).as(s"__dist$s")
+    }
+    df.select(col("*") +: subCols: _*)
+      .select(col("*") +: distCols: _*)
+      .withColumn("pq_code", array((0 until m).map(s =>
+        (array_position(col(s"__dist$s"), array_min(col(s"__dist$s"))) - 1)
+          .cast("int")): _*))
+      .drop((0 until m).flatMap(s => Seq(s"__sub$s", s"__dist$s")): _*)
+  }
+
+  /** Reconstruction x̂ from a code: concatenated codebook centroids —
+    * the decoder side of the quantizer (spec / diagnostics; production
+    * scoring never reconstructs, it looks up). */
+  def decodeCol(code: Column, books: Codebooks): Column =
+    concat(books.indices.map(s =>
+      element_at(typedlit(books(s).map(_.toSeq).toSeq), code(s) + 1)): _*)
+
+  /** ADC top-k with exact re-rank: each query precomputes its m×k
+    * dot-product table ONCE (`⟨q_s, c⟩` for every centroid — m·k small
+    * dots per query row); scoring a corpus code is then m array
+    * lookups, no floating-point dot against the corpus vector. The
+    * approximate top `shortlist` per query re-ranks with true cosine
+    * against the raw vectors of just those rows.
+    *
+    * Plan shape: corpus codes (id + m bytes) broadcast-join the query
+    * table; one shuffle for the per-query shortlist window; the
+    * re-rank join touches `|queries|·shortlist` raw vectors only.
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, books: Codebooks,
+              k: Int, shortlist: Int = 50,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val codes = encode(corpus, books, vecCol)
+      .select(col(idCol).as("corpus_id"), col("pq_code"))
+    // per-query lookup table: tbl(s)(c) = <q_s, c_{s,c}>
+    val d = books(0)(0).length
+    val tbl = array(books.indices.map(s =>
+      array(books(s).map(c => call_function("vec_dot",
+        slice(col("__qv"), s * d + 1, d), typedlit(c.toSeq))): _*)): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__tbl", tbl)
+      .select(col("query_id"), col("__tbl"))
+    val approx = codes.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("__score", (0 until m).map(s =>
+        element_at(element_at(col("__tbl"), s + 1),
+          element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("corpus_id").asc)
+    val short = approx.withColumn("__r", row_number().over(ws))
+      .filter(col("__r") <= shortlist)
+      .select("query_id", "corpus_id")
+    // exact cosine re-rank over the shortlist only
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv2"))
+    val rer = short.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__qv2"), col("__cv")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    rer.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** IVF-PQ: the standard billion-scale index (IVFADC in the PQ
+    * paper §IV) — coarse k-means cells prune the search to `nprobe`
+    * cells per query, PQ codes score the survivors, exact cosine
+    * re-ranks the shortlist. The corpus table carries (id, cell, code)
+    * — at 100 TB, partition by `cell` on disk and a probe reads
+    * `nprobe/nlist` of the codes (bytes per vector), touching raw
+    * vectors only for `|queries|·shortlist` rows.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, books: Codebooks,
+                 k: Int, nlist: Int = 16, nprobe: Int = 4,
+                 kmeansIters: Int = 3, shortlist: Int = 50,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val d = books(0)(0).length
+    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+      idCol = idCol, vecCol = vecCol)
+    // index side: cell + code per vector (built once; raw vectors are
+    // not carried past this point)
+    val assigned = Similarity.kmeansAssignWith(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col("cell"))
+    val codes = encode(corpus, books, vecCol)
+      .select(col(idCol).as("corpus_id"), col("pq_code"))
+      .join(assigned, Seq("corpus_id"))
+    // probe side: nprobe nearest cells + the ADC table per query
+    val qc = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", Similarity.cosine(col("__qv"), col("centroid")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val tbl = array(books.indices.map(s =>
+      array(books(s).map(c => call_function("vec_dot",
+        slice(col("__qv"), s * d + 1, d), typedlit(c.toSeq))): _*)): _*)
+    val probes = qc.withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .withColumn("__tbl", tbl)
+      .select(col("query_id"), col("cell"), col("__tbl"))
+    val approx = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("__score", (0 until m).map(s =>
+        element_at(element_at(col("__tbl"), s + 1),
+          element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("corpus_id").asc)
+    val short = approx.withColumn("__sr", row_number().over(ws))
+      .filter(col("__sr") <= shortlist)
+      .select("query_id", "corpus_id")
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv2"))
+    val rer = short.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__qv2"), col("__cv")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    rer.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+}

@@ -105,12 +105,17 @@ object Similarity {
     def centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("cell", "centroid")
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("cid"))
-        .orderBy(col("cdist").desc, col("cell"))
+      // argmax per vector as a hash AGGREGATE (max_by with the
+      // (cosine, -cell) key = the window's (cdist desc, cell asc)
+      // pick) — map-side partial agg collapses the nlist-way
+      // amplification before the shuffle; a row_number window would
+      // sort the full crossJoin output
       val assigned = train.crossJoin(broadcast(centDf))
         .withColumn("cdist", cosine(col("cv"), col("centroid")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
+        .groupBy(col("cid"))
+        .agg(max_by(struct(col("cell"), col("cv")),
+          struct(col("cdist"), (-col("cell")).as("negcell"))).as("__b"))
+        .select(col("__b.cell").as("cell"), col("__b.cv").as("cv"))
       val means = assigned.select(col("cell"), posexplode(col("cv")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .collect().groupBy(_.getInt(0))
@@ -147,16 +152,20 @@ object Similarity {
     * build, the cl1 argmax self-check) train once and reuse. */
   def kmeansAssignWith(corpus: DataFrame, centroids: DataFrame,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cdist").desc, col("cell"))
+                       vecCol: String = "embedding"): DataFrame =
+    // argmax as a hash aggregate, not a window: the broadcast
+    // crossJoin's nlist-way row amplification collapses map-side, so
+    // the shuffle carries one row per vector instead of sorting
+    // |corpus|·nlist rows. (cosine desc, cell asc) pick preserved via
+    // the (cdist, -cell) max key — tie-break identical to the old
+    // row_number ordering.
     corpus.crossJoin(broadcast(centroids))
       .withColumn("cdist", cosine(col(vecCol), col("centroid")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col(idCol), col("cell"),
-        col("cdist").as("centroid_cosine"))
-  }
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cdist").as("c"), (-col("cell")).as("negcell")))
+        .as("__b"))
+      .select(col(idCol), (-col("__b.negcell")).as("cell"),
+        col("__b.c").as("centroid_cosine"))
 
   /** IVF-style ANN: partition the corpus into `nlist` cells around
     * deterministic k-means centroids ([[kmeansCentroids]]); a query
@@ -173,11 +182,21 @@ object Similarity {
     def nearestCells(df: DataFrame, vc: String, n: Int, out: String): DataFrame = {
       val scored = df.crossJoin(broadcast(centroids))
         .withColumn("cdist", cosine(col(vc), col("centroid")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").desc, col("cell"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("centroid", "cdist", "crank")
-        .withColumnRenamed("cell", out)
+      if (n == 1)
+        // corpus-side top-1: hash aggregate (map-side combine) instead
+        // of sorting the nlist-amplified crossJoin in a window; same
+        // (cdist desc, cell asc) pick via the max key
+        scored.groupBy(col(idCol))
+          .agg(max_by(struct(col("cell"), col(vc).as("v")),
+            struct(col("cdist"), (-col("cell")).as("negcell"))).as("__b"))
+          .select(col(idCol), col("__b.v").as(vc), col("__b.cell").as(out))
+      else {
+        val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").desc, col("cell"))
+        scored.withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= n)
+          .drop("centroid", "cdist", "crank")
+          .withColumnRenamed("cell", out)
+      }
     }
 
     val assigned = nearestCells(

@@ -251,4 +251,34 @@ object TextAnalysis {
           .otherwise(xxhash64(norm)))
       .drop("__wh", "__n")
   }
+
+  /** Corpus vocabulary statistics: document frequency and smoothed
+    * inverse document frequency per token (the IDF table a training
+    * pipeline uses for rare-token filtering, TF-IDF keyword
+    * extraction, and vocabulary pruning). Tokens are whitespace words
+    * of the normalized text, counted once per document
+    * (`array_distinct` before the explode — the explode then carries
+    * distinct (doc, token) pairs only); `idf = ln(n_docs / df)` with
+    * the document count attached by broadcasting a 1-row aggregate, so
+    * the whole table is two shuffles (token agg + the final order) and
+    * no driver-side collect.
+    *
+    * At 100 TB the token aggregate is the classic word-count shape —
+    * map-side combine absorbs hot tokens; the output is vocabulary-
+    * sized, not corpus-sized.
+    */
+  def docFrequency(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val docs = df.select(col(idCol),
+      array_distinct(split(Dedup.normalized(col(textCol)), " ")).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+    docs.select(explode(col("__toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        log(col("__n_docs").cast("double") / col("df").cast("double")))
+      .select(col("token"), col("df"), col("idf"))
+  }
 }

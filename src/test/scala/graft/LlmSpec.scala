@@ -248,4 +248,108 @@ class LlmSpec extends SparkSpec {
     // assigned cosine is high for every member
     assert(rows.map(_.getDouble(2)).min > 0.99)
   }
+
+  test("semDedup drops near-identical cluster-mates, keeps distinct vectors") {
+    val s = spark
+    import s.implicits._
+    // two orthogonal directions; ids 10/11 are near-copies of id 1,
+    // id 21 a near-copy of id 20; ids 2 and 22 distinct members
+    def jig(v: Seq[Double], k: Long): Seq[Double] =
+      v.zipWithIndex.map { case (x, d) => x + 1e-4 * math.sin(k * 2.7 + d) }
+    val a = Seq(1.0, 0.0, 0.0, 0.0); val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val em = Seq(
+      1L -> jig(a, 1), 10L -> jig(a, 10), 11L -> jig(a, 11),
+      2L -> Seq(0.7, 0.0, 0.7, 0.0), // same hemisphere, below τ
+      20L -> jig(b, 20), 21L -> jig(b, 21),
+      22L -> Seq(0.0, 0.7, 0.0, 0.7))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(em, nClusters = 2, threshold = 0.99, iters = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("dropped")),
+          if (r.isNullAt(r.fieldIndex("witness_id"))) -1L
+          else r.getLong(r.fieldIndex("witness_id")))).toMap
+    assert(got(1L) == (false, -1L))   // lowest id in its dup group survives
+    assert(got(10L) == (true, 1L))    // witness = best lower-id match
+    assert(got(11L)._1)
+    assert(got(2L) == (false, -1L))   // below threshold -> kept
+    assert(got(20L) == (false, -1L))
+    assert(got(21L) == (true, 20L))
+    assert(got(22L) == (false, -1L))
+  }
+
+  test("repeatedSpans counts positions covered by cross-doc grams") {
+    val shared = "alpha beta gamma delta epsilon" // one 5-gram
+    val d = docs(
+      (1L, shared + " zeta eta"),          // 3 grams, 1 duplicated
+      (2L, "intro words " + shared),       // 3 grams, 1 duplicated
+      (3L, shared + " " + shared),         // 6 grams: positions 1 and 6
+      (4L, "totally different text with no overlap here"),
+      (5L, "shorty"))                      // < 5 words -> no grams row
+    val got = Dedup.repeatedSpans(d, w = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (3L, 1L))
+    assert(got(2L) == (3L, 1L))
+    // doc 3: 6 grams; the shared gram occurs at positions 1 and 6
+    assert(got(3L) == (6L, 2L))
+    assert(got(4L) == (3L, 0L)) // 7 words -> 3 positional 5-grams
+    assert(!got.contains(5L))
+  }
+
+  test("PQ: decode fidelity and exact top-1 recovery on clustered data") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    // 4 well-separated directions, 12 jittered members each
+    def base(g: Int): Seq[Double] =
+      (0 until dim).map(d => if (d / 4 == g) 1.0 else 0.0)
+    val vecs = for (g <- 0 until 4; i <- 0 until 12) yield
+      ((g * 12 + i).toLong,
+        base(g).zipWithIndex.map { case (v, d) =>
+          v + 0.02 * math.sin((g * 12 + i) * 1.9 + d) })
+    val em = vecs.toDF("vec_id", "embedding")
+    val books = llm.Pq.train(em, m = 4, k = 8, iters = 10, sampleN = 64)
+    assert(books.length == 4 && books.forall(_.forall(_.length == 4)))
+    // reconstruction keeps high cosine to the original
+    val enc = llm.Pq.encode(em, books)
+    val fid = enc.withColumn("dec", llm.Pq.decodeCol(col("pq_code"), books))
+      .withColumn("c", Similarity.cosine(col("embedding"), col("dec")))
+      .agg(min("c")).head.getDouble(0)
+    assert(fid > 0.95, s"reconstruction cosine $fid")
+    // ADC + re-rank finds each query's true nearest neighbor
+    // shortlist must cover a quantization cell: members of one tight
+    // cluster can share a single code (tied ADC scores), so a
+    // shortlist smaller than the cell may exclude the true NN
+    val got = llm.Pq.adcTopK(em, em.filter($"vec_id".isin(0L, 12L, 24L)),
+      books, k = 1, shortlist = 12)
+    val exact = Similarity.bruteForceTopK(em,
+      em.filter($"vec_id".isin(0L, 12L, 24L)), k = 1)
+    val g1 = got.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e1 = exact.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g1 == e1)
+    // IVF-PQ: cell pruning + ADC + re-rank still finds each true NN
+    // (4 well-separated clusters -> probing 2 of 4 cells covers the
+    // query's own cluster)
+    val ivf = llm.Pq.ivfAdcTopK(em, em.filter($"vec_id".isin(0L, 12L, 24L)),
+      books, k = 1, nlist = 4, nprobe = 2, shortlist = 12)
+    val gi = ivf.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gi == e1)
+  }
+
+  test("docFrequency counts each token once per document") {
+    val d = docs(
+      (1L, "spark spark catalyst"),
+      (2L, "spark tungsten"),
+      (3L, "catalyst"))
+    val got = TextAnalysis.docFrequency(d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set("spark", "catalyst", "tungsten"))
+    assert(got("spark")._1 == 2L)    // once per doc despite repetition
+    assert(got("catalyst")._1 == 2L)
+    assert(got("tungsten")._1 == 1L)
+    assert(math.abs(got("tungsten")._2 - math.log(3.0)) < 1e-12)
+    assert(math.abs(got("spark")._2 - math.log(1.5)) < 1e-12)
+  }
 }
