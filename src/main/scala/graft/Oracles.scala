@@ -1071,6 +1071,58 @@ object Oracles {
          SELECT doc_id,
                 CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
                 CAST(reasons AS BIGINT) AS reasons
-         FROM r"""
+         FROM r""",
+
+    "seg1_segment_dedup" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         segs AS (
+           SELECT doc_id, i AS seg_idx,
+                  array_to_string(w[(i-1)*10+1 : i*10], ' ') AS seg
+           FROM words,
+                UNNEST(generate_series(1,
+                  greatest(CAST(ceil(len(w)/10.0) AS BIGINT), 1))) AS t(i)),
+         kept AS (
+           SELECT doc_id, seg_idx, seg FROM (
+             SELECT doc_id, seg_idx, seg,
+                    row_number() OVER (PARTITION BY seg
+                                       ORDER BY doc_id, seg_idx) AS rn
+             FROM segs) WHERE rn = 1)
+         SELECT doc_id, count(*) AS n_kept,
+                md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS h
+         FROM kept GROUP BY doc_id""",
+
+    "inc1_incremental_dedup" ->
+      """SELECT b.doc_id, b.source FROM documents b
+         WHERE b.source <> 'src0' AND NOT EXISTS (
+           SELECT 1 FROM documents c WHERE c.source = 'src0'
+             AND trim(regexp_replace(lower(c.text), '\s+', ' ', 'g')) =
+                 trim(regexp_replace(lower(b.text), '\s+', ' ', 'g')))""",
+
+    "mix1_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE md5('mix:' || CAST(doc_id AS VARCHAR)) <
+               CASE source WHEN 'src0' THEN 'g'
+                           WHEN 'src1' THEN '80'
+                           WHEN 'src2' THEN '40' END""",
+
+    "zipf1_term_stats" ->
+      """WITH terms AS (
+           SELECT unnest(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         counts AS (
+           SELECT term, count(*) AS freq FROM terms
+           WHERE term <> '' GROUP BY term),
+         total AS (SELECT sum(freq) AS t FROM counts),
+         top AS (
+           SELECT term, freq,
+                  row_number() OVER (ORDER BY freq DESC, term) AS rank
+           FROM counts ORDER BY freq DESC, term LIMIT 50)
+         SELECT rank, term, freq,
+                round(CAST(freq AS DOUBLE)/t, 6) AS share,
+                round(CAST(sum(freq) OVER (ORDER BY rank) AS DOUBLE)/t, 6)
+                  AS cum_share
+         FROM top, total"""
   )
 }

@@ -957,7 +957,28 @@ object Queries {
     }),
     "qf1_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(table(s, dir, "documents"))
-        .select(col("doc_id"), col("keep"), col("reasons"))))
+        .select(col("doc_id"), col("keep"), col("reasons"))),
+    // paragraph-style dedup over delimiter-free text: 10-word segments,
+    // first occurrence (min doc, min position) wins corpus-wide, docs
+    // reassembled from survivors — reassembly sits under the md5 hash
+    "seg1_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(table(s, dir, "documents"), segWords = 10)),
+    // standing corpus = src0 docs; incoming batch = the rest; batch
+    // docs whose normalized content already exists in the corpus drop
+    "inc1_incremental_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.incrementalDedup(docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"))
+        .select(col("doc_id"), col("source"))
+    }),
+    // mixture whitelist: keep ~100% of src0, ~50% of src1, ~25% of
+    // src2; any other source drops entirely
+    "mix1_mixture_sample" -> ((s, dir) =>
+      Pipeline.mixtureSample(table(s, dir, "documents"),
+          Seq("src0" -> "g", "src1" -> "80", "src2" -> "40"), "source")
+        .select(col("doc_id"), col("source"))),
+    "zipf1_term_stats" -> ((s, dir) =>
+      TextAnalysis.termStats(table(s, dir, "documents"), topK = 50)))
 
   /** Semi-structured metadata: JSON attribute extraction from the
     * events props column (codegen'd get_json_object — no UDF), then a

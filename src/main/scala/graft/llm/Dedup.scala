@@ -484,6 +484,69 @@ object Dedup {
     * sharing DOC (not per occurrence) through the window — the
     * pre-aggregation is what bounds it.
     */
+  /** Segment-level exact dedup (the paragraph-dedup shape of RefinedWeb/
+    * Dolma-style pipelines, expressed over delimiter-free text as fixed
+    * `segWords`-word segments): every distinct segment is kept exactly
+    * once corpus-wide, at its lexicographically first occurrence
+    * (min doc id, then min position within that doc); all other
+    * occurrences are dropped and each document is reassembled from its
+    * surviving segments in original order. Returns
+    * `(id, n_kept, h = md5 of the reassembled text)`.
+    *
+    * Scale shape: one explode then ONE hash aggregate — grouping on the
+    * segment's 64-bit hash, with the keeper found as `min(struct(id,
+    * seg_idx, seg))` so the winning occurrence (and its text) falls out
+    * of the same aggregate, no join back to the corpus. Map-side
+    * partial `min` collapses a boilerplate segment to one row per input
+    * partition before the exchange. The reassembly groupBy shuffles
+    * only surviving segments.
+    */
+  def segmentDedup(docs: DataFrame, segWords: Int = 10,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(segWords > 0, s"segWords must be positive: $segWords")
+    val words = col("__words")
+    val nSeg = ceil(size(words) / lit(segWords.toDouble)).cast("int")
+    val segs = rebalance(docs)
+      .withColumn("__words", split(col(textCol), " "))
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(1), greatest(nSeg, lit(1))), i =>
+          concat_ws(" ",
+            slice(words, (i - lit(1)) * segWords + lit(1), lit(segWords))))))
+      .select(col("id"), (col("pos") + 1).as("seg_idx"), col("col").as("seg"))
+    segs
+      .groupBy(xxhash64(col("seg")).as("__gh"))
+      .agg(min(struct(col("id"), col("seg_idx"), col("seg"))).as("__k"))
+      .select(col("__k.id").as(idCol), col("__k.seg_idx").as("seg_idx"),
+        col("__k.seg").as("seg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ")).as("h"))
+  }
+
+  /** Incremental dedup: drop from a new `batch` every document whose
+    * normalized content already exists in `corpus` — the steady-state
+    * ingestion form of [[exact]] (a new crawl lands against a standing
+    * corpus; only genuinely new content survives).
+    *
+    * Scale shape: both sides reduce to distinct 64-bit content hashes
+    * before the anti-join, so the shuffle moves 8-byte keys (plus the
+    * surviving batch rows), never corpus bodies. The corpus side is a
+    * map-side-combined `distinct`; at 100 TB the hash set is what a
+    * real deployment would maintain as a standing index.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val ch = corpus.select(xxhash64(normalized(col(textCol))).as("__ch")).distinct()
+    batch
+      .withColumn("__bh", xxhash64(normalized(col(textCol))))
+      .join(ch, col("__bh") === col("__ch"), "left_anti")
+      .drop("__bh")
+  }
+
   def repeatedSpans(docs: DataFrame, w: Int = 5, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val words = col("__words")

@@ -109,4 +109,28 @@ object Pipeline {
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_hit_grams"))
   }
+
+  /** Deterministic domain-mixture sampling: down-sample each group
+    * (source/domain/language) to a target rate so the retained corpus
+    * matches a prescribed mixture. Rates are hex-prefix thresholds on a
+    * salted md5 of the id, exactly like [[hashSplit]]: `"80"` keeps
+    * ≈ 128/256 of the group, `"40"` ≈ 64/256, `"ff..."`/absent-group
+    * semantics are explicit (groups without a configured rate are
+    * DROPPED — a mixture definition is a whitelist). Membership is a
+    * pure function of (salt, id), so re-running over a grown corpus
+    * never flips previously retained documents.
+    *
+    * Scale shape: a single narrow filter — no shuffle, no sampling
+    * state, no seed coordination across executors.
+    */
+  def mixtureSample(df: DataFrame, rates: Seq[(String, String)],
+                    groupCol: String, idCol: String = "doc_id",
+                    salt: String = "mix"): DataFrame = {
+    require(rates.nonEmpty, "mixtureSample: empty mixture definition")
+    val h = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val thr = rates.foldLeft(lit(null).cast("string")) {
+      case (acc, (g, hex)) => when(col(groupCol) === g, lit(hex)).otherwise(acc)
+    }
+    df.filter(h < thr)
+  }
 }

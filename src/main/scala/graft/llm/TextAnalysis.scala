@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting, document fingerprinting. All pure
@@ -280,5 +281,38 @@ object TextAnalysis {
       .withColumn("idf",
         log(col("__n_docs").cast("double") / col("df").cast("double")))
       .select(col("token"), col("df"), col("idf"))
+  }
+
+  /** Corpus term statistics: the `topK` most frequent terms with rank,
+    * corpus share, and cumulative share (the Zipf-curve head — the
+    * standard first look at a pretraining corpus's token distribution,
+    * and the input to stopword/boilerplate cutoff decisions).
+    *
+    * Scale shape: the term count is one map-side-combined aggregate
+    * (vocabulary-sized output); the top-K is a `TakeOrderedAndProject`
+    * (per-partition heaps, no global sort); rank and cumulative share
+    * then run over the K-row result — the only single-task work is over
+    * K rows, never the vocabulary. Total term mass rides in as a
+    * broadcast scalar.
+    */
+  def termStats(df: DataFrame, textCol: String = "text",
+                topK: Int = 100): DataFrame = {
+    val counts = df
+      .select(explode(split(Dedup.normalized(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).as("__total"))
+    val top = counts.orderBy(col("freq").desc, col("term")).limit(topK)
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("share",
+        round(col("freq").cast("double") / col("__total"), 6))
+      .withColumn("cum_share",
+        round(sum(col("freq")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("__total"), 6))
+      .select(col("rank"), col("term"), col("freq"), col("share"),
+        col("cum_share"))
   }
 }

@@ -121,4 +121,72 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.forall { case (k, r) => (k == 1L) == (r == 0L) })
     val _ = repetitive
   }
+
+  test("mixtureSample keeps by per-group hex threshold; unlisted groups drop") {
+    val d = docs((0L to 99L).map(i => (i, s"s${i % 4}", s"t$i")): _*)
+    val got = Pipeline.mixtureSample(d,
+        Seq("s0" -> "g", "s1" -> "80", "s2" -> "40"), "source")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (0L to 99L).flatMap { i =>
+      val src = s"s${i % 4}"
+      val thr = Map("s0" -> "g", "s1" -> "80", "s2" -> "40").get(src)
+      val h = md5hex(s"mix:$i")
+      thr.collect { case t if h < t => (i, src) }
+    }.toSet
+    assert(got == expected)
+    assert(got.count(_._2 == "s0") == 25) // "g" keeps the whole group
+    assert(!got.exists(_._2 == "s3"))     // unlisted group drops
+  }
+
+  test("segmentDedup keeps first occurrence and reassembles survivors") {
+    val s = spark
+    import s.implicits._
+    // 2-word segments: doc1 = [a b][c d], doc2 = [c d][e f], doc3 = [a b]
+    val d = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.segmentDedup(d, segWords = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    def m(x: String) = md5hex(x)
+    // doc1 keeps both; doc2 loses "c d" (doc1 owns it), keeps "e f";
+    // doc3 loses "a b" entirely -> absent from output
+    assert(got(1L) == ((2L, m("a b c d"))))
+    assert(got(2L) == ((1L, m("e f"))))
+    assert(!got.contains(3L))
+  }
+
+  test("segmentDedup dedups repeats within one doc, keeps min position") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((5L, "x y x y z z")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.segmentDedup(d, segWords = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    // segments: [x y][x y][z z] -> keep idx1 "x y" and idx3 "z z"
+    assert(got(5L) == ((2L, md5hex("x y z z"))))
+  }
+
+  test("incrementalDedup drops batch docs whose content exists in corpus") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "Alpha  Beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),   // normalized dup of corpus 1 -> dropped
+      (11L, "delta epsilon") // new -> kept
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.incrementalDedup(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L))
+  }
+
+  test("termStats ranks by freq desc then term, with cumulative share") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "b a b c a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.termStats(d, topK = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1, "b", 3L, 0.5, 0.5),
+      (2, "a", 2L, 0.333333, 0.833333)))
+  }
 }
