@@ -833,6 +833,23 @@ object Oracles {
                 CAST(count(*) AS REAL) AS v
          FROM b GROUP BY metric_id, bucket_s""",
 
+    // streaming drain of time-ordered chunks == one-shot batch ingest
+    "st1_streaming_ingest" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events GROUP BY 1, 2),
+         b AS (SELECT metric_id,
+                      CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                      value
+               FROM d)
+         SELECT metric_id, 'mean' AS method, bucket_s,
+                CAST(avg(value) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s
+         UNION ALL
+         SELECT metric_id, 'count' AS method, bucket_s,
+                CAST(count(*) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s""",
+
     // back-window acceptance threshold per metric: floor(last/block) -
     // backWindow blocks (block = 3600 s, backWindow = 3); late replays
     // below it are dropped, re-deliveries above it override (new wins)

@@ -805,6 +805,39 @@ object Queries {
         .select(col("metric_id"), col("method"), bucketS(),
           r6(col("value")).as("v"))
     }),
+    // I6 under the oracle: the same round-trip as j1, but measures
+    // arrive through the Structured Streaming drain (file source +
+    // foreachBatch incremental job) as two time-ordered micro-batch
+    // file drops. Time-ordered chunks pass the back-window acceptance
+    // (each chunk is newer than the last), so the final store state
+    // must equal a one-shot batch ingest and the oracle recomputes it
+    // directly from events.
+    "st1_streaming_ingest" -> ((s, dir) => {
+      val store = freshStore(s, "st1", dir, ArchivePolicy("st1", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean", "count")))
+      val root = s"/tmp/graft-q-stream/st1-${math.abs(dir.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/staging"))
+      val d = dedupMeasures(s, dir).cache()
+      val q = graft.streaming.StreamingIngest.start(
+        s, s"$root/staging", s"$root/ckpt", store)
+      try {
+        val cuts = Seq(
+          col("timestamp") < lit("2024-01-16").cast("timestamp"),
+          col("timestamp") >= lit("2024-01-16").cast("timestamp"))
+        cuts.foreach { c =>
+          d.filter(c).write.mode("append").parquet(s"$root/staging")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      d.unpersist()
+      store.getMeasuresMany(allTypes, Seq("mean", "count"), 3600L)
+        .select(col("metric_id"), col("method"), bucketS(),
+          r6(col("value")).as("v"))
+    }),
     // M2 back-window acceptance + cross-batch new-wins merge: batch 2
     // replays the first days with poisoned values (+1000 — must be
     // REJECTED by the back window or hourly means shift visibly) and

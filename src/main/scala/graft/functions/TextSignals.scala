@@ -182,5 +182,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo("graft.functions.MinhashSig", "minhash_sig"),
       (children: Seq[Expression]) => MinhashSig(children(0), children(1))))
+    ext.injectFunction((new FunctionIdentifier("vec_top_cells"),
+      new ExpressionInfo("graft.functions.VecTopCells", "vec_top_cells"),
+      (children: Seq[Expression]) => {
+        require(children(1).foldable,
+          "vec_top_cells: centroid table must be a plan-time literal")
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val st = children(1).dataType.asInstanceOf[ArrayType]
+          .elementType.asInstanceOf[StructType]
+        val vecT = st.fields(1).dataType
+        val n = arr.numElements()
+        val cells = new Array[Int](n)
+        val cents = new Array[Array[Double]](n)
+        var i = 0
+        while (i < n) {
+          val row = arr.getStruct(i, st.length)
+          cells(i) = row.getInt(0)
+          cents(i) = row.getArray(1).toDoubleArray()
+          i += 1
+        }
+        val _ = vecT
+        VecTopCells(children(0), cells, cents,
+          children(2).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((new FunctionIdentifier("lsh_keys"),
+      new ExpressionInfo("graft.functions.LshKeys", "lsh_keys"),
+      (children: Seq[Expression]) => LshKeys(children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())))
   }
 }

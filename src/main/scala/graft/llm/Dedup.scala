@@ -202,12 +202,14 @@ object Dedup {
                        bitsPerTable: Int = 16, tables: Int = 24): DataFrame = {
     val base = rebalance(em).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
-    val dim = base.select(size(col("v"))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(1) // probe once for all tables
-    val keys = (0 until tables).map(t => xxhash64(lit(t.toLong),
-      Similarity.lshBucketCol(col("v"), bitsPerTable, t, dim)))
-    // candidate pairs as ids only; vectors re-attach after the distinct
-    val banded = base.select(col("id"), explode(array(keys: _*)).as("ck"))
+    // candidate pairs as ids only; vectors re-attach after the distinct.
+    // All table keys come from ONE fused lsh_keys pass (not tables×bits
+    // separate vec_dot evals — see functions.LshKeys).
+    val banded = base
+      .select(col("id"), posexplode(
+        call_function("lsh_keys", col("v"), lit(bitsPerTable), lit(tables))))
+      .select(col("id"),
+        xxhash64(col("pos").cast("long"), col("col")).as("ck"))
     val l = banded.select(col("ck"), col("id").as("id_a"))
     val r = banded.select(col("ck"), col("id").as("id_b"))
     val cand = l.join(r, Seq("ck")).filter(col("id_a") < col("id_b"))
@@ -439,9 +441,12 @@ object Dedup {
                vecCol: String = "embedding"): DataFrame = {
     val cents = Similarity.kmeansCentroids(em, nClusters, iters, sampleMod,
       idCol, vecCol)
-    val assigned = Similarity.kmeansAssignWith(em, cents, idCol, vecCol)
+    // fused per-row cell assignment — the vector table never joins or
+    // shuffles for its label (see functions.VecTopCells)
     val base = rebalance(em).select(col(idCol), col(vecCol))
-      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+      .withColumn("cell",
+        element_at(Similarity.topCells(col(vecCol), cents, 1), 1)
+          .getField("cell"))
       .withColumn("__nrm", Similarity.l2norm(col(vecCol)))
     val a = base.select(col("cell"), col(idCol).as("__ida"),
       col(vecCol).as("__va"), col("__nrm").as("__na"))

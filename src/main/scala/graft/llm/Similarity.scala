@@ -105,17 +105,13 @@ object Similarity {
     def centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("cell", "centroid")
     for (_ <- 0 until iters) {
-      // argmax per vector as a hash AGGREGATE (max_by with the
-      // (cosine, -cell) key = the window's (cdist desc, cell asc)
-      // pick) — map-side partial agg collapses the nlist-way
-      // amplification before the shuffle; a row_number window would
-      // sort the full crossJoin output
-      val assigned = train.crossJoin(broadcast(centDf))
-        .withColumn("cdist", cosine(col("cv"), col("centroid")))
-        .groupBy(col("cid"))
-        .agg(max_by(struct(col("cell"), col("cv")),
-          struct(col("cdist"), (-col("cell")).as("negcell"))).as("__b"))
-        .select(col("__b.cell").as("cell"), col("__b.cv").as("cv"))
+      // fused per-vector argmax (VecTopCells) — a narrow projection,
+      // no crossJoin amplification, no per-vector shuffle; pick order
+      // identical to the old (cdist desc, cell asc) formulations
+      val assigned = train
+        .withColumn("__tc", element_at(topCellsLocal(col("cv"),
+          cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq, 1), 1))
+        .select(col("__tc.cell").as("cell"), col("cv"))
       val means = assigned.select(col("cell"), posexplode(col("cv")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .collect().groupBy(_.getInt(0))
@@ -152,20 +148,34 @@ object Similarity {
     * build, the cl1 argmax self-check) train once and reuse. */
   def kmeansAssignWith(corpus: DataFrame, centroids: DataFrame,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame =
-    // argmax as a hash aggregate, not a window: the broadcast
-    // crossJoin's nlist-way row amplification collapses map-side, so
-    // the shuffle carries one row per vector instead of sorting
-    // |corpus|·nlist rows. (cosine desc, cell asc) pick preserved via
-    // the (cdist, -cell) max key — tie-break identical to the old
-    // row_number ordering.
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col(vecCol), col("centroid")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("cdist").as("c"), (-col("cell")).as("negcell")))
-        .as("__b"))
-      .select(col(idCol), (-col("__b.negcell")).as("cell"),
-        col("__b.c").as("centroid_cosine"))
+                       vecCol: String = "embedding"): DataFrame = {
+    // fused argmax (functions.VecTopCells): one narrow projection per
+    // vector against the plan-time centroid matrix — no crossJoin row
+    // amplification, no shuffle at all. (cosine desc, cell asc) pick
+    // identical to the old (cdist, -cell) max-aggregate formulation
+    // (cl1 pins the equivalence against an explicit window argmax).
+    val tc = element_at(topCells(col(vecCol), centroids, 1), 1)
+    corpus.withColumn("__tc", tc)
+      .select(col(idCol), col("__tc.cell").as("cell"),
+        col("__tc.cosine").as("centroid_cosine"))
+  }
+
+  /** The `n` nearest cells of `vec` by cosine as a fused per-row
+    * Column — `array<struct<cell,cosine>>` ordered (cosine desc, cell
+    * asc). Collects the (plan-time-sized) centroid table into an
+    * expression-embedded matrix; see [[graft.functions.VecTopCells]].
+    */
+  def topCells(vec: Column, centroids: DataFrame, n: Int): Column =
+    topCellsLocal(vec,
+      centroids.select(col("cell").cast("int"), col("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq, n)
+
+  private[llm] def topCellsLocal(vec: Column,
+                                 cents: Seq[(Int, Seq[Double])],
+                                 n: Int): Column =
+    call_function("vec_top_cells", vec, typedlit(cents), lit(n))
 
   /** IVF-style ANN: partition the corpus into `nlist` cells around
     * deterministic k-means centroids ([[kmeansCentroids]]); a query
@@ -179,25 +189,13 @@ object Similarity {
     val centroids = kmeansCentroids(corpus, nlist, iters,
       idCol = idCol, vecCol = vecCol)
 
-    def nearestCells(df: DataFrame, vc: String, n: Int, out: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("cdist", cosine(col(vc), col("centroid")))
-      if (n == 1)
-        // corpus-side top-1: hash aggregate (map-side combine) instead
-        // of sorting the nlist-amplified crossJoin in a window; same
-        // (cdist desc, cell asc) pick via the max key
-        scored.groupBy(col(idCol))
-          .agg(max_by(struct(col("cell"), col(vc).as("v")),
-            struct(col("cdist"), (-col("cell")).as("negcell"))).as("__b"))
-          .select(col(idCol), col("__b.v").as(vc), col("__b.cell").as(out))
-      else {
-        val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").desc, col("cell"))
-        scored.withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= n)
-          .drop("centroid", "cdist", "crank")
-          .withColumnRenamed("cell", out)
-      }
-    }
+    // fused per-row top-n cells (VecTopCells) — no crossJoin, no
+    // shuffle; ordering identical to the old (cdist desc, cell asc)
+    // window / max-aggregate picks
+    def nearestCells(df: DataFrame, vc: String, n: Int, out: String): DataFrame =
+      df.select(col(idCol), col(vc),
+          explode(topCells(col(vc), centroids, n)).as("__tc"))
+        .select(col(idCol), col(vc), col("__tc.cell").as(out))
 
     val assigned = nearestCells(
       corpus.select(col(idCol), col(vecCol)), vecCol, 1, "cell")
@@ -230,14 +228,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bitsPerTable: Int = 8, tables: Int = 16,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def keyed(df: DataFrame, role: String): DataFrame = {
-      val base = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as("__v"))
-      val dim = base.select(size(col("__v"))).head(1).headOption
-        .map(_.getInt(0)).getOrElse(1) // probe once for all tables
-      val keys = (0 until tables).map(t =>
-        xxhash64(lit(t.toLong), lshBucketCol(col("__v"), bitsPerTable, t, dim)))
-      base.select(col(s"${role}_id"), explode(array(keys: _*)).as("ck"))
-    }
+    def keyed(df: DataFrame, role: String): DataFrame =
+      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as("__v"))
+        .select(col(s"${role}_id"), posexplode(
+          call_function("lsh_keys", col("__v"),
+            lit(bitsPerTable), lit(tables))))
+        .select(col(s"${role}_id"),
+          xxhash64(col("pos").cast("long"), col("col")).as("ck"))
     // candidate pairs as ids only — the distinct shuffles 16 bytes/row,
     // not embedding vectors; vectors re-attach after dedup
     val cand = keyed(corpus, "corpus")
@@ -281,13 +278,12 @@ object Similarity {
     */
   def lshBuckets(df: DataFrame, nbits: Int = 16,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 seed: Int = 0, dim: Int = -1): DataFrame = {
-    val d =
-      if (dim > 0) dim
-      else df.select(size(col(vecCol))).head(1).headOption
-        .map(_.getInt(0)).getOrElse(1)
-    df.withColumn("lsh_bucket", lshBucketCol(col(vecCol), nbits, seed, d))
-  }
+                 seed: Int = 0, dim: Int = -1): DataFrame =
+    // table index == hyperplane-family seed, so the fused kernel's
+    // element (seed+1) is exactly lshBucketCol(vec, nbits, seed, dim)
+    df.withColumn("lsh_bucket", element_at(
+      call_function("lsh_keys", col(vecCol), lit(nbits), lit(seed + 1)),
+      seed + 1))
 
   /** The bucket signature as a bare Column — multi-table callers build
     * all tables in ONE projection instead of chained withColumns. */
