@@ -206,6 +206,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecTopCells(children(0), cells, cents,
           children(2).eval().asInstanceOf[Number].intValue())
       }))
+    ext.injectFunction((new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo("graft.functions.PqEncode", "pq_encode"),
+      (children: Seq[Expression]) =>
+        PqEncode(children(0), PqCodec.parseBooks(children(1)))))
+    ext.injectFunction((new FunctionIdentifier("pq_adc_table"),
+      new ExpressionInfo("graft.functions.PqAdcTable", "pq_adc_table"),
+      (children: Seq[Expression]) =>
+        PqAdcTable(children(0), PqCodec.parseBooks(children(1)))))
     ext.injectFunction((new FunctionIdentifier("lsh_keys"),
       new ExpressionInfo("graft.functions.LshKeys", "lsh_keys"),
       (children: Seq[Expression]) => LshKeys(children(0),

@@ -107,25 +107,15 @@ object Pq {
     * references it twice, and ties break to the first index.
     */
   def encode(df: DataFrame, books: Codebooks,
-             vecCol: String = "embedding"): DataFrame = {
-    val m = books.length
-    val d = books(0)(0).length
-    val subCols = (0 until m).map(s =>
-      slice(col(vecCol), s * d + 1, d).as(s"__sub$s"))
-    val distCols = (0 until m).map { s =>
-      array(books(s).map { c =>
-        val n2 = c.map(x => x * x).sum
-        lit(n2) - lit(2.0) * call_function("vec_dot",
-          col(s"__sub$s"), typedlit(c.toSeq))
-      }: _*).as(s"__dist$s")
-    }
-    df.select(col("*") +: subCols: _*)
-      .select(col("*") +: distCols: _*)
-      .withColumn("pq_code", array((0 until m).map(s =>
-        (array_position(col(s"__dist$s"), array_min(col(s"__dist$s"))) - 1)
-          .cast("int")): _*))
-      .drop((0 until m).flatMap(s => Seq(s"__sub$s", s"__dist$s")): _*)
-  }
+             vecCol: String = "embedding"): DataFrame =
+    // fused per-row quantizer (functions.PqEncode): one pass over the
+    // expression-embedded codebooks instead of m·k separate vec_dot
+    // calls; distance rule and first-minimum tie-break bit-identical
+    df.withColumn("pq_code",
+      call_function("pq_encode", col(vecCol), booksLit(books)))
+
+  private def booksLit(books: Codebooks): Column =
+    typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** Reconstruction x̂ from a code: concatenated codebook centroids —
     * the decoder side of the quantizer (spec / diagnostics; production
@@ -152,13 +142,10 @@ object Pq {
     val m = books.length
     val codes = encode(corpus, books, vecCol)
       .select(col(idCol).as("corpus_id"), col("pq_code"))
-    // per-query lookup table: tbl(s)(c) = <q_s, c_{s,c}>
-    val d = books(0)(0).length
-    val tbl = array(books.indices.map(s =>
-      array(books(s).map(c => call_function("vec_dot",
-        slice(col("__qv"), s * d + 1, d), typedlit(c.toSeq))): _*)): _*)
+    // per-query lookup table: tbl(s)(c) = <q_s, c_{s,c}> (fused pass)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__tbl", tbl)
+      .withColumn("__tbl",
+        call_function("pq_adc_table", col("__qv"), booksLit(books)))
       .select(col("query_id"), col("__tbl"))
     val approx = codes.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .withColumn("__score", (0 until m).map(s =>
@@ -211,12 +198,10 @@ object Pq {
       .withColumn("cdist", Similarity.cosine(col("__qv"), col("centroid")))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell"))
-    val tbl = array(books.indices.map(s =>
-      array(books(s).map(c => call_function("vec_dot",
-        slice(col("__qv"), s * d + 1, d), typedlit(c.toSeq))): _*)): _*)
     val probes = qc.withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nprobe)
-      .withColumn("__tbl", tbl)
+      .withColumn("__tbl",
+        call_function("pq_adc_table", col("__qv"), booksLit(books)))
       .select(col("query_id"), col("cell"), col("__tbl"))
     val approx = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
