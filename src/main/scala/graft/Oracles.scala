@@ -1090,6 +1090,100 @@ object Oracles {
                 CAST(reasons AS BIGINT) AS reasons
          FROM r""",
 
+    // flagship composition: quality gate (qf1 rules) → exact dedup
+    // (min-id canonical) → 3-gram decontamination (dc1 rule) → salted
+    // hash split (smp2 rule) → per-split corpus stats
+    "pipe1_assemble" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+         q AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(string_split_regex(trim(text), '\s+'))
+             END AS n_words,
+             length(text) AS nc,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+               AS np,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> lower(x) IN ('the','a','an','and','or','of','to','in','is',
+                                 'was','it','for','on','with','as','at','by')))
+               AS nstop,
+             list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+               x -> length(x))) AS wlen
+           FROM corpus),
+         sig AS (
+           SELECT doc_id, n_words,
+                  CASE WHEN n_words > 0 THEN CAST(nstop AS DOUBLE)/n_words
+                       ELSE 0 END AS stop_r,
+                  CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc
+                       ELSE 0 END AS punct_r,
+                  CASE WHEN n_words > 0 THEN CAST(wlen AS DOUBLE)/n_words
+                       ELSE 0 END AS mwl
+           FROM q),
+         w AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                        'g')), ' ') AS ws
+               FROM corpus),
+         gr AS (SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(ws),1)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS gram
+                FROM w),
+         c AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
+         t AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS tf
+               FROM c GROUP BY 1),
+         fl AS (
+           SELECT s.doc_id, s.n_words, s.stop_r, s.punct_r, s.mwl,
+                  coalesce(t.tf, 0) AS tf
+           FROM sig s LEFT JOIN t ON s.doc_id = t.doc_id),
+         r AS (
+           SELECT doc_id,
+                  (CASE WHEN n_words < 40 THEN 1 ELSE 0 END
+                   + CASE WHEN stop_r < 0.04 THEN 2 ELSE 0 END
+                   + CASE WHEN punct_r > 0.10 THEN 4 ELSE 0 END
+                   + CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 8 ELSE 0 END
+                   + CASE WHEN tf > 0.06 THEN 16 ELSE 0 END) AS reasons
+           FROM fl),
+         kept AS (
+           SELECT c2.doc_id, c2.text FROM corpus c2
+           JOIN (SELECT doc_id FROM r WHERE reasons = 0) kq USING (doc_id)),
+         canon AS (
+           SELECT min(doc_id) AS doc_id FROM kept
+           GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+         dd AS (SELECT k.doc_id, k.text FROM kept k JOIN canon USING (doc_id)),
+         dw AS (SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+',
+                         ' ', 'g')), ' ') AS ws2
+                FROM dd),
+         gg AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(ws2)-2,0)+1),
+                         i -> ws2[i] || ' ' || ws2[i+1] || ' ' || ws2[i+2]))
+                         AS sh
+                FROM dw),
+         bw AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+',
+                  ' ', 'g')), ' ') AS ws3
+                FROM documents WHERE doc_id % 50 = 0),
+         bg AS (SELECT list_distinct(flatten(list(list_transform(
+                  range(1, greatest(len(ws3)-2,0)+1),
+                  i -> ws3[i] || ' ' || ws3[i+1] || ' ' || ws3[i+2])))) AS bsh
+                FROM bw),
+         clean AS (SELECT g.doc_id FROM gg g, bg
+                   WHERE len(list_intersect(g.sh, bg.bsh)) = 0),
+         fin AS (
+           SELECT d.doc_id,
+                  CASE WHEN md5('graft:' || CAST(d.doc_id AS VARCHAR)) < '0d'
+                         THEN 'test'
+                       WHEN md5('graft:' || CAST(d.doc_id AS VARCHAR)) < '1a'
+                         THEN 'val'
+                       ELSE 'train' END AS split,
+                  CASE WHEN length(trim(d.text)) = 0 THEN 0
+                       ELSE array_length(string_split_regex(trim(d.text),
+                         '\s+')) END AS n_words
+           FROM dd d JOIN clean USING (doc_id))
+         SELECT split, count(*) AS n_docs,
+                CAST(sum(n_words) AS BIGINT) AS total_words
+         FROM fin GROUP BY split""",
+
     "seg1_segment_dedup" ->
       """WITH words AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1011,7 +1011,29 @@ object Queries {
           Seq("src0" -> "g", "src1" -> "80", "src2" -> "40"), "source")
         .select(col("doc_id"), col("source"))),
     "zipf1_term_stats" -> ((s, dir) =>
-      TextAnalysis.termStats(table(s, dir, "documents"), topK = 50)))
+      TextAnalysis.termStats(table(s, dir, "documents"), topK = 50)),
+    // flagship composition: the full assembly pipeline in one plan —
+    // quality gate → exact dedup (canonical survives) → benchmark
+    // decontamination → deterministic split → per-split corpus stats.
+    // Every stage is one of the oracle-gated operators above; the
+    // composition itself sits under a single hash compare.
+    "pipe1_assemble" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val keepIds = TextAnalysis.qualityFilter(corpus)
+        .filter(col("reasons") === 0).select("doc_id")
+      val kept = corpus.join(keepIds, Seq("doc_id"))
+      val canon = Dedup.exact(kept).select(col("canonical_id").as("doc_id"))
+      val deduped = kept.join(canon, Seq("doc_id"))
+      val contaminated = Pipeline.decontaminate(deduped, bench, n = 3)
+        .select("doc_id")
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      Pipeline.hashSplit(clean)
+        .withColumn("n_words", TextAnalysis.wordCount(col("text")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_words"))
+    }))
 
   /** Semi-structured metadata: JSON attribute extraction from the
     * events props column (codegen'd get_json_object — no UDF), then a

@@ -172,7 +172,7 @@ object Similarity {
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1).toSeq, n)
 
-  private[llm] def topCellsLocal(vec: Column,
+  private[graft] def topCellsLocal(vec: Column,
                                  cents: Seq[(Int, Seq[Double])],
                                  n: Int): Column =
     call_function("vec_top_cells", vec, typedlit(cents), lit(n))

@@ -195,4 +195,110 @@ class PropertySpec extends SparkSpec {
         got == exp
     }, n = 30)
   }
+
+  private val genVec: Gen[Seq[Double]] = for {
+    d <- Gen.chooseNum(1, 8)
+    v <- Gen.listOfN(d, Gen.oneOf(
+      Gen.chooseNum(-10.0, 10.0),
+      Gen.oneOf(Seq(0.0, -0.0, 1.0, -1.0, 0.5))))
+  } yield v
+
+  test("lsh_keys: fused kernel == per-table lshBucketCol, any vector") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dims = 5
+    val genV = Gen.listOfN(dims, Gen.chooseNum(-10.0, 10.0))
+    check(Prop.forAll(Gen.listOfN(8, genV)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val nbits = 6
+      val tables = 3
+      val fused = df.select(col("id"),
+        call_function("lsh_keys", col("v"), lit(nbits), lit(tables)).as("ks"))
+      val cols = (0 until tables).map(t =>
+        graft.llm.Similarity.lshBucketCol(col("v"), nbits, t, dims).as(s"k$t"))
+      val unfused = df.select(col("id") +: cols: _*)
+      val a = fused.collect().map(r =>
+        (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+      val b = unfused.collect().map(r =>
+        (r.getLong(0), (0 until tables).map(t => r.getLong(t + 1)).toList)).toMap
+      a == b
+    }, n = 20)
+  }
+
+  test("vec_top_cells: fused argmax == plain-Scala cosine argmax") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dims = 4
+    val genV = Gen.listOfN(dims, Gen.chooseNum(-5.0, 5.0))
+    check(Prop.forAll(Gen.listOfN(6, genV), Gen.listOfN(5, genV)) {
+      (vecs, cents) =>
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v")
+        val centsSeq = cents.zipWithIndex.map { case (c, i) => (i, c: Seq[Double]) }
+        val got = df.select(col("id"), element_at(
+            graft.llm.Similarity.topCellsLocal(col("v"), centsSeq, 1), 1)
+            .as("tc"))
+          .select(col("id"), col("tc.cell"), col("tc.cosine"))
+          .collect().map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
+          .toMap
+        def dot(a: Seq[Double], b: Seq[Double]): Double = {
+          var s0 = 0.0; var i = 0
+          while (i < a.length && i < b.length) { s0 += a(i) * b(i); i += 1 }
+          s0
+        }
+        val exp = vecs.zipWithIndex.map { case (v, i) =>
+          val cos = cents.map(c =>
+            dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c))))
+          // (cosine desc, cell asc) with Spark double semantics
+          val best = cos.zipWithIndex.reduceLeft { (a, b) =>
+            val cmp = if (a._1 == b._1) 0
+              else java.lang.Double.compare(a._1, b._1)
+            if (cmp >= 0) a else b
+          }
+          (i.toLong, (best._2, best._1))
+        }.toMap
+        got == exp
+    }, n = 20)
+  }
+
+  test("pq_encode: fused quantizer == plain-Scala n2-2dot argmin") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val m = 2
+    val d = 3
+    val genV = Gen.listOfN(m * d, Gen.chooseNum(-5.0, 5.0))
+    val genBook = Gen.listOfN(m, Gen.listOfN(4, Gen.listOfN(d,
+      Gen.chooseNum(-5.0, 5.0))))
+    check(Prop.forAll(Gen.listOfN(5, genV), genBook) { (vecs, booksL) =>
+      val books: graft.llm.Pq.Codebooks =
+        booksL.map(_.map(_.toArray).toArray).toArray
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.llm.Pq.encode(df, books)
+        .select(col("vec_id"), col("pq_code"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+      val exp = vecs.zipWithIndex.map { case (v, i) =>
+        val codes = (0 until m).map { sIdx =>
+          val sub = v.slice(sIdx * d, sIdx * d + d)
+          val dists = books(sIdx).map { c =>
+            val n2 = c.map(x => x * x).sum
+            var dot = 0.0; var j = 0
+            while (j < d) { dot += sub(j) * c(j); j += 1 }
+            n2 - 2.0 * dot
+          }
+          dists.zipWithIndex.reduceLeft { (a, b) =>
+            val cmp = if (a._1 == b._1) 0
+              else java.lang.Double.compare(a._1, b._1)
+            if (cmp <= 0) a else b
+          }._2
+        }.toList
+        (i.toLong, codes)
+      }.toMap
+      got == exp
+    }, n = 20)
+  }
 }
