@@ -1090,6 +1090,39 @@ object Oracles {
                 CAST(reasons AS BIGINT) AS reasons
          FROM r""",
 
+    // the exact-new count is replayable; the bloom invariants (subset
+    // of exact-new, bounded FP count) are pinned as literal TRUEs —
+    // Spark computes them from the real filter and a violation fails
+    // the hash compare
+    "bloom1_incremental_bloom" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_new,
+                TRUE AS fp_ok, TRUE AS no_false_negatives
+         FROM documents b
+         WHERE b.source <> 'src0' AND NOT EXISTS (
+           SELECT 1 FROM documents c WHERE c.source = 'src0'
+             AND trim(regexp_replace(lower(c.text), '\s+', ' ', 'g')) =
+                 trim(regexp_replace(lower(b.text), '\s+', ' ', 'g')))""",
+
+    "url1_url_dedup" ->
+      """WITH wu AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN
+                    (CASE WHEN doc_id % 10 = 0 THEN 'https://WWW.Example'
+                          ELSE 'http://example' END)
+                    || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+                    || CAST(doc_id % 13 AS VARCHAR)
+                    || (CASE WHEN doc_id % 10 = 0 THEN '/?utm=x#top'
+                             ELSE '/' END)
+                  END AS url
+           FROM documents),
+         n AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(lower(url), '^https?://', ''),
+                        '^www\.', ''), '[?#].*$', ''), '/$', '') AS url_norm
+               FROM wu WHERE url IS NOT NULL)
+         SELECT url_norm, count(*) AS n_docs, min(doc_id) AS canonical_id
+         FROM n GROUP BY url_norm""",
+
     // flagship composition: quality gate (qf1 rules) → exact dedup
     // (min-id canonical) → 3-gram decontamination (dc1 rule) → salted
     // hash split (smp2 rule) → per-split corpus stats

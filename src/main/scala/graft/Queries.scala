@@ -1012,6 +1012,42 @@ object Queries {
         .select(col("doc_id"), col("source"))),
     "zipf1_term_stats" -> ((s, dir) =>
       TextAnalysis.termStats(table(s, dir, "documents"), topK = 50)),
+    // Bloom-filter standing-index dedup: bloom must keep a SUBSET of
+    // the exact-new set (false positives drop, never resurrect), with
+    // the FP count bounded; the oracle pins the exact count and the
+    // two invariants as literal TRUEs — a violated bound hash-fails
+    "bloom1_incremental_bloom" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpus = docs.filter(col("source") === "src0")
+      val batch = docs.filter(col("source") =!= "src0")
+      val exactNew = Dedup.incrementalDedup(corpus, batch).select("doc_id")
+      val bloomNew = Dedup.incrementalDedupBloom(corpus, batch).select("doc_id")
+      val fp = exactNew.join(bloomNew, Seq("doc_id"), "left_anti")
+      val ghost = bloomNew.join(exactNew, Seq("doc_id"), "left_anti")
+      exactNew.agg(count(lit(1)).as("n_exact_new"))
+        .crossJoin(fp.agg(count(lit(1)).as("__fp")))
+        .crossJoin(ghost.agg(count(lit(1)).as("__ghost")))
+        .crossJoin(batch.agg(count(lit(1)).as("__nb")))
+        .select(col("n_exact_new"),
+          (col("__fp") * 20 <= col("__nb")).as("fp_ok"),
+          (col("__ghost") === 0).as("no_false_negatives"))
+    }),
+    // URL canonicalization + dedup: every 5th doc carries an injected
+    // URL; scheme/case/query/trailing-slash variants of the same page
+    // must collapse to one normalized key
+    "url1_url_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val withUrl = docs.withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" see "),
+          when(col("doc_id") % 10 === 0, lit("https://WWW.Example"))
+            .otherwise(lit("http://example")),
+          (col("doc_id") % 7).cast("string"), lit(".com/p/"),
+          (col("doc_id") % 13).cast("string"),
+          when(col("doc_id") % 10 === 0, lit("/?utm=x#top"))
+            .otherwise(lit("/"))))
+          .otherwise(col("text")))
+      TextAnalysis.urlDedup(withUrl)
+    }),
     // flagship composition: the full assembly pipeline in one plan —
     // quality gate → exact dedup (canonical survives) → benchmark
     // decontamination → deterministic split → per-split corpus stats.

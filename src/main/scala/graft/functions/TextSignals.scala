@@ -206,6 +206,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecTopCells(children(0), cells, cents,
           children(2).eval().asInstanceOf[Number].intValue())
       }))
+    ext.injectFunction((new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo("graft.functions.BloomContains", "bloom_contains"),
+      (children: Seq[Expression]) => BloomContains(children(0),
+        children(1).eval().asInstanceOf[Array[Byte]])))
     ext.injectFunction((new FunctionIdentifier("pq_encode"),
       new ExpressionInfo("graft.functions.PqEncode", "pq_encode"),
       (children: Seq[Expression]) =>

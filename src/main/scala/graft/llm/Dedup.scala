@@ -552,6 +552,33 @@ object Dedup {
       .drop("__bh")
   }
 
+  /** [[incrementalDedup]] with the standing corpus index held as a
+    * Bloom filter instead of an exact hash set — the 100 TB form: at
+    * 10⁹ corpus hashes the exact set no longer broadcasts, but a ~1%
+    * fpp Bloom filter (~1.2 GB) does, turning the batch-side probe
+    * into a narrow per-row filter with NO shuffle or join at all
+    * (functions.BloomContains). False positives drop a small fraction
+    * of genuinely-new documents (never resurrect known ones) — the
+    * standard trade for a dedup gate at this scale.
+    *
+    * `expectedItems < 0` sizes the filter with one count() pass; pass
+    * the known corpus cardinality at scale to skip it. Deterministic:
+    * the sketch's bit positions are a pure function of the keys, so
+    * build order/partitioning never changes the kept set.
+    */
+  def incrementalDedupBloom(corpus: DataFrame, batch: DataFrame,
+                            expectedItems: Long = -1L, fpp: Double = 0.01,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val ch = corpus.select(xxhash64(normalized(col(textCol))).as("__h"))
+    val n = if (expectedItems > 0) expectedItems else math.max(ch.count(), 1L)
+    val bf = ch.stat.bloomFilter("__h", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    batch.filter(!call_function("bloom_contains",
+      xxhash64(normalized(col(textCol))), lit(bos.toByteArray)))
+  }
+
   def repeatedSpans(docs: DataFrame, w: Int = 5, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val words = col("__words")

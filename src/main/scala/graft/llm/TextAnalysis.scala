@@ -283,6 +283,30 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("idf"))
   }
 
+  /** Canonicalize a URL for dedup: lowercase, strip scheme and
+    * leading `www.`, drop query/fragment, drop a trailing slash —
+    * the common-crawl-style key under which `http://example.com/p/`
+    * and `https://WWW.Example.com/p/?utm=x#top` are one page. */
+  def urlNormalize(url: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(url),
+      "^https?://", ""), "^www\\.", ""), "[?#].*$", ""), "/$", "")
+
+  /** URL-level dedup: extract the first URL per document, canonicalize
+    * ([[urlNormalize]]), and group — one row per distinct page with
+    * occurrence count and canonical (minimum) doc id. Pure map +
+    * one hash aggregate on the normalized-url key; document bodies
+    * never shuffle.
+    */
+  def urlDedup(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    df.withColumn("__url",
+        regexp_extract(col(textCol), "https?://\\S+", 0))
+      .filter(col("__url") =!= "")
+      .withColumn("url_norm", urlNormalize(col("__url")))
+      .groupBy("url_norm")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
   /** Corpus term statistics: the `topK` most frequent terms with rank,
     * corpus share, and cumulative share (the Zipf-curve head — the
     * standard first look at a pretraining corpus's token distribution,

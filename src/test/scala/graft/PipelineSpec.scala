@@ -178,6 +178,37 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set(11L))
   }
 
+  test("incrementalDedupBloom: subset of exact-new, no false negatives") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L to 49L).map(i => (i, s"corpus doc $i")).toDF("doc_id", "text")
+    val batch = ((100L to 129L).map(i => (i, s"new doc $i")) ++
+      (0L to 9L).map(i => (i + 200L, s"corpus doc $i"))) // 10 known dups
+      .toDF("doc_id", "text")
+    val exact = graft.llm.Dedup.incrementalDedup(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = graft.llm.Dedup.incrementalDedupBloom(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == (100L to 129L).toSet)
+    assert(bloom.subsetOf(exact)) // FPs only ever DROP new docs
+    assert((exact -- bloom).size <= 2) // 1% fpp on 30 docs
+  }
+
+  test("urlDedup collapses scheme/case/query/slash variants of a page") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b https://WWW.Example.com/p/3/?utm=x#top"),
+      (2L, "c d http://example.com/p/3/"),
+      (3L, "no url here"),
+      (4L, "e https://other.com/q")).toDF("doc_id", "text")
+    val got = TextAnalysis.urlDedup(d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "example.com/p/3" -> ((2L, 1L)),
+      "other.com/q" -> ((1L, 4L))))
+  }
+
   test("termStats ranks by freq desc then term, with cumulative share") {
     val s = spark
     import s.implicits._
