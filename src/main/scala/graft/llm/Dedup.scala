@@ -510,25 +510,42 @@ object Dedup {
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     require(segWords > 0, s"segWords must be positive: $segWords")
+    // Segment TEXT never shuffles: the explode emits only the 64-bit
+    // segment hash; the winner per distinct segment is min over the
+    // (id, seg_idx) coordinate PACKED into one decimal — a mutable agg
+    // buffer type, so the corpus-wide aggregate stays a codegen'd
+    // HashAggregate (a min over struct(id, idx, seg) falls back to
+    // sort-based aggregation and sorts the whole exploded set).
+    // Winning coordinates roll up per doc and the surviving segments
+    // are RE-SLICED from the source text at reassembly.
     val words = col("__words")
     val nSeg = ceil(size(words) / lit(segWords.toDouble)).cast("int")
-    val segs = rebalance(docs)
+    val packBase = 1L << 30 // up to 2^30 segments/doc, id up to ~10^27
+    val segsH = rebalance(docs)
       .withColumn("__words", split(col(textCol), " "))
       .select(col(idCol).as("id"),
         posexplode(transform(sequence(lit(1), greatest(nSeg, lit(1))), i =>
-          concat_ws(" ",
-            slice(words, (i - lit(1)) * segWords + lit(1), lit(segWords))))))
-      .select(col("id"), (col("pos") + 1).as("seg_idx"), col("col").as("seg"))
-    segs
-      .groupBy(xxhash64(col("seg")).as("__gh"))
-      .agg(min(struct(col("id"), col("seg_idx"), col("seg"))).as("__k"))
-      .select(col("__k.id").as(idCol), col("__k.seg_idx").as("seg_idx"),
-        col("__k.seg").as("seg"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
-          s => s.getField("seg")), " ")).as("h"))
+          xxhash64(concat_ws(" ",
+            slice(words, (i - lit(1)) * segWords + lit(1), lit(segWords)))))))
+      .select(col("col").as("__gh"),
+        (col("id").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * packBase +
+          (col("pos") + 1)).as("__p"))
+    val winners = segsH
+      .groupBy(col("__gh")).agg(min(col("__p")).as("__w"))
+      .withColumn("__idx", (col("__w") % packBase).cast("long"))
+      .select(((col("__w") - col("__idx")) / packBase).cast("long").as("id"),
+        col("__idx"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("__idx"))).as("__idxs"))
+    docs.select(col(idCol), col(textCol))
+      .join(winners, col(idCol) === winners("id"))
+      .withColumn("__words", split(col(textCol), " "))
+      .select(col(idCol), size(col("__idxs")).as("n_kept").cast("long")
+          .as("n_kept"),
+        md5(array_join(transform(col("__idxs"), ix =>
+          concat_ws(" ", slice(words,
+            ((ix - 1) * segWords + 1).cast("int"), lit(segWords)))), " "))
+          .as("h"))
   }
 
   /** Incremental dedup: drop from a new `batch` every document whose
