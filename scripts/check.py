@@ -9,10 +9,13 @@ import duckdb
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 RUN_VERIFY = "--no-run" not in sys.argv
+# optional 3rd positional arg: comma-separated query subset, forwarded
+# to graft.Verify (without it every check runs the FULL verify)
+SUBSET = next((a for a in sys.argv[3:] if not a.startswith("--")), "")
 
 if RUN_VERIFY:
     r = subprocess.run(
-        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT} {SUBSET}'.rstrip()],
         capture_output=True, text=True, cwd="/root/repo")
     for line in r.stderr.splitlines():
         if "[verify]" in line:

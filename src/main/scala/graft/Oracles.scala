@@ -1090,6 +1090,69 @@ object Oracles {
                 CAST(reasons AS BIGINT) AS reasons
          FROM r""",
 
+    // corpus report: qf1 quality rules + ROLLUP grouping sets
+    "rep1_corpus_report" ->
+      """WITH q AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(string_split_regex(trim(text), '\s+'))
+             END AS n_words,
+             length(text) AS nc,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+               AS np,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> lower(x) IN ('the','a','an','and','or','of','to','in','is',
+                                 'was','it','for','on','with','as','at','by')))
+               AS nstop,
+             list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+               x -> length(x))) AS wlen
+           FROM documents),
+         sig AS (
+           SELECT doc_id, n_words,
+                  CASE WHEN n_words > 0 THEN CAST(nstop AS DOUBLE)/n_words
+                       ELSE 0 END AS stop_r,
+                  CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc
+                       ELSE 0 END AS punct_r,
+                  CASE WHEN n_words > 0 THEN CAST(wlen AS DOUBLE)/n_words
+                       ELSE 0 END AS mwl
+           FROM q),
+         w AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                        'g')), ' ') AS ws
+               FROM documents),
+         gr AS (SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(ws),1)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS gram
+                FROM w),
+         c AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
+         t AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS tf
+               FROM c GROUP BY 1),
+         fl AS (
+           SELECT s.doc_id, s.n_words, s.stop_r, s.punct_r, s.mwl,
+                  coalesce(t.tf, 0) AS tf
+           FROM sig s LEFT JOIN t ON s.doc_id = t.doc_id),
+         r AS (
+           SELECT doc_id,
+                  (CASE WHEN n_words < 40 THEN 1 ELSE 0 END
+                   + CASE WHEN stop_r < 0.04 THEN 2 ELSE 0 END
+                   + CASE WHEN punct_r > 0.10 THEN 4 ELSE 0 END
+                   + CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 8 ELSE 0 END
+                   + CASE WHEN tf > 0.06 THEN 16 ELSE 0 END) AS reasons
+           FROM fl),
+         k AS (
+           SELECT d.doc_id, d.source, d.lang,
+                  CASE WHEN length(trim(d.text)) = 0 THEN 0
+                       ELSE array_length(string_split_regex(trim(d.text),
+                         '\s+')) END AS w,
+                  CASE WHEN r.reasons = 0 THEN 1 ELSE 0 END AS keep
+           FROM documents d JOIN r USING (doc_id))
+         SELECT coalesce(source, '<all>') AS source,
+                coalesce(lang, '<all>') AS lang,
+                count(*) AS n_docs,
+                CAST(sum(w) AS BIGINT) AS total_words,
+                CAST(sum(keep) AS BIGINT) AS n_kept
+         FROM k GROUP BY ROLLUP (source, lang)""",
+
     // the exact-new count is replayable; the bloom invariants (subset
     // of exact-new, bounded FP count) are pinned as literal TRUEs —
     // Spark computes them from the real filter and a violation fails

@@ -813,7 +813,12 @@ object Queries {
     // must equal a one-shot batch ingest and the oracle recomputes it
     // directly from events.
     "st1_streaming_ingest" -> ((s, dir) => {
-      val store = freshStore(s, "st1", dir, ArchivePolicy("st1", 0,
+      // backWindow = 744 blocks (the whole month): the running stream
+      // lists part-files as tasks commit them, so one chunk's files can
+      // split across micro-batches in any order — a month-wide back
+      // window makes every batching pattern equal to one-shot ingest
+      // (rejection semantics are m2's job; st1 exercises the drain)
+      val store = freshStore(s, "st1", dir, ArchivePolicy("st1", 744,
         Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
         Set("mean", "count")))
       val root = s"/tmp/graft-q-stream/st1-${math.abs(dir.hashCode)}"
@@ -1012,6 +1017,21 @@ object Queries {
         .select(col("doc_id"), col("source"))),
     "zipf1_term_stats" -> ((s, dir) =>
       TextAnalysis.termStats(table(s, dir, "documents"), topK = 50)),
+    // corpus report over ROLLUP grouping sets: per (source, lang),
+    // per source, and grand-total rows in one pass
+    "rep1_corpus_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.qualityFilter(docs)
+        .withColumn("__w", TextAnalysis.wordCount(col("text")))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("total_words"),
+          sum(col("keep")).as("n_kept"))
+        // sentinel instead of rollup NULLs: engine-portable sort+compare
+        .select(coalesce(col("source"), lit("<all>")).as("source"),
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          col("n_docs"), col("total_words"), col("n_kept"))
+    }),
     // Bloom-filter standing-index dedup: bloom must keep a SUBSET of
     // the exact-new set (false positives drop, never resurrect), with
     // the FP count bounded; the oracle pins the exact count and the
