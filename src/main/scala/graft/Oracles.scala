@@ -476,6 +476,12 @@ object Oracles {
                 count(*) AS n, CAST(sum(value) AS REAL) AS sum_v
          FROM events GROUP BY 1, 2""",
 
+    "i5_amqp_collectd" ->
+      """SELECT 'h' || CAST(user_id AS VARCHAR) AS resource_id,
+                'cpu.' || event_type AS metric,
+                count(*) AS n, CAST(sum(value) AS REAL) AS sum_v
+         FROM events GROUP BY 1, 2""",
+
     "g5_grouped_ratio" ->
       """WITH m AS (
            SELECT user_id % 3 AS grp, user_id, event_type,

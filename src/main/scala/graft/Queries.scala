@@ -671,6 +671,28 @@ object Queries {
         .groupBy("metric", "resource_id")
         .agg(count(lit(1)).as("n"), r6(sum("value")).as("sum_v"))
     }),
+    // I5 full wire: one AMQP 1.0 bare message per host carrying the
+    // collectd JSON payload, decoded back through the real codec
+    // (amqp1d.py:117-131), then aggregated under the oracle hash.
+    "i5_amqp_collectd" -> ((s, dir) => {
+      import s.implicits._
+      val msgs = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          (unix_micros(col("ts")).cast("double") / 1e6).as("time"),
+          col("value"))
+        .as[(Long, String, Double, Double)]
+        .groupByKey((r: (Long, String, Double, Double)) => r._1)
+        .mapGroups { (host: Long, it: Iterator[(Long, String, Double, Double)]) =>
+          val entries = it.map { case (_, t, ts, v) =>
+            s"""{"host":"h$host","plugin":"cpu","plugin_instance":"","type":"$t","type_instance":"","time":$ts,"dsnames":["value"],"values":[$v]}"""
+          }.mkString("[", ",", "]")
+          ingest.Amqp.encodeMessage(entries.getBytes("UTF-8"),
+            subject = Some("telemetry"))
+        }.toDF("msg")
+      ingest.RemoteWrite.amqpToMeasures(msgs)
+        .groupBy("resource_id", "metric")
+        .agg(count(lit(1)).as("n"), r6(sum("value")).as("sum_v"))
+    }),
     "i4_statsd_flush" -> ((s, dir) => {
       val lines = events(s, dir).select(
         concat(col("event_type"), lit(":"), col("value").cast("string"),

@@ -12,10 +12,25 @@ import org.apache.spark.sql.types._
   * via snappy-java (on the Spark classpath) + the hand-rolled
   * [[PromProto]] reader — mapPartitions only at the codec boundary,
   * like the multimodal decode; everything after is pure Catalyst.
-  * amqp1d remains a semantic mapping (collectd JSON payload) — AMQP 1.0
-  * is a transport, not a data operator, and has no library here.
+  * The amqp1d path decodes real AMQP 1.0 bare messages via the
+  * hand-rolled [[Amqp]] codec (collectd JSON rides in the message
+  * body, amqp1d.py:117-131), then applies the collectd mapping.
   */
 object RemoteWrite {
+
+  /** Decode AMQP 1.0 bare-message bodies (the amqp1d transport payload)
+    * into collectd measures: parse each message at the codec boundary,
+    * then the JSON/measure mapping runs in Catalyst.
+    */
+  def amqpToMeasures(messages: DataFrame,
+                     msgCol: String = "msg"): DataFrame = {
+    val spark = messages.sparkSession
+    import spark.implicits._
+    val bodies = messages.select(col(msgCol)).as[Array[Byte]]
+      .mapPartitions(_.map(m => Amqp.parseMessage(m).body))
+      .toDF("body")
+    collectdToMeasures(bodies)
+  }
 
   /** Decode snappy-compressed protobuf remote-write bodies
     * (rest/api.py:2327-2336: `snappy.uncompress` + `WriteRequest()

@@ -39,6 +39,26 @@ class PropertySpec extends SparkSpec {
     }, n = 100)
   }
 
+  test("Amqp: encode→decode is identity for any body/props (incl. unicode)") {
+    import graft.ingest.Amqp
+    val genStr = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableChar, Gen.oneOf('é', 'λ', '中', '\n', '"')))
+      .map(_.mkString)
+    val genMsg = for {
+      body <- genStr
+      ct <- Gen.oneOf("application/json", "text/plain", "x/" + "y" * 300)
+      subj <- Gen.option(genStr)
+      props <- Gen.mapOf(Gen.zip(
+        Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString), genStr))
+    } yield (body, ct, subj, props)
+    check(Prop.forAll(genMsg) { case (body, ct, subj, props) =>
+      val m = Amqp.parseMessage(Amqp.encodeMessage(
+        body.getBytes("UTF-8"), ct, subj, props))
+      m.body == body && m.contentType.contains(ct) &&
+        m.subject == subj && m.appProperties == props
+    }, n = 150)
+  }
+
   test("PromProto: NaN samples survive the wire bit-exactly") {
     val s = PromProto.Series(Map("__name__" -> "up"),
       Seq((1L, Double.NaN)))
