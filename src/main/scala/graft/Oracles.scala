@@ -482,6 +482,17 @@ object Oracles {
                 count(*) AS n, CAST(sum(value) AS REAL) AS sum_v
          FROM events GROUP BY 1, 2""",
 
+    // final watermark = max event time (ms, floored) − 90 min; a window
+    // is in the append-mode output iff it CLOSED under that watermark
+    "st2_streaming_window" ->
+      """WITH w AS (SELECT epoch_ms(max(ts)) - 5400000 AS wm FROM events),
+           a AS (SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT)
+                          AS bucket_s,
+                        event_type, count(*) AS n,
+                        CAST(avg(value) AS REAL) AS v
+                 FROM events GROUP BY 1, 2)
+         SELECT a.* FROM a, w WHERE (a.bucket_s + 3600) * 1000 <= w.wm""",
+
     "g5_grouped_ratio" ->
       """WITH m AS (
            SELECT user_id % 3 AS grp, user_id, event_type,

@@ -865,6 +865,42 @@ object Queries {
         .select(col("metric_id"), col("method"), bucketS(),
           r6(col("value")).as("v"))
     }),
+    // Watermarked streaming window aggregation in APPEND mode: each
+    // chunk is ONE part-file (coalesce(1)) so micro-batch boundaries
+    // are deterministic (a multi-file chunk can split across batches in
+    // any order — the st1 trap); a window emits exactly once, when the
+    // watermark (max event time − 90 min) passes its end, so the final
+    // table = the full hourly aggregate MINUS the still-open tail
+    // windows — which is exactly what the oracle replays.
+    "st2_streaming_window" -> ((s, dir) => {
+      val root = s"/tmp/graft-q-stream/st2-${math.abs(dir.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/staging"))
+      val qn = s"st2_${math.abs(dir.hashCode)}"
+      if (s.catalog.tableExists(qn)) s.catalog.dropTempView(qn)
+      val ev = events(s, dir)
+        .select(col("ts"), col("event_type"), col("value")).cache()
+      val src = s.readStream.schema(ev.schema).parquet(s"$root/staging")
+      val q = graft.streaming.StreamingIngest
+        .windowedHourly(src, "90 minutes")
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").start()
+      try {
+        val cut = lit("2024-01-16").cast("timestamp")
+        Seq(col("ts") < cut, col("ts") >= cut).foreach { c =>
+          ev.filter(c).coalesce(1).write.mode("append")
+            .parquet(s"$root/staging")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ev.unpersist()
+      s.table(qn).select(
+        unix_timestamp(col("window.start")).cast("long").as("bucket_s"),
+        col("event_type"), col("n"), r6(col("v")).as("v"))
+    }),
     // M2 back-window acceptance + cross-batch new-wins merge: batch 2
     // replays the first days with poisoned values (+1000 — must be
     // REJECTED by the back window or hourly means shift visibly) and

@@ -34,6 +34,22 @@ object StreamingIngest {
       .start()
   }
 
+  /** Watermarked event-time window aggregation — the built-in
+    * Structured Streaming aggregation surface (watermark + tumbling
+    * window + partial-agg state), complementing the foreachBatch drain
+    * above. In append output mode a window emits exactly once, when the
+    * watermark (max observed event time − delay) passes its end; rows
+    * arriving after their window closed are dropped. State is bounded:
+    * open windows only, evicted on emit.
+    */
+  def windowedHourly(src: DataFrame, delay: String,
+                     tsCol: String = "ts",
+                     keyCol: String = "event_type",
+                     valCol: String = "value"): DataFrame =
+    src.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
+      .agg(avg(col(valCol)).as("v"), count(lit(1)).as("n"))
+
   final case class Point(metric_id: String, ts_ms: Long, value: Double)
   final case class BoundState(points: Seq[(Long, Double)])
 
