@@ -377,6 +377,31 @@ object Oracles {
       """SELECT CAST(17 AS BIGINT) AS n_pairs,
                 CAST(0 AS BIGINT) AS mismatches""",
 
+    "lm1_perplexity" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ') AS w
+           FROM documents),
+         p0 AS (
+           SELECT doc_id, unnest(w[1:len(w)-1]) AS prev,
+                  unnest(w[2:len(w)]) AS cur
+           FROM d WHERE len(w) >= 2),
+         dp AS (SELECT doc_id, prev, cur, count(*) AS k
+                FROM p0 GROUP BY 1, 2, 3),
+         cb AS (SELECT prev, cur, sum(k) AS cb FROM dp GROUP BY 1, 2),
+         cu AS (SELECT prev, sum(k) AS cu FROM dp GROUP BY 1),
+         v AS (SELECT count(DISTINCT x) AS vs
+               FROM (SELECT unnest(w) AS x FROM d)),
+         sc AS (
+           SELECT dp.doc_id, dp.k,
+                  ln((cb.cb + 0.5) / (cu.cu + 0.5 * v.vs)) AS lp
+           FROM dp JOIN cb USING (prev, cur) JOIN cu USING (prev), v)
+         SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+                CAST(sum(k*lp)/sum(k) AS REAL) AS avg_logp,
+                CAST(exp(-sum(k*lp)/sum(k)) AS REAL) AS ppl
+         FROM sc GROUP BY 1""",
+
     "dd4_ngram_jaccard" ->
       """WITH d AS (
            SELECT doc_id,

@@ -741,6 +741,14 @@ object Queries {
       Dedup.repeatedSpans(table(s, dir, "documents"), w = 5)
         .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
           r6(col("dup_frac")).as("dup_frac"))),
+    // Bigram-LM perplexity (CCNet-style quality signal): the corpus LM
+    // is trained and applied in one plan; the oracle replays counts,
+    // smoothing, and the log-space average exactly (double log/exp
+    // noise vanishes under float32 quantization).
+    "lm1_perplexity" -> ((s, dir) =>
+      TextAnalysis.perplexity(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r6(col("avg_logp")).as("avg_logp"), r6(col("ppl")).as("ppl"))),
     "txt6_idf" -> ((s, dir) =>
       TextAnalysis.docFrequency(table(s, dir, "documents"))
         .select(col("token"), col("df"), r6(col("idf")).as("idf"))),

@@ -339,4 +339,50 @@ object TextAnalysis {
       .select(col("rank"), col("term"), col("freq"), col("share"),
         col("cum_share"))
   }
+
+  /** Bigram-LM perplexity per document (the CCNet-style LM quality
+    * signal: score documents with an n-gram language model and filter
+    * the tails — Wenzek et al. 2020; no reference-repo analogue,
+    * SURVEY §2.12). Add-α smoothing:
+    * P(cur|prev) = (c(prev,cur) + α) / (c(prev·) + α·V), V = |vocab|;
+    * per doc: avg_logp = Σ k·ln P / Σ k over its bigrams,
+    * ppl = exp(−avg_logp). Documents with < 2 tokens have no bigram
+    * and drop out (they carry no LM evidence).
+    *
+    * Scale shape: (1) per-doc bigram pre-aggregation — ONE shuffle of
+    * the doc-distinct bigram set (map-side combine collapses repeated
+    * bigrams, which natural text has plenty of); (2)+(3) corpus counts
+    * c(prev,cur) and c(prev·) as window sums over that same reduced
+    * table; (4) one per-doc aggregation. The vocabulary size rides in
+    * as a broadcast scalar — no collect in the data path. Raw token
+    * streams are never joined; only the deduplicated (doc, bigram)
+    * table shuffles.
+    */
+  def perplexity(df: DataFrame, alpha: Double = 0.5,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val withWords = Dedup.rebalance(df)
+      .withColumn("__w", split(Dedup.normalized(col(textCol)), " "))
+    val n1 = greatest(size(col("__w")) - 1, lit(0))
+    val dp = withWords
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__w"), lit(1), n1), slice(col("__w"), lit(2), n1))).as("p"))
+      .select(col(idCol), col("p.0").as("prev"), col("p.1").as("cur"))
+      .groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("k"))
+    val vocab = withWords
+      .select(explode(col("__w")).as("w"))
+      .agg(count_distinct(col("w")).as("__v"))
+    val wb = Window.partitionBy(col("prev"), col("cur"))
+    val wu = Window.partitionBy(col("prev"))
+    dp.withColumn("cb", sum(col("k")).over(wb))
+      .withColumn("cu", sum(col("k")).over(wu))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", log((col("cb") + lit(alpha)) /
+        (col("cu") + lit(alpha) * col("__v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        (sum(col("k") * col("__lp")) / sum(col("k"))).as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
 }

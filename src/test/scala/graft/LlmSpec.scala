@@ -352,4 +352,24 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(got("tungsten")._2 - math.log(3.0)) < 1e-12)
     assert(math.abs(got("spark")._2 - math.log(1.5)) < 1e-12)
   }
+
+  test("perplexity: add-α bigram LM, hand-computed 2-doc corpus") {
+    // d1 = "a b a b", d2 = "a b c"; bigram counts: (a,b)=3 (b,a)=1
+    // (b,c)=1; context counts: a·=3, b·=2; V=3, α=0.5
+    val got = TextAnalysis.perplexity(docs((1L, "a b A  b"), (2L, "a b c")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val pAB = math.log(3.5 / 4.5)
+    val pBA = math.log(1.5 / 3.5)
+    val pBC = math.log(1.5 / 3.5)
+    val d1 = (2 * pAB + pBA) / 3
+    val d2 = (pAB + pBC) / 2
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._2 == 3L && got(1)._2 == 2L)
+    assert(math.abs(got(0)._3 - d1) < 1e-12)
+    assert(math.abs(got(1)._3 - d2) < 1e-12)
+    assert(math.abs(got(0)._4 - math.exp(-d1)) < 1e-9)
+    // a 1-token doc carries no LM evidence and drops out
+    assert(TextAnalysis.perplexity(docs((9L, "solo"))).count() == 0)
+  }
 }
