@@ -170,7 +170,8 @@ object Queries {
       val newB = ev.filter(col("event_id") % 3 === 0)
         .withColumn("value", col("value") * 2)
       val merged = TimeSeriesOps.merge(newB, ev,
-        Seq("user_id", "event_type"), "ts", col("event_id"))
+        Seq("user_id", "event_type"), "ts", col("event_id"),
+        orderBound = 1L << 61)
       merged.groupBy("event_type")
         .agg(count(lit(1)).as("n"), r6(sum("value")).as("sum_v"))
     }))

@@ -99,7 +99,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .drop("__old_last_s")
     val merged = TimeSeriesOps.merge(
       accepted, rawTouched,
-      Seq("metric_id"), "timestamp", lit(0))
+      Seq("metric_id"), "timestamp", lit(0), orderBound = 1L)
       .cache()
     val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("metric_id"))
     val bounded = merged
