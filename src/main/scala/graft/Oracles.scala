@@ -446,6 +446,43 @@ object Oracles {
                   AS DOUBLE) / sum(occ) AS REAL) AS dup_frac
          FROM pgd JOIN nd USING (gram) GROUP BY 1""",
 
+    // grams as STRINGS where Spark hashes (xxhash64) — equal sets
+    // modulo ~2⁻⁶⁴ collisions; parallel unnests zip row-wise in DuckDB
+    "es1_span_removal" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ') AS w
+           FROM documents),
+         g2 AS (
+           SELECT doc_id,
+                  unnest(range(1, greatest(len(w)-4,0)+1)) - 1 AS pos,
+                  unnest(list_transform(range(1, greatest(len(w)-4,0)+1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                         w[i+3] || ' ' || w[i+4])) AS gram
+           FROM d),
+         nd AS (SELECT gram
+                FROM (SELECT gram, count(DISTINCT doc_id) AS ndocs
+                      FROM g2 GROUP BY 1)
+                WHERE ndocs >= 2),
+         st AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN nd USING (gram)),
+         cov AS (SELECT DISTINCT doc_id, pos + k AS cp
+                 FROM st CROSS JOIN (SELECT unnest(range(0, 5)) AS k)),
+         tok AS (SELECT doc_id, unnest(range(1, len(w)+1)) - 1 AS p,
+                        unnest(w) AS word
+                 FROM d),
+         kept AS (SELECT tok.doc_id, tok.p, tok.word
+                  FROM tok LEFT JOIN cov
+                    ON tok.doc_id = cov.doc_id AND tok.p = cov.cp
+                  WHERE cov.cp IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(word, ' ' ORDER BY p) AS clean
+                 FROM kept GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(agg.n_kept, 0) AS INT) AS n_kept,
+                CAST(len(d.w) - coalesce(agg.n_kept, 0) AS INT) AS n_removed,
+                md5(coalesce(agg.clean, '')) AS clean_md5
+         FROM d LEFT JOIN agg USING (doc_id)""",
+
     "txt6_idf" ->
       """WITH d AS (
            SELECT doc_id,

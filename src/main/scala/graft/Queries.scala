@@ -750,6 +750,12 @@ object Queries {
       TextAnalysis.perplexity(table(s, dir, "documents"))
         .select(col("doc_id"), col("n_bigrams"),
           r6(col("avg_logp")).as("avg_logp"), r6(col("ppl")).as("ppl"))),
+    // ExactSubstr span removal: tokens under any cross-doc duplicated
+    // 5-gram are cut and the survivors reassembled (native merged walk)
+    "es1_span_removal" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(table(s, dir, "documents"), w = 5)
+        .select(col("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("clean")).as("clean_md5"))),
     "txt6_idf" -> ((s, dir) =>
       TextAnalysis.docFrequency(table(s, dir, "documents"))
         .select(col("token"), col("df"), r6(col("idf")).as("idf"))),

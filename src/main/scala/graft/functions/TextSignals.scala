@@ -223,5 +223,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => LshKeys(children(0),
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((new FunctionIdentifier("remove_spans"),
+      new ExpressionInfo("graft.functions.RemoveSpans", "remove_spans"),
+      (children: Seq[Expression]) => RemoveSpans(children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue())))
   }
 }

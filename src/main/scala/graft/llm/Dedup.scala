@@ -596,6 +596,49 @@ object Dedup {
       xxhash64(normalized(col(textCol))), lit(bos.toByteArray)))
   }
 
+  /** ExactSubstr-style span REMOVAL (Lee et al. 2022): every token
+    * covered by a w-gram that occurs in ≥ 2 distinct documents is cut;
+    * the survivors are reassembled in order. Complements
+    * [[repeatedSpans]] (which only scores).
+    *
+    * Scale shape: (1) gram set — one map-side-combined count-distinct
+    * per gram hash; only 64-bit hashes shuffle, never gram text;
+    * (2) dup-gram positions rejoin the gram stream and collapse to one
+    * sorted int array per affected document (bounded by that doc's
+    * gram count); (3) the rebuild is the native `remove_spans` merged
+    * pointer walk, O(words+starts) per doc, inside whole-stage codegen.
+    * Documents with no duplicated gram skip steps 2–3 entirely (left
+    * join, empty starts).
+    */
+  def removeRepeatedSpans(docs: DataFrame, w: Int = 5,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val words = col("__words")
+    val g = greatest(size(words) - (w - 1), lit(0))
+    val zipped = arrays_zip((0 until w).map(j =>
+      slice(words, lit(j + 1), g)): _*)
+    val base = rebalance(docs)
+      .withColumn("__words", split(normalized(col(textCol)), " "))
+    val grams = base
+      .select(col(idCol), posexplode(transform(zipped, s =>
+        xxhash64(concat_ws(" ",
+          (0 until w).map(j => s.getField(j.toString)): _*)))))
+      .toDF(idCol, "__pos", "gh")
+    val dup = grams.groupBy(col("gh"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("gh")
+    val dupStarts = grams.join(dup, "gh")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("__pos"))).as("__starts"))
+    base.join(dupStarts, Seq(idCol), "left")
+      .withColumn("__r", call_function("remove_spans", col("__words"),
+        coalesce(col("__starts"), lit(Array.empty[Int])), lit(w)))
+      .select(col(idCol), col("__r.clean").as("clean"),
+        col("__r.n_kept").as("n_kept"),
+        (size(col("__words")) - col("__r.n_kept")).as("n_removed"))
+  }
+
   def repeatedSpans(docs: DataFrame, w: Int = 5, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val words = col("__words")

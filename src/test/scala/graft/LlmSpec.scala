@@ -353,6 +353,30 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(got("spark")._2 - math.log(1.5)) < 1e-12)
   }
 
+  test("removeRepeatedSpans: cross-doc 5-gram spans cut, survivors rejoin") {
+    // docs 1+2 share "one two three four five" (positions 2..6 in doc1,
+    // 0..4 in doc2); doc3 shares nothing
+    val d = docs(
+      (1L, "aa bb one two three four five cc"),
+      (2L, "one two three four five dd"),
+      (3L, "totally unrelated text here"))
+    val got = Dedup.removeRepeatedSpans(d, w = 5).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3))).toSeq
+    assert(got == Seq(
+      (1L, "aa bb cc", 3, 5),
+      (2L, "dd", 1, 5),
+      (3L, "totally unrelated text here", 4, 0)))
+    // overlapping spans merge: doc4/doc5 share 6 words -> two
+    // overlapping 5-grams, all 6 words cut exactly once
+    val d2 = docs(
+      (4L, "x one two three four five six y"),
+      (5L, "one two three four five six"))
+    val got2 = Dedup.removeRepeatedSpans(d2, w = 5).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSeq
+    assert(got2 == Seq((4L, "x y", 6), (5L, "", 6)))
+  }
+
   test("perplexity: add-α bigram LM, hand-computed 2-doc corpus") {
     // d1 = "a b a b", d2 = "a b c"; bigram counts: (a,b)=3 (b,a)=1
     // (b,c)=1; context counts: a·=3, b·=2; V=3, α=0.5

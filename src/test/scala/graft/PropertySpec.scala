@@ -59,6 +59,28 @@ class PropertySpec extends SparkSpec {
     }, n = 150)
   }
 
+  test("remove_spans: native walk == interval-set reference, any spans") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      n <- Gen.chooseNum(0, 40)
+      words <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd"))
+      w <- Gen.chooseNum(1, 6)
+      starts <- Gen.listOf(Gen.chooseNum(0, math.max(n - 1, 0)))
+    } yield (words, starts.distinct.sorted, w)
+    check(Prop.forAll(gen) { case (words, starts, w) =>
+      val covered = starts.flatMap(st => st until math.min(st + w, words.size)).toSet
+      val expKept = words.zipWithIndex.collect {
+        case (word, i) if !covered.contains(i) => word }
+      val row = Seq((words, starts)).toDF("words", "starts")
+        .select(call_function("remove_spans", col("words"),
+          col("starts").cast("array<int>"), lit(w)).as("r"))
+        .select(col("r.clean"), col("r.n_kept")).head()
+      row.getString(0) == expKept.mkString(" ") && row.getInt(1) == expKept.size
+    }, n = 60)
+  }
+
   test("PromProto: NaN samples survive the wire bit-exactly") {
     val s = PromProto.Series(Map("__name__" -> "up"),
       Seq((1L, Double.NaN)))
