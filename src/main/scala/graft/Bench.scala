@@ -111,6 +111,15 @@ object Bench {
     "scale_dd7_repeated_spans" -> (() =>
       graft.llm.Dedup.repeatedSpans(
         s.read.parquet(s"$dir/documents.parquet"), w = 5)),
+    // span REMOVAL on the same all-dup worst case: every doc is fully
+    // covered, so the native rebuild walks starts≈grams per doc
+    "scale_es1_span_removal" -> (() =>
+      graft.llm.Dedup.removeRepeatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"), w = 5)),
+    // bigram-LM perplexity: corpus-wide counts + per-doc scoring
+    "scale_lm1_perplexity" -> (() =>
+      graft.llm.TextAnalysis.perplexity(
+        s.read.parquet(s"$dir/documents.parquet"))),
     // IVF-PQ at scale: coarse cells prune, 8-nibble codes score, raw
     // vectors touched only in the shortlist re-rank
     "scale_sim4_ivfpq" -> (() => {

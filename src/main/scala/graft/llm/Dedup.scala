@@ -624,11 +624,19 @@ object Dedup {
         xxhash64(concat_ws(" ",
           (0 until w).map(j => s.getField(j.toString)): _*)))))
       .toDF(idCol, "__pos", "gh")
-    val dup = grams.groupBy(col("gh"))
-      .agg(count_distinct(col(idCol)).as("__nd"))
+    // ONE chain, no self-join: per-(gram,doc) position lists
+    // pre-aggregate map-side and the gh window's row count then IS the
+    // distinct-doc count. A dup-set ⋈ grams formulation measures about
+    // the same locally (ReuseExchange dedupes the shared scan+explode)
+    // but carries a join and a second aggregate; this shape also keeps
+    // one fewer exchange in the lineage at cluster scale.
+    val dupStarts = grams
+      .groupBy(col("gh"), col(idCol))
+      .agg(collect_list(col("__pos")).as("__ps"))
+      .withColumn("__nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
       .filter(col("__nd") >= 2)
-      .select("gh")
-    val dupStarts = grams.join(dup, "gh")
+      .select(col(idCol), explode(col("__ps")).as("__pos"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("__pos"))).as("__starts"))
     base.join(dupStarts, Seq(idCol), "left")
