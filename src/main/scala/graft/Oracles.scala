@@ -555,6 +555,18 @@ object Oracles {
                  FROM events GROUP BY 1, 2)
          SELECT a.* FROM a, w WHERE (a.bucket_s + 3600) * 1000 <= w.wm""",
 
+    // first-batch-wins: even-chunk winner if the content ever appears
+    // at an even doc id, else the odd-chunk winner (min id within batch)
+    "st3_streaming_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+           FROM documents)
+         SELECT coalesce(min(doc_id) FILTER (WHERE doc_id % 2 = 0),
+                         min(doc_id)) AS doc_id,
+                h AS content_md5
+         FROM d GROUP BY h""",
+
     "g5_grouped_ratio" ->
       """WITH m AS (
            SELECT user_id % 3 AS grp, user_id, event_type,

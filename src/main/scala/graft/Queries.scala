@@ -916,6 +916,30 @@ object Queries {
         unix_timestamp(col("window.start")).cast("long").as("bucket_s"),
         col("event_type"), col("n"), r6(col("v")).as("v"))
     }),
+    // Streaming incremental dedup: chunk 1 = even doc ids, chunk 2 =
+    // odd (one part-file each — deterministic micro-batches), so the
+    // kept set pins FIRST-BATCH-WINS: a duplicate content present in
+    // both chunks must keep its even-chunk winner even when an odd doc
+    // has the smaller hash order; within a batch the min doc id wins.
+    "st3_streaming_dedup" -> ((s, dir) => {
+      val root = s"/tmp/graft-q-stream/st3-${math.abs(dir.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/staging"))
+      val docs = table(s, dir, "documents").select("doc_id", "text").cache()
+      val q = graft.streaming.StreamingIngest.dedupDrain(
+        s, s"$root/staging", s"$root/ckpt", s"$root/index", s"$root/kept")
+      try {
+        Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 === 1).foreach { c =>
+          docs.filter(c).coalesce(1).write.mode("append")
+            .parquet(s"$root/staging")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      docs.unpersist()
+      s.read.parquet(s"$root/kept").select("doc_id", "content_md5")
+    }),
     // M2 back-window acceptance + cross-batch new-wins merge: batch 2
     // replays the first days with poisoned values (+1000 — must be
     // REJECTED by the back window or hourly means shift visibly) and

@@ -50,6 +50,55 @@ object StreamingIngest {
       .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
       .agg(avg(col(valCol)).as("v"), count(lit(1)).as("n"))
 
+  /** Streaming incremental dedup drain: each micro-batch of documents
+    * dedups within itself (min id per content hash), anti-joins the
+    * standing hash index built by every PREVIOUS batch, and appends its
+    * survivors — the streaming composition of the batch-side
+    * `Dedup.incrementalDedup`. First batch to carry a content wins;
+    * later re-deliveries are dropped.
+    *
+    * Exactly-once: outputs land in `batch=<id>` subdirectories written
+    * with per-batch OVERWRITE, so a replayed micro-batch (checkpoint
+    * recovery) rewrites its own partition instead of appending
+    * duplicates. The index is the union of the batch subdirs — at
+    * cluster scale the same layout holds (or a transactional table
+    * format replaces it); only 128-bit hashes are ever stored, never
+    * document bodies.
+    */
+  def dedupDrain(spark: SparkSession, stagingDir: String,
+                 checkpointDir: String, indexDir: String,
+                 keptDir: String): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    spark.readStream
+      .schema(schema)
+      .parquet(stagingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val winners = batch
+          .withColumn("content_md5",
+            md5(graft.llm.Dedup.normalized(col("text"))))
+          .groupBy("content_md5").agg(min(col("doc_id")).as("doc_id"))
+        val index =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+            s.read.parquet(indexDir).select("content_md5")
+          else winners.limit(0).select("content_md5")
+        val survivors = winners
+          .join(index, Seq("content_md5"), "left_anti")
+          .localCheckpoint(true) // cut lineage off files the writes touch
+        survivors.select("doc_id", "content_md5")
+          .write.mode("overwrite").parquet(s"$keptDir/batch=$id")
+        survivors.select("content_md5")
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$id")
+      }
+      .start()
+  }
+
   final case class Point(metric_id: String, ts_ms: Long, value: Double)
   final case class BoundState(points: Seq[(Long, Double)])
 
