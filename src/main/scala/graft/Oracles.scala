@@ -567,6 +567,16 @@ object Oracles {
                 h AS content_md5
          FROM d GROUP BY h""",
 
+    "au1_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, max(value) AS err_value FROM events
+               WHERE event_type = 'error' GROUP BY 1, 2)
+         SELECT l.event_id, epoch_us(r.ts) AS err_ts_us,
+                CAST(r.err_value AS REAL) AS err_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
     "g5_grouped_ratio" ->
       """WITH m AS (
            SELECT user_id % 3 AS grp, user_id, event_type,

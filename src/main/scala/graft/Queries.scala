@@ -33,7 +33,12 @@ object Queries {
     */
   def events(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer `div`, not `/1000` double division: at epoch-ns
+      // magnitude (~1.7e18) a double's ulp is ~256 ns, so the rounded
+      // quotient can land 1 µs off the exact value DuckDB's epoch_us
+      // computes — invisible under second-floor bucketing, fatal for
+      // µs-exact comparisons (au1)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   private val H = 3600L
   private def bucketS(ts: Column = col("bucket")): Column =
@@ -110,7 +115,7 @@ object Queries {
       val hiNs = ((toTs.getTime / 1000) / H * H + H) * 1_000_000_000L
       val raw = table(s, dir, "events")
         .filter(col("ts") >= loNs && col("ts") < hiNs)
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = Kernels.aggregate(raw, "mean", Granularity.seconds(H),
         Seq("event_type"), "ts", "value", tieCols = Seq("event_id"))
       TimeSeriesOps.fetch(agg, Granularity.seconds(H), Some(fromTs), Some(toTs))
@@ -160,6 +165,23 @@ object Queries {
           Bucketing.calendarLabel(col("ts"), "quarter_of_year").as("q"),
           Bucketing.calendarLabel(col("ts"), "half_of_year").as("hy"))
         .agg(count(lit(1)).as("n"), r6(avg("value")).as("v"))
+    }),
+    // As-of join: each click gets the latest error at-or-before its
+    // timestamp per user (union + running-window formulation, one
+    // shuffle, no join operator); the oracle is DuckDB's NATIVE
+    // ASOF LEFT JOIN — two independent implementations of the
+    // semantics under one hash
+    "au1_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("err_value"))
+      TimeSeriesOps.asofJoin(clicks, errors, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"),
+          unix_micros(col("asof_ts")).as("err_ts_us"),
+          r6(col("asof_err_value")).as("err_value"))
     }),
     "m1_merge_dedup" -> ((s, dir) => {
       // project BEFORE the merge: the dedup shuffles every column it

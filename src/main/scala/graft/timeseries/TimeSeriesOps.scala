@@ -59,6 +59,58 @@ object TimeSeriesOps {
     }
   }
 
+  /** As-of join: attach to each left row the LATEST right row with
+    * `rightTs <= leftTs` on the same key (telemetry staple: join each
+    * measure to the config/revision in force at its timestamp).
+    *
+    * Spark-first formulation — no join operator at all: tag and union
+    * both sides, then one `last(payload, ignoreNulls)` running window
+    * per payload column ordered by (ts, side) carries the most recent
+    * right values forward onto left rows. ONE shuffle + sort on the
+    * key — the same cost a sort-merge join would pay for its left side
+    * alone, with no probe-side buffering and no range-condition
+    * explosion. Right rows at equal timestamps are visible to left
+    * rows at that timestamp (inclusive semantics, side-ordered).
+    *
+    * `right` must be unique per (keyCols, rightTs) — pre-aggregate
+    * otherwise (which latest-equal row wins is undefined there, like
+    * any as-of implementation).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTs: String, rightTs: String,
+               payloadPrefix: String = "asof_"): DataFrame = {
+    val payloadCols = right.columns
+      .filterNot(c => keyCols.contains(c) || c == rightTs).toSeq
+    val leftCols = left.columns.toSeq
+    val rTagged = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftCols.filterNot(c => keyCols.contains(c) || c == leftTs)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTs).as(s"${payloadPrefix}ts")) ++
+        payloadCols.map(c => col(c).as(s"$payloadPrefix$c")): _*)
+    val lTagged = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftCols.filterNot(c => keyCols.contains(c) || c == leftTs)
+          .map(col) ++
+        Seq(lit(null).cast(right.schema(rightTs).dataType)
+          .as(s"${payloadPrefix}ts")) ++
+        payloadCols.map(c =>
+          lit(null).cast(right.schema(c).dataType)
+            .as(s"$payloadPrefix$c")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = (s"${payloadPrefix}ts" +: payloadCols.map(c =>
+      s"$payloadPrefix$c")).foldLeft(rTagged.unionByName(lTagged)) {
+        (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+    attached.filter(col("__side") === 1)
+      .withColumn(leftTs, col("__ts"))
+      .drop("__ts", "__side")
+  }
+
   /** A10 resample (carbonara.py:594-598): re-aggregate an
     * already-aggregated series to a coarser granularity with the SAME
     * method. Note gnocchi semantics: resampled mean = mean-of-means (each

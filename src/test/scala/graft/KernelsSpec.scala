@@ -167,4 +167,26 @@ class KernelsSpec extends SparkSpec {
     // std singleton bucket really is absent, not null
     assert(!fused.contains(("m1", "2014-01-01 12:01:00.0", "std")))
   }
+
+  test("asofJoin: latest right at-or-before left ts, per key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("a", 10L, 100L), ("a", 20L, 101L), ("a", 5L, 102L),
+      ("b", 15L, 103L)).toDF("k", "t", "lid")
+    val right = Seq(("a", 10L, 1.0), ("a", 15L, 2.0), ("c", 1L, 9.0))
+      .toDF("k", "t", "v")
+    val got = graft.timeseries.TimeSeriesOps
+      .asofJoin(left, right, Seq("k"), "t", "t")
+      .orderBy("lid")
+      .select("lid", "asof_ts", "asof_v")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (100L, 10L, 1.0),  // equal ts is visible (inclusive)
+      (101L, 15L, 2.0),  // latest of the two priors
+      (102L, -1L, -1.0), // before any right row -> null payload
+      (103L, -1L, -1.0)))// key with no right rows at all
+  }
 }
