@@ -567,6 +567,26 @@ object Oracles {
                 h AS content_md5
          FROM d GROUP BY h""",
 
+    "ss1_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts) > 1800000000
+                       OR lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS flag
+           FROM events),
+         s AS (
+           SELECT user_id, t,
+                  sum(flag) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM e)
+         SELECT user_id, session_id, count(*) AS n_events,
+                FLOOR(min(t) / 1000000)::BIGINT AS start_s,
+                (FLOOR(max(t) / 1000000) - FLOOR(min(t) / 1000000))::BIGINT
+                  AS dur_s
+         FROM s GROUP BY 1, 2""",
+
     "au1_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
                     WHERE event_type = 'click'),

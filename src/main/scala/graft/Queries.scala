@@ -166,6 +166,18 @@ object Queries {
           Bucketing.calendarLabel(col("ts"), "half_of_year").as("hy"))
         .agg(count(lit(1)).as("n"), r6(avg("value")).as("v"))
     }),
+    // Sessionization: 30-min inactivity gap per user; per-session
+    // event count, start, duration
+    "ss1_sessionize" -> ((s, dir) => {
+      val sess = TimeSeriesOps.sessionize(
+        events(s, dir).select("user_id", "ts", "event_id"),
+        Seq("user_id"), "ts", gapS = 1800L)
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_timestamp(col("ts"))).cast("long").as("start_s"),
+          (max(unix_timestamp(col("ts"))) -
+            min(unix_timestamp(col("ts")))).cast("long").as("dur_s"))
+    }),
     // As-of join: each click gets the latest error at-or-before its
     // timestamp per user (union + running-window formulation, one
     // shuffle, no join operator); the oracle is DuckDB's NATIVE

@@ -111,6 +111,30 @@ object TimeSeriesOps {
       .drop("__ts", "__side")
   }
 
+  /** Sessionization: split each key's event stream into sessions at
+    * inactivity gaps > `gapS` seconds (interaction-log staple; the
+    * batch formulation of a session window). Gaps-and-islands: a
+    * session-start flag per row (`ts - lag(ts) > gap`), then a running
+    * sum assigns session ordinals — one shuffle + sort per key, both
+    * windows share the exchange. Rows at equal timestamps always land
+    * in the same session (gap 0), so tie order never changes the
+    * result.
+    */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 gapS: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol))
+    // exact µs arithmetic — a seconds-floored gap test would split
+    // sessions differently when the true gap straddles the threshold
+    val ts = unix_micros(col(tsCol))
+    val flag = when(
+      ts - lag(ts, 1).over(w) > gapS * 1_000_000L ||
+        lag(ts, 1).over(w).isNull, 1L)
+      .otherwise(0L)
+    df.withColumn("session_id", sum(flag).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** A10 resample (carbonara.py:594-598): re-aggregate an
     * already-aggregated series to a coarser granularity with the SAME
     * method. Note gnocchi semantics: resampled mean = mean-of-means (each
