@@ -569,6 +569,25 @@ object Queries {
         .agg(count(lit(1)).as("hits"))
         .withColumn("total", lit(50L))
     }),
+    // Persisted-index IVF: same centroids/assignment as sim2 through a
+    // build-once/probe-many parquet index — the probe's broadcast cell
+    // join dynamically prunes the cell-partitioned scan. Recall must
+    // REPRODUCE sim2's pinned value exactly (bit-identical centroids,
+    // parquet round-trip preserves doubles).
+    "sim5_ivf_index" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val root = s"/tmp/graft-q-ivf/sim5-${math.abs(dir.hashCode)}"
+      Similarity.writeIvfIndex(em, root, nlist = 16)
+      val q = em.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(em, q, k = 5)
+        .select("query_id", "corpus_id")
+      val ivf = Similarity.probeIvfIndex(s, root, q, k = 5, nprobe = 8)
+        .select("query_id", "corpus_id")
+      exact.join(ivf, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("total", lit(50L))
+    }),
     "sim3_lsh_recall" -> ((s, dir) => {
       val em = table(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))

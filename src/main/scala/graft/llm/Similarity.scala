@@ -177,6 +177,53 @@ object Similarity {
                                  n: Int): Column =
     call_function("vec_top_cells", vec, typedlit(cents), lit(n))
 
+  /** Persist an IVF index: `centroids/` (nlist small rows) plus
+    * `cells/` — the corpus partitioned by its nearest cell on disk.
+    * Build once, probe many: the materialized form of [[ivfTopK]]'s
+    * in-plan assignment, and the layout that makes a 100 TB probe a
+    * partition-pruned scan instead of a full pass.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+                    iters: Int = 3, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val centroids = kmeansCentroids(corpus, nlist, iters,
+      idCol = idCol, vecCol = vecCol)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.select(col(idCol), col(vecCol),
+        explode(topCells(col(vecCol), centroids, 1)).as("__tc"))
+      .select(col(idCol), col(vecCol), col("__tc.cell").as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Probe a persisted IVF index: the tiny centroid table picks the
+    * `nprobe` nearest cells per query; the broadcast cell join then
+    * DYNAMICALLY PRUNES the `cells/` partitioned scan (Spark DPP
+    * inserts the partition filter at runtime), so only
+    * ~nprobe/nlist of the index bytes are read — the probe cost is
+    * independent of corpus size for a fixed cell width.
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, nprobe: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probed = queries
+      .select(col(idCol), col(vecCol),
+        explode(topCells(col(vecCol), centroids, nprobe)).as("__tc"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("__tc.cell").as("cell"))
+    val cells = spark.read.parquet(s"$path/cells")
+    val scored = cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cosine", cosine(col("qv"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("corpus_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** IVF-style ANN: partition the corpus into `nlist` cells around
     * deterministic k-means centroids ([[kmeansCentroids]]); a query
     * probes only the `nprobe` nearest cells. At 100 TB the corpus is

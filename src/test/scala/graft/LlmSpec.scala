@@ -377,6 +377,32 @@ class LlmSpec extends SparkSpec {
     assert(got2 == Seq((4L, "x y", 6), (5L, "", 6)))
   }
 
+  test("persisted IVF index: probe == in-plan ivfTopK, scan is DPP-pruned") {
+    val s = spark
+    import s.implicits._
+    val em = (0L until 64L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 7.0 + d).abs + 0.1))
+    }.toDF("vec_id", "embedding")
+    val root = s"/tmp/graft-test-ivf/${System.nanoTime}"
+    graft.llm.Similarity.writeIvfIndex(em, root, nlist = 4)
+    // probe side must be a FILTERED SCAN for the DPP rule to fire — a
+    // LocalRelation folds the filter away and no pruning subquery is
+    // planted (the real query reads parquet, matching this shape)
+    em.write.mode("overwrite").parquet(s"$root/em")
+    val q = s.read.parquet(s"$root/em").filter(col("vec_id") < 3)
+    val viaIndex = graft.llm.Similarity
+      .probeIvfIndex(s, root, q, k = 3, nprobe = 2)
+    val inPlan = graft.llm.Similarity
+      .ivfTopK(em, q, k = 3, nlist = 4, nprobe = 2)
+    assert(viaIndex.select("query_id", "corpus_id", "rank").collect().toSet ==
+      inPlan.select("query_id", "corpus_id", "rank").collect().toSet)
+    // the cells/ scan must carry a runtime partition filter (DPP), not
+    // read every cell partition
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the cells scan:\n$plan")
+  }
+
   test("perplexity: add-α bigram LM, hand-computed 2-doc corpus") {
     // d1 = "a b a b", d2 = "a b c"; bigram counts: (a,b)=3 (b,a)=1
     // (b,c)=1; context counts: a·=3, b·=2; V=3, α=0.5
