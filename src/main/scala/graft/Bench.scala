@@ -120,6 +120,25 @@ object Bench {
     "scale_lm1_perplexity" -> (() =>
       graft.llm.TextAnalysis.perplexity(
         s.read.parquet(s"$dir/documents.parquet"))),
+    // as-of join at scale: one shuffle+sort over the tagged union
+    "scale_au1_asof" -> (() => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("err_value"))
+      graft.timeseries.TimeSeriesOps.asofJoin(
+        clicks, errors, Seq("user_id"), "ts", "ts")
+    }),
+    // sessionization at scale: per-user sort, two windows, one exchange
+    "scale_ss1_sessionize" -> (() =>
+      graft.timeseries.TimeSeriesOps.sessionize(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("user_id", "ts", "event_id"),
+        Seq("user_id"), "ts", gapS = 1800L)),
     // IVF-PQ at scale: coarse cells prune, 8-nibble codes score, raw
     // vectors touched only in the shortlist re-rank
     "scale_sim4_ivfpq" -> (() => {
