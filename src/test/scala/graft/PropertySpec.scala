@@ -81,6 +81,64 @@ class PropertySpec extends SparkSpec {
     }, n = 60)
   }
 
+  test("asofJoin: window formulation == per-row reference, any streams") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      nl <- Gen.chooseNum(0, 25)
+      nr <- Gen.chooseNum(0, 25)
+      lefts <- Gen.listOfN(nl, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.chooseNum(0L, 50L)))
+      rights <- Gen.listOfN(nr, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.chooseNum(0L, 50L)))
+    } yield (lefts.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      rights.map { case (k, t) => (k, t) }.distinct
+        .map { case (k, t) => (k, t, k.hashCode + t * 3.0) })
+    check(Prop.forAll(gen) { case (lefts, rights) =>
+      val got = graft.timeseries.TimeSeriesOps.asofJoin(
+          lefts.toDF("k", "t", "lid"), rights.toDF("k", "t", "v"),
+          Seq("k"), "t", "t")
+        .select("lid", "asof_v").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      lefts.forall { case (k, t, lid) =>
+        val exp = rights.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        got(lid) == exp
+      }
+    }, n = 40)
+  }
+
+  test("sessionize: islands == per-row reference, any gaps") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      n <- Gen.chooseNum(0, 30)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b"),
+        Gen.chooseNum(0L, 400L)))
+      gap <- Gen.chooseNum(1L, 60L)
+    } yield (rows.map(r => (r._1, r._2)).distinct, gap)
+    check(Prop.forAll(gen) { case (rows, gap) =>
+      val df = rows.toDF("k", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+      val got = graft.timeseries.TimeSeriesOps
+        .sessionize(df, Seq("k"), "ts", gap)
+        .select("k", "sec", "session_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      rows.groupBy(_._1).forall { case (k, ks) =>
+        val ts = ks.map(_._2).sorted
+        val sessIds = ts.scanLeft((0L, Long.MinValue / 4)) {
+          case ((sid, prev), t) =>
+            (if (t - prev > gap) sid + 1 else sid, t)
+        }.tail
+        ts.zip(sessIds).forall { case (t, (sid, _)) =>
+          got((k, t)) == sid }
+      }
+    }, n = 40)
+  }
+
   test("PromProto: NaN samples survive the wire bit-exactly") {
     val s = PromProto.Series(Map("__name__" -> "up"),
       Seq((1L, Double.NaN)))
