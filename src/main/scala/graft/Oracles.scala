@@ -750,6 +750,11 @@ object Oracles {
     "sim5_ivf_index" ->
       """SELECT CAST(44 AS BIGINT) AS hits, CAST(50 AS BIGINT) AS total""",
 
+    // must equal sim3's pin: identical bucket keys through the
+    // persisted postings layout
+    "sim6_lsh_index" ->
+      """SELECT CAST(47 AS BIGINT) AS hits, CAST(50 AS BIGINT) AS total""",
+
     // PQ ADC shortlist-50 + exact re-rank, m=8 k=16 codebooks — same
     // hard-regime caveat as sim2/sim3 (top-5 cosines ≈0.3–0.5; the
     // well-separated regime is pinned in LlmSpec)

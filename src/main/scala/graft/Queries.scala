@@ -604,6 +604,23 @@ object Queries {
         .agg(count(lit(1)).as("hits"))
         .withColumn("total", lit(50L))
     }),
+    // Persisted-index LSH: sim3's parameters through the postings
+    // layout — identical bucket keys ⇒ identical candidate set ⇒ must
+    // reproduce sim3's pinned recall
+    "sim6_lsh_index" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val root = s"/tmp/graft-q-ivf/sim6-${math.abs(dir.hashCode)}"
+      Similarity.writeLshIndex(em, root, bitsPerTable = 4, tables = 16)
+      val q = em.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(em, q, k = 5)
+        .select("query_id", "corpus_id")
+      val lsh = Similarity.probeLshIndex(s, root, q, k = 5)
+        .select("query_id", "corpus_id")
+      exact.join(lsh, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("total", lit(50L))
+    }),
     "txt1_tokens" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("n_words"),

@@ -261,6 +261,66 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Persist an LSH index: `postings/` — (id, bucket-key) pairs
+    * partitioned by the 64-bit bucket key (one directory per non-empty
+    * bucket, ≤ tables·2^bits) — plus `vectors/` for the re-rank and a
+    * one-row `params/` table pinning (bitsPerTable, tables) so probes
+    * can never hash with mismatched parameters. Vectors are NOT
+    * duplicated per table: postings carry ids only.
+    */
+  def writeLshIndex(corpus: DataFrame, path: String,
+                    bitsPerTable: Int = 8, tables: Int = 16,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    Seq((bitsPerTable, tables)).toDF("bits", "tables")
+      .write.mode("overwrite").parquet(s"$path/params")
+    corpus.select(col(idCol), posexplode(
+        call_function("lsh_keys", col(vecCol), lit(bitsPerTable),
+          lit(tables))))
+      .select(col(idCol), xxhash64(col("pos").cast("long"), col("col"))
+        .as("ck"))
+      .write.partitionBy("ck").mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** Probe a persisted LSH index: queries hash with the index's pinned
+    * parameters; the broadcast bucket-key join dynamically prunes the
+    * postings scan to the queries' buckets (~tables·n/2^bits rows per
+    * query read, independent of corpus size); candidate ids dedup
+    * before vectors re-attach for the exact re-rank.
+    */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val (bits, tables) = (p.getInt(0), p.getInt(1))
+    val probed = queries
+      .select(col(idCol).as("query_id"), posexplode(
+        call_function("lsh_keys", col(vecCol), lit(bits), lit(tables))))
+      .select(col("query_id"),
+        xxhash64(col("pos").cast("long"), col("col")).as("ck"))
+    val cand = spark.read.parquet(s"$path/postings")
+      .join(broadcast(probed), Seq("ck"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("corpus_id")).distinct()
+    val cv = spark.read.parquet(s"$path/vectors")
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_v"))
+    val qv = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+    val scored = cand.join(cv, Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", cosine(col("query_v"), col("corpus_v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN: corpus and queries are hashed into `tables`
     * independent random-hyperplane bucket tables of `bitsPerTable` sign
     * bits each (OR-amplification); a query compares only against corpus

@@ -403,6 +403,27 @@ class LlmSpec extends SparkSpec {
       s"expected dynamic partition pruning on the cells scan:\n$plan")
   }
 
+  test("persisted LSH index: probe == in-plan lshTopK, params pinned") {
+    val s = spark
+    import s.implicits._
+    val em = (0L until 48L).map { i =>
+      (i, Seq.tabulate(8)(d => math.cos(i * 3.0 + d)))
+    }.toDF("vec_id", "embedding")
+    val root = s"/tmp/graft-test-lsh/${System.nanoTime}"
+    graft.llm.Similarity.writeLshIndex(em, root,
+      bitsPerTable = 3, tables = 4)
+    em.write.mode("overwrite").parquet(s"$root/em")
+    val q = s.read.parquet(s"$root/em").filter(col("vec_id") < 3)
+    val viaIndex = graft.llm.Similarity.probeLshIndex(s, root, q, k = 3)
+    val inPlan = graft.llm.Similarity.lshTopK(em, q, k = 3,
+      bitsPerTable = 3, tables = 4)
+    assert(viaIndex.select("query_id", "corpus_id", "rank").collect().toSet ==
+      inPlan.select("query_id", "corpus_id", "rank").collect().toSet)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "expected dynamic partition pruning on the postings scan")
+  }
+
   test("perplexity: add-α bigram LM, hand-computed 2-doc corpus") {
     // d1 = "a b a b", d2 = "a b c"; bigram counts: (a,b)=3 (b,a)=1
     // (b,c)=1; context counts: a·=3, b·=2; V=3, α=0.5
