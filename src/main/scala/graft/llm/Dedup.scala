@@ -636,9 +636,8 @@ object Dedup {
       .withColumn("__nd", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
       .filter(col("__nd") >= 2)
-      .select(col(idCol), explode(col("__ps")).as("__pos"))
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("__pos"))).as("__starts"))
+      .agg(array_sort(flatten(collect_list(col("__ps")))).as("__starts"))
     base.join(dupStarts, Seq(idCol), "left")
       .withColumn("__r", call_function("remove_spans", col("__words"),
         coalesce(col("__starts"), lit(Array.empty[Int])), lit(w)))

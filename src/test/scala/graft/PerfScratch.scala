@@ -7,21 +7,19 @@ import org.apache.spark.sql.functions._
 object PerfScratch {
   def main(args: Array[String]): Unit = {
     val s = SparkEntry.configure(org.apache.spark.sql.SparkSession.builder)
-      .master("local[4]").getOrCreate()
+      .master("local[32]").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    import s.implicits._
-    val em = (0L until 64L).map { i =>
-      (i, Seq.tabulate(8)(d => math.sin(i * 7.0 + d).abs + 0.1))
-    }.toDF("vec_id", "embedding")
-    val root = s"/tmp/graft-test-ivf/${System.nanoTime}"
-    graft.llm.Similarity.writeIvfIndex(em, root, nlist = 4)
-    em.write.mode("overwrite").parquet(s"$root/em")
-    val q = s.read.parquet(s"$root/em").filter(col("vec_id") < 3)
-    val viaIndex = graft.llm.Similarity
-      .probeIvfIndex(s, root, q, k = 3, nprobe = 2)
-    viaIndex.collect()
-    println("=== EXEC PLAN ===")
-    println(viaIndex.queryExecution.executedPlan.toString.take(6000))
+    val dir = "/tmp/graft-bench-scale-32x"
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime; f
+      println(f"XP $label%-28s ${(System.nanoTime-t0)/1e9}%6.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("noop").mode("overwrite").save()
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    noop(docs.groupBy().count)
+    for (i <- 1 to 3) timed(s"scale es1 $i") {
+      noop(graft.llm.Dedup.removeRepeatedSpans(docs, w = 5)) }
     s.stop()
   }
 }
