@@ -139,6 +139,21 @@ object Bench {
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .select("user_id", "ts", "event_id"),
         Seq("user_id"), "ts", gapS = 1800L)),
+    // persisted-index ANN at scale: one build (writes the partitioned
+    // index), then a DPP-pruned probe — the build-once/probe-many split
+    "scale_sim5_index_build" -> (() => {
+      val em = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.llm.Similarity.writeIvfIndex(em,
+        "/tmp/graft-bench-ivf", nlist = 64)
+      s.range(1).toDF() // build is the timed side effect
+    }),
+    "scale_sim5_index_probe" -> (() => {
+      val em = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.llm.Similarity.probeIvfIndex(s, "/tmp/graft-bench-ivf",
+        em.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+    }),
     // IVF-PQ at scale: coarse cells prune, 8-nibble codes score, raw
     // vectors touched only in the shortlist re-rank
     "scale_sim4_ivfpq" -> (() => {

@@ -16,10 +16,16 @@ object PerfScratch {
     }
     def noop(df: org.apache.spark.sql.DataFrame) =
       df.write.format("noop").mode("overwrite").save()
-    val docs = s.read.parquet(s"$dir/documents.parquet")
-    noop(docs.groupBy().count)
-    for (i <- 1 to 3) timed(s"scale es1 $i") {
-      noop(graft.llm.Dedup.removeRepeatedSpans(docs, w = 5)) }
+    val em = s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    noop(em.groupBy().count)
+    timed("ivf index build (160k)") {
+      graft.llm.Similarity.writeIvfIndex(em, "/tmp/graft-bench-ivf", nlist = 64)
+    }
+    for (i <- 1 to 2) timed(s"ivf index probe $i") {
+      noop(graft.llm.Similarity.probeIvfIndex(s, "/tmp/graft-bench-ivf",
+        em.filter(col("vec_id") < 10), k = 5, nprobe = 8))
+    }
     s.stop()
   }
 }
