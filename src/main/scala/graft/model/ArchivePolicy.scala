@@ -127,7 +127,8 @@ object ArchivePolicy {
   import Granularity.{seconds => sec}
   /** Default policies (gnocchi/archive_policy.py:266-305). */
   val defaults: Map[String, ArchivePolicy] = Map(
-    "bool" -> ArchivePolicy("bool", 0,
+    // bool keeps a 3600-granule back window (archive_policy.py:267-274)
+    "bool" -> ArchivePolicy("bool", 3600,
       Seq(ArchivePolicyItem(sec(1), None, Some(365L * 86400 * 1_000_000_000L))),
       Set("last")),
     "low" -> ArchivePolicy("low", 0,
