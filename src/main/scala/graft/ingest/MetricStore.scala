@@ -101,9 +101,14 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       accepted, rawTouched,
       Seq("metric_id"), "timestamp", lit(0), orderBound = 1L)
       .cache()
-    val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("metric_id"))
+    // per-metric last timestamp as an AGGREGATE + broadcast join, not a
+    // window: the aggregate partial-combines map-side to one row per
+    // metric (the window formulation re-shuffles every measure row);
+    // same broadcast-bounded-metric-set assumption as oldLast above
+    val lasts = merged.groupBy("metric_id")
+      .agg(max(unix_timestamp(col("timestamp"))).as("__last_s"))
     val bounded = merged
-      .withColumn("__last_s", max(unix_timestamp(col("timestamp"))).over(wm))
+      .join(broadcast(lasts), Seq("metric_id"))
       .withColumn("__floor_s",
         (floor(col("__last_s") / blockS) * blockS - lit(blockS.toLong * backBlocks)).cast("long"))
       .filter(unix_timestamp(col("timestamp")) >= col("__floor_s"))
@@ -247,9 +252,12 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     */
   def truncateRaw(): Unit = {
     val blockS = fixedGrans.max
-    val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("metric_id"))
-    val bounded = rawBuffer
-      .withColumn("__last_s", max(unix_timestamp(col("timestamp"))).over(wm))
+    val raw = rawBuffer
+    // aggregate + broadcast, not a window (see addMeasures)
+    val lasts = raw.groupBy("metric_id")
+      .agg(max(unix_timestamp(col("timestamp"))).as("__last_s"))
+    val bounded = raw
+      .join(broadcast(lasts), Seq("metric_id"))
       .withColumn("__floor_s",
         (floor(col("__last_s") / blockS) * blockS -
           lit(blockS * policy.backWindow.toLong)).cast("long"))
