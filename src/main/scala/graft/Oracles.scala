@@ -789,6 +789,37 @@ object Oracles {
                      ELSE md5(norm) END AS winnow_fp
          FROM m""",
 
+    // same winnowing selection as txt4, exploded to a set and
+    // self-joined on shared fingerprints
+    "dd8_fingerprint_dup" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM d),
+         g AS (SELECT doc_id, norm,
+                 CASE WHEN len(ws) >= 3 THEN
+                   list_transform(range(1, len(ws) - 1),
+                     i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                 ELSE [] END AS hs
+               FROM w),
+         m AS (SELECT doc_id, norm, hs,
+                 CASE WHEN len(hs) >= 4 THEN
+                   list_transform(range(1, len(hs) - 2),
+                     j -> list_min(hs[j:j+3]))
+                 ELSE [] END AS mins
+               FROM g),
+         fp AS (SELECT doc_id,
+                  CASE WHEN len(mins) >= 1 THEN list_distinct(mins)
+                       WHEN len(hs) >= 1 THEN [list_min(hs)]
+                       ELSE [md5(norm)] END AS fps
+                FROM m),
+         e AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                count(*) AS shared
+         FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
+
     "mm1_payload_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -640,6 +640,11 @@ object Queries {
     "txt4_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintSql(table(s, dir, "documents"))
         .select(col("doc_id"), col("content_hash"), col("winnow_fp"))),
+    // MOSS-style dedup candidates: pairs sharing >= 2 winnowing
+    // fingerprints (ids only through the self-join)
+    "dd8_fingerprint_dup" -> ((s, dir) =>
+      Dedup.fingerprintDup(table(s, dir, "documents"))
+        .select(col("id_a"), col("id_b"), col("shared"))),
     // threshold 0.45 sits just under this corpus's max pairwise cosine
     // (~0.51), so the result is non-empty — real evidence, unlike a
     // trivially-empty 0.95 cut. Exact guarded path = the oracle's own

@@ -646,6 +646,32 @@ object Dedup {
         (size(col("__words")) - col("__r.n_kept")).as("n_removed"))
   }
 
+  /** Fingerprint-overlap near-dup (the MOSS shape): candidate pairs are
+    * documents sharing ≥ `minShared` winnowing fingerprints
+    * ([[TextAnalysis.fingerprintSql]] selection). Winnowing guarantees
+    * any shared run of ≥ k+window−1 words yields a shared fingerprint,
+    * so overlap count is a span-coverage signal — cheaper than minhash
+    * when fingerprints are already materialized for provenance.
+    *
+    * Scale shape: ids only through the fingerprint self-join (the LSH
+    * candidate rule); per-fingerprint bucket size is bounded by
+    * exact-dup pre-collapse upstream, like the band buckets in
+    * [[minhashLsh]].
+    */
+  def fingerprintDup(docs: DataFrame, k: Int = 3, window: Int = 4,
+                     minShared: Int = 2, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val ex = TextAnalysis.fingerprintSql(rebalance(docs), textCol, k, window)
+      .select(col(idCol), explode(split(col("winnow_fp"), ",")).as("f"))
+    val a = ex.select(col("f"), col(idCol).as("id_a"))
+    val b = ex.select(col("f"), col(idCol).as("id_b"))
+    a.join(b, "f")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   def repeatedSpans(docs: DataFrame, w: Int = 5, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val words = col("__words")
