@@ -555,6 +555,33 @@ object Oracles {
                  FROM events GROUP BY 1, 2)
          SELECT a.* FROM a, w WHERE (a.bucket_s + 3600) * 1000 <= w.wm""",
 
+    // sessions = ss1's islands; emitted iff the final watermark
+    // (max event ms − 90 min) passed the session end (last + 30 min)
+    "st4_streaming_sessions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts) > 1800000000
+                       OR lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS flag
+           FROM events),
+         s AS (
+           SELECT user_id, t,
+                  sum(flag) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM e),
+         w AS (SELECT epoch_ms(max(ts)) - 5400000 AS wm FROM events),
+         sess AS (
+           SELECT user_id,
+                  FLOOR(min(t) / 1000000)::BIGINT AS start_s,
+                  FLOOR(max(t) / 1000000)::BIGINT + 1800 AS end_s,
+                  count(*) AS n_events,
+                  FLOOR((max(t) + 1800000000) / 1000)::BIGINT AS end_ms
+           FROM s GROUP BY user_id, sid)
+         SELECT user_id, start_s, end_s, n_events
+         FROM sess, w WHERE sess.end_ms <= w.wm""",
+
     // first-batch-wins: even-chunk winner if the content ever appears
     // at an even doc id, else the odd-chunk winner (min id within batch)
     "st3_streaming_dedup" ->

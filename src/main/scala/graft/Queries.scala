@@ -1015,6 +1015,44 @@ object Queries {
       docs.unpersist()
       s.read.parquet(s"$root/kept").select("doc_id", "content_md5")
     }),
+    // Streaming SESSION windows (built-in session_window state with
+    // cross-batch merging): chunks split chronologically, so sessions
+    // straddling the cut must merge across micro-batches in the state
+    // store; a session emits once the watermark passes its end
+    // (last event + gap). Deterministic: one part-file per chunk, and
+    // chunk 2's events are all newer than any batch-1-closed session,
+    // so no closed session can be extended.
+    "st4_streaming_sessions" -> ((s, dir) => {
+      val root = s"/tmp/graft-q-stream/st4-${math.abs(dir.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/staging"))
+      val qn = s"st4_${math.abs(dir.hashCode)}"
+      if (s.catalog.tableExists(qn)) s.catalog.dropTempView(qn)
+      val ev = events(s, dir).select("user_id", "ts").cache()
+      val src = s.readStream.schema(ev.schema).parquet(s"$root/staging")
+      val q = src.withWatermark("ts", "90 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").start()
+      try {
+        val cut = lit("2024-01-16").cast("timestamp")
+        Seq(col("ts") < cut, col("ts") >= cut).foreach { c =>
+          ev.filter(c).coalesce(1).write.mode("append")
+            .parquet(s"$root/staging")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ev.unpersist()
+      s.table(qn).select(col("user_id"),
+        unix_timestamp(col("sw.start")).cast("long").as("start_s"),
+        unix_timestamp(col("sw.end")).cast("long").as("end_s"),
+        col("n_events"))
+    }),
     // M2 back-window acceptance + cross-batch new-wins merge: batch 2
     // replays the first days with poisoned values (+1000 — must be
     // REJECTED by the back window or hourly means shift visibly) and
