@@ -605,8 +605,8 @@ object Oracles {
            FROM events),
          s AS (
            SELECT user_id, t,
-                  sum(flag) OVER (PARTITION BY user_id ORDER BY t
-                    ROWS UNBOUNDED PRECEDING) AS session_id
+                  CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM e)
          SELECT user_id, session_id, count(*) AS n_events,
                 FLOOR(min(t) / 1000000)::BIGINT AS start_s,
@@ -1175,7 +1175,7 @@ object Oracles {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS off
            FROM t)
-         SELECT doc_id, off AS token_offset,
+         SELECT doc_id, CAST(off AS BIGINT) AS token_offset,
                 CAST(FLOOR(off/512.0) AS BIGINT) AS first_win,
                 CAST(FLOOR((off + greatest(tk, 1) - 1)/512.0) AS BIGINT)
                   AS last_win

@@ -67,11 +67,14 @@ object Amqp {
       case 0x42 => false
       case 0x56 => r.u8() != 0 // boolean
       case 0x43 | 0x44 => 0L // uint0 / ulong0
-      case 0x50 | 0x51 => r.u8().toLong // ubyte / byte
+      case 0x50 => r.u8().toLong // ubyte
+      case 0x51 => r.u8().toByte.toLong // byte (signed)
       case 0x52 | 0x53 => r.u8().toLong // smalluint / smallulong
       case 0x54 | 0x55 => r.u8().toByte.toLong // smallint / smalllong
-      case 0x60 | 0x61 => ((r.u8() << 8) | r.u8()).toLong // ushort/short
-      case 0x70 | 0x71 => r.u32() // uint / int
+      case 0x60 => ((r.u8() << 8) | r.u8()).toLong // ushort
+      case 0x61 => ((r.u8() << 8) | r.u8()).toShort.toLong // short (signed)
+      case 0x70 => r.u32() // uint
+      case 0x71 => r.u32().toInt.toLong // int (signed)
       case 0x72 => java.lang.Float.intBitsToFloat(r.u32().toInt).toDouble
       case 0x80 | 0x81 | 0x83 => r.u64() // ulong / long / timestamp(ms)
       case 0x82 => java.lang.Double.longBitsToDouble(r.u64())

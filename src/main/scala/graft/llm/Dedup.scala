@@ -624,18 +624,22 @@ object Dedup {
         xxhash64(concat_ws(" ",
           (0 until w).map(j => s.getField(j.toString)): _*)))))
       .toDF(idCol, "__pos", "gh")
-    // ONE chain, no self-join: per-(gram,doc) position lists
-    // pre-aggregate map-side and the gh window's row count then IS the
-    // distinct-doc count. A dup-set ⋈ grams formulation measures about
-    // the same locally (ReuseExchange dedupes the shared scan+explode)
-    // but carries a join and a second aggregate; this shape also keeps
-    // one fewer exchange in the lineage at cluster scale.
-    val dupStarts = grams
+    // Per-(gram,doc) position lists pre-aggregate map-side; the
+    // distinct-doc count per gram is then a gh-level HASH aggregate
+    // joined back as a left-semi — NOT count().over(Window.partitionBy
+    // (gh)), which forces Exchange(gh) → Sort(gh) → Window over the
+    // whole (gram, doc) set. The SHUFFLE_HASH hint keeps the semi-join
+    // sort-free (the dup-gram set is unbounded at corpus scale, so no
+    // broadcast; a sort-merge join would reintroduce the sort).
+    val perGramDoc = grams
       .groupBy(col("gh"), col(idCol))
       .agg(collect_list(col("__pos")).as("__ps"))
-      .withColumn("__nd", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+    val dupGrams = perGramDoc.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2)
+      .select("gh")
+    val dupStarts = perGramDoc
+      .join(dupGrams.hint("shuffle_hash"), Seq("gh"), "left_semi")
       .groupBy(col(idCol))
       .agg(array_sort(flatten(collect_list(col("__ps")))).as("__starts"))
     base.join(dupStarts, Seq(idCol), "left")
@@ -654,15 +658,26 @@ object Dedup {
     * when fingerprints are already materialized for provenance.
     *
     * Scale shape: ids only through the fingerprint self-join (the LSH
-    * candidate rule); per-fingerprint bucket size is bounded by
-    * exact-dup pre-collapse upstream, like the band buckets in
-    * [[minhashLsh]].
+    * candidate rule); per-fingerprint bucket size is ENFORCED ≤
+    * `maxBucket` (like the band-bucket cap in [[minhashLsh]]) — one
+    * boilerplate fingerprint (license header, nav bar) shared by k docs
+    * would otherwise make a k²/2 quadratic bucket at corpus scale.
+    * Over-cap fingerprints are dropped from candidate generation; their
+    * members are near-identical boilerplate carriers that the exact /
+    * minhash passes collapse. The cap is a hash aggregate + semi-join
+    * (sort-free), not a window.
     */
   def fingerprintDup(docs: DataFrame, k: Int = 3, window: Int = 4,
                      minShared: Int = 2, idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
-    val ex = TextAnalysis.fingerprintSql(rebalance(docs), textCol, k, window)
+                     textCol: String = "text",
+                     maxBucket: Int = 100000): DataFrame = {
+    val ex0 = TextAnalysis.fingerprintSql(rebalance(docs), textCol, k, window)
       .select(col(idCol), explode(split(col("winnow_fp"), ",")).as("f"))
+    val smallF = ex0.groupBy(col("f"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select("f")
+    val ex = ex0.join(smallF.hint("shuffle_hash"), Seq("f"), "left_semi")
     val a = ex.select(col("f"), col(idCol).as("id_a"))
     val b = ex.select(col("f"), col(idCol).as("id_b"))
     a.join(b, "f")
@@ -685,12 +700,23 @@ object Dedup {
           (0 until w).map(j => s.getField(j.toString)): _*)))).as("gh"))
       .groupBy(col("gh"), col(idCol))
       .agg(count(lit(1)).as("__occ"))
-    val nd = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    // Dup-gram detection as a gh-level HASH aggregate joined back — NOT
+    // count().over(Window.partitionBy(gh)): the window form forces
+    // Exchange(gh) → Sort(gh) → Window over the entire (gram, doc) pair
+    // set, the dominant cost at corpus scale. The aggregate reuses the
+    // same gh exchange with HashAggregate (no sort), and the
+    // SHUFFLE_HASH hint keeps the join back sort-free too (the dup-gram
+    // set is unbounded — one per boilerplate phrase — so it must not be
+    // broadcast, and a sort-merge join would reintroduce the sort).
+    val dupGrams = perGramDoc.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("gh"), lit(1L).as("__dup"))
     perGramDoc
-      .withColumn("__nd", count(lit(1)).over(nd))
+      .join(dupGrams.hint("shuffle_hash"), Seq("gh"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("__occ")).as("n_grams"),
-        sum(when(col("__nd") >= 2, col("__occ")).otherwise(0L))
+        sum(when(col("__dup").isNotNull, col("__occ")).otherwise(0L))
           .as("n_dup_grams"))
       .withColumn("dup_frac", col("n_dup_grams") / col("n_grams"))
   }

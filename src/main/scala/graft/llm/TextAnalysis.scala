@@ -352,11 +352,16 @@ object TextAnalysis {
     * Scale shape: (1) per-doc bigram pre-aggregation — ONE shuffle of
     * the doc-distinct bigram set (map-side combine collapses repeated
     * bigrams, which natural text has plenty of); (2)+(3) corpus counts
-    * c(prev,cur) and c(prev·) as window sums over that same reduced
-    * table; (4) one per-doc aggregation. The vocabulary size rides in
-    * as a broadcast scalar — no collect in the data path. Raw token
-    * streams are never joined; only the deduplicated (doc, bigram)
-    * table shuffles.
+    * c(prev,cur) and c(prev·) as HASH AGGREGATES joined back, never as
+    * window sums: a window partitioned by (prev) is Zipf-skewed — every
+    * bigram starting with "the" lands in ONE sorted window partition,
+    * and window skew cannot be split by AQE the way join skew can. The
+    * aggregate + shuffled-hash join shape is sort-free and AQE
+    * skew-splittable; c(prev·) folds from the already-reduced
+    * c(prev,cur) table, not the raw bigram stream. (4) one per-doc
+    * aggregation. The vocabulary size rides in as a broadcast scalar —
+    * no collect in the data path. Raw token streams are never joined;
+    * only the deduplicated (doc, bigram) table shuffles.
     */
   def perplexity(df: DataFrame, alpha: Double = 0.5,
                  idCol: String = "doc_id",
@@ -373,10 +378,12 @@ object TextAnalysis {
     val vocab = withWords
       .select(explode(col("__w")).as("w"))
       .agg(count_distinct(col("w")).as("__v"))
-    val wb = Window.partitionBy(col("prev"), col("cur"))
-    val wu = Window.partitionBy(col("prev"))
-    dp.withColumn("cb", sum(col("k")).over(wb))
-      .withColumn("cu", sum(col("k")).over(wu))
+    val cb = dp.groupBy(col("prev"), col("cur"))
+      .agg(sum(col("k")).as("cb"))
+    val cu = cb.groupBy(col("prev"))
+      .agg(sum(col("cb")).as("cu"))
+    dp.join(cb.hint("shuffle_hash"), Seq("prev", "cur"))
+      .join(cu.hint("shuffle_hash"), Seq("prev"))
       .crossJoin(broadcast(vocab))
       .withColumn("__lp", log((col("cb") + lit(alpha)) /
         (col("cu") + lit(alpha) * col("__v"))))

@@ -71,32 +71,54 @@ object StreamingIngest {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     spark.readStream
       .schema(schema)
       .parquet(stagingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val s = batch.sparkSession
-        val winners = batch
-          .withColumn("content_md5",
-            md5(graft.llm.Dedup.normalized(col("text"))))
-          .groupBy("content_md5").agg(min(col("doc_id")).as("doc_id"))
-        val index =
-          if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
-            s.read.parquet(indexDir).select("content_md5")
-          else winners.limit(0).select("content_md5")
-        val survivors = winners
-          .join(index, Seq("content_md5"), "left_anti")
-          .localCheckpoint(true) // cut lineage off files the writes touch
-        survivors.select("doc_id", "content_md5")
-          .write.mode("overwrite").parquet(s"$keptDir/batch=$id")
-        survivors.select("content_md5")
-          .write.mode("overwrite").parquet(s"$indexDir/batch=$id")
+        dedupBatch(batch, id, indexDir, keptDir)
       }
       .start()
+  }
+
+  /** One micro-batch of the dedup drain — extracted so replay semantics
+    * are directly testable. Idempotent in `id`: running the same
+    * (batch, id) twice yields identical survivors, because the standing
+    * index is built from PRIOR batches only. On checkpoint replay the
+    * failed attempt's own `batch=<id>` subdir may already exist, and
+    * including it would anti-join away every survivor and then overwrite
+    * the kept/index partitions with empty output — silent data loss.
+    */
+  private[graft] def dedupBatch(batch: DataFrame, id: Long,
+                                indexDir: String, keptDir: String): Unit = {
+    val s = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val winners = batch
+      .withColumn("content_md5",
+        md5(graft.llm.Dedup.normalized(col("text"))))
+      .groupBy("content_md5").agg(min(col("doc_id")).as("doc_id"))
+    val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+    val priorBatches =
+      if (fs.exists(indexPath))
+        fs.listStatus(indexPath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("batch=") &&
+            st.getPath.getName != s"batch=$id")
+          .map(_.getPath.toString)
+      else Seq.empty[String]
+    val index =
+      if (priorBatches.nonEmpty)
+        s.read.parquet(priorBatches: _*).select("content_md5")
+      else winners.limit(0).select("content_md5")
+    val survivors = winners
+      .join(index, Seq("content_md5"), "left_anti")
+      .localCheckpoint(true) // cut lineage off files the writes touch
+    survivors.select("doc_id", "content_md5")
+      .write.mode("overwrite").parquet(s"$keptDir/batch=$id")
+    survivors.select("content_md5")
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$id")
   }
 
   final case class Point(metric_id: String, ts_ms: Long, value: Double)

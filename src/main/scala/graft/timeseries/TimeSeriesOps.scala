@@ -33,20 +33,30 @@ object TimeSeriesOps {
     if (orderBound > 0 && orderBound <= (1L << 61) && dataCols.nonEmpty) {
       // Fast path: winner key packed into ONE long — (prio, order)
       // lexicographic as __prio*bound + order (caller guarantees
-      // 0 <= order < bound) — so every surviving column is a
-      // min_by(col, packed) with a primitive two-field buffer, which
-      // HashAggregates with map-side partial aggregation. Measured 2×
-      // over the row_number window at 32× scale (no per-partition
-      // sort, partial agg shrinks the shuffle). Exact packed ties
-      // (non-pre-deduped input at equal order) pick an arbitrary
-      // winner — same nondeterminism as the window sort; batches are
-      // pre-deduped by contract.
+      // 0 <= order < bound) — so the surviving row is a min_by over the
+      // packed key, which HashAggregates with map-side partial
+      // aggregation. Measured 2× over the row_number window at 32×
+      // scale (no per-partition sort, partial agg shrinks the shuffle).
+      // Single data column (the measure hot path) keeps a primitive
+      // two-field buffer; multiple data columns ride ONE struct min_by
+      // so an exact packed tie still yields one CONSISTENT whole row
+      // (per-column min_by aggregates could each pick a different tied
+      // row, tearing columns from distinct inputs — the window path
+      // never does that, and neither does this).
       val packed = tagged.withColumn("__pk",
         col("__prio") * lit(orderBound) + orderCol.cast("long"))
-      packed.groupBy((keyCols.map(col) :+ col(tsCol)): _*)
-        .agg(min_by(col(dataCols.head), col("__pk")).as(dataCols.head),
-          dataCols.tail.map(c => min_by(col(c), col("__pk")).as(c)): _*)
-        .select(newDf.columns.toSeq.map(col): _*)
+      val grouped = packed.groupBy((keyCols.map(col) :+ col(tsCol)): _*)
+      val winners =
+        if (dataCols.size == 1)
+          grouped.agg(
+            min_by(col(dataCols.head), col("__pk")).as(dataCols.head))
+        else
+          grouped
+            .agg(min_by(struct(dataCols.map(col): _*), col("__pk"))
+              .as("__row"))
+            .select((keyCols.map(col) :+ col(tsCol)) ++
+              dataCols.map(c => col("__row").getField(c).as(c)): _*)
+      winners.select(newDf.columns.toSeq.map(col): _*)
     } else {
       // General path (unbounded/non-numeric order): row_number window;
       // Spark 4's WindowGroupLimit dedups rank-1 groups map-side
@@ -75,40 +85,54 @@ object TimeSeriesOps {
     * `right` must be unique per (keyCols, rightTs) — pre-aggregate
     * otherwise (which latest-equal row wins is undefined there, like
     * any as-of implementation).
+    *
+    * The right payload rides as ONE struct through a single
+    * `last(ignoreNulls)` window, never as per-column windows: a
+    * per-column formulation would backfill a genuinely-NULL payload
+    * value in the latest right row from an OLDER right row, stitching
+    * `asof_ts` and payload columns from different right rows. The
+    * struct is non-null whenever a right row exists, so the whole
+    * latest row carries forward atomically — NULL fields included.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
                payloadPrefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val payloadCols = right.columns
       .filterNot(c => keyCols.contains(c) || c == rightTs).toSeq
     val leftCols = left.columns.toSeq
+    val otherLeft = leftCols.filterNot(c => keyCols.contains(c) || c == leftTs)
+    val asofType = StructType(
+      StructField(s"${payloadPrefix}ts", right.schema(rightTs).dataType) +:
+        payloadCols.map(c => StructField(s"$payloadPrefix$c",
+          right.schema(c).dataType)))
     val rTagged = right.select(
       keyCols.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        leftCols.filterNot(c => keyCols.contains(c) || c == leftTs)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(rightTs).as(s"${payloadPrefix}ts")) ++
-        payloadCols.map(c => col(c).as(s"$payloadPrefix$c")): _*)
+        otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(struct(
+          (col(rightTs).as(s"${payloadPrefix}ts") +:
+            payloadCols.map(c => col(c).as(s"$payloadPrefix$c"))): _*)
+          .cast(asofType).as("__asof")): _*)
     val lTagged = left.select(
       keyCols.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        leftCols.filterNot(c => keyCols.contains(c) || c == leftTs)
-          .map(col) ++
-        Seq(lit(null).cast(right.schema(rightTs).dataType)
-          .as(s"${payloadPrefix}ts")) ++
-        payloadCols.map(c =>
-          lit(null).cast(right.schema(c).dataType)
-            .as(s"$payloadPrefix$c")): _*)
+        otherLeft.map(col) ++
+        Seq(lit(null).cast(asofType).as("__asof")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = (s"${payloadPrefix}ts" +: payloadCols.map(c =>
-      s"$payloadPrefix$c")).foldLeft(rTagged.unionByName(lTagged)) {
-        (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    val attached = rTagged.unionByName(lTagged)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
     attached.filter(col("__side") === 1)
-      .withColumn(leftTs, col("__ts"))
-      .drop("__ts", "__side")
+      .select(
+        keyCols.map(col) ++
+          otherLeft.map(col) ++
+          Seq(col("__asof").getField(s"${payloadPrefix}ts")
+            .as(s"${payloadPrefix}ts")) ++
+          payloadCols.map(c => col("__asof").getField(s"$payloadPrefix$c")
+            .as(s"$payloadPrefix$c")) ++
+          Seq(col("__ts").as(leftTs)): _*)
   }
 
   /** Sessionization: split each key's event stream into sessions at

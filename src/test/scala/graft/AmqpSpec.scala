@@ -64,6 +64,39 @@ class AmqpSpec extends SparkSpec {
     assert(Amqp.parseMessage(o2.toByteArray).body == "hi")
   }
 
+  test("signed fixed-width ints sign-extend; unsigned stay unsigned") {
+    // app-properties map with every fixed-width int code carrying -1
+    // (signed codes) or all-ones (unsigned codes): byte 0x51, short
+    // 0x61, int 0x71 must decode to -1; ubyte 0x50, ushort 0x60, uint
+    // 0x70 must decode to 255 / 65535 / 4294967295.
+    val o = new ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(o.write)
+    b(0x00, 0x53, 0x74) // application-properties descriptor
+    val mp = {
+      val t = new ByteArrayOutputStream()
+      def key(k: String): Unit = {
+        t.write(0xa1); t.write(k.length)
+        t.write(k.getBytes(UTF_8), 0, k.length)
+      }
+      key("b");  t.write(0x51); t.write(0xff)
+      key("s");  t.write(0x61); t.write(0xff); t.write(0xff)
+      key("i");  t.write(0x71); (0 until 4).foreach(_ => t.write(0xff))
+      key("ub"); t.write(0x50); t.write(0xff)
+      key("us"); t.write(0x60); t.write(0xff); t.write(0xff)
+      key("ui"); t.write(0x70); (0 until 4).foreach(_ => t.write(0xff))
+      t.toByteArray
+    }
+    b(0xc1, mp.length + 1, 12); o.write(mp, 0, mp.length)
+    b(0x00, 0x53, 0x77); b(0xa1, 1, 'x') // amqp-value body
+    val m = Amqp.parseMessage(o.toByteArray)
+    assert(m.appProperties("b") == "-1")
+    assert(m.appProperties("s") == "-1")
+    assert(m.appProperties("i") == "-1")
+    assert(m.appProperties("ub") == "255")
+    assert(m.appProperties("us") == "65535")
+    assert(m.appProperties("ui") == "4294967295")
+  }
+
   test("multiple data sections concatenate; unknown sections are skipped") {
     val o = new ByteArrayOutputStream()
     // header section (0x70, list0) — no data semantics, must be skipped

@@ -189,4 +189,20 @@ class KernelsSpec extends SparkSpec {
       (102L, -1L, -1.0), // before any right row -> null payload
       (103L, -1L, -1.0)))// key with no right rows at all
   }
+
+  test("asofJoin: NULL payload in the latest right row is NOT backfilled") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("a", 20L, 100L)).toDF("k", "t", "lid")
+    // latest right row (t=15) genuinely carries NULL v; an older row
+    // (t=10) has v=1.0 — the join must take the WHOLE t=15 row, not
+    // stitch asof_ts=15 with the older v
+    val right = Seq(("a", 10L, Some(1.0)), ("a", 15L, None))
+      .toDF("k", "t", "v")
+    val r = graft.timeseries.TimeSeriesOps
+      .asofJoin(left, right, Seq("k"), "t", "t")
+      .select("asof_ts", "asof_v").head
+    assert(r.getLong(0) == 15L)
+    assert(r.isNullAt(1), "NULL payload must survive, not backfill")
+  }
 }

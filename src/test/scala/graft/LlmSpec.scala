@@ -295,6 +295,17 @@ class LlmSpec extends SparkSpec {
     assert(!got.contains(5L))
   }
 
+  test("fingerprintDup: over-cap fingerprint buckets are dropped") {
+    // 6 docs carrying identical boilerplate share every winnowing
+    // fingerprint → each bucket holds 6 docs. With maxBucket=3 the
+    // whole bucket is dropped from candidate generation (bounded, no
+    // quadratic blow-up); with a loose cap all 15 pairs appear.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs((1 to 6).map(i => (i.toLong, boiler)): _*)
+    assert(Dedup.fingerprintDup(d, maxBucket = 3).count() == 0L)
+    assert(Dedup.fingerprintDup(d, maxBucket = 100).count() == 15L)
+  }
+
   test("PQ: decode fidelity and exact top-1 recovery on clustered data") {
     val s = spark
     import s.implicits._

@@ -66,6 +66,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupBatch replay: re-running a failed attempt's batch id is idempotent") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val index = s"$root/index"; val kept = s"$root/kept"
+    def keptIds(batch: Long) =
+      s.read.parquet(s"$kept/batch=$batch").select("doc_id")
+        .as[Long].collect().toSet
+    // batch 0: two distinct contents
+    StreamingIngest.dedupBatch(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), 0L, index, kept)
+    assert(keptIds(0) == Set(1L, 2L))
+    // batch 1: one dup of batch 0, one new content
+    val b1 = Seq((3L, "alpha"), (4L, "gamma")).toDF("doc_id", "text")
+    StreamingIngest.dedupBatch(b1, 1L, index, kept)
+    assert(keptIds(1) == Set(4L))
+    // REPLAY batch 1 (checkpoint recovery re-delivers the same batch id
+    // after index/batch=1 already exists): survivors must be identical,
+    // not emptied by anti-joining against its own failed-attempt output
+    StreamingIngest.dedupBatch(b1, 1L, index, kept)
+    assert(keptIds(1) == Set(4L))
+    // prior batches remain untouched and the index still dedups batch 2
+    assert(keptIds(0) == Set(1L, 2L))
+    StreamingIngest.dedupBatch(
+      Seq((5L, "gamma"), (6L, "delta")).toDF("doc_id", "text"), 2L, index, kept)
+    assert(keptIds(2) == Set(6L))
+  }
+
   test("file-source stream drains micro-batches through the incremental job") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val staging = s"$root/staging"; val ckpt = s"$root/ckpt"
