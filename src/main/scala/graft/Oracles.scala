@@ -901,6 +901,19 @@ object Oracles {
          SELECT media_id, md5(rs) AS payload_md5, 8 AS width, 8 AS height
          FROM r""",
 
+    // mm5: the PNG round-trip — Spark encodes (doc_id*31 + i*7) % 256
+    // pixels to PNG and decodes via javax.imageio; the oracle computes
+    // the features straight from the formula (lossless codec ⇒ equal)
+    "mm5_decode_png" ->
+      """WITH px AS (
+           SELECT d.doc_id, (d.doc_id * 31 + g.i * 7) % 256 AS v
+           FROM documents d, generate_series(0, 255) AS g(i))
+         SELECT doc_id, 16 AS width, 16 AS height,
+                CAST(avg(v) AS REAL) AS mean_byte,
+                CAST(min(v) AS INTEGER) AS min_byte,
+                CAST(max(v) AS INTEGER) AS max_byte
+         FROM px GROUP BY doc_id""",
+
     // i1/i2/i4 render events as wire-protocol bodies in Spark, parse
     // them back, and aggregate; the oracle aggregates events directly —
     // exactness of the string round-trip is part of what's checked.
@@ -1021,6 +1034,33 @@ object Oracles {
          SELECT metric_id, 'count' AS method, bucket_s,
                 CAST(count(*) AS REAL) AS v
          FROM b GROUP BY metric_id, bucket_s""",
+
+    "p2_measures_many" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events
+                    WHERE event_type IN ('click', 'error')
+                    GROUP BY 1, 2),
+         b AS (SELECT metric_id,
+                      CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                      value
+               FROM d),
+         w AS (SELECT * FROM b
+               WHERE bucket_s >= epoch(TIMESTAMP '2024-01-10 00:00:00')
+                 AND bucket_s <= epoch(TIMESTAMP '2024-01-20 12:00:00'))
+         SELECT metric_id, 'mean' AS method, bucket_s,
+                CAST(avg(value) AS REAL) AS v
+         FROM w GROUP BY metric_id, bucket_s
+         UNION ALL
+         SELECT metric_id, 'max' AS method, bucket_s,
+                CAST(max(value) AS REAL) AS v
+         FROM w GROUP BY metric_id, bucket_s""",
+
+    "j7_backlog" ->
+      """SELECT event_type AS metric_id, count(*) AS n_pending
+         FROM events
+         WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+         GROUP BY 1""",
 
     // streaming drain of time-ordered chunks == one-shot batch ingest
     "st1_streaming_ingest" ->

@@ -694,6 +694,23 @@ object Queries {
           Multimodal.withPayload(table(s, dir, "documents")), 8, 8)
         .select(col("media_id"), md5(col("payload")).as("payload_md5"),
           col("meta.width").as("width"), col("meta.height").as("height"))),
+    // REAL codec gate: 16×16 grayscale pixels generated per doc from a
+    // SQL-expressible formula, encoded to PNG and decoded back through
+    // javax.imageio — the oracle recomputes the features from the same
+    // formula, so any lossy/shifted decode breaks the hash. (PNG
+    // grayscale is lossless; decode(encodePng(px)) == px exactly.)
+    "mm5_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val px = Array.tabulate(256)(i => ((id * 31 + i * 7) % 256).toByte)
+          (id, Multimodal.encodePng(16, 16, px))
+        }).toDF("media_id", "payload")
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          r6(col("mean_byte")).as("mean_byte"), col("min_byte"),
+          col("max_byte"))
+    }),
     // Protocol round-trips: render events as wire bodies, parse them
     // back, aggregate — the oracle aggregates events directly, so the
     // whole parser is under the hash compare. Double values survive
@@ -916,6 +933,43 @@ object Queries {
       store.getMeasuresMany(allTypes, Seq("mean", "max", "count"), 3600L)
         .select(col("metric_id"), col("method"), bucketS(),
           r6(col("value")).as("v"))
+    }),
+    // P2 multi-series scan UNDER THE ORACLE: metric/method SUBSET with
+    // from/to slicing — the bounds prune split partitions before the
+    // fetch slice, and `from` floors to the granularity (a 00:00:30
+    // query returns the 00:00 bucket); the oracle recomputes the same
+    // hourly aggregates windowed to [floor(from), to].
+    "p2_measures_many" -> ((s, dir) => {
+      val store = freshStore(s, "p2", dir, ArchivePolicy("p2", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean", "max")))
+      store.addMeasures(dedupMeasures(s, dir))
+      store.getMeasuresMany(Seq("click", "error"), Seq("mean", "max"), 3600L,
+        from = Some(java.sql.Timestamp.valueOf("2024-01-10 00:00:30")),
+        to = Some(java.sql.Timestamp.valueOf("2024-01-20 12:00:00")))
+        .select(col("metric_id"), col("method"), bucketS(),
+          r6(col("value")).as("v"))
+    }),
+    // J7 backlog report under the oracle: stage one day of events
+    // through the REST enqueue path (driver-side by nature — it models
+    // the HTTP body buffer, incoming/__init__.py:202-214), leave them
+    // unprocessed, and report pending counts per metric.
+    "j7_backlog" -> ((s, dir) => {
+      import s.implicits._
+      val g = new graft.api.Graft(s,
+        s"/tmp/graft-q-store/j7-${math.abs(dir.hashCode)}")
+      allTypes.foreach(t => g.createMetric(t, "low"))
+      val day = events(s, dir)
+        .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t"),
+          col("value"))
+        .collect()
+      day.groupBy(_.getString(0)).foreach { case (m, rows) =>
+        g.addMeasures(m,
+          rows.map(r => (r.getString(1), r.getDouble(2))).toSeq)
+      }
+      g.status().toSeq.toDF("metric_id", "n_pending")
     }),
     // I6 under the oracle: the same round-trip as j1, but measures
     // arrive through the Structured Streaming drain (file source +

@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * reusable buffers, so a real decoder (libjpeg/ffmpeg via JNI) drops
   * in without changing the plumbing, schema, or partitioning.
   *
-  * DECODE IS A STUB: this container has no image/audio codec libraries,
-  * so `decodeStub` deterministically fakes a grayscale frame from the
-  * payload bytes (payload = pixels, fixed-width rows). The Spark-side
-  * shape — binary in, struct of features out, partition-batched — is
-  * real and tested.
+  * DECODE IS REAL for the formats the JDK ships codecs for: payloads
+  * carrying PNG/BMP/GIF/JPEG magic decode through `javax.imageio` to a
+  * grayscale pixel grid (gated end-to-end by the mm5 PNG round-trip
+  * query). Non-image payloads — no known magic, or a format this JDK
+  * lacks (no video/audio codecs in any stock JDK) — fall back to
+  * `decodeStub`, which deterministically fakes a grayscale frame from
+  * the payload bytes (payload = pixels, fixed-width rows).
   */
 object Multimodal {
 
@@ -68,15 +70,70 @@ object Multimodal {
       .withColumn("frame_md5", md5(col("frame_bytes")))
   }
 
-  /** THE CODEC BOUNDARY — deterministic fake in this container.
-    * A real build would decode `bytes` with an image library here
-    * (e.g. TwelveMonkeys/javacv); everything downstream only sees the
-    * returned pixel grid, so swapping the implementation is local.
+  /** Deterministic fallback for payloads no JDK codec can read:
+    * payload bytes ARE the grayscale pixels, fixed-width rows. Keeps
+    * the text-payload fixtures (mm1–mm4) engine-reproducible.
     */
   private def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     val width = FakeImageWidth
     val height = (bytes.length + width - 1) / width
-    (width, height, bytes) // payload bytes ARE the grayscale pixels
+    (width, height, bytes)
+  }
+
+  // magic prefixes for the formats every stock JDK decodes
+  private val ImageMagic: Seq[Array[Byte]] = Seq(
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+    Array(0xff.toByte, 0xd8.toByte), // JPEG
+    Array('B'.toByte, 'M'.toByte), // BMP
+    Array('G'.toByte, 'I'.toByte, 'F'.toByte))
+
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    ImageMagic.exists(m => b.length >= m.length &&
+      m.indices.forall(i => b(i) == m(i)))
+
+  /** THE CODEC BOUNDARY — real `javax.imageio` decode for PNG/BMP/GIF/
+    * JPEG payloads (magic-sniffed first so text payloads never pay a
+    * parse attempt), grayscale-converted; anything unreadable falls
+    * back to [[decodeStub]]. Everything downstream only sees the
+    * returned pixel grid, so richer codecs (TwelveMonkeys, javacv)
+    * drop in here without moving anything else.
+    */
+  private[llm] def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (looksLikeImage(bytes)) {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img != null) {
+        val w = img.getWidth; val h = img.getHeight
+        val gray =
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+          else {
+            val g = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val gr = g.createGraphics()
+            gr.drawImage(img, 0, 0, null); gr.dispose(); g
+          }
+        val px = new Array[Byte](w * h)
+        gray.getRaster.getDataElements(0, 0, w, h, px)
+        return (w, h, px)
+      }
+    }
+    decodeStub(bytes)
+  }
+
+  /** Encode a grayscale pixel grid as PNG through the same JDK codec —
+    * the fixture generator for the mm5 round-trip gate (PNG grayscale
+    * is lossless, so decode(encodePng(px)) == px exactly).
+    */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, pixels)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Decode + feature-extract (mean/min/max intensity, 16-bin
@@ -92,7 +149,7 @@ object Multimodal {
       .mapPartitions { it =>
         val hist = new Array[Long](16)
         it.map { case (id, payload) =>
-          val (w, h, px) = decodeStub(payload)
+          val (w, h, px) = decode(payload)
           java.util.Arrays.fill(hist, 0L)
           var sum = 0L; var mn = 255; var mx = 0; var i = 0
           while (i < px.length) {
@@ -121,7 +178,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (w, h, px) = decodeStub(bytes)
+          val (w, h, px) = decode(bytes)
           val buf = new Array[Byte](outW * outH)
           var y = 0
           while (y < outH) {

@@ -50,6 +50,37 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Int]("width") == 2 && meta.getAs[Int]("height") == 2)
   }
 
+  test("real PNG decode: encodePng → decodeFeatures recovers exact pixels") {
+    val s = spark
+    import s.implicits._
+    // 4×2 grayscale gradient; PNG is lossless so features are exact
+    val px = Array[Byte](0, 32, 64, 96, (128 - 256).toByte,
+      (160 - 256).toByte, (192 - 256).toByte, (255 - 256).toByte)
+    val png = Multimodal.encodePng(4, 2, px)
+    assert(png.take(4).sameElements(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val m = Seq((9L, png)).toDF("media_id", "payload")
+    val r = Multimodal.decodeFeatures(m).head()
+    // REAL dims from the PNG header, not the fake 32-wide fallback
+    assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 2)
+    assert(r.getAs[Int]("min_byte") == 0 && r.getAs[Int]("max_byte") == 255)
+    assert(r.getAs[Double]("mean_byte") == px.map(_ & 0xff).sum / 8.0)
+    // resize through the real decode path too: 2x1 samples (0,0),(0,2)
+    val rz = Multimodal.resize(m, 2, 1).head()
+    val out = rz.getAs[Array[Byte]]("payload")
+    assert(out.toSeq == Seq[Byte](0, 64))
+  }
+
+  test("non-image payloads still take the deterministic fallback") {
+    val s = spark
+    import s.implicits._
+    // 'BM' magic but unparseable -> ImageIO returns null -> stub path
+    val junk = ("BM" + "x" * 62).getBytes("UTF-8")
+    val r = Multimodal.decodeFeatures(
+      Seq((1L, junk)).toDF("media_id", "payload")).head()
+    assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 2)
+  }
+
   test("embedding near-dup finds the duplicated vector pair") {
     val s = spark
     import s.implicits._
