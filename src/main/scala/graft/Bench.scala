@@ -106,6 +106,18 @@ object Bench {
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.llm.Dedup.embeddingNearDup(em, threshold = 0.95)
     }),
+    // minhash-LSH near-dup on the amplified corpus: every doc has 31
+    // exact copies, so every band bucket holds ≥32 members — the
+    // candidate/verify pipeline's all-dup worst case, sort-free since
+    // the cap + self-join went shuffled-hash
+    "scale_dd2_minhash" -> (() =>
+      graft.llm.Dedup.minhashLsh(
+        s.read.parquet(s"$dir/documents.parquet"))),
+    // fingerprint-overlap dedup on the same all-dup corpus: 32-member
+    // fingerprint buckets exercise the bucket-capped self-join
+    "scale_dd8_fingerprint" -> (() =>
+      graft.llm.Dedup.fingerprintDup(
+        s.read.parquet(s"$dir/documents.parquet"))),
     // cross-doc repeated spans over the amplified corpus (every copy
     // shares its source doc's grams — the all-dup worst case)
     "scale_dd7_repeated_spans" -> (() =>

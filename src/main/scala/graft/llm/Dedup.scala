@@ -143,15 +143,25 @@ object Dedup {
     // over the cap are dropped from candidate generation — at that
     // cardinality the members are near-identical and belong to the
     // exact-dedup pre-pass (dd1), which collapses them in one hash agg.
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    val banded = banded0.withColumn("__bn", count(lit(1)).over(wb))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    // The cap is a (band,bucket) HASH aggregate + shuffled-hash
+    // semi-join, NOT count().over(Window.partitionBy(...)): the window
+    // form forces Exchange → Sort → Window over the full banded set
+    // (n_docs × bands rows), the same scale-killer shape as dd7's gram
+    // windows. Sort-free here, and the candidate self-join below is
+    // hinted shuffle_hash too, so no node in the pipeline ever sorts
+    // the banded set (the cap bounds every build bucket).
+    val smallBuckets = banded0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select("band", "bucket")
+    val banded = banded0
+      .join(smallBuckets.hint("shuffle_hash"), Seq("band", "bucket"),
+        "left_semi")
     // candidates as id pairs ONLY — dedup before re-attaching the shingle
     // arrays, so the distinct shuffles 16 bytes/row, not whole documents
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band", "bucket"))
+    val cand = l.join(r.hint("shuffle_hash"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val shA = sh.select(col("id").as("id_a"), col("shh").as("sh_a"))
