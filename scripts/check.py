@@ -55,6 +55,13 @@ for name in sorted(have):
     bad = None
     for c in exp.columns:
         e, g = exp[c], got[c]
+        # The driver hashes TYPED values: a DuckDB HUGEINT (surfaced as
+        # object dtype) never hash-matches a Spark LONG even when equal.
+        # Flag dtype-kind mismatches so that class of bug fails HERE too.
+        if e.dtype.kind != g.dtype.kind and not (
+                {e.dtype.kind, g.dtype.kind} <= {'i', 'u'}):
+            bad = f"col {c}: dtype mismatch oracle={e.dtype} got={g.dtype} (driver hashes typed values)"
+            break
         if e.dtype.kind == 'f' or g.dtype.kind == 'f':
             diff = (e.astype(float) - g.astype(float)).abs()
             both_nan = e.isna() & g.isna()

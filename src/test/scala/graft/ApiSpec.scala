@@ -54,6 +54,19 @@ class ApiSpec extends SparkSpec {
       ("2015-03-06 14:30:00.0", 15.05), ("2015-03-06 14:35:00.0", 5.0)))
   }
 
+  test("P6 output shaping: aggregates collect to the reference triple form " +
+      "(processor.py:229-272)") {
+    val g = freshGraft()
+    g.createMetric("m1", "gabbi-low")
+    g.addMeasures("m1", Seq(
+      ("2015-03-06 14:33:57", 43.1), ("2015-03-06 14:34:12", 12.0)))
+    g.process()
+    val shaped = g.shaped(g.aggregates("(metric m1 mean)", 300), 300)
+    // same triples a direct single-metric read produces at that gran
+    assert(shaped == g.getMeasures("m1", "mean", Some(300)))
+    assert(shaped.map(_._2).distinct == Seq(300L))
+  }
+
   test("expression with scalar + rolling (metric-derived style)") {
     val g = freshGraft()
     g.createMetric("m1", "gabbi-low")

@@ -295,6 +295,29 @@ class LlmSpec extends SparkSpec {
     assert(!got.contains(5L))
   }
 
+  test("text-dedup/LM planes compile sort-free: no Sort/Window over the " +
+      "(gram,doc) or bigram sets") {
+    // These five resurfaced from count().over(Window.partitionBy(...))
+    // to hash aggregates + shuffled-hash joins — a Sort or Window node
+    // reappearing is the 100TB-scale regression this test pins against.
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon other words here"),
+      (3L, "unrelated text about catalyst expression trees"))
+    val plans = Seq(
+      "dd7" -> Dedup.repeatedSpans(d),
+      "es1" -> Dedup.removeRepeatedSpans(d),
+      "dd8" -> Dedup.fingerprintDup(d),
+      "dd2" -> Dedup.minhashLsh(d, n = 2, numHashes = 8, bands = 4),
+      "lm1" -> TextAnalysis.perplexity(d))
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SortExec") && !" Sort ".r.findFirstIn(p).isDefined,
+        s"$name plan contains a Sort node:\n$p")
+      assert(!p.contains("Window"), s"$name plan contains a Window node:\n$p")
+    }
+  }
+
   test("fingerprintDup: over-cap fingerprint buckets are dropped") {
     // 6 docs carrying identical boilerplate share every winnowing
     // fingerprint → each bucket holds 6 docs. With maxBucket=3 the
