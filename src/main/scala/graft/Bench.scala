@@ -242,7 +242,14 @@ object Bench {
       .groupBy("event_type").count().write.format("noop")
       .mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_ONLY=q1,q2,scale_x runs just those
+    // queries (standard and/or scale section); unset = everything
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1)).map { case (name, fn) =>
       // one untimed execution first: Janino compile + JIT of THIS
       // query's generated code costs 1–15 s once per JVM and amortizes
       // to zero at any real scale — the timed run measures data work,
@@ -273,6 +280,7 @@ object Bench {
         for (t <- Seq("events", "documents", "lineitem", "orders", "customer"))
           spark.read.parquet(s"$scaleDir/$t.parquet").count()
         (("scale_amplify_write" -> ampSec) +: scaleQueries(spark, scaleDir)
+          .filter(q => selected(q._1))
           .map { case (name, fn) =>
             // warm once untimed first, same policy as the standard
             // section: scale numbers must isolate data work from
@@ -294,10 +302,15 @@ object Bench {
               }
             (name, t)
           }) ++ {
-            // ingestBench wipes its store root at entry, so running it
-            // twice is identical work — first pass warms, second counts
-            ingestBench(spark, scaleDir)
-            ingestBench(spark, scaleDir)
+            if (only.isDefined &&
+                !only.get.exists(Set("scale_j1_ingest", "scale_p2_read")))
+              Nil
+            else {
+              // ingestBench wipes its store root at entry, so running
+              // it twice is identical work — first warms, second counts
+              ingestBench(spark, scaleDir)
+              ingestBench(spark, scaleDir)
+            }
           }
       }
 

@@ -98,19 +98,91 @@ object Dedup {
       array_min(transform(hashedCol, h => xxhash64(h, lit(i.toLong))))
     }: _*)
 
+  /** Exact-duplicate pre-collapse for the pair-producing dedup
+    * operators: docs with identical NORMALIZED text form one group
+    * carried by a single representative (the minimum id). Candidate
+    * generation and verification then run on representatives only — a
+    * 32-way copy group costs one candidate row instead of 32 banded
+    * rows and 496 verified pairs — and [[expandPairs]] restores the
+    * full pair set afterwards. Lossless: identical normalized text ⇒
+    * identical shingle/fingerprint sets ⇒ identical pair values, so
+    * the expanded output equals the all-docs formulation row for row.
+    * Returns one row per distinct content: (__rep, __ids ascending).
+    *
+    * No text column rides through the aggregate — a string-valued
+    * min_by/first buffer is not hash-aggregable and would force
+    * SortAggregate over the whole corpus; min(long) + collect_list is
+    * one ObjectHashAggregate. [[collapseReps]] recovers the
+    * representative ROWS with a shuffled-hash semi-join instead.
+    */
+  private def collapseExact(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    rebalance(docs)
+      .groupBy(md5(normalized(col(textCol))).as("__k"))
+      .agg(min(col(idCol)).as("__rep"),
+        sort_array(collect_list(col(idCol))).as("__ids"))
+      .drop("__k")
+
+  /** One full doc row per [[collapseExact]] group (the minimum-id
+    * member). Sort-free: left-semi shuffled-hash join on the id.
+    */
+  private def collapseReps(docs: DataFrame, groups: DataFrame,
+                           idCol: String): DataFrame =
+    docs.join(
+      groups.select(col("__rep").as(idCol)).hint("shuffle_hash"),
+      Seq(idCol), "left_semi")
+
+  /** Expand representative-level pairs back to all member pairs.
+    * `repPairs` carries (id_a, id_b, payload…) over representative
+    * ids; `withinEligible` carries (__rep, payload…) for groups whose
+    * members pair with each other (identical content — e.g. jaccard
+    * 1.0 when the shingle set is non-empty). Pair values are constant
+    * across a group pair because every member shares the exact
+    * shingle/fingerprint set; id_a < id_b is restored after expansion.
+    * The explode work is linear in the OUTPUT pair count — the
+    * quadratic candidate join never sees duplicate members.
+    */
+  private def expandPairs(repPairs: DataFrame, groups: DataFrame,
+                          withinEligible: DataFrame,
+                          payload: Seq[String]): DataFrame = {
+    val ga = groups.select(col("__rep").as("id_a"), col("__ids").as("__ia"))
+    val gb = groups.select(col("__rep").as("id_b"), col("__ids").as("__ib"))
+    val cross = repPairs
+      .join(ga, Seq("id_a"))
+      .join(gb, Seq("id_b"))
+      .withColumn("__a", explode(col("__ia")))
+      .withColumn("__b", explode(col("__ib")))
+      .select(Seq(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b")) ++ payload.map(col): _*)
+    val within = groups.filter(size(col("__ids")) > 1)
+      .join(withinEligible, Seq("__rep"))
+      .withColumn("__a", explode(col("__ids")))
+      .withColumn("__b", explode(col("__ids")))
+      .filter(col("__a") < col("__b"))
+      .select(Seq(col("__a").as("id_a"), col("__b").as("id_b")) ++
+        payload.map(col): _*)
+    cross.unionByName(within)
+  }
+
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
     * `rows` rows; docs sharing any band bucket become candidates; then
     * exact n-gram Jaccard verifies. Returns pairs `(id_a, id_b, jaccard)`
     * with id_a < id_b and jaccard >= threshold.
     *
-    * Scale path: the band explode produces `bands` rows per doc; the
-    * self-join runs per-bucket (skew-safe with AQE); no full cross join.
+    * Scale path: exact duplicates collapse to one representative per
+    * distinct content FIRST ([[collapseExact]]) — copy-heavy corpora
+    * (the 100 TB reality) never inflate the banded set or the verify
+    * join; the band explode then produces `bands` rows per distinct
+    * doc; the self-join runs per-bucket (skew-safe with AQE); no full
+    * cross join. Pairs expand back losslessly at the end.
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
                  bands: Int = 32, threshold: Double = 0.5,
                  idCol: String = "doc_id", textCol: String = "text",
                  maxBucket: Int = 100000): DataFrame = {
     val rows = numHashes / bands
+    val groups = collapseExact(docs, idCol, textCol)
+    val reps = collapseReps(docs, groups, idCol)
     // No emptiness filter on `sh` — a `size(sh) > 0` predicate would
     // be pushed below the rebalance exchange, re-evaluating the whole
     // shingle pipeline single-task on the scan side. Shingle-less docs
@@ -120,7 +192,7 @@ object Dedup {
     // candidate blow-up. Shingles are hashed to 64-bit longs up front:
     // the signature, banding, and the exact-jaccard verify all work on
     // fixed-width longs (string set ≡ hash set modulo ~2^-64 collision).
-    val sh = withShingles(rebalance(docs), textCol, n, "sh")
+    val sh = withShingles(rebalance(reps), textCol, n, "sh")
       .select(col(idCol).as("id"),
         transform(col("sh"), s => xxhash64(s)).as("shh"))
     // Signatures via the native minhash_sig expression: one fused loop
@@ -149,12 +221,16 @@ object Dedup {
     // (n_docs × bands rows), the same scale-killer shape as dd7's gram
     // windows. Sort-free here, and the candidate self-join below is
     // hinted shuffle_hash too, so no node in the pipeline ever sorts
-    // the banded set (the cap bounds every build bucket).
-    val smallBuckets = banded0.groupBy(col("band"), col("bucket"))
+    // the banded set (the cap bounds every build bucket). ONE exchange
+    // feeds the whole candidate stage: repartition(band,bucket) up
+    // front, then the cap aggregate, its semi-join, and the self-join
+    // all run on that partitioning (exchange reuse).
+    val banded1 = banded0.repartition(col("band"), col("bucket"))
+    val smallBuckets = banded1.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
       .select("band", "bucket")
-    val banded = banded0
+    val banded = banded1
       .join(smallBuckets.hint("shuffle_hash"), Seq("band", "bucket"),
         "left_semi")
     // candidates as id pairs ONLY — dedup before re-attaching the shingle
@@ -166,12 +242,25 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val shA = sh.select(col("id").as("id_a"), col("shh").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("shh").as("sh_b"))
-    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+    val repPairs = cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", col("inter") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // Within-group pairs are identical content: jaccard exactly 1.0,
+    // eligible only when the shingle set is non-empty (two shingle-less
+    // docs verify as NULL-jaccard in the pairwise form and must stay
+    // excluded here too). Eligibility is word count ≥ n on the raw
+    // text — NEVER a size() filter on the derived shingle array: a
+    // predicate on a computed array column gets pushed below the
+    // projections, inlining the whole shingle pipeline into the filter
+    // (interpreted, O(words²) per row — the withShingles hazard).
+    val withinEligible = reps
+      .filter(size(split(normalized(col(textCol)), " ")) >= n)
+      .select(col(idCol).as("__rep"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= threshold)
+    expandPairs(repPairs, groups, withinEligible, Seq("jaccard"))
   }
 
   /** Exact n-gram Jaccard similarity over all pairs — the correctness
@@ -634,24 +723,26 @@ object Dedup {
         xxhash64(concat_ws(" ",
           (0 until w).map(j => s.getField(j.toString)): _*)))))
       .toDF(idCol, "__pos", "gh")
-    // Per-(gram,doc) position lists pre-aggregate map-side; the
-    // distinct-doc count per gram is then a gh-level HASH aggregate
-    // joined back as a left-semi — NOT count().over(Window.partitionBy
-    // (gh)), which forces Exchange(gh) → Sort(gh) → Window over the
-    // whole (gram, doc) set. The SHUFFLE_HASH hint keeps the semi-join
-    // sort-free (the dup-gram set is unbounded at corpus scale, so no
-    // broadcast; a sort-merge join would reintroduce the sort).
-    val perGramDoc = grams
-      .groupBy(col("gh"), col(idCol))
-      .agg(collect_list(col("__pos")).as("__ps"))
-    val dupGrams = perGramDoc.groupBy(col("gh"))
-      .agg(count(lit(1)).as("__nd"))
+    // ONE exchange of the gram stream: repartition(gh) up front, then
+    // the (gh,doc) position aggregate, the gh-level distinct-doc count,
+    // AND the dup-gram semi-join all run on that partitioning without
+    // further exchanges (HashPartitioning(gh) satisfies the (gh,id)
+    // aggregate's clustering, the gh aggregate, and both join sides —
+    // exchange reuse makes the two consumers read one shuffle). Never
+    // count().over(Window.partitionBy(gh)), which forces Exchange(gh)
+    // → Sort(gh) → Window over the whole (gram, doc) set; the
+    // SHUFFLE_HASH hint keeps the semi-join sort-free too (the
+    // dup-gram set is unbounded at corpus scale, so no broadcast, and
+    // a sort-merge join would reintroduce the sort).
+    val bygh = grams.repartition(col("gh"))
+    val dupGrams = bygh.groupBy(col("gh"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= 2)
       .select("gh")
-    val dupStarts = perGramDoc
+    val dupStarts = bygh
       .join(dupGrams.hint("shuffle_hash"), Seq("gh"), "left_semi")
       .groupBy(col(idCol))
-      .agg(array_sort(flatten(collect_list(col("__ps")))).as("__starts"))
+      .agg(array_sort(collect_list(col("__pos"))).as("__starts"))
     base.join(dupStarts, Seq(idCol), "left")
       .withColumn("__r", call_function("remove_spans", col("__words"),
         coalesce(col("__starts"), lit(Array.empty[Int])), lit(w)))
@@ -681,8 +772,19 @@ object Dedup {
                      minShared: Int = 2, idCol: String = "doc_id",
                      textCol: String = "text",
                      maxBucket: Int = 100000): DataFrame = {
-    val ex0 = TextAnalysis.fingerprintSql(rebalance(docs), textCol, k, window)
-      .select(col(idCol), explode(split(col("winnow_fp"), ",")).as("f"))
+    val groups = collapseExact(docs, idCol, textCol)
+    val reps = collapseReps(docs, groups, idCol)
+    // One exchange for the whole candidate stage: repartition(f) up
+    // front — the bucket-size cap aggregate, its semi-join, and the
+    // self-join all key on f and run on that one partitioning
+    // (exchange reuse feeds every consumer). Only the final
+    // (id_a,id_b) pair aggregate shuffles again, with map-side combine
+    // collapsing same-pair fingerprints inside each f-partition.
+    val fpd = TextAnalysis.fingerprintSql(rebalance(reps), textCol, k, window)
+      .select(col(idCol), split(col("winnow_fp"), ",").as("__fps"))
+    val ex0 = fpd
+      .select(col(idCol), explode(col("__fps")).as("f"))
+      .repartition(col("f"))
     val smallF = ex0.groupBy(col("f"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
@@ -690,11 +792,23 @@ object Dedup {
     val ex = ex0.join(smallF.hint("shuffle_hash"), Seq("f"), "left_semi")
     val a = ex.select(col("f"), col(idCol).as("id_a"))
     val b = ex.select(col("f"), col(idCol).as("id_b"))
-    a.join(b, "f")
+    val repPairs = a.join(b, "f")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    // Within-group pairs share EVERY fingerprint of their (identical)
+    // content: shared = |fps| of the representative, gated on
+    // minShared. Counted from the exploded stream (one aggregate on a
+    // tiny id set) — NEVER size() on the derived __fps column: that
+    // predicate/projection gets pushed below the winnow projections,
+    // inlining the whole fingerprint pipeline into an interpreted
+    // filter (the withShingles O(words²) hazard).
+    val withinEligible = ex0.groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col(idCol).as("__rep"), col("shared"))
+    expandPairs(repPairs, groups, withinEligible, Seq("shared"))
   }
 
   def repeatedSpans(docs: DataFrame, w: Int = 5, idCol: String = "doc_id",
@@ -703,23 +817,28 @@ object Dedup {
     val g = greatest(size(words) - (w - 1), lit(0))
     val zipped = arrays_zip((0 until w).map(j =>
       slice(words, lit(j + 1), g)): _*)
-    val perGramDoc = rebalance(docs)
+    // ONE exchange of the gram stream (same shape as
+    // [[removeRepeatedSpans]]): repartition(gh), then the (gh,doc)
+    // occurrence aggregate, the gh-level distinct-doc count, and the
+    // dup-gram join all run on that partitioning with no further
+    // exchanges. Never count().over(Window.partitionBy(gh)) — that
+    // forces Exchange(gh) → Sort(gh) → Window over the entire
+    // (gram, doc) pair set, the dominant cost at corpus scale. The
+    // SHUFFLE_HASH hint keeps the join back sort-free too (the
+    // dup-gram set is unbounded — one per boilerplate phrase — so it
+    // must not be broadcast, and a sort-merge join would reintroduce
+    // the sort).
+    val bygh = rebalance(docs)
       .withColumn("__words", split(normalized(col(textCol)), " "))
       .select(col(idCol), explode(transform(zipped, s =>
         xxhash64(concat_ws(" ",
           (0 until w).map(j => s.getField(j.toString)): _*)))).as("gh"))
+      .repartition(col("gh"))
+    val perGramDoc = bygh
       .groupBy(col("gh"), col(idCol))
       .agg(count(lit(1)).as("__occ"))
-    // Dup-gram detection as a gh-level HASH aggregate joined back — NOT
-    // count().over(Window.partitionBy(gh)): the window form forces
-    // Exchange(gh) → Sort(gh) → Window over the entire (gram, doc) pair
-    // set, the dominant cost at corpus scale. The aggregate reuses the
-    // same gh exchange with HashAggregate (no sort), and the
-    // SHUFFLE_HASH hint keeps the join back sort-free too (the dup-gram
-    // set is unbounded — one per boilerplate phrase — so it must not be
-    // broadcast, and a sort-merge join would reintroduce the sort).
-    val dupGrams = perGramDoc.groupBy(col("gh"))
-      .agg(count(lit(1)).as("__nd"))
+    val dupGrams = bygh.groupBy(col("gh"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= 2)
       .select(col("gh"), lit(1L).as("__dup"))
     perGramDoc

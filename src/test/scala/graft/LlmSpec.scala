@@ -318,15 +318,46 @@ class LlmSpec extends SparkSpec {
     }
   }
 
-  test("fingerprintDup: over-cap fingerprint buckets are dropped") {
-    // 6 docs carrying identical boilerplate share every winnowing
-    // fingerprint → each bucket holds 6 docs. With maxBucket=3 the
-    // whole bucket is dropped from candidate generation (bounded, no
-    // quadratic blow-up); with a loose cap all 15 pairs appear.
-    val boiler = "the quick brown fox jumps over the lazy dog again and again"
-    val d = docs((1 to 6).map(i => (i.toLong, boiler)): _*)
-    assert(Dedup.fingerprintDup(d, maxBucket = 3).count() == 0L)
-    assert(Dedup.fingerprintDup(d, maxBucket = 100).count() == 15L)
+  test("fingerprintDup: exact copies bypass the candidate join; over-cap " +
+      "buckets of DISTINCT content are dropped") {
+    // (a) 6 IDENTICAL docs collapse to one representative — their 15
+    // pairs come from the linear collapse/expand path, so even a cap
+    // of 1 cannot drop them and no quadratic join ever runs.
+    val boiler = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the cat sleeps soundly near the warm stone fireplace"
+    val same = docs((1 to 6).map(i => (i.toLong, boiler)): _*)
+    val exact = Dedup.fingerprintDup(same, maxBucket = 1)
+    assert(exact.count() == 15L)
+    // every expanded pair carries the full fingerprint count
+    assert(exact.select("shared").distinct().collect().length == 1)
+    // (b) 6 DISTINCT docs sharing a long boilerplate core: the shared
+    // interior fingerprints form 6-rep buckets, dropped at maxBucket=3
+    // (each doc's unique-tail fingerprints are singletons) → no pairs;
+    // a loose cap keeps the shared bucket → all 15 pairs.
+    val distinctDocs = docs((1 to 6).map(i =>
+      (i.toLong, boiler + s" unique tail $i with entirely different " +
+        s"closing words number$i variant$i ending$i")): _*)
+    assert(Dedup.fingerprintDup(distinctDocs, maxBucket = 3).count() == 0L)
+    assert(Dedup.fingerprintDup(distinctDocs, maxBucket = 100).count() == 15L)
+  }
+
+  test("minhashLsh: collapse/expand equals the brute-force pair oracle on " +
+      "a corpus with exact copies") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "spark catalyst expression trees compile to java bytecode at runtime"
+    val d = docs(
+      (1L, a), (2L, a), // exact copies
+      (3L, a + " tomorrow"), // near dup of 1/2
+      (4L, b), (5L, "  " + b.toUpperCase + "  "), // copies modulo normalization
+      (6L, "completely unrelated text about distributed shuffle services"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6) / 1e6)
+    val lsh = Dedup.minhashLsh(d, n = 2, numHashes = 64, bands = 32,
+      threshold = 0.3).collect().map(key).toSet
+    val brute = Dedup.ngramJaccardAllPairs(d, n = 2, threshold = 0.3)
+      .collect().map(key).toSet
+    assert(lsh == brute)
+    assert(lsh.contains((1L, 2L, 1.0)) && lsh.contains((4L, 5L, 1.0)))
   }
 
   test("PQ: decode fidelity and exact top-1 recovery on clustered data") {
