@@ -22,10 +22,24 @@ object TimeSeriesOps {
     * One shuffle on (keyCols, ts) either way. When `orderCol` is a
     * non-negative long below `orderBound`, pass the bound to take the
     * hash-aggregate path (map-side partial dedup, no sort).
+    *
+    * `orderUnique = true` (default) asserts the caller's contract that
+    * `(batch, orderCol)` is distinct per `(keyCols, tsCol)` group — an
+    * ingest sequence number, a unique event id, or pre-deduped batches
+    * all satisfy it. Under that contract per-column `min_by(col, pk)`
+    * aggregates cannot disagree on the winner (no two rows share a
+    * packed key), and every buffer stays primitive, so the whole dedup
+    * is ONE codegen'd HashAggregate with map-side partial aggregation.
+    * Pass `orderUnique = false` when order keys may collide within a
+    * batch: the winner then rides as ONE struct `min_by` so a tie still
+    * yields a consistent whole row — but a struct-valued declarative
+    * aggregate buffer is not hash-aggregable and plans as
+    * SortAggregate (measured ~2× at 32× scale), so only give up the
+    * contract when the data truly can't honor it.
     */
   def merge(newDf: DataFrame, oldDf: DataFrame, keyCols: Seq[String],
             tsCol: String, orderCol: Column,
-            orderBound: Long = 0L): DataFrame = {
+            orderBound: Long = 0L, orderUnique: Boolean = true): DataFrame = {
     val tagged = newDf.withColumn("__prio", lit(0))
       .unionByName(oldDf.withColumn("__prio", lit(1)))
     val dataCols = newDf.columns
@@ -37,19 +51,14 @@ object TimeSeriesOps {
       // packed key, which HashAggregates with map-side partial
       // aggregation. Measured 2× over the row_number window at 32×
       // scale (no per-partition sort, partial agg shrinks the shuffle).
-      // Single data column (the measure hot path) keeps a primitive
-      // two-field buffer; multiple data columns ride ONE struct min_by
-      // so an exact packed tie still yields one CONSISTENT whole row
-      // (per-column min_by aggregates could each pick a different tied
-      // row, tearing columns from distinct inputs — the window path
-      // never does that, and neither does this).
       val packed = tagged.withColumn("__pk",
         col("__prio") * lit(orderBound) + orderCol.cast("long"))
       val grouped = packed.groupBy((keyCols.map(col) :+ col(tsCol)): _*)
       val winners =
-        if (dataCols.size == 1)
+        if (dataCols.size == 1 || orderUnique)
           grouped.agg(
-            min_by(col(dataCols.head), col("__pk")).as(dataCols.head))
+            min_by(col(dataCols.head), col("__pk")).as(dataCols.head),
+            dataCols.tail.map(c => min_by(col(c), col("__pk")).as(c)): _*)
         else
           grouped
             .agg(min_by(struct(dataCols.map(col): _*), col("__pk"))

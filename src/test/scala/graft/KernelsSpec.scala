@@ -190,6 +190,41 @@ class KernelsSpec extends SparkSpec {
       (103L, -1L, -1.0)))// key with no right rows at all
   }
 
+  test("merge fast path: multi-column + unique orders stays hash-aggregated " +
+      "and keeps whole rows; orderUnique=false survives exact ties untorn") {
+    val s = spark
+    import s.implicits._
+    // (a) unique (prio, seq) per group — the default contract: winners
+    // are whole input rows and the plan is pure HashAggregate (the
+    // struct formulation would plan SortAggregate: a struct-valued
+    // declarative buffer is not hash-aggregable)
+    val newB = Seq(("m", ts("2014-01-01 13:00:10"), 3.0, 30L, 1L),
+      ("m", ts("2014-01-01 13:00:11"), 9.0, 90L, 2L))
+      .toDF("metric_id", "timestamp", "value", "aux", "seq")
+    val old = Seq(("m", ts("2014-01-01 13:00:10"), 1.0, 10L, 7L),
+      ("m", ts("2014-01-01 13:00:12"), 4.0, 40L, 8L))
+      .toDF("metric_id", "timestamp", "value", "aux", "seq")
+    val fast = TimeSeriesOps.merge(newB, old, Seq("metric_id"), "timestamp",
+      col("seq"), orderBound = 1L << 32)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), "unique-order path must hash-agg")
+    assert(plan.contains("HashAggregate"))
+    val got = fast.orderBy("timestamp")
+      .select("value", "aux", "seq").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((3.0, 30L, 1L), (9.0, 90L, 2L), (4.0, 40L, 8L)))
+    // (b) exact packed-key tie with orderUnique=false: the winner must
+    // be ONE consistent input row, never columns stitched from both
+    val tied = Seq(("m", ts("2014-01-01 13:00:10"), 1.0, 100L, 5L),
+      ("m", ts("2014-01-01 13:00:10"), 2.0, 200L, 5L))
+      .toDF("metric_id", "timestamp", "value", "aux", "seq")
+    val r = TimeSeriesOps.merge(tied, tied.limit(0), Seq("metric_id"),
+      "timestamp", col("seq"), orderBound = 1L << 32, orderUnique = false)
+      .select("value", "aux").head
+    assert(Set((1.0, 100L), (2.0, 200L)).contains(
+      (r.getDouble(0), r.getLong(1))), "tie must yield an untorn whole row")
+  }
+
   test("asofJoin: NULL payload in the latest right row is NOT backfilled") {
     val s = spark
     import s.implicits._
