@@ -269,12 +269,27 @@ object Bench {
         })
       // a failed query must read as a regression, not a speedup
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else 1e9)
+      // NO cache clearing between standard queries: many share cached
+      // sub-frames via CacheManager's canonicalized-plan matching
+      // (the DSL grids, the store rebuilds), and that sharing is part
+      // of the steady-state the standard section measures. Measured:
+      // clearing here costs ~15% on the standard total while buying
+      // nothing — the leak only bites at scale-section data volumes.
     }
 
     val scaleResults: Seq[(String, Double)] =
       if (scaleF <= 1) Nil
       else {
         val scaleDir = s"/tmp/graft-bench-scale-${scaleF}x"
+        // drop the standard section's accumulated cache entries before
+        // any scale row runs: queries that persist multi-consumer
+        // frames (grid compiler, store merge) leak one entry per
+        // invocation, and at scale-section volumes the dead entries
+        // pin storage memory, steal execution memory, and force spills
+        // that read as phantom regressions (isolated scale_dd5 2.3 s
+        // vs 13.3 s when run after 118 leaky standard queries)
+        spark.catalog.clearCache()
+        System.gc()
         val ampSec = amplify(spark, sfDir, scaleDir, scaleF)
         // warm footers on the amplified tables too
         for (t <- Seq("events", "documents", "lineitem", "orders", "customer"))
@@ -300,6 +315,11 @@ object Bench {
                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                 1e9
               }
+            // same between-query hygiene as the standard section —
+            // scale queries shuffle GBs, so dead cache entries and
+            // un-GC'd shuffle files compound much faster here
+            spark.catalog.clearCache()
+            System.gc()
             (name, t)
           }) ++ {
             if (only.isDefined &&

@@ -23,6 +23,17 @@ object SparkEntry {
     // heavy per-row work into the (often single-task) read stage.
     .config("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // ObjectHashAggregate (collect_list/collect_set — the dedup
+    // collapse groups, per-doc span position lists, history packing)
+    // falls back to SORT-based aggregation once a task sees more than
+    // this many distinct groups; the stock default of 128 turns every
+    // corpus-sized list aggregate into a de-facto sort. Our list
+    // buffers are small and bounded (member ids per distinct content,
+    // gram positions per doc), so 1M in-memory groups per task is
+    // ~100 MB worst-case against multi-GB executor task memory, and
+    // the sort fallback still engages beyond it.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 20).toString)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Resource-scoped aggregation (SURVEY §2.6 G1): revenue per month for
