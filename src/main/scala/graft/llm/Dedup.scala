@@ -115,8 +115,8 @@ object Dedup {
     * one ObjectHashAggregate. [[collapseReps]] recovers the
     * representative ROWS with a shuffled-hash semi-join instead.
     */
-  private def collapseExact(docs: DataFrame, idCol: String,
-                            textCol: String): DataFrame =
+  private[llm] def collapseExact(docs: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
     rebalance(docs)
       .groupBy(md5(normalized(col(textCol))).as("__k"))
       .agg(min(col(idCol)).as("__rep"),
@@ -131,6 +131,34 @@ object Dedup {
     docs.join(
       groups.select(col("__rep").as(idCol)).hint("shuffle_hash"),
       Seq(idCol), "left_semi")
+
+  /** [[collapseReps]] plus the group size as `__gs`: representative
+    * rows weighted by how many exact copies they stand for. Corpus
+    * statistics (distinct-doc counts per gram, corpus bigram counts)
+    * computed over weighted representatives equal the all-docs
+    * formulation exactly — identical text contributes identical gram
+    * multisets, `__gs` times.
+    */
+  private[llm] def collapseRepsW(docs: DataFrame, groups: DataFrame,
+                                 idCol: String): DataFrame =
+    docs.join(
+      groups.select(col("__rep").as(idCol),
+        size(col("__ids")).cast("long").as("__gs")).hint("shuffle_hash"),
+      Seq(idCol))
+
+  /** Expand per-representative output rows back to one row per group
+    * member. Valid whenever every payload column is a pure function of
+    * document CONTENT and corpus-level statistics (identical text ⇒
+    * identical value), which is exactly the collapse contract. One
+    * shuffled-hash join + explode, linear in the output row count.
+    */
+  private[llm] def expandDocs(repOut: DataFrame, groups: DataFrame,
+                              idCol: String,
+                              payload: Seq[String]): DataFrame =
+    repOut.join(
+      groups.select(col("__rep").as(idCol), col("__ids"))
+        .hint("shuffle_hash"), Seq(idCol))
+      .select(explode(col("__ids")).as(idCol) +: payload.map(col): _*)
 
   /** Expand representative-level pairs back to all member pairs.
     * `repPairs` carries (id_a, id_b, payload…) over representative
@@ -716,16 +744,25 @@ object Dedup {
     val g = greatest(size(words) - (w - 1), lit(0))
     val zipped = arrays_zip((0 until w).map(j =>
       slice(words, lit(j + 1), g)): _*)
-    val base = rebalance(docs)
+    // Exact copies collapse first ([[collapseExact]]): grams stream,
+    // position lists, and the native rebuild all run once per DISTINCT
+    // content, and the output expands back per member at the end (the
+    // cleaned text is a pure function of content + the corpus dup-gram
+    // set). A gram's distinct-DOC count is the GROUP-SIZE-WEIGHTED sum
+    // over the representatives that carry it — a gram appearing only
+    // inside a 32-copy group still counts 32 docs, so the dup-gram set
+    // is exactly the all-docs one.
+    val groups = collapseExact(docs, idCol, textCol)
+    val base = rebalance(collapseRepsW(docs, groups, idCol))
       .withColumn("__words", split(normalized(col(textCol)), " "))
     val grams = base
-      .select(col(idCol), posexplode(transform(zipped, s =>
+      .select(col(idCol), col("__gs"), posexplode(transform(zipped, s =>
         xxhash64(concat_ws(" ",
           (0 until w).map(j => s.getField(j.toString)): _*)))))
-      .toDF(idCol, "__pos", "gh")
+      .toDF(idCol, "__gs", "__pos", "gh")
     // ONE exchange of the gram stream: repartition(gh) up front, then
-    // the (gh,doc) position aggregate, the gh-level distinct-doc count,
-    // AND the dup-gram semi-join all run on that partitioning without
+    // the (gh,rep) weight dedup, the gh-level weighted doc count, AND
+    // the dup-gram semi-join all run on that partitioning without
     // further exchanges (HashPartitioning(gh) satisfies the (gh,id)
     // aggregate's clustering, the gh aggregate, and both join sides —
     // exchange reuse makes the two consumers read one shuffle). Never
@@ -735,20 +772,22 @@ object Dedup {
     // dup-gram set is unbounded at corpus scale, so no broadcast, and
     // a sort-merge join would reintroduce the sort).
     val bygh = grams.repartition(col("gh"))
-    val dupGrams = bygh.groupBy(col("gh"))
-      .agg(count_distinct(col(idCol)).as("__nd"))
+    val dupGrams = bygh
+      .groupBy(col("gh"), col(idCol)).agg(first(col("__gs")).as("__gs"))
+      .groupBy(col("gh")).agg(sum(col("__gs")).as("__nd"))
       .filter(col("__nd") >= 2)
       .select("gh")
     val dupStarts = bygh
       .join(dupGrams.hint("shuffle_hash"), Seq("gh"), "left_semi")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("__pos"))).as("__starts"))
-    base.join(dupStarts, Seq(idCol), "left")
+    val repOut = base.join(dupStarts, Seq(idCol), "left")
       .withColumn("__r", call_function("remove_spans", col("__words"),
         coalesce(col("__starts"), lit(Array.empty[Int])), lit(w)))
       .select(col(idCol), col("__r.clean").as("clean"),
         col("__r.n_kept").as("n_kept"),
         (size(col("__words")) - col("__r.n_kept")).as("n_removed"))
+    expandDocs(repOut, groups, idCol, Seq("clean", "n_kept", "n_removed"))
   }
 
   /** Fingerprint-overlap near-dup (the MOSS shape): candidate pairs are
@@ -828,25 +867,34 @@ object Dedup {
     // dup-gram set is unbounded — one per boilerplate phrase — so it
     // must not be broadcast, and a sort-merge join would reintroduce
     // the sort).
-    val bygh = rebalance(docs)
+    // Exact copies collapse to weighted representatives first (same
+    // shape as [[removeRepeatedSpans]]): the gram stream shrinks by
+    // the copy factor, and a gram's distinct-doc count is the
+    // group-size-weighted sum over representatives, so the dup-gram
+    // set equals the all-docs formulation. Per-doc scores are pure
+    // content functions and expand back per member.
+    val groups = collapseExact(docs, idCol, textCol)
+    val bygh = rebalance(collapseRepsW(docs, groups, idCol))
       .withColumn("__words", split(normalized(col(textCol)), " "))
-      .select(col(idCol), explode(transform(zipped, s =>
+      .select(col(idCol), col("__gs"), explode(transform(zipped, s =>
         xxhash64(concat_ws(" ",
           (0 until w).map(j => s.getField(j.toString)): _*)))).as("gh"))
       .repartition(col("gh"))
     val perGramDoc = bygh
       .groupBy(col("gh"), col(idCol))
-      .agg(count(lit(1)).as("__occ"))
-    val dupGrams = bygh.groupBy(col("gh"))
-      .agg(count_distinct(col(idCol)).as("__nd"))
+      .agg(count(lit(1)).as("__occ"), first(col("__gs")).as("__gs"))
+    val dupGrams = perGramDoc.groupBy(col("gh"))
+      .agg(sum(col("__gs")).as("__nd"))
       .filter(col("__nd") >= 2)
       .select(col("gh"), lit(1L).as("__dup"))
-    perGramDoc
+    val repOut = perGramDoc
       .join(dupGrams.hint("shuffle_hash"), Seq("gh"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("__occ")).as("n_grams"),
         sum(when(col("__dup").isNotNull, col("__occ")).otherwise(0L))
           .as("n_dup_grams"))
       .withColumn("dup_frac", col("n_dup_grams") / col("n_grams"))
+    expandDocs(repOut, groups, idCol,
+      Seq("n_grams", "n_dup_grams", "dup_frac"))
   }
 }

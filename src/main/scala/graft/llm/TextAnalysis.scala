@@ -366,23 +366,31 @@ object TextAnalysis {
   def perplexity(df: DataFrame, alpha: Double = 0.5,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val withWords = Dedup.rebalance(df)
+    // Exact copies collapse to weighted representatives (the dd2/es1
+    // pattern): the bigram stream shrinks by the copy factor; corpus
+    // counts c(prev,cur) scale each representative's contribution by
+    // its group size `__gs`, so they equal the all-docs counts
+    // exactly; the vocabulary is a distinct set, unchanged by copies;
+    // per-doc scores are pure content functions of those corpus
+    // statistics and expand back per member at the end.
+    val groups = Dedup.collapseExact(df, idCol, textCol)
+    val withWords = Dedup.rebalance(Dedup.collapseRepsW(df, groups, idCol))
       .withColumn("__w", split(Dedup.normalized(col(textCol)), " "))
     val n1 = greatest(size(col("__w")) - 1, lit(0))
     val dp = withWords
-      .select(col(idCol), explode(arrays_zip(
+      .select(col(idCol), col("__gs"), explode(arrays_zip(
         slice(col("__w"), lit(1), n1), slice(col("__w"), lit(2), n1))).as("p"))
-      .select(col(idCol), col("p.0").as("prev"), col("p.1").as("cur"))
+      .select(col(idCol), col("__gs"), col("p.0").as("prev"), col("p.1").as("cur"))
       .groupBy(col(idCol), col("prev"), col("cur"))
-      .agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("k"), first(col("__gs")).as("__gs"))
     val vocab = withWords
       .select(explode(col("__w")).as("w"))
       .agg(count_distinct(col("w")).as("__v"))
     val cb = dp.groupBy(col("prev"), col("cur"))
-      .agg(sum(col("k")).as("cb"))
+      .agg(sum(col("k") * col("__gs")).as("cb"))
     val cu = cb.groupBy(col("prev"))
       .agg(sum(col("cb")).as("cu"))
-    dp.join(cb.hint("shuffle_hash"), Seq("prev", "cur"))
+    val repOut = dp.join(cb.hint("shuffle_hash"), Seq("prev", "cur"))
       .join(cu.hint("shuffle_hash"), Seq("prev"))
       .crossJoin(broadcast(vocab))
       .withColumn("__lp", log((col("cb") + lit(alpha)) /
@@ -391,5 +399,7 @@ object TextAnalysis {
       .agg(sum(col("k")).as("n_bigrams"),
         (sum(col("k") * col("__lp")) / sum(col("k"))).as("avg_logp"))
       .withColumn("ppl", exp(-col("avg_logp")))
+    Dedup.expandDocs(repOut, groups, idCol,
+      Seq("n_bigrams", "avg_logp", "ppl"))
   }
 }
