@@ -781,7 +781,8 @@ object Dedup {
       .join(dupGrams.hint("shuffle_hash"), Seq("gh"), "left_semi")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("__pos"))).as("__starts"))
-    val repOut = base.join(dupStarts, Seq(idCol), "left")
+    val repOut = base
+      .join(dupStarts.hint("shuffle_hash"), Seq(idCol), "left")
       .withColumn("__r", call_function("remove_spans", col("__words"),
         coalesce(col("__starts"), lit(Array.empty[Int])), lit(w)))
       .select(col(idCol), col("__r.clean").as("clean"),
