@@ -173,17 +173,20 @@ object Dedup {
   private def expandPairs(repPairs: DataFrame, groups: DataFrame,
                           withinEligible: DataFrame,
                           payload: Seq[String]): DataFrame = {
+    // shuffle_hash on the group side: groups is corpus-sized (one row
+    // per distinct content) and must not broadcast; an unhinted join
+    // would sort-merge it once AQE's broadcast threshold is exceeded
     val ga = groups.select(col("__rep").as("id_a"), col("__ids").as("__ia"))
     val gb = groups.select(col("__rep").as("id_b"), col("__ids").as("__ib"))
     val cross = repPairs
-      .join(ga, Seq("id_a"))
-      .join(gb, Seq("id_b"))
+      .join(ga.hint("shuffle_hash"), Seq("id_a"))
+      .join(gb.hint("shuffle_hash"), Seq("id_b"))
       .withColumn("__a", explode(col("__ia")))
       .withColumn("__b", explode(col("__ib")))
       .select(Seq(least(col("__a"), col("__b")).as("id_a"),
         greatest(col("__a"), col("__b")).as("id_b")) ++ payload.map(col): _*)
     val within = groups.filter(size(col("__ids")) > 1)
-      .join(withinEligible, Seq("__rep"))
+      .join(withinEligible.hint("shuffle_hash"), Seq("__rep"))
       .withColumn("__a", explode(col("__ids")))
       .withColumn("__b", explode(col("__ids")))
       .filter(col("__a") < col("__b"))
