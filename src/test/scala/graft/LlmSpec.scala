@@ -442,6 +442,55 @@ class LlmSpec extends SparkSpec {
     assert(got2 == Seq((4L, "x y", 6), (5L, "", 6)))
   }
 
+  test("weighted collapse: exact copies count as full documents in span " +
+      "dedup and LM corpus statistics") {
+    // The sf* gate corpora carry NO exact copies (500/500 distinct
+    // normalized texts), so the oracle gate runs the collapse paths
+    // with every group size = 1 and never exercises the weighting.
+    // Pinned here: a 5-gram appearing ONLY inside a 3-copy group must
+    // count 3 documents (duplicated), not 1 representative (kept).
+    val copy = "alpha beta gamma delta epsilon zeta" // 6 words, 2 5-grams
+    val solo = "one two three four five six seven"   // shares nothing
+    val d = docs((1L, copy), (2L, copy), (3L, copy), (4L, solo))
+
+    // dd7: every member of the copy group scores both grams duplicated
+    val spans = Dedup.repeatedSpans(d, w = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (id <- 1L to 3L) assert(spans(id) == ((2L, 2L)), s"doc $id")
+    assert(spans(4L) == ((3L, 0L)))
+
+    // es1: the whole copy text is cut for every member; solo intact
+    val rem = Dedup.removeRepeatedSpans(d, w = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(3)))).toMap
+    for (id <- 1L to 3L) assert(rem(id) == (("", 6)), s"doc $id")
+    assert(rem(4L) == ((solo, 0)))
+
+    // lm1 differential: corpus bigram counts from a naive ALL-DOCS
+    // explode (no collapse) must match the weighted-representative
+    // path exactly — the 3 copies triple their bigrams' corpus counts.
+    val alpha = 0.5
+    val words = d.withColumn("__w", split(Dedup.normalized(col("text")), " "))
+    val n1 = greatest(size(col("__w")) - 1, lit(0))
+    val big = words.select(col("doc_id"), explode(arrays_zip(
+        slice(col("__w"), lit(1), n1), slice(col("__w"), lit(2), n1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("prev"), col("p.1").as("cur"))
+    val v = words.select(explode(col("__w")).as("w"))
+      .agg(count_distinct(col("w"))).head().getLong(0).toDouble
+    val cb = big.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val naive = big.join(cb, Seq("prev", "cur"))
+      .join(cb.groupBy("prev").agg(sum("cb").as("cu")), Seq("prev"))
+      .withColumn("__lp",
+        log((col("cb") + lit(alpha)) / (col("cu") + lit(alpha) * lit(v))))
+      .groupBy("doc_id").agg(avg(col("__lp")).as("avg_logp"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = TextAnalysis.perplexity(d, alpha).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getDouble(r.fieldIndex("avg_logp"))).toMap
+    assert(got.keySet == naive.keySet)
+    for ((id, e) <- naive)
+      assert(math.abs(got(id) - e) < 1e-12, s"doc $id: naive=$e got=${got(id)}")
+  }
+
   test("persisted IVF index: probe == in-plan ivfTopK, scan is DPP-pruned") {
     val s = spark
     import s.implicits._
