@@ -91,6 +91,11 @@ object Bench {
       Queries.all("g5_grouped_ratio")(s, dir)),
     "scale_dc1_decontaminate" -> (() =>
       Queries.all("dc1_decontaminate")(s, dir)),
+    // fuzzy decontamination: bench bands + shingles broadcast against
+    // the amplified corpus — corpus side is map-only plus one
+    // candidate-pair distinct; 32-copy groups multiply hits, not work
+    "scale_dc2_fuzzy" -> (() =>
+      Queries.all("dc2_fuzzy_decontaminate")(s, dir)),
     "scale_qf1_quality_filter" -> (() =>
       Queries.all("qf1_quality_filter")(s, dir)),
     // ANN at scale: rotated-copy embeddings (160k vectors at 32×) —

@@ -1239,6 +1239,29 @@ object Oracles {
          SELECT doc_id, CAST(nh AS BIGINT) AS n_hit_grams
          FROM h WHERE nh > 0""",
 
+    // brute-force cross jaccard: every (corpus, bench) pair over the
+    // same 3-gram shingle sets — LSH candidate generation must find
+    // every pair the exhaustive scan finds at this threshold
+    "dc2_fuzzy_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM d),
+         p AS (
+           SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+                  CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(c.sh, b.sh))) AS jaccard
+           FROM g c JOIN g b ON c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+           WHERE len(c.sh) > 0 AND len(b.sh) > 0)
+         SELECT doc_id, bench_id, CAST(jaccard AS REAL) AS jaccard
+         FROM p WHERE jaccard >= 0.4""",
+
     "pii1_scrub" ->
       """WITH p AS (
            SELECT doc_id,

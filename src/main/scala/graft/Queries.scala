@@ -1242,6 +1242,16 @@ object Queries {
       Pipeline.decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), n = 3)
     }),
+    // fuzzy complement of dc1: minhash-LSH candidates between the same
+    // corpus/benchmark split, verified by exact 3-gram jaccard — bench
+    // bands + shingles broadcast, the corpus side never shuffles
+    "dc2_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Pipeline.fuzzyDecontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 3, threshold = 0.4)
+        .select(col("doc_id"), col("bench_id"),
+          r6(col("jaccard")).as("jaccard"))
+    }),
     // synthetic corpus carries no PII — inject a deterministic payload
     // on every 7th doc so detection, counting, and scrubbing all sit
     // under the hash compare (scrubbed text enters as its md5)

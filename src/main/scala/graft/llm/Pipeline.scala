@@ -110,6 +110,67 @@ object Pipeline {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** Fuzzy benchmark decontamination: flag corpus documents whose
+    * n-gram Jaccard similarity with any benchmark document clears
+    * `threshold` — the MinHash-LSH complement of [[decontaminate]]'s
+    * exact-gram rule, catching paraphrased or lightly edited benchmark
+    * leakage that exact matching misses. Returns one row per
+    * contaminated (corpus doc, bench doc) pair: `(id, bench_id,
+    * jaccard)`.
+    *
+    * Scale shape: the corpus side NEVER shuffles. A benchmark set is
+    * thousands of documents against a 100 TB corpus, so the bench band
+    * keys and bench shingle-hash arrays both ride as broadcasts;
+    * candidate generation is a broadcast hash join on the band bucket
+    * over the corpus band stream (map-side, the band index is salted
+    * into the bucket hash), and the exact-Jaccard verify re-shingles
+    * ONLY candidate docs (broadcast semi-join on the hit id set before
+    * any per-doc work). The single shuffle in the plan is the distinct
+    * over candidate ID PAIRS — 16 bytes per hit, not documents.
+    * Signatures use the same fused native `minhash_sig` as
+    * [[Dedup.minhashLsh]] (no k× row amplification).
+    */
+  def fuzzyDecontaminate(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+                         numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.5,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands)")
+    val rows = numHashes / bands
+    def hashedShingles(df: DataFrame, outId: String): DataFrame =
+      Dedup.withShingles(Dedup.rebalance(df), textCol, n, "__sh")
+        .select(col(idCol).as(outId),
+          transform(col("__sh"), s => xxhash64(s)).as("shh"))
+    def banded(sh: DataFrame, outId: String): DataFrame = {
+      val sig = sh.select(col(outId),
+        call_function("minhash_sig", col("shh"), lit(numHashes)).as("__sig"))
+      val bandCols = (0 until bands).map { b =>
+        xxhash64(((b * rows until (b + 1) * rows)
+          .map(i => element_at(col("__sig"), i + 1))
+          :+ lit(b.toLong)): _*)
+      }
+      sig.select(col(outId), explode(array(bandCols: _*)).as("bucket"))
+    }
+    val bSh = hashedShingles(bench, "bench_id")
+    val cand = banded(hashedShingles(corpus, "__cid"), "__cid")
+      .join(broadcast(banded(bSh, "bench_id")), Seq("bucket"))
+      .select(col("__cid").as(idCol), col("bench_id")).distinct()
+    // Shingle-less docs share the degenerate all-MaxValue signature and
+    // can band together; the exact verify discards them (0/0 = NULL
+    // fails every threshold), mirroring minhashLsh.
+    val candIds = cand.select(col(idCol)).distinct()
+    val cSh = hashedShingles(
+      corpus.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol)
+    cand.join(cSh, Seq(idCol))
+      .join(broadcast(bSh.withColumnRenamed("shh", "__bsh")), Seq("bench_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("shh"), col("__bsh"))).cast("double") /
+          size(array_union(col("shh"), col("__bsh"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col("bench_id"), col("jaccard"))
+  }
+
   /** Deterministic domain-mixture sampling: down-sample each group
     * (source/domain/language) to a target rate so the retained corpus
     * matches a prescribed mixture. Rates are hex-prefix thresholds on a

@@ -86,6 +86,28 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("fuzzyDecontaminate: LSH cross-corpus candidates match brute-force " +
+      "jaccard; bench side broadcasts, corpus never sort-merges") {
+    val bench = docs(
+      (100L, "b", "alpha beta gamma delta epsilon zeta eta theta"))
+    val corpus = docs(
+      (1L, "c", "alpha beta gamma delta epsilon zeta eta changed"), // j=5/7
+      (2L, "c", "alpha beta gamma completely different words here"), // j=1/10
+      (3L, "c", "no overlap with anything here at all"))
+    val out = Pipeline.fuzzyDecontaminate(corpus, bench, n = 3,
+      numHashes = 64, bands = 32, threshold = 0.4)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L -> 100L)))
+    assert(math.abs(got((1L, 100L)) - 5.0 / 7.0) < 1e-12)
+    // scale contract: bench bands + shingle arrays ride as broadcasts
+    // and the corpus side never sort-merges (it must not shuffle)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must not sort-merge:\n$plan")
+  }
+
   test("piiSignals counts and scrubs emails, ips, phones") {
     val s = spark
     import s.implicits._
