@@ -96,6 +96,17 @@ object Bench {
     // candidate-pair distinct; 32-copy groups multiply hits, not work
     "scale_dc2_fuzzy" -> (() =>
       Queries.all("dc2_fuzzy_decontaminate")(s, dir)),
+    // semantic decontamination at scale: bench-side IVF — centroids as
+    // plan-time literals, bench members broadcast per probed cell; the
+    // 160k-vector corpus side is map-only plus one scalar exchange
+    "scale_dc3_semantic" -> (() => {
+      val em = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.llm.Pipeline.semanticDecontaminate(
+        em.filter(col("vec_id") % 50 =!= 0),
+        em.filter(col("vec_id") % 50 === 0),
+        threshold = 0.35, nlist = 16, nprobe = 4)
+    }),
     "scale_qf1_quality_filter" -> (() =>
       Queries.all("qf1_quality_filter")(s, dir)),
     // ANN at scale: rotated-copy embeddings (160k vectors at 32×) —

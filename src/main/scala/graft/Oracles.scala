@@ -1239,6 +1239,27 @@ object Oracles {
          SELECT doc_id, CAST(nh AS BIGINT) AS n_hit_grams
          FROM h WHERE nh > 0""",
 
+    // exhaustive cross cosine: per-corpus-vector max + threshold count
+    // against every bench vector (the engine's exact arm must agree)
+    "dc3_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+         c AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+         b AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+         s AS (
+           SELECT c.vec_id,
+                  list_sum(list_transform(list_zip(c.emb, b.emb),
+                    x -> x[1] * x[2])) /
+                  (sqrt(list_sum(list_transform(c.emb, x -> x * x))) *
+                   sqrt(list_sum(list_transform(b.emb, x -> x * x)))) AS cos
+           FROM c CROSS JOIN b),
+         m AS (SELECT vec_id, max(cos) AS best_cosine,
+                      CAST(sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits
+               FROM s GROUP BY 1)
+         SELECT vec_id, CAST(best_cosine AS REAL) AS best_cosine, n_hits
+         FROM m WHERE best_cosine >= 0.35""",
+
     // brute-force cross jaccard: every (corpus, bench) pair over the
     // same 3-gram shingle sets — LSH candidate generation must find
     // every pair the exhaustive scan finds at this threshold

@@ -1242,6 +1242,17 @@ object Queries {
       Pipeline.decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), n = 3)
     }),
+    // embedding-space complement of dc1/dc2: per-corpus-vector max
+    // cosine + hit count against the broadcast benchmark set (exact
+    // arm; the IVF-pruned arm is the documented scale knob)
+    "dc3_semantic_decontaminate" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Pipeline.semanticDecontaminate(em.filter(col("vec_id") % 50 =!= 0),
+        em.filter(col("vec_id") % 50 === 0), threshold = 0.35)
+        .select(col("vec_id"), r6(col("best_cosine")).as("best_cosine"),
+          col("n_hits"))
+    }),
     // fuzzy complement of dc1: minhash-LSH candidates between the same
     // corpus/benchmark split, verified by exact 3-gram jaccard — bench
     // bands + shingles broadcast, the corpus side never shuffles

@@ -171,6 +171,57 @@ object Pipeline {
       .select(col(idCol), col("bench_id"), col("jaccard"))
   }
 
+  /** Semantic (embedding-space) decontamination: flag corpus vectors
+    * whose cosine against any benchmark vector clears `threshold` —
+    * catches rewrites that n-gram overlap ([[fuzzyDecontaminate]])
+    * misses entirely. Emits one row per flagged corpus doc:
+    * `(id, best_cosine, n_hits)` — the max bench cosine and how many
+    * bench vectors clear the threshold.
+    *
+    * Scale shape: the benchmark set rides ENTIRELY as a broadcast (a
+    * bench set is thousands of vectors against a 100 TB corpus); every
+    * corpus row scores map-side (native `vec_dot`) and its (max,
+    * count) partial-aggregates before the single exchange of per-id
+    * scalars. No corpus-side sort, window, or vector shuffle. With
+    * `nlist`/`nprobe` > 0 a bench-side IVF prunes per-row flops:
+    * centroids become plan-time literals probed by the fused
+    * `vec_top_cells`, and only bench members of the probed cells are
+    * scored — recall then depends on the bench clustering (pin it
+    * with a spec at your parameters; the exact arm is what the
+    * oracle gates).
+    */
+  def semanticDecontaminate(corpusEm: DataFrame, benchEm: DataFrame,
+                            threshold: Double = 0.8,
+                            nlist: Int = 0, nprobe: Int = 0,
+                            iters: Int = 3,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val c = corpusEm.select(col(idCol), col(vecCol).as("__cv"))
+    val b0 = benchEm.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
+    val scored =
+      if (nlist > 0 && nprobe > 0) {
+        val centroids = Similarity.kmeansCentroids(benchEm, nlist, iters,
+          idCol = idCol, vecCol = vecCol)
+        // each bench member lives in exactly one cell (top-1), so a
+        // corpus row probing nprobe cells scores each member at most
+        // once — no post-join distinct needed
+        val bcells = b0.select(col("__bid"), col("__bv"),
+            explode(Similarity.topCells(col("__bv"), centroids, 1)).as("__tc"))
+          .select(col("__bid"), col("__bv"), col("__tc.cell").as("__cell"))
+        c.select(col(idCol), col("__cv"),
+            explode(Similarity.topCells(col("__cv"), centroids, nprobe))
+              .as("__tc"))
+          .select(col(idCol), col("__cv"), col("__tc.cell").as("__cell"))
+          .join(broadcast(bcells), Seq("__cell"))
+      } else c.crossJoin(broadcast(b0))
+    scored
+      .withColumn("__cos", Similarity.cosine(col("__cv"), col("__bv")))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("best_cosine"),
+        sum(when(col("__cos") >= threshold, 1L).otherwise(0L)).as("n_hits"))
+      .filter(col("best_cosine") >= threshold)
+  }
+
   /** Deterministic domain-mixture sampling: down-sample each group
     * (source/domain/language) to a target rate so the retained corpus
     * matches a prescribed mixture. Rates are hex-prefix thresholds on a

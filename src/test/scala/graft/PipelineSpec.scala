@@ -108,6 +108,38 @@ class PipelineSpec extends SparkSpec {
       s"corpus side must not sort-merge:\n$plan")
   }
 
+  test("semanticDecontaminate: exact arm flags by max bench cosine; " +
+      "pruned arm matches exact on separated clusters") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (101L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9, 0.1, 0.0, 0.0)), // cos to b100 = .9/.90554 ≈ .99388
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)), // orthogonal to both -> dropped
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))) // identical to b101
+      .toDF("vec_id", "embedding")
+    val exact = Pipeline.semanticDecontaminate(corpus, bench, threshold = 0.8)
+    val got = exact.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(math.abs(got(1L)._1 - 0.9 / math.sqrt(0.82)) < 1e-12)
+    assert(got(1L)._2 == 1L && got(3L) == ((1.0, 1L)))
+    // exact arm: bench broadcasts (nested-loop), nothing sort-merges
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // pruned arm on well-separated bench clusters reproduces the
+    // exact arm (each corpus vector's best bench lives in its top cell)
+    val pruned = Pipeline.semanticDecontaminate(corpus, bench,
+      threshold = 0.8, nlist = 2, nprobe = 1)
+    assert(pruned.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet ==
+      exact.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet)
+  }
+
   test("piiSignals counts and scrubs emails, ips, phones") {
     val s = spark
     import s.implicits._
