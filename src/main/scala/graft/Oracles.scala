@@ -1239,6 +1239,28 @@ object Oracles {
          SELECT doc_id, CAST(nh AS BIGINT) AS n_hit_grams
          FROM h WHERE nh > 0""",
 
+    // window starts replayed with generate_series; list-slice text
+    // reassembly must match the engine's array_join(slice(...)) exactly
+    "ck1_chunk_windows" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS w,
+                      len(string_split(t, ' ')) AS n
+               FROM d WHERE t <> ''),
+         s AS (SELECT doc_id, w, n,
+                      unnest(generate_series(0, n - 1, 32)) AS tok_start
+               FROM w)
+         SELECT doc_id,
+                CAST(tok_start // 32 AS BIGINT) AS chunk_idx,
+                CAST(tok_start AS BIGINT) AS tok_start,
+                CAST(least(64, n - tok_start) AS BIGINT) AS n_tokens,
+                array_to_string(
+                  w[tok_start + 1 : tok_start + least(64, n - tok_start)],
+                  ' ') AS chunk_text
+         FROM s""",
+
     // exhaustive cross cosine: per-corpus-vector max + threshold count
     // against every bench vector (the engine's exact arm must agree)
     "dc3_semantic_decontaminate" ->

@@ -1242,6 +1242,13 @@ object Queries {
       Pipeline.decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), n = 3)
     }),
+    // sliding-window chunking: 64-token windows every 32 tokens — the
+    // training-prep step between cleaning and packing; pure map
+    "ck1_chunk_windows" -> ((s, dir) =>
+      Pipeline.chunkDocs(table(s, dir, "documents"), size = 64,
+        stride = 32)
+        .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+          col("n_tokens"), col("chunk_text"))),
     // embedding-space complement of dc1/dc2: per-corpus-vector max
     // cosine + hit count against the broadcast benchmark set (exact
     // arm; the IVF-pruned arm is the documented scale knob)

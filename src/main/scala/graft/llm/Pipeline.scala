@@ -171,6 +171,44 @@ object Pipeline {
       .select(col(idCol), col("bench_id"), col("jaccard"))
   }
 
+  /** Sliding-window chunking: split each document's token stream into
+    * fixed-`size` windows every `stride` tokens (stride = size →
+    * disjoint; stride < size → overlapping context windows). The
+    * training-prep step between cleaning and packing: long documents
+    * become model-length sequences, short documents pass through as
+    * one window. A window starts at every `k·stride < n_tokens` and
+    * covers `[start, min(start+size, n))`; empty documents emit
+    * nothing. Emits `(id, chunk_idx, tok_start, n_tokens,
+    * chunk_text)`.
+    *
+    * Scale shape: pure map — tokens from one split, windows from one
+    * `sequence` explode, text by array slice. No shuffle, no state,
+    * no cross-document dependency; output row count is
+    * Σ ceil(n_tokens/stride).
+    */
+  def chunkDocs(df: DataFrame, size: Int, stride: Int,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size: size=$size stride=$stride")
+    val norm = Dedup.normalized(col(textCol))
+    val base = Dedup.rebalance(df)
+      .withColumn("__w", split(norm, " "))
+      .withColumn("__n",
+        when(length(norm) === 0, lit(0)).otherwise(array_size(col("__w"))))
+      .filter(col("__n") > 0)
+    base.select(col(idCol), col("__w"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("tok_start"),
+        least(lit(size.toLong), col("__n") - col("col")).cast("long")
+          .as("n_tokens"),
+        col("__w"), col("col"))
+      .withColumn("chunk_text", array_join(
+        slice(col("__w"), col("col") + 1, col("n_tokens").cast("int")), " "))
+      .drop("__w", "col")
+  }
+
   /** Semantic (embedding-space) decontamination: flag corpus vectors
     * whose cosine against any benchmark vector clears `threshold` —
     * catches rewrites that n-gram overlap ([[fuzzyDecontaminate]])

@@ -108,6 +108,24 @@ class PipelineSpec extends SparkSpec {
       s"corpus side must not sort-merge:\n$plan")
   }
 
+  test("chunkDocs: overlapping windows cover the tail; short docs pass " +
+      "whole; empty docs drop") {
+    val d = docs(
+      (1L, "c", (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "c", "a b c"),                                  // shorter than size
+      (3L, "c", "   "))                                    // no tokens
+    val got = Pipeline.chunkDocs(d, size = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 8L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (1L, 1L, 4L, 6L, (5 to 10).map(i => s"w$i").mkString(" ")),
+      (1L, 2L, 8L, 2L, "w9 w10"),
+      (2L, 0L, 0L, 3L, "a b c")))
+    // stride == size -> disjoint windows
+    assert(Pipeline.chunkDocs(d, size = 5, stride = 5).count() == 3L)
+  }
+
   test("semanticDecontaminate: exact arm flags by max bench cosine; " +
       "pruned arm matches exact on separated clusters") {
     val s = spark
