@@ -234,8 +234,14 @@ object Pipeline {
                             iters: Int = 3,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
-    val c = corpusEm.select(col(idCol), col(vecCol).as("__cv"))
-    val b0 = benchEm.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
+    // norms ride as per-ROW columns computed before the join — the
+    // pair loop then does one vec_dot + one multiply, not three dots;
+    // sqrt(a·a) here is the identical double l2norm would produce
+    // inside cosine(), so values are bit-unchanged
+    val c = corpusEm.select(col(idCol), col(vecCol).as("__cv"),
+      Similarity.l2norm(col(vecCol)).as("__cn"))
+    val b0 = benchEm.select(col(idCol).as("__bid"), col(vecCol).as("__bv"),
+      Similarity.l2norm(col(vecCol)).as("__bn"))
     val scored =
       if (nlist > 0 && nprobe > 0) {
         val centroids = Similarity.kmeansCentroids(benchEm, nlist, iters,
@@ -243,17 +249,20 @@ object Pipeline {
         // each bench member lives in exactly one cell (top-1), so a
         // corpus row probing nprobe cells scores each member at most
         // once — no post-join distinct needed
-        val bcells = b0.select(col("__bid"), col("__bv"),
+        val bcells = b0.select(col("__bid"), col("__bv"), col("__bn"),
             explode(Similarity.topCells(col("__bv"), centroids, 1)).as("__tc"))
-          .select(col("__bid"), col("__bv"), col("__tc.cell").as("__cell"))
-        c.select(col(idCol), col("__cv"),
+          .select(col("__bid"), col("__bv"), col("__bn"),
+            col("__tc.cell").as("__cell"))
+        c.select(col(idCol), col("__cv"), col("__cn"),
             explode(Similarity.topCells(col("__cv"), centroids, nprobe))
               .as("__tc"))
-          .select(col(idCol), col("__cv"), col("__tc.cell").as("__cell"))
+          .select(col(idCol), col("__cv"), col("__cn"),
+            col("__tc.cell").as("__cell"))
           .join(broadcast(bcells), Seq("__cell"))
       } else c.crossJoin(broadcast(b0))
     scored
-      .withColumn("__cos", Similarity.cosine(col("__cv"), col("__bv")))
+      .withColumn("__cos",
+        Similarity.dot(col("__cv"), col("__bv")) / (col("__cn") * col("__bn")))
       .groupBy(col(idCol))
       .agg(max(col("__cos")).as("best_cosine"),
         sum(when(col("__cos") >= threshold, 1L).otherwise(0L)).as("n_hits"))
