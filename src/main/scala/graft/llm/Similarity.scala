@@ -27,10 +27,16 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    // norms are per-row invariants: computed once per side before the
+    // join (sqrt(v·v), the identical double cosine() would produce),
+    // the pair loop is one vec_dot + a multiply instead of three dots
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) /
+        (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -211,11 +217,13 @@ object Similarity {
       .select(col(idCol), col(vecCol),
         explode(topCells(col(vecCol), centroids, nprobe)).as("__tc"))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        col("__tc.cell").as("cell"))
+        col("__tc.cell").as("cell"), l2norm(col(vecCol)).as("__qn"))
     val cells = spark.read.parquet(s"$path/cells")
+      .withColumn("__cn", l2norm(col(vecCol)))
     val scored = cells.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("cosine", cosine(col("qv"), col(vecCol)))
+      .withColumn("cosine", dot(col("qv"), col(vecCol)) /
+        (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -244,16 +252,20 @@ object Similarity {
           explode(topCells(col(vc), centroids, n)).as("__tc"))
         .select(col(idCol), col(vc), col("__tc.cell").as(out))
 
+    // per-row norms hoisted out of the per-(query,corpus) scoring loop
     val assigned = nearestCells(
       corpus.select(col(idCol), col(vecCol)), vecCol, 1, "cell")
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"), col("cell"))
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"), col("cell"),
+        l2norm(col(vecCol)).as("__cn"))
     val probed = nearestCells(
       queries.select(col(idCol), col(vecCol)), vecCol, nprobe, "cell")
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
+        l2norm(col(vecCol)).as("__qn"))
 
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) /
+        (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
