@@ -250,6 +250,35 @@ class PropertySpec extends SparkSpec {
     }, n = 40)
   }
 
+  test("chunkDocs: windows == per-doc reference slicing, any corpus/params") {
+    val s = spark
+    import s.implicits._
+    val genDoc = Gen.chooseNum(0, 20).flatMap(nw =>
+      Gen.listOfN(nw, Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)))
+    val genParams = for {
+      size <- Gen.chooseNum(1, 12)
+      stride <- Gen.chooseNum(1, size)
+    } yield (size, stride)
+    check(Prop.forAll(Gen.listOfN(15, genDoc), genParams) {
+      case (docsW, (size, stride)) =>
+        val df = docsW.zipWithIndex
+          .map { case (w, i) => (i.toLong, w.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val got = graft.llm.Pipeline.chunkDocs(df, size, stride)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getString(4))).toSet
+        val exp = docsW.zipWithIndex.flatMap { case (w, i) =>
+          val n = w.length
+          (0 until n by stride).zipWithIndex.map { case (st, k) =>
+            val nt = math.min(size, n - st)
+            (i.toLong, k.toLong, st.toLong, nt.toLong,
+              w.slice(st, st + nt).mkString(" "))
+          }
+        }.toSet
+        got == exp
+    }, n = 30)
+  }
+
   test("hashSplit: exhaustive, deterministic, content-independent") {
     val s = spark
     import s.implicits._
