@@ -914,6 +914,25 @@ object Oracles {
                 CAST(max(v) AS INTEGER) AS max_byte
          FROM px GROUP BY doc_id""",
 
+    // mm6: the WAV round-trip — Spark encodes PCM16 samples from a
+    // closed-form formula, decodes through the hand-rolled RIFF
+    // chunk-walker, and aggregates exact integers; the oracle computes
+    // the same aggregates straight from the formula (PCM is
+    // uncompressed ⇒ equal)
+    "mm6_wav_roundtrip" ->
+      """WITH s AS (
+           SELECT d.doc_id,
+                  ((d.doc_id * 131 + g.i * 17) % 65536) - 32768 AS v
+           FROM documents d, generate_series(0, 899) AS g(i)
+           WHERE g.i <= 399 + (d.doc_id % 5) * 100)
+         SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+                CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(min(v) AS BIGINT) AS min_s,
+                CAST(max(v) AS BIGINT) AS max_s,
+                CAST(sum(v) AS BIGINT) AS sum_s,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq
+         FROM s GROUP BY 1""",
+
     // i1/i2/i4 render events as wire-protocol bodies in Spark, parse
     // them back, and aggregate; the oracle aggregates events directly —
     // exactness of the string round-trip is part of what's checked.

@@ -699,6 +699,23 @@ object Queries {
     // javax.imageio — the oracle recomputes the features from the same
     // formula, so any lossy/shifted decode breaks the hash. (PNG
     // grayscale is lossless; decode(encodePng(px)) == px exactly.)
+    // real RIFF/WAVE PCM16 codec round-trip: SQL-derivable samples
+    // encode to wire bytes, decode through the chunk-walking parser,
+    // aggregate exactly — the whole codec sits under the hash compare
+    "mm6_wav_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (400 + (id % 5) * 100).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 131 + i.toLong * 17) % 65536) - 32768).toShort)
+          (id, Multimodal.encodeWav(16000, samples))
+        }).toDF("media_id", "payload")
+      Multimodal.audioFeatures(media)
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), col("min_s"), col("max_s"), col("sum_s"),
+          col("sum_sq"))
+    }),
     "mm5_decode_png" -> ((s, dir) => {
       import s.implicits._
       val media = table(s, dir, "documents").select(col("doc_id")).as[Long]

@@ -166,6 +166,99 @@ object Multimodal {
       .toDF()
   }
 
+  case class AudioFeatures(media_id: Long, sample_rate: Long,
+                           n_samples: Long, min_s: Long, max_s: Long,
+                           sum_s: Long, sum_sq: Long)
+
+  /** RIFF/WAVE PCM16-mono encoder — the fixture generator for the mm6
+    * audio round-trip gate (PCM is uncompressed, so
+    * `decodeWav(encodeWav(r, s)) == (r, s)` exactly). Layout per the
+    * public RIFF spec: `RIFF<size>WAVE`, a 16-byte `fmt ` chunk
+    * (format 1 = PCM, 1 channel, 16-bit little-endian), one `data`
+    * chunk.
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** RIFF/WAVE PCM16-mono decoder: walks the chunk list (unknown
+    * chunks are skipped with odd-size padding, per spec), reads the
+    * sample rate from `fmt ` and the samples from `data`. Rejects
+    * non-RIFF payloads and non-PCM16-mono streams loudly — the audio
+    * plane has no stub fallback, a bad payload is a data error.
+    */
+  private[graft] def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(bytes.length >= 12 && tag() == "RIFF", "not a RIFF payload")
+    bb.getInt() // declared size; trust the buffer bound instead
+    require(tag() == "WAVE", "not a WAVE stream")
+    var rate = -1
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8 && (rate < 0 || samples == null)) {
+      val id = tag(); val sz = bb.getInt()
+      id match {
+        case "fmt " =>
+          val fmt = bb.getShort(); val ch = bb.getShort()
+          require(fmt == 1 && ch == 1, s"need PCM mono: fmt=$fmt ch=$ch")
+          rate = bb.getInt()
+          bb.getInt(); bb.getShort() // byte rate, block align
+          val bits = bb.getShort()
+          require(bits == 16, s"need 16-bit samples: $bits")
+          bb.position(bb.position() + (sz - 16))
+        case "data" =>
+          val n = sz / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort(); i += 1 }
+        case _ => bb.position(bb.position() + sz + (sz & 1)) // skip + pad
+      }
+    }
+    require(rate > 0 && samples != null, "missing fmt or data chunk")
+    (rate, samples)
+  }
+
+  /** Decode + feature-extract over an audio payload column through the
+    * real WAV codec: exact integer aggregates (count/min/max/sum/sum of
+    * squares) per stream — everything downstream (duration, RMS,
+    * normalization) derives from these without float drift. Same typed
+    * `mapPartitions` codec boundary as [[decodeFeatures]].
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (rate, s) = decodeWav(payload)
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var sum = 0L; var sq = 0L; var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          if (v < mn) mn = v; if (v > mx) mx = v
+          sum += v; sq += v * v; i += 1
+        }
+        AudioFeatures(id, rate.toLong, s.length.toLong,
+          if (s.isEmpty) 0L else mn, if (s.isEmpty) 0L else mx, sum, sq)
+      })
+      .toDF()
+  }
+
   /** Nearest-neighbor resize on the decoded pixel grid, re-encoded as a
     * payload column with updated metadata. Same typed-`mapPartitions`
     * batch shape as [[decodeFeatures]] — a real implementation swaps

@@ -81,6 +81,47 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 2)
   }
 
+  test("WAV codec: encode→decode identity, junk-chunk skipping, loud " +
+      "rejection of non-PCM") {
+    val samples = Array.tabulate(1000)(i =>
+      ((i * 7919 % 65536) - 32768).toShort)
+    val (r1, s1) = Multimodal.decodeWav(Multimodal.encodeWav(44100, samples))
+    assert(r1 == 44100 && s1.sameElements(samples))
+    // empty stream round-trips
+    val (r2, s2) = Multimodal.decodeWav(
+      Multimodal.encodeWav(8000, Array.empty[Short]))
+    assert(r2 == 8000 && s2.isEmpty)
+    // an unknown odd-sized chunk before fmt/data is skipped with its
+    // pad byte (the RIFF rule real files exercise via LIST/INFO)
+    val base = Multimodal.encodeWav(16000, samples.take(4))
+    val junk = java.nio.ByteBuffer.allocate(base.length + 14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put(base, 0, 12) // RIFF....WAVE
+    junk.put("LIST".getBytes("US-ASCII")); junk.putInt(5)
+    junk.put(Array[Byte](1, 2, 3, 4, 5, 0)) // 5 bytes + pad
+    junk.put(base, 12, base.length - 12)
+    val (r3, s3) = Multimodal.decodeWav(junk.array())
+    assert(r3 == 16000 && s3.sameElements(samples.take(4)))
+    // no stub fallback in the audio plane: garbage fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("not audio at all".getBytes)
+    }
+  }
+
+  test("audioFeatures: exact integer aggregates through the real codec") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      (1L, Multimodal.encodeWav(16000, Array[Short](-3, 0, 5, 5))),
+      (2L, Multimodal.encodeWav(8000, Array.empty[Short])))
+      .toDF("media_id", "payload")
+    val got = Multimodal.audioFeatures(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) == ((16000L, 4L, -3L, 5L, 7L, 59L)))
+    assert(got(2L) == ((8000L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("embedding near-dup finds the duplicated vector pair") {
     val s = spark
     import s.implicits._
