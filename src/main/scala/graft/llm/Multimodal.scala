@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * reusable buffers, so a real decoder (libjpeg/ffmpeg via JNI) drops
   * in without changing the plumbing, schema, or partitioning.
   *
-  * DECODE IS REAL for the formats the JDK ships codecs for: payloads
-  * carrying PNG/BMP/GIF/JPEG magic decode through `javax.imageio` to a
-  * grayscale pixel grid (gated end-to-end by the mm5 PNG round-trip
-  * query). Non-image payloads — no known magic, or a format this JDK
-  * lacks (no video/audio codecs in any stock JDK) — fall back to
-  * `decodeStub`, which deterministically fakes a grayscale frame from
-  * the payload bytes (payload = pixels, fixed-width rows).
+  * DECODE IS REAL for images the JDK ships codecs for (PNG/BMP/GIF/
+  * JPEG via `javax.imageio`, gated by the mm5 round-trip) and for
+  * RIFF/WAVE PCM16 audio (hand-rolled chunk-walking codec, gated by
+  * the mm6 round-trip). Image payloads with no known magic or a
+  * format this JDK lacks fall back to `decodeStub`, which
+  * deterministically fakes a grayscale frame from the payload bytes
+  * (payload = pixels, fixed-width rows); the audio plane has no stub —
+  * bad payloads fail loudly. Video decode remains out of scope (no
+  * codec in the container); frame SAMPLING over opaque payloads is
+  * mm2.
   */
 object Multimodal {
 
