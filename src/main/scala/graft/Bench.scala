@@ -150,8 +150,7 @@ object Bench {
         s.read.parquet(s"$dir/documents.parquet"))),
     // as-of join at scale: one shuffle+sort over the tagged union
     "scale_au1_asof" -> (() => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = Queries.adaptTs(s.read.parquet(s"$dir/events.parquet"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
       val errors = ev.filter(col("event_type") === "error")
@@ -163,8 +162,7 @@ object Bench {
     // sessionization at scale: per-user sort, two windows, one exchange
     "scale_ss1_sessionize" -> (() =>
       graft.timeseries.TimeSeriesOps.sessionize(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        Queries.adaptTs(s.read.parquet(s"$dir/events.parquet"))
           .select("user_id", "ts", "event_id"),
         Seq("user_id"), "ts", gapS = 1800L)),
     // persisted-index ANN at scale: one build (writes the partitioned
@@ -218,13 +216,18 @@ object Bench {
       ArchivePolicy("bench", 0,
         Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
         Set("mean", "sum", "max", "count")))
-    val measures = spark.read.parquet(s"$scaleDir/events.parquet")
-      .select(concat(lit("u"), pmod(col("user_id"), lit(256))).as("metric_id"),
-        timestamp_micros((col("ts") / 1000).cast("long")).as("timestamp"),
-        col("value"))
+    // frame CONSTRUCTION stays inside the try: eager analysis (schema
+    // drift on events.ts, r4's rc=1 bench) must cost one 1e9 row, never
+    // the whole artifact
     val tWrite =
-      try timed(store.addMeasures(measures))
-      catch { case e: Throwable =>
+      try timed {
+        val measures = Queries.adaptTs(
+            spark.read.parquet(s"$scaleDir/events.parquet"))
+          .select(
+            concat(lit("u"), pmod(col("user_id"), lit(256))).as("metric_id"),
+            col("ts").as("timestamp"), col("value"))
+        store.addMeasures(measures)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] scale_j1_ingest FAILED: ${e.getMessage}")
         1e9
       }
@@ -249,6 +252,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema probe (same rationale as Verify): make environment drift
+    // visible in the bench log, not just as a cascade of 1e9 rows
+    try System.err.println(s"[bench] $sfDir events schema: " +
+      spark.read.parquet(s"$sfDir/events.parquet").schema.map(f =>
+        s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] events schema probe failed: ${e.getMessage}")
+    }
     // warm the JVM, parquet footers, and codegen paths once so
     // per-query numbers are steady state, not first-query JIT cost
     for (t <- Seq("lineitem", "orders", "customer", "events", "documents",

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.expressions.Window
 import graft.model.Granularity
 import graft.timeseries.{Bucketing, Kernels, TimeSeriesOps}
@@ -27,18 +28,60 @@ object Queries {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark reads as LongType
-    * (spark.sql.legacy.parquet.nanosAsLong); data is µs-aligned so the
-    * conversion to TimestampType is lossless.
+  /** Schema-adaptive event-time normalization. The testdata generator
+    * has shipped `events.ts` both as parquet TIMESTAMP(NANOS) — which
+    * Spark reads as LongType under nanosAsLong — and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — which Spark reads as
+    * TIMESTAMP_NTZ; queries must survive either era without edits.
+    * Output is session-UTC TimestampType in every case (µs precision;
+    * the ns-era data is µs-aligned so narrowing is lossless).
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
+  def adaptTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
       // integer `div`, not `/1000` double division: at epoch-ns
       // magnitude (~1.7e18) a double's ulp is ~256 ns, so the rounded
       // quotient can land 1 µs off the exact value DuckDB's epoch_us
       // computes — invisible under second-floor bucketing, fatal for
       // µs-exact comparisons (au1)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      // NTZ wall-clock reinterpreted under the UTC session is the same
+      // instant the generator wrote (it emits UTC)
+      case TimestampNTZType | TimestampType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"unsupported $tsCol type for events: $other")
+    }
+
+  def events(s: SparkSession, dir: String): DataFrame =
+    adaptTs(table(s, dir, "events"))
+
+  /** Pushdown-friendly raw slice `[loS, hiS)` (epoch seconds) on events
+    * BEFORE ts normalization: the literals match the stored type, so the
+    * predicate reaches the parquet scan (PushedFilters → row-group
+    * pruning) in every schema era; a predicate on the derived column
+    * would read the whole corpus at scale.
+    */
+  def eventsSlice(s: SparkSession, dir: String, loS: Long, hiS: Long): DataFrame = {
+    val raw = table(s, dir, "events")
+    val sliced = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= loS * 1_000_000_000L &&
+          col("ts") < hiS * 1_000_000_000L)
+      case TimestampNTZType =>
+        raw.filter(
+          col("ts") >= lit(java.time.LocalDateTime.ofEpochSecond(
+            loS, 0, java.time.ZoneOffset.UTC)) &&
+          col("ts") < lit(java.time.LocalDateTime.ofEpochSecond(
+            hiS, 0, java.time.ZoneOffset.UTC)))
+      case TimestampType =>
+        raw.filter(col("ts") >= lit(java.time.Instant.ofEpochSecond(loS)) &&
+          col("ts") < lit(java.time.Instant.ofEpochSecond(hiS)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported ts type for events: $other")
+    }
+    adaptTs(sliced)
+  }
 
   private val H = 3600L
   private def bucketS(ts: Column = col("bucket")): Column =
@@ -106,16 +149,15 @@ object Queries {
     "a12_fetch" -> ((s, dir) => {
       val fromTs = java.sql.Timestamp.valueOf("2024-01-10 13:37:00")
       val toTs = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
-      // pre-filter on the RAW ns-long ts so the slice reaches the
-      // parquet scan (PushedFilters -> row-group pruning); a predicate
-      // on the derived bucket column cannot push down and reads the
-      // whole corpus at scale. [floor(from,g), floor(to,g)+g) is a
-      // superset of the bucket slice; exact fetch still applies after.
-      val loNs = (fromTs.getTime / 1000) / H * H * 1_000_000_000L
-      val hiNs = ((toTs.getTime / 1000) / H * H + H) * 1_000_000_000L
-      val raw = table(s, dir, "events")
-        .filter(col("ts") >= loNs && col("ts") < hiNs)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // pre-filter on the RAW ts (type-matched literals via eventsSlice)
+      // so the slice reaches the parquet scan (PushedFilters ->
+      // row-group pruning); a predicate on the derived bucket column
+      // cannot push down and reads the whole corpus at scale.
+      // [floor(from,g), floor(to,g)+g) is a superset of the bucket
+      // slice; exact fetch still applies after.
+      val loS = (fromTs.getTime / 1000) / H * H
+      val hiS = (toTs.getTime / 1000) / H * H + H
+      val raw = eventsSlice(s, dir, loS, hiS)
       val agg = Kernels.aggregate(raw, "mean", Granularity.seconds(H),
         Seq("event_type"), "ts", "value", tieCols = Seq("event_id"))
       TimeSeriesOps.fetch(agg, Granularity.seconds(H), Some(fromTs), Some(toTs))
@@ -968,24 +1010,19 @@ object Queries {
           r6(col("value")).as("v"))
     }),
     // J7 backlog report under the oracle: stage one day of events
-    // through the REST enqueue path (driver-side by nature — it models
-    // the HTTP body buffer, incoming/__init__.py:202-214), leave them
-    // unprocessed, and report pending counts per metric.
+    // through the BULK ingestion door (the metricd sack write,
+    // incoming/__init__.py:202-214) — the measures stay a DataFrame end
+    // to end; status() reduces them to per-metric pending counts with
+    // one aggregate, never a row collect.
     "j7_backlog" -> ((s, dir) => {
       import s.implicits._
       val g = new graft.api.Graft(s,
         s"/tmp/graft-q-store/j7-${math.abs(dir.hashCode)}")
       allTypes.foreach(t => g.createMetric(t, "low"))
-      val day = events(s, dir)
+      g.batchAddMeasures(events(s, dir)
         .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
-        .select(col("event_type"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t"),
-          col("value"))
-        .collect()
-      day.groupBy(_.getString(0)).foreach { case (m, rows) =>
-        g.addMeasures(m,
-          rows.map(r => (r.getString(1), r.getDouble(2))).toSeq)
-      }
+        .select(col("event_type").as("metric_id"),
+          col("ts").as("timestamp"), col("value")))
       g.status().toSeq.toDF("metric_id", "n_pending")
     }),
     // I6 under the oracle: the same round-trip as j1, but measures

@@ -17,6 +17,16 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // testdata schema probe: the gate environment has changed under the
+    // repo twice (sf regen, events.ts ns-long → timestamp[us]); one log
+    // line turns the next silent break into a one-glance diagnosis
+    for (t <- Seq("events", "documents", "embeddings"))
+      try System.err.println(s"[verify] $sfDir $t schema: " +
+        spark.read.parquet(s"$sfDir/$t.parquet").schema.map(f =>
+          s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $sfDir $t schema probe failed: ${e.getMessage}")
+      }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -21,6 +21,10 @@ class Graft(val spark: SparkSession, root: String) {
   private val metricPolicy = mutable.Map[String, String]()
   private val stores = mutable.Map[String, MetricStore]()
   private val pending = mutable.ArrayBuffer[(String, java.sql.Timestamp, Double)]()
+  // bulk-staged measures stay a DataFrame end to end — the corpus never
+  // lands on the driver; status()/process() reduce it with aggregates
+  // (#metrics rows), not row collects
+  private var pendingDf: Option[DataFrame] = None
   private var resources: Option[DataFrame] = None
 
   def createPolicy(p: ArchivePolicy): Unit = policies(p.name) = p
@@ -102,12 +106,38 @@ class Graft(val spark: SparkSession, root: String) {
     stores.getOrElseUpdate(policyName,
       new MetricStore(spark, s"$root/$policyName", policies(policyName)))
 
-  /** POST …/measures — enqueue, return immediately (rest/api.py:488-494). */
+  /** POST …/measures — enqueue, return immediately (rest/api.py:488-494).
+    * This Seq door models a small REST body; for corpus-sized ingestion
+    * use the DataFrame overloads below — routing bulk data through a
+    * driver-side Seq ships the corpus through the driver at scale.
+    */
   def addMeasures(metricId: String, points: Seq[(String, Double)]): Unit = {
     require(metricPolicy.contains(metricId), s"unknown metric $metricId")
     pending ++= points.map { case (t, v) =>
       (metricId, java.sql.Timestamp.valueOf(t), v)
     }
+  }
+
+  /** Bulk ingestion door: stage a `(metric_id, timestamp, value)` frame
+    * for one metric. Distributed end to end — the measures never touch
+    * the driver (the batch-POST analogue of the reference's metricd
+    * sack write, incoming/__init__.py:202-214).
+    */
+  def addMeasures(metricId: String, batch: DataFrame): Unit = {
+    require(metricPolicy.contains(metricId), s"unknown metric $metricId")
+    batchAddMeasures(batch.select(lit(metricId).as("metric_id"),
+      col("timestamp"), col("value")))
+  }
+
+  /** Bulk multi-metric ingestion: stage a `(metric_id, timestamp,
+    * value)` frame. Rows targeting unknown metrics are dropped when the
+    * frame meets the catalog at process() (the reference 400s them at
+    * POST; a distributed pre-check here would cost a job per batch).
+    */
+  def batchAddMeasures(batch: DataFrame): Unit = {
+    val b = batch.select(col("metric_id").cast("string"),
+      col("timestamp").cast("timestamp"), col("value").cast("double"))
+    pendingDf = Some(pendingDf.map(_.unionByName(b)).getOrElse(b))
   }
 
   /** POST /v1/batch/resources/metrics/measures?create_metrics=
@@ -204,21 +234,35 @@ class Graft(val spark: SparkSession, root: String) {
     * (storage/__init__.py:694-725).
     */
   def process(): Unit = {
-    if (pending.isEmpty) return
+    if (pending.isEmpty && pendingDf.isEmpty) return
     import spark.implicits._
-    val staged = pending.toSeq
-    val batch = staged.toDF("metric_id", "timestamp", "value")
+    val seqPart =
+      if (pending.isEmpty) None
+      else Some(pending.toSeq.toDF("metric_id", "timestamp", "value"))
     pending.clear()
+    val hadBulk = pendingDf.isDefined
+    val batch = (seqPart.toSeq ++ pendingDf.toSeq).reduce(_ unionByName _)
+    pendingDf = None
+    // the metric→policy map is driver-sized (catalog rows): broadcast,
+    // never shuffle the measures on it; bulk rows targeting unknown
+    // metrics drop here (the reference 400s them at POST — a
+    // distributed pre-check would cost an extra job per batch)
     val byPolicy = batch.join(
-      metricPolicy.toSeq.toDF("metric_id", "policy"), Seq("metric_id"))
+      broadcast(metricPolicy.toSeq.toDF("metric_id", "policy")),
+      Seq("metric_id"))
+    // bulk plans are corpus-sized: pin the joined frame once instead of
+    // re-reading the source per policy partition of the loop below
+    if (hadBulk) byPolicy.persist()
     policies.keys.foreach { pol =>
       val sub = byPolicy.filter(col("policy") === pol).drop("policy")
       if (!sub.isEmpty) storeOf(pol).addMeasures(sub)
     }
     // metadata updates: last-measure timestamps + resource resurrection
-    val maxima = staged.groupBy(_._1).map { case (m, pts) =>
-      m -> pts.map(_._2).maxBy(_.getTime)
-    }
+    // — one aggregate job, #metrics result rows, never a row collect
+    val maxima: Map[String, java.sql.Timestamp] = byPolicy
+      .groupBy("metric_id").agg(max(col("timestamp")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    if (hadBulk) byPolicy.unpersist()
     maxima.foreach { case (m, t) =>
       if (lastMeasure.get(m).forall(_.getTime < t.getTime)) lastMeasure(m) = t
     }
@@ -237,13 +281,18 @@ class Graft(val spark: SparkSession, root: String) {
   }
 
   def refresh(metricId: String): Unit = {
-    val mine = pending.filter(_._1 == metricId)
-    if (mine.nonEmpty) {
-      import spark.implicits._
-      val batch = mine.toSeq.toDF("metric_id", "timestamp", "value")
-      pending.filterInPlace(_._1 != metricId)
-      storeOf(metricPolicy(metricId)).addMeasures(batch)
-    }
+    import spark.implicits._
+    val seqMine = pending.filter(_._1 == metricId)
+    val dfMine = pendingDf.map(_.filter(col("metric_id") === metricId))
+    if (seqMine.isEmpty && dfMine.isEmpty) return
+    pending.filterInPlace(_._1 != metricId)
+    pendingDf = pendingDf.map(_.filter(col("metric_id") =!= metricId))
+    val parts =
+      (if (seqMine.nonEmpty)
+        Seq(seqMine.toSeq.toDF("metric_id", "timestamp", "value"))
+      else Nil) ++ dfMine.toSeq
+    val batch = parts.reduce(_ unionByName _)
+    if (!batch.isEmpty) storeOf(metricPolicy(metricId)).addMeasures(batch)
   }
 
   /** GET /v1/metric/<id>/measures (§3.1): triples coarse→fine across all
@@ -390,8 +439,17 @@ class Graft(val spark: SparkSession, root: String) {
   /** J7 backlog report (/v1/status, incoming/__init__.py:202-214):
     * pending (staged, unprocessed) measure counts per metric.
     */
-  def status(): Map[String, Long] =
-    pending.groupBy(_._1).map { case (m, pts) => m -> pts.size.toLong }
+  def status(): Map[String, Long] = {
+    val seqCounts: Map[String, Long] =
+      pending.groupBy(_._1).map { case (m, pts) => m -> pts.size.toLong }
+    // bulk plane reduces distributed: one count aggregate, #metrics rows
+    val dfCounts: Map[String, Long] = pendingDf.map(
+        _.groupBy("metric_id").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
+    (seqCounts.keySet ++ dfCounts.keySet).map(k =>
+      k -> (seqCounts.getOrElse(k, 0L) + dfCounts.getOrElse(k, 0L))).toMap
+  }
 
   /** J4 metric delete + expunge (chef.py:297-345): drop the metric's
     * staged measures, stored aggregates, and raw buffer, then forget
@@ -402,6 +460,7 @@ class Graft(val spark: SparkSession, root: String) {
   def deleteMetric(metricId: String): Unit = {
     require(metricPolicy.contains(metricId), s"unknown metric $metricId")
     pending.filterInPlace(_._1 != metricId)
+    pendingDf = pendingDf.map(_.filter(col("metric_id") =!= metricId))
     storeOf(metricPolicy(metricId)).expungeMetric(metricId)
     metricPolicy.remove(metricId)
   }
