@@ -1075,6 +1075,35 @@ object Oracles {
                 CAST(max(value) AS REAL) AS v
          FROM w GROUP BY metric_id, bucket_s""",
 
+    // calendar read = SAME-method reaggregation of the stored hourly
+    // series (mean-of-means), month-start and Sunday-anchored-week
+    // buckets; make_timestamp keeps the epoch math tz-free
+    "b4_calendar_store" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events GROUP BY 1, 2),
+         h AS (SELECT metric_id,
+                      CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+                      avg(value) AS mean_v, max(value) AS max_v
+               FROM d GROUP BY 1, 2),
+         k AS (SELECT metric_id,
+                      CAST(epoch(date_trunc('month', make_timestamp(b*1000000))) AS BIGINT) AS m_s,
+                      CAST(epoch(date_trunc('day', make_timestamp(b*1000000)
+                        - to_days(CAST(dayofweek(make_timestamp(b*1000000)) AS INT)))) AS BIGINT) AS w_s,
+                      mean_v, max_v
+               FROM h)
+         SELECT metric_id, 'mean' AS method, 'M' AS unit, m_s AS bucket_s,
+                CAST(avg(mean_v) AS REAL) AS v FROM k GROUP BY 1, 3, 4
+         UNION ALL
+         SELECT metric_id, 'max', 'M', m_s, CAST(max(max_v) AS REAL)
+         FROM k GROUP BY 1, 3, 4
+         UNION ALL
+         SELECT metric_id, 'mean', 'W', w_s, CAST(avg(mean_v) AS REAL)
+         FROM k GROUP BY 1, 3, 4
+         UNION ALL
+         SELECT metric_id, 'max', 'W', w_s, CAST(max(max_v) AS REAL)
+         FROM k GROUP BY 1, 3, 4""",
+
     "j7_backlog" ->
       """SELECT event_type AS metric_id, count(*) AS n_pending
          FROM events

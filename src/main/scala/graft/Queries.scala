@@ -1009,6 +1009,24 @@ object Queries {
         .select(col("metric_id"), col("method"), bucketS(),
           r6(col("value")).as("v"))
     }),
+    // B2-through-the-store under the oracle: a policy declaring
+    // calendar granularities (M + W) alongside the hourly fixed one;
+    // ingest, then read monthly and weekly series through the
+    // calendar door (fixed-series resample on read, mean-of-means).
+    "b4_calendar_store" -> ((s, dir) => {
+      val store = freshStore(s, "b4", dir, ArchivePolicy("b4", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None),
+          ArchivePolicyItem(Granularity.Calendar("M"), None, None),
+          ArchivePolicyItem(Granularity.Calendar("W"), None, None)),
+        Set("mean", "max")))
+      store.addMeasures(dedupMeasures(s, dir))
+      Seq("M", "W").map { u =>
+        store.getMeasuresCalendar(allTypes, Seq("mean", "max"), u, 3600L)
+          .withColumn("unit", lit(u))
+      }.reduce(_ unionByName _)
+        .select(col("metric_id"), col("method"), col("unit"), bucketS(),
+          r6(col("value")).as("v"))
+    }),
     // J7 backlog report under the oracle: stage one day of events
     // through the BULK ingestion door (the metricd sack write,
     // incoming/__init__.py:202-214) — the measures stay a DataFrame end

@@ -232,6 +232,38 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     df.select("metric_id", "method", "bucket", "value")
   }
 
+  /** Calendar-granularity read (B2 through the store, gnocchi
+    * calendar.py:95-100): resample the stored fixed series to calendar
+    * buckets on read with the SAME method per series — the A10
+    * reaggregation contract (resampled mean = mean-of-means). Storage
+    * stays fixed-granularity: calendar spans are irregular, so
+    * materializing them would forfeit the numeric split pruning of the
+    * fixed layout, while this read costs one partial-aggregable hash
+    * aggregate over the already split-pruned fixed scan.
+    *
+    * The calendar unit must be declared in the policy (like any other
+    * materialized granularity); `baseGranS` picks which stored fixed
+    * series feeds the resample.
+    */
+  def getMeasuresCalendar(metricIds: Seq[String], methods: Seq[String],
+                          unit: String, baseGranS: Long,
+                          from: Option[java.sql.Timestamp] = None,
+                          to: Option[java.sql.Timestamp] = None): DataFrame = {
+    require(policy.definition.exists(
+        _.granularity == Granularity.Calendar(unit)),
+      s"policy ${policy.name}: calendar granularity $unit not declared")
+    val base = getMeasuresMany(metricIds, methods, baseGranS, from, to)
+    // resample is per-method (each series re-aggregates with its own
+    // kernel); the method list is policy-bounded, so the union is a
+    // handful of branches over one shared pruned scan
+    methods.map { m =>
+      TimeSeriesOps.resample(base.filter(col("method") === m), m,
+          Granularity.Calendar(unit), Seq("metric_id"))
+        .withColumn("method", lit(m))
+    }.reduce(_ unionByName _)
+      .select("metric_id", "method", "bucket", "value")
+  }
+
   /** J2 split compaction (storage/__init__.py:528-550): rewrite the
     * aggregate table clustered by its partition key so each immutable
     * split directory collapses to one file. Optional — the analogue of

@@ -1,0 +1,284 @@
+package graft.rest
+
+import graft.api.Graft
+import graft.model.{ArchivePolicy, ArchivePolicyItem, Granularity}
+import graft.query.MeasureSearch
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** The reference's REST surface (rest/api.py:2378-2402 route tree)
+  * re-expressed as a pure `(method, path, query, body) → Response`
+  * dispatcher over the [[Graft]] facade — transport-free so every route
+  * is spec-testable without sockets; [[RestServer]] binds it to the
+  * JDK's HTTP server for wire use.
+  *
+  * Routes carry the reference's wire shapes: measures as
+  * `[[timestamp, granularity_s, value], …]` triples (rest/api.py:
+  * 520-527), 202-accepted ingestion, the measure-search boolean tree
+  * (rest/api.py:1514-1652), and the resource filter DSL. Responses are
+  * driver-sized by contract (a REST page, never a corpus) — bulk data
+  * belongs on the DataFrame doors of the facade.
+  */
+final case class Response(status: Int, body: JValue)
+
+class RestApi(g: Graft) {
+
+  private def ok(b: JValue) = Response(200, b)
+  private def created(b: JValue) = Response(201, b)
+  private def accepted = Response(202, JNothing)
+  private def noContent = Response(204, JNothing)
+  private def err(status: Int, msg: String): Response =
+    Response(status, JObject("code" -> JInt(status), "description" -> JString(msg)))
+
+  /** Accept ISO-8601 (Z or offset or bare), SQL timestamp strings, and
+    * epoch numbers — the reference's utils.to_timestamp surface.
+    */
+  private def parseTs(s: String): java.sql.Timestamp =
+    if (s.matches("^-?[0-9]+(\\.[0-9]+)?$"))
+      new java.sql.Timestamp((s.toDouble * 1000).toLong)
+    else if (s.contains("T"))
+      java.sql.Timestamp.from(java.time.Instant.parse(
+        if (!s.endsWith("Z") && !s.matches(".*[+-][0-9]{2}:[0-9]{2}$")) s + "Z"
+        else s))
+    else java.sql.Timestamp.valueOf(s)
+
+  private def iso(t: java.sql.Timestamp): String = t.toInstant.toString
+
+  private def jnum(v: JValue): Double = v match {
+    case JInt(n) => n.toDouble; case JLong(n) => n.toDouble
+    case JDouble(n) => n;       case JDecimal(n) => n.toDouble
+    case other => throw new IllegalArgumentException(s"expected number: $other")
+  }
+
+  private def jstr(v: JValue): String = v match {
+    case JString(s) => s
+    case other => throw new IllegalArgumentException(s"expected string: $other")
+  }
+
+  /** Measure-search boolean tree (rest/api.py:1514-1652 MeasureQuery):
+    * `{"and": [...]}`/`{"or"}`/`{"not"}`, comparison nodes
+    * `{">=": [operand, operand]}` with the shorthand `{">=": 10}` for
+    * `value >= 10`, operands either "value"/number/arith node.
+    */
+  private def parsePred(v: JValue): MeasureSearch.Pred = v match {
+    case JObject(List((op, arg))) => op.toLowerCase match {
+      case "and" | "∧" => MeasureSearch.And(arg.asInstanceOf[JArray].arr.map(parsePred))
+      case "or" | "∨"  => MeasureSearch.Or(arg.asInstanceOf[JArray].arr.map(parsePred))
+      case "not" | "¬" => MeasureSearch.Not(parsePred(arg))
+      case cmp => arg match {
+        case JArray(List(l, r)) => MeasureSearch.Cmp(cmp, parseExpr(l), parseExpr(r))
+        case n => MeasureSearch.Cmp(cmp, MeasureSearch.Value, parseExpr(n))
+      }
+    }
+    case other => throw new IllegalArgumentException(s"bad predicate: $other")
+  }
+
+  private def parseExpr(v: JValue): MeasureSearch.Expr = v match {
+    case JString("value") => MeasureSearch.Value
+    case JObject(List((op, JArray(List(l, r))))) =>
+      MeasureSearch.Arith(op, parseExpr(l), parseExpr(r))
+    case n => MeasureSearch.Const(jnum(n))
+  }
+
+  private def policyJson(p: ArchivePolicy): JValue =
+    ("name" -> p.name) ~ ("back_window" -> p.backWindow) ~
+      ("aggregation_methods" -> p.aggregationMethods.toList.sorted) ~
+      ("definition" -> p.definition.map { item =>
+        ("granularity" -> item.granularity.token) ~
+          ("points" -> item.points) ~
+          ("timespan" -> item.completed.timespanNs.map(_ / 1e9))
+      })
+
+  private def parsePolicy(b: JValue): ArchivePolicy = {
+    val name = jstr(b \ "name")
+    val back = b \ "back_window" match {
+      case JNothing => 0; case n => jnum(n).toInt
+    }
+    val methods = b \ "aggregation_methods" match {
+      case JArray(a) => ArchivePolicy.resolveMethods(a.map(jstr).toSet)
+      case JNothing  => ArchivePolicy.defaultMethods
+      case other => throw new IllegalArgumentException(s"bad methods: $other")
+    }
+    val items = (b \ "definition").asInstanceOf[JArray].arr.map { d =>
+      ArchivePolicyItem(
+        Granularity.parse(d \ "granularity" match {
+          case JString(s) => s; case n => jnum(n).toLong.toString
+        }),
+        d \ "points" match { case JNothing => None; case n => Some(jnum(n).toLong) },
+        d \ "timespan" match {
+          case JNothing => None
+          case n => Some((jnum(n) * 1e9).toLong)
+        }).completed
+    }
+    ArchivePolicy(name, back, items, methods)
+  }
+
+  private def measuresTriples(rows: Seq[(java.sql.Timestamp, Long, Double)]): JValue =
+    JArray(rows.toList.map { case (t, gS, v) =>
+      JArray(List(JString(iso(t)), JDouble(gS.toDouble), JDouble(v)))
+    })
+
+  /** DataFrame → JSON rows (REST-page sized by contract). */
+  private def frameJson(df: org.apache.spark.sql.DataFrame, limit: Int): JValue =
+    JArray(df.limit(limit).toJSON.collect().toList.map(JsonMethods.parse(_)))
+
+  def dispatch(method: String, rawPath: String,
+               query: Map[String, String] = Map.empty,
+               body: String = ""): Response = {
+    // segments are %-decoded AFTER splitting so ids containing an
+    // encoded slash (metric "r1/cpu" → r1%2Fcpu) stay one segment
+    val segs = rawPath.split("/").filter(_.nonEmpty).toList
+      .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
+    def json: JValue =
+      if (body.trim.isEmpty) JNothing else JsonMethods.parse(body)
+    try route(method.toUpperCase, segs, query, () => json)
+    catch {
+      case e: IllegalArgumentException
+        if Option(e.getMessage).exists(m =>
+          m.contains("unknown metric") || m.contains("no policy") ||
+            m.contains("no archive policy") || m.contains("no resource type")) =>
+        err(404, e.getMessage)
+      case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                _: MappingException | _: ClassCastException |
+                _: com.fasterxml.jackson.core.JacksonException) =>
+        err(400, Option(e.getMessage).getOrElse("bad request"))
+      case e: NoSuchElementException => err(404, e.getMessage)
+    }
+  }
+
+  private def route(method: String, segs: List[String],
+                    q: Map[String, String], body: () => JValue): Response =
+    (method, segs) match {
+      // -------------------------------------------------- root + capability
+      case ("GET", Nil) | ("GET", List("v1")) =>
+        ok(("version" -> "1.0") ~ ("links" -> List(
+          ("rel" -> "self") ~ ("href" -> "/v1"))))
+
+      case ("GET", List("v1", "capabilities")) =>
+        ok("aggregation_methods" -> g.capabilities.toList.sorted)
+
+      // /v1/status (rest/api.py StatusController): backlog summary
+      case ("GET", List("v1", "status")) =>
+        val st = g.status()
+        ok("storage" -> (
+          ("summary" -> (
+            ("metrics" -> st.size) ~ ("measures" -> st.values.sum))) ~
+          ("measures_to_process" -> JObject(
+            st.toList.sortBy(_._1).map { case (m, n) => m -> JInt(n) }))))
+
+      // -------------------------------------------------- archive policies
+      case ("POST", List("v1", "archive_policy")) =>
+        val p = parsePolicy(body())
+        g.createPolicy(p)
+        created(policyJson(p))
+
+      case ("GET", List("v1", "archive_policy", name)) =>
+        g.policies.get(name) match {
+          case Some(p) => ok(policyJson(p))
+          case None    => err(404, s"no policy $name")
+        }
+
+      case ("PATCH", List("v1", "archive_policy", name)) =>
+        val b = body()
+        val items = (b \ "definition").asInstanceOf[JArray].arr.map { d =>
+          ArchivePolicyItem(
+            Granularity.parse(jstr(d \ "granularity")),
+            d \ "points" match { case JNothing => None; case n => Some(jnum(n).toLong) },
+            d \ "timespan" match {
+              case JNothing => None; case n => Some((jnum(n) * 1e9).toLong)
+            }).completed
+        }
+        g.updatePolicy(name, items)
+        ok(policyJson(g.policies(name)))
+
+      case ("POST", List("v1", "archive_policy_rule")) =>
+        val b = body()
+        g.createPolicyRule(jstr(b \ "metric_pattern"),
+          jstr(b \ "archive_policy_name"))
+        created(("metric_pattern" -> jstr(b \ "metric_pattern")) ~
+          ("archive_policy_name" -> jstr(b \ "archive_policy_name")))
+
+      // -------------------------------------------------- metrics
+      case ("POST", List("v1", "metric")) =>
+        val b = body()
+        val id = jstr(b \ "id" match { case JNothing => b \ "name"; case v => v })
+        b \ "archive_policy_name" match {
+          case JString(pol) => g.createMetric(id, pol)
+          case _            => g.createMetric(id) // R9 rules pick the policy
+        }
+        created("id" -> id)
+
+      case ("DELETE", List("v1", "metric", id)) =>
+        g.deleteMetric(id); noContent
+
+      // POST measures — 202, deferred processing (rest/api.py:488-494)
+      case ("POST", List("v1", "metric", id, "measures")) =>
+        val points = body().asInstanceOf[JArray].arr.map { m =>
+          (parseTs(m \ "timestamp" match {
+            case JString(s) => s; case n => jnum(n).toString
+          }).toString, jnum(m \ "value"))
+        }
+        g.addMeasures(id, points)
+        accepted
+
+      case ("GET", List("v1", "metric", id, "measures")) =>
+        val rows = g.getMeasures(id,
+          method = q.getOrElse("aggregation", "mean"),
+          granS = q.get("granularity").map(_.toLong),
+          from = q.get("start").map(parseTs(_).toString),
+          to = q.get("stop").map(parseTs(_).toString),
+          resample = q.get("resample").map(Granularity.parse),
+          refreshFirst = q.get("refresh").contains("true"))
+        ok(measuresTriples(rows))
+
+      // -------------------------------------------------- batch ingest
+      case ("POST", List("v1", "batch", "resources", "metrics", "measures")) =>
+        g.batchAddMeasures(JsonMethods.compact(JsonMethods.render(body())),
+          createMetrics = q.get("create_metrics").contains("true"))
+        accepted
+
+      // -------------------------------------------------- search
+      case ("POST", List("v1", "search", "resource", _)) =>
+        val filter = body() \ "filter" match {
+          case JString(s) => s
+          case _ => throw new IllegalArgumentException(
+            """body must be {"filter": "<dsl string>"}""")
+        }
+        ok(frameJson(g.searchResources(filter),
+          q.get("limit").map(_.toInt).getOrElse(1000)))
+
+      case ("POST", List("v1", "search", "metric")) =>
+        val ids = q.getOrElse("metric_id",
+          throw new IllegalArgumentException("metric_id required"))
+          .split(",").toSeq
+        val df = g.searchMetricValues(ids,
+          q.getOrElse("aggregation", "mean"),
+          q.get("granularity").map(_.toLong).getOrElse(
+            throw new IllegalArgumentException("granularity required")),
+          parsePred(body()))
+        ok(frameJson(df.orderBy("metric_id", "bucket"), 10000))
+
+      // -------------------------------------------------- aggregates DSL
+      case ("POST", List("v1", "aggregates")) =>
+        val b = body()
+        val operations = jstr(b \ "operations")
+        val fill = b \ "fill" match { case JString(s) => Some(s); case _ => None }
+        b \ "granularity" match {
+          case JNothing => // P1: every common granularity, coarse→fine
+            val df = g.aggregatesAuto(operations, fill)
+            ok("measures" -> ("aggregated" ->
+              frameJson(df.orderBy("gran_s", "bucket"), 100000)))
+          case n =>
+            val granS = jnum(n).toLong
+            val overlap = b \ "needed_overlap" match {
+              case JNothing => None; case o => Some(jnum(o))
+            }
+            val rows = g.shaped(
+              g.aggregates(operations, granS, fill, overlap), granS)
+            ok("measures" -> ("aggregated" -> measuresTriples(rows)))
+        }
+
+      case _ => err(404, s"no route for $method /${segs.mkString("/")}")
+    }
+}

@@ -1,0 +1,68 @@
+package graft.rest
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import org.json4s.JNothing
+import org.json4s.jackson.JsonMethods
+
+/** Wire binding for [[RestApi]] on the JDK's built-in HTTP server (the
+  * reference runs a WSGI app, rest/app.py; here the server is a thin
+  * adapter — all semantics live in the transport-free dispatcher).
+  * Zero extra dependencies: `com.sun.net.httpserver` ships with the
+  * JDK. Start with `serve()`; returns the bound port (pass 0 to pick a
+  * free one).
+  */
+class RestServer(api: RestApi) {
+
+  @volatile private var server: Option[HttpServer] = None
+
+  def serve(port: Int = 8041): Int = {
+    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    s.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp =
+          try {
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val query = Option(ex.getRequestURI.getRawQuery)
+              .map(_.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+                kv.split("=", 2) match {
+                  case Array(k, v) => decode(k) -> decode(v)
+                  case Array(k)    => decode(k) -> ""
+                }
+              }.toMap).getOrElse(Map.empty[String, String])
+            // raw path: the dispatcher decodes per-segment, so ids with
+            // an encoded slash survive routing
+            api.dispatch(ex.getRequestMethod, ex.getRequestURI.getRawPath,
+              query, body)
+          } catch { // the dispatcher maps domain errors; this is transport
+            case e: Throwable =>
+              Response(500, org.json4s.JObject(
+                "code" -> org.json4s.JInt(500),
+                "description" -> org.json4s.JString(String.valueOf(e.getMessage))))
+          }
+        val bytes = resp.body match {
+          case JNothing => Array.empty[Byte]
+          case b => JsonMethods.compact(JsonMethods.render(b))
+            .getBytes(StandardCharsets.UTF_8)
+        }
+        if (bytes.nonEmpty)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(resp.status,
+          if (bytes.isEmpty) -1 else bytes.length.toLong)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    s.setExecutor(null) // caller threads; Spark jobs serialize on the driver anyway
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  private def decode(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+}

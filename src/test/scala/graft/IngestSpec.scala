@@ -147,6 +147,33 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("calendar read: declared units resample the fixed series on read") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val store = new MetricStore(spark, dir, ArchivePolicy("cal", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None),
+        ArchivePolicyItem(Granularity.Calendar("M"), None, None)),
+      Set("mean", "max")))
+    store.addMeasures(measures(
+      // Jan: minute buckets (1+3)/2=2.0 and 10.0 → monthly mean-of-means 6.0
+      ("m", "2014-01-03 12:00:01", 1.0), ("m", "2014-01-03 12:00:30", 3.0),
+      ("m", "2014-01-20 08:15:00", 10.0),
+      // Feb: one bucket
+      ("m", "2014-02-02 00:00:00", 7.0)))
+    val got = store.getMeasuresCalendar(Seq("m"), Seq("mean", "max"), "M", 60)
+      .orderBy("method", "bucket").collect()
+      .map(r => (r.getString(1), r.getTimestamp(2).toString, r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      ("max", "2014-01-01 00:00:00.0", 10.0),
+      ("max", "2014-02-01 00:00:00.0", 7.0),
+      ("mean", "2014-01-01 00:00:00.0", 6.0),
+      ("mean", "2014-02-01 00:00:00.0", 7.0)))
+    // undeclared unit refuses loudly (policy-bounded, like granularities)
+    intercept[IllegalArgumentException] {
+      store.getMeasuresCalendar(Seq("m"), Seq("mean"), "W", 60)
+    }
+  }
+
   test("split-key math: 3600 buckets per split (carbonara.py:730-871)") {
     val s = spark
     import s.implicits._

@@ -1,5 +1,6 @@
-package graft
+package graft.llm
 
+import graft.SparkEntry
 import org.apache.spark.sql.functions._
 
 /** Throwaway stage-level profile of scale_lm1_perplexity (VERDICT r4
@@ -15,7 +16,6 @@ object LmProfile {
       .config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    import graft.llm.Dedup
     val dir = args.headOption.getOrElse("/tmp/graft-bench-scale-32x")
     val df = s.read.parquet(s"$dir/documents.parquet")
     def noop(d: org.apache.spark.sql.DataFrame): Unit =

@@ -1,0 +1,146 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.rest.{RestApi, RestServer}
+
+/** REST surface over the Graft facade: route semantics through the
+  * transport-free dispatcher, plus one socket round-trip on the JDK
+  * server binding.
+  */
+class RestSpec extends SparkSpec {
+
+  private def newApi = {
+    val root = java.nio.file.Files.createTempDirectory("graft-rest").toString
+    new RestApi(new graft.api.Graft(spark, root))
+  }
+
+  test("policy → metric → measures → status → read round-trip") {
+    val api = newApi
+    val p = api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "spec", "back_window": 0,
+          "definition": [{"granularity": "60", "points": 100}],
+          "aggregation_methods": ["mean", "max"]}""")
+    assert(p.status === 201)
+    assert((p.body \ "definition")(0) \ "timespan" === JDouble(6000.0))
+
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "m1", "archive_policy_name": "spec"}""").status === 201)
+
+    val post = api.dispatch("POST", "/v1/metric/m1/measures", body =
+      """[{"timestamp": "2014-01-01T12:00:01Z", "value": 1.0},
+          {"timestamp": "2014-01-01T12:00:40Z", "value": 3.0},
+          {"timestamp": "2014-01-01T12:01:30Z", "value": 5.0}]""")
+    assert(post.status === 202)
+
+    val st = api.dispatch("GET", "/v1/status")
+    assert(st.body \ "storage" \ "summary" \ "measures" === JInt(3))
+    assert(st.body \ "storage" \ "summary" \ "metrics" === JInt(1))
+
+    val got = api.dispatch("GET", "/v1/metric/m1/measures",
+      query = Map("refresh" -> "true"))
+    assert(got.status === 200)
+    val triples = got.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(t), JDouble(gr), JDouble(v))) => (t, gr, v)
+      case other => fail(s"bad triple: $other")
+    }
+    assert(triples === List(
+      ("2014-01-01T12:00:00Z", 60.0, 2.0), // (1+3)/2
+      ("2014-01-01T12:01:00Z", 60.0, 5.0)))
+
+    // max series + a start slice
+    val mx = api.dispatch("GET", "/v1/metric/m1/measures",
+      query = Map("aggregation" -> "max", "start" -> "2014-01-01T12:01:00Z"))
+    assert(mx.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(_, _, JDouble(v))) => v; case _ => fail()
+    } === List(5.0))
+  }
+
+  test("unknown metric and bad input map to 404/400") {
+    val api = newApi
+    assert(api.dispatch("POST", "/v1/metric/nope/measures",
+      body = """[{"timestamp": "2014-01-01T12:00:01Z", "value": 1}]""")
+      .status === 404)
+    assert(api.dispatch("GET", "/v1/archive_policy/nope").status === 404)
+    assert(api.dispatch("POST", "/v1/archive_policy",
+      body = """{"name": "x"""").status === 400)
+    assert(api.dispatch("GET", "/v1/no/such/route").status === 404)
+  }
+
+  test("measure search compiles the boolean tree (rest/api.py:1514-1652)") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "s", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "m", "archive_policy_name": "s"}""")
+    api.dispatch("POST", "/v1/metric/m/measures", body =
+      """[{"timestamp": "2014-01-01T12:00:01Z", "value": 1.0},
+          {"timestamp": "2014-01-01T12:01:01Z", "value": 9.0}]""")
+    api.dispatch("GET", "/v1/metric/m/measures",
+      query = Map("refresh" -> "true")) // drain staging
+    val hit = api.dispatch("POST", "/v1/search/metric",
+      query = Map("metric_id" -> "m", "granularity" -> "60"),
+      body = """{">=": 5}""")
+    assert(hit.status === 200)
+    val vals = hit.body.asInstanceOf[JArray].arr.map(r => r \ "value")
+    assert(vals === List(JDouble(9.0)))
+  }
+
+  test("aggregates DSL and batch ingest routes") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "s", "definition": [{"granularity": "300"}],
+          "aggregation_methods": ["mean"]}""")
+    // R9 rule picks the policy for batch-created metrics
+    assert(api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"name": "all", "metric_pattern": "*",
+          "archive_policy_name": "s"}""").status === 201)
+    // batch body: resource → metric name → measures (rest/api.py:1726-1848)
+    assert(api.dispatch("POST", "/v1/batch/resources/metrics/measures",
+      body = """{"r1": {"cpu": [
+          {"timestamp": "2014-01-01T00:00:10Z", "value": 4.0},
+          {"timestamp": "2014-01-01T00:02:00Z", "value": 8.0}]}}""",
+      query = Map("create_metrics" -> "true")).status === 202)
+    // drain via ?refresh (metric id with an encoded slash routes intact)
+    assert(api.dispatch("GET", "/v1/metric/r1%2Fcpu/measures",
+      query = Map("refresh" -> "true")).status === 200)
+    val agg = api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": "(* 2 (metric r1/cpu mean))", "granularity": 300}""")
+    assert(agg.status === 200)
+    val rows = (agg.body \ "measures" \ "aggregated").asInstanceOf[JArray].arr
+    assert(rows.map { case JArray(List(_, _, JDouble(v))) => v; case _ => fail() }
+      === List(12.0)) // 2 * mean(4, 8)
+  }
+
+  test("resource search route uses the filter DSL") {
+    val api = newApi
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api2 = new RestApi(g)
+    g.setResources(Seq(
+      ("r1", "instance", "fr"), ("r2", "instance", "de"),
+      ("r3", "volume", "fr")).toDF("id", "type", "zone"))
+    val resp = api2.dispatch("POST", "/v1/search/resource/generic",
+      body = """{"filter": "type = 'instance' and zone = 'fr'"}""")
+    assert(resp.status === 200)
+    assert(resp.body.asInstanceOf[JArray].arr.map(_ \ "id")
+      === List(JString("r1")))
+  }
+
+  test("socket round-trip on the JDK server binding") {
+    val api = newApi
+    val server = new RestServer(api)
+    val port = server.serve(0)
+    try {
+      val url = java.net.URI.create(s"http://127.0.0.1:$port/v1/capabilities").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 200)
+      val body = new String(conn.getInputStream.readAllBytes())
+      assert((JsonMethods.parse(body) \ "aggregation_methods")
+        .asInstanceOf[JArray].arr.contains(JString("mean")))
+    } finally server.stop()
+  }
+}
