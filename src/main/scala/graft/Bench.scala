@@ -308,20 +308,25 @@ object Bench {
       if (scaleF <= 1) Nil
       else {
         val scaleDir = s"/tmp/graft-bench-scale-${scaleF}x"
-        // drop the standard section's accumulated cache entries before
-        // any scale row runs: queries that persist multi-consumer
-        // frames (grid compiler, store merge) leak one entry per
-        // invocation, and at scale-section volumes the dead entries
-        // pin storage memory, steal execution memory, and force spills
-        // that read as phantom regressions (isolated scale_dd5 2.3 s
-        // vs 13.3 s when run after 118 leaky standard queries)
-        spark.catalog.clearCache()
-        System.gc()
-        val ampSec = amplify(spark, sfDir, scaleDir, scaleF)
+        // FRESH SparkContext for the scale section (JVM and its JIT
+        // stay warm): clearCache+gc alone left enough standard-section
+        // driver residue — codegen caches, cleaner backlog, broadcast
+        // remnants — to inflate early scale rows up to 3x (measured
+        // dc1/dc2 4.2/8.2 s in-sequence vs 1.5/2.9 s isolated, r5).
+        // The ~2 s rebuild buys position-independent per-row numbers.
+        spark.stop()
+        val sparkS = SparkEntry.configure(SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.adaptive.enabled",
+            sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
+          .getOrCreate()
+        sparkS.sparkContext.setLogLevel("WARN")
+        val ampSec = amplify(sparkS, sfDir, scaleDir, scaleF)
         // warm footers on the amplified tables too
         for (t <- Seq("events", "documents", "lineitem", "orders", "customer"))
-          spark.read.parquet(s"$scaleDir/$t.parquet").count()
-        (("scale_amplify_write" -> ampSec) +: scaleQueries(spark, scaleDir)
+          sparkS.read.parquet(s"$scaleDir/$t.parquet").count()
+        (("scale_amplify_write" -> ampSec) +: scaleQueries(sparkS, scaleDir)
           .filter(q => selected(q._1))
           .map { case (name, fn) =>
             // warm once untimed first, same policy as the standard
@@ -345,7 +350,7 @@ object Bench {
             // same between-query hygiene as the standard section —
             // scale queries shuffle GBs, so dead cache entries and
             // un-GC'd shuffle files compound much faster here
-            spark.catalog.clearCache()
+            sparkS.catalog.clearCache()
             System.gc()
             (name, t)
           }) ++ {
@@ -355,8 +360,8 @@ object Bench {
             else {
               // ingestBench wipes its store root at entry, so running
               // it twice is identical work — first warms, second counts
-              ingestBench(spark, scaleDir)
-              ingestBench(spark, scaleDir)
+              ingestBench(sparkS, scaleDir)
+              ingestBench(sparkS, scaleDir)
             }
           }
       }
@@ -370,6 +375,8 @@ object Bench {
       s""""queries":${jmap(results)},"sf":"$sfDir",""" +
       s""""scale":{"factor":$scaleF,"total":$scaleTotal,""" +
       s""""queries":${jmap(scaleResults)}}}""")
-    spark.stop()
+    // the standard session was stopped at the section boundary; stop
+    // whichever session is live now (the scale one, if it ran)
+    SparkSession.getActiveSession.foreach(_.stop())
   }
 }

@@ -141,6 +141,7 @@ class RestApi(g: Graft) {
         err(404, e.getMessage)
       case e @ (_: IllegalArgumentException | _: IllegalStateException |
                 _: MappingException | _: ClassCastException |
+                _: java.time.format.DateTimeParseException |
                 _: com.fasterxml.jackson.core.JacksonException) =>
         err(400, Option(e.getMessage).getOrElse("bad request"))
       case e: NoSuchElementException => err(404, e.getMessage)
@@ -215,9 +216,11 @@ class RestApi(g: Graft) {
       // POST measures — 202, deferred processing (rest/api.py:488-494)
       case ("POST", List("v1", "metric", id, "measures")) =>
         val points = body().asInstanceOf[JArray].arr.map { m =>
-          (parseTs(m \ "timestamp" match {
-            case JString(s) => s; case n => jnum(n).toString
-          }).toString, jnum(m \ "value"))
+          val ts = m \ "timestamp" match {
+            case JString(s) => parseTs(s)
+            case n => new java.sql.Timestamp((jnum(n) * 1000).toLong)
+          }
+          (ts.toString, jnum(m \ "value"))
         }
         g.addMeasures(id, points)
         accepted

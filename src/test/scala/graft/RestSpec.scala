@@ -130,6 +130,24 @@ class RestSpec extends SparkSpec {
       === List(JString("r1")))
   }
 
+  test("epoch-number timestamps are accepted on POST measures") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "s", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "m", "archive_policy_name": "s"}""")
+    // 1388577601 = 2014-01-01T12:00:01Z
+    assert(api.dispatch("POST", "/v1/metric/m/measures",
+      body = """[{"timestamp": 1388577601, "value": 2.0},
+                 {"timestamp": 1388577602.5, "value": 4.0}]""").status === 202)
+    val got = api.dispatch("GET", "/v1/metric/m/measures",
+      query = Map("refresh" -> "true"))
+    assert(got.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(t), _, JDouble(v))) => (t, v); case _ => fail()
+    } === List(("2014-01-01T12:00:00Z", 3.0)))
+  }
+
   test("socket round-trip on the JDK server binding") {
     val api = newApi
     val server = new RestServer(api)
