@@ -90,6 +90,8 @@ class Graft(val spark: SparkSession, root: String) {
   /** Create a metric letting the rules pick the policy. */
   def createMetric(id: String): Unit = createMetric(id, rulePolicy(id))
 
+  def hasMetric(id: String): Boolean = metricPolicy.contains(id)
+
   /** R8 delete-by-query (sqlalchemy.py:1034-1066): drop resources
     * matching the filter, returning the count.
     */

@@ -125,14 +125,25 @@ class RestApi(g: Graft) {
 
   def dispatch(method: String, rawPath: String,
                query: Map[String, String] = Map.empty,
-               body: String = ""): Response = {
+               body: String = ""): Response =
+    dispatchBytes(method, rawPath, query,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Byte-level entry: the wire-protocol routes (prometheus snappy+
+    * protobuf) need the raw body; JSON routes decode it as UTF-8.
+    */
+  def dispatchBytes(method: String, rawPath: String,
+                    query: Map[String, String],
+                    bytes: Array[Byte]): Response = {
     // segments are %-decoded AFTER splitting so ids containing an
     // encoded slash (metric "r1/cpu" → r1%2Fcpu) stay one segment
     val segs = rawPath.split("/").filter(_.nonEmpty).toList
       .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
-    def json: JValue =
-      if (body.trim.isEmpty) JNothing else JsonMethods.parse(body)
-    try route(method.toUpperCase, segs, query, () => json)
+    def json: JValue = {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      if (s.trim.isEmpty) JNothing else JsonMethods.parse(s)
+    }
+    try route(method.toUpperCase, segs, query, () => json, bytes)
     catch {
       case e: IllegalArgumentException
         if Option(e.getMessage).exists(m =>
@@ -148,8 +159,24 @@ class RestApi(g: Graft) {
     }
   }
 
+  /** Stage a parsed wire frame `(metric_id, timestamp, value)`: create
+    * missing metrics via the R9 rules (the reference's influxdb.py:
+    * 119-125 / prometheus auto-create posture) and hand the frame to
+    * the facade's bulk door — a write body's SERIES list is REST-page
+    * bounded (collected to create metrics), but the measures
+    * themselves stay a DataFrame end to end.
+    */
+  private def stageWire(parsed: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ids = parsed.select(col("metric_id")).distinct()
+      .collect().map(_.getString(0))
+    ids.filterNot(g.hasMetric).foreach(g.createMetric(_))
+    g.batchAddMeasures(parsed)
+  }
+
   private def route(method: String, segs: List[String],
-                    q: Map[String, String], body: () => JValue): Response =
+                    q: Map[String, String], body: () => JValue,
+                    raw: Array[Byte]): Response =
     (method, segs) match {
       // -------------------------------------------------- root + capability
       case ("GET", Nil) | ("GET", List("v1")) =>
@@ -281,6 +308,36 @@ class RestApi(g: Graft) {
               g.aggregates(operations, granS, fill, overlap), granS)
             ok("measures" -> ("aggregated" -> measuresTriples(rows)))
         }
+
+      // -------------------------------------------------- wire protocols
+      // InfluxDB line-protocol write (the reference's rest/influxdb.py):
+      // text body of lines; metrics auto-create via the R9 rules; 204.
+      case ("POST", List("v1", "influxdb", "write")) =>
+        val s = g.spark
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        val lines = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.toDF("line")
+        stageWire(graft.ingest.LineProtocol.parse(lines)
+          .select(
+            concat(col("resource_id"), lit("/"), col("metric")).as("metric_id"),
+            coalesce(timestamp_micros((col("ts_ns") / 1000).cast("long")),
+              current_timestamp()).as("timestamp"),
+            col("value")))
+        noContent
+
+      // Prometheus remote-write (rest/api.py:2337-2371): snappy-framed
+      // protobuf body through the real codec; 202-accepted.
+      case ("POST", List("v1", "prometheus", "write")) =>
+        val s = g.spark
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        val bodies = Seq(raw).toDF("body")
+        stageWire(graft.ingest.RemoteWrite.remoteWriteToMeasures(bodies)
+          .select(
+            concat(col("resource_id"), lit("/"), col("metric")).as("metric_id"),
+            col("timestamp"), col("value")))
+        accepted
 
       case _ => err(404, s"no route for $method /${segs.mkString("/")}")
     }

@@ -23,8 +23,7 @@ class RestServer(api: RestApi) {
       override def handle(ex: HttpExchange): Unit = {
         val resp =
           try {
-            val body = new String(ex.getRequestBody.readAllBytes(),
-              StandardCharsets.UTF_8)
+            val body = ex.getRequestBody.readAllBytes()
             val query = Option(ex.getRequestURI.getRawQuery)
               .map(_.split("&").toSeq.filter(_.nonEmpty).map { kv =>
                 kv.split("=", 2) match {
@@ -34,8 +33,8 @@ class RestServer(api: RestApi) {
               }.toMap).getOrElse(Map.empty[String, String])
             // raw path: the dispatcher decodes per-segment, so ids with
             // an encoded slash survive routing
-            api.dispatch(ex.getRequestMethod, ex.getRequestURI.getRawPath,
-              query, body)
+            api.dispatchBytes(ex.getRequestMethod,
+              ex.getRequestURI.getRawPath, query, body)
           } catch { // the dispatcher maps domain errors; this is transport
             case e: Throwable =>
               Response(500, org.json4s.JObject(

@@ -148,6 +148,50 @@ class RestSpec extends SparkSpec {
     } === List(("2014-01-01T12:00:00Z", 3.0)))
   }
 
+  test("influxdb line-protocol write route: parse, auto-create, stage") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "s", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"name": "all", "metric_pattern": "*", "archive_policy_name": "s"}""")
+    // ns timestamps; one string field (dropped), one tagged series
+    val bodyLines =
+      """cpu,host=h1 usage=0.5,label="x" 1388577601000000000
+        |cpu,host=h1 usage=0.7 1388577602000000000
+        |mem,host=h2,core=0 used=10i 1388577601000000000""".stripMargin
+    val resp = api.dispatch("POST", "/v1/influxdb/write", body = bodyLines)
+    assert(resp.status === 204)
+    val st = api.dispatch("GET", "/v1/status")
+    assert(st.body \ "storage" \ "summary" \ "measures" === JInt(3))
+    val got = api.dispatch("GET", "/v1/metric/h1%2Fcpu.usage/measures",
+      query = Map("refresh" -> "true"))
+    assert(got.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(_, _, JDouble(v))) => v; case _ => fail()
+    } === List(0.6)) // mean(0.5, 0.7) in one minute bucket
+  }
+
+  test("prometheus remote-write route decodes the real wire body") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "s", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"name": "all", "metric_pattern": "*", "archive_policy_name": "s"}""")
+    val body = org.xerial.snappy.Snappy.compress(
+      graft.ingest.PromProto.encodeWriteRequest(Seq(
+        graft.ingest.PromProto.Series(
+          Map("__name__" -> "up", "job" -> "node", "instance" -> "i1"),
+          Seq((1388577601000L, 1.0), (1388577662000L, 0.0))))))
+    assert(api.dispatchBytes("POST", "/v1/prometheus/write",
+      Map.empty, body).status === 202)
+    val got = api.dispatch("GET", "/v1/metric/node@i1%2Fup/measures",
+      query = Map("refresh" -> "true"))
+    assert(got.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(t), _, JDouble(v))) => (t, v); case _ => fail()
+    } === List(("2014-01-01T12:00:00Z", 1.0), ("2014-01-01T12:01:00Z", 0.0)))
+  }
+
   test("socket round-trip on the JDK server binding") {
     val api = newApi
     val server = new RestServer(api)
