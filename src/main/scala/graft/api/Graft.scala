@@ -492,6 +492,16 @@ class Graft(val spark: SparkSession, root: String) {
     graft.catalog.Pagination(searchResources(filterStr), sorts, uniqueKey,
       marker, limit)
 
+  /** GET /v1/resource/<type> (rest/api.py ResourcesController): the
+    * unfiltered catalog page, keyset-paginated on `id`.
+    */
+  def listResources(sorts: Seq[(String, Boolean)] = Seq("id" -> true),
+                    marker: Option[Any] = None, limit: Int = 100): DataFrame =
+    graft.catalog.Pagination(
+      resources.getOrElse(throw new IllegalStateException(
+        "no resource table registered — call setResources(df) first")),
+      sorts, "id", marker, limit)
+
   private val resourceTypes =
     scala.collection.mutable.Map[String, graft.catalog.ResourceTypes.ResourceType]()
 

@@ -114,6 +114,40 @@ class RestApi(g: Graft) {
     ArchivePolicy(name, back, items, methods)
   }
 
+  /** Attribute-type wire forms (resource_type.py schema names). */
+  private def parseAttrType(spec: JValue): graft.catalog.ResourceTypes.AttrType = {
+    import graft.catalog.ResourceTypes.AttrType._
+    def numOpt(k: String): Option[Double] =
+      spec \ k match { case JNothing => None; case v => Some(jnum(v)) }
+    jstr(spec \ "type") match {
+      case "string"   => Str((spec \ "max_length" match {
+        case JNothing => 255; case v => jnum(v).toInt
+      }))
+      case "uuid"     => Uuid
+      case "datetime" => Datetime
+      case "number"   => Num(numOpt("min"), numOpt("max"))
+      case "bool"     => Bool
+      case other => throw new IllegalArgumentException(s"unknown attr type $other")
+    }
+  }
+
+  private def resourceTypeJson(
+      rt: graft.catalog.ResourceTypes.ResourceType): JValue = {
+    import graft.catalog.ResourceTypes.AttrType._
+    ("name" -> rt.name) ~ ("attributes" -> JObject(rt.attrs.toList.map { a =>
+      val base: List[(String, JValue)] = a.tpe match {
+        case Str(ml)    => List("type" -> JString("string"),
+          "max_length" -> JInt(ml))
+        case Uuid       => List("type" -> JString("uuid"))
+        case Datetime   => List("type" -> JString("datetime"))
+        case Num(mn, mx) => List[(String, JValue)]("type" -> JString("number")) ++
+          mn.map(v => "min" -> JDouble(v)) ++ mx.map(v => "max" -> JDouble(v))
+        case Bool       => List("type" -> JString("bool"))
+      }
+      a.name -> JObject(("required" -> JBool(a.required)) :: base)
+    }))
+  }
+
   private def measuresTriples(rows: Seq[(java.sql.Timestamp, Long, Double)]): JValue =
     JArray(rows.toList.map { case (t, gS, v) =>
       JArray(List(JString(iso(t)), JDouble(gS.toDouble), JDouble(v)))
@@ -308,6 +342,47 @@ class RestApi(g: Graft) {
               g.aggregates(operations, granS, fill, overlap), granS)
             ok("measures" -> ("aggregated" -> measuresTriples(rows)))
         }
+
+      // -------------------------------------------------- resources
+      // keyset-paginated listing: ?sort=zone:desc,id:asc&limit=&marker=
+      case ("GET", List("v1", "resource", _)) =>
+        val sorts = q.get("sort").map(_.split(",").toSeq.map { s =>
+          s.split(":", 2) match {
+            case Array(k, "desc") => k -> false
+            case Array(k, _)      => k -> true
+            case Array(k)         => k -> true
+          }
+        }).getOrElse(Seq("id" -> true))
+        ok(frameJson(g.listResources(sorts, q.get("marker"),
+          q.get("limit").map(_.toInt).getOrElse(100)), Int.MaxValue))
+
+      case ("GET", List("v1", "resource", _, id)) =>
+        frameJson(g.searchResources(s"id = '$id'"), 2) match {
+          case JArray(List(one)) => ok(one)
+          case JArray(Nil)       => err(404, s"no resource $id")
+          case _                 => err(500, s"duplicate resource id $id")
+        }
+
+      // -------------------------------------------------- resource types
+      case ("POST", List("v1", "resource_type")) =>
+        val b = body()
+        val attrs = b \ "attributes" match {
+          case JObject(fields) => fields.map { case (n, spec) =>
+            graft.catalog.ResourceTypes.AttrSpec(n, parseAttrType(spec),
+              required = spec \ "required" == JBool(true))
+          }
+          case JNothing => Nil
+          case other => throw new IllegalArgumentException(s"bad attributes: $other")
+        }
+        val rt = graft.catalog.ResourceTypes.ResourceType(jstr(b \ "name"), attrs)
+        g.createResourceType(rt)
+        created(resourceTypeJson(rt))
+
+      case ("GET", List("v1", "resource_type", name)) =>
+        ok(resourceTypeJson(g.resourceType(name)))
+
+      case ("DELETE", List("v1", "resource_type", name)) =>
+        g.deleteResourceType(name); noContent
 
       // -------------------------------------------------- wire protocols
       // InfluxDB line-protocol write (the reference's rest/influxdb.py):

@@ -192,6 +192,40 @@ class RestSpec extends SparkSpec {
     } === List(("2014-01-01T12:00:00Z", 1.0), ("2014-01-01T12:01:00Z", 0.0)))
   }
 
+  test("resource listing pagination and resource-type CRUD routes") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(
+      ("r1", "fr"), ("r2", "de"), ("r3", "fr"), ("r4", "us"))
+      .toDF("id", "zone"))
+    // page 1: 2 rows sorted by zone desc then id; marker pages on id
+    val p1 = api.dispatch("GET", "/v1/resource/generic",
+      query = Map("sort" -> "zone:desc", "limit" -> "2"))
+    assert(p1.body.asInstanceOf[JArray].arr.map(_ \ "id")
+      === List(JString("r4"), JString("r1"))) // us, then fr (id tiebreak)
+    val p2 = api.dispatch("GET", "/v1/resource/generic",
+      query = Map("limit" -> "2", "marker" -> "r2"))
+    assert(p2.body.asInstanceOf[JArray].arr.map(_ \ "id")
+      === List(JString("r3"), JString("r4")))
+    assert(api.dispatch("GET", "/v1/resource/generic/r3").body \ "zone"
+      === JString("fr"))
+    assert(api.dispatch("GET", "/v1/resource/generic/nope").status === 404)
+
+    val rt = api.dispatch("POST", "/v1/resource_type", body =
+      """{"name": "instance", "attributes": {
+          "host": {"type": "string", "required": true, "max_length": 64},
+          "cores": {"type": "number", "min": 1}}}""")
+    assert(rt.status === 201)
+    val got = api.dispatch("GET", "/v1/resource_type/instance")
+    assert(got.body \ "attributes" \ "host" \ "max_length" === JInt(64))
+    assert(got.body \ "attributes" \ "cores" \ "min" === JDouble(1.0))
+    assert(api.dispatch("DELETE", "/v1/resource_type/instance").status === 204)
+    assert(api.dispatch("GET", "/v1/resource_type/instance").status === 404)
+  }
+
   test("socket round-trip on the JDK server binding") {
     val api = newApi
     val server = new RestServer(api)
