@@ -328,6 +328,28 @@ class RestApi(g: Graft) {
         val b = body()
         val operations = jstr(b \ "operations")
         val fill = b \ "fill" match { case JString(s) => Some(s); case _ => None }
+        val groupby = b \ "groupby" match {
+          case JArray(a) => a.map(jstr); case _ => Nil
+        }
+        val search = b \ "search" match {
+          case JString(s) => Some(s); case _ => None
+        }
+        // resource-scoped / grouped form (rest/aggregates/api.py:372-493):
+        // metric leaves resolve by NAME against the searched resources,
+        // one series per group via GroupedOps
+        if (search.isDefined || groupby.nonEmpty) {
+          val granS = b \ "granularity" match {
+            case JNothing => throw new IllegalArgumentException(
+              "granularity required with search/groupby")
+            case n => jnum(n).toLong
+          }
+          val df = g.groupByAggregatesOps(operations, granS,
+            search.getOrElse(throw new IllegalArgumentException(
+              "search required with groupby")), groupby, fill)
+          return ok("measures" -> frameJson(
+            df.orderBy((groupby :+ "bucket").map(
+              org.apache.spark.sql.functions.col): _*), 100000))
+        }
         b \ "granularity" match {
           case JNothing => // P1: every common granularity, coarse→fine
             val df = g.aggregatesAuto(operations, fill)

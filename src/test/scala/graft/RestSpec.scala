@@ -226,6 +226,38 @@ class RestSpec extends SparkSpec {
     assert(api.dispatch("GET", "/v1/resource_type/instance").status === 404)
   }
 
+  test("scoped+grouped aggregates route (search/groupby body form)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "300"}],
+          "aggregation_methods": ["mean"]}""")
+    for (m <- Seq("u1", "u2")) {
+      api.dispatch("POST", "/v1/metric",
+        body = s"""{"id": "$m", "archive_policy_name": "low"}""")
+      api.dispatch("POST", s"/v1/metric/$m/measures", body =
+        s"""[{"timestamp": "2015-03-06T14:33:00Z",
+              "value": ${if (m == "u1") 10.0 else 30.0}}]""")
+    }
+    g.process()
+    g.setResources(Seq(("r1", "east"), ("r2", "west")).toDF("id", "zone"))
+    g.setMetrics(Seq(("u1", "r1", "mem.used"), ("u2", "r2", "mem.used"))
+      .toDF("metric_id", "resource_id", "name"))
+    val resp = api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": "(aggregate sum (metric mem.used mean))",
+          "granularity": 300,
+          "search": "zone in ['east', 'west']",
+          "groupby": ["zone"]}""")
+    assert(resp.status === 200)
+    val rows = (resp.body \ "measures").asInstanceOf[JArray].arr
+      .map(r => (r \ "zone", r \ "value"))
+    assert(rows === List(
+      (JString("east"), JDouble(10.0)), (JString("west"), JDouble(30.0))))
+  }
+
   test("socket round-trip on the JDK server binding") {
     val api = newApi
     val server = new RestServer(api)
