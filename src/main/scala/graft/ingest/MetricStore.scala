@@ -274,15 +274,31 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
         _.granularity == Granularity.Calendar(unit)),
       s"policy ${policy.name}: calendar granularity $unit not declared")
     val base = getMeasuresMany(metricIds, methods, baseGranS, from, to)
-    // resample is per-method (each series re-aggregates with its own
-    // kernel); the method list is policy-bounded, so the union is a
-    // handful of branches over one shared pruned scan
-    methods.map { m =>
-      TimeSeriesOps.resample(base.filter(col("method") === m), m,
-          Granularity.Calendar(unit), Seq("metric_id"))
-        .withColumn("method", lit(m))
-    }.reduce(_ unionByName _)
-      .select("metric_id", "method", "bucket", "value")
+    // SINGLE pass: every kernel evaluates as one aggregate column over
+    // one shared (metric, method, calendar-bucket) hash aggregate, and
+    // each row keeps its own method's value — a per-method
+    // filter+resample union would re-scan and re-shuffle the store
+    // once per method (plan-audited: 4 scans for 2 methods × 2 units)
+    val bases = methods.map(graft.timeseries.Kernels.baseMethod).distinct
+    val aggCols = bases.map(m =>
+      graft.timeseries.Kernels.aggColumn(m, col("value"), col("bucket"))
+        .as(s"__v_$m")) :+ count(col("value")).as("__n")
+    val grouped = base
+      .withColumn("__b2",
+        graft.timeseries.Bucketing.calendarBucket(col("bucket"), unit))
+      .groupBy(col("metric_id"), col("method"), col("__b2").as("bucket"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val value = bases.foldLeft(lit(null).cast("double")) { (acc, m) =>
+      when(col("method") === m ||
+        col("method") === s"rate:$m", col(s"__v_$m")).otherwise(acc)
+    }
+    val gt1 = bases.filter(graft.timeseries.Kernels.needsCountGt1)
+    val keep = gt1.foldLeft(lit(true)) { (acc, m) =>
+      acc && !(col("method").isin(m, s"rate:$m") && col("__n") <= 1)
+    }
+    grouped.filter(keep)
+      .select(col("metric_id"), col("method"), col("bucket"),
+        value.as("value"))
   }
 
   /** J2 split compaction (storage/__init__.py:528-550): rewrite the
