@@ -1,6 +1,7 @@
 package graft
 
 import org.json4s._
+import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
 import graft.rest.{RestApi, RestServer}
 
@@ -257,6 +258,46 @@ class RestSpec extends SparkSpec {
     assert(rows === List(
       (JString("east"), JDouble(10.0)), (JString("west"), JDouble(30.0))))
   }
+
+  test("property: archive-policy JSON wire round-trips through the API") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val api = newApi
+    val genGran = Gen.oneOf(
+      Gen.chooseNum(1L, 86400L).map(g => graft.model.Granularity.seconds(g)),
+      Gen.oneOf("Y", "H", "Q", "M", "W").map(graft.model.Granularity.Calendar(_)))
+    val genItem = for {
+      g <- genGran
+      pts <- Gen.option(Gen.chooseNum(1L, 10000L))
+    } yield graft.model.ArchivePolicyItem(g, pts, None).completed
+    val genMethods = Gen.someOf(Seq("mean", "max", "min", "sum", "count",
+      "std", "median", "95pct", "rate:mean")).suchThat(_.nonEmpty)
+    var n = 0
+    val p = Prop.forAll(Gen.nonEmptyListOf(genItem), genMethods) { (items, ms) =>
+      n += 1
+      val name = s"prop$n"
+      val posted = api.dispatch("POST", "/v1/archive_policy", body =
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            ("name" -> name) ~ ("back_window" -> 0) ~
+              ("aggregation_methods" -> ms.toList) ~
+              ("definition" -> items.map { i =>
+                ("granularity" -> i.granularity.token) ~
+                  ("points" -> i.points)
+              }))))
+      val got = api.dispatch("GET", s"/v1/archive_policy/$name")
+      posted.status == 201 && got.status == 200 &&
+        (got.body \ "aggregation_methods") ==
+          JArray(ms.toList.sorted.map(JString(_))) &&
+        (got.body \ "definition").asInstanceOf[JArray].arr.map(
+          d => jstrOf(d \ "granularity")) == items.map(_.granularity.token)
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def jstrOf(v: JValue): String =
+    v match { case JString(s) => s; case other => other.toString }
 
   test("socket round-trip on the JDK server binding") {
     val api = newApi

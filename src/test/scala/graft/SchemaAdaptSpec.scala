@@ -73,6 +73,30 @@ class SchemaAdaptSpec extends SparkSpec {
     }
   }
 
+  test("property: random µs instants normalize identically across eras") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val s = spark
+    import s.implicits._
+    val genMicros = Gen.chooseNum(0L, 4_102_444_800_000_000L) // ..2100
+    val p = Prop.forAll(Gen.listOfN(20, genMicros)) { micros =>
+      val rows = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+      val asNs = rows.map { case (id, us) => (id, us * 1000L) }
+        .toDF("event_id", "ts")
+      val asTs = rows.map { case (id, us) =>
+        (id, java.time.LocalDateTime.ofEpochSecond(us / 1_000_000L,
+          ((us % 1_000_000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+      }.toDF("event_id", "ts")
+      def norm(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        Queries.adaptTs(df).select(col("event_id"), unix_micros(col("ts")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      norm(asNs) == norm(asTs) &&
+        norm(asTs).map(_._2) == rows.sortBy(_._1).map(_._2)
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("events() rejects an unreadable ts type loudly") {
     val s = spark
     import s.implicits._
