@@ -857,12 +857,13 @@ object Queries {
     }),
     // Fuzzy-dedup clustering: LSH near-dup pairs (dd2's parameters)
     // → connected components → one (canonical, size) row per cluster.
-    // The oracle replays it as exact-jaccard pairs + a recursive
-    // min-label closure in SQL.
+    // The fused fuzzyClusters path feeds CC representative-level star
+    // edges (linear in copy-group size) instead of the expanded
+    // member-level pair set (quadratic); the oracle replays it as
+    // exact-jaccard pairs + a recursive min-label closure in SQL.
     "dd6_dup_clusters" -> ((s, dir) =>
-      Dedup.duplicateClusters(
-        Dedup.minhashLsh(table(s, dir, "documents"), n = 3, numHashes = 64,
-          bands = 16, threshold = 0.4))),
+      Dedup.fuzzyClusters(table(s, dir, "documents"), n = 3, numHashes = 64,
+        bands = 16, threshold = 0.4)),
     "txt5_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(table(s, dir, "documents"))
         .select(col("doc_id"), r6(col("dup_line_frac")).as("dup_line_frac"),

@@ -211,6 +211,23 @@ object Dedup {
                  bands: Int = 32, threshold: Double = 0.5,
                  idCol: String = "doc_id", textCol: String = "text",
                  maxBucket: Int = 100000): DataFrame = {
+    val (groups, repPairs, withinEligible) =
+      minhashLshParts(docs, n, numHashes, bands, threshold, idCol, textCol,
+        maxBucket)
+    expandPairs(repPairs, groups, withinEligible, Seq("jaccard"))
+  }
+
+  /** The representative-level internals of [[minhashLsh]]: exact-dup
+    * groups, verified near-dup pairs over representatives only, and the
+    * within-group pairing eligibility. [[minhashLsh]] expands these to
+    * the full member-level pair set; [[fuzzyClusters]] consumes them
+    * directly so the quadratic expansion never materializes.
+    */
+  private[llm] def minhashLshParts(docs: DataFrame, n: Int, numHashes: Int,
+                                   bands: Int, threshold: Double,
+                                   idCol: String, textCol: String,
+                                   maxBucket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val groups = collapseExact(docs, idCol, textCol)
     val reps = collapseReps(docs, groups, idCol)
@@ -291,7 +308,7 @@ object Dedup {
       .filter(size(split(normalized(col(textCol)), " ")) >= n)
       .select(col(idCol).as("__rep"), lit(1.0).as("jaccard"))
       .filter(lit(1.0) >= threshold)
-    expandPairs(repPairs, groups, withinEligible, Seq("jaccard"))
+    (groups, repPairs, withinEligible)
   }
 
   /** Exact n-gram Jaccard similarity over all pairs — the correctness
@@ -464,6 +481,47 @@ object Dedup {
     connectedComponents(pairs, srcCol, dstCol)
       .groupBy(col("component").as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
+
+  /** Fused minhash-LSH → duplicate clusters, skipping the member-level
+    * pair expansion entirely. [[duplicateClusters]] over
+    * [[minhashLsh]]'s output feeds connected components an edge set
+    * QUADRATIC in exact-copy group size (a g-member copy group expands
+    * to g(g−1)/2 within pairs, and a cross pair between groups A and B
+    * to |A|·|B| edges) — at corpus scale one million-copy boilerplate
+    * group is 5·10¹¹ edges. Here the edge set is the
+    * connectivity-equivalent LINEAR one: verified representative-level
+    * pairs plus one star edge per member of each pairing-eligible
+    * multi-member group. Components, canonical ids (group minima) and
+    * member counts are identical to the expanded formulation — a
+    * member connects to everything its representative connects to via
+    * the star, and cross-pair expansion connects exactly the same
+    * member sets through the opposite group's members.
+    *
+    * Eligibility mirrors [[expandPairs]]: a group's members pair with
+    * each other iff the within-group jaccard (exactly 1.0, on a
+    * non-degenerate shingle set) passes — shingle-less copy groups
+    * (fewer than n words) stay unclustered, as in the expanded form.
+    * Representatives appearing in any verified cross pair are included
+    * defensively; with threshold ≤ 1 they are always within-eligible
+    * anyway (a verified pair needs a non-empty shingle set).
+    */
+  def fuzzyClusters(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+                    bands: Int = 32, threshold: Double = 0.5,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    maxBucket: Int = 100000): DataFrame = {
+    val (groups, repPairs, withinEligible) =
+      minhashLshParts(docs, n, numHashes, bands, threshold, idCol, textCol,
+        maxBucket)
+    val eligible = withinEligible.select("__rep")
+      .unionAll(repPairs.select(col("id_a").as("__rep")))
+      .unionAll(repPairs.select(col("id_b").as("__rep")))
+    val starEdges = groups.filter(size(col("__ids")) > 1)
+      .join(eligible.hint("shuffle_hash"), Seq("__rep"), "left_semi")
+      .select(explode(col("__ids")).as("id_a"), col("__rep").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    duplicateClusters(
+      repPairs.select("id_a", "id_b").unionByName(starEdges))
+  }
 
   /** SimHash (64-bit): sign of per-bit weighted sums of token hashes.
     * Near-dups = small Hamming distance. Computed with explode +

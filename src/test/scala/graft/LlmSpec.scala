@@ -212,6 +212,34 @@ class LlmSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 10L -> 2L))
   }
 
+  test("fuzzyClusters == duplicateClusters(minhashLsh) on a copy-heavy corpus") {
+    // exact-copy groups (the star-edge path), near-dup cross pairs
+    // between DIFFERENT copy groups (the rep-pair path), a shingle-less
+    // copy group (2 words < n=3: must stay UNclustered in both forms),
+    // and singletons. Differential: the linear star-edge formulation
+    // must produce the exact (canonical, size) rows of the expanded
+    // member-level pair formulation.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy dog again and often"
+    val other = "completely unrelated text about spark catalyst optimizers"
+    val d = docs(
+      (1L, base), (2L, base), (3L, base),          // copy group {1,2,3}
+      (10L, near), (11L, near),                    // copy group {10,11}, near-dup of base
+      (20L, other), (21L, other),                  // isolated copy group
+      (30L, "hi there"), (31L, "hi there"),        // shingle-less copies: no cluster
+      (40L, "a lone document mentioning nothing similar to the others at all"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expanded = rows(Dedup.duplicateClusters(
+      Dedup.minhashLsh(d, n = 3, numHashes = 64, bands = 16, threshold = 0.4)))
+    val fused = rows(Dedup.fuzzyClusters(
+      d, n = 3, numHashes = 64, bands = 16, threshold = 0.4))
+    assert(fused == expanded)
+    // sanity on the shape itself, not just agreement: {1,2,3,10,11}
+    // merge through the cross pair; {20,21} isolated; {30,31} absent
+    assert(fused == Set((1L, 5L), (20L, 2L)))
+  }
+
   test("repetition signals: dup-line and top-2-gram fractions") {
     val d = docs(
       (1L, "spam line\nspam line\nspam line\nreal content here"),
