@@ -134,6 +134,13 @@ object Bench {
     "scale_dd8_fingerprint" -> (() =>
       graft.llm.Dedup.fingerprintDup(
         s.read.parquet(s"$dir/documents.parquet"))),
+    // fuzzy-dup CLUSTERING on the all-dup corpus: 32-member copy groups
+    // enter connected components as 31 star edges each, not 496
+    // expanded pairs — the linear rep-level edge formulation
+    "scale_dd6_clusters" -> (() =>
+      graft.llm.Dedup.fuzzyClusters(
+        s.read.parquet(s"$dir/documents.parquet"), n = 3, numHashes = 64,
+        bands = 16, threshold = 0.4)),
     // cross-doc repeated spans over the amplified corpus (every copy
     // shares its source doc's grams — the all-dup worst case)
     "scale_dd7_repeated_spans" -> (() =>

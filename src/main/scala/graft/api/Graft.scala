@@ -92,6 +92,40 @@ class Graft(val spark: SparkSession, root: String) {
 
   def hasMetric(id: String): Boolean = metricPolicy.contains(id)
 
+  /** GET /v1/archive_policy — all policies, name-sorted. */
+  def listPolicies: Seq[ArchivePolicy] = policies.values.toSeq.sortBy(_.name)
+
+  /** DELETE /v1/archive_policy/<name>: refuses while any metric still
+    * uses the policy (indexer ArchivePolicyInUse → 400).
+    */
+  def deletePolicy(name: String): Unit = {
+    require(policies.contains(name), s"no policy $name")
+    require(!metricPolicy.values.exists(_ == name),
+      s"archive policy $name is still in use")
+    policies.remove(name)
+  }
+
+  /** GET /v1/archive_policy_rule — rules in match-precedence order
+    * (longest pattern first, the order [[rulePolicy]] applies them).
+    */
+  def listPolicyRules: Seq[(String, String)] =
+    policyRules.toSeq.sortBy { case (p, _) => (-p.length, p) }
+
+  def deletePolicyRule(pattern: String): Unit = {
+    val i = policyRules.indexWhere(_._1 == pattern)
+    require(i >= 0, s"no archive policy rule $pattern")
+    policyRules.remove(i)
+  }
+
+  /** GET /v1/metric — the registered metrics as (id, policy name),
+    * id-sorted (driver-local by the bounded-metric-set assumption the
+    * catalog maps already make).
+    */
+  def listMetrics: Seq[(String, String)] = metricPolicy.toSeq.sortBy(_._1)
+
+  def metricPolicyName(id: String): String = metricPolicy.getOrElse(id,
+    throw new IllegalArgumentException(s"unknown metric $id"))
+
   /** R8 delete-by-query (sqlalchemy.py:1034-1066): drop resources
     * matching the filter, returning the count.
     */
@@ -502,6 +536,56 @@ class Graft(val spark: SparkSession, root: String) {
         "no resource table registered — call setResources(df) first")),
       sorts, "id", marker, limit)
 
+  /** POST /v1/resource/<type> (rest/api.py ResourcesController.post):
+    * append one resource row parsed from the JSON body against the
+    * registered catalog's schema (absent attributes null-fill; a
+    * `type` column, when present, defaults to the route's type).
+    * Duplicate ids reject (the reference's 409).
+    */
+  def createResource(tpe: String, id: String, json: String): Unit = {
+    val res = resources.getOrElse(throw new IllegalStateException(
+      "no resource table registered — call setResources(df) first"))
+    require(res.filter(col("id") === id).isEmpty,
+      s"resource $id already exists")
+    import spark.implicits._
+    var row = spark.read.schema(res.schema).json(Seq(json).toDS)
+    if (res.columns.contains("type"))
+      row = row.withColumn("type", coalesce(col("type"), lit(tpe)))
+    resources = Some(res.unionByName(row))
+  }
+
+  /** PATCH /v1/resource/<type>/<id>: update attribute values on the
+    * current row; the PRE-patch row is end-dated into the registered
+    * history table (`revision_end` = `nowS`) so G3/G4 history
+    * weighting sees the attribute change — the reference's
+    * ResourceHistory insert on update (sqlalchemy.py:886-920).
+    * Updates must name existing catalog columns; values are cast to
+    * the column's type.
+    */
+  def patchResource(id: String, updates: Map[String, Any],
+                    nowS: Long): Unit = {
+    val res = resources.getOrElse(throw new IllegalStateException(
+      "no resource table registered — call setResources(df) first"))
+    val bad = updates.keySet -- res.columns
+    require(bad.isEmpty, s"unknown attributes: ${bad.toSeq.sorted.mkString(", ")}")
+    val cur = res.filter(col("id") === id)
+    require(!cur.isEmpty, s"no resource $id")
+    resourceHistoryTbl = resourceHistoryTbl.map(_.unionByName(
+      cur.withColumn("revision_end",
+        to_timestamp(from_unixtime(lit(nowS)))),
+      allowMissingColumns = true))
+    val patched = updates.foldLeft(cur) { case (df, (k, v)) =>
+      df.withColumn(k, lit(v).cast(res.schema(k).dataType))
+    }
+    resources = Some(res.filter(col("id") =!= id).unionByName(patched))
+  }
+
+  /** DELETE /v1/resource/<type>/<id> — 404 when absent. */
+  def deleteResource(id: String): Unit = {
+    val n = deleteResources(s"id = '${id.replace("'", "''")}'")
+    if (n == 0) throw new NoSuchElementException(s"no resource $id")
+  }
+
   private val resourceTypes =
     scala.collection.mutable.Map[String, graft.catalog.ResourceTypes.ResourceType]()
 
@@ -570,6 +654,19 @@ class Graft(val spark: SparkSession, root: String) {
     * side of resources (indexer metric table, sqlalchemy_base.py:79-122).
     */
   def setMetrics(df: DataFrame): Unit = metricsCatalog = Some(df)
+
+  /** Resolve a resource's NAMED metric to its metric id
+    * (GET /v1/resource/<type>/<id>/metric/<name>/..., the indexer's
+    * (resource_id, name) unique key).
+    */
+  def resourceMetricId(resourceId: String, name: String): String = {
+    val cat = metricsCatalog.getOrElse(throw new IllegalStateException(
+      "no metric catalog registered — call setMetrics(df) first"))
+    cat.filter(col("resource_id") === resourceId && col("name") === name)
+      .select("metric_id").collect().map(_.getString(0)).headOption
+      .getOrElse(throw new NoSuchElementException(
+        s"resource $resourceId has no metric named $name"))
+  }
 
   /** G1/G2 resource-scoped group-by aggregation
     * (rest/aggregates/api.py:541-672): resolve resources by filter,

@@ -182,7 +182,7 @@ class RestApi(g: Graft) {
       case e: IllegalArgumentException
         if Option(e.getMessage).exists(m =>
           m.contains("unknown metric") || m.contains("no policy") ||
-            m.contains("no archive policy") || m.contains("no resource type")) =>
+            m.contains("no archive policy") || m.contains("no resource")) =>
         err(404, e.getMessage)
       case e @ (_: IllegalArgumentException | _: IllegalStateException |
                 _: MappingException | _: ClassCastException |
@@ -235,11 +235,18 @@ class RestApi(g: Graft) {
         g.createPolicy(p)
         created(policyJson(p))
 
+      case ("GET", List("v1", "archive_policy")) =>
+        ok(JArray(g.listPolicies.toList.map(policyJson)))
+
       case ("GET", List("v1", "archive_policy", name)) =>
         g.policies.get(name) match {
           case Some(p) => ok(policyJson(p))
           case None    => err(404, s"no policy $name")
         }
+
+      case ("DELETE", List("v1", "archive_policy", name)) =>
+        if (!g.policies.contains(name)) err(404, s"no policy $name")
+        else { g.deletePolicy(name); noContent }
 
       case ("PATCH", List("v1", "archive_policy", name)) =>
         val b = body()
@@ -261,7 +268,36 @@ class RestApi(g: Graft) {
         created(("metric_pattern" -> jstr(b \ "metric_pattern")) ~
           ("archive_policy_name" -> jstr(b \ "archive_policy_name")))
 
+      case ("GET", List("v1", "archive_policy_rule")) =>
+        ok(JArray(g.listPolicyRules.toList.map { case (pat, pol) =>
+          ("metric_pattern" -> pat) ~ ("archive_policy_name" -> pol)
+        }))
+
+      case ("GET", List("v1", "archive_policy_rule", pattern)) =>
+        g.listPolicyRules.find(_._1 == pattern) match {
+          case Some((pat, pol)) =>
+            ok(("metric_pattern" -> pat) ~ ("archive_policy_name" -> pol))
+          case None => err(404, s"no archive policy rule $pattern")
+        }
+
+      case ("DELETE", List("v1", "archive_policy_rule", pattern)) =>
+        g.deletePolicyRule(pattern); noContent
+
       // -------------------------------------------------- metrics
+      case ("GET", List("v1", "metric")) =>
+        val all = g.listMetrics
+        val after = q.get("marker") match {
+          case Some(m) => all.dropWhile(_._1 <= m); case None => all
+        }
+        ok(JArray(after.take(q.get("limit").map(_.toInt).getOrElse(100))
+          .toList.map { case (id, pol) =>
+            ("id" -> id) ~ ("archive_policy_name" -> pol)
+          }))
+
+      case ("GET", List("v1", "metric", id)) =>
+        ok(("id" -> id) ~
+          ("archive_policy" -> policyJson(g.policies(g.metricPolicyName(id)))))
+
       case ("POST", List("v1", "metric")) =>
         val b = body()
         val id = jstr(b \ "id" match { case JNothing => b \ "name"; case v => v })
@@ -300,6 +336,28 @@ class RestApi(g: Graft) {
       case ("POST", List("v1", "batch", "resources", "metrics", "measures")) =>
         g.batchAddMeasures(JsonMethods.compact(JsonMethods.render(body())),
           createMetrics = q.get("create_metrics").contains("true"))
+        accepted
+
+      // POST /v1/batch/metrics/measures (rest/api.py:1694-1723): body
+      // maps metric ID → measure list; unknown ids 400 with the list.
+      case ("POST", List("v1", "batch", "metrics", "measures")) =>
+        val entries = body() match {
+          case JObject(fields) => fields
+          case other => throw new IllegalArgumentException(s"bad batch body: $other")
+        }
+        val unknown = entries.map(_._1).filterNot(g.hasMetric)
+        if (unknown.nonEmpty)
+          return err(400, s"unknown metrics: ${unknown.sorted.mkString(", ")}")
+        entries.foreach { case (id, ms) =>
+          val points = ms.asInstanceOf[JArray].arr.map { m =>
+            val ts = m \ "timestamp" match {
+              case JString(s) => parseTs(s)
+              case n => new java.sql.Timestamp((jnum(n) * 1000).toLong)
+            }
+            (ts.toString, jnum(m \ "value"))
+          }
+          g.addMeasures(id, points)
+        }
         accepted
 
       // -------------------------------------------------- search
@@ -385,6 +443,52 @@ class RestApi(g: Graft) {
           case _                 => err(500, s"duplicate resource id $id")
         }
 
+      // POST /v1/resource/<type>: create one resource row against the
+      // registered catalog schema; duplicate id → 409.
+      case ("POST", List("v1", "resource", tpe)) =>
+        val b = body()
+        val id = jstr(b \ "id")
+        try {
+          g.createResource(tpe, id, JsonMethods.compact(JsonMethods.render(b)))
+          created(frameJson(g.searchResources(s"id = '$id'"), 1) match {
+            case JArray(List(one)) => one; case _ => b
+          })
+        } catch {
+          case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.contains("already exists")) =>
+            err(409, e.getMessage)
+        }
+
+      // PATCH /v1/resource/<type>/<id>: update attributes; the
+      // pre-patch row end-dates into the history table.
+      case ("PATCH", List("v1", "resource", _, id)) =>
+        val updates = body() match {
+          case JObject(fields) => fields.toMap.map {
+            case (k, JString(s))  => k -> (s: Any)
+            case (k, JBool(v))    => k -> (v: Any)
+            case (k, JNull)       => k -> (null: Any)
+            case (k, n)           => k -> (jnum(n): Any)
+          }
+          case other => throw new IllegalArgumentException(s"bad patch: $other")
+        }
+        g.patchResource(id, updates,
+          q.get("now").map(_.toLong).getOrElse(
+            java.time.Instant.now.getEpochSecond))
+        frameJson(g.searchResources(s"id = '$id'"), 1) match {
+          case JArray(List(one)) => ok(one)
+          case _                 => err(404, s"no resource $id")
+        }
+
+      case ("DELETE", List("v1", "resource", _, id)) =>
+        g.deleteResource(id); noContent
+
+      // GET /v1/resource/<type>/<id>/metric/<name>/measures: resolve
+      // the resource's NAMED metric via the catalog, then read as the
+      // plain metric-measures route.
+      case ("GET", List("v1", "resource", _, id, "metric", name, "measures")) =>
+        route("GET", List("v1", "metric", g.resourceMetricId(id, name),
+          "measures"), q, body, raw)
+
       // -------------------------------------------------- resource types
       case ("POST", List("v1", "resource_type")) =>
         val b = body()
@@ -405,6 +509,64 @@ class RestApi(g: Graft) {
 
       case ("DELETE", List("v1", "resource_type", name)) =>
         g.deleteResourceType(name); noContent
+
+      // PATCH /v1/resource_type/<name>: RFC-6902-style attribute ops
+      // (rest/api.py ResourceTypesController.patch) — add/remove on
+      // /attributes/<attr>, with the add's backfill under
+      // options.fill; applied through the facade's (newType, backfill)
+      // ALTER to both the current and history tables.
+      case ("PATCH", List("v1", "resource_type", name)) =>
+        val ops = body().asInstanceOf[JArray].arr
+        val adds = scala.collection.mutable.ArrayBuffer
+          .empty[(graft.catalog.ResourceTypes.AttrSpec, Option[Any])]
+        val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+        ops.foreach { op =>
+          val attr = jstr(op \ "path").stripPrefix("/attributes/")
+          jstr(op \ "op") match {
+            case "add" =>
+              val spec = op \ "value"
+              val fill: Option[Any] = spec \ "options" \ "fill" match {
+                case JNothing => None
+                case JString(s) => Some(s)
+                case JBool(v) => Some(v)
+                case n => Some(jnum(n))
+              }
+              adds += ((graft.catalog.ResourceTypes.AttrSpec(attr,
+                parseAttrType(spec),
+                required = spec \ "required" == JBool(true)), fill))
+            case "remove" => dels += attr
+            case other => throw new IllegalArgumentException(
+              s"unsupported patch op $other")
+          }
+        }
+        g.patchResourceType(name, add = adds.toSeq, del = dels.toSeq)
+        ok(resourceTypeJson(g.resourceType(name)))
+
+      // Legacy cross-metric aggregation (rest/api.py
+      // AggregationController, deprecated in the reference but still
+      // routed): ?metric=id1,id2&aggregation=mean[&granularity=s]
+      // [&start=][&stop=] → flat measure triples via the aggregates
+      // DSL's (aggregate agg (metric ...)) form.
+      case ("GET", List("v1", "aggregation", "metric")) =>
+        val ids = q.getOrElse("metric",
+          throw new IllegalArgumentException("metric required"))
+          .split(",").toSeq.filter(_.nonEmpty)
+        val agg = q.getOrElse("aggregation", "mean")
+        val ops =
+          if (ids.size == 1) s"(metric ${ids.head} $agg)"
+          else s"(aggregate $agg (metric ${
+            ids.map(i => s"($i $agg)").mkString(" ")}))"
+        val granS = q.get("granularity").map(_.toLong).getOrElse(
+          g.commonGranularities(ids).headOption.getOrElse(
+            throw new IllegalArgumentException("no common granularity")))
+        var rows = g.shaped(
+          g.aggregates(ops, granS, q.get("fill"),
+            q.get("needed_overlap").map(_.toDouble)), granS)
+        for (f <- q.get("start").map(parseTs))
+          rows = rows.filter(!_._1.before(f))
+        for (t <- q.get("stop").map(parseTs))
+          rows = rows.filter(_._1.before(t))
+        ok(measuresTriples(rows))
 
       // -------------------------------------------------- wire protocols
       // InfluxDB line-protocol write (the reference's rest/influxdb.py):

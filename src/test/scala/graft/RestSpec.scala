@@ -259,6 +259,179 @@ class RestSpec extends SparkSpec {
       (JString("east"), JDouble(10.0)), (JString("west"), JDouble(30.0))))
   }
 
+  test("policy/rule/metric listing + delete routes") {
+    val api = newApi
+    for (n <- Seq("b-pol", "a-pol"))
+      api.dispatch("POST", "/v1/archive_policy", body =
+        s"""{"name": "$n", "definition": [{"granularity": "60"}]}""")
+    // name-sorted, alongside the reference's default presets
+    // (low/medium/high/bool, archive_policy.py DEFAULT_ARCHIVE_POLICIES)
+    val ls = api.dispatch("GET", "/v1/archive_policy")
+    val names = ls.body.asInstanceOf[JArray].arr.map(_ \ "name")
+    assert(names.filter(n => n == JString("a-pol") || n == JString("b-pol"))
+      === List(JString("a-pol"), JString("b-pol")))
+    assert(names.contains(JString("low")) && names.contains(JString("bool")))
+
+    api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"metric_pattern": "disk.*", "archive_policy_name": "a-pol"}""")
+    api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"metric_pattern": "*", "archive_policy_name": "b-pol"}""")
+    // precedence order: longest pattern first
+    assert(api.dispatch("GET", "/v1/archive_policy_rule").body
+      .asInstanceOf[JArray].arr.map(_ \ "metric_pattern")
+      === List(JString("disk.*"), JString("*")))
+    assert(api.dispatch("GET", "/v1/archive_policy_rule/disk.*")
+      .body \ "archive_policy_name" === JString("a-pol"))
+    assert(api.dispatch("GET", "/v1/archive_policy_rule/none").status === 404)
+
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "disk.io", "archive_policy_name": "a-pol"}""")
+    // policy in use → 400; rule delete + unused policy delete → 204
+    assert(api.dispatch("DELETE", "/v1/archive_policy/a-pol").status === 400)
+    assert(api.dispatch("DELETE", "/v1/archive_policy_rule/disk.*")
+      .status === 204)
+    assert(api.dispatch("DELETE", "/v1/archive_policy/b-pol").status === 204)
+    assert(api.dispatch("DELETE", "/v1/archive_policy/b-pol").status === 404)
+
+    // metric listing pages on the id marker; detail embeds the policy
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "cpu.util", "archive_policy_name": "a-pol"}""")
+    val m1 = api.dispatch("GET", "/v1/metric", query = Map("limit" -> "1"))
+    assert(m1.body.asInstanceOf[JArray].arr.map(_ \ "id")
+      === List(JString("cpu.util")))
+    val m2 = api.dispatch("GET", "/v1/metric",
+      query = Map("marker" -> "cpu.util"))
+    assert(m2.body.asInstanceOf[JArray].arr.map(_ \ "id")
+      === List(JString("disk.io")))
+    assert(api.dispatch("GET", "/v1/metric/disk.io").body \
+      "archive_policy" \ "name" === JString("a-pol"))
+    assert(api.dispatch("GET", "/v1/metric/ghost").status === 404)
+  }
+
+  test("batch metrics measures route: unknown ids 400 with the list") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "p", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "m1", "archive_policy_name": "p"}""")
+    val bad = api.dispatch("POST", "/v1/batch/metrics/measures", body =
+      """{"m1": [{"timestamp": "2014-01-01T12:00:00Z", "value": 1}],
+          "ghost": [{"timestamp": "2014-01-01T12:00:00Z", "value": 2}]}""")
+    assert(bad.status === 400)
+    assert((bad.body \ "description").asInstanceOf[JString].s.contains("ghost"))
+    assert(api.dispatch("POST", "/v1/batch/metrics/measures", body =
+      """{"m1": [{"timestamp": "2014-01-01T12:00:00Z", "value": 1},
+                 {"timestamp": "2014-01-01T12:00:30Z", "value": 3}]}""")
+      .status === 202)
+    val got = api.dispatch("GET", "/v1/metric/m1/measures",
+      query = Map("refresh" -> "true"))
+    assert(got.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(_, _, JDouble(v))) => v; case _ => fail()
+    } === List(2.0))
+  }
+
+  test("resource row CRUD with history end-dating") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(("r1", "fr", 2.0)).toDF("id", "zone", "weight"))
+    g.setResourceHistory(Seq.empty[(String, String, Double,
+      java.sql.Timestamp)].toDF("id", "zone", "weight", "revision_end"))
+
+    // create: catalog-schema fill, duplicate 409
+    assert(api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "r2", "zone": "de"}""").status === 201)
+    assert(api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "r2", "zone": "de"}""").status === 409)
+    assert(api.dispatch("GET", "/v1/resource/generic/r2").body \ "zone"
+      === JString("de"))
+
+    // patch: value updated in place, OLD row end-dated into history
+    val patched = api.dispatch("PATCH", "/v1/resource/generic/r1",
+      query = Map("now" -> "1700000000"),
+      body = """{"zone": "us", "weight": 5}""")
+    assert(patched.status === 200)
+    assert(patched.body \ "zone" === JString("us"))
+    assert(patched.body \ "weight" === JDouble(5.0))
+    assert(api.dispatch("PATCH", "/v1/resource/generic/ghost",
+      body = """{"zone": "x"}""").status === 404)
+    assert(api.dispatch("PATCH", "/v1/resource/generic/r1",
+      body = """{"nope": 1}""").status === 400)
+
+    // delete: row gone, 404 after
+    assert(api.dispatch("DELETE", "/v1/resource/generic/r2").status === 204)
+    assert(api.dispatch("GET", "/v1/resource/generic/r2").status === 404)
+    assert(api.dispatch("DELETE", "/v1/resource/generic/r2").status === 404)
+  }
+
+  test("resource-type PATCH applies attribute add/remove with backfill") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(("r1", "fr")).toDF("id", "zone"))
+    api.dispatch("POST", "/v1/resource_type", body =
+      """{"name": "instance", "attributes": {
+          "zone": {"type": "string", "required": true}}}""")
+    val p = api.dispatch("PATCH", "/v1/resource_type/instance", body =
+      """[{"op": "add", "path": "/attributes/flavor",
+           "value": {"type": "string", "required": true,
+                     "options": {"fill": "small"}}},
+          {"op": "remove", "path": "/attributes/zone"}]""")
+    assert(p.status === 200)
+    assert(p.body \ "attributes" \ "flavor" \ "type" === JString("string"))
+    assert(p.body \ "attributes" \ "zone" === JNothing)
+    // the backfill reached the registered resource table
+    assert(api.dispatch("GET", "/v1/resource/generic/r1").body \ "flavor"
+      === JString("small"))
+  }
+
+  test("resource-named-metric measures and legacy aggregation routes") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "p", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    for ((m, v) <- Seq("u1" -> 10.0, "u2" -> 30.0)) {
+      api.dispatch("POST", "/v1/metric",
+        body = s"""{"id": "$m", "archive_policy_name": "p"}""")
+      api.dispatch("POST", s"/v1/metric/$m/measures", body =
+        s"""[{"timestamp": "2014-01-01T12:00:00Z", "value": $v},
+             {"timestamp": "2014-01-01T12:02:00Z", "value": ${v + 2}}]""")
+    }
+    g.process()
+    g.setMetrics(Seq(("u1", "r1", "mem.used"), ("u2", "r2", "mem.used"))
+      .toDF("metric_id", "resource_id", "name"))
+
+    val viaRes = api.dispatch("GET",
+      "/v1/resource/generic/r2/metric/mem.used/measures")
+    assert(viaRes.status === 200)
+    assert(viaRes.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(_, _, JDouble(v))) => v; case _ => fail()
+    } === List(30.0, 32.0))
+    assert(api.dispatch("GET",
+      "/v1/resource/generic/r2/metric/ghost/measures").status === 404)
+
+    // legacy mean-across-metrics, then a stop slice
+    val agg = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "u1,u2", "aggregation" -> "mean",
+        "granularity" -> "60"))
+    assert(agg.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(_, _, JDouble(v))) => v; case _ => fail()
+    } === List(20.0, 22.0))
+    val sliced = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "u1,u2", "granularity" -> "60",
+        "stop" -> "2014-01-01T12:01:00Z"))
+    assert(sliced.body.asInstanceOf[JArray].arr.size === 1)
+  }
+
   test("property: archive-policy JSON wire round-trips through the API") {
     import org.scalacheck.{Gen, Prop, Test => ScTest}
     val api = newApi
