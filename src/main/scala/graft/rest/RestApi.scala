@@ -568,6 +568,29 @@ class RestApi(g: Graft) {
           rows = rows.filter(_._1.before(t))
         ok(measuresTriples(rows))
 
+      // Legacy resource-scoped aggregation (rest/api.py
+      // AggregationController.resource): POST with the resource search
+      // body; aggregates the NAMED metric across matched resources.
+      case ("POST", List("v1", "aggregation", "resource", _, "metric", name)) =>
+        val filter = body() \ "filter" match {
+          case JString(s) => s
+          case JNothing => "id like '%'" // empty body = every resource
+          case other =>
+            throw new IllegalArgumentException(s"bad filter: $other")
+        }
+        val agg = q.getOrElse("aggregation", "mean")
+        val granS = q.get("granularity").map(_.toLong).getOrElse(
+          throw new IllegalArgumentException("granularity required"))
+        val df = g.groupByAggregates(name, agg, granS, filter,
+          groupby = Nil,
+          acrossAgg = q.getOrElse("reaggregation", "mean"),
+          from = q.get("start").map(parseTs),
+          to = q.get("stop").map(parseTs))
+        ok(measuresTriples(df.orderBy("bucket").collect().toSeq.map { r =>
+          (r.getAs[java.sql.Timestamp]("bucket"), granS,
+            r.getAs[Double]("value"))
+        }))
+
       // -------------------------------------------------- wire protocols
       // InfluxDB line-protocol write (the reference's rest/influxdb.py):
       // text body of lines; metrics auto-create via the R9 rules; 204.

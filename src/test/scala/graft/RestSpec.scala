@@ -430,6 +430,23 @@ class RestSpec extends SparkSpec {
       query = Map("metric" -> "u1,u2", "granularity" -> "60",
         "stop" -> "2014-01-01T12:01:00Z"))
     assert(sliced.body.asInstanceOf[JArray].arr.size === 1)
+
+    // legacy resource-scoped form: named metric across searched
+    // resources; empty body = all resources
+    g.setResources(Seq(("r1", "east"), ("r2", "west")).toDF("id", "zone"))
+    val scoped = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/mem.used",
+      query = Map("granularity" -> "60"),
+      body = """{"filter": "zone = 'west'"}""")
+    assert(scoped.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(_, _, JDouble(v))) => v; case _ => fail()
+    } === List(30.0, 32.0))
+    val all = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/mem.used",
+      query = Map("granularity" -> "60"))
+    assert(all.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(_, _, JDouble(v))) => v; case _ => fail()
+    } === List(20.0, 22.0))
   }
 
   test("property: archive-policy JSON wire round-trips through the API") {
