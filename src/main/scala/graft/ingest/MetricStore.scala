@@ -92,7 +92,15 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // consuming ACTION (no cache spans the agg write and the raw
     // write): profiled at ~3 extra corpus scans ≈ half of warm ingest.
     import spark.implicits._
-    val batchMetricIds: Seq[String] = batch
+    // The incoming batch feeds THREE independent actions (metric-id
+    // collect, the accepted-min collect, the merge materialization);
+    // unpersisted, each re-runs the caller's whole upstream pipeline —
+    // profiled at ~2 extra batch computations per ingest. One persist
+    // bounds it at one computation; the batch is ingest-sized (it gets
+    // written out anyway), so the materialization is inherent.
+    val batchP = batch.select("metric_id", "timestamp", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchMetricIds: Seq[String] = batchP
       .select("metric_id").distinct().as[String].collect().toSeq
     val metricIds = batchMetricIds.toDF("metric_id")
     val batchSacks = metricIds.select(sackOf(col("metric_id")).as("sack"))
@@ -104,7 +112,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .agg(max(unix_timestamp(col("timestamp"))).as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       .toDF("metric_id", "__old_last_s")
-    val accepted = batch.select("metric_id", "timestamp", "value")
+    val accepted = batchP
       .join(broadcast(oldLast), Seq("metric_id"), "left")
       .filter(col("__old_last_s").isNull ||
         unix_timestamp(col("timestamp")) >=
@@ -201,6 +209,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .mode(SaveMode.Overwrite) // dynamic: only touched sacks rewritten
       .parquet(rawPath)
     merged.unpersist()
+    batchP.unpersist()
   }
 
   /** Single-metric read (§3.1): partition-pruned scan + fetch slicing;
