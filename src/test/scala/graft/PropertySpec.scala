@@ -139,6 +139,76 @@ class PropertySpec extends SparkSpec {
     }, n = 40)
   }
 
+  test("merge: packed hash-agg fast path == window general path, any batches") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // order keys unique per (key, ts) group by construction (the
+    // orderUnique contract): the global row index
+    val gen = for {
+      nNew <- Gen.chooseNum(0, 25)
+      nOld <- Gen.chooseNum(0, 25)
+      rows <- Gen.listOfN(nNew + nOld, Gen.zip(Gen.oneOf("a", "b"),
+        Gen.chooseNum(0L, 12L), Gen.chooseNum(-50.0, 50.0)))
+    } yield {
+      val idx = rows.zipWithIndex.map { case ((k, t, v), i) =>
+        (k, t, v, i.toLong) }
+      (idx.take(nNew), idx.drop(nNew))
+    }
+    check(Prop.forAll(gen) { case (newRows, oldRows) =>
+      def df(rs: Seq[(String, Long, Double, Long)]) =
+        rs.toDF("k", "t", "v", "ord")
+      def run(bound: Long) = graft.timeseries.TimeSeriesOps.merge(
+          df(newRows), df(oldRows), Seq("k"), "t", col("ord"),
+          orderBound = bound)
+        .select("k", "t", "v", "ord").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      run(200L) == run(0L) // fast path vs row_number window path
+    }, n = 40)
+  }
+
+  test("store ingest: any incremental batch split == one-shot, any data") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    def newStore() = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      // back window wide enough that NO batch order rejects points —
+      // the invariant under test is the incremental recompute, not
+      // acceptance (IngestSpec pins acceptance separately)
+      new graft.ingest.MetricStore(s, dir,
+        graft.model.ArchivePolicy("p", 1000,
+          Seq(graft.model.ArchivePolicyItem(
+            graft.model.Granularity.seconds(60), None, None)),
+          Set("mean", "max", "count")))
+    }
+    val gen = for {
+      n <- Gen.chooseNum(1, 30)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("m", "n"),
+        Gen.chooseNum(0L, 600L), Gen.chooseNum(-10.0, 10.0)))
+      cut <- Gen.chooseNum(0, n)
+    } yield (rows.map { case (k, t, v) => (k, t, v) }
+      .groupBy(r => (r._1, r._2)).values.map(_.head).toList, cut)
+    check(Prop.forAll(gen) { case (rows, cut0) =>
+      val cut = math.min(cut0, rows.size)
+      def df(rs: Seq[(String, Long, Double)]) = rs
+        .toDF("metric_id", "sec", "value")
+        .select(col("metric_id"), timestamp_seconds(col("sec"))
+          .as("timestamp"), col("value"))
+      val inc = newStore()
+      if (rows.take(cut).nonEmpty) inc.addMeasures(df(rows.take(cut)))
+      if (rows.drop(cut).nonEmpty) inc.addMeasures(df(rows.drop(cut)))
+      val full = newStore()
+      full.addMeasures(df(rows))
+      def dump(st: graft.ingest.MetricStore) = st.aggregates
+        .select("metric_id", "method", "bucket", "value").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getTimestamp(2).getTime, r.getDouble(3))).toSet
+      dump(inc) == dump(full)
+    }, n = 15)
+  }
+
   test("PromProto: NaN samples survive the wire bit-exactly") {
     val s = PromProto.Series(Map("__name__" -> "up"),
       Seq((1L, Double.NaN)))
