@@ -229,7 +229,15 @@ object Dedup {
                                    maxBucket: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val rows = numHashes / bands
+    // Catalyst does NOT dedupe common subplans across the consumers
+    // below (groups feeds the rep semi-join AND the pair expansion's
+    // two legs AND the within arm; sh feeds the signature pipeline AND
+    // both sides of the verify join): persist the shared frames once —
+    // all are bounded by DISTINCT content count, entries LRU-evict
+    // (the round-2 zipGrids lesson applied to the dedup plane).
+    import org.apache.spark.storage.StorageLevel
     val groups = collapseExact(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val reps = collapseReps(docs, groups, idCol)
     // No emptiness filter on `sh` — a `size(sh) > 0` predicate would
     // be pushed below the rebalance exchange, re-evaluating the whole
@@ -243,6 +251,7 @@ object Dedup {
     val sh = withShingles(rebalance(reps), textCol, n, "sh")
       .select(col(idCol).as("id"),
         transform(col("sh"), s => xxhash64(s)).as("shh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Signatures via the native minhash_sig expression: one fused loop
     // per row, bit-identical to the earlier explode + 64 min-aggregate
     // formulation (same XXH64 chain) but with no k× row amplification
@@ -512,15 +521,41 @@ object Dedup {
     val (groups, repPairs, withinEligible) =
       minhashLshParts(docs, n, numHashes, bands, threshold, idCol, textCol,
         maxBucket)
-    val eligible = withinEligible.select("__rep")
-      .unionAll(repPairs.select(col("id_a").as("__rep")))
-      .unionAll(repPairs.select(col("id_b").as("__rep")))
-    val starEdges = groups.filter(size(col("__ids")) > 1)
-      .join(eligible.hint("shuffle_hash"), Seq("__rep"), "left_semi")
-      .select(explode(col("__ids")).as("id_a"), col("__rep").as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-    duplicateClusters(
-      repPairs.select("id_a", "id_b").unionByName(starEdges))
+    // Iterate connected components ONLY on the representative-level
+    // pair graph — near-dup pairs between DISTINCT contents, the tiny
+    // core of the problem. Exact-copy members never enter the loop: a
+    // member connects to the cluster exclusively through its
+    // representative, so comp(member) = comp(rep), applied as one
+    // post-convergence join; and because every representative is its
+    // group's minimum id, the pair-graph component minimum IS the
+    // member-level canonical id. Cluster size needs no member
+    // explode either — it is the sum of group sizes per component.
+    // repPairs feeds TWO actions (the CC materialization and the final
+    // clustering aggregate); unpersisted, the second re-runs the whole
+    // LSH candidate/verify pipeline
+    val repPairsP = repPairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repComp = connectedComponents(repPairsP) // (id=rep, component)
+    val pairedReps = repPairsP.select(col("id_a").as("__rep"))
+      .unionAll(repPairsP.select(col("id_b").as("__rep")))
+      .distinct()
+    // a group's members cluster iff the group pairs within itself
+    // (multi-member AND within-eligible: non-degenerate shingle set)
+    // or its representative has any cross pair
+    val flagged = groups
+      .join(withinEligible.select(col("__rep"), lit(1).as("__we"))
+        .hint("shuffle_hash"), Seq("__rep"), "left")
+      .join(pairedReps.select(col("__rep"), lit(1).as("__pr"))
+        .hint("shuffle_hash"), Seq("__rep"), "left")
+      .filter(col("__pr").isNotNull ||
+        (col("__we").isNotNull && size(col("__ids")) > 1))
+    flagged
+      .join(repComp.select(col("id").as("__rep"), col("component"))
+        .hint("shuffle_hash"), Seq("__rep"), "left")
+      .select(coalesce(col("component"), col("__rep")).as("canonical_id"),
+        size(col("__ids")).cast("long").as("__n"))
+      .groupBy("canonical_id")
+      .agg(sum(col("__n")).as("cluster_size"))
   }
 
   /** SimHash (64-bit): sign of per-bit weighted sums of token hashes.
