@@ -849,6 +849,7 @@ object Dedup {
     // inside a 32-copy group still counts 32 docs, so the dup-gram set
     // is exactly the all-docs one.
     val groups = collapseExact(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = rebalance(collapseRepsW(docs, groups, idCol))
       .withColumn("__words", split(normalized(col(textCol)), " "))
     val grams = base
@@ -909,6 +910,7 @@ object Dedup {
                      textCol: String = "text",
                      maxBucket: Int = 100000): DataFrame = {
     val groups = collapseExact(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = collapseReps(docs, groups, idCol)
     // One exchange for the whole candidate stage: repartition(f) up
     // front — the bucket-size cap aggregate, its semi-join, and the
@@ -971,6 +973,7 @@ object Dedup {
     // set equals the all-docs formulation. Per-doc scores are pure
     // content functions and expand back per member.
     val groups = collapseExact(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bygh = rebalance(collapseRepsW(docs, groups, idCol))
       .withColumn("__words", split(normalized(col(textCol)), " "))
       .select(col(idCol), col("__gs"), explode(transform(zipped, s =>

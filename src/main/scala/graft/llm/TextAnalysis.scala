@@ -374,6 +374,7 @@ object TextAnalysis {
     // per-doc scores are pure content functions of those corpus
     // statistics and expand back per member at the end.
     val groups = Dedup.collapseExact(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tokenize ONCE and pin it: normalize+split is the CPU-heavy scan
     // work, and the plan has two independent consumers (the bigram
     // stream and the vocabulary) — unpinned, each branch re-normalizes
