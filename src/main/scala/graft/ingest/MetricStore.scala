@@ -92,26 +92,30 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // consuming ACTION (no cache spans the agg write and the raw
     // write): profiled at ~3 extra corpus scans ≈ half of warm ingest.
     import spark.implicits._
-    // The incoming batch feeds THREE independent actions (metric-id
-    // collect, the accepted-min collect, the merge materialization);
-    // unpersisted, each re-runs the caller's whole upstream pipeline —
-    // profiled at ~2 extra batch computations per ingest. One persist
-    // bounds it at one computation; the batch is ingest-sized (it gets
-    // written out anyway), so the materialization is inherent.
+    // The incoming batch feeds multiple independent actions (batch
+    // metadata, the merge materialization); unpersisted, each re-ran
+    // the caller's whole upstream pipeline — profiled at ~2 extra
+    // batch computations per ingest. One persist bounds it at one
+    // computation (the batch is ingest-sized; it gets written out
+    // anyway), and ONE aggregate collects all driver-side metadata —
+    // metric ids and per-metric batch minima — so the cache is scanned
+    // once for it, not per metadatum.
     val batchP = batch.select("metric_id", "timestamp", "value")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchMetricIds: Seq[String] = batchP
-      .select("metric_id").distinct().as[String].collect().toSeq
+    val batchMeta: Array[(String, Long)] = batchP.groupBy("metric_id")
+      .agg(min(unix_timestamp(col("timestamp"))).as("mn"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val batchMetricIds: Seq[String] = batchMeta.map(_._1).toSeq
     val metricIds = batchMetricIds.toDF("metric_id")
     val batchSacks = metricIds.select(sackOf(col("metric_id")).as("sack"))
       .distinct().collect().map(_.getInt(0))
     val rawTouched =
       rawBuffer.filter(col("sack").isin(batchSacks.toSeq: _*))
         .select("metric_id", "timestamp", "value")
-    val oldLast = rawTouched.groupBy("metric_id")
+    val oldLastRows = rawTouched.groupBy("metric_id")
       .agg(max(unix_timestamp(col("timestamp"))).as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      .toDF("metric_id", "__old_last_s")
+    val oldLast = oldLastRows.toDF("metric_id", "__old_last_s")
     val accepted = batchP
       .join(broadcast(oldLast), Seq("metric_id"), "left")
       .filter(col("__old_last_s").isNull ||
@@ -136,14 +140,21 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .filter(unix_timestamp(col("timestamp")) >= col("__floor_s"))
       .drop("__last_s", "__floor_s")
 
-    // first affected timestamp per metric = min accepted new timestamp,
-    // materialized once as a local relation: the agg write and the raw
-    // write are separate ACTIONS, so a lazy firstNew would re-derive
-    // `accepted` (a full batch scan) inside each of them
-    val firstNew = accepted.groupBy("metric_id")
-      .agg(min(unix_timestamp(col("timestamp"))).as("s"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      .toDF("metric_id", "__first_new_s")
+    // First affected timestamp per metric, as a DRIVER computation —
+    // no extra action. The exact value is min ACCEPTED timestamp; its
+    // block-aligned lower bound max(acceptance threshold, batch min)
+    // is equally correct: a smaller firstNew only widens the recompute
+    // range, and every bucket at or after the (block-aligned)
+    // threshold is fully recomputable from the retained raw buffer —
+    // the same envelope the acceptance filter and the buffer
+    // truncation already share. (A fully-rejected metric recomputes
+    // its retained range to identical values — idempotent overwrite.)
+    val oldLastMap = oldLastRows.toMap
+    val firstNew = batchMeta.toSeq.map { case (m, mn) =>
+      val thr = oldLastMap.get(m).map(s =>
+        math.floorDiv(s, blockS) * blockS - blockS.toLong * backBlocks)
+      (m, thr.map(math.max(_, mn)).getOrElse(mn))
+    }.toDF("metric_id", "__first_new_s")
 
     val newAggRows = fixedGrans.map { granS =>
       val affectedRaw = merged.join(broadcast(firstNew), Seq("metric_id"))
