@@ -27,6 +27,27 @@ class Graft(val spark: SparkSession, root: String) {
   private var pendingDf: Option[DataFrame] = None
   private var resources: Option[DataFrame] = None
 
+  /** Catalog mutations (row CRUD, end-dating, resurrection, ALTER
+    * backfills) stack plan nodes on the in-memory catalog frames; a
+    * long-lived server would grow an unbounded lineage (and eventually
+    * a StackOverflow in analysis). Every `catalogCompactEvery`
+    * mutations the catalog and history frames are cut to their
+    * materialized contents — catalogs are driver-bounded metadata, so
+    * the localCheckpoint is one small job.
+    */
+  private var catalogMutations = 0
+  // small: retype (resource-type ALTER) references the catalog frame
+  // twice per call, so its tree can still double per mutation — 2^8
+  // nodes is the worst pre-compaction plan
+  private val catalogCompactEvery = 8
+  private def noteCatalogMutation(): Unit = {
+    catalogMutations += 1
+    if (catalogMutations % catalogCompactEvery == 0) {
+      resources = resources.map(_.localCheckpoint(true))
+      resourceHistoryTbl = resourceHistoryTbl.map(_.localCheckpoint(true))
+    }
+  }
+
   def createPolicy(p: ArchivePolicy): Unit = policies(p.name) = p
 
   /** PATCH /v1/archive_policy/<name> (sqlalchemy.py:642-662): only
@@ -135,6 +156,7 @@ class Graft(val spark: SparkSession, root: String) {
       return 0L)
     val n = current.filter(pred).count()
     resources = Some(current.filter(!pred))
+    noteCatalogMutation()
     n
   }
 
@@ -313,6 +335,7 @@ class Graft(val spark: SparkSession, root: String) {
         .groupBy(col("resource_id"))
         .agg(max(col("last_ts_s")).as("last_ts_s"))
       resources = Some(graft.catalog.Maintenance.resurrect(res, activity))
+      noteCatalogMutation()
     }
   }
 
@@ -552,6 +575,7 @@ class Graft(val spark: SparkSession, root: String) {
     if (res.columns.contains("type"))
       row = row.withColumn("type", coalesce(col("type"), lit(tpe)))
     resources = Some(res.unionByName(row))
+    noteCatalogMutation()
   }
 
   /** PATCH /v1/resource/<type>/<id>: update attribute values on the
@@ -574,10 +598,17 @@ class Graft(val spark: SparkSession, root: String) {
       cur.withColumn("revision_end",
         to_timestamp(from_unixtime(lit(nowS)))),
       allowMissingColumns = true))
-    val patched = updates.foldLeft(cur) { case (df, (k, v)) =>
-      df.withColumn(k, lit(v).cast(res.schema(k).dataType))
+    // ONE projection over a SINGLE reference to the catalog frame — a
+    // filter(≠id) ∪ patched-filter(=id) formulation references the
+    // previous catalog plan twice, so sustained patching doubles the
+    // plan tree per call (exponential analysis blow-up long before the
+    // periodic compaction can cut it; OOMed at ~25 patches).
+    val patched = updates.foldLeft(res) { case (df, (k, v)) =>
+      df.withColumn(k, when(col("id") === id,
+        lit(v).cast(res.schema(k).dataType)).otherwise(col(k)))
     }
-    resources = Some(res.filter(col("id") =!= id).unionByName(patched))
+    resources = Some(patched)
+    noteCatalogMutation()
   }
 
   /** DELETE /v1/resource/<type>/<id> — 404 when absent. */
@@ -634,6 +665,7 @@ class Graft(val spark: SparkSession, root: String) {
       else all(df)
     resources = resources.map(retype)
     resourceHistoryTbl = resourceHistoryTbl.map(retype)
+    noteCatalogMutation()
     resourceTypes(name) = rt
   }
 

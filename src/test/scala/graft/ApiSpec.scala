@@ -241,6 +241,23 @@ class ApiSpec extends SparkSpec {
     assert(west == Seq(("west", 100.0)))
   }
 
+  test("catalog lineage compacts under sustained row CRUD") {
+    val sp = spark
+    import sp.implicits._
+    val g = freshGraft()
+    g.setResources(Seq(("r1", "fr", 0.0)).toDF("id", "zone", "weight"))
+    // 80 mutations: without periodic compaction the catalog plan is an
+    // 80-deep filter/union chain; with it, lineage resets every 32
+    for (i <- 1 to 80)
+      g.patchResource("r1", Map("weight" -> i.toDouble), nowS = 1000L + i)
+    val got = g.searchResources("id = 'r1'").select("weight")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(80.0))
+    val planNodes = g.searchResources("id = 'r1'")
+      .queryExecution.analyzed.collect { case n => n }.size
+    assert(planNodes < 100, s"catalog lineage grew to $planNodes nodes")
+  }
+
   test("R9 policy rules: longest glob wins; R8 delete-by-query counts") {
     val s = spark
     import s.implicits._
