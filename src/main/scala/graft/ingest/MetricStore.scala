@@ -59,6 +59,11 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
 
   def aggregates: DataFrame = readOr(aggPath, emptyAggregates(spark))
 
+  private def pathExists(p: String): Boolean =
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(p))
+
   /** The incremental job: merge a batch of new measures into the raw
     * buffer (back-window acceptance, new-wins dedup), recompute ONLY the
     * affected (metric, granularity, bucket≥first-new) groups
@@ -188,10 +193,19 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .drop("__lo_s")
 
     // localCheckpoint: materialize before the write so the job never
-    // reads aggPath files that the dynamic overwrite is about to replace
-    val out = kept.select(newAggRows.columns.map(col).toSeq: _*)
-      .unionByName(newAggRows)
-      .localCheckpoint(true)
+    // reads aggPath files that the dynamic overwrite is about to replace.
+    // FRESH-STORE fast path: when the path doesn't exist yet nothing in
+    // the plan reads it (readOr fell back to an empty local relation),
+    // so there is no hazard and the checkpoint would only materialize
+    // the full output twice — first ingests (every fresh-store gate
+    // query, the bench cold ingest) write straight through.
+    val aggExists = pathExists(aggPath)
+    val out =
+      if (aggExists)
+        kept.select(newAggRows.columns.map(col).toSeq: _*)
+          .unionByName(newAggRows)
+          .localCheckpoint(true)
+      else newAggRows
     out
       // cluster rows by (metric_id, bucket) inside each file: parquet
       // row-group min/max stats on metric_id then let a single-metric
@@ -212,9 +226,13 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // accepted-frame formulation re-scanned the batch inside this write
     val touchedSacks = metricIds.select(sackOf(col("metric_id")).as("sack"))
       .distinct()
-    bounded.withColumn("sack", sackOf(col("metric_id")))
+    val rawOut = bounded.withColumn("sack", sackOf(col("metric_id")))
       .join(broadcast(touchedSacks), Seq("sack"))
-      .localCheckpoint(true)
+    // same fresh-store fast path as the aggregate side: no stored sacks
+    // → the plan reads nothing under rawPath → write directly. (The
+    // merged cache does NOT make the warm checkpoint redundant: evicted
+    // cache partitions recompute from rawPath mid-overwrite.)
+    (if (pathExists(rawPath)) rawOut.localCheckpoint(true) else rawOut)
       .sortWithinPartitions("metric_id", "timestamp")
       .write.partitionBy("sack")
       .mode(SaveMode.Overwrite) // dynamic: only touched sacks rewritten
