@@ -280,6 +280,17 @@ object Similarity {
     * can never hash with mismatched parameters. Vectors are NOT
     * duplicated per table: postings carry ids only.
     */
+  /** Postings land in a BOUNDED number of partition directories
+    * (`ckp = pmod(ck, 256)`), not one per distinct bucket key: a
+    * per-ck layout means every write task sprays up to tables·2^bits
+    * directories (tasks × buckets small files — 8k at the local bench,
+    * 64k+ per build on a real cluster), and the directory count grows
+    * with the hash parameters. 256 dirs is parameter-independent; the
+    * lost per-dir selectivity is recovered inside the files by sorting
+    * on ck (parquet row-group min/max stats) — see probeLshIndex.
+    */
+  private val NumPostingParts = 256L
+
   def writeLshIndex(corpus: DataFrame, path: String,
                     bitsPerTable: Int = 8, tables: Int = 16,
                     idCol: String = "vec_id",
@@ -295,14 +306,23 @@ object Similarity {
           lit(tables))))
       .select(col(idCol), xxhash64(col("pos").cast("long"), col("col"))
         .as("ck"))
-      .write.partitionBy("ck").mode("overwrite").parquet(s"$path/postings")
+      .withColumn("ckp", pmod(col("ck"), lit(NumPostingParts)))
+      // one id+hash shuffle so each directory receives ONE file per
+      // owning task instead of one per input task
+      .repartition(col("ckp"))
+      .sortWithinPartitions("ck")
+      .write.partitionBy("ckp").mode("overwrite").parquet(s"$path/postings")
   }
 
   /** Probe a persisted LSH index: queries hash with the index's pinned
-    * parameters; the broadcast bucket-key join dynamically prunes the
-    * postings scan to the queries' buckets (~tables·n/2^bits rows per
-    * query read, independent of corpus size); candidate ids dedup
-    * before vectors re-attach for the exact re-rank.
+    * parameters. For bounded query batches the probed bucket keys
+    * become LITERAL `isin` predicates — partition pruning on ckp plus
+    * row-group pruning on the sorted ck reach the parquet scan as
+    * PushedFilters, so the read is ~tables·n/2^bits rows per query,
+    * independent of corpus size. Oversized batches skip the literal
+    * step and keep the broadcast-join path (still partition-prunable
+    * via DPP). Candidate ids dedup before vectors re-attach for the
+    * exact re-rank.
     */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, k: Int,
@@ -315,7 +335,19 @@ object Similarity {
         call_function("lsh_keys", col(vecCol), lit(bits), lit(tables))))
       .select(col("query_id"),
         xxhash64(col("pos").cast("long"), col("col")).as("ck"))
-    val cand = spark.read.parquet(s"$path/postings")
+    // the probe side is broadcast-sized by contract: its distinct
+    // bucket keys become driver-side literals for the scan pushdown
+    // (the attribution join below still uses the frame)
+    val cks = probed.select("ck").distinct().collect().map(_.getLong(0))
+    val postings0 = spark.read.parquet(s"$path/postings")
+    val postings =
+      if (cks.length <= 8192)
+        postings0.filter(
+          col("ckp").isin(cks.map(Math.floorMod(_, NumPostingParts))
+            .distinct.toSeq: _*) &&
+          col("ck").isin(cks.toSeq: _*))
+      else postings0
+    val cand = postings
       .join(broadcast(probed), Seq("ck"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("corpus_id")).distinct()

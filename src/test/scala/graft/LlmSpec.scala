@@ -561,9 +561,15 @@ class LlmSpec extends SparkSpec {
       bitsPerTable = 3, tables = 4)
     assert(viaIndex.select("query_id", "corpus_id", "rank").collect().toSet ==
       inPlan.select("query_id", "corpus_id", "rank").collect().toSet)
+    // bounded query batch → the probed bucket keys are LITERALS: the
+    // postings scan must carry a static partition filter on ckp (and
+    // pushed ck data filters), not read every posting directory
     val plan = viaIndex.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      "expected dynamic partition pruning on the postings scan")
+    assert(plan.contains("PartitionFilters: [ckp"),
+      s"expected static ckp partition pruning on the postings scan:\n$plan")
+    assert(plan.contains("DataFilters: [ck#") ||
+      plan.contains("In(ck,"),
+      "expected ck literal pushdown on the postings scan")
   }
 
   test("perplexity: add-α bigram LM, hand-computed 2-doc corpus") {
