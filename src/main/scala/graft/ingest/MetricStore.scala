@@ -64,6 +64,18 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .get(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(p))
 
+  // opt-in stage timing on stderr (GRAFT_INGEST_TIMING=1): the ingest
+  // job is the store's hot loop, and its cost model (O(batch) vs
+  // O(split rewrite)) is worth being able to SEE, not infer
+  private val stageTiming = sys.env.contains("GRAFT_INGEST_TIMING")
+  private def stage[A](label: String)(f: => A): A =
+    if (!stageTiming) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[ingest] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
   /** The incremental job: merge a batch of new measures into the raw
     * buffer (back-window acceptance, new-wins dedup), recompute ONLY the
     * affected (metric, granularity, bucket≥first-new) groups
@@ -107,19 +119,20 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // once for it, not per metadatum.
     val batchP = batch.select("metric_id", "timestamp", "value")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchMeta: Array[(String, Long)] = batchP.groupBy("metric_id")
-      .agg(min(unix_timestamp(col("timestamp"))).as("mn"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val batchMeta: Array[(String, Long)] = stage("batch metadata")(
+      batchP.groupBy("metric_id")
+        .agg(min(unix_timestamp(col("timestamp"))).as("mn"))
+        .collect().map(r => (r.getString(0), r.getLong(1))))
     val batchMetricIds: Seq[String] = batchMeta.map(_._1).toSeq
     val metricIds = batchMetricIds.toDF("metric_id")
-    val batchSacks = metricIds.select(sackOf(col("metric_id")).as("sack"))
-      .distinct().collect().map(_.getInt(0))
+    val batchSacks = batchMetricIds.map(sackOfId).distinct
     val rawTouched =
       rawBuffer.filter(col("sack").isin(batchSacks.toSeq: _*))
         .select("metric_id", "timestamp", "value")
-    val oldLastRows = rawTouched.groupBy("metric_id")
-      .agg(max(unix_timestamp(col("timestamp"))).as("s"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val oldLastRows = stage("old-buffer lasts")(
+      rawTouched.groupBy("metric_id")
+        .agg(max(unix_timestamp(col("timestamp"))).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
     val oldLast = oldLastRows.toDF("metric_id", "__old_last_s")
     val accepted = batchP
       .join(broadcast(oldLast), Seq("metric_id"), "left")
@@ -178,15 +191,26 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
         .drop("__first_new_s")
         .select(col("metric_id"), col("bucket"), col("value"),
           col("method"), lit(granS).as("gran_s"),
-          splitOf(col("bucket"), granS).as("split"))
+          splitOf(col("bucket"), granS).as("split"),
+          sackOf(col("metric_id")).as("msack"))
     }.reduce(_ unionByName _)
 
-    // keep stored rows of touched splits that predate the recompute range
-    val touched = newAggRows.select("method", "gran_s", "split").distinct()
+    // Keep stored rows of touched partitions that predate the recompute
+    // range. The partition key includes the metric sack (msack): the
+    // reference's split objects are PER METRIC (carbonara SplitKey), so
+    // its warm rewrite is O(touched metric); a (method, gran, split)
+    // layout alone bundles EVERY metric into one time-split and a batch
+    // touching 0.1% of the fleet would rewrite 100% of the split.
+    // Sacking bounds rewrite amplification at fleet scale — only the
+    // batch's sacks' rows are re-read and re-written — and metric-
+    // filtered reads prune to 1/NumSacks of the files on top of the
+    // time pruning.
+    val touched = newAggRows.select("method", "gran_s", "split", "msack")
+      .distinct()
     val boundary = newAggRows.groupBy("metric_id", "method", "gran_s")
       .agg(min(unix_timestamp(col("bucket"))).as("__lo_s"))
     val kept = aggregates
-      .join(touched, Seq("method", "gran_s", "split")) // only touched partitions
+      .join(touched, Seq("method", "gran_s", "split", "msack"))
       .join(boundary, Seq("metric_id", "method", "gran_s"), "left")
       .filter(col("__lo_s").isNull ||
         unix_timestamp(col("bucket")) < col("__lo_s"))
@@ -202,20 +226,26 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     val aggExists = pathExists(aggPath)
     val out =
       if (aggExists)
-        kept.select(newAggRows.columns.map(col).toSeq: _*)
-          .unionByName(newAggRows)
-          .localCheckpoint(true)
+        stage("agg checkpoint")(
+          kept.select(newAggRows.columns.map(col).toSeq: _*)
+            .unionByName(newAggRows)
+            .localCheckpoint(true))
       else newAggRows
-    out
+    stage("agg write")(out
+      // one small shuffle of the OUTPUT rows onto the partition key so
+      // each partition directory receives one file per owning task —
+      // without it every task sprays every touched directory
+      // (tasks × dirs small files, compounding per warm batch)
+      .repartition(col("method"), col("gran_s"), col("split"), col("msack"))
       // cluster rows by (metric_id, bucket) inside each file: parquet
       // row-group min/max stats on metric_id then let a single-metric
       // read skip row groups instead of scanning the whole split —
       // the within-file analogue of the partition pruning above
       .sortWithinPartitions("metric_id", "bucket")
       .write
-      .partitionBy("method", "gran_s", "split")
-      .mode(SaveMode.Overwrite) // dynamic: only touched splits rewritten
-      .parquet(aggPath)
+      .partitionBy("method", "gran_s", "split", "msack")
+      .mode(SaveMode.Overwrite) // dynamic: only touched partitions rewritten
+      .parquet(aggPath))
 
     // Raw buffer is sack-partitioned (the reference's sack analogue,
     // incoming/__init__.py:243-244): a batch rewrites ONLY the sacks of
@@ -232,11 +262,13 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // → the plan reads nothing under rawPath → write directly. (The
     // merged cache does NOT make the warm checkpoint redundant: evicted
     // cache partitions recompute from rawPath mid-overwrite.)
-    (if (pathExists(rawPath)) rawOut.localCheckpoint(true) else rawOut)
+    val rawStaged = stage("raw checkpoint")(
+      if (pathExists(rawPath)) rawOut.localCheckpoint(true) else rawOut)
+    stage("raw write")(rawStaged
       .sortWithinPartitions("metric_id", "timestamp")
       .write.partitionBy("sack")
       .mode(SaveMode.Overwrite) // dynamic: only touched sacks rewritten
-      .parquet(rawPath)
+      .parquet(rawPath))
     merged.unpersist()
     batchP.unpersist()
   }
@@ -251,6 +283,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       resample: Option[Granularity] = None): DataFrame = {
     var df = aggregates
       .filter(col("method") === method && col("gran_s") === granS &&
+        col("msack") === sackOfId(metricId) && // sack partition pruning
         col("metric_id") === metricId)
     for (f <- from) df = df.filter(col("split") >= splitOf(lit(f), granS))
     for (t <- to) df = df.filter(col("split") <= splitOf(lit(t), granS))
@@ -279,6 +312,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     var df = aggregates
       .filter(col("gran_s") === granS &&
         col("method").isin(methods: _*) &&
+        col("msack").isin(metricIds.map(sackOfId).distinct: _*) &&
         col("metric_id").isin(metricIds: _*))
     // start/stop prune split partitions before the fetch slice, so a
     // time-bounded fleet query reads only its splits' files
@@ -346,10 +380,10 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     */
   def compact(): Unit = {
     val agg = aggregates
-      .repartition(col("method"), col("gran_s"), col("split"))
+      .repartition(col("method"), col("gran_s"), col("split"), col("msack"))
       .localCheckpoint(true)
     agg.sortWithinPartitions("metric_id", "bucket")
-      .write.partitionBy("method", "gran_s", "split")
+      .write.partitionBy("method", "gran_s", "split", "msack")
       .mode(SaveMode.Overwrite).parquet(aggPath)
   }
 
@@ -393,15 +427,20 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
 
-    val touched = aggregates.filter(col("metric_id") === metricId)
+    // the metric lives in exactly one msack — the whole expunge scans
+    // and rewrites only that sack's slice of each touched split
+    val mz = sackOfId(metricId)
+    val touched = aggregates.filter(col("msack") === mz &&
+        col("metric_id") === metricId)
       .select(col("method"), col("gran_s").cast("long"),
         col("split").cast("long"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     if (touched.nonEmpty) {
       val touchedDf = touched.toSeq.toDF("method", "gran_s", "split")
+        .withColumn("msack", lit(mz))
       val remaining = aggregates
-        .join(broadcast(touchedDf), Seq("method", "gran_s", "split"))
+        .join(broadcast(touchedDf), Seq("method", "gran_s", "split", "msack"))
         .filter(col("metric_id") =!= metricId)
         .localCheckpoint(true)
       val kept = remaining
@@ -411,15 +450,15 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       if (!kept.isEmpty)
         remaining.sortWithinPartitions("metric_id", "bucket")
-          .write.partitionBy("method", "gran_s", "split")
+          .write.partitionBy("method", "gran_s", "split", "msack")
           .mode(SaveMode.Overwrite).parquet(aggPath)
       touched.filterNot(kept).foreach { case (m, g, s) =>
         fs.delete(new org.apache.hadoop.fs.Path(
-          s"$aggPath/method=$m/gran_s=$g/split=$s"), true)
+          s"$aggPath/method=$m/gran_s=$g/split=$s/msack=$mz"), true)
       }
     }
 
-    val sackId = spark.range(1).select(sackOf(lit(metricId))).head.getInt(0)
+    val sackId = mz
     val raw = rawBuffer
     val sackRows = raw.filter(col("sack") === sackId)
     if (!sackRows.filter(col("metric_id") === metricId).isEmpty) {
@@ -471,6 +510,17 @@ object MetricStore {
   def sackOf(metricId: org.apache.spark.sql.Column) =
     pmod(xxhash64(metricId), lit(NumSacks.toLong)).cast("int")
 
+  /** Driver-side twin of [[sackOf]] (same xxhash64, same default seed
+    * 42): metric-id literals known on the driver prune sack partitions
+    * without a Spark job. Parity with the column form is spec-pinned.
+    */
+  def sackOfId(metricId: String): Int =
+    Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(metricId),
+        org.apache.spark.sql.types.StringType, 42L),
+      NumSacks.toLong).toInt
+
   def emptyMeasures(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -489,6 +539,7 @@ object MetricStore {
         StructField("value", DoubleType),
         StructField("method", StringType),
         StructField("gran_s", LongType),
-        StructField("split", LongType))))
+        StructField("split", LongType),
+        StructField("msack", IntegerType))))
   }
 }

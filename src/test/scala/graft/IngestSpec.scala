@@ -200,4 +200,59 @@ class IngestSpec extends SparkSpec {
     val got = store.aggregates.select("value").collect().map(_.getDouble(0)).toSeq
     assert(got == Seq(2.0))
   }
+
+  test("driver-side sackOfId matches the sackOf column") {
+    import spark.implicits._
+    val ids = (0 until 200).map(i => s"metric-$i") ++
+      Seq("", "µ-unicode-✓", "a" * 300)
+    val viaCol = ids.toDF("metric_id")
+      .select(col("metric_id"), MetricStore.sackOf(col("metric_id")))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    ids.foreach { id =>
+      assert(MetricStore.sackOfId(id) == viaCol(id), s"id=$id")
+    }
+  }
+
+  test("warm batch rewrites only its own metric sacks (msack layout)") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new MetricStore(spark, root, ArchivePolicy("test", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    // two metrics in different sacks, same hour
+    val Seq(a, b) = {
+      val cands = (0 until 64).map(i => s"m$i")
+      val x = cands.head
+      val y = cands.find(c =>
+        MetricStore.sackOfId(c) != MetricStore.sackOfId(x)).get
+      Seq(x, y)
+    }
+    store.addMeasures(measures(
+      (a, "2014-01-01 12:00:01", 1.0), (b, "2014-01-01 12:00:02", 2.0)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def aggFiles(sack: Int): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val out = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath.toString
+        if (p.contains(s"/msack=$sack/") && p.endsWith(".parquet"))
+          out(p) = f.getModificationTime
+      }
+      out.toMap
+    }
+    val bSack = MetricStore.sackOfId(b)
+    val before = aggFiles(bSack)
+    assert(before.nonEmpty)
+    Thread.sleep(1100) // FS mtime granularity
+    // warm batch touches only metric a → b's sack partitions must not
+    // be re-read or re-written (O(batch sacks) rewrite, not O(split))
+    store.addMeasures(measures((a, "2014-01-01 12:00:05", 3.0)))
+    assert(aggFiles(bSack) == before,
+      "untouched msack partition files were rewritten by a warm batch")
+    // and the data is still correct
+    val gotA = store.getMeasures(a, "mean", 60).collect().map(_.getDouble(2))
+    val gotB = store.getMeasures(b, "mean", 60).collect().map(_.getDouble(2))
+    assert(gotA.toSeq == Seq(2.0) && gotB.toSeq == Seq(2.0))
+  }
 }
