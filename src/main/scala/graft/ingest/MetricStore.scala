@@ -119,10 +119,11 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // once for it, not per metadatum.
     val batchP = batch.select("metric_id", "timestamp", "value")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchMeta: Array[(String, Long)] = stage("batch metadata")(
+    val batchMeta: Array[(String, Long, Long)] = stage("batch metadata")(
       batchP.groupBy("metric_id")
-        .agg(min(unix_timestamp(col("timestamp"))).as("mn"))
-        .collect().map(r => (r.getString(0), r.getLong(1))))
+        .agg(min(unix_timestamp(col("timestamp"))).as("mn"),
+          max(unix_timestamp(col("timestamp"))).as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
     val batchMetricIds: Seq[String] = batchMeta.map(_._1).toSeq
     val metricIds = batchMetricIds.toDF("metric_id")
     val batchSacks = batchMetricIds.map(sackOfId).distinct
@@ -168,11 +169,34 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // truncation already share. (A fully-rejected metric recomputes
     // its retained range to identical values — idempotent overwrite.)
     val oldLastMap = oldLastRows.toMap
-    val firstNew = batchMeta.toSeq.map { case (m, mn) =>
-      val thr = oldLastMap.get(m).map(s =>
-        math.floorDiv(s, blockS) * blockS - blockS.toLong * backBlocks)
-      (m, thr.map(math.max(_, mn)).getOrElse(mn))
-    }.toDF("metric_id", "__first_new_s")
+    val firstNewLocal: Seq[(String, Long)] = batchMeta.toSeq.map {
+      case (m, mn, _) =>
+        val thr = oldLastMap.get(m).map(s =>
+          math.floorDiv(s, blockS) * blockS - blockS.toLong * backBlocks)
+        (m, thr.map(math.max(_, mn)).getOrElse(mn))
+    }
+    val firstNew = firstNewLocal.toDF("metric_id", "__first_new_s")
+
+    // Touched (split, msack) partitions as DRIVER literals: per metric
+    // the recompute range is [floor(firstNew/gran)·gran, floor(last/
+    // gran)·gran] with last ≤ max(batch max, old-buffer last) — both
+    // known on the driver — so the touched split range is enumerable
+    // without a Spark job. These literals pre-prune the stored-agg scan
+    // below: without them the kept join carries only isnotnull partition
+    // filters (plan-probed) and every warm batch scans the store's FULL
+    // split history. The set is a safe superset (the exact `touched`
+    // join still refines it); a degenerate range (cold store spanning
+    // years) falls back to the unpruned scan.
+    val batchMaxMap = batchMeta.map { case (m, _, mx) => (m, mx) }.toMap
+    val touchedSplitLits: Seq[Long] = fixedGrans.flatMap { granS =>
+      firstNewLocal.flatMap { case (m, fn) =>
+        val lastS = math.max(batchMaxMap(m),
+          oldLastMap.getOrElse(m, Long.MinValue))
+        val lo = math.floorDiv(math.floorDiv(fn, granS) * granS, granS * 3600)
+        val hi = math.floorDiv(lastS, granS * 3600)
+        if (hi < lo) Nil else lo to hi
+      }
+    }.distinct
 
     val newAggRows = fixedGrans.map { granS =>
       val affectedRaw = merged.join(broadcast(firstNew), Seq("metric_id"))
@@ -209,7 +233,12 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .distinct()
     val boundary = newAggRows.groupBy("metric_id", "method", "gran_s")
       .agg(min(unix_timestamp(col("bucket"))).as("__lo_s"))
-    val kept = aggregates
+    val prunedAgg =
+      if (touchedSplitLits.size <= 4096)
+        aggregates.filter(col("split").isin(touchedSplitLits: _*) &&
+          col("msack").isin(batchSacks: _*))
+      else aggregates
+    val kept = prunedAgg
       .join(touched, Seq("method", "gran_s", "split", "msack"))
       .join(boundary, Seq("metric_id", "method", "gran_s"), "left")
       .filter(col("__lo_s").isNull ||
