@@ -972,6 +972,21 @@ object Queries {
 
   /** Fresh store under /tmp, wiped at query start (path deterministic
     * per (tag, sf dir) so repeated runs are idempotent). */
+  /** Pin a smaller shuffle-partition count for a stateful streaming
+    * query's lifetime: every micro-batch commits one state-store delta
+    * per shuffle partition, so 32 partitions are 32 tiny checkpoint
+    * files per operator per batch — pure fixed overhead at this state
+    * size. The count is recorded in the query's offset log at start,
+    * so it only applies to queries started inside the block; batch
+    * jobs keep the session's 32. (On a real cluster this is the same
+    * deploy-time knob, sized to state volume instead.)
+    */
+  private def withStreamPartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   private def freshStore(s: SparkSession, tag: String, dir: String,
                          policy: ArchivePolicy): MetricStore = {
     val root = s"/tmp/graft-q-store/$tag-${math.abs(dir.hashCode)}"
@@ -1100,19 +1115,21 @@ object Queries {
       val ev = events(s, dir)
         .select(col("ts"), col("event_type"), col("value")).cache()
       val src = s.readStream.schema(ev.schema).parquet(s"$root/staging")
-      val q = graft.streaming.StreamingIngest
-        .windowedHourly(src, "90 minutes")
-        .writeStream.format("memory").queryName(qn)
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append").start()
-      try {
-        val cut = lit("2024-01-16").cast("timestamp")
-        Seq(col("ts") < cut, col("ts") >= cut).foreach { c =>
-          ev.filter(c).coalesce(1).write.mode("append")
-            .parquet(s"$root/staging")
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withStreamPartitions(s, 8) {
+        val q = graft.streaming.StreamingIngest
+          .windowedHourly(src, "90 minutes")
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").start()
+        try {
+          val cut = lit("2024-01-16").cast("timestamp")
+          Seq(col("ts") < cut, col("ts") >= cut).foreach { c =>
+            ev.filter(c).coalesce(1).write.mode("append")
+              .parquet(s"$root/staging")
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       ev.unpersist()
       s.table(qn).select(
         unix_timestamp(col("window.start")).cast("long").as("bucket_s"),
@@ -1159,21 +1176,23 @@ object Queries {
       if (s.catalog.tableExists(qn)) s.catalog.dropTempView(qn)
       val ev = events(s, dir).select("user_id", "ts").cache()
       val src = s.readStream.schema(ev.schema).parquet(s"$root/staging")
-      val q = src.withWatermark("ts", "90 minutes")
-        .groupBy(col("user_id"),
-          session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"))
-        .writeStream.format("memory").queryName(qn)
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append").start()
-      try {
-        val cut = lit("2024-01-16").cast("timestamp")
-        Seq(col("ts") < cut, col("ts") >= cut).foreach { c =>
-          ev.filter(c).coalesce(1).write.mode("append")
-            .parquet(s"$root/staging")
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withStreamPartitions(s, 8) {
+        val q = src.withWatermark("ts", "90 minutes")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").start()
+        try {
+          val cut = lit("2024-01-16").cast("timestamp")
+          Seq(col("ts") < cut, col("ts") >= cut).foreach { c =>
+            ev.filter(c).coalesce(1).write.mode("append")
+              .parquet(s"$root/staging")
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       ev.unpersist()
       s.table(qn).select(col("user_id"),
         unix_timestamp(col("sw.start")).cast("long").as("start_s"),
