@@ -126,8 +126,8 @@ object Dedup {
   /** One full doc row per [[collapseExact]] group (the minimum-id
     * member). Sort-free: left-semi shuffled-hash join on the id.
     */
-  private def collapseReps(docs: DataFrame, groups: DataFrame,
-                           idCol: String): DataFrame =
+  private[llm] def collapseReps(docs: DataFrame, groups: DataFrame,
+                                idCol: String): DataFrame =
     docs.join(
       groups.select(col("__rep").as(idCol)).hint("shuffle_hash"),
       Seq(idCol), "left_semi")

@@ -94,20 +94,29 @@ object Pipeline {
     * Scale shape: the benchmark gram set is tiny relative to the corpus
     * — distinct 64-bit gram hashes, broadcast — so the corpus side is
     * one explode + broadcast hash join + partial-aggregated groupBy:
-    * no shuffle of document bodies, no corpus self-join.
+    * no shuffle of document bodies, no corpus self-join. Exact copies
+    * collapse to one representative FIRST ([[Dedup.collapseExact]]):
+    * contamination is a pure function of document content, so a
+    * 32-way copy group shingles once and the verdict expands back to
+    * every member — on the copy-heavy corpora 100 TB crawls actually
+    * are, the dominant shingling CPU divides by the copy rate.
     */
   def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int = 8,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val cg = Dedup.withShingles(Dedup.rebalance(corpus), textCol, n, "__sh")
+    val groups = Dedup.collapseExact(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = Dedup.collapseReps(corpus, groups, idCol)
+    val cg = Dedup.withShingles(Dedup.rebalance(reps), textCol, n, "__sh")
       .select(col(idCol).as("id"), explode(col("__sh")).as("g"))
       .select(col("id"), xxhash64(col("g")).as("gh"))
     val bg = Dedup.withShingles(bench, textCol, n, "__sh")
       .select(explode(col("__sh")).as("g"))
       .select(xxhash64(col("g")).as("gh")).distinct()
-    cg.join(broadcast(bg), Seq("gh"))
+    val repHits = cg.join(broadcast(bg), Seq("gh"))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_hit_grams"))
+    Dedup.expandDocs(repHits, groups, idCol, Seq("n_hit_grams"))
   }
 
   /** Fuzzy benchmark decontamination: flag corpus documents whose
@@ -128,7 +137,12 @@ object Pipeline {
     * any per-doc work). The single shuffle in the plan is the distinct
     * over candidate ID PAIRS — 16 bytes per hit, not documents.
     * Signatures use the same fused native `minhash_sig` as
-    * [[Dedup.minhashLsh]] (no k× row amplification).
+    * [[Dedup.minhashLsh]] (no k× row amplification). Exact copies
+    * collapse to one representative first ([[Dedup.collapseExact]]) —
+    * Jaccard against the bench set is a pure function of document
+    * content, so signatures and the candidate verify run once per
+    * DISTINCT text and the `(bench_id, jaccard)` verdicts expand back
+    * to every copy-group member at the end.
     */
   def fuzzyDecontaminate(corpus: DataFrame, bench: DataFrame, n: Int = 3,
                          numHashes: Int = 64, bands: Int = 16,
@@ -152,8 +166,11 @@ object Pipeline {
       }
       sig.select(col(outId), explode(array(bandCols: _*)).as("bucket"))
     }
+    val groups = Dedup.collapseExact(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = Dedup.collapseReps(corpus, groups, idCol)
     val bSh = hashedShingles(bench, "bench_id")
-    val cand = banded(hashedShingles(corpus, "__cid"), "__cid")
+    val cand = banded(hashedShingles(reps, "__cid"), "__cid")
       .join(broadcast(banded(bSh, "bench_id")), Seq("bucket"))
       .select(col("__cid").as(idCol), col("bench_id")).distinct()
     // Shingle-less docs share the degenerate all-MaxValue signature and
@@ -161,14 +178,15 @@ object Pipeline {
     // fails every threshold), mirroring minhashLsh.
     val candIds = cand.select(col(idCol)).distinct()
     val cSh = hashedShingles(
-      corpus.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol)
-    cand.join(cSh, Seq(idCol))
+      reps.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol)
+    val repHits = cand.join(cSh, Seq(idCol))
       .join(broadcast(bSh.withColumnRenamed("shh", "__bsh")), Seq("bench_id"))
       .withColumn("jaccard",
         size(array_intersect(col("shh"), col("__bsh"))).cast("double") /
           size(array_union(col("shh"), col("__bsh"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col(idCol), col("bench_id"), col("jaccard"))
+    Dedup.expandDocs(repHits, groups, idCol, Seq("bench_id", "jaccard"))
   }
 
   /** Sliding-window chunking: split each document's token stream into

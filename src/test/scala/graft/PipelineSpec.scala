@@ -86,6 +86,38 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("decontaminate: exact copies collapse but every member is flagged " +
+      "with the group's verdict") {
+    val bench = docs((100L, "b", "alpha beta gamma delta"))
+    val corpus = docs(
+      (1L, "c", "alpha beta gamma something else entirely"),
+      (11L, "c", "alpha beta gamma something else entirely"), // copy of 1
+      (2L, "c", "beta gamma delta and alpha beta gamma too"),
+      (21L, "c", "beta gamma delta and alpha beta gamma too"), // copy of 2
+      (3L, "c", "no overlap with anything here at all"))
+    val got = Pipeline.decontaminate(corpus, bench, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 11L -> 1L, 2L -> 2L, 21L -> 2L))
+  }
+
+  test("fuzzyDecontaminate: exact copies expand to identical " +
+      "(bench_id, jaccard) verdicts per member") {
+    val bench = docs(
+      (100L, "b", "alpha beta gamma delta epsilon zeta eta theta"))
+    val corpus = docs(
+      (1L, "c", "alpha beta gamma delta epsilon zeta eta changed"),
+      (11L, "c", "alpha beta gamma delta epsilon zeta eta changed"),
+      (12L, "c", "alpha beta gamma delta epsilon zeta eta changed"),
+      (3L, "c", "no overlap with anything here at all"))
+    val got = Pipeline.fuzzyDecontaminate(corpus, bench, n = 3,
+        numHashes = 64, bands = 32, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet == Set(1L -> 100L, 11L -> 100L, 12L -> 100L))
+    assert(got.values.toSet.size == 1)
+    assert(math.abs(got((1L, 100L)) - 5.0 / 7.0) < 1e-12)
+  }
+
   test("fuzzyDecontaminate: LSH cross-corpus candidates match brute-force " +
       "jaccard; bench side broadcasts, corpus never sort-merges") {
     val bench = docs(

@@ -437,11 +437,17 @@ class PropertySpec extends SparkSpec {
         val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
           .toDF("id", "v")
         val centsSeq = cents.zipWithIndex.map { case (c, i) => (i, c: Seq[Double]) }
+        // compare the cosine as raw BITS: an all-zero centroid/vector
+        // yields NaN (0/0) in BOTH arms, but specialized
+        // Tuple2[Int, Double] equality uses primitive == where
+        // NaN != NaN — the map compare would fail on agreeing NaNs
+        def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
         val got = df.select(col("id"), element_at(
             graft.llm.Similarity.topCellsLocal(col("v"), centsSeq, 1), 1)
             .as("tc"))
           .select(col("id"), col("tc.cell"), col("tc.cosine"))
-          .collect().map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
+          .collect()
+          .map(r => (r.getLong(0), (r.getInt(1), bits(r.getDouble(2)))))
           .toMap
         def dot(a: Seq[Double], b: Seq[Double]): Double = {
           var s0 = 0.0; var i = 0
@@ -457,7 +463,7 @@ class PropertySpec extends SparkSpec {
               else java.lang.Double.compare(a._1, b._1)
             if (cmp >= 0) a else b
           }
-          (i.toLong, (best._2, best._1))
+          (i.toLong, (best._2, bits(best._1)))
         }.toMap
         got == exp
     }, n = 20)
