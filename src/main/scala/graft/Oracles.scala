@@ -955,6 +955,18 @@ object Oracles {
                 CAST(max(value) AS REAL) AS upper
          FROM events GROUP BY 1""",
 
+    // the carbonara codec (compressed + padded split formats) sits
+    // fully under this hash: the oracle aggregates events directly
+    "i8_carbonara_agg" ->
+      """SELECT user_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                CAST(avg(value) AS REAL) AS v
+         FROM events GROUP BY 1, 2""",
+
+    "i8_carbonara_raw" ->
+      """SELECT user_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                count(*) AS n, CAST(avg(value) AS REAL) AS v
+         FROM events GROUP BY 1, 2""",
+
     // dd6: exact-jaccard near-dup pairs (dd2's oracle semantics) fed
     // through a recursive min-label closure — components = min
     // reachable id; one (canonical, size) row per cluster.

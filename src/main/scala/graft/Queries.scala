@@ -855,6 +855,56 @@ object Queries {
           r6(col("mean")).as("mean"), r6(col("lower")).as("lower"),
           r6(col("upper")).as("upper"))
     }),
+    // I8 carbonara aggregate splits: hourly per-user means pack into
+    // real split objects (compressed wire format, carbonara.py:774-780),
+    // decode through the codec, re-encode PADDED (carbonara.py:781-802),
+    // decode again — both on-disk formats sit under the oracle hash.
+    "i8_carbonara_agg" -> ((s, dir) => {
+      import s.implicits._
+      val hourlyRows = events(s, dir)
+        .groupBy(col("user_id"),
+          (floor(unix_timestamp(col("ts")) / H) * H).cast("long")
+            .as("bucket_s"))
+        .agg(avg("value").as("value"))
+        .select(col("user_id").cast("string").as("metric_id"),
+          lit("mean").as("method"), lit(H).as("granularity_s"),
+          col("bucket_s"), col("value"))
+      graft.sources.Carbonara.aggSplitObjects(hourlyRows)
+        .select(col("metric_id"), col("rel_path"), col("data"))
+        .as[(String, String, Array[Byte])]
+        .flatMap { case (m, path, data) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          val (key, gran) = graft.sources.Carbonara.parseSplitName(name).get
+          val (ts1, vs1) = graft.sources.Carbonara.decodeAgg(data, key, gran)
+          val (off, pad) = graft.sources.Carbonara
+            .encodeAggPadded(ts1, vs1, key, gran)
+          val (ts2, vs2) = graft.sources.Carbonara
+            .decodeAgg(Array.fill[Byte](off)(0) ++ pad, key, gran)
+          ts2.indices.map(i => (m, ts2(i) / 1_000_000_000L, vs2(i)))
+        }
+        .toDF("metric_id", "bucket_s", "value")
+        .select(col("metric_id").cast("long").as("user_id"),
+          col("bucket_s"), r6(col("value")).as("v"))
+    }),
+    // I8 carbonara raw buffers: per-user measure streams through the
+    // BoundTimeSerie delta+lz4 codec (carbonara.py:375-411); the
+    // decoded points aggregate to the same hourly means.
+    "i8_carbonara_raw" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.Carbonara.rawBufferObjects(
+          events(s, dir).select(
+            col("user_id").cast("string").as("metric_id"),
+            col("ts").as("timestamp"), col("value")))
+        .select(col("metric_id"), col("data")).as[(String, Array[Byte])]
+        .flatMap { case (m, data) =>
+          val (ts, vs) = graft.sources.Carbonara.decodeBound(data)
+          ts.indices.map(i => (m, ts(i), vs(i)))
+        }
+        .toDF("metric_id", "ts_ns", "value")
+        .groupBy(col("metric_id").cast("long").as("user_id"),
+          (expr("ts_ns div 3600000000000") * H).cast("long").as("bucket_s"))
+        .agg(count(lit(1)).as("n"), r6(avg("value")).as("v"))
+    }),
     // Fuzzy-dedup clustering: LSH near-dup pairs (dd2's parameters)
     // → connected components → one (canonical, size) row per cluster.
     // The fused fuzzyClusters path feeds CC representative-level star
