@@ -64,6 +64,49 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .get(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(p))
 
+  /** Replace the touched partitions of a partitioned parquet tree with
+    * `df`'s rows in ONE materialization: write to a dot-prefixed
+    * staging subtree (invisible to Spark's file listing), then swap
+    * each staged leaf partition directory into place with filesystem
+    * renames. Semantics match dynamic-partition-overwrite — only
+    * partitions that receive output are replaced — but without the
+    * eager localCheckpoint the self-read hazard otherwise forces: the
+    * write job consumes the old files BEFORE any rename touches them,
+    * so nothing is read mid-replacement, the output is materialized
+    * once instead of twice (profiled at ~40% of warm ingest), and no
+    * executor memory pins the intermediate (a localCheckpoint dies
+    * with its executors on a real cluster). Renames are metadata ops
+    * on HDFS-like filesystems; object stores degrade to copies, the
+    * same cost the Hadoop output committer already pays there.
+    */
+  private def swapWrite(df: DataFrame, path: String,
+                        partCols: Seq[String], sortCols: Seq[String]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stale staging from a crashed writer: invisible to readers, but
+    // clean it so the tree doesn't accumulate dead bytes
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(base, ".staging-*")))
+      .foreach(_.foreach(s => fs.delete(s.getPath, true)))
+    val staging = new org.apache.hadoop.fs.Path(base,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(staging.toString)
+    val stagedRoot = fs.makeQualified(staging).toString
+    val leaves = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      staging, Seq.fill(partCols.size)("*").mkString("/"))))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    for (st <- leaves if st.isDirectory) {
+      val rel = fs.makeQualified(st.getPath).toString
+        .stripPrefix(stagedRoot).stripPrefix("/")
+      val dest = new org.apache.hadoop.fs.Path(base, rel)
+      fs.delete(dest, true)
+      fs.mkdirs(dest.getParent)
+      fs.rename(st.getPath, dest)
+    }
+    fs.delete(staging, true)
+  }
+
   // opt-in stage timing on stderr (GRAFT_INGEST_TIMING=1): the ingest
   // job is the store's hot loop, and its cost model (O(batch) vs
   // O(split rewrite)) is worth being able to SEE, not infer
@@ -245,58 +288,52 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
         unix_timestamp(col("bucket")) < col("__lo_s"))
       .drop("__lo_s")
 
-    // localCheckpoint: materialize before the write so the job never
-    // reads aggPath files that the dynamic overwrite is about to replace.
-    // FRESH-STORE fast path: when the path doesn't exist yet nothing in
-    // the plan reads it (readOr fell back to an empty local relation),
-    // so there is no hazard and the checkpoint would only materialize
-    // the full output twice — first ingests (every fresh-store gate
-    // query, the bench cold ingest) write straight through.
+    // Warm path: swapWrite stages the merged output BESIDE the store
+    // and renames touched partitions into place — one materialization,
+    // no self-read hazard (the job drains the old files before any
+    // rename), no localCheckpoint. The repartition inside swapWrite
+    // keeps one file per directory per owning task, and the
+    // (metric_id, bucket) in-file clustering gives parquet row-group
+    // stats so single-metric reads skip row groups — the within-file
+    // analogue of the partition pruning above.
+    // FRESH-STORE fast path: nothing in the plan reads a missing
+    // aggPath (readOr fell back to an empty local relation), so first
+    // ingests write straight through without staging renames.
     val aggExists = pathExists(aggPath)
-    val out =
-      if (aggExists)
-        stage("agg checkpoint")(
-          kept.select(newAggRows.columns.map(col).toSeq: _*)
-            .unionByName(newAggRows)
-            .localCheckpoint(true))
-      else newAggRows
-    stage("agg write")(out
-      // one small shuffle of the OUTPUT rows onto the partition key so
-      // each partition directory receives one file per owning task —
-      // without it every task sprays every touched directory
-      // (tasks × dirs small files, compounding per warm batch)
+    if (aggExists)
+      stage("agg write")(swapWrite(
+        kept.select(newAggRows.columns.map(col).toSeq: _*)
+          .unionByName(newAggRows),
+        aggPath, Seq("method", "gran_s", "split", "msack"),
+        Seq("metric_id", "bucket")))
+    else stage("agg write")(newAggRows
       .repartition(col("method"), col("gran_s"), col("split"), col("msack"))
-      // cluster rows by (metric_id, bucket) inside each file: parquet
-      // row-group min/max stats on metric_id then let a single-metric
-      // read skip row groups instead of scanning the whole split —
-      // the within-file analogue of the partition pruning above
       .sortWithinPartitions("metric_id", "bucket")
       .write
       .partitionBy("method", "gran_s", "split", "msack")
-      .mode(SaveMode.Overwrite) // dynamic: only touched partitions rewritten
+      .mode(SaveMode.Overwrite)
       .parquet(aggPath))
 
     // Raw buffer is sack-partitioned (the reference's sack analogue,
     // incoming/__init__.py:243-244): a batch rewrites ONLY the sacks of
-    // the metrics it touches — O(batch's sacks), not O(buffer) — and the
-    // eager localCheckpoint materializes the new content before the
-    // dynamic overwrite replaces the files it was derived from.
+    // the metrics it touches — O(batch's sacks), not O(buffer).
     // sacks from the batch's metric-id list (a local relation) — the
     // accepted-frame formulation re-scanned the batch inside this write
     val touchedSacks = metricIds.select(sackOf(col("metric_id")).as("sack"))
       .distinct()
     val rawOut = bounded.withColumn("sack", sackOf(col("metric_id")))
       .join(broadcast(touchedSacks), Seq("sack"))
-    // same fresh-store fast path as the aggregate side: no stored sacks
-    // → the plan reads nothing under rawPath → write directly. (The
-    // merged cache does NOT make the warm checkpoint redundant: evicted
-    // cache partitions recompute from rawPath mid-overwrite.)
-    val rawStaged = stage("raw checkpoint")(
-      if (pathExists(rawPath)) rawOut.localCheckpoint(true) else rawOut)
-    stage("raw write")(rawStaged
+    // same warm/fresh split as the aggregate side: swapWrite drains
+    // rawPath fully (including merged-cache recomputes on eviction)
+    // before any rename touches it, so no checkpoint is needed
+    if (pathExists(rawPath))
+      stage("raw write")(swapWrite(rawOut, rawPath,
+        Seq("sack"), Seq("metric_id", "timestamp")))
+    else stage("raw write")(rawOut
+      .repartition(col("sack"))
       .sortWithinPartitions("metric_id", "timestamp")
       .write.partitionBy("sack")
-      .mode(SaveMode.Overwrite) // dynamic: only touched sacks rewritten
+      .mode(SaveMode.Overwrite)
       .parquet(rawPath))
     merged.unpersist()
     batchP.unpersist()
@@ -407,14 +444,9 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * split directory collapses to one file. Optional — the analogue of
     * the reference's "compress for fun" pass / OPTIMIZE.
     */
-  def compact(): Unit = {
-    val agg = aggregates
-      .repartition(col("method"), col("gran_s"), col("split"), col("msack"))
-      .localCheckpoint(true)
-    agg.sortWithinPartitions("metric_id", "bucket")
-      .write.partitionBy("method", "gran_s", "split", "msack")
-      .mode(SaveMode.Overwrite).parquet(aggPath)
-  }
+  def compact(): Unit =
+    swapWrite(aggregates, aggPath,
+      Seq("method", "gran_s", "split", "msack"), Seq("metric_id", "bucket"))
 
   /** J5 raw-buffer re-truncation (chef.py:186-295): re-apply the
     * back-window bound to the stored raw buffer without new measures —
@@ -434,8 +466,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .filter(unix_timestamp(col("timestamp")) >= col("__floor_s"))
       .drop("__last_s", "__floor_s")
       .withColumn("sack", sackOf(col("metric_id")))
-      .localCheckpoint(true)
-    bounded.write.partitionBy("sack").mode(SaveMode.Overwrite).parquet(rawPath)
+    swapWrite(bounded, rawPath, Seq("sack"), Seq("metric_id", "timestamp"))
   }
 
   /** J4 metric expunge (chef.py:297-345): remove one metric's rows from
@@ -468,19 +499,22 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     if (touched.nonEmpty) {
       val touchedDf = touched.toSeq.toDF("method", "gran_s", "split")
         .withColumn("msack", lit(mz))
+      // persist (not checkpoint) spans the kept-collect and the write;
+      // swapWrite itself needs no lineage cut — recomputes still read
+      // the untouched store files until the final renames
       val remaining = aggregates
         .join(broadcast(touchedDf), Seq("method", "gran_s", "split", "msack"))
         .filter(col("metric_id") =!= metricId)
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = remaining
         .select(col("method"), col("gran_s").cast("long"),
           col("split").cast("long"))
         .distinct()
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       if (!kept.isEmpty)
-        remaining.sortWithinPartitions("metric_id", "bucket")
-          .write.partitionBy("method", "gran_s", "split", "msack")
-          .mode(SaveMode.Overwrite).parquet(aggPath)
+        swapWrite(remaining, aggPath,
+          Seq("method", "gran_s", "split", "msack"), Seq("metric_id", "bucket"))
+      remaining.unpersist()
       touched.filterNot(kept).foreach { case (m, g, s) =>
         fs.delete(new org.apache.hadoop.fs.Path(
           s"$aggPath/method=$m/gran_s=$g/split=$s/msack=$mz"), true)
@@ -492,12 +526,13 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     val sackRows = raw.filter(col("sack") === sackId)
     if (!sackRows.filter(col("metric_id") === metricId).isEmpty) {
       val remainingRaw = sackRows.filter(col("metric_id") =!= metricId)
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (remainingRaw.isEmpty)
         fs.delete(new org.apache.hadoop.fs.Path(s"$rawPath/sack=$sackId"), true)
       else
-        remainingRaw.write.partitionBy("sack")
-          .mode(SaveMode.Overwrite).parquet(rawPath)
+        swapWrite(remainingRaw, rawPath,
+          Seq("sack"), Seq("metric_id", "timestamp"))
+      remainingRaw.unpersist()
     }
   }
 
