@@ -439,6 +439,66 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
         value.as("value"))
   }
 
+  /** Migration OUT: render this store's whole content as a
+    * reference-layout carbonara tree — every (metric, method,
+    * granularity) series becomes compressed split objects
+    * (`agg_<method>/<key>_<gran>_v3`), the raw buffer becomes
+    * per-metric `none_v3` objects. A reference deployment can read the
+    * result with its own unserializers; one shuffle per object plane.
+    */
+  def exportCarbonara(destPath: String): Unit = {
+    graft.sources.Carbonara.writeObjects(
+      graft.sources.Carbonara.aggSplitObjects(
+        aggregates.select(col("metric_id"), col("method"),
+          col("gran_s").cast("long").as("granularity_s"),
+          unix_timestamp(col("bucket")).cast("long").as("bucket_s"),
+          col("value"))),
+      destPath)
+    graft.sources.Carbonara.writeObjects(
+      graft.sources.Carbonara.rawBufferObjects(
+        rawBuffer.select("metric_id", "timestamp", "value")),
+      destPath)
+  }
+
+  /** Migration IN: materialize a reference store tree into THIS store's
+    * layout. Aggregates import VERBATIM (never recomputed — the
+    * reference's raw buffer is back-window bounded and cannot rebuild
+    * aggregate history); only second-aligned granularities are
+    * representable in this layout (sub-second splits are skipped, and
+    * a count is printed so a migration can't silently drop them). The
+    * raw buffer lands in the sack layout ready for the next
+    * addMeasures. Fresh-store only: merging into live content is the
+    * incremental job's business, not the migrator's.
+    */
+  def importCarbonara(srcPath: String): Unit = {
+    require(!pathExists(aggPath) && !pathExists(rawPath),
+      s"importCarbonara requires a fresh store (found content under $root)")
+    val all = graft.sources.Carbonara.readAggregates(spark, srcPath)
+      .withColumn("__aligned",
+        col("granularity_s") === col("granularity_s").cast("long").cast("double"))
+    val dropped = all.filter(!col("__aligned")).count()
+    if (dropped > 0)
+      System.err.println(s"[carbonara-import] $dropped sub-second-granularity " +
+        "rows are not representable in the second-keyed store; skipped")
+    val out = all.filter(col("__aligned"))
+      .withColumn("gran_s", col("granularity_s").cast("long"))
+      .select(col("metric_id"), col("timestamp").as("bucket"), col("value"),
+        col("method"), col("gran_s"),
+        floor(unix_timestamp(col("timestamp")) / (col("gran_s") * 3600))
+          .cast("long").as("split"),
+        sackOf(col("metric_id")).as("msack"))
+    out.repartition(col("method"), col("gran_s"), col("split"), col("msack"))
+      .sortWithinPartitions("metric_id", "bucket")
+      .write.partitionBy("method", "gran_s", "split", "msack")
+      .parquet(aggPath)
+    graft.sources.Carbonara.readRaw(spark, srcPath)
+      .withColumn("sack", sackOf(col("metric_id")))
+      .repartition(col("sack"))
+      .sortWithinPartitions("metric_id", "timestamp")
+      .write.partitionBy("sack")
+      .parquet(rawPath)
+  }
+
   /** J2 split compaction (storage/__init__.py:528-550): rewrite the
     * aggregate table clustered by its partition key so each immutable
     * split directory collapses to one file. Optional — the analogue of

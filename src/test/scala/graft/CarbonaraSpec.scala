@@ -125,6 +125,44 @@ class CarbonaraSpec extends SparkSpec {
     assert(res2.passed, res2.status.toString)
   }
 
+  test("MetricStore migration round-trip: exportCarbonara then " +
+      "importCarbonara reproduces aggregates and raw buffer exactly") {
+    import graft.model.{ArchivePolicy, ArchivePolicyItem, Granularity}
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("carbonara-mig")
+    val policy = ArchivePolicy("mig", 1,
+      Seq(ArchivePolicyItem(Granularity.seconds(300), None, None)),
+      Set("mean", "count"))
+    val src = new graft.ingest.MetricStore(s, s"$tmp/src", policy)
+    val measures = (0 until 500).map { i =>
+      (s"m-${i % 7}", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds(i * 137L)), math.sin(i) * 100)
+    }.toDF("metric_id", "timestamp", "value")
+    src.addMeasures(measures)
+    src.exportCarbonara(s"$tmp/tree")
+    val dst = new graft.ingest.MetricStore(s, s"$tmp/dst", policy)
+    dst.importCarbonara(s"$tmp/tree")
+    def aggSet(st: graft.ingest.MetricStore) = st.aggregates
+      .select(col("metric_id"), col("method"), col("gran_s"),
+        unix_timestamp(col("bucket")).cast("long"), col("value"),
+        col("split"), col("msack"))
+      .collect().map(_.toSeq).toSet
+    def rawSet(st: graft.ingest.MetricStore) = st.rawBuffer
+      .select(col("metric_id"), col("timestamp"), col("value"), col("sack"))
+      .collect().map(_.toSeq).toSet
+    assert(aggSet(dst) == aggSet(src))
+    assert(rawSet(dst) == rawSet(src))
+    // and the migrated store serves reads + accepts the next batch
+    assert(dst.getMeasures("m-1", "mean", 300L).count() ==
+      src.getMeasures("m-1", "mean", 300L).count())
+    dst.addMeasures(Seq(("m-1", java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T20:00:00Z")), 5.0))
+      .toDF("metric_id", "timestamp", "value"))
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("store import/export: export writes the reference layout and " +
       "readAggregates/readRaw recover every row") {
     val s = spark
