@@ -282,6 +282,11 @@ object Carbonara {
     val enc = org.apache.spark.sql.Encoders.row(aggSchema)
     val rows = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
+      // split object names start with the epoch digit — the glob keeps
+      // the none_v3 raw buffers out of the scan entirely (the rlike
+      // below is a row filter; by then binaryFile has already read the
+      // file body)
+      .option("pathGlobFilter", "[0-9]*")
       .load(basepath)
       .filter(col("path").rlike("/agg_[^/]+/[^/]+$"))
       .select(col("path"), col("content"))
