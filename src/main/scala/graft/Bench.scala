@@ -60,8 +60,28 @@ object Bench {
                       factor: Int): Double = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    // layout version bumps force a rebuild when the amplified set grows
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_done_v2"))) return 0.0
+    // The done marker carries a fingerprint of the SOURCE tables
+    // (sizes + mtimes): the gate environment regenerates testdata
+    // between rounds (it has, twice), and a bare marker would silently
+    // bench stale amplified data forever after. Layout version bumps
+    // still force rebuilds when the amplified set itself changes.
+    val srcFp = Seq("events", "documents", "embeddings", "lineitem",
+        "orders", "customer", "nation", "region")
+      .map { n =>
+        val st = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$sfDir/$n.parquet"))
+        s"$n:${st.map(s => s.getLen + s.getModificationTime).sum}"
+      }.mkString(",")
+    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_done_v2")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val prev = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      if (prev == srcFp) return 0.0
+      System.err.println("[bench] testdata changed under the amplified " +
+        "cache; rebuilding " + outDir)
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    }
     val t = timed {
       val rep = broadcast(spark.range(factor).select(col("id").as("__rep")))
       def write(name: String, shift: DataFrame => DataFrame): Unit =
@@ -91,7 +111,8 @@ object Bench {
       for (d <- Seq("customer", "nation", "region"))
         spark.read.parquet(s"$sfDir/$d.parquet")
           .write.mode("overwrite").parquet(s"$outDir/$d.parquet")
-      fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_done_v2")).close()
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_done_v2"))
+      try out.write(srcFp.getBytes("UTF-8")) finally out.close()
     }
     t
   }
