@@ -255,4 +255,29 @@ class IngestSpec extends SparkSpec {
     val gotB = store.getMeasures(b, "mean", 60).collect().map(_.getDouble(2))
     assert(gotA.toSeq == Seq(2.0) && gotB.toSeq == Seq(2.0))
   }
+
+  test("stale staging from a crashed writer is invisible to reads and " +
+      "cleaned by the next warm write") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val policy = ArchivePolicy("crash", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)), Set("mean"))
+    val store = new MetricStore(spark, dir, policy)
+    store.addMeasures(measures(("m", "2014-01-01 12:00:01", 4.0)))
+    // a crashed swapWrite leaves a dot-staging subtree with arbitrary
+    // partial content — plant one with a CONFLICTING schema to prove
+    // readers never even list it
+    val staging = new java.io.File(s"$dir/agg/.staging-dead/method=mean")
+    staging.mkdirs()
+    val s = spark
+    import s.implicits._
+    Seq(("x", 1)).toDF("a", "b").write
+      .parquet(s"$dir/agg/.staging-dead/method=mean/gran_s=60")
+    assert(store.aggregates.filter(col("method") === "mean").count() == 1)
+    // the next warm write clears the corpse and lands its own content
+    store.addMeasures(measures(("m", "2014-01-01 12:01:01", 6.0)))
+    assert(!new java.io.File(s"$dir/agg/.staging-dead").exists(),
+      "stale staging survived a warm write")
+    assert(store.getMeasures("m", "mean", 60).collect()
+      .map(_.getDouble(2)).sorted.toSeq == Seq(4.0, 6.0))
+  }
 }
