@@ -102,7 +102,12 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       val dest = new org.apache.hadoop.fs.Path(base, rel)
       fs.delete(dest, true)
       fs.mkdirs(dest.getParent)
-      fs.rename(st.getPath, dest)
+      // a silently-failed rename followed by the staging cleanup below
+      // would drop this partition's data — fail loudly instead; the
+      // staged bytes survive for a re-run
+      require(fs.rename(st.getPath, dest),
+        s"swapWrite: rename ${st.getPath} -> $dest failed; staged output " +
+          "left in place")
     }
     fs.delete(staging, true)
   }
