@@ -700,6 +700,57 @@ class Graft(val spark: SparkSession, root: String) {
         s"resource $resourceId has no metric named $name"))
   }
 
+  /** Metrics attached to one resource, (name, metric_id) sorted by
+    * name (NamedMetricController.get_all, rest/api.py:799-817). */
+  def resourceMetrics(resourceId: String): Seq[(String, String)] = {
+    val cat = metricsCatalog.getOrElse(throw new IllegalStateException(
+      "no metric catalog registered — call setMetrics(df) first"))
+    cat.filter(col("resource_id") === resourceId)
+      .select("name", "metric_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+  }
+
+  /** Append NAMED metrics to a resource (NamedMetricController.post,
+    * rest/api.py:773-797): each (name, optional policy) creates the
+    * metric — explicit policy if given, else the R9 rules — and
+    * registers it under the resource. An already-attached name rejects
+    * the whole call (NamedMetricAlreadyExists → 409 at the route
+    * layer). Returns the created (name, metric_id) pairs.
+    */
+  def attachMetrics(resourceId: String,
+                    metrics: Seq[(String, Option[String])]): Seq[(String, String)] = {
+    val existing = resourceMetrics(resourceId).map(_._1).toSet
+    for (n <- metrics.map(_._1).find(existing.contains))
+      throw new IllegalArgumentException(
+        s"metric $n already exists for resource $resourceId")
+    val created = metrics.map { case (name, pol) =>
+      val id = s"$resourceId/$name"
+      createMetric(id, pol.getOrElse(rulePolicy(name)))
+      (id, resourceId, name)
+    }
+    import spark.implicits._
+    val rows = created.toDF("metric_id", "resource_id", "name")
+    metricsCatalog = Some(metricsCatalog
+      .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
+    created.map(c => (c._3, c._1))
+  }
+
+  /** One resource's revision rows from the registered history table,
+    * ordered by revision_start (the resource history endpoint; the
+    * table's convention carries the CURRENT revision as a NULL
+    * `revision_end` row, so the full lifecycle reads out of one
+    * filter). */
+  def resourceHistory(id: String): DataFrame = {
+    val hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
+      "no resource history table — call setResourceHistory(df) first"))
+    hist.filter(col("id") === id).orderBy("revision_start")
+  }
+
+  /** All registered resource types, sorted by name
+    * (ResourceTypesController.get_all, rest/api.py:1283-1288). */
+  def listResourceTypes: Seq[graft.catalog.ResourceTypes.ResourceType] =
+    resourceTypes.values.toSeq.sortBy(_.name)
+
   /** G1/G2 resource-scoped group-by aggregation
     * (rest/aggregates/api.py:541-672): resolve resources by filter,
     * match metrics by (glob) name, fetch every matched series in one

@@ -489,6 +489,47 @@ class RestApi(g: Graft) {
         route("GET", List("v1", "metric", g.resourceMetricId(id, name),
           "measures"), q, body, raw)
 
+      // GET /v1/resource/<type>/<id>/metric: the resource's named
+      // metrics (NamedMetricController.get_all).
+      case ("GET", List("v1", "resource", _, id, "metric")) =>
+        ok(JArray(g.resourceMetrics(id).map { case (n, mid) =>
+          JObject(List("name" -> JString(n), "id" -> JString(mid)))
+        }.toList))
+
+      // POST /v1/resource/<type>/<id>/metric: append named metrics
+      // (MetricsSchema body: {name: null | {"archive_policy_name": p}});
+      // unknown resource → 404, name collision → 409.
+      case ("POST", List("v1", "resource", _, id, "metric")) =>
+        if (g.searchResources(s"id = '$id'").isEmpty)
+          err(404, s"no resource $id")
+        else {
+          val metrics = body() match {
+            case JObject(fields) => fields.map {
+              case (n, JString(p)) => n -> Some(p)
+              case (n, o: JObject) => o \ "archive_policy_name" match {
+                case JString(p) => n -> Some(p)
+                case _          => n -> None
+              }
+              case (n, _) => n -> None
+            }
+            case other =>
+              throw new IllegalArgumentException(s"bad metrics body: $other")
+          }
+          try created(JArray(g.attachMetrics(id, metrics).map {
+            case (n, mid) =>
+              JObject(List("name" -> JString(n), "id" -> JString(mid)))
+          }.toList))
+          catch {
+            case e: IllegalArgumentException
+              if Option(e.getMessage).exists(_.contains("already exists")) =>
+              err(409, e.getMessage)
+          }
+        }
+
+      // GET /v1/resource/<type>/<id>/history: the revision rows.
+      case ("GET", List("v1", "resource", _, id, "history")) =>
+        ok(frameJson(g.resourceHistory(id), Int.MaxValue))
+
       // -------------------------------------------------- resource types
       case ("POST", List("v1", "resource_type")) =>
         val b = body()
@@ -503,6 +544,9 @@ class RestApi(g: Graft) {
         val rt = graft.catalog.ResourceTypes.ResourceType(jstr(b \ "name"), attrs)
         g.createResourceType(rt)
         created(resourceTypeJson(rt))
+
+      case ("GET", List("v1", "resource_type")) =>
+        ok(JArray(g.listResourceTypes.map(resourceTypeJson).toList))
 
       case ("GET", List("v1", "resource_type", name)) =>
         ok(resourceTypeJson(g.resourceType(name)))

@@ -367,6 +367,67 @@ class RestSpec extends SparkSpec {
     assert(api.dispatch("DELETE", "/v1/resource/generic/r2").status === 404)
   }
 
+  test("resource metric list/append, history, and resource-type listing " +
+      "routes") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(("r1", "fr")).toDF("id", "zone"))
+    g.setResourceHistory(Seq(
+      ("r1", "de", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      ("r1", "fr", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "zone", "revision_start", "revision_end"))
+    g.setMetrics(Seq(("m0", "cpu", "r1"))
+      .toDF("metric_id", "name", "resource_id"))
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "back_window": 0, "aggregation_methods": ["mean"],
+          "definition": [{"granularity": "300", "points": 100}]}""")
+    api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"name": "all", "metric_pattern": "*",
+          "archive_policy_name": "low"}""")
+
+    // list: the pre-registered named metric
+    val l0 = api.dispatch("GET", "/v1/resource/generic/r1/metric")
+    assert(l0.status === 200)
+    assert(l0.body === JArray(List(JObject(List(
+      "name" -> JString("cpu"), "id" -> JString("m0"))))))
+
+    // append two, one with an explicit policy
+    val ap = api.dispatch("POST", "/v1/resource/generic/r1/metric", body =
+      """{"mem": {"archive_policy_name": "low"}, "disk": null}""")
+    assert(ap.status === 201)
+    val names = api.dispatch("GET", "/v1/resource/generic/r1/metric").body
+      .asInstanceOf[JArray].arr.map(m => jstrOf(m \ "name"))
+    assert(names === List("cpu", "disk", "mem"))
+    // collision → 409; unknown resource → 404
+    assert(api.dispatch("POST", "/v1/resource/generic/r1/metric",
+      body = """{"cpu": null}""").status === 409)
+    assert(api.dispatch("POST", "/v1/resource/generic/ghost/metric",
+      body = """{"x": null}""").status === 404)
+    // the appended metric resolves through the named-metric read route
+    assert(api.dispatch("GET",
+      "/v1/resource/generic/r1/metric/mem/measures",
+      query = Map("granularity" -> "300")).status === 200)
+
+    // history: both revisions, in revision order
+    val h = api.dispatch("GET", "/v1/resource/generic/r1/history")
+    assert(h.status === 200)
+    val zones = h.body.asInstanceOf[JArray].arr.map(r => jstrOf(r \ "zone"))
+    assert(zones === List("de", "fr"))
+
+    // resource-type listing includes generic + registered types
+    api.dispatch("POST", "/v1/resource_type", body =
+      """{"name": "vm", "attributes": {}}""")
+    val tl = api.dispatch("GET", "/v1/resource_type")
+    assert(tl.status === 200)
+    assert(tl.body.asInstanceOf[JArray].arr.map(t => jstrOf(t \ "name"))
+      .contains("vm"))
+  }
+
   test("resource-type PATCH applies attribute add/remove with backfill") {
     val s = spark
     import s.implicits._
