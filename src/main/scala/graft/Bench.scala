@@ -117,35 +117,38 @@ object Bench {
     t
   }
 
-  /** Headline data-dominated shapes over the amplified tables. */
-  private def scaleQueries(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = Seq(
-    "scale_a1_hourly_mean" -> (() =>
+  /** Headline data-dominated shapes over the amplified tables. Each
+    * entry takes the session at CALL time so heavy rows can run in a
+    * fresh SparkContext (see the restart logic in main).
+    */
+  private def scaleQueries(dir: String): Seq[(String, SparkSession => DataFrame)] = Seq(
+    "scale_a1_hourly_mean" -> ((s: SparkSession) =>
       Queries.all("a1_mean")(s, dir)),
-    "scale_a12_fetch_slice" -> (() =>
+    "scale_a12_fetch_slice" -> ((s: SparkSession) =>
       Queries.all("a12_fetch")(s, dir)),
-    "scale_b1_bucket_5m" -> (() =>
+    "scale_b1_bucket_5m" -> ((s: SparkSession) =>
       Queries.all("b1_bucket_5m")(s, dir)),
-    "scale_m1_merge_dedup" -> (() =>
+    "scale_m1_merge_dedup" -> ((s: SparkSession) =>
       Queries.all("m1_merge_dedup")(s, dir)),
-    "scale_g1_scoped_agg" -> (() =>
+    "scale_g1_scoped_agg" -> ((s: SparkSession) =>
       Queries.all("g1_scoped_agg")(s, dir)),
-    "scale_dd1_exact_dedup" -> (() =>
+    "scale_dd1_exact_dedup" -> ((s: SparkSession) =>
       Queries.all("dd1_exact_dedup")(s, dir)),
-    "scale_txt2_quality" -> (() =>
+    "scale_txt2_quality" -> ((s: SparkSession) =>
       Queries.all("txt2_quality")(s, dir)),
-    "scale_g5_grouped_ratio" -> (() =>
+    "scale_g5_grouped_ratio" -> ((s: SparkSession) =>
       Queries.all("g5_grouped_ratio")(s, dir)),
-    "scale_dc1_decontaminate" -> (() =>
+    "scale_dc1_decontaminate" -> ((s: SparkSession) =>
       Queries.all("dc1_decontaminate")(s, dir)),
     // fuzzy decontamination: bench bands + shingles broadcast against
     // the amplified corpus — corpus side is map-only plus one
     // candidate-pair distinct; 32-copy groups multiply hits, not work
-    "scale_dc2_fuzzy" -> (() =>
+    "scale_dc2_fuzzy" -> ((s: SparkSession) =>
       Queries.all("dc2_fuzzy_decontaminate")(s, dir)),
     // semantic decontamination at scale: bench-side IVF — centroids as
     // plan-time literals, bench members broadcast per probed cell; the
     // 160k-vector corpus side is map-only plus one scalar exchange
-    "scale_dc3_semantic" -> (() => {
+    "scale_dc3_semantic" -> ((s: SparkSession) => {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.llm.Pipeline.semanticDecontaminate(
@@ -153,17 +156,17 @@ object Bench {
         em.filter(col("vec_id") % 50 === 0),
         threshold = 0.35, nlist = 16, nprobe = 4)
     }),
-    "scale_qf1_quality_filter" -> (() =>
+    "scale_qf1_quality_filter" -> ((s: SparkSession) =>
       Queries.all("qf1_quality_filter")(s, dir)),
     // ANN at scale: rotated-copy embeddings (160k vectors at 32×) —
     // index build + probe, and the LSH near-dup default path
-    "scale_sim2_ivf" -> (() => {
+    "scale_sim2_ivf" -> ((s: SparkSession) => {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.llm.Similarity.ivfTopK(em, em.filter(col("vec_id") < 10),
         k = 5, nlist = 16, nprobe = 4)
     }),
-    "scale_dd5_embedding_dup" -> (() => {
+    "scale_dd5_embedding_dup" -> ((s: SparkSession) => {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.llm.Dedup.embeddingNearDup(em, threshold = 0.95)
@@ -172,37 +175,37 @@ object Bench {
     // exact copies, so every band bucket holds ≥32 members — the
     // candidate/verify pipeline's all-dup worst case, sort-free since
     // the cap + self-join went shuffled-hash
-    "scale_dd2_minhash" -> (() =>
+    "scale_dd2_minhash" -> ((s: SparkSession) =>
       graft.llm.Dedup.minhashLsh(
         s.read.parquet(s"$dir/documents.parquet"))),
     // fingerprint-overlap dedup on the same all-dup corpus: 32-member
     // fingerprint buckets exercise the bucket-capped self-join
-    "scale_dd8_fingerprint" -> (() =>
+    "scale_dd8_fingerprint" -> ((s: SparkSession) =>
       graft.llm.Dedup.fingerprintDup(
         s.read.parquet(s"$dir/documents.parquet"))),
     // fuzzy-dup CLUSTERING on the all-dup corpus: 32-member copy groups
     // enter connected components as 31 star edges each, not 496
     // expanded pairs — the linear rep-level edge formulation
-    "scale_dd6_clusters" -> (() =>
+    "scale_dd6_clusters" -> ((s: SparkSession) =>
       graft.llm.Dedup.fuzzyClusters(
         s.read.parquet(s"$dir/documents.parquet"), n = 3, numHashes = 64,
         bands = 16, threshold = 0.4)),
     // cross-doc repeated spans over the amplified corpus (every copy
     // shares its source doc's grams — the all-dup worst case)
-    "scale_dd7_repeated_spans" -> (() =>
+    "scale_dd7_repeated_spans" -> ((s: SparkSession) =>
       graft.llm.Dedup.repeatedSpans(
         s.read.parquet(s"$dir/documents.parquet"), w = 5)),
     // span REMOVAL on the same all-dup worst case: every doc is fully
     // covered, so the native rebuild walks starts≈grams per doc
-    "scale_es1_span_removal" -> (() =>
+    "scale_es1_span_removal" -> ((s: SparkSession) =>
       graft.llm.Dedup.removeRepeatedSpans(
         s.read.parquet(s"$dir/documents.parquet"), w = 5)),
     // bigram-LM perplexity: corpus-wide counts + per-doc scoring
-    "scale_lm1_perplexity" -> (() =>
+    "scale_lm1_perplexity" -> ((s: SparkSession) =>
       graft.llm.TextAnalysis.perplexity(
         s.read.parquet(s"$dir/documents.parquet"))),
     // as-of join at scale: one shuffle+sort over the tagged union
-    "scale_au1_asof" -> (() => {
+    "scale_au1_asof" -> ((s: SparkSession) => {
       val ev = Queries.adaptTs(s.read.parquet(s"$dir/events.parquet"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
@@ -213,21 +216,21 @@ object Bench {
         clicks, errors, Seq("user_id"), "ts", "ts")
     }),
     // sessionization at scale: per-user sort, two windows, one exchange
-    "scale_ss1_sessionize" -> (() =>
+    "scale_ss1_sessionize" -> ((s: SparkSession) =>
       graft.timeseries.TimeSeriesOps.sessionize(
         Queries.adaptTs(s.read.parquet(s"$dir/events.parquet"))
           .select("user_id", "ts", "event_id"),
         Seq("user_id"), "ts", gapS = 1800L)),
     // persisted-index ANN at scale: one build (writes the partitioned
     // index), then a DPP-pruned probe — the build-once/probe-many split
-    "scale_sim5_index_build" -> (() => {
+    "scale_sim5_index_build" -> ((s: SparkSession) => {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.llm.Similarity.writeIvfIndex(em,
         "/tmp/graft-bench-ivf", nlist = 64)
       s.range(1).toDF() // build is the timed side effect
     }),
-    "scale_sim5_index_probe" -> (() => {
+    "scale_sim5_index_probe" -> ((s: SparkSession) => {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.llm.Similarity.probeIvfIndex(s, "/tmp/graft-bench-ivf",
@@ -235,7 +238,7 @@ object Bench {
     }),
     // IVF-PQ at scale: coarse cells prune, 8-nibble codes score, raw
     // vectors touched only in the shortlist re-rank
-    "scale_sim4_ivfpq" -> (() => {
+    "scale_sim4_ivfpq" -> ((s: SparkSession) => {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val books = graft.llm.Pq.train(em, m = 8, k = 16, iters = 10)
@@ -245,7 +248,7 @@ object Bench {
     // SemDeDup at scale: nClusters grows with the corpus (cells stay
     // ~600 vectors, bounding the per-cell quadratic pass); centroids
     // train on a 1/8 hash-sample
-    "scale_sd1_semdedup" -> (() => {
+    "scale_sd1_semdedup" -> ((s: SparkSession) => {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.llm.Dedup.semDedup(em, nClusters = 256, threshold = 0.95,
@@ -362,32 +365,46 @@ object Bench {
       if (scaleF <= 1) Nil
       else {
         val scaleDir = s"/tmp/graft-bench-scale-${scaleF}x"
-        // FRESH SparkContext for the scale section (JVM and its JIT
-        // stay warm): clearCache+gc alone left enough standard-section
+        // FRESH SparkContext at every section/heavy-row boundary (the
+        // JVM and its JIT stay warm): clearCache+gc alone leaves enough
         // driver residue — codegen caches, cleaner backlog, broadcast
-        // remnants — to inflate early scale rows up to 3x (measured
-        // dc1/dc2 4.2/8.2 s in-sequence vs 1.5/2.9 s isolated, r5).
-        // The ~2 s rebuild buys position-independent per-row numbers.
-        spark.stop()
-        val sparkS = SparkEntry.configure(SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.sql.adaptive.enabled",
-            sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
-          .getOrCreate()
-        sparkS.sparkContext.setLogLevel("WARN")
-        val ampSec = amplify(sparkS, sfDir, scaleDir, scaleF)
-        // warm footers on the amplified tables too
-        for (t <- Seq("events", "documents", "lineitem", "orders", "customer"))
-          sparkS.read.parquet(s"$scaleDir/$t.parquet").count()
-        (("scale_amplify_write" -> ampSec) +: scaleQueries(sparkS, scaleDir)
+        // remnants — to inflate later rows up to 3x (measured dc1/dc2
+        // 4.2/8.2 s in-sequence vs 1.5/2.9 s isolated r5, and
+        // scale_m1/scale_j1 12.9/20.3 s in-sequence vs 5.7/8.4 s
+        // isolated in the r5 gate). The ~2 s rebuild per restart buys
+        // position-independent per-row numbers — a gate artifact that
+        // shows a 2.3x regression that does not exist will eventually
+        // hide one that does.
+        def freshSession(): SparkSession = {
+          SparkSession.getActiveSession.foreach(_.stop())
+          val s = SparkEntry.configure(SparkSession.builder()
+            .master(s"local[$cpus]")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.adaptive.enabled",
+              sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
+            .getOrCreate()
+          s.sparkContext.setLogLevel("WARN")
+          s
+        }
+        def warmFooters(s: SparkSession): Unit =
+          for (t <- Seq("events", "documents", "lineitem", "orders", "customer"))
+            s.read.parquet(s"$scaleDir/$t.parquet").count()
+        var sess = freshSession()
+        val ampSec = amplify(sess, sfDir, scaleDir, scaleF)
+        warmFooters(sess)
+        // store-lifecycle rows get their own fresh section: they build
+        // and double-ingest stores, and are the rows the r5 gate showed
+        // 2.3x contaminated in-sequence
+        val restartBefore = Set("scale_m1_merge_dedup")
+        (("scale_amplify_write" -> ampSec) +: scaleQueries(scaleDir)
           .filter(q => selected(q._1))
           .map { case (name, fn) =>
-            val t = measure(name, () => noop(fn()))
+            if (restartBefore(name)) { sess = freshSession(); warmFooters(sess) }
+            val t = measure(name, () => noop(fn(sess)))
             // same between-query hygiene as the standard section —
             // scale queries shuffle GBs, so dead cache entries and
             // un-GC'd shuffle files compound much faster here
-            sparkS.catalog.clearCache()
+            sess.catalog.clearCache()
             System.gc()
             (name, t)
           }) ++ {
@@ -395,10 +412,13 @@ object Bench {
                 !only.get.exists(Set("scale_j1_ingest", "scale_j1_warm", "scale_p2_read")))
               Nil
             else {
-              // ingestBench wipes its store root at entry, so running
-              // it twice is identical work — first warms, second counts
-              ingestBench(sparkS, scaleDir)
-              ingestBench(sparkS, scaleDir)
+              // fresh section for the ingest lifecycle too (same
+              // rationale); ingestBench wipes its store root at entry,
+              // so running it twice is identical work — first pass
+              // warms, second counts
+              sess = freshSession(); warmFooters(sess)
+              ingestBench(sess, scaleDir)
+              ingestBench(sess, scaleDir)
             }
           }
       }
@@ -408,12 +428,33 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val scaleTotal = scaleResults.filterNot(_._1 == "scale_amplify_write")
       .map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jmap(results)},"sf":"$sfDir",""" +
       s""""scale":{"factor":$scaleF,"total":$scaleTotal,""" +
-      s""""queries":${jmap(scaleResults)}}}""")
-    // the standard session was stopped at the section boundary; stop
-    // whichever session is live now (the scale one, if it ran)
+      s""""queries":${jmap(scaleResults)}}}"""
+    // Full per-query JSON goes to a FILE (it is ~4 KB at 125 queries —
+    // larger than the gate driver's 2 KB stdout-tail capture, which is
+    // how BENCH_r05 ended up `parsed: null`), plus stdout for humans.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(fullJson)
+    // The FINAL stdout line is a compact summary guaranteed to fit the
+    // tail capture: totals plus the slowest rows of each section.
+    def top(rs: Seq[(String, Double)], n: Int): Seq[(String, Double)] =
+      rs.sortBy(-_._2).take(n)
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(top(results, 8))},"sf":"$sfDir",""" +
+      s""""query_count":${results.size},"full":"$outPath",""" +
+      s""""scale":{"factor":$scaleF,"total":$scaleTotal,""" +
+      s""""queries":${jmap(top(scaleResults, 8))},""" +
+      s""""query_count":${scaleResults.size}}}""")
+    // stop whichever session is live now (sections stop their own
+    // predecessors as they start)
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }

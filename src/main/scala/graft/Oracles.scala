@@ -239,6 +239,43 @@ object Oracles {
          SELECT CAST(100.0 * sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) / count(*) AS REAL)
            AS pct FROM g""",
 
+    // X10: both verdicts derived from the data — bucket count of the
+    // aligned hourly grid, and whether that grid carries >1 residue
+    // mod 7200 (⇒ the 7200 s declaration must be rejected)
+    "x10_sanity" ->
+      s"""WITH s AS ($hourlyMean),
+         g AS (SELECT DISTINCT b FROM s WHERE event_type = 'click')
+         SELECT count(*) AS aligned_buckets,
+                (SELECT count(DISTINCT b % 7200) FROM g) > 1
+                  AS misaligned_rejected
+         FROM g""",
+
+    // P1: the planned set is a pure function of the declared policies
+    // (grans common to p1a={300,3600,86400} and p1b={3600,86400,604800},
+    // coarse first) — exact and sf-independent by construction
+    "p1_granularities" ->
+      """SELECT CAST(1 AS BIGINT) AS ord, CAST(86400 AS BIGINT) AS gran_s,
+                true AS no_match_rejected
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(3600 AS BIGINT), true""",
+
+    // P6: triples coarse→fine (gran DESC, bucket ASC), each granularity
+    // aggregated from the raw (deduped) measures — ord pins the order
+    "p6_shaped" ->
+      """WITH d AS (SELECT ts, arg_max(value, event_id) AS value
+                    FROM events WHERE event_type = 'click' GROUP BY 1),
+         h AS (SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+                      avg(value) AS v FROM d GROUP BY 1),
+         dd AS (SELECT CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS b,
+                       avg(value) AS v FROM d GROUP BY 1),
+         u AS (SELECT CAST(86400 AS BIGINT) AS gran_s, b, v FROM dd
+               UNION ALL
+               SELECT CAST(3600 AS BIGINT), b, v FROM h)
+         SELECT CAST(row_number() OVER (ORDER BY gran_s DESC, b) AS BIGINT)
+                  AS ord,
+                gran_s, b AS bucket_s, CAST(v AS REAL) AS v
+         FROM u""",
+
     "s1_search_measures" ->
       s"""WITH s AS ($hourlyMean)
          SELECT event_type, b AS bucket_s, CAST(v AS REAL) AS v FROM s

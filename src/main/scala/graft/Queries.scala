@@ -344,6 +344,46 @@ object Queries {
       import s.implicits._
       Seq(pct.toFloat).toDF("pct")
     }),
+    // X10 grid sanity under the oracle: the aligned hourly grid passes
+    // the check (row count pins it saw every bucket), and the SAME grid
+    // declared as 7200 s must be rejected — hourly buckets carry two
+    // residues mod 7200. The oracle derives BOTH facts from the data.
+    "x10_sanity" -> ((s, dir) => {
+      val g = Compiler.sanityCheck(grid(s, dir, Seq("click")),
+        3600L * 1_000_000_000L)
+      val rejected =
+        try { Compiler.sanityCheck(g, 7200L * 1_000_000_000L); false }
+        catch { case _: IllegalArgumentException => true }
+      g.df.agg(count(lit(1)).as("aligned_buckets"))
+        .withColumn("misaligned_rejected", lit(rejected))
+    }),
+    // P1 granularity planning under the oracle (processor.py:89-132):
+    // granularities common to every referenced metric's policy, coarse
+    // first; disjoint policies raise `No granularity match`. The plan
+    // is a pure function of the declared policies, so the oracle pins
+    // it exactly (sf-independent by construction).
+    "p1_granularities" -> ((s, dir) => {
+      import graft.model.{ArchivePolicy, ArchivePolicyItem, Granularity}
+      val g = new graft.api.Graft(s, s"/tmp/graft-q-store/p1-unused")
+      def pol(name: String, grans: Long*): Unit = g.createPolicy(
+        ArchivePolicy(name, 0,
+          grans.map(x => ArchivePolicyItem(Granularity.seconds(x), None, None)),
+          Set("mean")))
+      pol("p1a", 300L, 3600L, 86400L)
+      pol("p1b", 3600L, 86400L, 604800L)
+      pol("p1c", 60L)
+      g.createMetric("mA", "p1a"); g.createMetric("mB", "p1b")
+      g.createMetric("mC", "p1c")
+      val planned = g.commonGranularities(Seq("mA", "mB"))
+      val noMatch =
+        try { g.commonGranularities(Seq("mA", "mC")); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("No granularity match") }
+      import s.implicits._
+      planned.zipWithIndex
+        .map { case (gr, i) => (i + 1L, gr, noMatch) }
+        .toDF("ord", "gran_s", "no_match_rejected")
+    }),
     "s1_search_measures" -> ((s, dir) => {
       import MeasureSearch._
       val pred = Or(Seq(
@@ -1074,6 +1114,31 @@ object Queries {
         to = Some(java.sql.Timestamp.valueOf("2024-01-20 12:00:00")))
         .select(col("metric_id"), col("method"), bucketS(),
           r6(col("value")).as("v"))
+    }),
+    // P6 output shaping under the oracle (processor.py:229-272 /
+    // rest/api.py:510-517): the FULL facade path — bulk ingest, drain,
+    // then the shaped triple read across every declared granularity,
+    // coarse→fine with buckets ascending within each. The `ord` column
+    // pins the shaping ORDER itself (the hash compare is row-order
+    // blind, so the contract rides in the data).
+    "p6_shaped" -> ((s, dir) => {
+      val root = s"/tmp/graft-q-store/p6-${math.abs(dir.hashCode)}"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val g = new graft.api.Graft(s, root)
+      g.createPolicy(ArchivePolicy("p6", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None),
+          ArchivePolicyItem(Granularity.seconds(86400), None, None)),
+        Set("mean")))
+      g.createMetric("click", "p6")
+      g.batchAddMeasures(dedupMeasures(s, dir)
+        .filter(col("metric_id") === "click"))
+      val triples = g.getMeasures("click", "mean", refreshFirst = true)
+      import s.implicits._
+      triples.zipWithIndex.map { case ((ts, granS, v), i) =>
+        (i + 1L, granS, ts.getTime / 1000L, v)
+      }.toDF("ord", "gran_s", "bucket_s", "v")
+        .select(col("ord"), col("gran_s"), col("bucket_s"), r6(col("v")).as("v"))
     }),
     // B2-through-the-store under the oracle: a policy declaring
     // calendar granularities (M + W) alongside the hourly fixed one;

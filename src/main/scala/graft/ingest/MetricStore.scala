@@ -150,41 +150,69 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // merge/window/truncate pipeline.
     //
     // Batch/buffer METADATA (which metrics, which sacks, old-buffer
-    // last timestamps, first-new timestamps) is materialized ONCE into
-    // driver-local relations — #metrics rows each, the documented
-    // broadcast-bounded-metric-set assumption. Before this, batchSacks,
-    // firstNew and touchedSacks each re-scanned the full batch per
-    // consuming ACTION (no cache spans the agg write and the raw
-    // write): profiled at ~3 extra corpus scans ≈ half of warm ingest.
+    // last timestamps, first-new timestamps) is materialized ONCE.
+    // Below `spark.graft.ingest.maxDriverMetrics` touched metrics the
+    // metadata lands in driver-local relations + broadcast joins — the
+    // fast path, sized for the reference's own sack regime (~hundreds
+    // of metrics per batch). ABOVE it, the same quantities are computed
+    // as distributed frames and plain joins: a 100 TB fleet batch
+    // touching 10 M metrics would otherwise put ~1 GB of metadata and a
+    // multi-million-element isin on the driver. The two paths produce
+    // identical store bytes (IngestSpec pins this).
     import spark.implicits._
     // The incoming batch feeds multiple independent actions (batch
     // metadata, the merge materialization); unpersisted, each re-ran
     // the caller's whole upstream pipeline — profiled at ~2 extra
     // batch computations per ingest. One persist bounds it at one
     // computation (the batch is ingest-sized; it gets written out
-    // anyway), and ONE aggregate collects all driver-side metadata —
-    // metric ids and per-metric batch minima — so the cache is scanned
-    // once for it, not per metadatum.
+    // anyway), and ONE aggregate carries all per-metric metadata —
+    // batch min/max per metric — so the cache is scanned once for it,
+    // not per metadatum.
     val batchP = batch.select("metric_id", "timestamp", "value")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchMeta: Array[(String, Long, Long)] = stage("batch metadata")(
-      batchP.groupBy("metric_id")
-        .agg(min(unix_timestamp(col("timestamp"))).as("mn"),
-          max(unix_timestamp(col("timestamp"))).as("mx"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
-    val batchMetricIds: Seq[String] = batchMeta.map(_._1).toSeq
-    val metricIds = batchMetricIds.toDF("metric_id")
-    val batchSacks = batchMetricIds.map(sackOfId).distinct
+    val batchMetaDf = batchP.groupBy("metric_id")
+      .agg(min(unix_timestamp(col("timestamp"))).as("mn"),
+        max(unix_timestamp(col("timestamp"))).as("mx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxDriverMetrics = spark.conf
+      .get("spark.graft.ingest.maxDriverMetrics", "100000").toLong
+    val nMetrics = stage("metric count")(batchMetaDf.count())
+    val driverPath = nMetrics <= maxDriverMetrics || nMetrics == 0
+    // broadcast hint only on the fast path: at fallback cardinality the
+    // per-metric frames are too big to broadcast — AQE picks the join
+    val hb: DataFrame => DataFrame = if (driverPath) broadcast else identity
+
+    val batchMeta: Array[(String, Long, Long)] =
+      if (!driverPath) Array.empty
+      else stage("batch metadata")(batchMetaDf.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    // the sack set is ≤ NumSacks rows at ANY metric cardinality, so it
+    // stays a driver literal in both paths — partition pruning needs
+    // literals (a join on a partition column does not prune the scan)
+    val batchSacks: Seq[Int] =
+      if (driverPath) batchMeta.map(t => sackOfId(t._1)).distinct.toSeq
+      else batchMetaDf.select(sackOf(col("metric_id")).as("s")).distinct()
+        .collect().map(_.getInt(0)).toSeq
     val rawTouched =
-      rawBuffer.filter(col("sack").isin(batchSacks.toSeq: _*))
+      rawBuffer.filter(col("sack").isin(batchSacks: _*))
         .select("metric_id", "timestamp", "value")
-    val oldLastRows = stage("old-buffer lasts")(
-      rawTouched.groupBy("metric_id")
-        .agg(max(unix_timestamp(col("timestamp"))).as("s"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
-    val oldLast = oldLastRows.toDF("metric_id", "__old_last_s")
+    val oldLastAgg = rawTouched.groupBy("metric_id")
+      .agg(max(unix_timestamp(col("timestamp"))).as("__old_last_s"))
+    val oldLastRows: Seq[(String, Long)] =
+      if (!driverPath) Nil
+      else stage("old-buffer lasts")(oldLastAgg.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // fallback-path persisted frames, unpersisted at the end
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val oldLast =
+      if (driverPath) oldLastRows.toDF("metric_id", "__old_last_s")
+      else {
+        val p = oldLastAgg
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += p; p
+      }
     val accepted = batchP
-      .join(broadcast(oldLast), Seq("metric_id"), "left")
+      .join(hb(oldLast), Seq("metric_id"), "left")
       .filter(col("__old_last_s").isNull ||
         unix_timestamp(col("timestamp")) >=
           (floor(col("__old_last_s") / blockS) * blockS -
@@ -194,60 +222,93 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       accepted, rawTouched,
       Seq("metric_id"), "timestamp", lit(0), orderBound = 1L)
       .cache()
-    // per-metric last timestamp as an AGGREGATE + broadcast join, not a
-    // window: the aggregate partial-combines map-side to one row per
-    // metric (the window formulation re-shuffles every measure row);
-    // same broadcast-bounded-metric-set assumption as oldLast above
+    // per-metric last timestamp as an AGGREGATE + join, not a window:
+    // the aggregate partial-combines map-side to one row per metric
+    // (the window formulation re-shuffles every measure row)
     val lasts = merged.groupBy("metric_id")
       .agg(max(unix_timestamp(col("timestamp"))).as("__last_s"))
     val bounded = merged
-      .join(broadcast(lasts), Seq("metric_id"))
+      .join(hb(lasts), Seq("metric_id"))
       .withColumn("__floor_s",
         (floor(col("__last_s") / blockS) * blockS - lit(blockS.toLong * backBlocks)).cast("long"))
       .filter(unix_timestamp(col("timestamp")) >= col("__floor_s"))
       .drop("__last_s", "__floor_s")
 
-    // First affected timestamp per metric, as a DRIVER computation —
-    // no extra action. The exact value is min ACCEPTED timestamp; its
-    // block-aligned lower bound max(acceptance threshold, batch min)
-    // is equally correct: a smaller firstNew only widens the recompute
-    // range, and every bucket at or after the (block-aligned)
-    // threshold is fully recomputable from the retained raw buffer —
-    // the same envelope the acceptance filter and the buffer
-    // truncation already share. (A fully-rejected metric recomputes
-    // its retained range to identical values — idempotent overwrite.)
-    val oldLastMap = oldLastRows.toMap
-    val firstNewLocal: Seq[(String, Long)] = batchMeta.toSeq.map {
-      case (m, mn, _) =>
-        val thr = oldLastMap.get(m).map(s =>
-          math.floorDiv(s, blockS) * blockS - blockS.toLong * backBlocks)
-        (m, thr.map(math.max(_, mn)).getOrElse(mn))
-    }
-    val firstNew = firstNewLocal.toDF("metric_id", "__first_new_s")
-
-    // Touched (split, msack) partitions as DRIVER literals: per metric
-    // the recompute range is [floor(firstNew/gran)·gran, floor(last/
-    // gran)·gran] with last ≤ max(batch max, old-buffer last) — both
-    // known on the driver — so the touched split range is enumerable
-    // without a Spark job. These literals pre-prune the stored-agg scan
-    // below: without them the kept join carries only isnotnull partition
-    // filters (plan-probed) and every warm batch scans the store's FULL
-    // split history. The set is a safe superset (the exact `touched`
-    // join still refines it); a degenerate range (cold store spanning
-    // years) falls back to the unpruned scan.
-    val batchMaxMap = batchMeta.map { case (m, _, mx) => (m, mx) }.toMap
-    val touchedSplitLits: Seq[Long] = fixedGrans.flatMap { granS =>
-      firstNewLocal.flatMap { case (m, fn) =>
-        val lastS = math.max(batchMaxMap(m),
-          oldLastMap.getOrElse(m, Long.MinValue))
-        val lo = math.floorDiv(math.floorDiv(fn, granS) * granS, granS * 3600)
-        val hi = math.floorDiv(lastS, granS * 3600)
-        if (hi < lo) Nil else lo to hi
+    // First affected timestamp per metric. The exact value is min
+    // ACCEPTED timestamp; its block-aligned lower bound
+    // max(acceptance threshold, batch min) is equally correct: a
+    // smaller firstNew only widens the recompute range, and every
+    // bucket at or after the (block-aligned) threshold is fully
+    // recomputable from the retained raw buffer — the same envelope
+    // the acceptance filter and the buffer truncation already share.
+    // (A fully-rejected metric recomputes its retained range to
+    // identical values — idempotent overwrite.)
+    //
+    // Fast path: a driver computation, no extra action. It also
+    // enumerates the touched (split, msack) partitions as DRIVER
+    // literals: per metric the recompute range is
+    // [floor(firstNew/gran)·gran, floor(last/gran)·gran] with
+    // last ≤ max(batch max, old-buffer last) — both known on the
+    // driver. These literals pre-prune the stored-agg scan below:
+    // without them the kept join carries only isnotnull partition
+    // filters (plan-probed) and every warm batch scans the store's
+    // FULL split history. The set is a safe superset (the exact
+    // `touched` join still refines it).
+    //
+    // Fallback path: firstNew is a distributed join of the batch
+    // metadata with the old-buffer lasts, and split pruning degrades
+    // to the GLOBAL [min firstNew, max last] range — two scalars from
+    // one tiny aggregate — with the exact `touched` join refining as
+    // before.
+    val (firstNew: DataFrame, splitPrune: org.apache.spark.sql.Column) =
+      if (driverPath) {
+        val oldLastMap = oldLastRows.toMap
+        val firstNewLocal: Seq[(String, Long)] = batchMeta.toSeq.map {
+          case (m, mn, _) =>
+            val thr = oldLastMap.get(m).map(s =>
+              math.floorDiv(s, blockS) * blockS - blockS.toLong * backBlocks)
+            (m, thr.map(math.max(_, mn)).getOrElse(mn))
+        }
+        val batchMaxMap = batchMeta.map { case (m, _, mx) => (m, mx) }.toMap
+        val touchedSplitLits: Seq[Long] = fixedGrans.flatMap { granS =>
+          firstNewLocal.flatMap { case (m, fn) =>
+            val lastS = math.max(batchMaxMap(m),
+              oldLastMap.getOrElse(m, Long.MinValue))
+            val lo = math.floorDiv(math.floorDiv(fn, granS) * granS, granS * 3600)
+            val hi = math.floorDiv(lastS, granS * 3600)
+            if (hi < lo) Nil else lo to hi
+          }
+        }.distinct
+        val prune =
+          if (touchedSplitLits.size <= 4096)
+            col("split").isin(touchedSplitLits: _*)
+          else lit(true) // degenerate range: unpruned scan, exact join refines
+        (firstNewLocal.toDF("metric_id", "__first_new_s"), prune)
+      } else {
+        val fn = batchMetaDf.join(oldLast, Seq("metric_id"), "left")
+          .select(col("metric_id"),
+            when(col("__old_last_s").isNull, col("mn"))
+              .otherwise(greatest(col("mn"),
+                (floor(col("__old_last_s") / blockS) * blockS -
+                  lit(blockS.toLong * backBlocks)).cast("long")))
+              .as("__first_new_s"),
+            greatest(col("mx"), coalesce(col("__old_last_s"), col("mx")))
+              .as("__last_all_s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += fn
+        val b = stage("global bounds")(fn
+          .agg(min("__first_new_s").as("lo"), max("__last_all_s").as("hi"))
+          .collect()(0))
+        val (fnMin, lastMax) = (b.getLong(0), b.getLong(1))
+        val splitLo = fixedGrans.map(g =>
+          math.floorDiv(math.floorDiv(fnMin, g) * g, g * 3600)).min
+        val splitHi = fixedGrans.map(g => math.floorDiv(lastMax, g * 3600)).max
+        (fn.select("metric_id", "__first_new_s"),
+          col("split").between(splitLo, splitHi))
       }
-    }.distinct
 
     val newAggRows = fixedGrans.map { granS =>
-      val affectedRaw = merged.join(broadcast(firstNew), Seq("metric_id"))
+      val affectedRaw = merged.join(hb(firstNew), Seq("metric_id"))
         .filter(unix_timestamp(col("timestamp")) >=
           (floor(col("__first_new_s") / granS) * granS - lit(blockS)).cast("long"))
         .drop("__first_new_s")
@@ -257,7 +318,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       Kernels.aggregateAll(affectedRaw,
           policy.aggregationMethods.toSeq.sorted, Granularity.seconds(granS),
           Seq("metric_id"), "timestamp", "value")
-        .join(broadcast(firstNew), Seq("metric_id"))
+        .join(hb(firstNew), Seq("metric_id"))
         .filter(unix_timestamp(col("bucket")) >=
           (floor(col("__first_new_s") / granS) * granS).cast("long"))
         .drop("__first_new_s")
@@ -282,10 +343,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     val boundary = newAggRows.groupBy("metric_id", "method", "gran_s")
       .agg(min(unix_timestamp(col("bucket"))).as("__lo_s"))
     val prunedAgg =
-      if (touchedSplitLits.size <= 4096)
-        aggregates.filter(col("split").isin(touchedSplitLits: _*) &&
-          col("msack").isin(batchSacks: _*))
-      else aggregates
+      aggregates.filter(splitPrune && col("msack").isin(batchSacks: _*))
     val kept = prunedAgg
       .join(touched, Seq("method", "gran_s", "split", "msack"))
       .join(boundary, Seq("metric_id", "method", "gran_s"), "left")
@@ -322,10 +380,9 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // Raw buffer is sack-partitioned (the reference's sack analogue,
     // incoming/__init__.py:243-244): a batch rewrites ONLY the sacks of
     // the metrics it touches — O(batch's sacks), not O(buffer).
-    // sacks from the batch's metric-id list (a local relation) — the
-    // accepted-frame formulation re-scanned the batch inside this write
-    val touchedSacks = metricIds.select(sackOf(col("metric_id")).as("sack"))
-      .distinct()
+    // sacks from the driver literal list (≤ NumSacks rows, both paths) —
+    // the accepted-frame formulation re-scanned the batch inside this write
+    val touchedSacks = batchSacks.toDF("sack")
     val rawOut = bounded.withColumn("sack", sackOf(col("metric_id")))
       .join(broadcast(touchedSacks), Seq("sack"))
     // same warm/fresh split as the aggregate side: swapWrite drains
@@ -341,6 +398,8 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .mode(SaveMode.Overwrite)
       .parquet(rawPath))
     merged.unpersist()
+    batchMetaDf.unpersist()
+    persisted.foreach(_.unpersist())
     batchP.unpersist()
   }
 

@@ -280,4 +280,44 @@ class IngestSpec extends SparkSpec {
     assert(store.getMeasures("m", "mean", 60).collect()
       .map(_.getDouble(2)).sorted.toSeq == Seq(4.0, 6.0))
   }
+
+  test("distributed-metadata fallback == driver fast path, byte for byte " +
+      "(J1 at unbounded metric cardinality)") {
+    // Exercises every metadata consumer through both paths: cold write,
+    // warm write with accepted AND rejected late points (back window),
+    // overlap rewrite, rate: (+1 back block), multi-metric multi-sack.
+    val b1 = measures(
+      ("m0", "2014-01-01 12:00:10", 1.0), ("m0", "2014-01-01 12:00:50", 4.0),
+      ("m1", "2014-01-01 12:03:30", 7.0), ("m2", "2014-01-01 12:01:00", 2.0),
+      ("m3", "2014-01-01 11:00:00", 5.0))
+    val b2 = measures(
+      ("m0", "2014-01-01 12:01:10", 9.0), // in-order continuation
+      ("m0", "2014-01-01 12:00:50", 40.0), // overlap: new wins
+      ("m1", "2014-01-01 12:02:59", 6.0), // one block back: accepted (bw=1)
+      ("m3", "2014-01-01 09:00:00", 1.0), // far too old: rejected
+      ("m4", "2014-01-01 12:05:05", 3.0)) // brand-new metric in warm batch
+    def build(forceFallback: Boolean): MetricStore = {
+      spark.conf.set("spark.graft.ingest.maxDriverMetrics",
+        if (forceFallback) "0" else "100000")
+      try {
+        val store = newStore(backWindow = 1,
+          methods = Set("mean", "count", "rate:sum"))
+        store.addMeasures(b1)
+        store.addMeasures(b2)
+        store
+      } finally
+        spark.conf.set("spark.graft.ingest.maxDriverMetrics", "100000")
+    }
+    def dumpAgg(s: MetricStore) = s.aggregates
+      .select("metric_id", "method", "gran_s", "split", "msack", "bucket", "value")
+      .collect().map(_.toSeq).toSet
+    def dumpRaw(s: MetricStore) = s.rawBuffer
+      .select("metric_id", "timestamp", "value", "sack")
+      .collect().map(_.toSeq).toSet
+    val fast = build(forceFallback = false)
+    val fb = build(forceFallback = true)
+    assert(dumpAgg(fb) == dumpAgg(fast))
+    assert(dumpRaw(fb) == dumpRaw(fast))
+    assert(dumpAgg(fast).nonEmpty && dumpRaw(fast).nonEmpty)
+  }
 }
