@@ -564,14 +564,29 @@ class Graft(val spark: SparkSession, root: String) {
     * registered catalog's schema (absent attributes null-fill; a
     * `type` column, when present, defaults to the route's type).
     * Duplicate ids reject (the reference's 409).
+    *
+    * Non-UUID ids transform to uuid5(id, creator) — the reference's
+    * ResourceUUID door (utils.py:38-59) — with the raw value kept in
+    * `original_resource_id` and the creator recorded, when the
+    * registered catalog carries those columns.
     */
-  def createResource(tpe: String, id: String, json: String): Unit = {
+  def createResource(tpe: String, id: String, json: String,
+                     creator: Option[String] = None): Unit = {
     val res = resources.getOrElse(throw new IllegalStateException(
       "no resource table registered — call setResources(df) first"))
-    require(res.filter(col("id") === id).isEmpty,
-      s"resource $id already exists")
+    val rid = graft.catalog.ResourceUuid.transform(id, creator)
+    require(res.filter(col("id") === rid).isEmpty,
+      s"resource $rid already exists")
     import spark.implicits._
     var row = spark.read.schema(res.schema).json(Seq(json).toDS)
+      .withColumn("id", lit(rid).cast(res.schema("id").dataType))
+    if (res.columns.contains("original_resource_id"))
+      row = row.withColumn("original_resource_id",
+        if (rid == id) col("original_resource_id") // untransformed: null-fill
+        else coalesce(col("original_resource_id"), lit(id)))
+    if (res.columns.contains("creator"))
+      row = row.withColumn("creator",
+        coalesce(col("creator"), creator.map(lit).getOrElse(lit(null))))
     if (res.columns.contains("type"))
       row = row.withColumn("type", coalesce(col("type"), lit(tpe)))
     resources = Some(res.unionByName(row))
@@ -718,21 +733,48 @@ class Graft(val spark: SparkSession, root: String) {
     * layer). Returns the created (name, metric_id) pairs.
     */
   def attachMetrics(resourceId: String,
-                    metrics: Seq[(String, Option[String])]): Seq[(String, String)] = {
+                    metrics: Seq[(String, Option[String])]): Seq[(String, String)] =
+    attachMetricsSchema(resourceId,
+      metrics.toMap.map { case (n, p) => n -> Right(p) })
+
+  /** The full MetricsSchema attach contract (rest/api.py:732-746):
+    * per name either Left(existing metric id to ATTACH) or
+    * Right(policy option) to CREATE (None → the R9 rules pick).
+    * Validation is all-or-nothing: names (including intra-request
+    * duplicates at the wire layer — a Map here), policies, and
+    * existing-metric ids are checked BEFORE any state mutates, so a
+    * late failure can't leave earlier metrics created but unregistered.
+    */
+  def attachMetricsSchema(resourceId: String,
+                          metrics: Map[String, Either[String, Option[String]]])
+      : Seq[(String, String)] = {
     val existing = resourceMetrics(resourceId).map(_._1).toSet
-    for (n <- metrics.map(_._1).find(existing.contains))
+    for (n <- metrics.keys.find(existing.contains))
       throw new IllegalArgumentException(
         s"metric $n already exists for resource $resourceId")
-    val created = metrics.map { case (name, pol) =>
-      val id = s"$resourceId/$name"
-      createMetric(id, pol.getOrElse(rulePolicy(name)))
-      (id, resourceId, name)
+    // validate everything up front — no mutation yet
+    metrics.foreach {
+      case (_, Left(mid)) =>
+        // phrasing matters: the REST error mapper routes "unknown
+        // metric" to 404, but a bad attach BODY is the reference's 400
+        if (!hasMetric(mid)) throw new IllegalArgumentException(
+          s"metric $mid does not exist")
+      case (n, Right(pol)) =>
+        val p = pol.getOrElse(rulePolicy(n)) // throws when no rule matches
+        require(policies.contains(p), s"no policy $p")
+    }
+    val attached = metrics.toSeq.sortBy(_._1).map {
+      case (name, Left(mid)) => (mid, resourceId, name)
+      case (name, Right(pol)) =>
+        val id = s"$resourceId/$name"
+        createMetric(id, pol.getOrElse(rulePolicy(name)))
+        (id, resourceId, name)
     }
     import spark.implicits._
-    val rows = created.toDF("metric_id", "resource_id", "name")
+    val rows = attached.toDF("metric_id", "resource_id", "name")
     metricsCatalog = Some(metricsCatalog
       .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
-    created.map(c => (c._3, c._1))
+    attached.map(c => (c._3, c._1))
   }
 
   /** One resource's revision rows from the registered history table,

@@ -78,6 +78,15 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * with its executors on a real cluster). Renames are metadata ops
     * on HDFS-like filesystems; object stores degrade to copies, the
     * same cost the Hadoop output committer already pays there.
+    *
+    * SINGLE WRITER per store, by contract: the stale-staging sweep
+    * below deletes every staging subtree, including one a concurrent
+    * writer might be mid-write in (its rename then fails loudly and
+    * its batch must be retried — data is never silently lost, but the
+    * work is). The reference serializes writers with tooz sack locks;
+    * here the ingest pipeline owns a store's writes (one streaming
+    * drain / one job per store), which is the same discipline without
+    * the lock service.
     */
   private def swapWrite(df: DataFrame, path: String,
                         partCols: Seq[String], sortCols: Seq[String]): Unit = {

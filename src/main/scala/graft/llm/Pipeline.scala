@@ -104,8 +104,9 @@ object Pipeline {
   def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int = 8,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val groups = Dedup.collapseExact(corpus, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the returned plan reads `groups`, so its cache entry must outlive
+    // this call — registered with OpCaches for explicit release
+    val groups = OpCaches.persist(Dedup.collapseExact(corpus, idCol, textCol))
     val reps = Dedup.collapseReps(corpus, groups, idCol)
     val cg = Dedup.withShingles(Dedup.rebalance(reps), textCol, n, "__sh")
       .select(col(idCol).as("id"), explode(col("__sh")).as("g"))
@@ -166,8 +167,9 @@ object Pipeline {
       }
       sig.select(col(outId), explode(array(bandCols: _*)).as("bucket"))
     }
-    val groups = Dedup.collapseExact(corpus, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered with OpCaches: the returned plan reads `groups` (see
+    // decontaminate)
+    val groups = OpCaches.persist(Dedup.collapseExact(corpus, idCol, textCol))
     val reps = Dedup.collapseReps(corpus, groups, idCol)
     val bSh = hashedShingles(bench, "bench_id")
     val cand = banded(hashedShingles(reps, "__cid"), "__cid")

@@ -20,9 +20,18 @@ import org.json4s.jackson.JsonMethods
   * driver-sized by contract (a REST page, never a corpus) — bulk data
   * belongs on the DataFrame doors of the facade.
   */
-final case class Response(status: Int, body: JValue)
+final case class Response(status: Int, body: JValue,
+                          headers: Map[String, String] = Map.empty)
 
-class RestApi(g: Graft) {
+/** @param requireAuth when true, mutating routes enforce the
+  *   reference's default policy shape (rest/api.py:113 `enforce` +
+  *   policy.json): archive-policy / policy-rule / resource-type
+  *   mutation needs the `admin` creator, resource PATCH/DELETE needs
+  *   admin or the row's recorded creator, and an unauthenticated
+  *   request to a guarded route gets 401. Off by default — the
+  *   reference's own gabbi runs mostly use a permissive auth helper.
+  */
+class RestApi(g: Graft, requireAuth: Boolean = false) {
 
   private def ok(b: JValue) = Response(200, b)
   private def created(b: JValue) = Response(201, b)
@@ -159,16 +168,22 @@ class RestApi(g: Graft) {
 
   def dispatch(method: String, rawPath: String,
                query: Map[String, String] = Map.empty,
-               body: String = ""): Response =
+               body: String = "",
+               creator: Option[String] = None): Response =
     dispatchBytes(method, rawPath, query,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8), creator)
 
   /** Byte-level entry: the wire-protocol routes (prometheus snappy+
     * protobuf) need the raw body; JSON routes decode it as UTF-8.
+    * `creator` is the authenticated user (basic-auth user at the
+    * transport), the reference's `pecan.request.auth_helper` value —
+    * it salts non-UUID resource-id transformation and feeds the
+    * enforce hook.
     */
   def dispatchBytes(method: String, rawPath: String,
                     query: Map[String, String],
-                    bytes: Array[Byte]): Response = {
+                    bytes: Array[Byte],
+                    creator: Option[String] = None): Response = {
     // segments are %-decoded AFTER splitting so ids containing an
     // encoded slash (metric "r1/cpu" → r1%2Fcpu) stay one segment
     val segs = rawPath.split("/").filter(_.nonEmpty).toList
@@ -177,7 +192,7 @@ class RestApi(g: Graft) {
       val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       if (s.trim.isEmpty) JNothing else JsonMethods.parse(s)
     }
-    try route(method.toUpperCase, segs, query, () => json, bytes)
+    try route(method.toUpperCase, segs, query, () => json, bytes, creator)
     catch {
       case e: IllegalArgumentException
         if Option(e.getMessage).exists(m =>
@@ -190,8 +205,40 @@ class RestApi(g: Graft) {
                 _: com.fasterxml.jackson.core.JacksonException) =>
         err(400, Option(e.getMessage).getOrElse("bad request"))
       case e: NoSuchElementException => err(404, e.getMessage)
+      case e: SecurityException =>
+        err(if (Option(e.getMessage).exists(_.startsWith("401"))) 401 else 403,
+          "Access was denied to this resource")
     }
   }
+
+  // ---- minimal enforce hook (rest/api.py:113; default policy.json) ----
+  private def enforceAuthed(creator: Option[String]): String =
+    creator.getOrElse {
+      if (requireAuth) throw new SecurityException("401 unauthenticated")
+      ""
+    }
+
+  private def enforceAdmin(creator: Option[String]): Unit =
+    if (requireAuth && enforceAuthed(creator) != "admin")
+      throw new SecurityException("403 admin required")
+
+  /** Admin-or-creator on one resource row (policy.json
+    * `admin_or_creator`): compares against the row's recorded
+    * `creator` column when the catalog carries one.
+    */
+  private def enforceResourceOwner(creator: Option[String], rid: String): Unit =
+    if (requireAuth) {
+      val who = enforceAuthed(creator)
+      if (who != "admin") {
+        val rows = g.searchResources(s"id = '$rid'")
+        val owner =
+          if (!rows.columns.contains("creator")) None
+          else rows.limit(1).collect().headOption
+            .flatMap(r => Option(r.getAs[String]("creator")))
+        if (!owner.contains(who))
+          throw new SecurityException("403 not the creator")
+      }
+    }
 
   /** Stage a parsed wire frame `(metric_id, timestamp, value)`: create
     * missing metrics via the R9 rules (the reference's influxdb.py:
@@ -210,7 +257,26 @@ class RestApi(g: Graft) {
 
   private def route(method: String, segs: List[String],
                     q: Map[String, String], body: () => JValue,
-                    raw: Array[Byte]): Response =
+                    raw: Array[Byte],
+                    creator: Option[String] = None): Response = {
+    // Resource ids in the URL resolve through the same ResourceUUID
+    // transformation as creation, salted with the REQUESTING creator
+    // (rest/api.py ResourceController) — so the external string form
+    // and the internal uuid both route, per user. One divergence from
+    // the reference: an EXACT raw match wins first, because this
+    // facade also serves externally-registered catalogs whose ids
+    // never went through the transformation (the reference's indexer
+    // owns its schema, so that state can't exist there).
+    val ridCache = scala.collection.mutable.Map.empty[String, String]
+    def rid(id: String): String = ridCache.getOrElseUpdate(id, {
+      val rawExists =
+        try !g.searchResources(s"id = '${id.replace("'", "''")}'").isEmpty
+        // no resource table registered (metrics-only deployments):
+        // nothing to disambiguate against — pass the id through raw
+        catch { case _: IllegalStateException => true }
+      if (rawExists) id
+      else graft.catalog.ResourceUuid.transform(id, creator)
+    })
     (method, segs) match {
       // -------------------------------------------------- root + capability
       case ("GET", Nil) | ("GET", List("v1")) =>
@@ -231,6 +297,7 @@ class RestApi(g: Graft) {
 
       // -------------------------------------------------- archive policies
       case ("POST", List("v1", "archive_policy")) =>
+        enforceAdmin(creator)
         val p = parsePolicy(body())
         g.createPolicy(p)
         created(policyJson(p))
@@ -245,10 +312,12 @@ class RestApi(g: Graft) {
         }
 
       case ("DELETE", List("v1", "archive_policy", name)) =>
+        enforceAdmin(creator)
         if (!g.policies.contains(name)) err(404, s"no policy $name")
         else { g.deletePolicy(name); noContent }
 
       case ("PATCH", List("v1", "archive_policy", name)) =>
+        enforceAdmin(creator)
         val b = body()
         val items = (b \ "definition").asInstanceOf[JArray].arr.map { d =>
           ArchivePolicyItem(
@@ -262,6 +331,7 @@ class RestApi(g: Graft) {
         ok(policyJson(g.policies(name)))
 
       case ("POST", List("v1", "archive_policy_rule")) =>
+        enforceAdmin(creator)
         val b = body()
         g.createPolicyRule(jstr(b \ "metric_pattern"),
           jstr(b \ "archive_policy_name"))
@@ -281,6 +351,7 @@ class RestApi(g: Graft) {
         }
 
       case ("DELETE", List("v1", "archive_policy_rule", pattern)) =>
+        enforceAdmin(creator)
         g.deletePolicyRule(pattern); noContent
 
       // -------------------------------------------------- metrics
@@ -289,10 +360,17 @@ class RestApi(g: Graft) {
         val after = q.get("marker") match {
           case Some(m) => all.dropWhile(_._1 <= m); case None => all
         }
-        ok(JArray(after.take(q.get("limit").map(_.toInt).getOrElse(100))
-          .toList.map { case (id, pol) =>
-            ("id" -> id) ~ ("archive_policy_name" -> pol)
-          }))
+        val limit = q.get("limit").map(_.toInt).getOrElse(100)
+        val page = after.take(limit).toList
+        val hdrs =
+          if (page.size >= limit && page.nonEmpty)
+            Map("Link" -> (s"</v1/metric?limit=$limit&marker=" +
+              java.net.URLEncoder.encode(page.last._1, "UTF-8") +
+              ">; rel=\"next\""))
+          else Map.empty[String, String]
+        ok(JArray(page.map { case (id, pol) =>
+          ("id" -> id) ~ ("archive_policy_name" -> pol)
+        })).copy(headers = hdrs)
 
       case ("GET", List("v1", "metric", id)) =>
         ok(("id" -> id) ~
@@ -425,7 +503,10 @@ class RestApi(g: Graft) {
 
       // -------------------------------------------------- resources
       // keyset-paginated listing: ?sort=zone:desc,id:asc&limit=&marker=
-      case ("GET", List("v1", "resource", _)) =>
+      // A full page carries `Link: <...>; rel="next"` with the keyset
+      // marker, as the reference (rest/api.py:1474-1481) — clients walk
+      // pages without re-deriving the marker.
+      case ("GET", List("v1", "resource", tpe)) =>
         val sorts = q.get("sort").map(_.split(",").toSeq.map { s =>
           s.split(":", 2) match {
             case Array(k, "desc") => k -> false
@@ -433,24 +514,43 @@ class RestApi(g: Graft) {
             case Array(k)         => k -> true
           }
         }).getOrElse(Seq("id" -> true))
-        ok(frameJson(g.listResources(sorts, q.get("marker"),
-          q.get("limit").map(_.toInt).getOrElse(100)), Int.MaxValue))
+        val limit = q.get("limit").map(_.toInt).getOrElse(100)
+        val page = frameJson(
+          g.listResources(sorts, q.get("marker"), limit), Int.MaxValue)
+        val nextLink = page match {
+          case JArray(rows) if rows.size >= limit && rows.nonEmpty =>
+            (rows.last \ "id") match {
+              case JString(last) =>
+                val qs = (q - "marker") + ("marker" -> last) +
+                  ("limit" -> limit.toString)
+                val enc = qs.toSeq.sortBy(_._1).map { case (k, v) =>
+                  k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+                }.mkString("&")
+                Map("Link" -> s"""</v1/resource/$tpe?$enc>; rel="next"""")
+              case _ => Map.empty[String, String]
+            }
+          case _ => Map.empty[String, String]
+        }
+        ok(page).copy(headers = nextLink)
 
       case ("GET", List("v1", "resource", _, id)) =>
-        frameJson(g.searchResources(s"id = '$id'"), 2) match {
+        frameJson(g.searchResources(s"id = '${rid(id)}'"), 2) match {
           case JArray(List(one)) => ok(one)
           case JArray(Nil)       => err(404, s"no resource $id")
           case _                 => err(500, s"duplicate resource id $id")
         }
 
       // POST /v1/resource/<type>: create one resource row against the
-      // registered catalog schema; duplicate id → 409.
+      // registered catalog schema; duplicate id → 409. Non-UUID ids
+      // transform (uuid5 under the creator) inside the facade.
       case ("POST", List("v1", "resource", tpe)) =>
+        if (requireAuth) enforceAuthed(creator)
         val b = body()
         val id = jstr(b \ "id")
         try {
-          g.createResource(tpe, id, JsonMethods.compact(JsonMethods.render(b)))
-          created(frameJson(g.searchResources(s"id = '$id'"), 1) match {
+          g.createResource(tpe, id,
+            JsonMethods.compact(JsonMethods.render(b)), creator)
+          created(frameJson(g.searchResources(s"id = '${rid(id)}'"), 1) match {
             case JArray(List(one)) => one; case _ => b
           })
         } catch {
@@ -462,6 +562,7 @@ class RestApi(g: Graft) {
       // PATCH /v1/resource/<type>/<id>: update attributes; the
       // pre-patch row end-dates into the history table.
       case ("PATCH", List("v1", "resource", _, id)) =>
+        enforceResourceOwner(creator, rid(id))
         val updates = body() match {
           case JObject(fields) => fields.toMap.map {
             case (k, JString(s))  => k -> (s: Any)
@@ -471,51 +572,70 @@ class RestApi(g: Graft) {
           }
           case other => throw new IllegalArgumentException(s"bad patch: $other")
         }
-        g.patchResource(id, updates,
+        g.patchResource(rid(id), updates,
           q.get("now").map(_.toLong).getOrElse(
             java.time.Instant.now.getEpochSecond))
-        frameJson(g.searchResources(s"id = '$id'"), 1) match {
+        frameJson(g.searchResources(s"id = '${rid(id)}'"), 1) match {
           case JArray(List(one)) => ok(one)
           case _                 => err(404, s"no resource $id")
         }
 
       case ("DELETE", List("v1", "resource", _, id)) =>
-        g.deleteResource(id); noContent
+        enforceResourceOwner(creator, rid(id))
+        g.deleteResource(rid(id)); noContent
 
       // GET /v1/resource/<type>/<id>/metric/<name>/measures: resolve
       // the resource's NAMED metric via the catalog, then read as the
       // plain metric-measures route.
       case ("GET", List("v1", "resource", _, id, "metric", name, "measures")) =>
-        route("GET", List("v1", "metric", g.resourceMetricId(id, name),
-          "measures"), q, body, raw)
+        route("GET", List("v1", "metric", g.resourceMetricId(rid(id), name),
+          "measures"), q, body, raw, creator)
+
+      // POST .../metric/<name>/measures: ingest against the NAMED
+      // metric (NamedMetricController route in the reference).
+      case ("POST", List("v1", "resource", _, id, "metric", name, "measures")) =>
+        route("POST", List("v1", "metric", g.resourceMetricId(rid(id), name),
+          "measures"), q, body, raw, creator)
 
       // GET /v1/resource/<type>/<id>/metric: the resource's named
-      // metrics (NamedMetricController.get_all).
+      // metrics (NamedMetricController.get_all) — unknown resource is
+      // 404 (rest/api.py:799-830), same check as the POST below.
       case ("GET", List("v1", "resource", _, id, "metric")) =>
-        ok(JArray(g.resourceMetrics(id).map { case (n, mid) =>
+        if (g.searchResources(s"id = '${rid(id)}'").isEmpty)
+          err(404, s"no resource $id")
+        else ok(JArray(g.resourceMetrics(rid(id)).map { case (n, mid) =>
           JObject(List("name" -> JString(n), "id" -> JString(mid)))
         }.toList))
 
-      // POST /v1/resource/<type>/<id>/metric: append named metrics
-      // (MetricsSchema body: {name: null | {"archive_policy_name": p}});
-      // unknown resource → 404, name collision → 409.
+      // POST /v1/resource/<type>/<id>/metric: append named metrics.
+      // MetricsSchema (rest/api.py:732-746): a STRING value is an
+      // EXISTING metric id to attach; an object value creates a new
+      // metric ({"archive_policy_name": p} or {} for the R9 rules).
+      // Unknown resource → 404, name collision → 409, unknown
+      // existing-metric id → 400.
       case ("POST", List("v1", "resource", _, id, "metric")) =>
-        if (g.searchResources(s"id = '$id'").isEmpty)
+        if (g.searchResources(s"id = '${rid(id)}'").isEmpty)
           err(404, s"no resource $id")
         else {
-          val metrics = body() match {
-            case JObject(fields) => fields.map {
-              case (n, JString(p)) => n -> Some(p)
-              case (n, o: JObject) => o \ "archive_policy_name" match {
-                case JString(p) => n -> Some(p)
-                case _          => n -> None
-              }
-              case (n, _) => n -> None
+          val metrics: Map[String, Either[String, Option[String]]] =
+            body() match {
+              case JObject(fields) =>
+                val dup = fields.map(_._1).groupBy(identity)
+                  .collect { case (n, more) if more.size > 1 => n }
+                if (dup.nonEmpty) throw new IllegalArgumentException(
+                  s"duplicate metric names: ${dup.toSeq.sorted.mkString(", ")}")
+                fields.map {
+                case (n, JString(existing)) => n -> Left(existing)
+                case (n, o: JObject) => o \ "archive_policy_name" match {
+                  case JString(p) => n -> Right(Some(p))
+                  case _          => n -> Right(None)
+                }
+                case (n, _) => n -> Right(None)
+              }.toMap
+              case other =>
+                throw new IllegalArgumentException(s"bad metrics body: $other")
             }
-            case other =>
-              throw new IllegalArgumentException(s"bad metrics body: $other")
-          }
-          try created(JArray(g.attachMetrics(id, metrics).map {
+          try created(JArray(g.attachMetricsSchema(rid(id), metrics).map {
             case (n, mid) =>
               JObject(List("name" -> JString(n), "id" -> JString(mid)))
           }.toList))
@@ -526,9 +646,12 @@ class RestApi(g: Graft) {
           }
         }
 
-      // GET /v1/resource/<type>/<id>/history: the revision rows.
+      // GET /v1/resource/<type>/<id>/history: the revision rows —
+      // unknown resource is 404 (ResourceHistoryController).
       case ("GET", List("v1", "resource", _, id, "history")) =>
-        ok(frameJson(g.resourceHistory(id), Int.MaxValue))
+        if (g.searchResources(s"id = '${rid(id)}'").isEmpty)
+          err(404, s"no resource $id")
+        else ok(frameJson(g.resourceHistory(rid(id)), Int.MaxValue))
 
       // -------------------------------------------------- resource types
       case ("POST", List("v1", "resource_type")) =>
@@ -667,4 +790,5 @@ class RestApi(g: Graft) {
 
       case _ => err(404, s"no route for $method /${segs.mkString("/")}")
     }
+  }
 }

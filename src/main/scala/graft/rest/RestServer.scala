@@ -31,10 +31,22 @@ class RestServer(api: RestApi) {
                   case Array(k)    => decode(k) -> ""
                 }
               }.toMap).getOrElse(Map.empty[String, String])
+            // basic-auth user → the dispatcher's creator (the
+            // reference's auth_helper surface; password unchecked —
+            // identification, not authentication, as gnocchi's own
+            // `basic` mode)
+            val creator = Option(ex.getRequestHeaders.getFirst("Authorization"))
+              .map(_.trim).filter(_.toLowerCase.startsWith("basic "))
+              .flatMap { h =>
+                try Some(new String(
+                  java.util.Base64.getDecoder.decode(h.substring(6).trim),
+                  StandardCharsets.UTF_8).split(":", 2)(0))
+                catch { case _: IllegalArgumentException => None }
+              }.filter(_.nonEmpty)
             // raw path: the dispatcher decodes per-segment, so ids with
             // an encoded slash survive routing
             api.dispatchBytes(ex.getRequestMethod,
-              ex.getRequestURI.getRawPath, query, body)
+              ex.getRequestURI.getRawPath, query, body, creator)
           } catch { // the dispatcher maps domain errors; this is transport
             case e: Throwable =>
               Response(500, org.json4s.JObject(
@@ -48,6 +60,7 @@ class RestServer(api: RestApi) {
         }
         if (bytes.nonEmpty)
           ex.getResponseHeaders.add("Content-Type", "application/json")
+        resp.headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
         ex.sendResponseHeaders(resp.status,
           if (bytes.isEmpty) -1 else bytes.length.toLong)
         if (bytes.nonEmpty) ex.getResponseBody.write(bytes)

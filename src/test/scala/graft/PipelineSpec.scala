@@ -84,6 +84,13 @@ class PipelineSpec extends SparkSpec {
     val got = Pipeline.decontaminate(corpus, bench, n = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L))
+    // the operator-internal persist is tracked, and release() drops it
+    // (no per-call session-lifetime leak); results stay readable after
+    assert(graft.llm.OpCaches.trackedCount > 0)
+    graft.llm.OpCaches.release()
+    assert(graft.llm.OpCaches.trackedCount == 0)
+    assert(Pipeline.decontaminate(corpus, bench, n = 3).count() == 2)
+    graft.llm.OpCaches.release()
   }
 
   test("decontaminate: exact copies collapse but every member is flagged " +

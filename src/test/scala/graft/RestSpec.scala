@@ -550,6 +550,208 @@ class RestSpec extends SparkSpec {
   private def jstrOf(v: JValue): String =
     v match { case JString(s) => s; case other => other.toString }
 
+  test("non-UUID resource ids transform to uuid5 and route by both forms " +
+      "(utils.py:38-59, transformedids.yaml)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq.empty[(String, String, String, String)]
+      .toDF("id", "original_resource_id", "creator", "zone"))
+    g.setResourceHistory(Seq.empty[(String, String, String, String,
+      java.sql.Timestamp)]
+      .toDF("id", "original_resource_id", "creator", "zone", "revision_end"))
+
+    // create with a raw string id as user foobar: the stored id is a
+    // uuid, the raw value lands in original_resource_id
+    val c = api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "generic one", "zone": "fr"}""",
+      creator = Some("foobar"))
+    assert(c.status === 201)
+    val internal = jstrOf(c.body \ "id")
+    assert(internal === "5229fefb-33bd-5bcf-8c4b-a752a08f2516") // python uuid5
+    assert(c.body \ "original_resource_id" === JString("generic one"))
+    assert(c.body \ "creator" === JString("foobar"))
+
+    // GET by external id and by internal uuid return the same row
+    val byExt = api.dispatch("GET", "/v1/resource/generic/generic one",
+      creator = Some("foobar"))
+    assert(byExt.status === 200 && jstrOf(byExt.body \ "id") === internal)
+    val byInt = api.dispatch("GET", s"/v1/resource/generic/$internal")
+    assert(byInt.status === 200 && jstrOf(byInt.body \ "id") === internal)
+
+    // duplicate raw id same creator → 409; DIFFERENT creator → a
+    // different uuid5, so 201 (the gabbit's cross-user case)
+    assert(api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "generic one", "zone": "fr"}""",
+      creator = Some("foobar")).status === 409)
+    val other = api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "generic one", "zone": "de"}""",
+      creator = Some("pasta"))
+    assert(other.status === 201)
+    assert(jstrOf(other.body \ "id") !== internal)
+
+    // '/' in a transformable id → 400 with the reference's message
+    val bad = api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "id-with-/", "zone": "x"}""", creator = Some("foobar"))
+    assert(bad.status === 400)
+    assert(jstrOf(bad.body \ "description")
+      .contains("'/' is not supported in resource id"))
+
+    // PATCH by external id routes to the transformed row
+    val p = api.dispatch("PATCH", "/v1/resource/generic/generic one",
+      query = Map("now" -> "1700000000"),
+      body = """{"zone": "us"}""", creator = Some("foobar"))
+    assert(p.status === 200 && p.body \ "zone" === JString("us"))
+
+    // scalar/column parity: the facade door and the bulk column form
+    // agree on transformed AND passthrough ids
+    import org.apache.spark.sql.functions.col
+    val ids = Seq("generic one", "web server 3",
+      "5A301761-AAAA-46E2-8900-8B4F6FE6675A")
+    for (creator <- Seq(Some("foobar"), None)) {
+      val viaCol = ids.map(i => (i, creator.orNull))
+        .toDF("raw", "c")
+        .select(graft.catalog.ResourceUuid.transformCol(col("raw"), col("c")))
+        .collect().map(_.getString(0))
+      val viaScalar = ids.map(graft.catalog.ResourceUuid.transform(_, creator))
+      assert(viaCol.toSeq === viaScalar)
+    }
+  }
+
+  test("paginated listings emit Link rel=next with the keyset marker " +
+      "(rest/api.py:1474-1481)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources((1 to 7).map(i => (f"r$i%02d", "z")).toDF("id", "zone"))
+
+    // walk the pages via the returned link only
+    var path = "/v1/resource/generic"
+    var query = Map("limit" -> "3")
+    var seen = List.empty[String]
+    var hops = 0
+    while (path != null && hops < 10) {
+      val r = api.dispatch("GET", path, query = query)
+      assert(r.status === 200)
+      seen ++= r.body.asInstanceOf[JArray].arr.map(x => jstrOf(x \ "id"))
+      r.headers.get("Link") match {
+        case Some(l) =>
+          val m = """<([^>?]+)\?([^>]*)>; rel="next"""".r.findFirstMatchIn(l)
+            .getOrElse(fail(s"bad Link header: $l"))
+          path = m.group(1)
+          query = m.group(2).split("&").map(_.split("=", 2))
+            .map(a => a(0) -> java.net.URLDecoder.decode(a(1), "UTF-8")).toMap
+        case None => path = null
+      }
+      hops += 1
+    }
+    assert(seen === (1 to 7).map(i => f"r$i%02d").toList)
+
+    // metric listing: same contract
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    (1 to 5).foreach(i => api.dispatch("POST", "/v1/metric",
+      body = s"""{"id": "m$i", "archive_policy_name": "low"}"""))
+    val m1 = api.dispatch("GET", "/v1/metric", query = Map("limit" -> "2"))
+    assert(m1.headers("Link").contains("marker=m2"))
+    val m2 = api.dispatch("GET", "/v1/metric",
+      query = Map("limit" -> "2", "marker" -> "m2"))
+    assert(m2.body.asInstanceOf[JArray].arr.map(x => jstrOf(x \ "id"))
+      === List("m3", "m4"))
+    // a short (last) page carries no Link
+    assert(api.dispatch("GET", "/v1/metric",
+      query = Map("limit" -> "2", "marker" -> "m4")).headers.get("Link").isEmpty)
+  }
+
+  test("enforce hook: admin-only and admin-or-creator rules " +
+      "(rest/api.py:113, policy.json defaults)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g, requireAuth = true)
+    g.setResources(Seq.empty[(String, String, String)]
+      .toDF("id", "creator", "zone"))
+    g.setResourceHistory(Seq.empty[(String, String, String,
+      java.sql.Timestamp)].toDF("id", "creator", "zone", "revision_end"))
+
+    val polBody = """{"name": "low", "definition": [{"granularity": "60"}],
+        "aggregation_methods": ["mean"]}"""
+    // archive-policy mutation: admin only; reads stay open
+    assert(api.dispatch("POST", "/v1/archive_policy", body = polBody)
+      .status === 401) // unauthenticated
+    assert(api.dispatch("POST", "/v1/archive_policy", body = polBody,
+      creator = Some("mallory")).status === 403)
+    assert(api.dispatch("POST", "/v1/archive_policy", body = polBody,
+      creator = Some("admin")).status === 201)
+    assert(api.dispatch("GET", "/v1/archive_policy").status === 200)
+
+    // resource mutation: creator or admin; others denied
+    val cr = api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "box", "zone": "fr"}""", creator = Some("alice"))
+    assert(cr.status === 201)
+    val boxId = jstrOf(cr.body \ "id") // internal uuid (id salted by alice)
+    assert(api.dispatch("PATCH", "/v1/resource/generic/box",
+      query = Map("now" -> "1700000000"), body = """{"zone": "de"}""",
+      creator = Some("mallory")).status === 403)
+    assert(api.dispatch("PATCH", "/v1/resource/generic/box",
+      query = Map("now" -> "1700000000"), body = """{"zone": "de"}""",
+      creator = Some("alice")).status === 200)
+    assert(api.dispatch("DELETE", s"/v1/resource/generic/$boxId",
+      creator = Some("mallory")).status === 403)
+    // admin reaches another user's resource by its INTERNAL id (the
+    // external form re-salts with the requester, as the reference)
+    assert(api.dispatch("DELETE", s"/v1/resource/generic/$boxId",
+      creator = Some("admin")).status === 204)
+  }
+
+  test("MetricsSchema string values attach an EXISTING metric " +
+      "(rest/api.py:732-746); duplicates in one request reject") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(("r1", "fr")).toDF("id", "zone"))
+    g.setMetrics(Seq.empty[(String, String, String)]
+      .toDF("metric_id", "name", "resource_id"))
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    // a free-standing metric, then attach it BY ID via the string form
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "5a301761-aaaa-46e2-8900-8b4f6fe6675a",
+          "archive_policy_name": "low"}""")
+    val at = api.dispatch("POST", "/v1/resource/generic/r1/metric",
+      body = """{"cpu": "5a301761-aaaa-46e2-8900-8b4f6fe6675a"}""")
+    assert(at.status === 201)
+    val listed = api.dispatch("GET", "/v1/resource/generic/r1/metric")
+    assert(listed.body === JArray(List(JObject(List(
+      "name" -> JString("cpu"),
+      "id" -> JString("5a301761-aaaa-46e2-8900-8b4f6fe6675a"))))))
+    // a string naming an UNKNOWN metric id is a 400, not a create
+    assert(api.dispatch("POST", "/v1/resource/generic/r1/metric",
+      body = """{"mem": "0000aaaa-0000-0000-0000-000000000000"}""")
+      .status === 400)
+    // and the failed attach must not have created anything: atomicity
+    assert(api.dispatch("GET", "/v1/resource/generic/r1/metric").body
+      .asInstanceOf[JArray].arr.size === 1)
+    // duplicate names within one request body reject up front
+    assert(api.dispatch("POST", "/v1/resource/generic/r1/metric",
+      body = """{"mem": null, "mem": {"archive_policy_name": "low"}}""")
+      .status === 400)
+    // unknown-resource 404 now applies to the GET routes too
+    assert(api.dispatch("GET", "/v1/resource/generic/ghost/metric")
+      .status === 404)
+    assert(api.dispatch("GET", "/v1/resource/generic/ghost/history")
+      .status === 404)
+  }
+
   test("socket round-trip on the JDK server binding") {
     val api = newApi
     val server = new RestServer(api)
