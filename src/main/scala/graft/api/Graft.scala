@@ -206,6 +206,13 @@ class Graft(val spark: SparkSession, root: String) {
     * creates them — explicit policy if given, else the R9 rules — and
     * registers the named metric in the catalog.
     */
+  /** Batch-by-resource JSON door (rest/api.py:1726-1879). Divergence
+    * from the reference: body resource keys are matched VERBATIM
+    * against the metrics catalog (no ResourceUUID re-salting) — this
+    * facade's catalogs key externally-registered raw ids, and
+    * reference-shaped clients send UUID keys, which the transformation
+    * passes through unchanged anyway.
+    */
   def batchAddMeasures(json: String, createMetrics: Boolean = false): Unit = {
     import org.json4s._
     val body = jackson.JsonMethods.parse(json) match {
@@ -538,9 +545,14 @@ class Graft(val spark: SparkSession, root: String) {
   def setResources(df: DataFrame): Unit = resources = Some(df)
 
   def searchResources(filterStr: String): DataFrame =
+    searchResources(FilterParser.parse(filterStr))
+
+  /** Pre-parsed filter-tree form (the REST search body's native shape,
+    * rest/api.py:1381-1437). */
+  def searchResources(f: Filter): DataFrame =
     resources.getOrElse(throw new IllegalStateException(
         "no resource table registered — call setResources(df) first"))
-      .filter(Filter.compile(FilterParser.parse(filterStr)))
+      .filter(Filter.compile(f))
 
   /** R4: searchResources with keyset pagination. */
   def searchResources(filterStr: String, sorts: Seq[(String, Boolean)],

@@ -83,6 +83,46 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     case other => throw new IllegalArgumentException(s"bad predicate: $other")
   }
 
+  /** Resource attribute-filter JSON tree (rest/api.py:1381-1437):
+    * `{"and"|"or": [...]}`, `{"not": {...}}`, `{"in": {attr: [...]}}`,
+    * `{"like": {attr: "pat"}}`, `{"<op>": {attr: value}}`.
+    */
+  private def parseFilterTree(v: JValue): graft.catalog.Filter = {
+    import graft.catalog.Filter._
+    def anyOf(x: JValue): Any = x match {
+      case JString(s)  => s
+      case JInt(n)     => n.toLong
+      case JLong(n)    => n
+      case JDouble(n)  => n
+      case JDecimal(n) => n.toDouble
+      case JBool(b)    => b
+      case JNull       => null
+      case other => throw new IllegalArgumentException(s"bad value: $other")
+    }
+    v match {
+      case JObject(List((op, arg))) => op.toLowerCase match {
+        case "and" | "∧" =>
+          And(arg.asInstanceOf[JArray].arr.map(parseFilterTree))
+        case "or" | "∨" =>
+          Or(arg.asInstanceOf[JArray].arr.map(parseFilterTree))
+        case "not" | "¬" => Not(parseFilterTree(arg))
+        case "in" => arg match {
+          case JObject(List((attr, JArray(vs)))) => In(attr, vs.map(anyOf))
+          case other => throw new IllegalArgumentException(s"bad in: $other")
+        }
+        case "like" => arg match {
+          case JObject(List((attr, JString(p)))) => Like(attr, p)
+          case other => throw new IllegalArgumentException(s"bad like: $other")
+        }
+        case cmp => arg match {
+          case JObject(List((attr, value))) => Cmp(cmp, attr, anyOf(value))
+          case other => throw new IllegalArgumentException(s"bad $cmp: $other")
+        }
+      }
+      case other => throw new IllegalArgumentException(s"bad filter: $other")
+    }
+  }
+
   private def parseExpr(v: JValue): MeasureSearch.Expr = v match {
     case JString("value") => MeasureSearch.Value
     case JObject(List((op, JArray(List(l, r))))) =>
@@ -439,13 +479,18 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         accepted
 
       // -------------------------------------------------- search
+      // Body is EITHER {"filter": "<string grammar>"} (the reference's
+      // ?filter= / x-www-form form) or the raw attribute-filter JSON
+      // tree ({"and": [{"=": {...}}, ...]}, rest/api.py:1381-1437).
       case ("POST", List("v1", "search", "resource", _)) =>
-        val filter = body() \ "filter" match {
-          case JString(s) => s
-          case _ => throw new IllegalArgumentException(
-            """body must be {"filter": "<dsl string>"}""")
+        val parsed = body() match {
+          case JObject(List(("filter", JString(s)))) =>
+            graft.catalog.FilterParser.parse(s)
+          case JNothing => // empty body matches everything, as the reference
+            graft.catalog.Filter.Like("id", "%")
+          case tree => parseFilterTree(tree)
         }
-        ok(frameJson(g.searchResources(filter),
+        ok(frameJson(g.searchResources(parsed),
           q.get("limit").map(_.toInt).getOrElse(1000)))
 
       case ("POST", List("v1", "search", "metric")) =>

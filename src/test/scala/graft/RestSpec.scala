@@ -129,6 +129,22 @@ class RestSpec extends SparkSpec {
     assert(resp.status === 200)
     assert(resp.body.asInstanceOf[JArray].arr.map(_ \ "id")
       === List(JString("r1")))
+
+    // the raw attribute-filter JSON tree is the same body's native
+    // wire shape (rest/api.py:1381-1437)
+    val tree = api2.dispatch("POST", "/v1/search/resource/generic",
+      body = """{"and": [{"=": {"type": "instance"}},
+                         {"in": {"zone": ["fr", "es"]}}]}""")
+    assert(tree.status === 200)
+    assert(tree.body.asInstanceOf[JArray].arr.map(_ \ "id")
+      === List(JString("r1")))
+    val neg = api2.dispatch("POST", "/v1/search/resource/generic",
+      body = """{"not": {"like": {"zone": "f%"}}}""")
+    assert(neg.body.asInstanceOf[JArray].arr.map(_ \ "id")
+      === List(JString("r2")))
+    // empty body matches every resource, as the reference
+    assert(api2.dispatch("POST", "/v1/search/resource/generic")
+      .body.asInstanceOf[JArray].arr.size === 3)
   }
 
   test("epoch-number timestamps are accepted on POST measures") {
