@@ -305,6 +305,28 @@ object Bench {
         System.err.println(s"[bench] scale_j1_warm FAILED: ${e.getMessage}")
         1e9
       }
+    // the same warm shape through the DISTRIBUTED-metadata fallback
+    // (forced via the threshold knob): the path a fleet-cardinality
+    // batch takes must stay in the same cost class as the driver-
+    // literal fast path, and regress visibly if it doesn't
+    val tWarmFallback =
+      try {
+        spark.conf.set("spark.graft.ingest.maxDriverMetrics", "0")
+        try timed {
+          val tail = Queries.adaptTs(
+              spark.read.parquet(s"$scaleDir/events.parquet"))
+            .filter(col("ts") >= lit("2024-01-31").cast("timestamp"))
+            .select(
+              concat(lit("u"), pmod(col("user_id"), lit(256))).as("metric_id"),
+              col("ts").as("timestamp"),
+              (col("value") + 900).as("value"))
+          store.addMeasures(tail)
+        } finally
+          spark.conf.set("spark.graft.ingest.maxDriverMetrics", "100000")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale_j1_warm_fallback FAILED: ${e.getMessage}")
+        1e9
+      }
     val ids = (0 until 256).map(i => s"u$i")
     val tRead =
       try timed(noop(store.getMeasuresMany(ids, Seq("mean", "max"), 3600L)))
@@ -313,7 +335,7 @@ object Bench {
         1e9
       }
     Seq("scale_j1_ingest" -> tWrite, "scale_j1_warm" -> tWarm,
-      "scale_p2_read" -> tRead)
+      "scale_j1_warm_fallback" -> tWarmFallback, "scale_p2_read" -> tRead)
   }
 
   def main(args: Array[String]): Unit = {

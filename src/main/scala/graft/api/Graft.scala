@@ -322,28 +322,46 @@ class Graft(val spark: SparkSession, root: String) {
       val sub = byPolicy.filter(col("policy") === pol).drop("policy")
       if (!sub.isEmpty) storeOf(pol).addMeasures(sub)
     }
-    // metadata updates: last-measure timestamps + resource resurrection
-    // — one aggregate job, #metrics result rows, never a row collect
-    val maxima: Map[String, java.sql.Timestamp] = byPolicy
+    // Metadata updates: last-measure timestamps + resource
+    // resurrection. Resurrection stays a DISTRIBUTED join end to end —
+    // the per-metric maxima never round-trip through the driver on its
+    // account. The `lastMeasure` point-lookup cache is the only
+    // driver-side consumer, and it collects ONLY below the same
+    // touched-metric threshold as the store's ingest metadata
+    // (spark.graft.ingest.maxDriverMetrics): a 10 M-metric fleet batch
+    // would otherwise pin ~600 MB of map entries on the driver for a
+    // cache whose reference analogue lives in the indexer DB. Above
+    // the threshold the cache simply isn't advanced for this batch
+    // (lastMeasureTimestamp returns None = not tracked).
+    val maximaDf = byPolicy
       .groupBy("metric_id").agg(max(col("timestamp")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
-    if (hadBulk) byPolicy.unpersist()
-    maxima.foreach { case (m, t) =>
-      if (lastMeasure.get(m).forall(_.getTime < t.getTime)) lastMeasure(m) = t
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxDriverMetrics = spark.conf
+      .get("spark.graft.ingest.maxDriverMetrics", "100000").toLong
+    if (maximaDf.count() <= maxDriverMetrics)
+      maximaDf.collect().foreach { r =>
+        val (m, t) = (r.getString(0), r.getTimestamp(1))
+        if (lastMeasure.get(m).forall(_.getTime < t.getTime)) lastMeasure(m) = t
+      }
     // resurrection needs lifecycle columns; typed tables without them
     // (no end-dating in play) have nothing to un-end-date
     for (res <- resources if res.columns.contains("ended_at");
          mets <- metricsCatalog) {
-      val activity = maxima.toSeq
-        .map { case (m, t) => (m, t.getTime / 1000) }
-        .toDF("metric_id", "last_ts_s")
+      val activity = maximaDf
+        .select(col("metric_id"), unix_timestamp(col("t")).as("last_ts_s"))
         .join(mets.select("metric_id", "resource_id"), Seq("metric_id"))
         .groupBy(col("resource_id"))
         .agg(max(col("last_ts_s")).as("last_ts_s"))
-      resources = Some(graft.catalog.Maintenance.resurrect(res, activity))
+      // materialize eagerly: the catalog (driver-bounded metadata)
+      // must not keep a lazy reference to this batch's frames past the
+      // unpersists below — same localCheckpoint the periodic catalog
+      // compaction already uses
+      resources = Some(graft.catalog.Maintenance.resurrect(res, activity)
+        .localCheckpoint(true))
       noteCatalogMutation()
     }
+    maximaDf.unpersist()
+    if (hadBulk) byPolicy.unpersist()
   }
 
   def refresh(metricId: String): Unit = {
