@@ -84,10 +84,23 @@ class Graft(val spark: SparkSession, root: String) {
     base ++ base.map("rate:" + _)
   }
 
-  def createMetric(id: String, policyName: String): Unit = {
+  def createMetric(id: String, policyName: String): Unit =
+    createMetric(id, policyName, None)
+
+  /** `unit` is the reference's informational metric attribute
+    * (MetricSchema `rest/api.py:661-669`, ≤31 chars). */
+  def createMetric(id: String, policyName: String,
+                   unit: Option[String]): Unit = {
     require(policies.contains(policyName), s"no policy $policyName")
+    unit.foreach(u => require(u.length <= 31,
+      s"unit too long (${u.length} > 31)"))
     metricPolicy(id) = policyName
+    unit.foreach(metricUnit(id) = _)
   }
+
+  private val metricUnit = mutable.Map[String, String]()
+
+  def metricUnitOf(id: String): Option[String] = metricUnit.get(id)
 
   private val policyRules = mutable.ArrayBuffer[(String, String)]()
 
@@ -110,6 +123,10 @@ class Graft(val spark: SparkSession, root: String) {
 
   /** Create a metric letting the rules pick the policy. */
   def createMetric(id: String): Unit = createMetric(id, rulePolicy(id))
+
+  /** Rules-picked policy with an explicit unit. */
+  def createMetricRuled(id: String, unit: Option[String]): Unit =
+    createMetric(id, rulePolicy(id), unit)
 
   def hasMetric(id: String): Boolean = metricPolicy.contains(id)
 
@@ -219,9 +236,15 @@ class Graft(val spark: SparkSession, root: String) {
       case JObject(fields) => fields
       case other => throw new IllegalArgumentException(s"bad batch body: $other")
     }
-    // plan-time metric listing, as the reference's list_metrics call
+    // Plan-time metric listing, as the reference's list_metrics call —
+    // which is FILTERED to the body's resources (rest/api.py:1758-1773
+    // builds the attribute_filter from the body keys). The body is
+    // REST-page bounded, so the collect is O(body), not O(fleet
+    // catalog).
+    val bodyRids: Seq[String] = body.map(_._1).distinct
     val known: Map[(String, String), String] = metricsCatalog.map(
-        _.select("resource_id", "name", "metric_id").collect()
+        _.filter(col("resource_id").isin(bodyRids: _*))
+          .select("resource_id", "name", "metric_id").collect()
           .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap)
       .getOrElse(Map.empty)
     def tsOf(v: JValue): java.sql.Timestamp = v match {
@@ -547,6 +570,7 @@ class Graft(val spark: SparkSession, root: String) {
     pendingDf = pendingDf.map(_.filter(col("metric_id") =!= metricId))
     storeOf(metricPolicy(metricId)).expungeMetric(metricId)
     metricPolicy.remove(metricId)
+    metricUnit.remove(metricId)
   }
 
   /** POST /v1/search/metric (S1). */

@@ -414,16 +414,20 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
 
       case ("GET", List("v1", "metric", id)) =>
         ok(("id" -> id) ~
+          ("unit" -> g.metricUnitOf(id)) ~
           ("archive_policy" -> policyJson(g.policies(g.metricPolicyName(id)))))
 
       case ("POST", List("v1", "metric")) =>
         val b = body()
         val id = jstr(b \ "id" match { case JNothing => b \ "name"; case v => v })
-        b \ "archive_policy_name" match {
-          case JString(pol) => g.createMetric(id, pol)
-          case _            => g.createMetric(id) // R9 rules pick the policy
+        val unit = b \ "unit" match {
+          case JString(u) => Some(u); case _ => None
         }
-        created("id" -> id)
+        b \ "archive_policy_name" match {
+          case JString(pol) => g.createMetric(id, pol, unit)
+          case _            => g.createMetricRuled(id, unit) // R9 rules
+        }
+        created(("id" -> id) ~ ("unit" -> unit))
 
       case ("DELETE", List("v1", "metric", id)) =>
         g.deleteMetric(id); noContent
@@ -641,6 +645,13 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       case ("POST", List("v1", "resource", _, id, "metric", name, "measures")) =>
         route("POST", List("v1", "metric", g.resourceMetricId(rid(id), name),
           "measures"), q, body, raw, creator)
+
+      // GET /v1/resource/<type>/<id>/metric/<name>: ONE named metric,
+      // in the same shape as GET /v1/metric/<id>
+      // (NamedMetricController lookup).
+      case ("GET", List("v1", "resource", _, id, "metric", name)) =>
+        route("GET", List("v1", "metric", g.resourceMetricId(rid(id), name)),
+          q, body, raw, creator)
 
       // GET /v1/resource/<type>/<id>/metric: the resource's named
       // metrics (NamedMetricController.get_all) — unknown resource is

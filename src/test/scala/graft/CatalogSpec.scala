@@ -140,4 +140,41 @@ class CatalogSpec extends SparkSpec {
     assert(high.definition.size == 3)
     assert(high.aggregations.size == 18) // 3 granularities × 6 methods
   }
+
+  test("ResourceUUID edges: 32-hex canonicalizes, 289-char cap, '/' " +
+      "rejects, creator salting (utils.py:38-59)") {
+    import graft.catalog.ResourceUuid
+    // UUID forms pass through canonicalized (lowercase, dashed)
+    assert(ResourceUuid.transform("5A301761AAAA46E289008B4F6FE6675A")
+      === "5a301761-aaaa-46e2-8900-8b4f6fe6675a")
+    assert(ResourceUuid.transform("5A301761-AAAA-46E2-8900-8B4F6FE6675A")
+      === "5a301761-aaaa-46e2-8900-8b4f6fe6675a")
+    // exactly 289 transforms; 290 rejects with the reference's message
+    val ok289 = "x" * 289
+    assert(ResourceUuid.transform(ok289).matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
+    val e = intercept[IllegalArgumentException](
+      ResourceUuid.transform("x" * 290))
+    assert(e.getMessage.contains(">289 max allowed"))
+    assert(intercept[IllegalArgumentException](
+      ResourceUuid.transform("a/b")).getMessage
+      .contains("'/' is not supported"))
+    // creator salting: same id, different creator → different uuid;
+    // absent creator uses the NUL sentinel (a distinct third value)
+    val a = ResourceUuid.transform("web-1", Some("alice"))
+    val b = ResourceUuid.transform("web-1", Some("bob"))
+    val n = ResourceUuid.transform("web-1", None)
+    assert(Set(a, b, n).size === 3)
+    // column form agrees on the edge shapes too
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = spark
+    import s.implicits._
+    val got = Seq("5A301761AAAA46E289008B4F6FE6675A", ok289, "a/b", "x" * 290)
+      .toDF("v")
+      .select(ResourceUuid.transformCol(col("v"), lit(null)).as("u"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0).contains("5a301761-aaaa-46e2-8900-8b4f6fe6675a"))
+    assert(got(1).contains(ResourceUuid.transform(ok289)))
+    assert(got(2).isEmpty && got(3).isEmpty) // bulk form: null, not throw
+  }
 }
