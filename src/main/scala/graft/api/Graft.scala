@@ -573,6 +573,24 @@ class Graft(val spark: SparkSession, root: String) {
     metricUnit.remove(metricId)
   }
 
+  /** Bulk deletion — the janitor batch (J4 at fleet scale,
+    * cli/metricd.py:262-299): one partition-pruned store rewrite per
+    * POLICY for the whole batch, not one per metric.
+    */
+  def deleteMetrics(metricIds: Seq[String]): Unit = {
+    val unknown = metricIds.filterNot(metricPolicy.contains)
+    require(unknown.isEmpty,
+      s"unknown metrics: ${unknown.distinct.sorted.mkString(", ")}")
+    val ids = metricIds.distinct
+    if (ids.isEmpty) return
+    pending.filterInPlace(p => !ids.contains(p._1))
+    pendingDf = pendingDf.map(_.filter(!col("metric_id").isin(ids: _*)))
+    ids.groupBy(metricPolicy).foreach { case (pol, group) =>
+      storeOf(pol).expungeMetrics(group)
+    }
+    ids.foreach { id => metricPolicy.remove(id); metricUnit.remove(id) }
+  }
+
   /** POST /v1/search/metric (S1). */
   def searchMetricValues(metricIds: Seq[String], method: String, granS: Long,
                          pred: MeasureSearch.Pred): DataFrame =

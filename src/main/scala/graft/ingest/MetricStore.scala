@@ -615,56 +615,78 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * Raw side: the sack layout makes this a one-sack rewrite (or a
     * directory drop when the sack held only this metric).
     */
-  def expungeMetric(metricId: String): Unit = {
+  def expungeMetric(metricId: String): Unit = expungeMetrics(Seq(metricId))
+
+  /** Batched expunge — the janitor's shape (cli/metricd.py:262-299
+    * processes deletions in batches): N metrics cost ONE partition-
+    * pruned rewrite of the union of their touched (split, msack)
+    * slices, not N store rewrites. The touched-partition list is a
+    * driver scalar bounded by batch size × retention, the same
+    * envelope the reference enumerates objects in.
+    */
+  def expungeMetrics(metricIds: Seq[String]): Unit = {
+    if (metricIds.isEmpty) return
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
 
-    // the metric lives in exactly one msack — the whole expunge scans
-    // and rewrites only that sack's slice of each touched split
-    val mz = sackOfId(metricId)
-    val touched = aggregates.filter(col("msack") === mz &&
-        col("metric_id") === metricId)
+    // the batch lives in at most NumSacks msacks — scans and rewrites
+    // touch only those sacks' slices of the touched splits
+    val sacks = metricIds.map(sackOfId).distinct
+    val touched = aggregates.filter(col("msack").isin(sacks: _*) &&
+        col("metric_id").isin(metricIds: _*))
       .select(col("method"), col("gran_s").cast("long"),
-        col("split").cast("long"))
+        col("split").cast("long"), col("msack").cast("int"))
       .distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     if (touched.nonEmpty) {
-      val touchedDf = touched.toSeq.toDF("method", "gran_s", "split")
-        .withColumn("msack", lit(mz))
+      val touchedDf = touched.toSeq.toDF("method", "gran_s", "split", "msack")
       // persist (not checkpoint) spans the kept-collect and the write;
       // swapWrite itself needs no lineage cut — recomputes still read
       // the untouched store files until the final renames
       val remaining = aggregates
         .join(broadcast(touchedDf), Seq("method", "gran_s", "split", "msack"))
-        .filter(col("metric_id") =!= metricId)
+        .filter(!col("metric_id").isin(metricIds: _*))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = remaining
         .select(col("method"), col("gran_s").cast("long"),
-          col("split").cast("long"))
+          col("split").cast("long"), col("msack").cast("int"))
         .distinct()
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
       if (!kept.isEmpty)
         swapWrite(remaining, aggPath,
           Seq("method", "gran_s", "split", "msack"), Seq("metric_id", "bucket"))
       remaining.unpersist()
-      touched.filterNot(kept).foreach { case (m, g, s) =>
+      // splits left with no surviving rows: swapWrite only replaces
+      // partitions that receive output, so drop the directories
+      touched.filterNot(kept).foreach { case (m, g, s, z) =>
         fs.delete(new org.apache.hadoop.fs.Path(
-          s"$aggPath/method=$m/gran_s=$g/split=$s/msack=$mz"), true)
+          s"$aggPath/method=$m/gran_s=$g/split=$s/msack=$z"), true)
       }
     }
 
-    val sackId = mz
+    // raw side: rewrite only the sacks that actually hold target rows
+    // (a batch id whose sack holds only OTHER metrics costs nothing)
     val raw = rawBuffer
-    val sackRows = raw.filter(col("sack") === sackId)
-    if (!sackRows.filter(col("metric_id") === metricId).isEmpty) {
-      val remainingRaw = sackRows.filter(col("metric_id") =!= metricId)
+    val targetSacks = raw.filter(col("sack").isin(sacks: _*) &&
+        col("metric_id").isin(metricIds: _*))
+      .select(col("sack").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (targetSacks.nonEmpty) {
+      val remainingRaw = raw.filter(col("sack").isin(targetSacks: _*))
+        .filter(!col("metric_id").isin(metricIds: _*))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (remainingRaw.isEmpty)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$rawPath/sack=$sackId"), true)
-      else
+      // sacks whose every row belonged to the batch end up with no
+      // output partition — drop those directories (≤ NumSacks rows)
+      val keptSacks = remainingRaw.select(col("sack").cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      if (keptSacks.nonEmpty)
         swapWrite(remainingRaw, rawPath,
           Seq("sack"), Seq("metric_id", "timestamp"))
+      targetSacks.filterNot(keptSacks).foreach(z =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$rawPath/sack=$z"), true))
       remainingRaw.unpersist()
     }
   }

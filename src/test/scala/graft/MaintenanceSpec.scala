@@ -24,6 +24,40 @@ class MaintenanceSpec extends SparkSpec {
     intercept[NoSuchElementException](g.getMeasures("m1", "mean"))
   }
 
+  test("batched expunge == sequential expunge, one rewrite per policy " +
+      "(J4 janitor batch)") {
+    def build(root: String): Graft = {
+      val g = new Graft(spark, root)
+      // enough metrics to land in several msacks, two kept
+      val ids = (0 until 12).map(i => s"bm$i")
+      ids.foreach(g.createMetric(_, "low"))
+      ids.zipWithIndex.foreach { case (m, i) =>
+        g.addMeasures(m, Seq(
+          (f"2024-01-01 10:${i % 60}%02d:00", i.toDouble),
+          (f"2024-01-02 11:${i % 60}%02d:00", i * 2.0)))
+      }
+      g.process()
+      g
+    }
+    val rootA = java.nio.file.Files.createTempDirectory("graft-delA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-delB").toString
+    val doomed = (0 until 12).collect { case i if i % 3 != 0 => s"bm$i" }
+    val gA = build(rootA)
+    gA.deleteMetrics(doomed) // one batched rewrite
+    val gB = build(rootB)
+    doomed.foreach(gB.deleteMetric) // N sequential rewrites
+    def dump(g: Graft): Set[Seq[Any]] = (0 until 12).map(i => s"bm$i")
+      .filterNot(doomed.contains)
+      .flatMap(m => g.getMeasures(m, "mean").map {
+        case (t, gr, v) => Seq(m, t.toString, gr, v)
+      }).toSet
+    assert(dump(gA) == dump(gB))
+    assert(dump(gA).nonEmpty)
+    doomed.foreach { m =>
+      intercept[NoSuchElementException](gA.getMeasures(m, "mean"))
+    }
+  }
+
   test("resurrection round-trip: end-date -> current ingest un-ends the resource " +
       "(storage/__init__.py:694-725)") {
     val s = spark
