@@ -631,6 +631,39 @@ class Graft(val spark: SparkSession, root: String) {
         "no resource table registered — call setResources(df) first")),
       sorts, "id", marker, limit)
 
+  /** R5 at the REST surface (`?history=true`,
+    * sqlalchemy.py:1167-1270): every history revision ∪ the current
+    * rows as revision −1. History revisions are numbered per id in
+    * revision order (the reference's revision pk is a DB sequence; a
+    * per-id ordinal is the deterministic analogue).
+    */
+  def resourcesWithHistory: DataFrame = {
+    val res = resources.getOrElse(throw new IllegalStateException(
+      "no resource table registered — call setResources(df) first"))
+    val hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
+      "no resource history table — call setResourceHistory(df) first"))
+    val orderCol =
+      if (hist.columns.contains("revision_start")) col("revision_start")
+      else col("revision_end")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(orderCol.asc_nulls_last)
+    hist.withColumn("revision", row_number().over(w))
+      .unionByName(res.withColumn("revision", lit(-1)),
+        allowMissingColumns = true)
+  }
+
+  /** History listing page: keyset marker is `id@revision`
+    * (rest/api.py:1238-1241) — Pagination resolves that form natively
+    * against (uniqueKey, revision). */
+  def listResourcesHistory(sorts: Seq[(String, Boolean)] = Seq("id" -> true),
+                           marker: Option[Any] = None,
+                           limit: Int = 100): DataFrame =
+    graft.catalog.Pagination(resourcesWithHistory,
+      sorts :+ ("revision" -> true), "id", marker, limit)
+
+  def searchResourcesHistory(f: Filter): DataFrame =
+    resourcesWithHistory.filter(Filter.compile(f))
+
   /** POST /v1/resource/<type> (rest/api.py ResourcesController.post):
     * append one resource row parsed from the JSON body against the
     * registered catalog's schema (absent attributes null-fill; a

@@ -494,8 +494,13 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
             graft.catalog.Filter.Like("id", "%")
           case tree => parseFilterTree(tree)
         }
-        ok(frameJson(g.searchResources(parsed),
-          q.get("limit").map(_.toInt).getOrElse(1000)))
+        // ?history=true searches across every revision
+        // (rest/api.py:1453-1475)
+        val searched =
+          if (q.get("history").contains("true"))
+            g.searchResourcesHistory(parsed)
+          else g.searchResources(parsed)
+        ok(frameJson(searched, q.get("limit").map(_.toInt).getOrElse(1000)))
 
       case ("POST", List("v1", "search", "metric")) =>
         val ids = q.getOrElse("metric_id",
@@ -564,13 +569,23 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           }
         }).getOrElse(Seq("id" -> true))
         val limit = q.get("limit").map(_.toInt).getOrElse(100)
+        val history = q.get("history").contains("true")
         val page = frameJson(
-          g.listResources(sorts, q.get("marker"), limit), Int.MaxValue)
+          if (history) g.listResourcesHistory(sorts, q.get("marker"), limit)
+          else g.listResources(sorts, q.get("marker"), limit), Int.MaxValue)
+        // full page → Link rel="next"; history markers are id@revision
+        // (rest/api.py:1238-1241)
         val nextLink = page match {
           case JArray(rows) if rows.size >= limit && rows.nonEmpty =>
             (rows.last \ "id") match {
               case JString(last) =>
-                val qs = (q - "marker") + ("marker" -> last) +
+                val m =
+                  if (history) last + "@" + (rows.last \ "revision" match {
+                    case JInt(r) => r.toString; case JLong(r) => r.toString
+                    case _ => "-1"
+                  })
+                  else last
+                val qs = (q - "marker") + ("marker" -> m) +
                   ("limit" -> limit.toString)
                 val enc = qs.toSeq.sortBy(_._1).map { case (k, v) =>
                   k + "=" + java.net.URLEncoder.encode(v, "UTF-8")

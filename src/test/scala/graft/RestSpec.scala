@@ -684,6 +684,49 @@ class RestSpec extends SparkSpec {
       query = Map("limit" -> "2", "marker" -> "m4")).headers.get("Link").isEmpty)
   }
 
+  test("?history=true: revision union (current as -1), id@revision " +
+      "marker walk, history search (rest/api.py:1220-1241,1453-1475)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(("r1", "fr"), ("r2", "us")).toDF("id", "zone"))
+    g.setResourceHistory(Seq(
+      ("r1", "de", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      ("r1", "be", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("id", "zone", "revision_start", "revision_end"))
+
+    def idsRevs(r: graft.rest.Response): List[(String, BigInt)] =
+      r.body.asInstanceOf[JArray].arr.map(x =>
+        (jstrOf(x \ "id"), x \ "revision" match {
+          case JInt(n) => n; case JLong(n) => BigInt(n); case o => fail(s"$o")
+        }))
+
+    val p1 = api.dispatch("GET", "/v1/resource/generic",
+      query = Map("history" -> "true", "limit" -> "3"))
+    assert(p1.status === 200)
+    assert(idsRevs(p1) === List(("r1", BigInt(-1)), ("r1", BigInt(1)),
+      ("r1", BigInt(2))))
+    val link = p1.headers("Link")
+    assert(link.contains("marker=r1%402") || link.contains("marker=r1@2"))
+    val p2 = api.dispatch("GET", "/v1/resource/generic",
+      query = Map("history" -> "true", "limit" -> "3", "marker" -> "r1@2"))
+    assert(idsRevs(p2) === List(("r2", BigInt(-1))))
+    assert(p2.headers.get("Link").isEmpty)
+
+    // history search crosses revisions; plain search sees only current
+    val h = api.dispatch("POST", "/v1/search/resource/generic",
+      query = Map("history" -> "true"),
+      body = """{"=": {"zone": "de"}}""")
+    assert(idsRevs(h) === List(("r1", BigInt(1))))
+    assert(api.dispatch("POST", "/v1/search/resource/generic",
+      body = """{"=": {"zone": "de"}}""")
+      .body.asInstanceOf[JArray].arr.isEmpty)
+  }
+
   test("enforce hook: admin-only and admin-or-creator rules " +
       "(rest/api.py:113, policy.json defaults)") {
     val s = spark
