@@ -664,6 +664,25 @@ class Graft(val spark: SparkSession, root: String) {
   def searchResourcesHistory(f: Filter): DataFrame =
     resourcesWithHistory.filter(Filter.compile(f))
 
+  /** Named metrics for a PAGE of resources (the reference's jsonify
+    * embeds `metrics: {name: id}` per resource; its list_resources
+    * eager-joins them, sqlalchemy.py:1346). The id list is REST-page
+    * bounded, so this is one pruned collect — O(page), not O(fleet).
+    */
+  def metricsForResources(ids: Seq[String]): Map[String, Seq[(String, String)]] =
+    metricsCatalog match {
+      case None => Map.empty
+      case Some(mets) => mets
+        .filter(col("resource_id").isin(ids: _*))
+        .select("resource_id", "name", "metric_id")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .groupBy(_._1)
+        .map { case (rid, rows) =>
+          rid -> rows.toSeq.map(t => (t._2, t._3)).sortBy(_._1)
+        }
+    }
+
   /** POST /v1/resource/<type> (rest/api.py ResourcesController.post):
     * append one resource row parsed from the JSON body against the
     * registered catalog's schema (absent attributes null-fill; a

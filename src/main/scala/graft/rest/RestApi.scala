@@ -570,9 +570,41 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         }).getOrElse(Seq("id" -> true))
         val limit = q.get("limit").map(_.toInt).getOrElse(100)
         val history = q.get("history").contains("true")
-        val page = frameJson(
+        val page0 = frameJson(
           if (history) g.listResourcesHistory(sorts, q.get("marker"), limit)
           else g.listResources(sorts, q.get("marker"), limit), Int.MaxValue)
+        // ?details=true embeds metrics per resource; ?attrs=a,b projects
+        // the listed attributes (rest/api.py:1219-1223 jsonify params)
+        val page1 =
+          if (!q.get("details").contains("true")) page0
+          else page0 match {
+            case JArray(rows) =>
+              val ids = rows.collect { case r if (r \ "id").isInstanceOf[JString] =>
+                jstr(r \ "id") }
+              val byRes = g.metricsForResources(ids.distinct)
+              JArray(rows.map {
+                case JObject(fields) =>
+                  val rid0 = fields.collectFirst {
+                    case ("id", JString(v)) => v }.getOrElse("")
+                  JObject(fields :+ ("metrics" -> JObject(
+                    byRes.getOrElse(rid0, Nil).toList.map { case (n, mid) =>
+                      n -> (JString(mid): JValue) })))
+                case other => other
+              })
+            case other => other
+          }
+        val page = q.get("attrs") match {
+          case Some(attrs) =>
+            val keep = attrs.split(",").map(_.trim).toSet + "id"
+            page1 match {
+              case JArray(rows) => JArray(rows.map {
+                case JObject(fields) => JObject(fields.filter(f => keep(f._1)))
+                case other => other
+              })
+              case other => other
+            }
+          case None => page1
+        }
         // full page → Link rel="next"; history markers are id@revision
         // (rest/api.py:1238-1241)
         val nextLink = page match {
@@ -599,6 +631,12 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
 
       case ("GET", List("v1", "resource", _, id)) =>
         frameJson(g.searchResources(s"id = '${rid(id)}'"), 2) match {
+          case JArray(List(JObject(fields))) =>
+            // the reference's resource jsonify embeds metrics {name: id}
+            ok(JObject(fields :+ ("metrics" -> JObject(
+              g.metricsForResources(Seq(rid(id)))
+                .getOrElse(rid(id), Nil).toList
+                .map { case (n, mid) => n -> (JString(mid): JValue) }))))
           case JArray(List(one)) => ok(one)
           case JArray(Nil)       => err(404, s"no resource $id")
           case _                 => err(500, s"duplicate resource id $id")

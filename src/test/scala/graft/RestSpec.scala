@@ -684,6 +684,41 @@ class RestSpec extends SparkSpec {
       query = Map("limit" -> "2", "marker" -> "m4")).headers.get("Link").isEmpty)
   }
 
+  test("?details=true embeds metrics, ?attrs projects, single GET " +
+      "carries the metrics map (rest/api.py:1219-1223 jsonify)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(("r1", "fr", 2.0), ("r2", "us", 3.0))
+      .toDF("id", "zone", "weight"))
+    g.setMetrics(Seq(("m0", "cpu", "r1"), ("m1", "mem", "r1"))
+      .toDF("metric_id", "name", "resource_id"))
+
+    val det = api.dispatch("GET", "/v1/resource/generic",
+      query = Map("details" -> "true"))
+    assert(det.status === 200)
+    val r1 = det.body.asInstanceOf[JArray].arr
+      .find(r => r \ "id" == JString("r1")).get
+    assert(r1 \ "metrics" === JObject(List(
+      "cpu" -> JString("m0"), "mem" -> JString("m1"))))
+    val r2 = det.body.asInstanceOf[JArray].arr
+      .find(r => r \ "id" == JString("r2")).get
+    assert(r2 \ "metrics" === JObject(Nil))
+
+    val proj = api.dispatch("GET", "/v1/resource/generic",
+      query = Map("attrs" -> "zone"))
+    proj.body.asInstanceOf[JArray].arr.foreach { r =>
+      assert(r.asInstanceOf[JObject].obj.map(_._1).toSet === Set("id", "zone"))
+    }
+
+    val one = api.dispatch("GET", "/v1/resource/generic/r1")
+    assert(one.body \ "zone" === JString("fr"))
+    assert(one.body \ "metrics" === JObject(List(
+      "cpu" -> JString("m0"), "mem" -> JString("m1"))))
+  }
+
   test("?history=true: revision union (current as -1), id@revision " +
       "marker walk, history search (rest/api.py:1220-1241,1453-1475)") {
     val s = spark
