@@ -167,8 +167,11 @@ class Graft(val spark: SparkSession, root: String) {
   /** R8 delete-by-query (sqlalchemy.py:1034-1066): drop resources
     * matching the filter, returning the count.
     */
-  def deleteResources(filterStr: String): Long = {
-    val pred = Filter.compile(FilterParser.parse(filterStr))
+  def deleteResources(filterStr: String): Long =
+    deleteResources(FilterParser.parse(filterStr))
+
+  def deleteResources(f: Filter): Long = {
+    val pred = Filter.compile(f)
     val current = resources.getOrElse(
       return 0L)
     val n = current.filter(pred).count()

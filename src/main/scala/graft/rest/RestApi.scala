@@ -682,6 +682,25 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           case _                 => err(404, s"no resource $id")
         }
 
+      // DELETE /v1/resource/<type>: delete-by-query — body is the
+      // filter tree / {"filter": str} or ?filter=; an EMPTY query is
+      // refused (rest/api.py:1249-1278: "it will delete entire
+      // database"). Returns {"deleted": n}.
+      case ("DELETE", List("v1", "resource", _)) =>
+        enforceAdmin(creator) // policy.json "delete resources": admin rule
+        val parsed = body() match {
+          case JObject(List(("filter", JString(s)))) =>
+            Some(graft.catalog.FilterParser.parse(s))
+          case JNothing =>
+            q.get("filter").map(graft.catalog.FilterParser.parse)
+          case tree => Some(parseFilterTree(tree))
+        }
+        parsed match {
+          case None => err(400, "caution: the query can not be empty, " +
+            "or it will delete entire database")
+          case Some(f) => ok("deleted" -> g.deleteResources(f))
+        }
+
       case ("DELETE", List("v1", "resource", _, id)) =>
         enforceResourceOwner(creator, rid(id))
         g.deleteResource(rid(id)); noContent

@@ -684,6 +684,31 @@ class RestSpec extends SparkSpec {
       query = Map("limit" -> "2", "marker" -> "m4")).headers.get("Link").isEmpty)
   }
 
+  test("DELETE /v1/resource/<type> deletes by query; empty query refused " +
+      "(rest/api.py:1249-1278)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(("r1", "fr"), ("r2", "de"), ("r3", "de"))
+      .toDF("id", "zone"))
+    // empty body AND no ?filter= → 400 with the caution
+    val deny = api.dispatch("DELETE", "/v1/resource/generic")
+    assert(deny.status === 400)
+    assert(jstrOf(deny.body \ "description").contains("can not be empty"))
+    // filter-tree body deletes matches and reports the count
+    val del = api.dispatch("DELETE", "/v1/resource/generic",
+      body = """{"=": {"zone": "de"}}""")
+    assert(del.status === 200)
+    assert(del.body \ "deleted" === JInt(2))
+    assert(api.dispatch("GET", "/v1/resource/generic").body
+      .asInstanceOf[JArray].arr.map(r => jstrOf(r \ "id")) === List("r1"))
+    // string-grammar form via ?filter=
+    assert(api.dispatch("DELETE", "/v1/resource/generic",
+      query = Map("filter" -> "zone = 'fr'")).body \ "deleted" === JInt(1))
+  }
+
   test("?details=true embeds metrics, ?attrs projects, single GET " +
       "carries the metrics map (rest/api.py:1219-1223 jsonify)") {
     val s = spark
