@@ -118,8 +118,11 @@ object Queries {
     */
   private def annRecallRows(em: DataFrame, q: DataFrame, approx: DataFrame,
                             minRecall: Double): DataFrame = {
-    val exact = Similarity.bruteForceTopK(em, q, k = 5)
-      .select("query_id", "corpus_id").cache()
+    // operator-internal persist that the returned plan reads —
+    // registered with OpCaches so long-lived sessions can release it
+    val exact = graft.llm.OpCaches.persist(
+      Similarity.bruteForceTopK(em, q, k = 5)
+        .select("query_id", "corpus_id"))
     val hits = exact.join(approx.select("query_id", "corpus_id"),
         Seq("query_id", "corpus_id"))
       .agg(count(lit(1)).as("__h"))

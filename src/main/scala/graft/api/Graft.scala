@@ -860,9 +860,17 @@ class Graft(val spark: SparkSession, root: String) {
     * layer). Returns the created (name, metric_id) pairs.
     */
   def attachMetrics(resourceId: String,
-                    metrics: Seq[(String, Option[String])]): Seq[(String, String)] =
-    attachMetricsSchema(resourceId,
-      metrics.toMap.map { case (n, p) => n -> Right(p) })
+                    metrics: Seq[(String, Option[String])]): Seq[(String, String)] = {
+    // duplicates reject loudly (a Map would silently keep the last),
+    // and the result keeps the CALLER's order, not name-sorted
+    val dup = metrics.map(_._1).groupBy(identity)
+      .collect { case (n, more) if more.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate metric names: ${dup.toSeq.sorted.mkString(", ")}")
+    val byName = attachMetricsSchema(resourceId,
+      metrics.toMap.map { case (n, p) => n -> Right(p) }).toMap
+    metrics.map { case (n, _) => (n, byName(n)) }
+  }
 
   /** The full MetricsSchema attach contract (rest/api.py:732-746):
     * per name either Left(existing metric id to ATTACH) or

@@ -263,20 +263,24 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       throw new SecurityException("403 admin required")
 
   /** Admin-or-creator on one resource row (policy.json
-    * `admin_or_creator`): compares against the row's recorded
-    * `creator` column when the catalog carries one.
+    * `admin_or_creator`). A NONEXISTENT resource passes through so the
+    * route 404s, matching the reference's lookup-before-enforce order.
+    * A catalog with no `creator` column has unknowable ownership:
+    * non-admin mutation is denied (secure default — the reference's
+    * schema always records the creator).
     */
   private def enforceResourceOwner(creator: Option[String], rid: String): Unit =
     if (requireAuth) {
       val who = enforceAuthed(creator)
       if (who != "admin") {
-        val rows = g.searchResources(s"id = '$rid'")
-        val owner =
-          if (!rows.columns.contains("creator")) None
-          else rows.limit(1).collect().headOption
-            .flatMap(r => Option(r.getAs[String]("creator")))
-        if (!owner.contains(who))
-          throw new SecurityException("403 not the creator")
+        val rows = g.searchResources(s"id = '$rid'").limit(1).collect()
+        if (rows.nonEmpty) {
+          val owner =
+            if (!rows.head.schema.fieldNames.contains("creator")) None
+            else Option(rows.head.getAs[String]("creator"))
+          if (!owner.contains(who))
+            throw new SecurityException("403 not the creator")
+        }
       }
     }
 
@@ -308,14 +312,23 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     // never went through the transformation (the reference's indexer
     // owns its schema, so that state can't exist there).
     val ridCache = scala.collection.mutable.Map.empty[String, String]
+    def rawIdExists(id: String): Boolean =
+      try !g.searchResources(s"id = '${id.replace("'", "''")}'").isEmpty
+      // no resource table registered (metrics-only deployments):
+      // nothing to disambiguate against — treat the raw form as valid
+      catch { case _: IllegalStateException => true }
     def rid(id: String): String = ridCache.getOrElseUpdate(id, {
-      val rawExists =
-        try !g.searchResources(s"id = '${id.replace("'", "''")}'").isEmpty
-        // no resource table registered (metrics-only deployments):
-        // nothing to disambiguate against — pass the id through raw
-        catch { case _: IllegalStateException => true }
-      if (rawExists) id
-      else graft.catalog.ResourceUuid.transform(id, creator)
+      val transformed =
+        try Right(graft.catalog.ResourceUuid.transform(id, creator))
+        catch { case e: IllegalArgumentException => Left(e) }
+      transformed match {
+        // already-canonical ids resolve to themselves either way —
+        // skip the raw-exists probe (a catalog scan) on that hot path
+        case Right(t) if t == id => id
+        // raw match wins; an untransformable id ('/' etc.) that is
+        // not raw-registered surfaces the transform error (400)
+        case t => if (rawIdExists(id)) id else t.fold(throw _, identity)
+      }
     })
     (method, segs) match {
       // -------------------------------------------------- root + capability
@@ -606,8 +619,10 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           case None => page1
         }
         // full page → Link rel="next"; history markers are id@revision
-        // (rest/api.py:1238-1241)
-        val nextLink = page match {
+        // (rest/api.py:1238-1241). Markers derive from the PRE-attrs
+        // rows: the projection strips `revision`, and a degraded
+        // `id@-1` marker would re-serve or skip revision rows.
+        val nextLink = page0 match {
           case JArray(rows) if rows.size >= limit && rows.nonEmpty =>
             (rows.last \ "id") match {
               case JString(last) =>
@@ -649,6 +664,13 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         if (requireAuth) enforceAuthed(creator)
         val b = body()
         val id = jstr(b \ "id")
+        // an externally-registered row keyed by this RAW id is a
+        // conflict too: creation always stores the transformed id, and
+        // a raw twin would shadow it at every lookup (rid prefers the
+        // exact raw match) — a silent hidden duplicate
+        if (graft.catalog.ResourceUuid.transform(id, creator) != id &&
+            rawIdExists(id))
+          return err(409, s"resource $id already exists")
         try {
           g.createResource(tpe, id,
             JsonMethods.compact(JsonMethods.render(b)), creator)

@@ -777,6 +777,13 @@ class RestSpec extends SparkSpec {
     assert(idsRevs(p2) === List(("r2", BigInt(-1))))
     assert(p2.headers.get("Link").isEmpty)
 
+    // the Link marker derives from the PRE-projection rows: an attrs
+    // projection that strips `revision` must not degrade it to id@-1
+    val pa = api.dispatch("GET", "/v1/resource/generic",
+      query = Map("history" -> "true", "limit" -> "3", "attrs" -> "zone"))
+    assert(pa.headers("Link").contains("r1%402") ||
+      pa.headers("Link").contains("r1@2"))
+
     // history search crosses revisions; plain search sees only current
     val h = api.dispatch("POST", "/v1/search/resource/generic",
       query = Map("history" -> "true"),
@@ -815,7 +822,13 @@ class RestSpec extends SparkSpec {
       body = """{"id": "box", "zone": "fr"}""", creator = Some("alice"))
     assert(cr.status === 201)
     val boxId = jstrOf(cr.body \ "id") // internal uuid (id salted by alice)
+    // mallory's EXTERNAL lookup re-salts with mallory → no such
+    // resource → 404 (lookup-before-enforce, as the reference);
+    // attacking the internal id directly is the 403 case
     assert(api.dispatch("PATCH", "/v1/resource/generic/box",
+      query = Map("now" -> "1700000000"), body = """{"zone": "de"}""",
+      creator = Some("mallory")).status === 404)
+    assert(api.dispatch("PATCH", s"/v1/resource/generic/$boxId",
       query = Map("now" -> "1700000000"), body = """{"zone": "de"}""",
       creator = Some("mallory")).status === 403)
     assert(api.dispatch("PATCH", "/v1/resource/generic/box",
