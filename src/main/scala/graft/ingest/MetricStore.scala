@@ -50,9 +50,33 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
         item.completed.timespanNs.map(_ / 1_000_000_000L)
     }.flatten
 
-  private def readOr(path: String, schemaOf: => DataFrame): DataFrame =
-    try spark.read.parquet(path)
-    catch { case _: Throwable => schemaOf.limit(0) }
+  /** Read a store plane, or its empty frame when the plane does not
+    * exist yet. The fallback triggers ONLY on genuine absence (path
+    * missing, or present but holding no data files — e.g. after a
+    * whole-plane expunge left the bare root): a TRANSIENT read failure
+    * (object-store throttle, corrupt footer) must PROPAGATE, because a
+    * swallowed one here would make addMeasures treat the store as
+    * empty and the warm-path swapWrite would then permanently replace
+    * the touched partitions with batch-only rows.
+    */
+  private def readOr(path: String, schemaOf: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasDataFiles(dir: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val fp = it.next().getPath
+        // mirror Spark's listing: skip _metadata files and anything
+        // under a dot-prefixed dir (swapWrite staging)
+        found = !fp.getName.startsWith("_") && !fp.getName.startsWith(".") &&
+          !fp.toString.contains("/.")
+      }
+      found
+    }
+    if (fs.exists(p) && hasDataFiles(p)) spark.read.parquet(path)
+    else schemaOf.limit(0)
+  }
 
   def rawBuffer: DataFrame =
     readOr(rawPath, emptyMeasures(spark).withColumn("sack", lit(0)))
@@ -92,23 +116,50 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
                         partCols: Seq[String], sortCols: Seq[String]): Unit = {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // stale staging from a crashed writer: invisible to readers, but
-    // clean it so the tree doesn't accumulate dead bytes
+    def leafDirs(root: org.apache.hadoop.fs.Path) =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        root, Seq.fill(partCols.size)("*").mkString("/"))))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(_.isDirectory)
+    def destOf(root: org.apache.hadoop.fs.Path,
+               st: org.apache.hadoop.fs.FileStatus) = {
+      val rel = fs.makeQualified(st.getPath).toString
+        .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+      new org.apache.hadoop.fs.Path(base, rel)
+    }
+    // Stale staging from a crashed writer — invisible to readers, but
+    // NOT always safe to delete. Three cases, told apart by the
+    // _SUCCESS marker and the destination state:
+    //   no _SUCCESS        → the write itself crashed; originals were
+    //                        never touched → delete the partial bytes;
+    //   _SUCCESS + every leaf's dest exists → the rename phase never
+    //                        started (or nothing was staged): originals
+    //                        intact, the crashed batch just retries →
+    //                        delete;
+    //   _SUCCESS + some dest MISSING → the writer died between
+    //                        delete(dest) and rename: the staging tree
+    //                        holds the ONLY copy of that partition —
+    //                        refuse to proceed, loudly, instead of
+    //                        destroying it.
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(base, ".staging-*")))
-      .foreach(_.foreach(s => fs.delete(s.getPath, true)))
+      .foreach(_.foreach { s =>
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))
+        val orphaned = committed &&
+          leafDirs(s.getPath).exists(l => !fs.exists(destOf(s.getPath, l)))
+        if (orphaned) throw new IllegalStateException(
+          s"swapWrite: ${s.getPath} holds the only copy of partitions " +
+            "whose originals were already removed by a crashed writer; " +
+            "recover by renaming its leaf dirs into place before retrying")
+        fs.delete(s.getPath, true)
+      })
     val staging = new org.apache.hadoop.fs.Path(base,
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     df.repartition(partCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(staging.toString)
-    val stagedRoot = fs.makeQualified(staging).toString
-    val leaves = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-      staging, Seq.fill(partCols.size)("*").mkString("/"))))
-      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-    for (st <- leaves if st.isDirectory) {
-      val rel = fs.makeQualified(st.getPath).toString
-        .stripPrefix(stagedRoot).stripPrefix("/")
-      val dest = new org.apache.hadoop.fs.Path(base, rel)
+    for (st <- leafDirs(staging)) {
+      val dest = destOf(staging, st)
       fs.delete(dest, true)
       fs.mkdirs(dest.getParent)
       // a silently-failed rename followed by the staging cleanup below
@@ -279,18 +330,26 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
             (m, thr.map(math.max(_, mn)).getOrElse(mn))
         }
         val batchMaxMap = batchMeta.map { case (m, _, mx) => (m, mx) }.toMap
-        val touchedSplitLits: Seq[Long] = fixedGrans.flatMap { granS =>
-          firstNewLocal.flatMap { case (m, fn) =>
+        // (lo, hi) split RANGES first — never materialize the literals
+        // until the total size is known to be bounded: a deep backfill
+        // or one corrupt far-future timestamp makes a single range
+        // span millions of splits, and `lo to hi` before the size
+        // check would build them all on the driver
+        val ranges: Seq[(Long, Long)] = fixedGrans.flatMap { granS =>
+          firstNewLocal.map { case (m, fn) =>
             val lastS = math.max(batchMaxMap(m),
               oldLastMap.getOrElse(m, Long.MinValue))
-            val lo = math.floorDiv(math.floorDiv(fn, granS) * granS, granS * 3600)
-            val hi = math.floorDiv(lastS, granS * 3600)
-            if (hi < lo) Nil else lo to hi
+            (math.floorDiv(math.floorDiv(fn, granS) * granS, granS * 3600),
+              math.floorDiv(lastS, granS * 3600))
           }
-        }.distinct
+        }.filter { case (lo, hi) => hi >= lo }
+        val totalSize = ranges.foldLeft(0L) { case (acc, (lo, hi)) =>
+          if (acc > 4096) acc else acc + (hi - lo + 1)
+        }
         val prune =
-          if (touchedSplitLits.size <= 4096)
-            col("split").isin(touchedSplitLits: _*)
+          if (totalSize <= 4096)
+            col("split").isin(
+              ranges.flatMap { case (lo, hi) => lo to hi }.distinct: _*)
           else lit(true) // degenerate range: unpruned scan, exact join refines
         (firstNewLocal.toDF("metric_id", "__first_new_s"), prune)
       } else {
@@ -587,6 +646,12 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     */
   def truncateRaw(): Unit = {
     val blockS = fixedGrans.max
+    // rate: methods need one extra block of history, EXACTLY as the
+    // ingest path retains (addMeasures) — truncating to the bare
+    // backWindow would discard the predecessor points the first
+    // rate-diff at the recompute boundary needs
+    val backBlocks = policy.backWindow +
+      (if (policy.aggregationMethods.exists(_.startsWith("rate:"))) 1 else 0)
     val raw = rawBuffer
     // aggregate + broadcast, not a window (see addMeasures)
     val lasts = raw.groupBy("metric_id")
@@ -595,7 +660,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .join(broadcast(lasts), Seq("metric_id"))
       .withColumn("__floor_s",
         (floor(col("__last_s") / blockS) * blockS -
-          lit(blockS * policy.backWindow.toLong)).cast("long"))
+          lit(blockS * backBlocks.toLong)).cast("long"))
       .filter(unix_timestamp(col("timestamp")) >= col("__floor_s"))
       .drop("__last_s", "__floor_s")
       .withColumn("sack", sackOf(col("metric_id")))
@@ -660,10 +725,14 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
           Seq("method", "gran_s", "split", "msack"), Seq("metric_id", "bucket"))
       remaining.unpersist()
       // splits left with no surviving rows: swapWrite only replaces
-      // partitions that receive output, so drop the directories
+      // partitions that receive output, so drop the directories.
+      // Partition VALUES are path-escaped by Spark on write
+      // (`rate:mean` → `rate%3Amean`): build the path the same way or
+      // the delete silently misses the directory.
       touched.filterNot(kept).foreach { case (m, g, s, z) =>
         fs.delete(new org.apache.hadoop.fs.Path(
-          s"$aggPath/method=$m/gran_s=$g/split=$s/msack=$z"), true)
+          s"$aggPath/method=${escapePart(m)}/gran_s=$g/split=$s/msack=$z"),
+          true)
       }
     }
 
@@ -700,8 +769,10 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     for (granS <- fixedGrans; tsS <- timespanS(granS)) {
       val oldestSplit = (nowS - tsS) / (granS * 3600)
       for (method <- policy.aggregationMethods.toSeq.sorted) {
+        // escaped like the write side — a raw `rate:mean` path never
+        // exists, so rate splits would never expire
         val dir = new org.apache.hadoop.fs.Path(
-          s"$aggPath/method=$method/gran_s=$granS")
+          s"$aggPath/method=${escapePart(method)}/gran_s=$granS")
         if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
           val name = st.getPath.getName // split=<k>
           if (name.startsWith("split=") &&
@@ -714,6 +785,13 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
 }
 
 object MetricStore {
+  /** Partition-directory escaping, exactly as Spark's write path does
+    * it (`method=rate:mean` lands as `method=rate%3Amean`). Every
+    * hand-built partition path MUST go through this. */
+  def escapePart(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
+
   /** SplitKey rule: 3600 buckets per split per granularity
     * (carbonara.py:479-567, POINTS_PER_SPLIT at :494). */
   def splitOf(bucket: org.apache.spark.sql.Column, granS: Long) =

@@ -422,6 +422,20 @@ object Dedup {
   def connectedComponents(edges0: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b",
                           maxIter: Int = 50): DataFrame = {
+    // ids are packed into longs for the iteration; a string id would
+    // cast to null (or throw under ANSI) and every edge would silently
+    // vanish — refuse loudly instead. String-keyed corpora should
+    // derive a numeric surrogate (e.g. xxhash64 + a collision check)
+    // before clustering.
+    for (c <- Seq(srcCol, dstCol)) {
+      import org.apache.spark.sql.types._
+      val ok = edges0.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"connectedComponents needs integral ids; $c is " +
+        edges0.schema(c).dataType.simpleString)
+    }
     val ini = edges0
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -662,6 +676,13 @@ object Dedup {
                iters: Int = 3, sampleMod: Int = 1,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    // witness selection negates ids arithmetically (max-struct tie
+    // break); a string id would null out (or throw under ANSI) and
+    // silently disable every drop — refuse loudly
+    require(em.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"semDedup needs a numeric $idCol; got " +
+        em.schema(idCol).dataType.simpleString)
     val cents = Similarity.kmeansCentroids(em, nClusters, iters, sampleMod,
       idCol, vecCol)
     // fused per-row cell assignment — the vector table never joins or
@@ -733,6 +754,17 @@ object Dedup {
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     require(segWords > 0, s"segWords must be positive: $segWords")
+    // the winner coordinate packs (id, seg_idx) into one decimal; a
+    // non-numeric id would null the pack key and return ZERO rows
+    // silently — refuse loudly (derive a numeric surrogate first).
+    // Note on the output contract: a document whose EVERY segment
+    // first occurs in a lower-id document has no surviving segments
+    // and is absent from the result (the join is inner) — consumers
+    // wanting an explicit n_kept=0 row should left-join from `docs`.
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"segmentDedup needs a numeric $idCol; got " +
+        docs.schema(idCol).dataType.simpleString)
     // Segment TEXT never shuffles: the explode emits only the 64-bit
     // segment hash; the winner per distinct segment is min over the
     // (id, seg_idx) coordinate PACKED into one decimal — a mutable agg

@@ -38,7 +38,8 @@ object Pq {
             idCol: String = "vec_id",
             vecCol: String = "embedding"): Codebooks = {
     val sample: Array[(Long, Array[Double])] = corpus
-      .select(xxhash64(col(idCol)).as("__h"), col(vecCol).as("__v"))
+      .select(xxhash64(col(idCol)).as("__h"),
+        col(vecCol).cast("array<double>").as("__v"))
       .orderBy("__h").limit(sampleN)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

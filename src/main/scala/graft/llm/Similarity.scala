@@ -4,9 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Approximate-nearest-neighbor search over an embedding column
-  * (`Array[Float]`). Vector math uses the `zip_with`/`aggregate`
-  * higher-order functions — codegen'd, no UDFs.
+/** Approximate-nearest-neighbor search over an embedding column.
+  * Operators work on `array<double>` vectors — cast a raw
+  * `array<float>` parquet column once at the pipeline entry
+  * (`.cast("array<double>")`, as every gated query does); the
+  * driver-side centroid/codebook collects normalize defensively.
+  * Vector math is the native [[graft.functions.VecDot]] expression —
+  * codegen'd, no UDFs.
   */
 object Similarity {
 
@@ -79,7 +83,10 @@ object Similarity {
     val sample: Array[(Long, Seq[Double])] = train
       .withColumn("__h", xxhash64(col("cid")))
       .orderBy("__h").limit(seedSample)
-      .select(col("__h"), col("cv")).collect()
+      // normalize to double BEFORE collecting: float-array input would
+      // otherwise surface as boxed Floats behind the Seq[Double] cast
+      // and crash the first multiply (cast is a no-op for double input)
+      .select(col("__h"), col("cv").cast("array<double>")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
     def dotL(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
@@ -173,7 +180,8 @@ object Similarity {
     */
   def topCells(vec: Column, centroids: DataFrame, n: Int): Column =
     topCellsLocal(vec,
-      centroids.select(col("cell").cast("int"), col("centroid"))
+      centroids.select(col("cell").cast("int"),
+          col("centroid").cast("array<double>"))
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1).toSeq, n)

@@ -281,6 +281,78 @@ class IngestSpec extends SparkSpec {
       .map(_.getDouble(2)).sorted.toSeq == Seq(4.0, 6.0))
   }
 
+  test("expunge removes rate-method partitions (escaped dirs: " +
+      "method=rate%3Amean) and truncateRaw keeps the rate history block") {
+    val dir = Files.createTempDirectory("graft-esc").toString
+    val policy = ArchivePolicy("esc", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("rate:mean", "mean"))
+    val store = new MetricStore(spark, dir, policy)
+    store.addMeasures(measures(
+      ("m", "2014-01-01 12:00:10", 1.0), ("m", "2014-01-01 12:00:50", 4.0),
+      ("m", "2014-01-01 12:01:10", 9.0)))
+    assert(new java.io.File(s"$dir/agg/method=rate%3Amean").exists,
+      "precondition: spark writes the escaped partition dir")
+    // truncateRaw must retain the +1 rate-history block the ingest
+    // path keeps: after re-truncation, a warm point recomputes its
+    // bucket WITH the cross-block predecessor diff (9→4 at 12:00:50 →
+    // diff 5 at 12:01:10); the buggy bare-backWindow truncation
+    // dropped 12:00:50 and the recomputed 12:01 lost that diff
+    store.truncateRaw()
+    assert(store.rawBuffer.count() == 3,
+      "rate policy: truncateRaw discarded the predecessor block")
+    store.addMeasures(measures(("m", "2014-01-01 12:01:20", 11.0)))
+    val after = store.getMeasures("m", "rate:mean", 60)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getDouble(2))).toSet
+    assert(after == Set(
+      ("2014-01-01 12:00:00.0", 3.0),            // diff 4-1
+      ("2014-01-01 12:01:00.0", (5.0 + 2.0) / 2) // diffs 9-4, 11-9
+    ))
+    // expunge must clean the ESCAPED method dirs too
+    store.expungeMetric("m")
+    assert(store.aggregates.isEmpty)
+    def anyFileUnder(p: java.io.File): Boolean =
+      p.exists && {
+        if (p.isFile) true
+        else p.listFiles().exists(anyFileUnder)
+      }
+    assert(!anyFileUnder(new java.io.File(s"$dir/agg/method=rate%3Amean")),
+      "expunged rate partitions survived on disk")
+  }
+
+  test("crashed swapWrite whose staging holds the only copy of a " +
+      "partition is refused, not swept") {
+    val dir = Files.createTempDirectory("graft-crash").toString
+    val policy = ArchivePolicy("crash", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)), Set("mean"))
+    val store = new MetricStore(spark, dir, policy)
+    store.addMeasures(measures(("m", "2014-01-01 12:00:01", 4.0)))
+    // simulate the crash WINDOW: a committed staging (_SUCCESS) whose
+    // leaf has no surviving destination — the sole copy
+    val staging = new java.io.File(
+      s"$dir/agg/.staging-dead/method=mean/gran_s=60/split=0/msack=0")
+    staging.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/agg/.staging-dead/_SUCCESS"),
+      Array.empty[Byte])
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging.getPath + "/part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val e = intercept[IllegalStateException](
+      store.addMeasures(measures(("m", "2014-01-01 12:01:01", 6.0))))
+    assert(e.getMessage.contains("only copy"))
+    assert(new java.io.File(s"$dir/agg/.staging-dead").exists,
+      "the sole-copy staging was destroyed")
+    // an UNCOMMITTED staging (no _SUCCESS) is the ordinary crash case:
+    // swept, and the write proceeds
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/agg/.staging-dead/_SUCCESS"))
+    store.addMeasures(measures(("m", "2014-01-01 12:01:01", 6.0)))
+    assert(!new java.io.File(s"$dir/agg/.staging-dead").exists)
+    assert(store.getMeasures("m", "mean", 60).collect()
+      .map(_.getDouble(2)).sorted.toSeq == Seq(4.0, 6.0))
+  }
+
   test("distributed-metadata fallback == driver fast path, byte for byte " +
       "(J1 at unbounded metric cardinality)") {
     // Exercises every metadata consumer through both paths: cold write,
