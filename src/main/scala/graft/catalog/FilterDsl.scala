@@ -45,6 +45,15 @@ object Filter {
     * is FALSE (sqlalchemy.py:1462-1466).
     */
   def compile(f: Filter): Column = f match {
+    // null comparand: `= null` is IS NULL and `!= null` IS NOT NULL
+    // (sqlalchemy compiles `== None` that way — the standard
+    // live-resource filter `ended_at = null`); ordered comparisons
+    // with null match nothing, as in SQL
+    case Cmp(op, a, null) => op match {
+      case "=" | "==" | "eq" => fieldCol(a).isNull
+      case "!=" | "ne" | "≠" => fieldCol(a).isNotNull
+      case _                 => lit(false)
+    }
     case Cmp(op, a, v) => op match {
       case "=" | "==" | "eq" => fieldCol(a) === litOf(v)
       case "<" | "lt"        => fieldCol(a) < litOf(v)
@@ -79,8 +88,13 @@ object FilterParser {
     f
   }
 
+  // the digit-leading-word alternative (before the number rules) keeps
+  // unquoted UUIDs (`3fa85f64-…`) and ISO dates (`2024-01-01T…`) one
+  // token — the pyparsing grammar accepts both unquoted, and the bare
+  // int rule would otherwise split them at the first dash
   private val tokenRe =
     ("""\s*("(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'|<=|>=|!=|==|≠|≤|≥|[()\[\],=<>]|""" +
+     """[0-9][0-9A-Za-z_.:]*[A-Za-z-][0-9A-Za-z_.:-]*|""" +
      """-?[0-9]+\.[0-9]+|-?[0-9]+|[A-Za-z_][A-Za-z0-9_.:-]*)""").r
 
   private def tokenize(s: String): List[String] = {
@@ -169,12 +183,29 @@ object Fnmatch {
         case '*' => sb.append(".*")
         case '?' => sb.append(".")
         case '[' =>
-          val close = glob.indexOf(']', i + 2) // []] = literal ] in class
+          // python fnmatch close scan: a ']' directly after '[' (or
+          // after '[!') is a LITERAL member, not the terminator
+          val scanFrom = {
+            var j = i + 1
+            if (j < glob.length && glob.charAt(j) == '!') j += 1
+            if (j < glob.length && glob.charAt(j) == ']') j += 1
+            j
+          }
+          val close = glob.indexOf(']', scanFrom)
           if (close < 0) sb.append("\\[")
           else {
-            val body0 = glob.substring(i + 1, close)
-            val body = if (body0.startsWith("!")) "^" + body0.substring(1) else body0
-            sb.append("[").append(body.replace("\\", "\\\\")).append("]")
+            // python fnmatch.translate semantics: leading '!' negates,
+            // a leading '^' is LITERAL (escaped); ']' and '[' inside
+            // the class are escaped so Java's stricter class parser
+            // accepts the []] / [!]] literal-] forms
+            val raw = glob.substring(i + 1, close)
+            val (neg, stuff0) =
+              if (raw.startsWith("!")) (true, raw.substring(1)) else (false, raw)
+            val esc = stuff0.replace("\\", "\\\\")
+              .replace("]", "\\]").replace("[", "\\[")
+            val body = (if (neg) "^" else "") +
+              (if (!neg && esc.startsWith("^")) "\\" + esc else esc)
+            sb.append("[").append(body).append("]")
             i = close
           }
         case c => sb.append(java.util.regex.Pattern.quote(c.toString))

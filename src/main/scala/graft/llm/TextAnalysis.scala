@@ -96,7 +96,11 @@ object TextAnalysis {
              lit(lang).as("lang"))
     }
     df.withColumn("__best", greatest(scored: _*))
-      .withColumn("lang_pred", col("__best.lang"))
+      // an all-zero score row has NO language signal: the struct
+      // greatest would tie-break on the lexicographically largest
+      // language string (systematically "zh") — label it "und" instead
+      .withColumn("lang_pred",
+        when(col("__best.score") > 0, col("__best.lang")).otherwise(lit("und")))
       .withColumn("lang_score", col("__best.score"))
       .drop("__best")
   }
@@ -221,11 +225,16 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: 64-bit content hash of normalized text
-    * (xxhash64) + a rolling-hash winnowing fingerprint: each word is
-    * hashed once, consecutive `window`-word hashes combine through a
-    * polynomial rolling hash, and the minimum window hash is selected
-    * (winnowing). Pure long arithmetic after one hash pass — no n-gram
-    * string materialization.
+    * (xxhash64) + a SINGLE rolling-hash sketch value: each word is
+    * hashed once, consecutive `window`-word hashes combine through
+    * rotate-XOR, and the GLOBAL minimum window hash is kept — a
+    * 1-permutation MinHash over word windows. That is a cheap
+    * doc-level near-dup prefilter (equal sketch ⇒ the docs share
+    * their minimal window), NOT a winnowing fingerprint SET: for the
+    * Schleimer-et-al guarantee (any shared run ≥ k+window−1 words
+    * yields a shared fingerprint) use [[fingerprintSql]], which the
+    * txt4/dd8 pipelines build on. Pure long arithmetic after one hash
+    * pass — no n-gram string materialization.
     */
   def fingerprint(df: DataFrame, textCol: String = "text",
                   window: Int = 5): DataFrame = {
@@ -270,9 +279,13 @@ object TextAnalysis {
     */
   def docFrequency(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val docs = df.select(col(idCol),
+    // the tokenized frame feeds BOTH the doc-count aggregate and the
+    // token stream; Catalyst does not dedupe shared subplans, so
+    // unpersisted this would tokenize the corpus twice (OpCaches:
+    // released by the caller once results are materialized)
+    val docs = OpCaches.persist(df.select(col(idCol),
       array_distinct(split(Dedup.normalized(col(textCol)), " ")).as("__toks"))
-      .filter(size(col("__toks")) > 0)
+      .filter(size(col("__toks")) > 0))
     val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
     docs.select(explode(col("__toks")).as("token"))
       .filter(col("token") =!= "")

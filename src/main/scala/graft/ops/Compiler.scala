@@ -276,7 +276,6 @@ object Compiler {
       val w = seriesWindow(g).rowsBetween(-(n - 1), 0)
       val rolled = g.cols.foldLeft(g.df) { (d, c) =>
         d.withColumn(s"__r_$c", acrossAgg(agg, col(c)).over(w))
-          .withColumn(s"__n_$c", count(col(c)).over(w))
       }
       // emit only full windows (operations.py:245-250)
       val out = rolled.withColumn("__rn", row_number().over(seriesWindow(g)))

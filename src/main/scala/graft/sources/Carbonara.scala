@@ -320,6 +320,15 @@ object Carbonara {
   def aggSplitObjects(rows: DataFrame): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
+    // second-keyed input contract: bucket_s is whole seconds, so a
+    // sub-second granularity (valid in the reference, and emitted by
+    // readAggregates) cannot round-trip here — the long cast would
+    // truncate it to 0 and the split math would divide by zero.
+    // Refuse loudly instead of corrupting the export.
+    require(rows.filter(col("granularity_s").cast("double") < 1.0)
+        .limit(1).isEmpty,
+      "aggSplitObjects: sub-second granularities are not representable " +
+        "(bucket_s is second-keyed); filter them out before export")
     rows.select(col("metric_id").cast("string"), col("method"),
         col("granularity_s").cast("long"), col("bucket_s").cast("long"),
         col("value").cast("double"))

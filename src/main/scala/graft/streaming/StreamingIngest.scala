@@ -93,8 +93,10 @@ object StreamingIngest {
   private[graft] def dedupBatch(batch: DataFrame, id: Long,
                                 indexDir: String, keptDir: String): Unit = {
     val s = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
+    // resolve against the INDEX path's filesystem, not the default FS —
+    // an s3a:// index under an hdfs:// default would throw "Wrong FS"
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val winners = batch
       .withColumn("content_md5",
         md5(graft.llm.Dedup.normalized(col("text"))))
@@ -155,10 +157,17 @@ object StreamingIngest {
               (lastMs / 1000 / blockS * blockS - blockS * backWindow) * 1000
             // reject too-old input (carbonara.py:465-468)
             val accepted = incoming.filter(_._1 >= firstBlockMs)
-            // merge, new wins on duplicate ts; first occurrence wins
-            // within one batch (carbonara.py:92-105)
+            // merge, new wins on duplicate ts. Within ONE micro-batch
+            // the reference keeps the first DELIVERED duplicate
+            // (carbonara.py:92-105), but the iterator order after the
+            // groupByKey shuffle is not a delivery order — it is
+            // undefined — so "first in iterator" would make replays
+            // nondeterministic. Tie-break deterministically instead:
+            // the smallest value wins for equal timestamps (any total
+            // order would do; this one is replay-stable).
             val merged = scala.collection.mutable.LinkedHashMap[Long, Double]()
-            for ((t, v) <- accepted if !merged.contains(t)) merged(t) = v
+            for ((t, v) <- accepted.sortBy(p => (p._1, p._2))
+                 if !merged.contains(t)) merged(t) = v
             for ((t, v) <- prev if !merged.contains(t)) merged(t) = v
             val (open, closed) = merged.toSeq.partition(_._1 >= firstBlockMs)
             state.update(BoundState(open.sortBy(_._1)))

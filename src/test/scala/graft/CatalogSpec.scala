@@ -113,6 +113,36 @@ class CatalogSpec extends SparkSpec {
     assert(df.filter(Filter.compile(Filter.In("v", Nil))).count() == 0)
   }
 
+  test("null comparand: '= null' IS NULL, '!= null' IS NOT NULL " +
+      "(the live-resource filter `ended_at = null`)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Some("x")), ("b", None)).toDF("k", "ended_at")
+    def ks(f: Filter) = df.filter(Filter.compile(f))
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(ks(FilterParser.parse("ended_at = null")) == Set("b"))
+    assert(ks(FilterParser.parse("ended_at != null")) == Set("a"))
+    assert(ks(Filter.Cmp("<", "ended_at", null)) == Set.empty)
+  }
+
+  test("unquoted UUIDs and ISO dates tokenize as one value " +
+      "(pyparsing accepts both unquoted)") {
+    assert(FilterParser.parse("id = 3fa85f64-5717-4562-b3fc-2c963f66afa6")
+      == Filter.Cmp("=", "id", "3fa85f64-5717-4562-b3fc-2c963f66afa6"))
+    assert(FilterParser.parse("started_at >= 2024-01-01T00:00:00")
+      == Filter.Cmp(">=", "started_at", "2024-01-01T00:00:00"))
+    // plain numbers still lex as numbers
+    assert(FilterParser.parse("v > 1000") == Filter.Cmp(">", "v", 1000L))
+  }
+
+  test("fnmatch literal-] classes and literal leading ^ " +
+      "(python fnmatch.translate semantics)") {
+    assert(Fnmatch.matches("[]]", "]"))
+    assert(Fnmatch.matches("[!]]", "x") && !Fnmatch.matches("[!]]", "]"))
+    assert(Fnmatch.matches("[^]", "^") && !Fnmatch.matches("[^]", "a"))
+    assert(Fnmatch.matches("[!abc]", "d") && !Fnmatch.matches("[!abc]", "a"))
+  }
+
   test("archive policy method algebra (archive_policy.py:116-142)") {
     assert(ArchivePolicy.resolveMethods(Set("*")) == ArchivePolicy.basicMethods)
     assert(ArchivePolicy.resolveMethods(Set("+95pct")) ==
