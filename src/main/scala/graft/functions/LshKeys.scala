@@ -115,7 +115,11 @@ object LshKeys {
       var key = 0L
       var b = 0
       while (b < nbits) {
-        if (acc(t * nbits + b) > 0) key |= (1L << b)
+        // Spark's GreaterThan orders NaN as LARGEST (SQLOrderingUtil),
+        // so the Column formulation sets the bit for a NaN projection;
+        // bare Java `NaN > 0` is false — match Spark for bit-exactness
+        val v = acc(t * nbits + b)
+        if (v > 0 || java.lang.Double.isNaN(v)) key |= (1L << b)
         b += 1
       }
       keys(t) = key

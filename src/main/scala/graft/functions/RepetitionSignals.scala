@@ -88,8 +88,10 @@ object RepetitionSignals {
       i += 1
     }
 
-    // ---- 2-gram signal over lowercased, \s-tokenized text
-    val s = raw.toLowerCase
+    // ---- 2-gram signal over lowercased, \s-tokenized text.
+    // Locale.ROOT: the default-locale overload is machine-dependent
+    // (Turkish-I), while Spark's lower() is locale-independent.
+    val s = raw.toLowerCase(java.util.Locale.ROOT)
     val m = s.length
     var nGrams = 0
     var top = 0

@@ -25,7 +25,9 @@ object JsonMeasures {
     * The numeric branch is regex-guarded so neither cast ever sees the
     * other form (ANSI mode makes malformed casts throw, not null). */
   private def parseTs(ts: Column): Column =
-    when(ts.rlike("^-?[0-9]+(\\.[0-9]+)?$"),
+    // epoch numbers include scientific notation (1.7e9 is a valid
+    // JSON number a float-epoch sender can emit)
+    when(ts.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$"),
       timestamp_micros((ts.cast("double") * 1e6).cast("long")))
       .otherwise(to_timestamp(ts))
 

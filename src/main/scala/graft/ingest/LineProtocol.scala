@@ -29,7 +29,10 @@ object LineProtocol {
     var i = 0; var inQ = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length && !inQ) {
+      // a backslash escapes the next char OUTSIDE quotes (influx
+      // escaping of separators) AND inside quoted string values
+      // (where \" must not toggle the quote state)
+      if (c == '\\' && i + 1 < s.length) {
         cur.append(c).append(s.charAt(i + 1)); i += 2
       } else if (quotes && c == '"') {
         inQ = !inQ; cur.append(c); i += 1

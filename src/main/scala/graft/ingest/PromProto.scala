@@ -70,7 +70,13 @@ object PromProto {
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
       case 1 => pos += 8
-      case 2 => val len = readVarint().toInt; pos += len
+      case 2 =>
+        // a corrupt length whose .toInt goes negative would move pos
+        // BACKWARDS and the parse loop would never terminate — bound it
+        val len = readVarint().toInt
+        require(len >= 0 && pos + len <= until,
+          s"corrupt length-delimited field: len=$len at $pos")
+        pos += len
       case 5 => pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }

@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Statsd {
 
-  private val Pat = "^([^:|]+):([-+0-9.eE]+)\\|([a-zA-Z]+)(?:\\|@([0-9.]+))?$"
+  // value/rate groups admit ONLY well-formed doubles — a loose char
+  // class ([-+0-9.eE]+) would match "1.2.3" and the downstream
+  // cast("double") then aborts the batch under ANSI instead of
+  // dropping the malformed line
+  private val Pat = "^([^:|]+):([-+]?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)" +
+    "(?:[eE][-+]?[0-9]+)?)\\|([a-zA-Z]+)" +
+    "(?:\\|@((?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][-+]?[0-9]+)?))?$"
 
   /** Parse a one-string-column DataFrame of statsd lines into
     * `(bucket, value, kind, rate, seq)`; `seqCol` (arrival order)

@@ -31,9 +31,13 @@ object Granularity {
   def fixed(d: FiniteDuration): Fixed = Fixed(d.toNanos)
   def seconds(s: Long): Fixed = Fixed(s * 1_000_000_000L)
 
-  /** Parse "300", "300.5" (seconds), "1s"/"5m"-style, or calendar tokens. */
+  /** Parse "300", "300.5" (seconds), "1s"/"5m"-style, "<n>ns" (the
+    * token form [[Fixed.token]] EMITS for sub-second granularities —
+    * the API must accept its own output), or calendar tokens. */
   def parse(s: String): Granularity = s match {
     case u if Calendar.units.contains(u) => Calendar(u)
+    case _ if s.endsWith("ns") =>
+      Fixed(BigDecimal(s.dropRight(2)).toLongExact)
     case _ =>
       val (num, mult) = s.last match {
         case 's' => (s.dropRight(1), 1_000_000_000L)

@@ -27,13 +27,14 @@ object MeasureSearch {
     case Const(v) => lit(v)
     case Arith(op, l, r) =>
       val (a, b) = (compileExpr(l, value), compileExpr(r, value))
+      // full reference alias set (rest/api.py:1514-1540 binary_operators)
       op match {
-        case "+" => a + b
-        case "-" => a - b
-        case "*" => a * b
-        case "/" => a / b
-        case "%" => a % b
-        case "**" => pow(a, b)
+        case "+" | "add"        => a + b
+        case "-" | "sub"        => a - b
+        case "*" | "×" | "mul"  => a * b
+        case "/" | "÷" | "div"  => a / b
+        case "%" | "mod"        => a % b
+        case "**" | "^" | "pow" => pow(a, b)
         case other => throw new IllegalArgumentException(s"arith $other")
       }
   }
@@ -42,12 +43,12 @@ object MeasureSearch {
     case Cmp(op, l, r) =>
       val (a, b) = (compileExpr(l, value), compileExpr(r, value))
       op match {
-        case "=" | "==" | "eq" => a === b
-        case "<" | "lt" => a < b
-        case ">" | "gt" => a > b
-        case "<=" | "le" => a <= b
-        case ">=" | "ge" => a >= b
-        case "!=" | "ne" => a =!= b
+        case "=" | "==" | "eq"  => a === b
+        case "<" | "lt"         => a < b
+        case ">" | "gt"         => a > b
+        case "<=" | "≤" | "le"  => a <= b
+        case ">=" | "≥" | "ge"  => a >= b
+        case "!=" | "≠" | "ne"  => a =!= b
         case other => throw new IllegalArgumentException(s"cmp $other")
       }
     case And(ps) => ps.map(compile(_, value)).reduce(_ && _)
