@@ -34,6 +34,31 @@ class ProtocolSpec extends SparkSpec {
     assert(LineProtocol.parse(lines("# comment", "", "junk")).count() == 0)
   }
 
+  test("influx: escaped quotes inside string field values don't break " +
+      "the split; malformed statsd values drop, not abort") {
+    // the \" inside the quoted string must not toggle quote state —
+    // the numeric field and timestamp after it survive
+    val parsed = LineProtocol.parse(lines(
+      "cpu,host=a msg=\"say \\\"hi\\\" x\",v=3 100")).collect()
+    assert(parsed.map(r => r.getString(1) -> r.getDouble(3)).toMap
+      == Map("cpu.v" -> 3.0))
+    assert(parsed.forall(_.getLong(2) == 100L))
+    // statsd: "1.2.3" is not a double — the line drops instead of
+    // reaching an ANSI cast that aborts the batch
+    val s = spark
+    import s.implicits._
+    val bad = Seq(("b:1.2.3|c", 1L), ("ok:2|c", 2L), ("e:1e3|c", 3L))
+      .toDF("line", "seq")
+    val out = Statsd.flush(Statsd.parse(bad)).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("counter")).toMap
+    assert(out == Map("ok" -> 2.0, "e" -> 1000.0))
+    // prometheus: a corrupt negative length-delimited skip must error,
+    // not hang the parse loop
+    intercept[IllegalArgumentException](
+      graft.ingest.PromProto.parseWriteRequest(
+        Array(0x1A, 0xFA, 0xFF, 0xFF, 0xFF, 0x0F).map(_.toByte)))
+  }
+
   test("statsd: counter sampling, gauge last-write, timer distribution") {
     val s = spark
     import s.implicits._
