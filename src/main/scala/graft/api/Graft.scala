@@ -48,7 +48,15 @@ class Graft(val spark: SparkSession, root: String) {
     }
   }
 
-  def createPolicy(p: ArchivePolicy): Unit = policies(p.name) = p
+  /** Create-or-replace (deliberate facade divergence: the reference
+    * 409s a duplicate name, but this facade seeds the default policies
+    * and tests/deployments re-declare them freely). Replacing a policy
+    * re-opens its store lazily so reads and ingest never mix the old
+    * and new definitions. */
+  def createPolicy(p: ArchivePolicy): Unit = {
+    policies(p.name) = p
+    stores.remove(p.name)
+  }
 
   /** PATCH /v1/archive_policy/<name> (sqlalchemy.py:642-662): only
     * timespan/points may change — granularities can be neither added,
@@ -88,10 +96,13 @@ class Graft(val spark: SparkSession, root: String) {
     createMetric(id, policyName, None)
 
   /** `unit` is the reference's informational metric attribute
-    * (MetricSchema `rest/api.py:661-669`, ≤31 chars). */
+    * (MetricSchema `rest/api.py:661-669`, ≤31 chars). A duplicate id
+    * rejects (re-pointing an existing metric at another policy would
+    * silently orphan its stored aggregates). */
   def createMetric(id: String, policyName: String,
                    unit: Option[String]): Unit = {
     require(policies.contains(policyName), s"no policy $policyName")
+    require(!metricPolicy.contains(id), s"metric $id already exists")
     unit.foreach(u => require(u.length <= 31,
       s"unit too long (${u.length} > 31)"))
     metricPolicy(id) = policyName
@@ -253,8 +264,12 @@ class Graft(val spark: SparkSession, root: String) {
     def tsOf(v: JValue): java.sql.Timestamp = v match {
       case JString(s) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
         new java.sql.Timestamp((s.toDouble * 1000).toLong)
+      // bare ISO gets a Z appended — but NOT when the string already
+      // carries an offset, positive OR negative (a "+" check alone
+      // rejected valid "-05:00" timestamps)
       case JString(s) => java.sql.Timestamp.from(java.time.Instant.parse(
-        if (s.contains("T") && !s.endsWith("Z") && !s.contains("+")) s + "Z"
+        if (s.contains("T") && !s.endsWith("Z") &&
+            !s.matches(".*[+-][0-9]{2}:?[0-9]{2}$")) s + "Z"
         else s))
       case JInt(n)     => new java.sql.Timestamp(n.toLong * 1000)
       case JLong(n)    => new java.sql.Timestamp(n * 1000)
@@ -267,43 +282,56 @@ class Graft(val spark: SparkSession, root: String) {
       case JDouble(n) => n;       case JDecimal(n) => n.toDouble
       case other => throw new IllegalArgumentException(s"bad value: $other")
     }
+    // PHASE 1 — parse and validate the WHOLE body with no state
+    // mutation: a failure on a later entry must not leave earlier
+    // metrics created but unregistered (non-atomic 400s)
     val unknown = mutable.ArrayBuffer[(String, String)]()
-    val created = mutable.ArrayBuffer[(String, String, String)]()
+    val toCreate = mutable.ArrayBuffer[(String, String, String, String)]()
     val staged = mutable.ArrayBuffer[(String, java.sql.Timestamp, Double)]()
-    for ((rid, JObject(metrics)) <- body; (name, payload) <- metrics) {
-      val (polOpt, measures) = payload match {
-        case JArray(ms) => (None, ms)
-        case o: JObject =>
-          val pol = o \ "archive_policy_name" match {
-            case JString(p) => Some(p); case _ => None
-          }
-          val ms = o \ "measures" match { case JArray(a) => a; case _ => Nil }
-          (pol, ms)
-        case other =>
-          throw new IllegalArgumentException(s"bad measures for $name: $other")
+    for ((rid, entry) <- body) entry match {
+      case JObject(metrics) => for ((name, payload) <- metrics) {
+        val (polOpt, measures) = payload match {
+          case JArray(ms) => (None, ms)
+          case o: JObject =>
+            val pol = o \ "archive_policy_name" match {
+              case JString(p) => Some(p); case _ => None
+            }
+            val ms = o \ "measures" match { case JArray(a) => a; case _ => Nil }
+            (pol, ms)
+          case other =>
+            throw new IllegalArgumentException(s"bad measures for $name: $other")
+        }
+        val metricId = known.get((rid, name)) match {
+          case Some(id) => Some(id)
+          case None if createMetrics =>
+            val id = s"$rid/$name"
+            val pol = polOpt.getOrElse(rulePolicy(name)) // throws: no rule
+            require(policies.contains(pol), s"no policy $pol")
+            require(!hasMetric(id) && !toCreate.exists(_._1 == id),
+              s"metric $id already exists")
+            toCreate += ((id, rid, name, pol))
+            Some(id)
+          case None => unknown += ((rid, name)); None
+        }
+        for (id <- metricId; m <- measures) m match {
+          case JObject(f) =>
+            val fm = f.toMap
+            staged += ((id, tsOf(fm("timestamp")), numOf(fm("value"))))
+          case other => throw new IllegalArgumentException(s"bad measure: $other")
+        }
       }
-      val metricId = known.get((rid, name)) match {
-        case Some(id) => Some(id)
-        case None if createMetrics =>
-          val id = s"$rid/$name"
-          createMetric(id, polOpt.getOrElse(rulePolicy(name)))
-          created += ((id, rid, name))
-          Some(id)
-        case None => unknown += ((rid, name)); None
-      }
-      for (id <- metricId; m <- measures) m match {
-        case JObject(f) =>
-          val fm = f.toMap
-          staged += ((id, tsOf(fm("timestamp")), numOf(fm("value"))))
-        case other => throw new IllegalArgumentException(s"bad measure: $other")
-      }
+      case other => // the reference 400s a non-object resource entry
+        throw new IllegalArgumentException(s"bad resource entry $rid: $other")
     }
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       "Unknown metrics: " + unknown.map { case (r, n) => s"$r/$n" }
         .sorted.mkString(", "))
-    if (created.nonEmpty) {
+    // PHASE 2 — everything validated: mutate
+    toCreate.foreach { case (id, _, _, pol) => createMetric(id, pol) }
+    if (toCreate.nonEmpty) {
       import spark.implicits._
-      val rows = created.toSeq.toDF("metric_id", "resource_id", "name")
+      val rows = toCreate.toSeq.map { case (id, rid, name, _) =>
+        (id, rid, name) }.toDF("metric_id", "resource_id", "name")
       metricsCatalog = Some(metricsCatalog
         .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
     }
@@ -617,6 +645,25 @@ class Graft(val spark: SparkSession, root: String) {
         "no resource table registered — call setResources(df) first"))
       .filter(Filter.compile(f))
 
+  /** Scope a catalog frame to one resource type. `generic` is the
+    * reference's type-unscoped view; any other route segment filters
+    * when the catalog carries a `type` column (so a query under
+    * /v1/resource/volume can never read or delete instances).
+    */
+  private def typeScoped(df: DataFrame, tpe: String): DataFrame =
+    if (tpe == "generic" || !df.columns.contains("type")) df
+    else df.filter(col("type") === tpe)
+
+  def searchResources(f: Filter, tpe: String): DataFrame =
+    typeScoped(searchResources(f), tpe)
+
+  def deleteResources(f: Filter, tpe: String): Long = {
+    val scoped = resources.exists(_.columns.contains("type")) &&
+      tpe != "generic"
+    deleteResources(
+      if (scoped) Filter.And(Seq(f, Filter.Cmp("=", "type", tpe))) else f)
+  }
+
   /** R4: searchResources with keyset pagination. */
   def searchResources(filterStr: String, sorts: Seq[(String, Boolean)],
                       uniqueKey: String, marker: Option[Any],
@@ -628,10 +675,11 @@ class Graft(val spark: SparkSession, root: String) {
     * unfiltered catalog page, keyset-paginated on `id`.
     */
   def listResources(sorts: Seq[(String, Boolean)] = Seq("id" -> true),
-                    marker: Option[Any] = None, limit: Int = 100): DataFrame =
+                    marker: Option[Any] = None, limit: Int = 100,
+                    tpe: String = "generic"): DataFrame =
     graft.catalog.Pagination(
-      resources.getOrElse(throw new IllegalStateException(
-        "no resource table registered — call setResources(df) first")),
+      typeScoped(resources.getOrElse(throw new IllegalStateException(
+        "no resource table registered — call setResources(df) first")), tpe),
       sorts, "id", marker, limit)
 
   /** R5 at the REST surface (`?history=true`,
@@ -660,8 +708,9 @@ class Graft(val spark: SparkSession, root: String) {
     * against (uniqueKey, revision). */
   def listResourcesHistory(sorts: Seq[(String, Boolean)] = Seq("id" -> true),
                            marker: Option[Any] = None,
-                           limit: Int = 100): DataFrame =
-    graft.catalog.Pagination(resourcesWithHistory,
+                           limit: Int = 100,
+                           tpe: String = "generic"): DataFrame =
+    graft.catalog.Pagination(typeScoped(resourcesWithHistory, tpe),
       sorts :+ ("revision" -> true), "id", marker, limit)
 
   def searchResourcesHistory(f: Filter): DataFrame =
@@ -755,7 +804,8 @@ class Graft(val spark: SparkSession, root: String) {
 
   /** DELETE /v1/resource/<type>/<id> — 404 when absent. */
   def deleteResource(id: String): Unit = {
-    val n = deleteResources(s"id = '${id.replace("'", "''")}'")
+    // the string grammar's escape is backslash-based, not SQL ''
+    val n = deleteResources(Filter.Cmp("=", "id", id))
     if (n == 0) throw new NoSuchElementException(s"no resource $id")
   }
 
@@ -883,7 +933,13 @@ class Graft(val spark: SparkSession, root: String) {
   def attachMetricsSchema(resourceId: String,
                           metrics: Map[String, Either[String, Option[String]]])
       : Seq[(String, String)] = {
-    val existing = resourceMetrics(resourceId).map(_._1).toSet
+    // tolerate an unregistered metrics catalog: the first attach
+    // bootstraps it (the union at the tail handles None), exactly as
+    // the batch-ingest door does
+    val existing: Set[String] = metricsCatalog.map(
+        _.filter(col("resource_id") === resourceId)
+          .select("name").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
     for (n <- metrics.keys.find(existing.contains))
       throw new IllegalArgumentException(
         s"metric $n already exists for resource $resourceId")
@@ -1069,9 +1125,21 @@ class Graft(val spark: SparkSession, root: String) {
     * read into the reference's triple form, or an `aggregates` result
     * into `ref -> [(bucket, gran, value)]`.
     */
-  def shaped(df: DataFrame, granS: Long): Seq[(java.sql.Timestamp, Long, Double)] =
-    df.orderBy("bucket").collect().toSeq.map { r =>
-      (r.getAs[java.sql.Timestamp]("bucket"), granS,
-        r.getAs[Double](r.length - 1))
-    }
+  def shaped(df: DataFrame, granS: Long): Seq[(java.sql.Timestamp, Long, Double)] = {
+    // silently picking the LAST column of a multi-series grid would
+    // drop the others; and a null cell (fill="null", unaligned grids)
+    // would unbox to a fabricated 0.0 — reject the first, skip the
+    // second (triples carry present points only)
+    val valueCols = df.columns.filterNot(_ == "bucket")
+    require(valueCols.length == 1,
+      s"shaped() needs exactly one value column, got " +
+        s"(${valueCols.mkString(", ")}) — multi-series results use the " +
+        "grouped/auto doors")
+    val vi = df.columns.indexOf(valueCols.head)
+    df.orderBy("bucket").collect().toSeq
+      .filter(r => !r.isNullAt(vi))
+      .map { r =>
+        (r.getAs[java.sql.Timestamp]("bucket"), granS, r.getDouble(vi))
+      }
+  }
 }

@@ -64,7 +64,7 @@ object GroupedOps {
     val refFrames = collectRefs(ast).map { r =>
       val df = expand(r)
       r -> (if (dense || counts.getOrElse(r, 0) > 1)
-              df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              graft.llm.OpCaches.persist(df) // released by the caller
             else df)
     }.toMap
     lazy val buckets = refFrames.values
@@ -94,8 +94,7 @@ object GroupedOps {
         // the grid — share the pivoted grid instead of rebuilding it
         val grid =
           if (Compiler.hasGridJoin(rewritten))
-            grid0.copy(df = grid0.df.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            grid0.copy(df = graft.llm.OpCaches.persist(grid0.df))
           else grid0
         val out = Compiler.eval(rewritten, grid)
         out.df.select((grpCols.map(col) ++ Seq(col("bucket"),

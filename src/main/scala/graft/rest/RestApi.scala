@@ -40,6 +40,12 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
   private def err(status: Int, msg: String): Response =
     Response(status, JObject("code" -> JInt(status), "description" -> JString(msg)))
 
+  /** Escape a value for interpolation into the string filter grammar —
+    * its string escape is BACKSLASH-based (FilterParser), so the
+    * SQL-style doubled quote would mis-lex apostrophe-bearing ids. */
+  private def qesc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Accept ISO-8601 (Z or offset or bare), SQL timestamp strings, and
     * epoch numbers — the reference's utils.to_timestamp surface.
     */
@@ -273,7 +279,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     if (requireAuth) {
       val who = enforceAuthed(creator)
       if (who != "admin") {
-        val rows = g.searchResources(s"id = '$rid'").limit(1).collect()
+        val rows = g.searchResources(s"id = '${qesc(rid)}'").limit(1).collect()
         if (rows.nonEmpty) {
           val owner =
             if (!rows.head.schema.fieldNames.contains("creator")) None
@@ -313,7 +319,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     // owns its schema, so that state can't exist there).
     val ridCache = scala.collection.mutable.Map.empty[String, String]
     def rawIdExists(id: String): Boolean =
-      try !g.searchResources(s"id = '${id.replace("'", "''")}'").isEmpty
+      try !g.searchResources(s"id = '${qesc(id)}'").isEmpty
       // no resource table registered (metrics-only deployments):
       // nothing to disambiguate against — treat the raw form as valid
       catch { case _: IllegalStateException => true }
@@ -436,9 +442,15 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         val unit = b \ "unit" match {
           case JString(u) => Some(u); case _ => None
         }
-        b \ "archive_policy_name" match {
-          case JString(pol) => g.createMetric(id, pol, unit)
-          case _            => g.createMetricRuled(id, unit) // R9 rules
+        try {
+          b \ "archive_policy_name" match {
+            case JString(pol) => g.createMetric(id, pol, unit)
+            case _            => g.createMetricRuled(id, unit) // R9 rules
+          }
+        } catch {
+          case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.contains("already exists")) =>
+            return err(409, e.getMessage) // NamedMetricAlreadyExists
         }
         created(("id" -> id) ~ ("unit" -> unit))
 
@@ -499,7 +511,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // Body is EITHER {"filter": "<string grammar>"} (the reference's
       // ?filter= / x-www-form form) or the raw attribute-filter JSON
       // tree ({"and": [{"=": {...}}, ...]}, rest/api.py:1381-1437).
-      case ("POST", List("v1", "search", "resource", _)) =>
+      case ("POST", List("v1", "search", "resource", tpe)) =>
         val parsed = body() match {
           case JObject(List(("filter", JString(s)))) =>
             graft.catalog.FilterParser.parse(s)
@@ -509,11 +521,17 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         }
         // ?history=true searches across every revision
         // (rest/api.py:1453-1475)
+        // the <type> segment scopes non-generic routes (typed catalogs)
         val searched =
           if (q.get("history").contains("true"))
-            g.searchResourcesHistory(parsed)
-          else g.searchResources(parsed)
-        ok(frameJson(searched, q.get("limit").map(_.toInt).getOrElse(1000)))
+            g.searchResourcesHistory(parsed) // history frame scoping below
+          else g.searchResources(parsed, tpe)
+        val scoped =
+          if (q.get("history").contains("true") && tpe != "generic" &&
+              searched.columns.contains("type"))
+            searched.filter(org.apache.spark.sql.functions.col("type") === tpe)
+          else searched
+        ok(frameJson(scoped, q.get("limit").map(_.toInt).getOrElse(1000)))
 
       case ("POST", List("v1", "search", "metric")) =>
         val ids = q.getOrElse("metric_id",
@@ -584,8 +602,8 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         val limit = q.get("limit").map(_.toInt).getOrElse(100)
         val history = q.get("history").contains("true")
         val page0 = frameJson(
-          if (history) g.listResourcesHistory(sorts, q.get("marker"), limit)
-          else g.listResources(sorts, q.get("marker"), limit), Int.MaxValue)
+          if (history) g.listResourcesHistory(sorts, q.get("marker"), limit, tpe)
+          else g.listResources(sorts, q.get("marker"), limit, tpe), Int.MaxValue)
         // ?details=true embeds metrics per resource; ?attrs=a,b projects
         // the listed attributes (rest/api.py:1219-1223 jsonify params)
         val page1 =
@@ -645,7 +663,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         ok(page).copy(headers = nextLink)
 
       case ("GET", List("v1", "resource", _, id)) =>
-        frameJson(g.searchResources(s"id = '${rid(id)}'"), 2) match {
+        frameJson(g.searchResources(s"id = '${qesc(rid(id))}'"), 2) match {
           case JArray(List(JObject(fields))) =>
             // the reference's resource jsonify embeds metrics {name: id}
             ok(JObject(fields :+ ("metrics" -> JObject(
@@ -674,7 +692,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         try {
           g.createResource(tpe, id,
             JsonMethods.compact(JsonMethods.render(b)), creator)
-          created(frameJson(g.searchResources(s"id = '${rid(id)}'"), 1) match {
+          created(frameJson(g.searchResources(s"id = '${qesc(rid(id))}'"), 1) match {
             case JArray(List(one)) => one; case _ => b
           })
         } catch {
@@ -699,7 +717,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         g.patchResource(rid(id), updates,
           q.get("now").map(_.toLong).getOrElse(
             java.time.Instant.now.getEpochSecond))
-        frameJson(g.searchResources(s"id = '${rid(id)}'"), 1) match {
+        frameJson(g.searchResources(s"id = '${qesc(rid(id))}'"), 1) match {
           case JArray(List(one)) => ok(one)
           case _                 => err(404, s"no resource $id")
         }
@@ -708,7 +726,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // filter tree / {"filter": str} or ?filter=; an EMPTY query is
       // refused (rest/api.py:1249-1278: "it will delete entire
       // database"). Returns {"deleted": n}.
-      case ("DELETE", List("v1", "resource", _)) =>
+      case ("DELETE", List("v1", "resource", tpe)) =>
         enforceAdmin(creator) // policy.json "delete resources": admin rule
         val parsed = body() match {
           case JObject(List(("filter", JString(s)))) =>
@@ -720,7 +738,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         parsed match {
           case None => err(400, "caution: the query can not be empty, " +
             "or it will delete entire database")
-          case Some(f) => ok("deleted" -> g.deleteResources(f))
+          case Some(f) => ok("deleted" -> g.deleteResources(f, tpe))
         }
 
       case ("DELETE", List("v1", "resource", _, id)) =>
@@ -751,7 +769,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // metrics (NamedMetricController.get_all) — unknown resource is
       // 404 (rest/api.py:799-830), same check as the POST below.
       case ("GET", List("v1", "resource", _, id, "metric")) =>
-        if (g.searchResources(s"id = '${rid(id)}'").isEmpty)
+        if (g.searchResources(s"id = '${qesc(rid(id))}'").isEmpty)
           err(404, s"no resource $id")
         else ok(JArray(g.resourceMetrics(rid(id)).map { case (n, mid) =>
           JObject(List("name" -> JString(n), "id" -> JString(mid)))
@@ -764,7 +782,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // Unknown resource → 404, name collision → 409, unknown
       // existing-metric id → 400.
       case ("POST", List("v1", "resource", _, id, "metric")) =>
-        if (g.searchResources(s"id = '${rid(id)}'").isEmpty)
+        if (g.searchResources(s"id = '${qesc(rid(id))}'").isEmpty)
           err(404, s"no resource $id")
         else {
           val metrics: Map[String, Either[String, Option[String]]] =
@@ -799,12 +817,13 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // GET /v1/resource/<type>/<id>/history: the revision rows —
       // unknown resource is 404 (ResourceHistoryController).
       case ("GET", List("v1", "resource", _, id, "history")) =>
-        if (g.searchResources(s"id = '${rid(id)}'").isEmpty)
+        if (g.searchResources(s"id = '${qesc(rid(id))}'").isEmpty)
           err(404, s"no resource $id")
         else ok(frameJson(g.resourceHistory(rid(id)), Int.MaxValue))
 
       // -------------------------------------------------- resource types
       case ("POST", List("v1", "resource_type")) =>
+        enforceAdmin(creator)
         val b = body()
         val attrs = b \ "attributes" match {
           case JObject(fields) => fields.map { case (n, spec) =>
@@ -825,6 +844,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         ok(resourceTypeJson(g.resourceType(name)))
 
       case ("DELETE", List("v1", "resource_type", name)) =>
+        enforceAdmin(creator)
         g.deleteResourceType(name); noContent
 
       // PATCH /v1/resource_type/<name>: RFC-6902-style attribute ops
@@ -833,6 +853,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // options.fill; applied through the facade's (newType, backfill)
       // ALTER to both the current and history tables.
       case ("PATCH", List("v1", "resource_type", name)) =>
+        enforceAdmin(creator)
         val ops = body().asInstanceOf[JArray].arr
         val adds = scala.collection.mutable.ArrayBuffer
           .empty[(graft.catalog.ResourceTypes.AttrSpec, Option[Any])]

@@ -684,6 +684,48 @@ class RestSpec extends SparkSpec {
       query = Map("limit" -> "2", "marker" -> "m4")).headers.get("Link").isEmpty)
   }
 
+  test("typed routes scope by the <type> segment; generic stays " +
+      "unscoped; duplicate metric create 409s; apostrophe ids survive") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(
+      ("r1", "instance", "fr"), ("r2", "volume", "fr"), ("o'id", "volume", "de"))
+      .toDF("id", "type", "zone"))
+
+    def ids(r: graft.rest.Response): List[String] =
+      r.body.asInstanceOf[JArray].arr.map(x => jstrOf(x \ "id"))
+    // listing scopes; generic sees everything
+    assert(ids(api.dispatch("GET", "/v1/resource/instance")) === List("r1"))
+    assert(ids(api.dispatch("GET", "/v1/resource/generic")).size === 3)
+    // search scopes
+    assert(ids(api.dispatch("POST", "/v1/search/resource/volume",
+      body = """{"=": {"zone": "fr"}}""")) === List("r2"))
+    // delete-by-query under a typed route can't cross types
+    assert(api.dispatch("DELETE", "/v1/resource/instance",
+      body = """{"=": {"zone": "fr"}}""").body \ "deleted" === JInt(1))
+    assert(ids(api.dispatch("GET", "/v1/resource/generic")).toSet
+      === Set("r2", "o'id"))
+    // apostrophe-bearing raw-registered ids route (backslash escaping)
+    assert(api.dispatch("GET", "/v1/resource/generic/o'id").status === 200)
+    assert(api.dispatch("DELETE", "/v1/resource/generic/o'id").status === 204)
+
+    // duplicate metric id → 409, and the original policy mapping stays
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "pa", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "pb", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "dup", "archive_policy_name": "pa"}""").status === 201)
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "dup", "archive_policy_name": "pb"}""").status === 409)
+    assert(g.metricPolicyName("dup") === "pa")
+  }
+
   test("DELETE /v1/resource/<type> deletes by query; empty query refused " +
       "(rest/api.py:1249-1278)") {
     val s = spark
