@@ -1130,6 +1130,48 @@ object Oracles {
                 CAST(count(*) AS REAL) AS v
          FROM b GROUP BY metric_id, bucket_s""",
 
+    // identical content to j1 — the distributed-metadata fallback must
+    // be indistinguishable from the driver-literal fast path
+    "j1b_store_fallback" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events GROUP BY 1, 2),
+         b AS (SELECT metric_id,
+                      CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                      value
+               FROM d)
+         SELECT metric_id, 'mean' AS method, bucket_s,
+                CAST(avg(value) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s
+         UNION ALL
+         SELECT metric_id, 'max' AS method, bucket_s,
+                CAST(max(value) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s
+         UNION ALL
+         SELECT metric_id, 'count' AS method, bucket_s,
+                CAST(count(*) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s""",
+
+    // survivors of the batch expunge = a recompute that never saw the
+    // expunged metrics
+    "j4b_expunge_many" ->
+      """WITH d AS (SELECT event_type AS metric_id, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events
+                    WHERE event_type NOT IN ('click', 'view')
+                    GROUP BY 1, 2),
+         b AS (SELECT metric_id,
+                      CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                      value
+               FROM d)
+         SELECT metric_id, 'mean' AS method, bucket_s,
+                CAST(avg(value) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s
+         UNION ALL
+         SELECT metric_id, 'count' AS method, bucket_s,
+                CAST(count(*) AS REAL) AS v
+         FROM b GROUP BY metric_id, bucket_s""",
+
     "p2_measures_many" ->
       """WITH d AS (SELECT event_type AS metric_id, ts,
                            arg_max(value, event_id) AS value

@@ -1133,6 +1133,35 @@ object Queries {
         .select(col("metric_id"), col("method"), bucketS(),
           r6(col("value")).as("v"))
     }),
+    // J1 through the DISTRIBUTED-metadata fallback (the path a
+    // fleet-cardinality batch takes): the threshold knob forces it,
+    // and the store must byte-match the same oracle as j1 — the
+    // driver-literal fast path and the join formulation are
+    // interchangeable under the hash compare, at any sf.
+    "j1b_store_fallback" -> ((s, dir) => {
+      val store = freshStore(s, "j1b", dir, ArchivePolicy("j1b", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean", "max", "count")))
+      s.conf.set("spark.graft.ingest.maxDriverMetrics", "0")
+      try store.addMeasures(dedupMeasures(s, dir))
+      finally s.conf.set("spark.graft.ingest.maxDriverMetrics", "100000")
+      store.getMeasuresMany(allTypes, Seq("mean", "max", "count"), 3600L)
+        .select(col("metric_id"), col("method"), bucketS(),
+          r6(col("value")).as("v"))
+    }),
+    // J4 BATCH expunge under the oracle: one partition-pruned rewrite
+    // removes two metrics; the survivors must equal a recompute that
+    // never saw them.
+    "j4b_expunge_many" -> ((s, dir) => {
+      val store = freshStore(s, "j4b", dir, ArchivePolicy("j4b", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean", "count")))
+      store.addMeasures(dedupMeasures(s, dir))
+      store.expungeMetrics(Seq("click", "view"))
+      store.getMeasuresMany(allTypes, Seq("mean", "count"), 3600L)
+        .select(col("metric_id"), col("method"), bucketS(),
+          r6(col("value")).as("v"))
+    }),
     // P2 multi-series scan UNDER THE ORACLE: metric/method SUBSET with
     // from/to slicing — the bounds prune split partitions before the
     // fetch slice, and `from` floors to the granularity (a 00:00:30
