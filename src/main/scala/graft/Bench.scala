@@ -357,14 +357,37 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] events schema probe failed: ${e.getMessage}")
     }
-    // warm the JVM, parquet footers, and codegen paths once so
-    // per-query numbers are steady state, not first-query JIT cost
-    for (t <- Seq("lineitem", "orders", "customer", "events", "documents",
-        "embeddings", "region", "nation", "part", "supplier"))
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .groupBy("event_type").count().write.format("noop")
-      .mode("overwrite").save()
+
+    // FRESH SparkContext at section/heavy-row boundaries (the JVM and
+    // its JIT stay warm): clearCache+gc alone leaves enough driver
+    // residue — codegen caches, cleaner backlog, broadcast remnants —
+    // to inflate later rows up to 3x in-sequence vs isolated (measured
+    // across two gate rounds, e.g. p4_bfill 4.6 s in the r6 gate vs
+    // 0.42 s isolated). Restarts were proven out in the scale section
+    // in r5 (gate and isolated numbers now agree within ~15%); r7
+    // extends the same discipline to the standard section.
+    def freshSession(): SparkSession = {
+      SparkSession.getActiveSession.foreach(_.stop())
+      val s = SparkEntry.configure(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    // warm parquet footers and codegen paths so per-query numbers are
+    // steady state, not first-query JIT cost — re-run after restarts
+    def warmStd(s: SparkSession): Unit = {
+      for (t <- Seq("lineitem", "orders", "customer", "events", "documents",
+          "embeddings", "region", "nation", "part", "supplier"))
+        s.read.parquet(s"$sfDir/$t.parquet").count()
+      s.read.parquet(s"$sfDir/events.parquet")
+        .groupBy("event_type").count().write.format("noop")
+        .mode("overwrite").save()
+    }
+    warmStd(spark)
 
     // iteration aid: SPARK_GRAFT_ONLY=q1,q2,scale_x runs just those
     // queries (standard and/or scale section); unset = everything
@@ -372,46 +395,38 @@ object Bench {
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
 
+    // the rows the r5/r6 gates showed most in-sequence-inflated: the
+    // store-lifecycle and heavy self-join queries get a clean context
+    val restartBeforeStd = Set("st1_streaming_ingest", "m2_backwindow",
+      "b4_calendar_store", "dd8_fingerprint_dup", "sim6_lsh_index",
+      "j4_expunge")
+    val restartEvery = 25
+    var sess = spark
+    var sinceRestart = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => selected(q._1)).map { case (name, fn) =>
-      (name, measure(name, () => noop(fn(spark, sfDir))))
-      // NO cache clearing between standard queries: many share cached
+      if (sinceRestart >= restartEvery || restartBeforeStd(name)) {
+        sess = freshSession(); warmStd(sess); sinceRestart = 0
+      }
+      sinceRestart += 1
+      (name, measure(name, () => noop(fn(sess, sfDir))))
+      // NO cache clearing WITHIN a segment: many queries share cached
       // sub-frames via CacheManager's canonicalized-plan matching
       // (the DSL grids, the store rebuilds), and that sharing is part
       // of the steady-state the standard section measures. Measured:
-      // clearing here costs ~15% on the standard total while buying
-      // nothing — the leak only bites at scale-section data volumes.
+      // clearing per-query costs ~15% on the standard total while
+      // buying nothing — the residue that skews numbers is the
+      // driver-side kind only a context restart clears.
     }
 
     val scaleResults: Seq[(String, Double)] =
       if (scaleF <= 1) Nil
       else {
         val scaleDir = s"/tmp/graft-bench-scale-${scaleF}x"
-        // FRESH SparkContext at every section/heavy-row boundary (the
-        // JVM and its JIT stay warm): clearCache+gc alone leaves enough
-        // driver residue — codegen caches, cleaner backlog, broadcast
-        // remnants — to inflate later rows up to 3x (measured dc1/dc2
-        // 4.2/8.2 s in-sequence vs 1.5/2.9 s isolated r5, and
-        // scale_m1/scale_j1 12.9/20.3 s in-sequence vs 5.7/8.4 s
-        // isolated in the r5 gate). The ~2 s rebuild per restart buys
-        // position-independent per-row numbers — a gate artifact that
-        // shows a 2.3x regression that does not exist will eventually
-        // hide one that does.
-        def freshSession(): SparkSession = {
-          SparkSession.getActiveSession.foreach(_.stop())
-          val s = SparkEntry.configure(SparkSession.builder()
-            .master(s"local[$cpus]")
-            .config("spark.sql.shuffle.partitions", cpus)
-            .config("spark.sql.adaptive.enabled",
-              sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
-            .getOrCreate()
-          s.sparkContext.setLogLevel("WARN")
-          s
-        }
         def warmFooters(s: SparkSession): Unit =
           for (t <- Seq("events", "documents", "lineitem", "orders", "customer"))
             s.read.parquet(s"$scaleDir/$t.parquet").count()
-        var sess = freshSession()
+        sess = freshSession()
         val ampSec = amplify(sess, sfDir, scaleDir, scaleF)
         warmFooters(sess)
         // store-lifecycle rows get their own fresh section: they build
@@ -465,18 +480,34 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     println(fullJson)
-    // The FINAL stdout line is a compact summary guaranteed to fit the
-    // tail capture: totals plus the slowest rows of each section.
+    // Compact summary guaranteed to fit the gate driver's 2 KB
+    // stdout-tail capture: totals plus the slowest rows of each
+    // section. Also persisted to BENCH_summary.json.
     def top(rs: Seq[(String, Double)], n: Int): Seq[(String, Double)] =
       rs.sortBy(-_._2).take(n)
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jmap(top(results, 8))},"sf":"$sfDir",""" +
       s""""query_count":${results.size},"full":"$outPath",""" +
       s""""scale":{"factor":$scaleF,"total":$scaleTotal,""" +
       s""""queries":${jmap(top(scaleResults, 8))},""" +
-      s""""query_count":${scaleResults.size}}}""")
+      s""""query_count":${scaleResults.size}}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_summary.json"),
+      (compact + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_summary.json: " +
+        e.getMessage)
+    }
+    println(compact)
     // stop whichever session is live now (sections stop their own
-    // predecessors as they start)
+    // predecessors as they start) BEFORE the final line, so no Spark
+    // shutdown chatter can land after it
     SparkSession.getActiveSession.foreach(_.stop())
+    // the absolute last JVM output: the compact JSON again behind a
+    // greppable sentinel (a last-line parser on the sbt-wrapped stream
+    // sees "[success] Total time…" — the sentinel form is the one the
+    // driver can grep unambiguously)
+    println(s"BENCH-JSON: $compact")
+    System.out.flush()
   }
 }

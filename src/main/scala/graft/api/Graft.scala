@@ -70,7 +70,7 @@ class Graft(val spark: SparkSession, root: String) {
                    items: Seq[graft.model.ArchivePolicyItem],
                    backWindow: Option[Int] = None): Unit = {
     val cur = policies.getOrElse(name,
-      throw new IllegalArgumentException(s"no policy $name"))
+      GraftError.notFound(s"no policy $name"))
     require(cur.definition.size == items.size,
       s"$name: Cannot add or drop granularities")
     val curSorted = cur.definition.sortBy(_.granularity.token)
@@ -101,8 +101,8 @@ class Graft(val spark: SparkSession, root: String) {
     * silently orphan its stored aggregates). */
   def createMetric(id: String, policyName: String,
                    unit: Option[String]): Unit = {
-    require(policies.contains(policyName), s"no policy $policyName")
-    require(!metricPolicy.contains(id), s"metric $id already exists")
+    GraftError.found(policies.contains(policyName), s"no policy $policyName")
+    GraftError.fresh(!metricPolicy.contains(id), s"metric $id already exists")
     unit.foreach(u => require(u.length <= 31,
       s"unit too long (${u.length} > 31)"))
     metricPolicy(id) = policyName
@@ -120,7 +120,7 @@ class Graft(val spark: SparkSession, root: String) {
     * the LONGEST matching pattern.
     */
   def createPolicyRule(pattern: String, policyName: String): Unit = {
-    require(policies.contains(policyName), s"no policy $policyName")
+    GraftError.found(policies.contains(policyName), s"no policy $policyName")
     policyRules += ((pattern, policyName))
   }
 
@@ -129,7 +129,7 @@ class Graft(val spark: SparkSession, root: String) {
   private def rulePolicy(metricName: String): String = policyRules
     .filter { case (p, _) => graft.catalog.Fnmatch.matches(p, metricName) }
     .sortBy { case (p, _) => (-p.length, p) }
-    .headOption.map(_._2).getOrElse(throw new IllegalArgumentException(
+    .headOption.map(_._2).getOrElse(GraftError.notFound(
       s"no archive policy rule matches metric $metricName"))
 
   /** Create a metric letting the rules pick the policy. */
@@ -148,7 +148,7 @@ class Graft(val spark: SparkSession, root: String) {
     * uses the policy (indexer ArchivePolicyInUse → 400).
     */
   def deletePolicy(name: String): Unit = {
-    require(policies.contains(name), s"no policy $name")
+    GraftError.found(policies.contains(name), s"no policy $name")
     require(!metricPolicy.values.exists(_ == name),
       s"archive policy $name is still in use")
     policies.remove(name)
@@ -162,7 +162,7 @@ class Graft(val spark: SparkSession, root: String) {
 
   def deletePolicyRule(pattern: String): Unit = {
     val i = policyRules.indexWhere(_._1 == pattern)
-    require(i >= 0, s"no archive policy rule $pattern")
+    GraftError.found(i >= 0, s"no archive policy rule $pattern")
     policyRules.remove(i)
   }
 
@@ -173,7 +173,7 @@ class Graft(val spark: SparkSession, root: String) {
   def listMetrics: Seq[(String, String)] = metricPolicy.toSeq.sortBy(_._1)
 
   def metricPolicyName(id: String): String = metricPolicy.getOrElse(id,
-    throw new IllegalArgumentException(s"unknown metric $id"))
+    GraftError.notFound(s"unknown metric $id"))
 
   /** R8 delete-by-query (sqlalchemy.py:1034-1066): drop resources
     * matching the filter, returning the count.
@@ -201,7 +201,7 @@ class Graft(val spark: SparkSession, root: String) {
     * driver-side Seq ships the corpus through the driver at scale.
     */
   def addMeasures(metricId: String, points: Seq[(String, Double)]): Unit = {
-    require(metricPolicy.contains(metricId), s"unknown metric $metricId")
+    GraftError.found(metricPolicy.contains(metricId), s"unknown metric $metricId")
     pending ++= points.map { case (t, v) =>
       (metricId, java.sql.Timestamp.valueOf(t), v)
     }
@@ -213,7 +213,7 @@ class Graft(val spark: SparkSession, root: String) {
     * sack write, incoming/__init__.py:202-214).
     */
   def addMeasures(metricId: String, batch: DataFrame): Unit = {
-    require(metricPolicy.contains(metricId), s"unknown metric $metricId")
+    GraftError.found(metricPolicy.contains(metricId), s"unknown metric $metricId")
     batchAddMeasures(batch.select(lit(metricId).as("metric_id"),
       col("timestamp"), col("value")))
   }
@@ -306,8 +306,8 @@ class Graft(val spark: SparkSession, root: String) {
           case None if createMetrics =>
             val id = s"$rid/$name"
             val pol = polOpt.getOrElse(rulePolicy(name)) // throws: no rule
-            require(policies.contains(pol), s"no policy $pol")
-            require(!hasMetric(id) && !toCreate.exists(_._1 == id),
+            GraftError.found(policies.contains(pol), s"no policy $pol")
+            GraftError.fresh(!hasMetric(id) && !toCreate.exists(_._1 == id),
               s"metric $id already exists")
             toCreate += ((id, rid, name, pol))
             Some(id)
@@ -596,7 +596,7 @@ class Graft(val spark: SparkSession, root: String) {
     * here — idempotent rewrites replace the janitor's locking.
     */
   def deleteMetric(metricId: String): Unit = {
-    require(metricPolicy.contains(metricId), s"unknown metric $metricId")
+    GraftError.found(metricPolicy.contains(metricId), s"unknown metric $metricId")
     pending.filterInPlace(_._1 != metricId)
     pendingDf = pendingDf.map(_.filter(col("metric_id") =!= metricId))
     storeOf(metricPolicy(metricId)).expungeMetric(metricId)
@@ -610,7 +610,7 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def deleteMetrics(metricIds: Seq[String]): Unit = {
     val unknown = metricIds.filterNot(metricPolicy.contains)
-    require(unknown.isEmpty,
+    GraftError.valid(unknown.isEmpty,
       s"unknown metrics: ${unknown.distinct.sorted.mkString(", ")}")
     val ids = metricIds.distinct
     if (ids.isEmpty) return
@@ -751,15 +751,16 @@ class Graft(val spark: SparkSession, root: String) {
     val res = resources.getOrElse(throw new IllegalStateException(
       "no resource table registered — call setResources(df) first"))
     val rid = graft.catalog.ResourceUuid.transform(id, creator)
-    require(res.filter(col("id") === rid).isEmpty,
+    GraftError.fresh(res.filter(col("id") === rid).isEmpty,
       s"resource $rid already exists")
     import spark.implicits._
     var row = spark.read.schema(res.schema).json(Seq(json).toDS)
       .withColumn("id", lit(rid).cast(res.schema("id").dataType))
     if (res.columns.contains("original_resource_id"))
+      // the reference stores str(submitted id) for EVERY created
+      // resource (rest/api.py:1170), transformed or not
       row = row.withColumn("original_resource_id",
-        if (rid == id) col("original_resource_id") // untransformed: null-fill
-        else coalesce(col("original_resource_id"), lit(id)))
+        coalesce(col("original_resource_id"), lit(id)))
     if (res.columns.contains("creator"))
       row = row.withColumn("creator",
         coalesce(col("creator"), creator.map(lit).getOrElse(lit(null))))
@@ -784,7 +785,7 @@ class Graft(val spark: SparkSession, root: String) {
     val bad = updates.keySet -- res.columns
     require(bad.isEmpty, s"unknown attributes: ${bad.toSeq.sorted.mkString(", ")}")
     val cur = res.filter(col("id") === id)
-    require(!cur.isEmpty, s"no resource $id")
+    GraftError.found(!cur.isEmpty, s"no resource $id")
     resourceHistoryTbl = resourceHistoryTbl.map(_.unionByName(
       cur.withColumn("revision_end",
         to_timestamp(from_unixtime(lit(nowS)))),
@@ -819,7 +820,7 @@ class Graft(val spark: SparkSession, root: String) {
     * `tablename` and `tablename_history`.
     */
   def createResourceType(rt: graft.catalog.ResourceTypes.ResourceType): Unit = {
-    require(!resourceTypes.contains(rt.name),
+    GraftError.fresh(!resourceTypes.contains(rt.name),
       s"resource type ${rt.name} already exists")
     rt.attrs.foreach(a => graft.catalog.ResourceTypes.requireValidName(a.name))
     resourceTypes(rt.name) = rt
@@ -827,7 +828,7 @@ class Graft(val spark: SparkSession, root: String) {
 
   def resourceType(name: String): graft.catalog.ResourceTypes.ResourceType =
     resourceTypes.getOrElse(name,
-      throw new IllegalArgumentException(s"no resource type $name"))
+      GraftError.notFound(s"no resource type $name"))
 
   def patchResourceType(
       name: String,
@@ -941,7 +942,7 @@ class Graft(val spark: SparkSession, root: String) {
           .select("name").collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
     for (n <- metrics.keys.find(existing.contains))
-      throw new IllegalArgumentException(
+      GraftError.conflict(
         s"metric $n already exists for resource $resourceId")
     // validate everything up front — no mutation yet
     metrics.foreach {

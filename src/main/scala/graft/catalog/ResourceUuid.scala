@@ -26,9 +26,26 @@ object ResourceUuid {
   /** Fixed URN namespace — must never change (utils.py:41-44). */
   val NamespaceHex = "0a7a15ffaa134ac2897c9bdf30ce175b"
 
-  private val Canonical =
-    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
   private val Hex32 = "^[0-9a-fA-F]{32}$".r
+
+  /** Mirror python `uuid.UUID(str)`'s lenient parse (utils.py calls it
+    * for the passthrough check): drop every `urn:` / `uuid:`
+    * substring, strip `{`/`}` from both ends, drop ALL dashes, then
+    * require exactly 32 hex chars. Anything python would accept —
+    * `urn:uuid:…`, braced, arbitrary-dash placement — must pass
+    * through here too, or the same id stores differently in the two
+    * engines.
+    */
+  private def normalizeUuid(value: String): Option[String] = {
+    val hex = value.replace("urn:", "").replace("uuid:", "")
+      .dropWhile(c => c == '{' || c == '}')
+      .reverse.dropWhile(c => c == '{' || c == '}').reverse
+      .replace("-", "")
+    hex match {
+      case Hex32() => Some(dashed(hex.toLowerCase))
+      case _       => None
+    }
+  }
 
   private def dashed(h: String): String =
     s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
@@ -55,10 +72,9 @@ object ResourceUuid {
     if (value.contains("/"))
       throw new IllegalArgumentException(
         "'/' is not supported in resource id")
-    value match {
-      case Canonical() => value.toLowerCase
-      case Hex32()     => dashed(value.toLowerCase)
-      case _ =>
+    normalizeUuid(value) match {
+      case Some(canonical) => canonical
+      case None =>
         if (value.length > 289)
           throw new IllegalArgumentException(
             "transformable resource id >289 max allowed characters")
@@ -84,13 +100,17 @@ object ResourceUuid {
       substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
       lit("5"), substring(h, 14, 3), lit("-"),
       vNibble, substring(h, 18, 3), lit("-"), substring(h, 21, 12))
-    when(value.rlike(
-        "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
-      lower(value))
-      .when(value.rlike("^[0-9a-fA-F]{32}$"), lower(concat(
-        substring(value, 1, 8), lit("-"), substring(value, 9, 4), lit("-"),
-        substring(value, 13, 4), lit("-"), substring(value, 17, 4), lit("-"),
-        substring(value, 21, 12))))
+    // python-uuid.UUID-lenient passthrough, as the scalar door: drop
+    // urn:/uuid: substrings, strip {} from the ends, drop dashes,
+    // then require 32 hex chars.
+    val hex = regexp_replace(
+      regexp_replace(
+        regexp_replace(value, "urn:|uuid:", ""), "^[{}]+|[{}]+$", ""),
+      "-", "")
+    when(hex.rlike("^[0-9a-fA-F]{32}$"), lower(concat(
+        substring(hex, 1, 8), lit("-"), substring(hex, 9, 4), lit("-"),
+        substring(hex, 13, 4), lit("-"), substring(hex, 17, 4), lit("-"),
+        substring(hex, 21, 12))))
       .when(value.contains("/") || length(value) > 289, lit(null))
       .otherwise(u5)
   }

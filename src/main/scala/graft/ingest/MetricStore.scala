@@ -63,14 +63,22 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasDataFiles(dir: org.apache.hadoop.fs.Path): Boolean = {
+      val rootPrefix = fs.makeQualified(dir).toString
       val it = fs.listFiles(dir, true)
       var found = false
       while (!found && it.hasNext) {
         val fp = it.next().getPath
         // mirror Spark's listing: skip _metadata files and anything
-        // under a dot-prefixed dir (swapWrite staging)
-        found = !fp.getName.startsWith("_") && !fp.getName.startsWith(".") &&
-          !fp.toString.contains("/.")
+        // under a dot-prefixed dir (swapWrite staging). Hidden-dir
+        // detection must be RELATIVE to the plane root — a store that
+        // itself lives under a dot-directory (e.g. ~/.data/store) is
+        // not hidden from Spark, and treating it as empty here would
+        // trigger readOr's fallback and let swapWrite replace real
+        // partitions with batch-only rows.
+        val rel = fs.makeQualified(fp).toString
+          .stripPrefix(rootPrefix).stripPrefix("/")
+        found = !fp.getName.startsWith("_") &&
+          !rel.split('/').exists(_.startsWith("."))
       }
       found
     }
@@ -88,6 +96,46 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .get(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(p))
 
+  /** Cross-writer mutual exclusion for store mutation (SURVEY §2.10 —
+    * the reference serializes writers per sack with tooz locks,
+    * chef.py:426-431). One lock file under the store root, taken for a
+    * whole mutation batch: acquisition is an ATOMIC create(overwrite=
+    * false) — atomic on HDFS-like filesystems and the local FS; object
+    * stores without atomic create keep the documented single-writer
+    * deployment contract. A second writer fails LOUDLY at entry, so it
+    * can never reach the stale-staging sweep and delete the holder's
+    * in-flight staging (the lost-batch mode the r6 review called out).
+    * A lock older than `spark.graft.ingest.lockStaleMs` (default 1 h,
+    * far beyond any batch) is presumed crashed and broken — the
+    * staging sweep then sorts out whatever the dead writer left.
+    */
+  private def withStoreLock[A](f: => A): A = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$root/.lock")
+    fs.mkdirs(lock.getParent)
+    val staleMs = spark.conf
+      .getOption("spark.graft.ingest.lockStaleMs").map(_.toLong)
+      .getOrElse(3600_000L)
+    def tryAcquire(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age = try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      // raced-away or crashed-stale: break once and retry; a LIVE
+      // holder keeps the lock and this writer fails loudly
+      if (age > staleMs) fs.delete(lock, false)
+      if (!tryAcquire())
+        throw new IllegalStateException(
+          s"store $root is locked by another writer ($lock, " +
+            s"age ${age / 1000}s); retry this batch after it finishes " +
+            "or remove the lock if the holder crashed")
+    }
+    try f finally fs.delete(lock, false)
+  }
+
   /** Replace the touched partitions of a partitioned parquet tree with
     * `df`'s rows in ONE materialization: write to a dot-prefixed
     * staging subtree (invisible to Spark's file listing), then swap
@@ -103,13 +151,13 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * on HDFS-like filesystems; object stores degrade to copies, the
     * same cost the Hadoop output committer already pays there.
     *
-    * SINGLE WRITER per store, by contract: the stale-staging sweep
-    * below deletes every staging subtree, including one a concurrent
-    * writer might be mid-write in (its rename then fails loudly and
-    * its batch must be retried — data is never silently lost, but the
-    * work is). The reference serializes writers with tooz sack locks;
-    * here the ingest pipeline owns a store's writes (one streaming
-    * drain / one job per store), which is the same discipline without
+    * SINGLE WRITER per store, by MECHANISM: every public mutator runs
+    * under [[withStoreLock]], so the stale-staging sweep below can
+    * only ever see staging left by a CRASHED writer, never a live
+    * concurrent one — a second writer fails loudly at lock
+    * acquisition instead of sweeping the holder's in-flight staging.
+    * The reference serializes writers with tooz sack locks
+    * (chef.py:426-431); the lock file is the same discipline without
     * the lock service.
     */
   private def swapWrite(df: DataFrame, path: String,
@@ -190,7 +238,9 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * (storage/__init__.py:643-668), and overwrite only the touched split
     * partitions.
     */
-  def addMeasures(batch: DataFrame): Unit = {
+  def addMeasures(batch: DataFrame): Unit = withStoreLock(addMeasuresImpl(batch))
+
+  private def addMeasuresImpl(batch: DataFrame): Unit = {
     val blockS = fixedGrans.max
     // rate: methods need one extra block of history (chef.py:261-262)
     val backBlocks = policy.backWindow +
@@ -602,7 +652,9 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * addMeasures. Fresh-store only: merging into live content is the
     * incremental job's business, not the migrator's.
     */
-  def importCarbonara(srcPath: String): Unit = {
+  def importCarbonara(srcPath: String): Unit = withStoreLock(importCarbonaraImpl(srcPath))
+
+  private def importCarbonaraImpl(srcPath: String): Unit = {
     require(!pathExists(aggPath) && !pathExists(rawPath),
       s"importCarbonara requires a fresh store (found content under $root)")
     val all = graft.sources.Carbonara.readAggregates(spark, srcPath)
@@ -636,15 +688,18 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * split directory collapses to one file. Optional — the analogue of
     * the reference's "compress for fun" pass / OPTIMIZE.
     */
-  def compact(): Unit =
+  def compact(): Unit = withStoreLock {
     swapWrite(aggregates, aggPath,
       Seq("method", "gran_s", "split", "msack"), Seq("metric_id", "bucket"))
+  }
 
   /** J5 raw-buffer re-truncation (chef.py:186-295): re-apply the
     * back-window bound to the stored raw buffer without new measures —
     * the `needs_raw_data_truncation` pass after a back_window shrink.
     */
-  def truncateRaw(): Unit = {
+  def truncateRaw(): Unit = withStoreLock(truncateRawImpl())
+
+  private def truncateRawImpl(): Unit = {
     val blockS = fixedGrans.max
     // rate: methods need one extra block of history, EXACTLY as the
     // ingest path retains (addMeasures) — truncating to the bare
@@ -689,7 +744,10 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * driver scalar bounded by batch size × retention, the same
     * envelope the reference enumerates objects in.
     */
-  def expungeMetrics(metricIds: Seq[String]): Unit = {
+  def expungeMetrics(metricIds: Seq[String]): Unit =
+    withStoreLock(expungeMetricsImpl(metricIds))
+
+  private def expungeMetricsImpl(metricIds: Seq[String]): Unit = {
     if (metricIds.isEmpty) return
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -763,7 +821,9 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
   /** J3 retention expiry: physically drop whole splits strictly older
     * than the oldest key to keep (storage/__init__.py:516-527).
     */
-  def expireRetention(nowS: Long): Unit = {
+  def expireRetention(nowS: Long): Unit = withStoreLock(expireRetentionImpl(nowS))
+
+  private def expireRetentionImpl(nowS: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     for (granS <- fixedGrans; tsS <- timespanS(granS)) {

@@ -107,10 +107,14 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     }
     v match {
       case JObject(List((op, arg))) => op.toLowerCase match {
-        case "and" | "∧" =>
-          And(arg.asInstanceOf[JArray].arr.map(parseFilterTree))
-        case "or" | "∨" =>
-          Or(arg.asInstanceOf[JArray].arr.map(parseFilterTree))
+        case "and" | "∧" => arg match {
+          case JArray(vs) => And(vs.map(parseFilterTree))
+          case other => throw new IllegalArgumentException(s"bad and: $other")
+        }
+        case "or" | "∨" => arg match {
+          case JArray(vs) => Or(vs.map(parseFilterTree))
+          case other => throw new IllegalArgumentException(s"bad or: $other")
+        }
         case "not" | "¬" => Not(parseFilterTree(arg))
         case "in" => arg match {
           case JObject(List((attr, JArray(vs)))) => In(attr, vs.map(anyOf))
@@ -240,33 +244,35 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     }
     try route(method.toUpperCase, segs, query, () => json, bytes, creator)
     catch {
-      case e: IllegalArgumentException
-        if Option(e.getMessage).exists(m =>
-          m.contains("unknown metric") || m.contains("no policy") ||
-            m.contains("no archive policy") || m.contains("no resource")) =>
-        err(404, e.getMessage)
+      // the facade's typed domain errors carry their own HTTP status —
+      // the ONE place the mapping lives (graft.api.GraftError)
+      case e: RuntimeException with graft.api.GraftError =>
+        err(e.status,
+          if (e.status == 401 || e.status == 403)
+            "Access was denied to this resource"
+          else Option(e.getMessage).getOrElse("error"))
       case e @ (_: IllegalArgumentException | _: IllegalStateException |
                 _: MappingException | _: ClassCastException |
                 _: java.time.format.DateTimeParseException |
                 _: com.fasterxml.jackson.core.JacksonException) =>
         err(400, Option(e.getMessage).getOrElse("bad request"))
       case e: NoSuchElementException => err(404, e.getMessage)
-      case e: SecurityException =>
-        err(if (Option(e.getMessage).exists(_.startsWith("401"))) 401 else 403,
-          "Access was denied to this resource")
+      case _: SecurityException =>
+        err(403, "Access was denied to this resource")
     }
   }
 
   // ---- minimal enforce hook (rest/api.py:113; default policy.json) ----
   private def enforceAuthed(creator: Option[String]): String =
     creator.getOrElse {
-      if (requireAuth) throw new SecurityException("401 unauthenticated")
+      if (requireAuth)
+        throw new graft.api.GraftError.Unauthenticated("unauthenticated")
       ""
     }
 
   private def enforceAdmin(creator: Option[String]): Unit =
     if (requireAuth && enforceAuthed(creator) != "admin")
-      throw new SecurityException("403 admin required")
+      throw new graft.api.GraftError.Forbidden("admin required")
 
   /** Admin-or-creator on one resource row (policy.json
     * `admin_or_creator`). A NONEXISTENT resource passes through so the
@@ -285,7 +291,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
             if (!rows.head.schema.fieldNames.contains("creator")) None
             else Option(rows.head.getAs[String]("creator"))
           if (!owner.contains(who))
-            throw new SecurityException("403 not the creator")
+            throw new graft.api.GraftError.Forbidden("not the creator")
         }
       }
     }
@@ -437,28 +443,25 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           ("archive_policy" -> policyJson(g.policies(g.metricPolicyName(id)))))
 
       case ("POST", List("v1", "metric")) =>
+        if (requireAuth) enforceAuthed(creator)
         val b = body()
         val id = jstr(b \ "id" match { case JNothing => b \ "name"; case v => v })
         val unit = b \ "unit" match {
           case JString(u) => Some(u); case _ => None
         }
-        try {
-          b \ "archive_policy_name" match {
-            case JString(pol) => g.createMetric(id, pol, unit)
-            case _            => g.createMetricRuled(id, unit) // R9 rules
-          }
-        } catch {
-          case e: IllegalArgumentException
-            if Option(e.getMessage).exists(_.contains("already exists")) =>
-            return err(409, e.getMessage) // NamedMetricAlreadyExists
+        b \ "archive_policy_name" match {
+          case JString(pol) => g.createMetric(id, pol, unit)
+          case _            => g.createMetricRuled(id, unit) // R9 rules
         }
         created(("id" -> id) ~ ("unit" -> unit))
 
       case ("DELETE", List("v1", "metric", id)) =>
+        if (requireAuth) enforceAuthed(creator)
         g.deleteMetric(id); noContent
 
       // POST measures — 202, deferred processing (rest/api.py:488-494)
       case ("POST", List("v1", "metric", id, "measures")) =>
+        if (requireAuth) enforceAuthed(creator)
         val points = body().asInstanceOf[JArray].arr.map { m =>
           val ts = m \ "timestamp" match {
             case JString(s) => parseTs(s)
@@ -689,17 +692,11 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         if (graft.catalog.ResourceUuid.transform(id, creator) != id &&
             rawIdExists(id))
           return err(409, s"resource $id already exists")
-        try {
-          g.createResource(tpe, id,
-            JsonMethods.compact(JsonMethods.render(b)), creator)
-          created(frameJson(g.searchResources(s"id = '${qesc(rid(id))}'"), 1) match {
-            case JArray(List(one)) => one; case _ => b
-          })
-        } catch {
-          case e: IllegalArgumentException
-            if Option(e.getMessage).exists(_.contains("already exists")) =>
-            err(409, e.getMessage)
-        }
+        g.createResource(tpe, id,
+          JsonMethods.compact(JsonMethods.render(b)), creator)
+        created(frameJson(g.searchResources(s"id = '${qesc(rid(id))}'"), 1) match {
+          case JArray(List(one)) => one; case _ => b
+        })
 
       // PATCH /v1/resource/<type>/<id>: update attributes; the
       // pre-patch row end-dates into the history table.
@@ -803,15 +800,10 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
               case other =>
                 throw new IllegalArgumentException(s"bad metrics body: $other")
             }
-          try created(JArray(g.attachMetricsSchema(rid(id), metrics).map {
+          created(JArray(g.attachMetricsSchema(rid(id), metrics).map {
             case (n, mid) =>
               JObject(List("name" -> JString(n), "id" -> JString(mid)))
           }.toList))
-          catch {
-            case e: IllegalArgumentException
-              if Option(e.getMessage).exists(_.contains("already exists")) =>
-              err(409, e.getMessage)
-          }
         }
 
       // GET /v1/resource/<type>/<id>/history: the revision rows —

@@ -207,4 +207,31 @@ class CatalogSpec extends SparkSpec {
     assert(got(1).contains(ResourceUuid.transform(ok289)))
     assert(got(2).isEmpty && got(3).isEmpty) // bulk form: null, not throw
   }
+
+  test("ResourceUUID passthrough accepts every python-uuid.UUID form: " +
+      "urn:uuid:, braced, arbitrary dashes (utils.py ResourceUUID " +
+      "calls uuid.UUID first)") {
+    import graft.catalog.ResourceUuid
+    val canonical = "5a301761-aaaa-46e2-8900-8b4f6fe6675a"
+    val forms = Seq(
+      s"urn:uuid:$canonical",
+      s"{$canonical}",
+      "{5A301761AAAA46E289008B4F6FE6675A}",
+      "5a30-1761aaaa-46e2-89008b4f-6fe6675a", // arbitrary dash placement
+      s"urn:uuid:{$canonical}")
+    forms.foreach { f =>
+      assert(ResourceUuid.transform(f) === canonical, s"scalar: $f")
+    }
+    // something that is NOT a uuid under python's parse still transforms
+    assert(ResourceUuid.transform("urn:uuid:not-a-uuid").matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
+    // column form agrees on every form
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = spark
+    import s.implicits._
+    val got = forms.toDF("v")
+      .select(ResourceUuid.transformCol(col("v"), lit(null)).as("u"))
+      .collect().map(_.getString(0))
+    assert(got.forall(_ == canonical), got.mkString(","))
+  }
 }

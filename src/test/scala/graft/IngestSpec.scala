@@ -20,6 +20,41 @@ class IngestSpec extends SparkSpec {
     new MetricStore(spark, dir, policy)
   }
 
+  test("store lock: a second writer fails loudly at entry and the " +
+      "holder's in-flight staging survives (tooz sack locks, " +
+      "chef.py:426-431, made mechanical)") {
+    val dir = Files.createTempDirectory("graft-lock").toString
+    val policy = ArchivePolicy("test", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean"))
+    val store = new MetricStore(spark, dir, policy)
+    store.addMeasures(measures(("m", "2014-01-01 12:00:01", 1.0)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a LIVE concurrent writer: its lock is held and it has
+    // in-flight staging under the agg plane
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/.lock"), false).close()
+    val winners = new org.apache.hadoop.fs.Path(s"$dir/agg/.staging-winner")
+    fs.mkdirs(winners)
+    val e = intercept[IllegalStateException](
+      store.addMeasures(measures(("m", "2014-01-01 12:00:02", 2.0))))
+    assert(e.getMessage.contains("locked by another writer"))
+    assert(fs.exists(winners), "loser swept the live writer's staging")
+    // the loser must not have mutated the store either
+    assert(store.getMeasures("m", "mean", 60)
+      .collect().map(_.getDouble(2)).toSeq == Seq(1.0))
+    // a CRASHED writer's lock (older than the staleness threshold) is
+    // broken and the batch proceeds; the sweep then clears its staging
+    spark.conf.set("spark.graft.ingest.lockStaleMs", "0")
+    try store.addMeasures(measures(("m", "2014-01-01 12:00:03", 5.0)))
+    finally spark.conf.unset("spark.graft.ingest.lockStaleMs")
+    assert(store.getMeasures("m", "mean", 60)
+      .collect().map(_.getDouble(2)).toSeq == Seq(3.0)) // mean(1,5)
+    assert(!fs.exists(winners), "stale staging not swept after lock break")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.lock")),
+      "lock not released after a successful batch")
+  }
+
   test("two batches accumulate; overlapping timestamps: new wins") {
     val store = newStore()
     store.addMeasures(measures(
@@ -31,6 +66,26 @@ class IngestSpec extends SparkSpec {
     assert(got == Seq(
       ("2014-01-01 12:00:00.0", (1.0 + 20.0) / 2), // 2.0 replaced by 20.0
       ("2014-01-01 12:01:00.0", 3.0)))
+  }
+
+  test("a store rooted under a dot-directory still reads its own data " +
+      "(hidden-dir detection is RELATIVE to the plane root — a " +
+      "~/.data/store root must not re-read as empty and let swapWrite " +
+      "drop the first batch)") {
+    val parent = Files.createTempDirectory("graft-dot")
+    val dir = parent.resolve(".hidden").resolve("store").toString
+    val policy = ArchivePolicy("test", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean"))
+    val store = new MetricStore(spark, dir, policy)
+    store.addMeasures(measures(("m", "2014-01-01 12:00:01", 1.0)))
+    // second batch goes down the WARM path: it must see batch 1's
+    // aggregates (a reader that skips everything under "/." would
+    // treat the plane as absent and replace it wholesale)
+    store.addMeasures(measures(("m", "2014-01-01 12:00:02", 3.0)))
+    val got = store.getMeasures("m", "mean", 60)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(got == Seq(2.0)) // mean(1,3) — both batches present
   }
 
   test("incremental result == full recompute (storage/__init__.py:643-668)") {

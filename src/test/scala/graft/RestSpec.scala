@@ -608,6 +608,19 @@ class RestSpec extends SparkSpec {
     assert(other.status === 201)
     assert(jstrOf(other.body \ "id") !== internal)
 
+    // a UUID-shaped (untransformed) id ALSO records the submitted raw
+    // string in original_resource_id (rest/api.py:1170 stores
+    // str(original) for every create), including python's lenient
+    // urn:uuid: form which passes through rather than transforming
+    val uu = api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "urn:uuid:AAAA1761-aaaa-46e2-8900-8b4f6fe6675a",
+        "zone": "fr"}""",
+      creator = Some("foobar"))
+    assert(uu.status === 201)
+    assert(jstrOf(uu.body \ "id") === "aaaa1761-aaaa-46e2-8900-8b4f6fe6675a")
+    assert(uu.body \ "original_resource_id" ===
+      JString("urn:uuid:AAAA1761-aaaa-46e2-8900-8b4f6fe6675a"))
+
     // '/' in a transformable id → 400 with the reference's message
     val bad = api.dispatch("POST", "/v1/resource/generic",
       body = """{"id": "id-with-/", "zone": "x"}""", creator = Some("foobar"))
@@ -882,6 +895,25 @@ class RestSpec extends SparkSpec {
     // external form re-salts with the requester, as the reference)
     assert(api.dispatch("DELETE", s"/v1/resource/generic/$boxId",
       creator = Some("admin")).status === 204)
+
+    // destructive metric routes need an authenticated creator too
+    // (policy.json guards metric create/delete; measures POST records
+    // the creator) — an unauthenticated request may not delete metrics
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "gm", "archive_policy_name": "low"}""")
+      .status === 401)
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "gm", "archive_policy_name": "low"}""",
+      creator = Some("alice")).status === 201)
+    assert(api.dispatch("POST", "/v1/metric/gm/measures",
+      body = """[{"timestamp": "2014-01-01T12:00:01Z", "value": 1.0}]""")
+      .status === 401)
+    assert(api.dispatch("POST", "/v1/metric/gm/measures",
+      body = """[{"timestamp": "2014-01-01T12:00:01Z", "value": 1.0}]""",
+      creator = Some("alice")).status === 202)
+    assert(api.dispatch("DELETE", "/v1/metric/gm").status === 401)
+    assert(api.dispatch("DELETE", "/v1/metric/gm",
+      creator = Some("alice")).status === 204)
   }
 
   test("MetricsSchema string values attach an EXISTING metric " +
@@ -924,6 +956,34 @@ class RestSpec extends SparkSpec {
       .status === 404)
     assert(api.dispatch("GET", "/v1/resource/generic/ghost/history")
       .status === 404)
+  }
+
+  test("malformed bodies map to 400, absent objects to 404, collisions " +
+      "to 409 — via the typed GraftError boundary, no 500s") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(("r1", "fr")).toDF("id", "zone"))
+    // {"and": <non-array>} previously ClassCastException'd → must be 400
+    assert(api.dispatch("POST", "/v1/search/resource/generic",
+      body = """{"and": {"=": {"zone": "fr"}}}""").status === 400)
+    assert(api.dispatch("POST", "/v1/search/resource/generic",
+      body = """{"or": 7}""").status === 400)
+    // typed NotFound: unknown policy on metric create → 404 (the
+    // pre-ADT message-inspection mapping, now carried by the type)
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "m", "archive_policy_name": "nope"}""").status === 404)
+    assert(api.dispatch("GET", "/v1/metric/ghost/measures").status === 404)
+    // typed Conflict: duplicate metric id → 409
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "m", "archive_policy_name": "low"}""").status === 201)
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "m", "archive_policy_name": "low"}""").status === 409)
   }
 
   test("socket round-trip on the JDK server binding") {
