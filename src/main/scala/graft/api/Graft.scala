@@ -574,6 +574,17 @@ class Graft(val spark: SparkSession, root: String) {
     case _ => Nil
   }
 
+  /** The metric references an operations expression resolves to —
+    * the `details=true` references block of `/v1/aggregates`
+    * (rest/aggregates/api.py:639-646). Unknown metrics 404, as the
+    * reference's lookup with details=True does.
+    */
+  def aggregatesReferences(operations: String): Seq[(String, String)] = {
+    val refs = collectRefs(Parser.parse(operations))
+    refs.map(_._1).distinct.foreach(metricPolicyName) // NotFound on unknowns
+    refs
+  }
+
   /** J7 backlog report (/v1/status, incoming/__init__.py:202-214):
     * pending (staged, unprocessed) measure counts per metric.
     */

@@ -185,35 +185,46 @@ object Amqp {
     Message(body.result(), contentType, subject, appProps)
   }
 
+  /** Read ONE value starting at `from`, returning it with the end
+    * position — the AMQP frame layer ([[AmqpWire]]) needs to know
+    * where a performative ends and the message payload begins.
+    */
+  private[ingest] def readOneValue(buf: Array[Byte], from: Int,
+                                   until: Int): (Any, Int) = {
+    val r = new Reader(buf, from, until)
+    val v = readValue(r)
+    (v, r.pos)
+  }
+
   // ------------------------------------------------------------ write
 
-  private def sym(o: ByteArrayOutputStream, s: String): Unit = {
+  private[ingest] def sym(o: ByteArrayOutputStream, s: String): Unit = {
     val b = s.getBytes(UTF_8)
     if (b.length <= 0xff) { o.write(0xa3); o.write(b.length) }
     else { o.write(0xb3); writeU32(o, b.length) }
     o.write(b, 0, b.length)
   }
 
-  private def str(o: ByteArrayOutputStream, s: String): Unit = {
+  private[ingest] def str(o: ByteArrayOutputStream, s: String): Unit = {
     val b = s.getBytes(UTF_8)
     if (b.length <= 0xff) { o.write(0xa1); o.write(b.length) }
     else { o.write(0xb1); writeU32(o, b.length) }
     o.write(b, 0, b.length)
   }
 
-  private def writeU32(o: ByteArrayOutputStream, v: Int): Unit = {
+  private[ingest] def writeU32(o: ByteArrayOutputStream, v: Int): Unit = {
     o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
     o.write((v >>> 8) & 0xff); o.write(v & 0xff)
   }
 
-  private def descriptor(o: ByteArrayOutputStream, code: Int): Unit = {
+  private[ingest] def descriptor(o: ByteArrayOutputStream, code: Int): Unit = {
     o.write(0x00); o.write(0x53); o.write(code) // 0x00 smallulong <code>
   }
 
   /** 32-bit-width compound (list32/map32) from pre-encoded elements —
     * writers always use the wide form; readers accept both.
     */
-  private def compound(o: ByteArrayOutputStream, formatCode: Int,
+  private[ingest] def compound(o: ByteArrayOutputStream, formatCode: Int,
                        count: Int, payload: Array[Byte]): Unit = {
     o.write(formatCode)
     writeU32(o, payload.length + 4) // size includes the count field

@@ -1,0 +1,343 @@
+package graft.ingest
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{DatagramPacket, DatagramSocket, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.functions._
+import graft.api.Graft
+
+/** Socket front-ends for the wire codecs — the listening daemons the
+  * reference runs as separate services (`gnocchi-statsd`,
+  * `gnocchi-amqp1d`), re-expressed as thin accept/receive loops that
+  * buffer driver-side (exactly as the reference's in-memory dicts do)
+  * and flush through the SAME oracle-gated codec paths
+  * ([[Statsd.parse]]/[[Statsd.flush]],
+  * [[RemoteWrite.collectdToMeasures]]) into the [[Graft]] facade.
+  * Receive loops are bounded-buffer by design: a flush interval bounds
+  * what sits on the driver, and everything from the parse onward is a
+  * DataFrame plan.
+  */
+
+/** UDP statsd daemon (statsd.py:32-130 Stats + StatsdServer):
+  * datagrams of `bucket:value|type[|@rate]` lines accumulate between
+  * flushes; [[flush]] applies the statsd aggregate semantics through
+  * the gated codec — counters sum sampling-scaled, gauges and timers
+  * keep the last write — and lands ONE measure per metric at flush
+  * time, creating missing metrics like the reference (configured
+  * policy name, else the R9 rules).
+  */
+final class StatsdServer(g: Graft, policyName: Option[String] = None,
+                         flushDelayS: Option[Double] = None) {
+  private val lines = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private val seq = new AtomicLong(0L)
+  private val running = new AtomicBoolean(false)
+  private var socket: Option[DatagramSocket] = None
+
+  /** Bind and start the receive loop (daemon thread); returns the
+    * bound port (pass 0 for an ephemeral one).
+    */
+  def serve(port: Int = 8125): Int = {
+    require(socket.isEmpty, "already serving")
+    val sock = new DatagramSocket(port)
+    sock.setSoTimeout(200) // poll running so stop() terminates the loop
+    socket = Some(sock)
+    running.set(true)
+    val t = new Thread(() => {
+      val buf = new Array[Byte](65536)
+      while (running.get()) {
+        try {
+          val pkt = new DatagramPacket(buf, buf.length)
+          sock.receive(pkt)
+          val text = new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8)
+          lines.synchronized {
+            text.split("\n").iterator.filter(_.nonEmpty)
+              .foreach(l => lines += ((l, seq.getAndIncrement())))
+          }
+        } catch {
+          case _: java.net.SocketTimeoutException => ()
+          case _: Throwable if !running.get() => ()
+        }
+      }
+    }, "graft-statsd")
+    t.setDaemon(true)
+    t.start()
+    flushDelayS.foreach { d =>
+      val f = new Thread(() => {
+        while (running.get()) {
+          Thread.sleep((d * 1000).toLong)
+          if (running.get()) try flush() catch { case _: Throwable => () }
+        }
+      }, "graft-statsd-flush")
+      f.setDaemon(true)
+      f.start()
+    }
+    sock.getLocalPort
+  }
+
+  /** Lines received and not yet flushed (spec/ops introspection). */
+  def pendingLines: Int = lines.synchronized(lines.size)
+
+  /** Flush the buffered lines into the store: the reference's
+    * per-flush treat_metric + flush pass (statsd.py:60-117). Metric
+    * names carry the `|type` suffix exactly as the reference appends
+    * it; per kind the flushed value is counter-sum (`c`, scaled by
+    * 1/sampling) or last-write (`g`, `ms`). Timestamps are flush-time
+    * now, as the reference stamps utcnow at receipt and flushes the
+    * final dict state.
+    */
+  def flush(): Unit = {
+    val snapshot = lines.synchronized {
+      val s = lines.toList; lines.clear(); s
+    }
+    if (snapshot.isEmpty) return
+    val s = g.spark
+    import s.implicits._
+    val parsed = Statsd.flush(Statsd.parse(
+      snapshot.toDF("line", "seq")))
+    val rows = parsed
+      .filter(col("kind").isin("c", "g", "ms"))
+      .select(concat(col("bucket"), lit("|"), col("kind")).as("name"),
+        when(col("kind") === "c", col("counter"))
+          .otherwise(col("gauge")).as("value"))
+      .collect() // statsd cardinality = live metric set: driver-bounded
+    val now = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    rows.foreach { r =>
+      val name = r.getString(0)
+      if (!g.hasMetric(name)) policyName match {
+        case Some(p) => g.createMetric(name, p)
+        case None    => g.createMetric(name) // R9 rules pick the policy
+      }
+      g.addMeasures(name, Seq((now, r.getDouble(1))))
+    }
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    socket.foreach(_.close())
+    socket = None
+  }
+}
+
+/** AMQP 1.0 frame layer (OASIS AMQP 1.0 part 2) over the [[Amqp]]
+  * value codec: protocol header, frame envelope
+  * `size(4) doff(1) type(1) channel(2)`, and the open/begin/attach/
+  * flow/transfer/close performatives (descriptors 0x10-0x18) as
+  * described lists. Shared by [[AmqpServer]] and test clients.
+  */
+object AmqpWire {
+  val ProtocolHeader: Array[Byte] =
+    Array('A', 'M', 'Q', 'P', 0, 1, 0, 0).map(_.toByte)
+
+  final val Open = 0x10
+  final val Begin = 0x11
+  final val Attach = 0x12
+  final val Flow = 0x13
+  final val Transfer = 0x14
+  final val Detach = 0x16
+  final val End = 0x17
+  final val Close = 0x18
+
+  /** Encode one frame: a performative described list (from pre-encoded
+    * element bytes + count) followed by an optional payload.
+    */
+  def frame(descriptorCode: Int, count: Int, elements: Array[Byte],
+            payload: Array[Byte] = Array.emptyByteArray,
+            channel: Int = 0): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    Amqp.descriptor(body, descriptorCode)
+    if (count == 0) body.write(0x45) // list0
+    else Amqp.compound(body, 0xd0, count, elements)
+    body.write(payload, 0, payload.length)
+    val b = body.toByteArray
+    val o = new ByteArrayOutputStream()
+    Amqp.writeU32(o, b.length + 8)
+    o.write(2) // doff
+    o.write(0) // type: AMQP frame
+    o.write((channel >>> 8) & 0xff); o.write(channel & 0xff)
+    o.write(b, 0, b.length)
+    o.toByteArray
+  }
+
+  /** Encoded element helpers for performative field lists. */
+  def elems(f: ByteArrayOutputStream => Unit): Array[Byte] = {
+    val o = new ByteArrayOutputStream(); f(o); o.toByteArray
+  }
+  def nul(o: ByteArrayOutputStream): Unit = o.write(0x40)
+  def bool(o: ByteArrayOutputStream, v: Boolean): Unit =
+    o.write(if (v) 0x41 else 0x42)
+  def uint(o: ByteArrayOutputStream, v: Long): Unit = {
+    o.write(0x70); Amqp.writeU32(o, v.toInt)
+  }
+  def str(o: ByteArrayOutputStream, s: String): Unit = Amqp.str(o, s)
+
+  /** One decoded frame: (performative descriptor code, fields, payload
+    * bytes after the performative). `None` for empty (heartbeat)
+    * frames.
+    */
+  def readFrame(in: DataInputStream): Option[(Long, Vector[Any], Array[Byte])] = {
+    val size = in.readInt()
+    require(size >= 8, s"bad frame size $size")
+    val doff = in.readUnsignedByte()
+    in.readUnsignedByte() // type
+    in.readUnsignedShort() // channel
+    in.skipNBytes(doff * 4L - 8)
+    val bodyLen = size - doff * 4
+    if (bodyLen == 0) return None // heartbeat
+    val body = new Array[Byte](bodyLen)
+    in.readFully(body)
+    val (value, end) = Amqp.readOneValue(body, 0, body.length)
+    value match {
+      case (code: Long, fields: Vector[Any] @unchecked) =>
+        Some((code, fields, java.util.Arrays.copyOfRange(body, end, body.length)))
+      case other => throw new IllegalArgumentException(
+        s"frame body is not a performative: $other")
+    }
+  }
+}
+
+/** TCP AMQP 1.0 daemon (amqp1d.py:60-160): accepts a connection,
+  * answers the open/begin/attach handshake with receiver-role replies
+  * plus link credit, and buffers each transfer's bare-message body
+  * (collectd JSON, decoded through the gated [[Amqp.parseMessage]]).
+  * [[flush]] runs the buffered bodies through the gated
+  * [[RemoteWrite.collectdToMeasures]] mapping and lands the measures
+  * via the facade's bulk door, creating `host/metric` metrics like the
+  * batch route. Scope matches the codec's: the data path (part 3 bare
+  * messages in transfer frames); SASL layers are out of scope.
+  */
+final class AmqpServer(g: Graft, policyName: Option[String] = None,
+                       flushDelayS: Option[Double] = None) {
+  private val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val running = new AtomicBoolean(false)
+  private var server: Option[ServerSocket] = None
+
+  def serve(port: Int = 5672): Int = {
+    require(server.isEmpty, "already serving")
+    val srv = new ServerSocket(port)
+    srv.setSoTimeout(200)
+    server = Some(srv)
+    running.set(true)
+    val t = new Thread(() => {
+      while (running.get()) {
+        try {
+          val conn = srv.accept()
+          try handleConnection(conn)
+          catch { case _: Throwable if !running.get() => ()
+                  case e: Throwable =>
+                    System.err.println(s"[amqp1d] connection error: ${e.getMessage}") }
+          finally conn.close()
+        } catch {
+          case _: java.net.SocketTimeoutException => ()
+          case _: Throwable if !running.get() => ()
+        }
+      }
+    }, "graft-amqp1d")
+    t.setDaemon(true)
+    t.start()
+    flushDelayS.foreach { d =>
+      val f = new Thread(() => {
+        while (running.get()) {
+          Thread.sleep((d * 1000).toLong)
+          if (running.get()) try flush() catch { case _: Throwable => () }
+        }
+      }, "graft-amqp1d-flush")
+      f.setDaemon(true)
+      f.start()
+    }
+    srv.getLocalPort
+  }
+
+  private def handleConnection(conn: Socket): Unit = {
+    import AmqpWire._
+    val in = new DataInputStream(conn.getInputStream)
+    val out = new DataOutputStream(conn.getOutputStream)
+    val header = new Array[Byte](8)
+    in.readFully(header)
+    require(header.take(4).sameElements("AMQP".getBytes(UTF_8)) &&
+      header(4) == 0, s"unsupported protocol header (SASL not offered)")
+    out.write(ProtocolHeader); out.flush()
+    var open = true
+    while (open && running.get()) {
+      readFrame(in) match {
+        case None => () // heartbeat
+        case Some((Open, _, _)) =>
+          out.write(frame(Open, 1, elems(o => str(o, "graft-amqp1d"))))
+          out.flush()
+        case Some((Begin, _, _)) =>
+          out.write(frame(Begin, 4, elems { o =>
+            nul(o); uint(o, 0); uint(o, Int.MaxValue); uint(o, Int.MaxValue)
+          }))
+          out.flush()
+        case Some((Attach, fields, _)) =>
+          val linkName = fields.headOption match {
+            case Some(s: String) => s; case _ => "link-0"
+          }
+          val handle = fields.lift(1) match {
+            case Some(h: Long) => h; case _ => 0L
+          }
+          // reply attach with the mirrored name and RECEIVER role,
+          // then grant link credit so the sender may transfer
+          out.write(frame(Attach, 3, elems { o =>
+            str(o, linkName); uint(o, handle); bool(o, v = true)
+          }))
+          out.write(frame(Flow, 7, elems { o =>
+            uint(o, 0); uint(o, Int.MaxValue) // next-in-id, in-window
+            uint(o, 0); uint(o, Int.MaxValue) // next-out-id, out-window
+            uint(o, handle); uint(o, 0); uint(o, 1000) // handle, dc, credit
+          }))
+          out.flush()
+        case Some((Transfer, _, payload)) =>
+          val msg = Amqp.parseMessage(payload)
+          bodies.synchronized { bodies += msg.body }
+        case Some((Close, _, _)) =>
+          out.write(frame(Close, 0, Array.emptyByteArray)); out.flush()
+          open = false
+        case Some((Detach | End, _, _)) => () // teardown chatter
+        case Some((Flow, _, _)) => ()
+        case Some((other, _, _)) =>
+          throw new IllegalArgumentException(
+            f"unsupported performative 0x$other%02x")
+      }
+    }
+  }
+
+  /** Messages received and not yet flushed (spec/ops introspection). */
+  def pendingBodies: Int = bodies.synchronized(bodies.size)
+
+  /** Flush buffered collectd bodies through the gated mapping into the
+    * store (amqp1d.py BatchProcessor._flush): metrics are
+    * `host/metric` ids created on first sight, measures land via the
+    * facade's bulk DataFrame door.
+    */
+  def flush(): Unit = {
+    val snapshot = bodies.synchronized {
+      val s = bodies.toList; bodies.clear(); s
+    }
+    if (snapshot.isEmpty) return
+    val s = g.spark
+    import s.implicits._
+    val measures = RemoteWrite.collectdToMeasures(snapshot.toDF("body"))
+      .select(concat(col("resource_id"), lit("/"), col("metric"))
+          .as("metric_id"),
+        col("timestamp"), col("value"))
+    // the live metric-name set is daemon-bounded (hosts × plugins),
+    // not measure-bounded — same envelope as the REST wire doors
+    val ids = measures.select("metric_id").distinct()
+      .collect().map(_.getString(0))
+    ids.filterNot(g.hasMetric).foreach { id =>
+      policyName match {
+        case Some(p) => g.createMetric(id, p)
+        case None    => g.createMetric(id)
+      }
+    }
+    g.batchAddMeasures(measures)
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    server.foreach(_.close())
+    server = None
+  }
+}

@@ -574,10 +574,24 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
             df.orderBy((groupby :+ "bucket").map(
               org.apache.spark.sql.functions.col): _*), 100000))
         }
+        // ?details=true (query or body) attaches the RESOLVED metric
+        // references next to the measures (rest/aggregates/api.py:
+        // 639-646 response["references"] = metrics)
+        val details = q.get("details").contains("true") ||
+          b \ "details" == JBool(true)
+        def withRefs(measures: JValue): JValue =
+          if (!details) "measures" -> measures
+          else ("measures" -> measures) ~
+            ("references" -> g.aggregatesReferences(operations)
+              .map(_._1).distinct.sorted.map(id =>
+                ("id" -> id) ~
+                  ("unit" -> g.metricUnitOf(id)) ~
+                  ("archive_policy" ->
+                    policyJson(g.policies(g.metricPolicyName(id))))))
         b \ "granularity" match {
           case JNothing => // P1: every common granularity, coarse→fine
             val df = g.aggregatesAuto(operations, fill)
-            ok("measures" -> ("aggregated" ->
+            ok(withRefs("aggregated" ->
               frameJson(df.orderBy("gran_s", "bucket"), 100000)))
           case n =>
             val granS = jnum(n).toLong
@@ -586,7 +600,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
             }
             val rows = g.shaped(
               g.aggregates(operations, granS, fill, overlap), granS)
-            ok("measures" -> ("aggregated" -> measuresTriples(rows)))
+            ok(withRefs("aggregated" -> measuresTriples(rows)))
         }
 
       // -------------------------------------------------- resources

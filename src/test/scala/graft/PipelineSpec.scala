@@ -84,13 +84,38 @@ class PipelineSpec extends SparkSpec {
     val got = Pipeline.decontaminate(corpus, bench, n = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L))
-    // the operator-internal persist is tracked, and release() drops it
-    // (no per-call session-lifetime leak); results stay readable after
-    assert(graft.llm.OpCaches.trackedCount > 0)
-    graft.llm.OpCaches.release()
-    assert(graft.llm.OpCaches.trackedCount == 0)
+    // the operator-internal persist AUTO-releases once the action that
+    // read it completes (QueryExecutionListener) — no per-call
+    // session-lifetime leak, and nothing for the caller to remember
+    awaitNoTracked()
     assert(Pipeline.decontaminate(corpus, bench, n = 3).count() == 2)
-    graft.llm.OpCaches.release()
+    awaitNoTracked()
+  }
+
+  /** The auto-release listener fires asynchronously on the listener
+    * bus — poll briefly instead of asserting instantly. */
+  private def awaitNoTracked(): Unit = {
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (graft.llm.OpCaches.trackedCount > 0 &&
+        System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(graft.llm.OpCaches.trackedCount == 0,
+      s"${graft.llm.OpCaches.trackedCount} tracked entries never released")
+  }
+
+  test("OpCaches auto-release covers an end-to-end decontaminate + " +
+      "fuzzy + idf pipeline: zero tracked entries after the consumers " +
+      "materialize, with no explicit release call") {
+    val bench = docs((100L, "b", "alpha beta gamma delta epsilon zeta"))
+    val corpus = docs(
+      (1L, "c", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "c", "completely different text with no overlap at all"),
+      (3L, "c", "alpha beta gamma delta epsilon zeta but edited"))
+    assert(Pipeline.decontaminate(corpus, bench, n = 3).count() >= 1)
+    assert(Pipeline.fuzzyDecontaminate(corpus, bench, n = 3,
+      threshold = 0.2).count() >= 1)
+    assert(graft.llm.TextAnalysis.docFrequency(corpus).count() > 0)
+    awaitNoTracked()
   }
 
   test("decontaminate: exact copies collapse but every member is flagged " +

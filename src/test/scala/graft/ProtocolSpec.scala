@@ -101,4 +101,108 @@ class ProtocolSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("m1" -> 1L, "m2" -> 2L))
   }
+
+  private def newGraft() = new graft.api.Graft(spark,
+    java.nio.file.Files.createTempDirectory("graft-proto").toString)
+
+  private def await(what: String)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cond, s"timed out waiting for $what")
+  }
+
+  test("statsd UDP daemon: datagram -> buffered lines -> flush -> " +
+      "store read (statsd.py:32-130 end to end over a real socket)") {
+    val g = newGraft()
+    g.createPolicy(graft.model.ArchivePolicy("st", 0,
+      Seq(graft.model.ArchivePolicyItem(
+        graft.model.Granularity.seconds(60), None, None)),
+      Set("mean", "sum")))
+    val server = new graft.ingest.StatsdServer(g, policyName = Some("st"))
+    val port = server.serve(0)
+    try {
+      val sock = new java.net.DatagramSocket()
+      def send(text: String): Unit = {
+        val b = text.getBytes("UTF-8")
+        sock.send(new java.net.DatagramPacket(b, b.length,
+          java.net.InetAddress.getLoopbackAddress, port))
+      }
+      // two datagrams: counter accumulates with sampling, gauge
+      // last-write-wins, timer keeps last
+      send("hits:2|c|@0.5\nhits:1|c\ntemp:20|g")
+      send("temp:25|g\nlat:7|ms\nlat:9|ms")
+      await("6 buffered lines")(server.pendingLines == 6)
+      server.flush()
+      assert(server.pendingLines == 0)
+      g.process() // drain the 202-staged measures into the store
+      def lastValue(name: String): Double =
+        g.getMeasures(name, "mean").last._3
+      assert(lastValue("hits|c") === 5.0)  // 2/0.5 + 1
+      assert(lastValue("temp|g") === 25.0) // last write
+      assert(lastValue("lat|ms") === 9.0)  // last write
+      // a second flush with nothing buffered is a no-op
+      server.flush()
+    } finally server.stop()
+  }
+
+  test("amqp1d TCP daemon: AMQP 1.0 handshake + transfer over a real " +
+      "socket -> collectd mapping -> store read (amqp1d.py:60-160)") {
+    import graft.ingest.AmqpWire._
+    val g = newGraft()
+    g.createPolicy(graft.model.ArchivePolicy("am", 0,
+      Seq(graft.model.ArchivePolicyItem(
+        graft.model.Granularity.seconds(60), None, None)),
+      Set("mean", "sum")))
+    val server = new graft.ingest.AmqpServer(g, policyName = Some("am"))
+    val port = server.serve(0)
+    try {
+      val sock = new java.net.Socket(
+        java.net.InetAddress.getLoopbackAddress, port)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      out.write(ProtocolHeader); out.flush()
+      val echoed = new Array[Byte](8)
+      in.readFully(echoed)
+      assert(echoed.sameElements(ProtocolHeader))
+      // open -> open reply
+      out.write(frame(Open, 1, elems(o => str(o, "spec-client")))); out.flush()
+      assert(readFrame(in).get._1 === Open)
+      // begin -> begin reply
+      out.write(frame(Begin, 4, elems { o =>
+        nul(o); uint(o, 0); uint(o, 1000); uint(o, 1000)
+      })); out.flush()
+      assert(readFrame(in).get._1 === Begin)
+      // attach (sender role=false) -> attach reply + flow credit
+      out.write(frame(Attach, 3, elems { o =>
+        str(o, "collectd"); uint(o, 0); bool(o, v = false)
+      })); out.flush()
+      assert(readFrame(in).get._1 === Attach)
+      val flow = readFrame(in).get
+      assert(flow._1 === Flow)
+      assert(flow._2(6).asInstanceOf[Long] > 0) // link credit granted
+      // one transfer carrying a collectd JSON bare message through the
+      // real wire codec
+      val json =
+        """[{"host":"web1","plugin":"cpu","plugin_instance":"",""" +
+        """"type":"idle","type_instance":"","time":1388577600.0,""" +
+        """"dsnames":["value"],"values":[42.0]},""" +
+        """{"host":"web1","plugin":"mem","plugin_instance":"",""" +
+        """"type":"used","type_instance":"","time":1388577660.0,""" +
+        """"dsnames":["value"],"values":[7.5]}]"""
+      val msg = graft.ingest.Amqp.encodeMessage(json.getBytes("UTF-8"),
+        subject = Some("telemetry"))
+      out.write(frame(Transfer, 2, elems { o => uint(o, 0); uint(o, 0) },
+        payload = msg))
+      out.flush()
+      await("1 buffered body")(server.pendingBodies == 1)
+      // close -> close reply
+      out.write(frame(Close, 0, Array.emptyByteArray)); out.flush()
+      assert(readFrame(in).get._1 === Close)
+      sock.close()
+      server.flush()
+      g.process()
+      assert(g.getMeasures("web1/cpu.idle", "mean").map(_._3) === Seq(42.0))
+      assert(g.getMeasures("web1/mem.used", "mean").map(_._3) === Seq(7.5))
+    } finally server.stop()
+  }
 }

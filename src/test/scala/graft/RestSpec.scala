@@ -112,6 +112,26 @@ class RestSpec extends SparkSpec {
     val rows = (agg.body \ "measures" \ "aggregated").asInstanceOf[JArray].arr
     assert(rows.map { case JArray(List(_, _, JDouble(v))) => v; case _ => fail() }
       === List(12.0)) // 2 * mean(4, 8)
+
+    // details=true attaches the resolved metric references next to the
+    // measures (rest/aggregates/api.py:639-646)
+    val det = api.dispatch("POST", "/v1/aggregates",
+      query = Map("details" -> "true"),
+      body = """{"operations": "(* 2 (metric r1/cpu mean))",
+        "granularity": 300}""")
+    assert(det.status === 200)
+    val refs = (det.body \ "references").asInstanceOf[JArray].arr
+    assert(refs.map(_ \ "id") === List(JString("r1/cpu")))
+    assert(refs.head \ "archive_policy" \ "name" === JString("s"))
+    assert((det.body \ "measures" \ "aggregated")
+      .asInstanceOf[JArray].arr.nonEmpty)
+    // without details the block is absent, as before
+    assert(agg.body \ "references" === JNothing)
+    // unknown metric in the operations with details → 404
+    assert(api.dispatch("POST", "/v1/aggregates",
+      query = Map("details" -> "true"),
+      body = """{"operations": "(metric ghost mean)",
+        "granularity": 300}""").status === 404)
   }
 
   test("resource search route uses the filter DSL") {
