@@ -16,6 +16,25 @@ import org.json4s.jackson.JsonMethods
 class RestServer(api: RestApi) {
 
   @volatile private var server: Option[HttpServer] = None
+  @volatile private var statsd: Option[graft.ingest.StatsdServer] = None
+  @volatile private var amqp: Option[graft.ingest.AmqpServer] = None
+
+  /** Start the HTTP door plus the statsd/amqp1d socket daemons under
+    * ONE lifecycle (the reference runs them as sibling services of the
+    * API; here `stop()` tears all three down). Returns
+    * (http, statsd, amqp) bound ports; pass 0s for ephemeral ones.
+    */
+  def serveAll(g: graft.api.Graft, httpPort: Int = 8041,
+               statsdPort: Int = 8125, amqpPort: Int = 5672,
+               flushDelayS: Option[Double] = Some(10.0),
+               policyName: Option[String] = None): (Int, Int, Int) = {
+    val hp = serve(httpPort)
+    val st = new graft.ingest.StatsdServer(g, policyName, flushDelayS)
+    val am = new graft.ingest.AmqpServer(g, policyName, flushDelayS)
+    statsd = Some(st)
+    amqp = Some(am)
+    (hp, st.serve(statsdPort), am.serve(amqpPort))
+  }
 
   def serve(port: Int = 8041): Int = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
@@ -76,5 +95,16 @@ class RestServer(api: RestApi) {
   private def decode(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
-  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+  /** The side daemons started by [[serveAll]] (spec/ops introspection). */
+  def statsdDaemon: Option[graft.ingest.StatsdServer] = statsd
+  def amqpDaemon: Option[graft.ingest.AmqpServer] = amqp
+
+  def stop(): Unit = {
+    // flush what the daemons buffered before the doors close — a
+    // shutdown must not drop received measures
+    statsd.foreach { s => try s.flush() finally s.stop() }
+    amqp.foreach { a => try a.flush() finally a.stop() }
+    statsd = None; amqp = None
+    server.foreach(_.stop(0)); server = None
+  }
 }

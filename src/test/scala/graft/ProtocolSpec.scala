@@ -145,6 +145,35 @@ class ProtocolSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("serveAll runs http + statsd + amqp under one lifecycle and " +
+      "stop() flushes the daemons' buffers before closing") {
+    val g = newGraft()
+    g.createPolicy(graft.model.ArchivePolicy("svc", 0,
+      Seq(graft.model.ArchivePolicyItem(
+        graft.model.Granularity.seconds(60), None, None)),
+      Set("mean")))
+    val server = new graft.rest.RestServer(
+      new graft.rest.RestApi(g))
+    val (hp, sp, ap) = server.serveAll(g, 0, 0, 0,
+      flushDelayS = None, policyName = Some("svc"))
+    try {
+      assert(hp > 0 && sp > 0 && ap > 0)
+      // http door answers
+      val conn = java.net.URI.create(s"http://127.0.0.1:$hp/v1/status")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 200)
+      // statsd door receives
+      val sock = new java.net.DatagramSocket()
+      val b = "svc.load:3.5|g".getBytes("UTF-8")
+      sock.send(new java.net.DatagramPacket(b, b.length,
+        java.net.InetAddress.getLoopbackAddress, sp))
+      await("datagram buffered")(
+        server.statsdDaemon.exists(_.pendingLines == 1))
+    } finally server.stop() // flushes the buffered gauge
+    g.process()
+    assert(g.getMeasures("svc.load|g", "mean").map(_._3) === Seq(3.5))
+  }
+
   test("amqp1d TCP daemon: AMQP 1.0 handshake + transfer over a real " +
       "socket -> collectd mapping -> store read (amqp1d.py:60-160)") {
     import graft.ingest.AmqpWire._
