@@ -16,10 +16,17 @@ import graft.query.MeasureSearch
   */
 class Graft(val spark: SparkSession, root: String) {
 
+  // Catalog maps are concurrent and the staging plane takes
+  // `stagingLock`: the statsd/amqp1d daemons started by
+  // RestServer.serveAll flush into this instance from their own
+  // threads, racing the HTTP dispatcher. Bare single-key reads are
+  // safe on the TrieMaps; every compound check-then-act and every
+  // touch of `pending`/`pendingDf` synchronizes.
   val policies: mutable.Map[String, ArchivePolicy] =
-    mutable.Map(ArchivePolicy.defaults.toSeq: _*)
-  private val metricPolicy = mutable.Map[String, String]()
+    scala.collection.concurrent.TrieMap(ArchivePolicy.defaults.toSeq: _*)
+  private val metricPolicy = scala.collection.concurrent.TrieMap[String, String]()
   private val stores = mutable.Map[String, MetricStore]()
+  private val stagingLock = new Object
   private val pending = mutable.ArrayBuffer[(String, java.sql.Timestamp, Double)]()
   // bulk-staged measures stay a DataFrame end to end — the corpus never
   // lands on the driver; status()/process() reduce it with aggregates
@@ -102,14 +109,14 @@ class Graft(val spark: SparkSession, root: String) {
   def createMetric(id: String, policyName: String,
                    unit: Option[String]): Unit = {
     GraftError.found(policies.contains(policyName), s"no policy $policyName")
-    GraftError.fresh(!metricPolicy.contains(id), s"metric $id already exists")
     unit.foreach(u => require(u.length <= 31,
       s"unit too long (${u.length} > 31)"))
-    metricPolicy(id) = policyName
+    GraftError.fresh(metricPolicy.putIfAbsent(id, policyName).isEmpty,
+      s"metric $id already exists")
     unit.foreach(metricUnit(id) = _)
   }
 
-  private val metricUnit = mutable.Map[String, String]()
+  private val metricUnit = scala.collection.concurrent.TrieMap[String, String]()
 
   def metricUnitOf(id: String): Option[String] = metricUnit.get(id)
 
@@ -202,9 +209,10 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def addMeasures(metricId: String, points: Seq[(String, Double)]): Unit = {
     GraftError.found(metricPolicy.contains(metricId), s"unknown metric $metricId")
-    pending ++= points.map { case (t, v) =>
+    val rows = points.map { case (t, v) =>
       (metricId, java.sql.Timestamp.valueOf(t), v)
     }
+    stagingLock.synchronized { pending ++= rows }
   }
 
   /** Bulk ingestion door: stage a `(metric_id, timestamp, value)` frame
@@ -226,7 +234,9 @@ class Graft(val spark: SparkSession, root: String) {
   def batchAddMeasures(batch: DataFrame): Unit = {
     val b = batch.select(col("metric_id").cast("string"),
       col("timestamp").cast("timestamp"), col("value").cast("double"))
-    pendingDf = Some(pendingDf.map(_.unionByName(b)).getOrElse(b))
+    stagingLock.synchronized {
+      pendingDf = Some(pendingDf.map(_.unionByName(b)).getOrElse(b))
+    }
   }
 
   /** POST /v1/batch/resources/metrics/measures?create_metrics=
@@ -335,10 +345,11 @@ class Graft(val spark: SparkSession, root: String) {
       metricsCatalog = Some(metricsCatalog
         .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
     }
-    pending ++= staged
+    stagingLock.synchronized { pending ++= staged }
   }
 
-  private val lastMeasure = mutable.Map[String, java.sql.Timestamp]()
+  private val lastMeasure =
+    scala.collection.concurrent.TrieMap[String, java.sql.Timestamp]()
 
   /** Metric metadata: when the metric last received measures
     * (`update_last_measure_timestamp`, storage/__init__.py:702). */
@@ -353,15 +364,21 @@ class Graft(val spark: SparkSession, root: String) {
     * (storage/__init__.py:694-725).
     */
   def process(): Unit = {
-    if (pending.isEmpty && pendingDf.isEmpty) return
     import spark.implicits._
-    val seqPart =
-      if (pending.isEmpty) None
-      else Some(pending.toSeq.toDF("metric_id", "timestamp", "value"))
-    pending.clear()
-    val hadBulk = pendingDf.isDefined
-    val batch = (seqPart.toSeq ++ pendingDf.toSeq).reduce(_ unionByName _)
-    pendingDf = None
+    // snapshot+clear the staging plane atomically; the Spark work below
+    // runs on the snapshot, outside the lock
+    val (seqPart, bulkPart) = stagingLock.synchronized {
+      if (pending.isEmpty && pendingDf.isEmpty) return
+      val sp =
+        if (pending.isEmpty) None
+        else Some(pending.toSeq.toDF("metric_id", "timestamp", "value"))
+      pending.clear()
+      val bp = pendingDf
+      pendingDf = None
+      (sp, bp)
+    }
+    val hadBulk = bulkPart.isDefined
+    val batch = (seqPart.toSeq ++ bulkPart.toSeq).reduce(_ unionByName _)
     // the metric→policy map is driver-sized (catalog rows): broadcast,
     // never shuffle the measures on it; bulk rows targeting unknown
     // metrics drop here (the reference 400s them at POST — a
@@ -420,11 +437,14 @@ class Graft(val spark: SparkSession, root: String) {
 
   def refresh(metricId: String): Unit = {
     import spark.implicits._
-    val seqMine = pending.filter(_._1 == metricId)
-    val dfMine = pendingDf.map(_.filter(col("metric_id") === metricId))
-    if (seqMine.isEmpty && dfMine.isEmpty) return
-    pending.filterInPlace(_._1 != metricId)
-    pendingDf = pendingDf.map(_.filter(col("metric_id") =!= metricId))
+    val (seqMine, dfMine) = stagingLock.synchronized {
+      val sm = pending.filter(_._1 == metricId).toSeq
+      val dm = pendingDf.map(_.filter(col("metric_id") === metricId))
+      if (sm.isEmpty && dm.isEmpty) return
+      pending.filterInPlace(_._1 != metricId)
+      pendingDf = pendingDf.map(_.filter(col("metric_id") =!= metricId))
+      (sm, dm)
+    }
     val parts =
       (if (seqMine.nonEmpty)
         Seq(seqMine.toSeq.toDF("metric_id", "timestamp", "value"))
@@ -589,10 +609,13 @@ class Graft(val spark: SparkSession, root: String) {
     * pending (staged, unprocessed) measure counts per metric.
     */
   def status(): Map[String, Long] = {
+    val (seqSnap, dfSnap) = stagingLock.synchronized {
+      (pending.toList, pendingDf)
+    }
     val seqCounts: Map[String, Long] =
-      pending.groupBy(_._1).map { case (m, pts) => m -> pts.size.toLong }
+      seqSnap.groupBy(_._1).map { case (m, pts) => m -> pts.size.toLong }
     // bulk plane reduces distributed: one count aggregate, #metrics rows
-    val dfCounts: Map[String, Long] = pendingDf.map(
+    val dfCounts: Map[String, Long] = dfSnap.map(
         _.groupBy("metric_id").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap)
       .getOrElse(Map.empty)
@@ -608,8 +631,10 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def deleteMetric(metricId: String): Unit = {
     GraftError.found(metricPolicy.contains(metricId), s"unknown metric $metricId")
-    pending.filterInPlace(_._1 != metricId)
-    pendingDf = pendingDf.map(_.filter(col("metric_id") =!= metricId))
+    stagingLock.synchronized {
+      pending.filterInPlace(_._1 != metricId)
+      pendingDf = pendingDf.map(_.filter(col("metric_id") =!= metricId))
+    }
     storeOf(metricPolicy(metricId)).expungeMetric(metricId)
     metricPolicy.remove(metricId)
     metricUnit.remove(metricId)
@@ -625,8 +650,10 @@ class Graft(val spark: SparkSession, root: String) {
       s"unknown metrics: ${unknown.distinct.sorted.mkString(", ")}")
     val ids = metricIds.distinct
     if (ids.isEmpty) return
-    pending.filterInPlace(p => !ids.contains(p._1))
-    pendingDf = pendingDf.map(_.filter(!col("metric_id").isin(ids: _*)))
+    stagingLock.synchronized {
+      pending.filterInPlace(p => !ids.contains(p._1))
+      pendingDf = pendingDf.map(_.filter(!col("metric_id").isin(ids: _*)))
+    }
     ids.groupBy(metricPolicy).foreach { case (pol, group) =>
       storeOf(pol).expungeMetrics(group)
     }
@@ -958,13 +985,13 @@ class Graft(val spark: SparkSession, root: String) {
     // validate everything up front — no mutation yet
     metrics.foreach {
       case (_, Left(mid)) =>
-        // phrasing matters: the REST error mapper routes "unknown
-        // metric" to 404, but a bad attach BODY is the reference's 400
+        // a bad attach BODY is the reference's 400, not a 404 — so a
+        // plain IllegalArgumentException, not GraftError.NotFound
         if (!hasMetric(mid)) throw new IllegalArgumentException(
           s"metric $mid does not exist")
       case (n, Right(pol)) =>
         val p = pol.getOrElse(rulePolicy(n)) // throws when no rule matches
-        require(policies.contains(p), s"no policy $p")
+        GraftError.found(policies.contains(p), s"no policy $p")
     }
     val attached = metrics.toSeq.sortBy(_._1).map {
       case (name, Left(mid)) => (mid, resourceId, name)

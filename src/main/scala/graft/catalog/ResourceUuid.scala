@@ -102,10 +102,15 @@ object ResourceUuid {
       vNibble, substring(h, 18, 3), lit("-"), substring(h, 21, 12))
     // python-uuid.UUID-lenient passthrough, as the scalar door: drop
     // urn:/uuid: substrings, strip {} from the ends, drop dashes,
-    // then require 32 hex chars.
+    // then require 32 hex chars. The replaces are SEQUENTIAL (urn:
+    // first, then uuid:) like python str.replace — a one-pass
+    // alternation would miss a "uuid:" that the "urn:" removal
+    // creates, diverging from the scalar door on the same input.
     val hex = regexp_replace(
       regexp_replace(
-        regexp_replace(value, "urn:|uuid:", ""), "^[{}]+|[{}]+$", ""),
+        regexp_replace(
+          regexp_replace(value, "urn:", ""), "uuid:", ""),
+        "^[{}]+|[{}]+$", ""),
       "-", "")
     when(hex.rlike("^[0-9a-fA-F]{32}$"), lower(concat(
         substring(hex, 1, 8), lit("-"), substring(hex, 9, 4), lit("-"),

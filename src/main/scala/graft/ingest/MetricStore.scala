@@ -117,8 +117,17 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     val staleMs = spark.conf
       .getOption("spark.graft.ingest.lockStaleMs").map(_.toLong)
       .getOrElse(3600_000L)
+    // ownership token: release only deletes the lock if it still holds
+    // OUR token — after a stale-break the (presumed-crashed but
+    // actually slow) old holder must not free the NEW holder's lock
+    // and re-open the concurrent-sweep window
+    val token = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
-      try { fs.create(lock, false).close(); true }
+      try {
+        val out = fs.create(lock, false)
+        out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close(); true
+      }
       catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
       val age = try System.currentTimeMillis() -
@@ -133,7 +142,22 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
             s"age ${age / 1000}s); retry this batch after it finishes " +
             "or remove the lock if the holder crashed")
     }
-    try f finally fs.delete(lock, false)
+    def release(): Unit = {
+      val mine =
+        try {
+          val in = fs.open(lock)
+          val held = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          held == token
+        } catch { case _: java.io.IOException => false }
+      if (mine) fs.delete(lock, false)
+      else System.err.println(
+        s"[graft] WARN: store lock $lock no longer ours — a writer " +
+          "broke it as stale while this batch ran; its output may " +
+          "interleave with ours. Raise spark.graft.ingest.lockStaleMs " +
+          "above the longest batch.")
+    }
+    try f finally release()
   }
 
   /** Replace the touched partitions of a partitioned parquet tree with

@@ -34,6 +34,7 @@ final class StatsdServer(g: Graft, policyName: Option[String] = None,
   private val seq = new AtomicLong(0L)
   private val running = new AtomicBoolean(false)
   private var socket: Option[DatagramSocket] = None
+  private var threads: List[Thread] = Nil
 
   /** Bind and start the receive loop (daemon thread); returns the
     * bound port (pass 0 for an ephemeral one).
@@ -58,11 +59,14 @@ final class StatsdServer(g: Graft, policyName: Option[String] = None,
         } catch {
           case _: java.net.SocketTimeoutException => ()
           case _: Throwable if !running.get() => ()
+          case e: Throwable => // transient receive error: log, keep serving
+            System.err.println(s"[statsd] receive error: ${e.getMessage}")
         }
       }
     }, "graft-statsd")
     t.setDaemon(true)
     t.start()
+    threads = t :: threads
     flushDelayS.foreach { d =>
       val f = new Thread(() => {
         while (running.get()) {
@@ -72,6 +76,7 @@ final class StatsdServer(g: Graft, policyName: Option[String] = None,
       }, "graft-statsd-flush")
       f.setDaemon(true)
       f.start()
+      threads = f :: threads
     }
     sock.getLocalPort
   }
@@ -105,19 +110,38 @@ final class StatsdServer(g: Graft, policyName: Option[String] = None,
     val now = new java.sql.Timestamp(System.currentTimeMillis()).toString
     rows.foreach { r =>
       val name = r.getString(0)
-      if (!g.hasMetric(name)) policyName match {
-        case Some(p) => g.createMetric(name, p)
-        case None    => g.createMetric(name) // R9 rules pick the policy
-      }
+      Protocols.ensureMetric(g, name, policyName)
       g.addMeasures(name, Seq((now, r.getDouble(1))))
     }
   }
 
+  /** Stop receiving: closes the socket and joins the receive/flush
+    * threads, so the buffer is quiescent — the caller then runs a
+    * final [[flush]] to drain everything that was received (the
+    * shutdown ordering [[graft.rest.RestServer.stop]] relies on).
+    */
   def stop(): Unit = {
     running.set(false)
     socket.foreach(_.close())
     socket = None
+    threads.foreach(_.join(2000))
+    threads = Nil
   }
+}
+
+private[ingest] object Protocols {
+  /** Create-if-absent tolerant of a concurrent creator (two daemon
+    * flush threads can race the same name; Graft's putIfAbsent makes
+    * the loser throw Conflict — losing the race IS success here).
+    */
+  def ensureMetric(g: Graft, name: String, policyName: Option[String]): Unit =
+    if (!g.hasMetric(name))
+      try policyName match {
+        case Some(p) => g.createMetric(name, p)
+        case None    => g.createMetric(name) // R9 rules pick the policy
+      } catch {
+        case _: graft.api.GraftError.Conflict if g.hasMetric(name) => ()
+      }
 }
 
 /** AMQP 1.0 frame layer (OASIS AMQP 1.0 part 2) over the [[Amqp]]
@@ -212,6 +236,8 @@ final class AmqpServer(g: Graft, policyName: Option[String] = None,
   private val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
   private val running = new AtomicBoolean(false)
   private var server: Option[ServerSocket] = None
+  private val threads = new java.util.concurrent.CopyOnWriteArrayList[Thread]()
+  private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   def serve(port: Int = 5672): Int = {
     require(server.isEmpty, "already serving")
@@ -223,19 +249,31 @@ final class AmqpServer(g: Graft, policyName: Option[String] = None,
       while (running.get()) {
         try {
           val conn = srv.accept()
-          try handleConnection(conn)
-          catch { case _: Throwable if !running.get() => ()
-                  case e: Throwable =>
-                    System.err.println(s"[amqp1d] connection error: ${e.getMessage}") }
-          finally conn.close()
+          live.add(conn)
+          // one thread per connection: an idle client must not starve
+          // the accept loop, and stop() can close live sockets to
+          // unblock their readers
+          val h = new Thread(() => {
+            try handleConnection(conn)
+            catch { case _: Throwable if !running.get() => ()
+                    case e: Throwable =>
+                      System.err.println(s"[amqp1d] connection error: ${e.getMessage}") }
+            finally { live.remove(conn); try conn.close() catch { case _: Throwable => () } }
+          }, "graft-amqp1d-conn")
+          h.setDaemon(true)
+          h.start()
+          threads.add(h)
         } catch {
           case _: java.net.SocketTimeoutException => ()
           case _: Throwable if !running.get() => ()
+          case e: Throwable =>
+            System.err.println(s"[amqp1d] accept error: ${e.getMessage}")
         }
       }
     }, "graft-amqp1d")
     t.setDaemon(true)
     t.start()
+    threads.add(t)
     flushDelayS.foreach { d =>
       val f = new Thread(() => {
         while (running.get()) {
@@ -245,6 +283,7 @@ final class AmqpServer(g: Graft, policyName: Option[String] = None,
       }, "graft-amqp1d-flush")
       f.setDaemon(true)
       f.start()
+      threads.add(f)
     }
     srv.getLocalPort
   }
@@ -326,18 +365,20 @@ final class AmqpServer(g: Graft, policyName: Option[String] = None,
     // not measure-bounded — same envelope as the REST wire doors
     val ids = measures.select("metric_id").distinct()
       .collect().map(_.getString(0))
-    ids.filterNot(g.hasMetric).foreach { id =>
-      policyName match {
-        case Some(p) => g.createMetric(id, p)
-        case None    => g.createMetric(id)
-      }
-    }
+    ids.foreach(Protocols.ensureMetric(g, _, policyName))
     g.batchAddMeasures(measures)
   }
 
+  /** Stop accepting and close live connections (unblocking their
+    * reader threads), then join everything — after this the body
+    * buffer is quiescent and the caller's final [[flush]] drains it.
+    */
   def stop(): Unit = {
     running.set(false)
     server.foreach(_.close())
     server = None
+    live.forEach(c => try c.close() catch { case _: Throwable => () })
+    threads.forEach(_.join(2000))
+    threads.clear()
   }
 }

@@ -78,8 +78,14 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     */
   private def parsePred(v: JValue): MeasureSearch.Pred = v match {
     case JObject(List((op, arg))) => op.toLowerCase match {
-      case "and" | "∧" => MeasureSearch.And(arg.asInstanceOf[JArray].arr.map(parsePred))
-      case "or" | "∨"  => MeasureSearch.Or(arg.asInstanceOf[JArray].arr.map(parsePred))
+      case "and" | "∧" => arg match {
+        case JArray(vs) => MeasureSearch.And(vs.map(parsePred))
+        case other => throw new IllegalArgumentException(s"'and' expects a list: $other")
+      }
+      case "or" | "∨" => arg match {
+        case JArray(vs) => MeasureSearch.Or(vs.map(parsePred))
+        case other => throw new IllegalArgumentException(s"'or' expects a list: $other")
+      }
       case "not" | "¬" => MeasureSearch.Not(parsePred(arg))
       case cmp => arg match {
         case JArray(List(l, r)) => MeasureSearch.Cmp(cmp, parseExpr(l), parseExpr(r))
@@ -443,7 +449,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           ("archive_policy" -> policyJson(g.policies(g.metricPolicyName(id)))))
 
       case ("POST", List("v1", "metric")) =>
-        if (requireAuth) enforceAuthed(creator)
+        enforceAuthed(creator)
         val b = body()
         val id = jstr(b \ "id" match { case JNothing => b \ "name"; case v => v })
         val unit = b \ "unit" match {
@@ -456,12 +462,12 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         created(("id" -> id) ~ ("unit" -> unit))
 
       case ("DELETE", List("v1", "metric", id)) =>
-        if (requireAuth) enforceAuthed(creator)
+        enforceAuthed(creator)
         g.deleteMetric(id); noContent
 
       // POST measures — 202, deferred processing (rest/api.py:488-494)
       case ("POST", List("v1", "metric", id, "measures")) =>
-        if (requireAuth) enforceAuthed(creator)
+        enforceAuthed(creator)
         val points = body().asInstanceOf[JArray].arr.map { m =>
           val ts = m \ "timestamp" match {
             case JString(s) => parseTs(s)
@@ -696,7 +702,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // registered catalog schema; duplicate id → 409. Non-UUID ids
       // transform (uuid5 under the creator) inside the facade.
       case ("POST", List("v1", "resource", tpe)) =>
-        if (requireAuth) enforceAuthed(creator)
+        enforceAuthed(creator)
         val b = body()
         val id = jstr(b \ "id")
         // an externally-registered row keyed by this RAW id is a

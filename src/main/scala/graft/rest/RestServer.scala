@@ -29,11 +29,17 @@ class RestServer(api: RestApi) {
                flushDelayS: Option[Double] = Some(10.0),
                policyName: Option[String] = None): (Int, Int, Int) = {
     val hp = serve(httpPort)
-    val st = new graft.ingest.StatsdServer(g, policyName, flushDelayS)
-    val am = new graft.ingest.AmqpServer(g, policyName, flushDelayS)
-    statsd = Some(st)
-    amqp = Some(am)
-    (hp, st.serve(statsdPort), am.serve(amqpPort))
+    try {
+      val st = new graft.ingest.StatsdServer(g, policyName, flushDelayS)
+      val am = new graft.ingest.AmqpServer(g, policyName, flushDelayS)
+      statsd = Some(st)
+      amqp = Some(am)
+      (hp, st.serve(statsdPort), am.serve(amqpPort))
+    } catch {
+      // a later bind failure must not leave earlier doors running: a
+      // failed serveAll holds no ports
+      case e: Throwable => try stop() catch { case _: Throwable => () }; throw e
+    }
   }
 
   def serve(port: Int = 8041): Int = {
@@ -100,10 +106,15 @@ class RestServer(api: RestApi) {
   def amqpDaemon: Option[graft.ingest.AmqpServer] = amqp
 
   def stop(): Unit = {
-    // flush what the daemons buffered before the doors close — a
-    // shutdown must not drop received measures
-    statsd.foreach { s => try s.flush() finally s.stop() }
-    amqp.foreach { a => try a.flush() finally a.stop() }
+    // stop the receive loops FIRST (quiescing each buffer), THEN run
+    // the final flush — the reverse order would snapshot the buffer
+    // while the receive thread still appends, silently dropping
+    // anything received after the snapshot
+    def closing(door: String)(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        System.err.println(s"[graft] $door shutdown error: ${e.getMessage}") }
+    statsd.foreach { s => closing("statsd") { s.stop(); s.flush() } }
+    amqp.foreach { a => closing("amqp1d") { a.stop(); a.flush() } }
     statsd = None; amqp = None
     server.foreach(_.stop(0)); server = None
   }

@@ -234,4 +234,51 @@ class ProtocolSpec extends SparkSpec {
       assert(g.getMeasures("web1/mem.used", "mean").map(_._3) === Seq(7.5))
     } finally server.stop()
   }
+
+  test("facade staging survives concurrent writers — the serveAll " +
+      "daemon race: no lost appends, atomic create-if-absent") {
+    val s = spark
+    import s.implicits._
+    val g = newGraft()
+    g.createPolicy(graft.model.ArchivePolicy("mt", 0,
+      Seq(graft.model.ArchivePolicyItem(
+        graft.model.Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g.createMetric("seed", "mt")
+    val raced = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val threads =
+      // 4 writers on the Seq door (the statsd flush path)
+      (1 to 4).map { i => new Thread(() => {
+        (1 to 50).foreach { j =>
+          g.addMeasures("seed",
+            Seq((f"2014-01-01 12:${i}%02d:${j % 60}%02d", 1.0)))
+        }
+      }, s"race-seq-$i") } ++
+      // 2 writers on the bulk DataFrame door (the amqp flush path)
+      (1 to 2).map { i => new Thread(() => {
+        (1 to 4).foreach { _ =>
+          g.batchAddMeasures(Seq(
+            ("bulk", java.sql.Timestamp.valueOf(s"2014-01-01 13:0$i:00"), 1.0),
+            ("bulk", java.sql.Timestamp.valueOf(s"2014-01-01 13:0$i:01"), 2.0),
+            ("bulk", java.sql.Timestamp.valueOf(s"2014-01-01 13:0$i:02"), 3.0))
+            .toDF("metric_id", "timestamp", "value"))
+        }
+      }, s"race-bulk-$i") } ++
+      // 2 creators racing the SAME metric id: exactly one must win
+      (1 to 2).map { _ => new Thread(() => {
+        try g.createMetric("contested", "mt")
+        catch { case _: graft.api.GraftError.Conflict => raced.incrementAndGet() }
+      }) }
+    threads.foreach { t =>
+      t.setUncaughtExceptionHandler((_, e) => errors.add(e)); t.start()
+    }
+    threads.foreach(_.join(30000))
+    assert(errors.isEmpty, s"writer threads failed: $errors")
+    val st = g.status()
+    assert(st("seed") === 200L, "seq-door appends lost in the race")
+    assert(st("bulk") === 24L, "bulk-door unions lost in the race")
+    assert(raced.get === 1, "putIfAbsent must let exactly one creator win")
+    assert(g.hasMetric("contested"))
+  }
 }

@@ -1004,6 +1004,10 @@ class RestSpec extends SparkSpec {
       body = """{"id": "m", "archive_policy_name": "low"}""").status === 201)
     assert(api.dispatch("POST", "/v1/metric",
       body = """{"id": "m", "archive_policy_name": "low"}""").status === 409)
+    // same non-array bug class in the measure-search predicate parser
+    assert(api.dispatch("POST", "/v1/search/metric",
+      query = Map("metric_id" -> "m", "granularity" -> "60"),
+      body = """{"and": {">=": 10}}""").status === 400)
   }
 
   test("socket round-trip on the JDK server binding") {
