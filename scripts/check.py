@@ -30,8 +30,13 @@ oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails, passes, weak = [], [], []
 import glob, os
 have = {os.path.basename(p) for p in glob.glob(f"{OUT}/*") if os.path.isdir(p)}
+# with a subset, also restrict the COMPARE to it (so a --no-run
+# re-compare over a shared outDir can target one query at a time)
+if SUBSET:
+    have &= set(SUBSET.split(","))
 
 for name in sorted(have):
+    print(f"... comparing {name}", flush=True)
     if name not in oracle:
         n = con.execute(f"SELECT count(*) FROM '{OUT}/{name}/*.parquet'").fetchone()[0]
         weak.append((name, n))

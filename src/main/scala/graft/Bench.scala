@@ -380,12 +380,18 @@ object Bench {
     // warm parquet footers and codegen paths so per-query numbers are
     // steady state, not first-query JIT cost — re-run after restarts
     def warmStd(s: SparkSession): Unit = {
+      // warm-up is best-effort: a missing/corrupt table must surface
+      // as that QUERY's 1e9 sentinel, never abort the whole artifact
       for (t <- Seq("lineitem", "orders", "customer", "events", "documents",
           "embeddings", "region", "nation", "part", "supplier"))
-        s.read.parquet(s"$sfDir/$t.parquet").count()
-      s.read.parquet(s"$sfDir/events.parquet")
+        try s.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up skipped $t: ${e.getMessage}") }
+      try s.read.parquet(s"$sfDir/events.parquet")
         .groupBy("event_type").count().write.format("noop")
         .mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up events agg failed: ${e.getMessage}") }
     }
     warmStd(spark)
 
@@ -446,7 +452,8 @@ object Bench {
             (name, t)
           }) ++ {
             if (only.isDefined &&
-                !only.get.exists(Set("scale_j1_ingest", "scale_j1_warm", "scale_p2_read")))
+                !only.get.exists(Set("scale_j1_ingest", "scale_j1_warm",
+                  "scale_j1_warm_fallback", "scale_p2_read")))
               Nil
             else {
               // fresh section for the ingest lifecycle too (same

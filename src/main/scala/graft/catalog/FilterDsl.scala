@@ -66,6 +66,11 @@ object Filter {
     case In(_, Nil)    => lit(false)
     case In(a, vs)     => fieldCol(a).isin(vs: _*)
     case Like(a, p)    => fieldCol(a).like(p)
+    // empty conjunction/disjunction take their SQL identities (the
+    // reference's sqlalchemy and_()/or_() with no clauses) instead of
+    // crashing reduce on an empty list — reachable from REST JSON
+    case And(Nil)      => lit(true)
+    case Or(Nil)       => lit(false)
     case And(subs)     => subs.map(compile).reduce(_ && _)
     case Or(subs)      => subs.map(compile).reduce(_ || _)
     case Not(sub)      => !compile(sub)
@@ -149,7 +154,8 @@ object FilterParser {
             }
             expect("]"); In(attr, vs.toSeq)
           case "like" => Like(attr, value(next()).toString)
-          case o if Set("=", "==", "eq", "<", ">", "<=", ">=", "!=", "≠", "≤", "≥").contains(o) =>
+          case o if Set("=", "==", "eq", "<", "lt", ">", "gt", "<=", "le",
+              ">=", "ge", "!=", "ne", "≠", "≤", "≥").contains(o) =>
             Cmp(o, attr, value(next()))
           case o => throw new IllegalArgumentException(s"unknown operator $o")
         }
@@ -157,7 +163,9 @@ object FilterParser {
 
     private def value(t: String): Any = t match {
       case _ if t.startsWith("\"") || t.startsWith("'") =>
-        t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\'", "'")
+        // pyparsing QuotedString(escChar='\\'): EVERY \x pair unescapes
+        // to x, not just the quote characters
+        t.substring(1, t.length - 1).replaceAll("\\\\(.)", "$1")
       case "null" | "None" => null
       case "true" | "True" => true
       case "false" | "False" => false
@@ -176,7 +184,9 @@ object FilterParser {
 object Fnmatch {
   /** Translate a glob to an anchored Java regex (fnmatch.translate). */
   def regex(glob: String): String = {
-    val sb = new StringBuilder("^")
+    // python fnmatch.translate compiles with re.DOTALL — '*'/'?' must
+    // cross newlines here too
+    val sb = new StringBuilder("(?s)^")
     var i = 0
     while (i < glob.length) {
       glob.charAt(i) match {
@@ -254,8 +264,15 @@ object Pagination {
   private def markerLookup(df: DataFrame, uniqueKey: String, m: Any): Column =
     m match {
       case s: String if s.contains("@") && df.columns.contains("revision") =>
-        val Array(id, rev) = s.split("@", 2)
-        col(uniqueKey) === lit(id) && col("revision") === lit(rev.toLong)
+        // split on the LAST '@' (ids may contain '@'); a non-numeric
+        // suffix means the whole marker is a plain id, not id@revision
+        val at = s.lastIndexOf('@')
+        val (id, rev) = (s.substring(0, at), s.substring(at + 1))
+        rev.toLongOption match {
+          case Some(r) =>
+            col(uniqueKey) === lit(id) && col("revision") === lit(r)
+          case None => col(uniqueKey) === lit(s)
+        }
       case other => col(uniqueKey) === lit(other)
     }
 

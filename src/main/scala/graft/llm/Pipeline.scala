@@ -74,8 +74,14 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
       .withColumn("__off", coalesce(sum(col("__tot")).over(wTot), lit(0L)))
-      .select(col(strataCol), col("__off"))
-    within.join(broadcast(offsets), Seq(strataCol))
+      .select(col(strataCol).as("__off_key"), col("__off"))
+    // null-safe join: a null stratum is a legitimate group (the window
+    // and groupBy both treat null as one partition) — a USING join
+    // would silently drop those rows while their tokens still shifted
+    // every later stratum's offset
+    within.join(broadcast(offsets),
+        within(strataCol) <=> offsets.col("__off_key"), "inner")
+      .drop("__off_key")
       .withColumn("token_offset", col("__cum_in") + col("__off"))
       .withColumn("first_win",
         floor(col("token_offset") / budget).cast("long"))

@@ -51,6 +51,9 @@ object MeasureSearch {
         case "!=" | "≠" | "ne"  => a =!= b
         case other => throw new IllegalArgumentException(s"cmp $other")
       }
+    // SQL identities on empty lists (no 500 on a REST {"and": []})
+    case And(Nil) => lit(true)
+    case Or(Nil)  => lit(false)
     case And(ps) => ps.map(compile(_, value)).reduce(_ && _)
     case Or(ps)  => ps.map(compile(_, value)).reduce(_ || _)
     case Not(q)  => !compile(q, value)

@@ -110,6 +110,19 @@ object StreamingIngest {
             st.getPath.getName != s"batch=$id")
           .map(_.getPath.toString)
       else Seq.empty[String]
+    // a RESET checkpoint against a populated index restarts batch ids
+    // at 0: the old run's batch=<n> dirs would read as "prior" history
+    // while overwrite clobbers its batch=<id> — refuse loudly instead
+    // of silently losing the old run's survivors. Legitimate replay
+    // never sees an existing id above its own.
+    val maxExisting = priorBatches
+      .map(p => p.substring(p.lastIndexOf('=') + 1).toLong)
+      .maxOption.getOrElse(-1L)
+    require(maxExisting <= id,
+      s"dedup index $indexDir already holds batch=$maxExisting but this " +
+        s"stream is at batch=$id — the checkpoint was reset against a " +
+        "populated index. Use a fresh indexDir/keptDir (or restore the " +
+        "original checkpoint) instead of interleaving two streams.")
     val index =
       if (priorBatches.nonEmpty)
         s.read.parquet(priorBatches: _*).select("content_md5")

@@ -57,6 +57,34 @@ class CatalogSpec extends SparkSpec {
     assert(!Fnmatch.matches("disk[!0-9].io", "disk3.io"))
     assert(!Fnmatch.matches("a+b", "aab")) // regex chars are literal
     assert(Fnmatch.matches("a+b", "a+b"))
+    // python fnmatch compiles DOTALL: '*' crosses newlines
+    assert(Fnmatch.matches("*", "a\nb"))
+    assert(Fnmatch.matches("a*b", "a\nb"))
+  }
+
+  test("string grammar: word operators, backslash unescape; empty " +
+      "and/or compile to their SQL identities") {
+    assert(FilterParser.parse("a ne 1") == Filter.Cmp("ne", "a", 1L))
+    assert(FilterParser.parse("a lt 2 and a ge 1") == Filter.And(Seq(
+      Filter.Cmp("lt", "a", 2L), Filter.Cmp("ge", "a", 1L))))
+    // pyparsing QuotedString(escChar='\\'): every \x pair unescapes
+    assert(FilterParser.parse("name = 'a\\\\b'") ==
+      Filter.Cmp("=", "name", "a\\b"))
+    val s = spark
+    import s.implicits._
+    val df = Seq(("r1", 1L), ("r2", 2L)).toDF("id", "n")
+    assert(df.filter(Filter.compile(Filter.And(Nil))).count() == 2)
+    assert(df.filter(Filter.compile(Filter.Or(Nil))).count() == 0)
+  }
+
+  test("pagination marker: id containing '@' with non-numeric suffix " +
+      "resolves as a plain id, not a malformed history marker") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("user@host", 1L), ("zz", 2L)).toDF("id", "revision")
+    val page = Pagination(df, Seq("id" -> true), "id",
+      Some("user@host"), 10).select("id").collect().map(_.getString(0))
+    assert(page.toSeq == Seq("zz"))
   }
 
   test("computed filter fields: lifespan and created_by_* (sqlalchemy.py:1541-1568)") {

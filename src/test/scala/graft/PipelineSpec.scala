@@ -75,6 +75,20 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) == (2L, 0L, 0L)) // empty doc consumed no tokens
   }
 
+  test("packChunks: a null stratum packs as its own group, never drops") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, null.asInstanceOf[String], "w w w"),
+        (2L, "a", "w w"), (3L, null.asInstanceOf[String], "w"))
+      .toDF("doc_id", "source", "text")
+    val got = Pipeline.packChunks(d, TextAnalysis.wordCount(col("text")),
+        budget = 10, strataCol = "source")
+      .select("doc_id", "token_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // null sorts FIRST in the stratum prefix order: null-docs 1,3 then a
+    assert(got == Map(1L -> 0L, 3L -> 3L, 2L -> 4L))
+  }
+
   test("decontaminate flags docs sharing a 3-gram with the benchmark set") {
     val bench = docs((100L, "b", "alpha beta gamma delta"))
     val corpus = docs(

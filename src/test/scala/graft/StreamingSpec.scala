@@ -92,6 +92,12 @@ class StreamingSpec extends SparkSpec {
     StreamingIngest.dedupBatch(
       Seq((5L, "gamma"), (6L, "delta")).toDF("doc_id", "text"), 2L, index, kept)
     assert(keptIds(2) == Set(6L))
+    // a RESET checkpoint (batch ids restart at 0 against the populated
+    // index) must refuse loudly, not clobber the old run's survivors
+    val e = intercept[IllegalArgumentException](StreamingIngest.dedupBatch(
+      Seq((7L, "epsilon")).toDF("doc_id", "text"), 0L, index, kept))
+    assert(e.getMessage.contains("checkpoint was reset"))
+    assert(keptIds(0) == Set(1L, 2L)) // untouched
   }
 
   test("file-source stream drains micro-batches through the incremental job") {
