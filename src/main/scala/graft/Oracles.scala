@@ -1332,7 +1332,7 @@ object Oracles {
                       now_s
                FROM d)
          SELECT id, ended_s,
-                CAST(CASE WHEN ended_s IS NULL OR ended_s > now_s - 5*86400
+                CAST(CASE WHEN ended_s IS NULL OR ended_s >= now_s - 5*86400
                      THEN 1 ELSE 0 END AS BIGINT) AS kept
          FROM r""",
 

@@ -32,8 +32,10 @@ object Maintenance {
     * (chef.py:119-184) — returns the surviving catalog.
     */
   def autoClean(resources: DataFrame, nowS: Long, graceS: Long): DataFrame =
+    // STRICTLY more than graceS ago deletes — the boundary row (ended
+    // exactly graceS ago) survives, as the contract says
     resources.filter(col("ended_at").isNull ||
-      unix_timestamp(col("ended_at")) > nowS - graceS)
+      unix_timestamp(col("ended_at")) >= nowS - graceS)
 
   /** Resource resurrection on ingest (storage/__init__.py:694-725):
     * a measure batch arriving for an ended resource clears `ended_at`,

@@ -78,8 +78,21 @@ object ResourceTypes {
         if (d.columns.contains(f.name)) d
         else d.withColumn(f.name, lit(null).cast(f.dataType))
       }
-      val casted = structType.fields.foldLeft(withAll) { (d, f) =>
-        d.withColumn(f.name, col(f.name).cast(f.dataType))
+      // a non-null value the declared type cannot represent is a
+      // VIOLATION, not a silent null (or, under ANSI, a whole-job
+      // crash): try_cast nulls on failure, and the check sees the
+      // pre-cast value — counted before the fold rewrites each column
+      val castViolations = attrs
+        .filter(a => df.columns.contains(a.name))
+        .map { a =>
+          val raw = col(a.name)
+          when(raw.isNotNull && raw.try_cast(a.tpe.dataType).isNull, 1)
+            .otherwise(0)
+        }
+        .reduceOption(_ + _).getOrElse(lit(0))
+      val withCastViol = withAll.withColumn("__cast_viol", castViolations)
+      val casted = structType.fields.foldLeft(withCastViol) { (d, f) =>
+        d.withColumn(f.name, col(f.name).try_cast(f.dataType))
       }
       val checks: Seq[org.apache.spark.sql.Column] = attrs.flatMap { a =>
         val c = col(a.name)
@@ -100,7 +113,7 @@ object ResourceTypes {
         .reduceOption(_ + _).getOrElse(lit(0))
       casted
         .withColumn("type", coalesce(col("type"), lit(name)))
-        .withColumn("__violations", violation)
+        .withColumn("__violations", violation + col("__cast_viol"))
         .select((structType.fieldNames.toSeq.map(col) :+ col("__violations")): _*)
     }
 

@@ -675,7 +675,8 @@ object Dedup {
   def semDedup(em: DataFrame, nClusters: Int = 8, threshold: Double = 0.8,
                iters: Int = 3, sampleMod: Int = 1,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               probes: Int = 2): DataFrame = {
     // witness selection negates ids arithmetically (max-struct tie
     // break); a string id would null out (or throw under ANSI) and
     // silently disable every drop — refuse loudly
@@ -686,12 +687,18 @@ object Dedup {
     val cents = Similarity.kmeansCentroids(em, nClusters, iters, sampleMod,
       idCol, vecCol)
     // fused per-row cell assignment — the vector table never joins or
-    // shuffles for its label (see functions.VecTopCells)
-    val base = rebalance(em).select(col(idCol), col(vecCol))
-      .withColumn("cell",
-        element_at(Similarity.topCells(col(vecCol), cents, 1), 1)
-          .getField("cell"))
+    // shuffles for its label (see functions.VecTopCells). Each vector
+    // probes its top-`probes` cells (multi-assignment): single-cell
+    // SemDeDup misses every near-dup pair a cluster boundary splits,
+    // and at growing corpus size boundary pairs dominate the misses.
+    // A pair sharing two probed cells yields duplicate candidate rows;
+    // the max-struct witness aggregate collapses them.
+    val labeled = rebalance(em).select(col(idCol), col(vecCol))
+      .withColumn("__cells",
+        transform(Similarity.topCells(col(vecCol), cents, probes),
+          c => c.getField("cell")))
       .withColumn("__nrm", Similarity.l2norm(col(vecCol)))
+    val base = labeled.withColumn("cell", explode(col("__cells")))
     val a = base.select(col("cell"), col(idCol).as("__ida"),
       col(vecCol).as("__va"), col("__nrm").as("__na"))
     val b = base.select(col("cell"), col(idCol).as("__idb"),
@@ -706,7 +713,8 @@ object Dedup {
         .as("__w"))
       .select(col(idCol), col("__w.c").as("witness_cosine"),
         (-col("__w.negid")).cast("long").as("witness_id"))
-    base.select(col(idCol), col("cell"))
+    // output stays one row per vector, labeled by its PRIMARY cell
+    labeled.select(col(idCol), element_at(col("__cells"), 1).as("cell"))
       .join(wit, Seq(idCol), "left")
       .withColumn("dropped", col("witness_id").isNotNull)
   }

@@ -31,9 +31,7 @@ object TextAnalysis {
     sig.getField("pieces") + sig.getField("long_word_extra")
   }
 
-  /** Kept in sync with graft.functions.TextSignals.stopwordsEn. */
-  private val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
-    "in", "is", "was", "it", "for", "on", "with", "as", "at", "by")
+
 
   /** Quality signals (length, punctuation ratio, stopword ratio, mean
     * word length) + a composite score in [0, 1]. Heuristics in the
@@ -78,21 +76,38 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "por", "como"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "不", "们"))
 
+  /** One language's marker hit rate. Whitespace languages score
+    * marker-TOKEN hits over the word count; zh text is unsegmented
+    * (no whitespace tokens, so token equality can never match a
+    * single-character marker) and scores marker-CHARACTER occurrences
+    * over the non-space character count instead.
+    */
+  private def markerScore(t: Column, words: Column, nWords: Column,
+                          lang: String, markers: Seq[String]): Column =
+    if (lang == "zh") {
+      val nChars =
+        greatest(length(regexp_replace(t, "\\s+", "")), lit(1)).cast("double")
+      markers.map(m =>
+          (length(t) - length(translate(t, m, ""))).cast("double"))
+        .reduce(_ + _) / nChars
+    } else size(filter(words, w => w.isin(markers: _*))) / nWords
+
   /** Per-language marker hit rates as columns `<lang>_score`. */
   def languageScores(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val words = split(lower(trim(col(textCol))), "\\s+")
+    val t = lower(trim(col(textCol)))
+    val words = split(t, "\\s+")
     val n = greatest(size(words), lit(1)).cast("double")
     langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
-      d.withColumn(s"${lang}_score",
-        size(filter(words, w => w.isin(markers: _*))) / n)
+      d.withColumn(s"${lang}_score", markerScore(t, words, n, lang, markers))
     }
   }
 
   def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val words = split(lower(trim(col(textCol))), "\\s+")
+    val t = lower(trim(col(textCol)))
+    val words = split(t, "\\s+")
     val n = greatest(size(words), lit(1)).cast("double")
     val scored = langMarkers.map { case (lang, markers) =>
-      struct((size(filter(words, w => w.isin(markers: _*))) / n).as("score"),
+      struct(markerScore(t, words, n, lang, markers).as("score"),
              lit(lang).as("lang"))
     }
     df.withColumn("__best", greatest(scored: _*))
@@ -252,12 +267,13 @@ object TextAnalysis {
       transform(slice(col("__wh"), lit(j + 1), greatest(col("__n"), lit(1))),
         h => rotl(h, 1 + j * 7))
     }
-    val rolling = shifted.reduce((a, b) => zip_with(a, b, (x, y) =>
-      coalesce(x.bitwiseXOR(y), lit(null))))
+    // every slice has exactly max(__n, 1) elements, so zip_with never
+    // null-pads — plain XOR, no null guards needed
+    val rolling = shifted.reduce((a, b) => zip_with(a, b, _ bitwiseXOR _))
     withWh
       .withColumn("content_hash", xxhash64(norm))
       .withColumn("winnow_fp",
-        when(col("__n") >= 1, array_min(filter(rolling, x => x.isNotNull)))
+        when(col("__n") >= 1, array_min(rolling))
           .otherwise(xxhash64(norm)))
       .drop("__wh", "__n")
   }
@@ -314,7 +330,7 @@ object TextAnalysis {
   def urlDedup(df: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
     df.withColumn("__url",
-        regexp_extract(col(textCol), "https?://\\S+", 0))
+        regexp_extract(col(textCol), "(?i)https?://\\S+", 0))
       .filter(col("__url") =!= "")
       .withColumn("url_norm", urlNormalize(col("__url")))
       .groupBy("url_norm")
@@ -334,10 +350,12 @@ object TextAnalysis {
     */
   def termStats(df: DataFrame, textCol: String = "text",
                 topK: Int = 100): DataFrame = {
-    val counts = df
+    // two consumers (total + topK) — Catalyst does not dedupe shared
+    // subplans, so unpinned the corpus explode+aggregate runs twice
+    val counts = OpCaches.persist(df
       .select(explode(split(Dedup.normalized(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
-      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .groupBy("term").agg(count(lit(1)).as("freq")))
     val total = counts.agg(sum(col("freq")).as("__total"))
     val top = counts.orderBy(col("freq").desc, col("term")).limit(topK)
     val w = Window.orderBy(col("freq").desc, col("term"))
@@ -386,16 +404,15 @@ object TextAnalysis {
     // exactly; the vocabulary is a distinct set, unchanged by copies;
     // per-doc scores are pure content functions of those corpus
     // statistics and expand back per member at the end.
-    val groups = Dedup.collapseExact(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = OpCaches.persist(Dedup.collapseExact(df, idCol, textCol))
     // tokenize ONCE and pin it: normalize+split is the CPU-heavy scan
     // work, and the plan has two independent consumers (the bigram
     // stream and the vocabulary) — unpinned, each branch re-normalizes
     // the corpus (profiled at ~1.3 s/pass of the 4.6 s total at 32×)
-    val withWords = Dedup.rebalance(Dedup.collapseRepsW(df, groups, idCol))
-      .withColumn("__w", split(Dedup.normalized(col(textCol)), " "))
-      .select(col(idCol), col("__gs"), col("__w"))
-      .persist()
+    val withWords = OpCaches.persist(
+      Dedup.rebalance(Dedup.collapseRepsW(df, groups, idCol))
+        .withColumn("__w", split(Dedup.normalized(col(textCol)), " "))
+        .select(col(idCol), col("__gs"), col("__w")))
     val n1 = greatest(size(col("__w")) - 1, lit(0))
     val dp = withWords
       .select(col(idCol), col("__gs"), explode(arrays_zip(

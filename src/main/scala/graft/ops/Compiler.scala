@@ -159,6 +159,10 @@ object Compiler {
       for (lc <- elementwise(l, base); rc <- elementwise(r, base);
            pairs <-
              (if (lc.size == rc.size) Some(lc.zip(rc).map {
+                // keep the SERIES name when a scalar literal sits on
+                // the left — "(+ 2 m)" must name its column like
+                // "(+ m 2)" and the non-elementwise path do
+                case (("scalar", a), (rn, b)) => rn -> binCol(op, a, b)
                 case ((n, a), (_, b)) => n -> binCol(op, a, b) })
               else if (rc.size == 1) Some(lc.map { case (n, a) =>
                 n -> binCol(op, a, rc.head._2) })

@@ -70,9 +70,17 @@ object GroupedOps {
     lazy val buckets = refFrames.values
       .map(_.select((grpCols.map(col) :+ col("bucket")): _*))
       .reduce(_ unionByName _).distinct()
-    val leafFn: MetricLeaf => DataFrame = ml => ml.refs.map { r =>
-        val df = refFrames(r)
-        if (dense) densify(df, grpCols, buckets, fill) else df
+    val leafFn: MetricLeaf => DataFrame = ml => ml.refs.zipWithIndex.map {
+        case (r, i) =>
+          val df0 = refFrames(r)
+          // a ref repeated in ONE leaf is a distinct series to the
+          // reference (two identical matrix columns): disambiguate its
+          // sid so positional windows don't interleave the copies,
+          // while cross-series aggregates still count it per occurrence
+          val df =
+            if (ml.refs.indexOf(r) == i) df0
+            else df0.withColumn("sid", concat(col("sid"), lit(s"#$i")))
+          if (dense) densify(df, grpCols, buckets, fill) else df
       }.reduce(_ unionByName _)
     val acc = scala.collection.mutable.ArrayBuffer[(String, Node)]()
     val rewritten = rewrite(ast, acc)

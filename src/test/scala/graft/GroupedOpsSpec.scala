@@ -57,6 +57,26 @@ class GroupedOpsSpec extends SparkSpec {
       ("west", "2015-03-06 14:35:00.0", 30.0)))
   }
 
+  test("a ref repeated inside one metric leaf stays two series: " +
+      "aggregates count both, positional ops roll them separately") {
+    // sum leaf: each occurrence contributes — east B1 = 2*(10+30) = 80
+    val dup = rows(fleet().groupByAggregatesOps(
+      "(aggregate sum (metric (mem.used mean) (mem.used mean)))",
+      300, "zone in [\"east\"]", Seq("zone")))
+    assert(dup == Seq(
+      ("east", "2015-03-06 14:30:00.0", 80.0),
+      ("east", "2015-03-06 14:35:00.0", 120.0)))
+    // rolling over the duplicated leaf: each copy rolls independently,
+    // so the aggregate max equals the single-ref answer
+    val roll = rows(fleet().groupByAggregatesOps(
+      "(aggregate max (rolling mean 2 " +
+        "(metric (mem.used mean) (mem.used mean))))",
+      300, "zone in [\"east\", \"west\"]", Seq("zone")))
+    assert(roll == Seq(
+      ("east", "2015-03-06 14:35:00.0", 35.0),
+      ("west", "2015-03-06 14:35:00.0", 55.0)))
+  }
+
   test("rolling mean per series inside the group aggregate") {
     val got = rows(fleet().groupByAggregatesOps(
       "(aggregate max (rolling mean 2 (metric mem.used mean)))",

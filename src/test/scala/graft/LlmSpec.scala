@@ -166,6 +166,24 @@ class LlmSpec extends SparkSpec {
     assert(got(2L) == "es")
   }
 
+  test("language ID detects unsegmented Chinese (character markers, " +
+      "not whitespace tokens)") {
+    val d = docs((1L, "\u6211\u662f\u5b66\u751f\u4ed6\u4eec\u7684\u4e66"),
+      (2L, "the cat sat"))
+    val got = TextAnalysis.languageId(d).select("doc_id", "lang_pred")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "zh")
+    assert(got(2L) == "en")
+  }
+
+  test("urlDedup extracts uppercase-scheme URLs too") {
+    val d = docs((1L, "see HTTP://Example.com/p/1 there"),
+      (2L, "see http://example.com/p/1 also"))
+    val got = TextAnalysis.urlDedup(d).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_docs") == 2L)
+  }
+
   private def components(edges: (Long, Long)*): Map[Long, Long] = {
     val s = spark
     import s.implicits._

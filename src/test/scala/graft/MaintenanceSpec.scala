@@ -103,5 +103,9 @@ class MaintenanceSpec extends SparkSpec {
     // grace: drop resources ended before now - grace
     val cleaned = Maintenance.autoClean(ended, now, graceS = 100_000L)
     assert(cleaned.select("id").collect().map(_.getString(0)).toSet == Set("r2"))
+    // boundary: ended EXACTLY graceS ago survives ("more than" deletes)
+    val atBoundary = Maintenance.autoClean(ended, now, graceS = 900_000L)
+    assert(atBoundary.select("id").collect().map(_.getString(0)).toSet ==
+      Set("r2", "r3")) // r3 ended at t=100k = now - 900k
   }
 }

@@ -33,6 +33,8 @@ class OpsSpec extends SparkSpec {
   test("scalar broadcast: (* 4 (metric m1 mean))") {
     val g = Compiler.eval(Parser.parse("(* 4 (metric m1 mean))"), mkGrid(twoSeries: _*))
     assert(values(g).map(_._2.head) == Seq(4.0, 8.0, 12.0))
+    // a left-operand scalar keeps the SERIES name, same as "(* m 4)"
+    assert(g.cols == Seq("m1/mean"))
   }
 
   test("series⊕series pairwise: (- (metric m2 mean) (metric m1 mean))") {

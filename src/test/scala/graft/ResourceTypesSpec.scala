@@ -38,6 +38,19 @@ class ResourceTypesSpec extends SparkSpec {
     assert(out.select("type").distinct().head().getString(0) == "instance")
   }
 
+  test("a non-null value the type cannot cast is a VIOLATION, not a " +
+      "silent null") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      ("r1", "small", "4", "123e4567-e89b-12d3-a456-426614174000"),
+      ("r2", "small", "lots", "123e4567-e89b-12d3-a456-426614174000"))
+      .toDF("id", "flavor", "vcpus", "image_ref")
+    val v = instanceType.validate(raw).select("id", "__violations").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(v == Map("r1" -> 0, "r2" -> 1)) // "lots" fails the Num cast
+  }
+
   test("missing required attribute column errors") {
     val s = spark
     import s.implicits._
