@@ -183,7 +183,6 @@ object Pq {
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     val m = books.length
-    val d = books(0)(0).length
     val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
       idCol = idCol, vecCol = vecCol)
     // index side: cell + code per vector (built once; raw vectors are
@@ -193,17 +192,16 @@ object Pq {
     val codes = encode(corpus, books, vecCol)
       .select(col(idCol).as("corpus_id"), col("pq_code"))
       .join(assigned, Seq("corpus_id"))
-    // probe side: nprobe nearest cells + the ADC table per query
-    val qc = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdist", Similarity.cosine(col("__qv"), col("centroid")))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probes = qc.withColumn("__r", row_number().over(wq))
-      .filter(col("__r") <= nprobe)
+    // probe side: nprobe nearest cells + the ADC table per query —
+    // the fused per-row kernel (same (cosine desc, cell asc) pick
+    // order), not a crossJoin x nlist amplification + window shuffle
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__tc",
+        explode(Similarity.topCells(col("__qv"), cents, nprobe)))
       .withColumn("__tbl",
         call_function("pq_adc_table", col("__qv"), booksLit(books)))
-      .select(col("query_id"), col("cell"), col("__tbl"))
+      .select(col("query_id"), col("__tc.cell").as("cell"), col("__tbl"))
     val approx = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("__score", (0 until m).map(s =>

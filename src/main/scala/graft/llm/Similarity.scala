@@ -88,6 +88,10 @@ object Similarity {
       // and crash the first multiply (cast is a no-op for double input)
       .select(col("__h"), col("cv").cast("array<double>")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(sample.nonEmpty,
+      "kmeansCentroids: empty training sample — the corpus is empty" +
+        (if (sampleMod > 1) s" or sampleMod=$sampleMod filtered every row"
+         else ""))
     def dotL(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }; s
@@ -439,7 +443,12 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  seed: Int = 0, dim: Int = -1): DataFrame =
     // table index == hyperplane-family seed, so the fused kernel's
-    // element (seed+1) is exactly lshBucketCol(vec, nbits, seed, dim)
+    // element (seed+1) is exactly lshBucketCol(vec, nbits, seed, dim).
+    // The kernel computes tables 1..seed+1 in one pass, so a LOOP over
+    // seeds is O(L^2/2) signature work — multi-table callers must call
+    // lsh_keys(vec, nbits, L) once (or lshBucketCol per table) instead;
+    // this door is for the common single-table (seed=0) case, where
+    // the kernel cost is exactly one table.
     df.withColumn("lsh_bucket", element_at(
       call_function("lsh_keys", col(vecCol), lit(nbits), lit(seed + 1)),
       seed + 1))

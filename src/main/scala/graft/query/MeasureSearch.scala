@@ -33,7 +33,9 @@ object MeasureSearch {
         case "-" | "sub"        => a - b
         case "*" | "×" | "mul"  => a * b
         case "/" | "÷" | "div"  => a / b
-        case "%" | "mod"        => a % b
+        // python operator.mod (rest/api.py binary_operators): the
+        // result takes the DIVISOR's sign — pmod matches both ways
+        case "%" | "mod"        => pmod(a, b)
         case "**" | "^" | "pow" => pow(a, b)
         case other => throw new IllegalArgumentException(s"arith $other")
       }

@@ -20,12 +20,18 @@ object Bucketing {
     * is µs-aligned, see SURVEY §7.4).
     */
   def floorTimestamp(ts: Column, granularityNs: Long): Column = {
+    require(granularityNs % 1000 == 0,
+      s"sub-microsecond granularity (${granularityNs}ns) cannot align " +
+        "to microsecond timestamps")
     if (granularityNs % 1_000_000_000L == 0) {
       val gs = granularityNs / 1_000_000_000L
       timestamp_seconds(floor(unix_timestamp(ts) / gs) * gs)
     } else {
+      // INTEGER floor via pmod (non-negative remainder): `/` on columns
+      // is double division, and at epoch-µs magnitude a double ulp is
+      // ~0.25 µs — boundary buckets could land one granule off
       val gus = granularityNs / 1000L // µs granularity
-      timestamp_micros(floor(unix_micros(ts) / gus) * gus)
+      timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), lit(gus)))
     }
   }
 

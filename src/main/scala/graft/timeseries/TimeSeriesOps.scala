@@ -211,14 +211,25 @@ object TimeSeriesOps {
                from: Option[java.sql.Timestamp],
                to: Option[java.sql.Timestamp],
                tsCol: String = "timestamp"): DataFrame = {
-    val gS = granularity match {
-      case Granularity.Fixed(ns) => ns / 1_000_000_000L
+    val gNs = granularity match {
+      case Granularity.Fixed(ns) => ns
       case _ => throw new IllegalArgumentException(
         "fetchRaw needs a fixed granularity")
     }
-    def floorS(t: java.sql.Timestamp) = (t.getTime / 1000) / gS * gS
-    val lo = from.map(f => col(tsCol) >= timestamp_seconds(lit(floorS(f))))
-    val hi = to.map(t => col(tsCol) < timestamp_seconds(lit(floorS(t) + gS)))
+    require(gNs % 1000 == 0,
+      s"fetchRaw: sub-microsecond granularity (${gNs}ns) cannot align " +
+        "to microsecond timestamps")
+    // µs-exact floor (whole-second math truncated sub-second
+    // granularities to 0 and pre-epoch bounds toward zero)
+    val gUs = gNs / 1000
+    def floorUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      val us = Math.addExact(
+        Math.multiplyExact(i.getEpochSecond, 1_000_000L), i.getNano / 1000L)
+      Math.floorDiv(us, gUs) * gUs
+    }
+    val lo = from.map(f => col(tsCol) >= timestamp_micros(lit(floorUs(f))))
+    val hi = to.map(t => col(tsCol) < timestamp_micros(lit(floorUs(t) + gUs)))
     Seq(lo, hi).flatten.foldLeft(raw)((d, p) => d.filter(p))
   }
 
@@ -242,6 +253,11 @@ object TimeSeriesOps {
     */
   def fill(grid: DataFrame, cols: Seq[String], policy: String,
            tsCol: String = "bucket", partitionCols: Seq[String] = Nil): DataFrame = {
+    // NaN is the numpy reference's missing marker, same as NULL here —
+    // every policy treats it as a gap (dropna already did; ffill/bfill/
+    // constant would otherwise propagate the NaN into downstream sums)
+    def denan(c: org.apache.spark.sql.Column) =
+      when(isnan(c), lit(null)).otherwise(c)
     def wAsc = {
       val base = if (partitionCols.nonEmpty)
         Window.partitionBy(partitionCols.map(col): _*) else Window.partitionBy()
@@ -258,19 +274,19 @@ object TimeSeriesOps {
         grid.filter(cols.map(c => col(c).isNotNull && !isnan(col(c))).reduce(_ && _))
       case "ffill" =>
         cols.foldLeft(grid)((d, c) =>
-          d.withColumn(c, last(col(c), ignoreNulls = true).over(wAsc)))
+          d.withColumn(c, last(denan(col(c)), ignoreNulls = true).over(wAsc)))
       case "bfill" =>
         cols.foldLeft(grid)((d, c) =>
-          d.withColumn(c, first(col(c), ignoreNulls = true).over(wDesc)))
+          d.withColumn(c, first(denan(col(c)), ignoreNulls = true).over(wDesc)))
       case "full_ffill" =>
         val f = fill(grid, cols, "ffill", tsCol, partitionCols)
         fill(f, cols, "bfill", tsCol, partitionCols)
       case "full_bfill" =>
         val b = fill(grid, cols, "bfill", tsCol, partitionCols)
         fill(b, cols, "ffill", tsCol, partitionCols)
-      case num if num.matches("-?[0-9.]+") =>
+      case num if num.matches("-?([0-9]+(\\.[0-9]+)?|\\.[0-9]+)") =>
         cols.foldLeft(grid)((d, c) =>
-          d.withColumn(c, coalesce(col(c), lit(num.toDouble))))
+          d.withColumn(c, coalesce(denan(col(c)), lit(num.toDouble))))
       case other => throw new IllegalArgumentException(s"fill policy $other")
     }
   }

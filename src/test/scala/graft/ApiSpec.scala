@@ -290,6 +290,14 @@ class ApiSpec extends SparkSpec {
       Cmp(">", Arith("*", Value, Const(2)), Const(50)))
       .select("metric_id").collect().map(_.getString(0)).toSeq
     assert(got == Seq("m1"))
+    // python operator.mod semantics: -5 % 3 == 1 (sign of the divisor)
+    g.createMetric("m3", "gabbi-low")
+    g.addMeasures("m3", Seq(("2015-03-06 14:33:57", -5.0)))
+    g.process()
+    val modGot = g.searchMetricValues(Seq("m3"), "mean", 300,
+      Cmp("=", Arith("%", Value, Const(3)), Const(1)))
+      .select("metric_id").collect().map(_.getString(0)).toSeq
+    assert(modGot == Seq("m3"))
   }
 
   test("use_history group-by: revision windows weight buckets fractionally " +

@@ -134,6 +134,48 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(1.0, 1.0, 3.0))
   }
 
+  test("fill: NaN is a gap for every policy (numpy missing marker), " +
+      "and the numeric guard rejects malformed policies typed-ly") {
+    val s = spark
+    import s.implicits._
+    val grid = Seq(
+      ("2014-01-01 12:00:00", 1.0),
+      ("2014-01-01 12:01:00", Double.NaN),
+      ("2014-01-01 12:02:00", 3.0))
+      .toDF("bucket", "a")
+      .withColumn("bucket", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("bucket")))
+    def vals(policy: String) =
+      TimeSeriesOps.fill(grid, Seq("a"), policy)
+        .orderBy("bucket").select("a").collect().map(_.getDouble(0)).toSeq
+    assert(vals("ffill") == Seq(1.0, 1.0, 3.0))
+    assert(vals("bfill") == Seq(1.0, 3.0, 3.0))
+    assert(vals("0") == Seq(1.0, 0.0, 3.0))
+    val e = intercept[IllegalArgumentException](vals("1.2.3"))
+    assert(e.getMessage.contains("fill policy"))
+  }
+
+  test("fetchRaw: sub-second fixed granularity floors exactly " +
+      "(whole-second math truncated 0.5s to 0 and crashed)") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      ("2014-01-01 12:00:01.4", 1.0),
+      ("2014-01-01 12:00:01.6", 2.0),
+      ("2014-01-01 12:00:02.1", 3.0))
+      .toDF("timestamp", "value")
+      .withColumn("timestamp", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("timestamp")))
+    // from=1.6s at g=0.5s floors to 1.5s: the 1.4 point is excluded,
+    // 1.6 (inside the floor bucket) and 2.1 survive
+    val got = TimeSeriesOps.fetchRaw(raw,
+        graft.model.Granularity.Fixed(500_000_000L),
+        from = Some(java.sql.Timestamp.valueOf("2014-01-01 12:00:01.6")),
+        to = None)
+      .orderBy("timestamp").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(2.0, 3.0))
+  }
+
   test("multi-group grid: windows partition per group, no single-partition exchange") {
     val s = spark
     import s.implicits._
