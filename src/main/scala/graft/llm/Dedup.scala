@@ -713,9 +713,11 @@ object Dedup {
         .as("__w"))
       .select(col(idCol), col("__w.c").as("witness_cosine"),
         (-col("__w.negid")).cast("long").as("witness_id"))
-    // output stays one row per vector, labeled by its PRIMARY cell
+    // output stays one row per vector, labeled by its PRIMARY cell.
+    // shuffle_hash: the witness side is corpus-bounded (too big to
+    // broadcast, no reason to SORT both sides for one equi-join)
     labeled.select(col(idCol), element_at(col("__cells"), 1).as("cell"))
-      .join(wit, Seq(idCol), "left")
+      .join(wit.hint("shuffle_hash"), Seq(idCol), "left")
       .withColumn("dropped", col("witness_id").isNotNull)
   }
 
