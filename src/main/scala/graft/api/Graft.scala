@@ -31,7 +31,18 @@ class Graft(val spark: SparkSession, root: String) {
   // bulk-staged measures stay a DataFrame end to end — the corpus never
   // lands on the driver; status()/process() reduce it with aggregates
   // (#metrics rows), not row collects
-  private var pendingDf: Option[DataFrame] = None
+  private val pendingBulk = mutable.ArrayBuffer[DataFrame]()
+  // balanced pairwise union: a left-deep unionByName chain grows plan
+  // depth linearly with staged batches (a daemon flushing every few
+  // seconds between drains would overflow Catalyst's analyzer);
+  // log-depth keeps thousands of staged batches analyzable
+  private def pendingDf: Option[DataFrame] = {
+    var level: Seq[DataFrame] = pendingBulk.toSeq
+    while (level.size > 1)
+      level = level.grouped(2).map(g =>
+        if (g.size == 2) g(0).unionByName(g(1)) else g(0)).toSeq
+    level.headOption
+  }
   private var resources: Option[DataFrame] = None
 
   /** Catalog mutations (row CRUD, end-dating, resurrection, ALTER
@@ -120,7 +131,9 @@ class Graft(val spark: SparkSession, root: String) {
 
   def metricUnitOf(id: String): Option[String] = metricUnit.get(id)
 
-  private val policyRules = mutable.ArrayBuffer[(String, String)]()
+  // @volatile immutable snapshot: the daemon flush threads read rules
+  // through createMetric -> rulePolicy while the HTTP thread mutates
+  @volatile private var policyRules = Vector.empty[(String, String)]
 
   /** R9 archive-policy rules (indexer/__init__.py:460-466): glob
     * pattern → policy; metric creation without an explicit policy takes
@@ -128,7 +141,7 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def createPolicyRule(pattern: String, policyName: String): Unit = {
     GraftError.found(policies.contains(policyName), s"no policy $policyName")
-    policyRules += ((pattern, policyName))
+    stagingLock.synchronized { policyRules :+= ((pattern, policyName)) }
   }
 
   /** Longest-matching-rule policy for a metric name
@@ -167,10 +180,10 @@ class Graft(val spark: SparkSession, root: String) {
   def listPolicyRules: Seq[(String, String)] =
     policyRules.toSeq.sortBy { case (p, _) => (-p.length, p) }
 
-  def deletePolicyRule(pattern: String): Unit = {
+  def deletePolicyRule(pattern: String): Unit = stagingLock.synchronized {
     val i = policyRules.indexWhere(_._1 == pattern)
     GraftError.found(i >= 0, s"no archive policy rule $pattern")
-    policyRules.remove(i)
+    policyRules = policyRules.patch(i, Nil, 1)
   }
 
   /** GET /v1/metric — the registered metrics as (id, policy name),
@@ -189,7 +202,10 @@ class Graft(val spark: SparkSession, root: String) {
     deleteResources(FilterParser.parse(filterStr))
 
   def deleteResources(f: Filter): Long = {
-    val pred = Filter.compile(f)
+    // SQL DELETE semantics: only rows where the predicate is TRUE are
+    // deleted. A bare `!pred` would also drop NULL-predicate rows
+    // (null attributes) silently and uncounted — three-valued logic.
+    val pred = coalesce(Filter.compile(f), lit(false))
     val current = resources.getOrElse(
       return 0L)
     val n = current.filter(pred).count()
@@ -199,8 +215,10 @@ class Graft(val spark: SparkSession, root: String) {
   }
 
   private def storeOf(policyName: String): MetricStore =
-    stores.getOrElseUpdate(policyName,
-      new MetricStore(spark, s"$root/$policyName", policies(policyName)))
+    stagingLock.synchronized {
+      stores.getOrElseUpdate(policyName,
+        new MetricStore(spark, s"$root/$policyName", policies(policyName)))
+    }
 
   /** POST …/measures — enqueue, return immediately (rest/api.py:488-494).
     * This Seq door models a small REST body; for corpus-sized ingestion
@@ -235,7 +253,7 @@ class Graft(val spark: SparkSession, root: String) {
     val b = batch.select(col("metric_id").cast("string"),
       col("timestamp").cast("timestamp"), col("value").cast("double"))
     stagingLock.synchronized {
-      pendingDf = Some(pendingDf.map(_.unionByName(b)).getOrElse(b))
+      pendingBulk += b
     }
   }
 
@@ -367,16 +385,35 @@ class Graft(val spark: SparkSession, root: String) {
     import spark.implicits._
     // snapshot+clear the staging plane atomically; the Spark work below
     // runs on the snapshot, outside the lock
-    val (seqPart, bulkPart) = stagingLock.synchronized {
-      if (pending.isEmpty && pendingDf.isEmpty) return
-      val sp =
-        if (pending.isEmpty) None
-        else Some(pending.toSeq.toDF("metric_id", "timestamp", "value"))
+    val (seqRows, bulkPart) = stagingLock.synchronized {
+      if (pending.isEmpty && pendingBulk.isEmpty) return
+      val sr = pending.toList
       pending.clear()
       val bp = pendingDf
-      pendingDf = None
-      (sp, bp)
+      pendingBulk.clear()
+      (sr, bp)
     }
+    // a failed drain must NOT lose 202-accepted measures: re-stage the
+    // snapshot and rethrow (store ingest is new-wins idempotent, so a
+    // partially-written batch re-ingests harmlessly on retry)
+    try processDrained(seqRows, bulkPart)
+    catch {
+      case e: Throwable =>
+        stagingLock.synchronized {
+          pending.prependAll(seqRows)
+          bulkPart.foreach(pendingBulk.prepend(_))
+        }
+        throw e
+    }
+  }
+
+  private def processDrained(
+      seqRows: List[(String, java.sql.Timestamp, Double)],
+      bulkPart: Option[DataFrame]): Unit = {
+    import spark.implicits._
+    val seqPart =
+      if (seqRows.isEmpty) None
+      else Some(seqRows.toDF("metric_id", "timestamp", "value"))
     val hadBulk = bulkPart.isDefined
     val batch = (seqPart.toSeq ++ bulkPart.toSeq).reduce(_ unionByName _)
     // the metric→policy map is driver-sized (catalog rows): broadcast,
@@ -442,7 +479,7 @@ class Graft(val spark: SparkSession, root: String) {
       val dm = pendingDf.map(_.filter(col("metric_id") === metricId))
       if (sm.isEmpty && dm.isEmpty) return
       pending.filterInPlace(_._1 != metricId)
-      pendingDf = pendingDf.map(_.filter(col("metric_id") =!= metricId))
+      pendingBulk.mapInPlace(_.filter(col("metric_id") =!= metricId))
       (sm, dm)
     }
     val parts =
@@ -450,7 +487,15 @@ class Graft(val spark: SparkSession, root: String) {
         Seq(seqMine.toSeq.toDF("metric_id", "timestamp", "value"))
       else Nil) ++ dfMine.toSeq
     val batch = parts.reduce(_ unionByName _)
-    if (!batch.isEmpty) storeOf(metricPolicy(metricId)).addMeasures(batch)
+    try if (!batch.isEmpty) storeOf(metricPolicy(metricId)).addMeasures(batch)
+    catch { // same drain-durability contract as process()
+      case e: Throwable =>
+        stagingLock.synchronized {
+          pending.prependAll(seqMine)
+          dfMine.foreach(pendingBulk.prepend(_))
+        }
+        throw e
+    }
   }
 
   /** GET /v1/metric/<id>/measures (§3.1): triples coarse→fine across all
@@ -575,8 +620,10 @@ class Graft(val spark: SparkSession, root: String) {
     // built grid rather than re-running the scans per join side
     val shared =
       if (Compiler.hasGridJoin(ast))
-        filled.copy(df = filled.df.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // OpCaches: auto-released after the consuming action — a bare
+        // persist() would pin one cache entry per REST /v1/aggregates
+        // call for the session's lifetime
+        filled.copy(df = graft.llm.OpCaches.persist(filled.df))
       else filled
     val out = Compiler.eval(ast, shared)
     out.df
@@ -633,12 +680,22 @@ class Graft(val spark: SparkSession, root: String) {
     GraftError.found(metricPolicy.contains(metricId), s"unknown metric $metricId")
     stagingLock.synchronized {
       pending.filterInPlace(_._1 != metricId)
-      pendingDf = pendingDf.map(_.filter(col("metric_id") =!= metricId))
+      pendingBulk.mapInPlace(_.filter(col("metric_id") =!= metricId))
     }
     storeOf(metricPolicy(metricId)).expungeMetric(metricId)
     metricPolicy.remove(metricId)
     metricUnit.remove(metricId)
+    dropFromMetricsCatalog(Seq(metricId))
   }
+
+  /** Forget deleted metrics in the resource-attachment catalog — a
+    * dangling row would keep listing the metric and crash later
+    * glob-matched group-by aggregates on the missing policy entry. */
+  private def dropFromMetricsCatalog(ids: Seq[String]): Unit =
+    for (cat <- metricsCatalog) {
+      metricsCatalog = Some(cat.filter(!col("metric_id").isin(ids: _*)))
+      noteCatalogMutation()
+    }
 
   /** Bulk deletion — the janitor batch (J4 at fleet scale,
     * cli/metricd.py:262-299): one partition-pruned store rewrite per
@@ -652,12 +709,13 @@ class Graft(val spark: SparkSession, root: String) {
     if (ids.isEmpty) return
     stagingLock.synchronized {
       pending.filterInPlace(p => !ids.contains(p._1))
-      pendingDf = pendingDf.map(_.filter(!col("metric_id").isin(ids: _*)))
+      pendingBulk.mapInPlace(_.filter(!col("metric_id").isin(ids: _*)))
     }
     ids.groupBy(metricPolicy).foreach { case (pol, group) =>
       storeOf(pol).expungeMetrics(group)
     }
     ids.foreach { id => metricPolicy.remove(id); metricUnit.remove(id) }
+    dropFromMetricsCatalog(ids)
   }
 
   /** POST /v1/search/metric (S1). */
@@ -848,8 +906,8 @@ class Graft(val spark: SparkSession, root: String) {
     if (n == 0) throw new NoSuchElementException(s"no resource $id")
   }
 
-  private val resourceTypes =
-    scala.collection.mutable.Map[String, graft.catalog.ResourceTypes.ResourceType]()
+  private val resourceTypes = scala.collection.concurrent
+    .TrieMap[String, graft.catalog.ResourceTypes.ResourceType]()
 
   /** Resource-type lifecycle (POST/PATCH/DELETE /v1/resource_type,
     * resource_type.py + indexer/sqlalchemy.py:340-480). PATCH applies
@@ -993,6 +1051,12 @@ class Graft(val spark: SparkSession, root: String) {
         val p = pol.getOrElse(rulePolicy(n)) // throws when no rule matches
         GraftError.found(policies.contains(p), s"no policy $p")
     }
+    // derived metric ids must also be free: a mid-loop createMetric
+    // Conflict would leave earlier names created but unregistered,
+    // breaking the all-or-nothing contract above
+    for ((n, Right(_)) <- metrics)
+      GraftError.fresh(!hasMetric(s"$resourceId/$n"),
+        s"metric $resourceId/$n already exists")
     val attached = metrics.toSeq.sortBy(_._1).map {
       case (name, Left(mid)) => (mid, resourceId, name)
       case (name, Right(pol)) =>

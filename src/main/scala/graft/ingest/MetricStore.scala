@@ -27,8 +27,6 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
   private val rawPath = s"$root/raw"
   private val aggPath = s"$root/agg"
 
-  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
   private val fixedGranNs: Seq[Long] = policy.definition.collect {
     case item if item.granularity.isInstanceOf[Granularity.Fixed] =>
       item.granularity.asInstanceOf[Granularity.Fixed].ns
@@ -91,10 +89,10 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
 
   def aggregates: DataFrame = readOr(aggPath, emptyAggregates(spark))
 
-  private def pathExists(p: String): Boolean =
-    org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(p))
+  private def pathExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
 
   /** Cross-writer mutual exclusion for store mutation (SURVEY §2.10 —
     * the reference serializes writers per sack with tooz locks,
@@ -110,9 +108,10 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * staging sweep then sorts out whatever the dead writer left.
     */
   private def withStoreLock[A](f: => A): A = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // path-scoped FS: a store on s3a:// under an hdfs:// default FS
+    // must not resolve to the default filesystem
     val lock = new org.apache.hadoop.fs.Path(s"$root/.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
     val staleMs = spark.conf
       .getOption("spark.graft.ingest.lockStaleMs").map(_.toLong)
@@ -134,8 +133,15 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
           fs.getFileStatus(lock).getModificationTime
         catch { case _: java.io.FileNotFoundException => Long.MaxValue }
       // raced-away or crashed-stale: break once and retry; a LIVE
-      // holder keeps the lock and this writer fails loudly
-      if (age > staleMs) fs.delete(lock, false)
+      // holder keeps the lock and this writer fails loudly. The break
+      // is an atomic RENAME to a unique name — a bare delete would let
+      // two breakers both clear the stale lock and both acquire
+      if (age > staleMs) {
+        val broken = new org.apache.hadoop.fs.Path(s"$root/.lock.broken.$token")
+        if (try fs.rename(lock, broken) catch
+              { case _: java.io.IOException => false })
+          fs.delete(broken, false)
+      }
       if (!tryAcquire())
         throw new IllegalStateException(
           s"store $root is locked by another writer ($lock, " +
@@ -515,6 +521,9 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .repartition(col("method"), col("gran_s"), col("split"), col("msack"))
       .sortWithinPartitions("metric_id", "bucket")
       .write
+      // scoped HERE, not on the shared session — a global conf flip
+      // would change overwrite semantics for every other writer
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("method", "gran_s", "split", "msack")
       .mode(SaveMode.Overwrite)
       .parquet(aggPath))
@@ -536,7 +545,8 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     else stage("raw write")(rawOut
       .repartition(col("sack"))
       .sortWithinPartitions("metric_id", "timestamp")
-      .write.partitionBy("sack")
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sack")
       .mode(SaveMode.Overwrite)
       .parquet(rawPath))
     merged.unpersist()
@@ -774,8 +784,8 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
   private def expungeMetricsImpl(metricIds: Seq[String]): Unit = {
     if (metricIds.isEmpty) return
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // the batch lives in at most NumSacks msacks — scans and rewrites
     // touch only those sacks' slices of the touched splits
@@ -848,8 +858,8 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
   def expireRetention(nowS: Long): Unit = withStoreLock(expireRetentionImpl(nowS))
 
   private def expireRetentionImpl(nowS: Long): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (granS <- fixedGrans; tsS <- timespanS(granS)) {
       val oldestSplit = (nowS - tsS) / (granS * 3600)
       for (method <- policy.aggregationMethods.toSeq.sorted) {

@@ -328,4 +328,83 @@ class ApiSpec extends SparkSpec {
       (("a", t0), 3.0), (("a", t0 + 60), 3.0),
       (("b", t0 + 60), 3.0), (("b", t0 + 120), 8.0)))
   }
+
+  test("a failed drain re-stages the snapshot: 202-accepted measures " +
+      "survive a store-write failure and land on retry") {
+    val dir = Files.createTempDirectory("graft-durable").toString
+    val g = new Graft(spark, dir)
+    g.createPolicy(ArchivePolicy("dur", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g.createMetric("m", "dur")
+    g.addMeasures("m", Seq(("2014-01-01 12:00:01", 7.0)))
+    // hold the store lock so the drain's store write fails loudly
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/dur/.lock")
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    intercept[IllegalStateException](g.process())
+    assert(g.status().getOrElse("m", 0L) === 1L,
+      "failed drain lost the staged measure")
+    fs.delete(lock, false)
+    g.process()
+    assert(g.status().isEmpty)
+    assert(g.getMeasures("m", "mean").map(_._3) === Seq(7.0))
+  }
+
+  test("deleteResources: NULL-predicate rows survive and are not " +
+      "counted (SQL DELETE three-valued logic)") {
+    val s = spark
+    import s.implicits._
+    val g = freshGraft()
+    g.setResources(Seq(("r1", "m1"), ("r2", null), ("r3", "m2"))
+      .toDF("id", "flavor"))
+    assert(g.deleteResources("flavor = 'm1'") === 1L)
+    assert(g.searchResources("id != null").select("id")
+      .collect().map(_.getString(0)).toSet === Set("r2", "r3"))
+  }
+
+  test("attachMetrics is all-or-nothing when a derived id collides " +
+      "with an independently created metric") {
+    val g = freshGraft()
+    val s = spark
+    import s.implicits._
+    g.setResources(Seq(("res1", "x")).toDF("id", "zone"))
+    g.createMetric("res1/cpu", "gabbi-low")
+    val e = intercept[graft.api.GraftError.Conflict](
+      g.attachMetricsSchema("res1", Map(
+        "apples" -> Right(Some("gabbi-low")),
+        "cpu" -> Right(Some("gabbi-low")))))
+    assert(e.getMessage.contains("res1/cpu"))
+    assert(!g.hasMetric("res1/apples"),
+      "partial creation: apples was created before the cpu conflict")
+  }
+
+  test("deleteMetric forgets the resource-attachment catalog row") {
+    val g = freshGraft()
+    val s = spark
+    import s.implicits._
+    g.setResources(Seq(("r9", "x")).toDF("id", "zone"))
+    g.attachMetricsSchema("r9", Map("cpu" -> Right(Some("gabbi-low"))))
+    assert(g.resourceMetrics("r9").map(_._1) === Seq("cpu"))
+    g.deleteMetric("r9/cpu")
+    assert(g.resourceMetrics("r9").isEmpty,
+      "dangling catalog row after metric delete")
+  }
+
+  test("hundreds of staged bulk batches stay analyzable (balanced " +
+      "union, not a left-deep chain)") {
+    val g = freshGraft()
+    val s = spark
+    import s.implicits._
+    g.createMetric("bk", "gabbi-low")
+    for (i <- 1 to 200)
+      g.batchAddMeasures(Seq(
+        ("bk", java.sql.Timestamp.valueOf(f"2014-01-01 12:00:${i % 60}%02d"), i.toDouble))
+        .toDF("metric_id", "timestamp", "value"))
+    assert(g.status()("bk") === 200L)
+    g.process()
+    assert(g.getMeasures("bk", "mean", Some(300)).nonEmpty)
+  }
 }

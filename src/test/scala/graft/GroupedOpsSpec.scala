@@ -113,11 +113,19 @@ class GroupedOpsSpec extends SparkSpec {
 
   test("fill densifies a missing series point before the collapse") {
     val g = fleet()
-    // drop u3's B2 point by deleting + re-adding only B1
+    // drop u3's B2 point by deleting + re-adding only B1. deleteMetric
+    // also forgets the resource attachment (no dangling catalog rows),
+    // so the re-created metric re-registers its attachment explicitly.
     g.deleteMetric("u3")
     g.createMetric("u3", "low")
     g.addMeasures("u3", Seq(("2015-03-06 14:33:20", 50.0)))
     g.process()
+    val s = spark
+    import s.implicits._
+    g.setMetrics(Seq(
+      ("u1", "r1", "mem.used"), ("u2", "r2", "mem.used"), ("u3", "r3", "mem.used"),
+      ("t1", "r1", "mem.total"), ("t2", "r2", "mem.total"), ("t3", "r3", "mem.total"))
+      .toDF("metric_id", "resource_id", "name"))
     val got = rows(g.groupByAggregatesOps(
       "(* 100 (/ (aggregate sum (metric mem.used mean)) " +
         "(aggregate sum (metric mem.total mean))))",
