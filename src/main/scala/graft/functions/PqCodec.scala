@@ -20,9 +20,7 @@ import org.apache.spark.sql.types._
   */
 object PqCodec {
 
-  /** Spark SQLOrderingUtil double compare: ±0.0 equal, NaN greatest. */
-  private def cmpD(a: Double, b: Double): Int =
-    if (a == b) 0 else java.lang.Double.compare(a, b)
+  private def cmpD(a: Double, b: Double): Int = DoubleOrder.cmpD(a, b)
 
   /** books(s)(c) = centroid of code c in subspace s (uniform width). */
   type Books = Array[Array[Array[Double]]]

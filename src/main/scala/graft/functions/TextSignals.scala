@@ -69,8 +69,8 @@ object TextSignals {
     StructField("pieces", IntegerType),
     StructField("long_word_extra", IntegerType)))
 
-  /** C4-style English stopword list — MUST stay in sync with the list
-    * in graft.llm.TextAnalysis. */
+  /** C4-style English stopword list (the canonical copy — the quality
+    * oracles in Oracles.scala inline the same 17 words). */
   val stopwordsEn: Array[String] = Array("the", "a", "an", "and", "or",
     "of", "to", "in", "is", "was", "it", "for", "on", "with", "as",
     "at", "by")
@@ -191,7 +191,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val st = children(1).dataType.asInstanceOf[ArrayType]
           .elementType.asInstanceOf[StructType]
-        val vecT = st.fields(1).dataType
+        // validate the centroid element type up front — toDoubleArray
+        // below would otherwise fail with an opaque cast error
+        require(st.fields(1).dataType == ArrayType(DoubleType, false) ||
+            st.fields(1).dataType == ArrayType(DoubleType, true),
+          s"vec_top_cells: centroids must be ARRAY<DOUBLE>, got " +
+            st.fields(1).dataType.catalogString)
         val n = arr.numElements()
         val cells = new Array[Int](n)
         val cents = new Array[Array[Double]](n)
@@ -202,7 +207,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           cents(i) = row.getArray(1).toDoubleArray()
           i += 1
         }
-        val _ = vecT
         VecTopCells(children(0), cells, cents,
           children(2).eval().asInstanceOf[Number].intValue())
       }))

@@ -75,8 +75,7 @@ object VecTopCells {
   }
 
   /** Spark SQLOrderingUtil double compare: ±0.0 equal, NaN greatest. */
-  private def cmpD(a: Double, b: Double): Int =
-    if (a == b) 0 else java.lang.Double.compare(a, b)
+  private def cmpD(a: Double, b: Double): Int = DoubleOrder.cmpD(a, b)
 
   /** Called per row from generated code. */
   def compute(v: ArrayData, cells: Array[Int], cents: Array[Array[Double]],

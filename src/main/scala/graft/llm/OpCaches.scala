@@ -74,6 +74,12 @@ object OpCaches {
       try scansIn(qe.executedPlan).map(_.relation.cacheBuilder.logicalPlan)
       catch { case _: Throwable => Seq.empty } // never fail the action
     if (read.isEmpty) return
+    // DELIBERATELY not session-scoped: Spark may complete an action
+    // under a cloned execution session, so requiring
+    // `t.sparkSession eq qe.sparkSession` leaves entries tracked
+    // forever. The cost of the broad match is bounded: a sameResult
+    // twin in another session releases early and merely RECOMPUTES
+    // (correctness-safe by construction, see the class doc).
     val (hit, keep) = tracked.partition(t =>
       read.exists(_.sameResult(t.queryExecution.analyzed)))
     hit.foreach(_.unpersist(false))

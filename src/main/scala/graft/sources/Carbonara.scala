@@ -66,7 +66,10 @@ object Carbonara {
     val n = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN).getInt()
     require(n >= 0, s"negative lz4 payload length $n")
     val out = new Array[Byte](n)
-    lz4.safeDecompressor().decompress(data, 4, data.length - 4, out, 0)
+    val got = lz4.safeDecompressor().decompress(data, 4, data.length - 4, out, 0)
+    require(got == n,
+      s"lz4 payload decompressed to $got bytes, header says $n — corrupt " +
+        "object (a zero-filled tail would decode as phantom points)")
     out
   }
 
@@ -166,6 +169,9 @@ object Carbonara {
     var prev = keyNs
     var i = 0
     while (i < n) {
+      require((tsNs(i) - prev) % granNs == 0,
+        s"timestamp ${tsNs(i)} at $i is not aligned to the ${granNs}ns " +
+          "granularity — integer-dividing would silently shift the point")
       val d = (tsNs(i) - prev) / granNs
       require(d >= 0 && d <= 0xffff,
         s"bucket delta $d out of u16 at $i (split too wide?)")
@@ -286,7 +292,7 @@ object Carbonara {
       // the none_v3 raw buffers out of the scan entirely (the rlike
       // below is a row filter; by then binaryFile has already read the
       // file body)
-      .option("pathGlobFilter", "[0-9]*")
+      .option("pathGlobFilter", "{[0-9],-}*") // '-': pre-1970 splits
       .load(basepath)
       .filter(col("path").rlike("/agg_[^/]+/[^/]+$"))
       .select(col("path"), col("content"))
@@ -304,7 +310,9 @@ object Carbonara {
         }
       }(enc)
     rows.select(col("metric_id"), col("method"), col("granularity_s"),
-      expr("ts div 1000000000").as("bucket_s"),
+      // floor, not truncate-toward-zero: pre-1970 ns must bucket DOWN
+      expr("(ts - ((ts % 1000000000) + 1000000000) % 1000000000) div 1000000000")
+        .as("bucket_s"),
       timestamp_micros(expr("ts div 1000")).as("timestamp"),
       col("value"))
   }
@@ -321,16 +329,19 @@ object Carbonara {
     val s = rows.sparkSession
     import s.implicits._
     // second-keyed input contract: bucket_s is whole seconds, so a
-    // sub-second granularity (valid in the reference, and emitted by
-    // readAggregates) cannot round-trip here — the long cast would
-    // truncate it to 0 and the split math would divide by zero.
-    // Refuse loudly instead of corrupting the export.
-    require(rows.filter(col("granularity_s").cast("double") < 1.0)
-        .limit(1).isEmpty,
-      "aggSplitObjects: sub-second granularities are not representable " +
-        "(bucket_s is second-keyed); filter them out before export")
+    // non-whole-second granularity (valid in the reference, and
+    // emitted by readAggregates) cannot round-trip here — the long
+    // cast would truncate it (1.5 -> 1, 0.5 -> 0). Refuse loudly AT
+    // EXECUTION, per row, keeping this builder lazy (the old eager
+    // isEmpty probe ran the whole upstream pipeline twice).
+    val gD = col("granularity_s").cast("double")
+    val gGuarded = when(gD >= 1.0 && gD === floor(gD), gD.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("aggSplitObjects: granularity "), gD.cast("string"),
+        lit(" is not a whole second >= 1 (bucket_s is second-keyed); " +
+          "filter before export"))).cast("long"))
     rows.select(col("metric_id").cast("string"), col("method"),
-        col("granularity_s").cast("long"), col("bucket_s").cast("long"),
+        gGuarded.as("granularity_s"), col("bucket_s").cast("long"),
         col("value").cast("double"))
       .as[(String, String, Long, Long, Double)]
       .groupByKey { t: (String, String, Long, Long, Double) =>

@@ -362,6 +362,11 @@ class LlmSpec extends SparkSpec {
         s"$name plan contains a Sort node:\n$p")
       assert(!p.contains("Window"), s"$name plan contains a Window node:\n$p")
     }
+    // plan inspection runs NO action, so operator-internal OpCaches
+    // persists have no consumer to auto-release them — clean up
+    // explicitly or they pollute the global tracked count for every
+    // later suite in the JVM
+    graft.llm.OpCaches.release()
   }
 
   test("fingerprintDup: exact copies bypass the candidate join; over-cap " +

@@ -107,7 +107,10 @@ class PipelineSpec extends SparkSpec {
   }
 
   /** The auto-release listener fires asynchronously on the listener
-    * bus — poll briefly instead of asserting instantly. */
+    * bus — poll briefly instead of asserting instantly. The tracked
+    * counter is JVM-global, so start from a clean slate: another
+    * suite's plan-only inspections may have left consumer-less
+    * entries that are not this test's concern. */
   private def awaitNoTracked(): Unit = {
     val deadline = System.nanoTime() + 10_000_000_000L
     while (graft.llm.OpCaches.trackedCount > 0 &&
@@ -116,6 +119,8 @@ class PipelineSpec extends SparkSpec {
     assert(graft.llm.OpCaches.trackedCount == 0,
       s"${graft.llm.OpCaches.trackedCount} tracked entries never released")
   }
+
+  graft.llm.OpCaches.release() // clean slate before this suite's tests
 
   test("OpCaches auto-release covers an end-to-end decontaminate + " +
       "fuzzy + idf pipeline: zero tracked entries after the consumers " +
