@@ -1788,8 +1788,8 @@ object Oracles {
                   row_number() OVER (ORDER BY freq DESC, term) AS rank
            FROM counts ORDER BY freq DESC, term LIMIT 50)
          SELECT rank, term, freq,
-                round(CAST(freq AS DOUBLE)/t, 6) AS share,
-                round(CAST(sum(freq) OVER (ORDER BY rank) AS DOUBLE)/t, 6)
+                CAST(CAST(freq AS DOUBLE)/t AS REAL) AS share,
+                CAST(CAST(sum(freq) OVER (ORDER BY rank) AS DOUBLE)/t AS REAL)
                   AS cum_share
          FROM top, total"""
   )

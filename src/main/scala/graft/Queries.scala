@@ -173,8 +173,13 @@ object Queries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), min(unix_timestamp(col("bucket")).cast("long")).as("min_bucket_s"))),
     "a12_fetch" -> ((s, dir) => {
-      val fromTs = java.sql.Timestamp.valueOf("2024-01-10 13:37:00")
-      val toTs = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      // Instant.parse, not Timestamp.valueOf: valueOf parses in the
+      // HOST JVM timezone (only the Spark session is pinned UTC), so a
+      // non-UTC host would shift the window against the UTC oracle
+      val fromTs = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-10T13:37:00Z"))
+      val toTs = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-20T00:00:00Z"))
       // pre-filter on the RAW ts (type-matched literals via eventsSlice)
       // so the slice reaches the parquet scan (PushedFilters ->
       // row-group pruning); a predicate on the derived bucket column
@@ -657,7 +662,7 @@ object Queries {
       // SFs (doc_id < 5000 there), a slice at sf1+
       val docs = table(s, dir, "documents").filter(col("doc_id") < 10000)
       // one signature pass shared by both arms (cache: ~16 bytes/doc)
-      val sig = Dedup.simhash(docs).cache()
+      val sig = graft.llm.OpCaches.persist(Dedup.simhash(docs))
       val pigeon = Dedup.simhashPairsOnSig(sig, radius = 3)
       val l = sig.select(col("id").as("id_a"), col("simhash").as("sig_a"))
       val r = sig.select(col("id").as("id_b"), col("simhash").as("sig_b"))
@@ -1045,7 +1050,8 @@ object Queries {
       val em = table(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val tau = 0.4
-      val dd = Dedup.semDedup(em, nClusters = 8, threshold = tau).cache()
+      val dd = graft.llm.OpCaches.persist(
+        Dedup.semDedup(em, nClusters = 8, threshold = tau))
       val dropped = dd.filter(col("dropped"))
       val viol = dropped
         .join(em.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -1111,9 +1117,14 @@ object Queries {
     try f finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  /** One canonical scratch-root scheme — anything re-opening a store
+    * (j5's shrunk policy) derives the SAME path from here. */
+  private def storeRoot(tag: String, dir: String): String =
+    s"/tmp/graft-q-store/$tag-${math.abs(dir.hashCode)}"
+
   private def freshStore(s: SparkSession, tag: String, dir: String,
                          policy: ArchivePolicy): MetricStore = {
-    val root = s"/tmp/graft-q-store/$tag-${math.abs(dir.hashCode)}"
+    val root = storeRoot(tag, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -1173,8 +1184,10 @@ object Queries {
         Set("mean", "max")))
       store.addMeasures(dedupMeasures(s, dir))
       store.getMeasuresMany(Seq("click", "error"), Seq("mean", "max"), 3600L,
-        from = Some(java.sql.Timestamp.valueOf("2024-01-10 00:00:30")),
-        to = Some(java.sql.Timestamp.valueOf("2024-01-20 12:00:00")))
+        from = Some(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-10T00:00:30Z"))),
+        to = Some(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-20T12:00:00Z"))))
         .select(col("metric_id"), col("method"), bucketS(),
           r6(col("value")).as("v"))
     }),
@@ -1436,8 +1449,7 @@ object Queries {
       val store = freshStore(s, "j5", dir,
         ArchivePolicy("j5", 3, policyDef, Set("mean")))
       store.addMeasures(dedupMeasures(s, dir))
-      val root = s"/tmp/graft-q-store/j5-${math.abs(dir.hashCode)}"
-      val shrunk = new MetricStore(s, root,
+      val shrunk = new MetricStore(s, storeRoot("j5", dir),
         ArchivePolicy("j5", 0, policyDef, Set("mean")))
       shrunk.truncateRaw()
       shrunk.rawBuffer

@@ -361,12 +361,16 @@ object TextAnalysis {
     val w = Window.orderBy(col("freq").desc, col("term"))
     top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w))
+      // float32 quantization for cross-engine stability — decimal
+      // ROUND of a double differs between Spark (BigDecimal HALF_UP on
+      // the shortest repr) and DuckDB (scaled std::round) exactly on
+      // repr-boundary values
       .withColumn("share",
-        round(col("freq").cast("double") / col("__total"), 6))
+        (col("freq").cast("double") / col("__total")).cast("float"))
       .withColumn("cum_share",
-        round(sum(col("freq")).over(
+        (sum(col("freq")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double") / col("__total"), 6))
+          .cast("double") / col("__total")).cast("float"))
       .select(col("rank"), col("term"), col("freq"), col("share"),
         col("cum_share"))
   }
