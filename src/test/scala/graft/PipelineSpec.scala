@@ -370,9 +370,9 @@ class PipelineSpec extends SparkSpec {
     val d = Seq((1L, "b a b c a b")).toDF("doc_id", "text")
     val got = TextAnalysis.termStats(d, topK = 2).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4)))
+        r.getFloat(3), r.getFloat(4)))
     assert(got.toSeq == Seq(
-      (1, "b", 3L, 0.5, 0.5),
-      (2, "a", 2L, 0.333333, 0.833333)))
+      (1, "b", 3L, 0.5f, 0.5f),
+      (2, "a", 2L, (2.0 / 6.0).toFloat, (5.0 / 6.0).toFloat)))
   }
 }
