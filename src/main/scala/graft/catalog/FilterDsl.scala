@@ -164,8 +164,9 @@ object FilterParser {
     private def value(t: String): Any = t match {
       case _ if t.startsWith("\"") || t.startsWith("'") =>
         // pyparsing QuotedString(escChar='\\'): EVERY \x pair unescapes
-        // to x, not just the quote characters
-        t.substring(1, t.length - 1).replaceAll("\\\\(.)", "$1")
+        // to x, not just the quote characters — (?s) so a backslash-
+        // newline pair unescapes too ('.' alone skips newline)
+        t.substring(1, t.length - 1).replaceAll("(?s)\\\\(.)", "$1")
       case "null" | "None" => null
       case "true" | "True" => true
       case "false" | "False" => false

@@ -97,10 +97,12 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
   /** Cross-writer mutual exclusion for store mutation (SURVEY §2.10 —
     * the reference serializes writers per sack with tooz locks,
     * chef.py:426-431). One lock file under the store root, taken for a
-    * whole mutation batch: acquisition is an ATOMIC create(overwrite=
-    * false) — atomic on HDFS-like filesystems and the local FS; object
-    * stores without atomic create keep the documented single-writer
-    * deployment contract. A second writer fails LOUDLY at entry, so it
+    * whole mutation batch: acquisition is an ATOMIC create — HDFS-like
+    * filesystems get create(overwrite=false) (atomic there); file://
+    * roots get O_EXCL via nio CREATE_NEW, because Hadoop's
+    * RawLocalFileSystem implements non-overwrite create as a racy
+    * exists-then-create; object stores without atomic create keep the
+    * documented single-writer deployment contract. A second writer fails LOUDLY at entry, so it
     * can never reach the stale-staging sweep and delete the holder's
     * in-flight staging (the lost-batch mode the r6 review called out).
     * A lock older than `spark.graft.ingest.lockStaleMs` (default 1 h,
@@ -122,12 +124,25 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // and re-open the concurrent-sweep window
     val token = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
-      try {
-        val out = fs.create(lock, false)
-        out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        out.close(); true
-      }
-      catch { case _: java.io.IOException => false }
+      if (fs.getScheme == "file")
+        // RawLocalFileSystem implements create(overwrite=false) as a
+        // non-atomic exists-then-create, so two local writers could
+        // both acquire; O_EXCL via CREATE_NEW is the real atomic op
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(lock.toUri.getPath),
+            token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try {
+          val out = fs.create(lock, false)
+          out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close(); true
+        }
+        catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
       val age = try System.currentTimeMillis() -
           fs.getFileStatus(lock).getModificationTime

@@ -30,7 +30,11 @@ import graft.api.Graft
   */
 final class StatsdServer(g: Graft, policyName: Option[String] = None,
                          flushDelayS: Option[Double] = None) {
-  private val lines = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  // (line, arrival seq, receipt millis) — the reference stamps utcnow
+  // at RECEIPT (statsd.py treat_metric), not at flush, so each line
+  // carries its receive time through to the flushed measure
+  private val lines =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
   private val seq = new AtomicLong(0L)
   private val running = new AtomicBoolean(false)
   private var socket: Option[DatagramSocket] = None
@@ -52,9 +56,10 @@ final class StatsdServer(g: Graft, policyName: Option[String] = None,
           val pkt = new DatagramPacket(buf, buf.length)
           sock.receive(pkt)
           val text = new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8)
+          val recvMs = System.currentTimeMillis()
           lines.synchronized {
             text.split("\n").iterator.filter(_.nonEmpty)
-              .foreach(l => lines += ((l, seq.getAndIncrement())))
+              .foreach(l => lines += ((l, seq.getAndIncrement(), recvMs)))
           }
         } catch {
           case _: java.net.SocketTimeoutException => ()
@@ -68,12 +73,9 @@ final class StatsdServer(g: Graft, policyName: Option[String] = None,
     t.start()
     threads = t :: threads
     flushDelayS.foreach { d =>
-      val f = new Thread(() => {
-        while (running.get()) {
-          Thread.sleep((d * 1000).toLong)
-          if (running.get()) try flush() catch { case _: Throwable => () }
-        }
-      }, "graft-statsd-flush")
+      val f = new Thread(() =>
+        Protocols.flushLoop("statsd", running, d, () => flush()),
+        "graft-statsd-flush")
       f.setDaemon(true)
       f.start()
       threads = f :: threads
@@ -88,32 +90,59 @@ final class StatsdServer(g: Graft, policyName: Option[String] = None,
     * per-flush treat_metric + flush pass (statsd.py:60-117). Metric
     * names carry the `|type` suffix exactly as the reference appends
     * it; per kind the flushed value is counter-sum (`c`, scaled by
-    * 1/sampling) or last-write (`g`, `ms`). Timestamps are flush-time
-    * now, as the reference stamps utcnow at receipt and flushes the
-    * final dict state.
+    * 1/sampling) or last-write (`g`, `ms`). The flushed timestamp is
+    * the LAST contributing line's RECEIPT time — the reference stamps
+    * utcnow per treat_metric call and the final dict state wins, so
+    * flush-time stamping would shift by up to one flush interval.
+    * Receipt stamping also makes a failed-landing retry idempotent:
+    * the re-flushed point reproduces the same timestamp and new-wins
+    * merge dedups it.
+    *
+    * Failure contract: a staging failure restores the line buffer and
+    * rethrows (nothing was accepted); a LANDING failure leaves the
+    * measures 202-staged — [[graft.api.Graft.process]] re-stages
+    * internally — and the next flush's process() drains them. Either
+    * way no line is lost, and the flush loop logs + backs off.
     */
   def flush(): Unit = {
     val snapshot = lines.synchronized {
       val s = lines.toList; lines.clear(); s
     }
-    if (snapshot.isEmpty) return
-    val s = g.spark
-    import s.implicits._
-    val parsed = Statsd.flush(Statsd.parse(
-      snapshot.toDF("line", "seq")))
-    val rows = parsed
-      .filter(col("kind").isin("c", "g", "ms"))
-      .select(concat(col("bucket"), lit("|"), col("kind")).as("name"),
-        when(col("kind") === "c", col("counter"))
-          .otherwise(col("gauge")).as("value"))
-      .collect() // statsd cardinality = live metric set: driver-bounded
-    val now = new java.sql.Timestamp(System.currentTimeMillis()).toString
-    rows.foreach { r =>
-      val name = r.getString(0)
-      Protocols.ensureMetric(g, name, policyName)
-      g.addMeasures(name, Seq((now, r.getDouble(1))))
-    }
+    if (snapshot.nonEmpty)
+      try {
+        val s = g.spark
+        import s.implicits._
+        val parsed = Statsd.parse(snapshot.toDF("line", "seq", "recv_ms"),
+          extra = Seq("recv_ms"))
+        // seq rises with arrival, so max(recv_ms) IS the last write's
+        // receipt time per (bucket, kind); joined onto the gated
+        // aggregate rather than folded into it (the codec's output
+        // shape is oracle-pinned)
+        val stamped = Statsd.flush(parsed).join(
+          parsed.groupBy("bucket", "kind")
+            .agg(max(col("recv_ms")).as("recv_ms")),
+          Seq("bucket", "kind"))
+        val measures = stamped
+          .filter(col("kind").isin("c", "g", "ms"))
+          .select(
+            concat(col("bucket"), lit("|"), col("kind")).as("metric_id"),
+            timestamp_millis(col("recv_ms")).as("timestamp"),
+            when(col("kind") === "c", col("counter"))
+              .otherwise(col("gauge")).as("value"))
+        // the live metric-name set is daemon-bounded: driver-sized
+        val ids = measures.select("metric_id").distinct()
+          .collect().map(_.getString(0))
+        ids.foreach(Protocols.ensureMetric(g, _, policyName))
+        g.batchAddMeasures(measures) // ONE bulk staging, not per-metric
+      } catch { case e: Throwable =>
+        lines.synchronized { snapshot.reverseIterator.foreach(_ +=: lines) }
+        throw e
+      }
+    // land what is staged (ours plus anything already pending) — the
+    // metricd role fused into the daemon; no-op when staging is empty
+    g.process()
   }
+
 
   /** Stop receiving: closes the socket and joins the receive/flush
     * threads, so the buffer is quiescent — the caller then runs a
@@ -142,6 +171,30 @@ private[ingest] object Protocols {
       } catch {
         case _: graft.api.GraftError.Conflict if g.hasMetric(name) => ()
       }
+
+  /** Periodic flush loop shared by the daemons. A failing flush must
+    * be LOUD and leave data intact (a silent catch turned a held store
+    * lock into a silent data sink — r7 verdict): the flush() failure
+    * contract retains the buffer/staging, this loop logs the error and
+    * backs off exponentially (cap 32x the configured interval) so a
+    * persistently failing store isn't hammered, then the first success
+    * resets the cadence.
+    */
+  def flushLoop(tag: String, running: AtomicBoolean, delayS: Double,
+                flush: () => Unit): Unit = {
+    val baseMs = math.max(1L, (delayS * 1000).toLong)
+    var delayMs = baseMs
+    while (running.get()) {
+      Thread.sleep(delayMs)
+      if (running.get())
+        try { flush(); delayMs = baseMs }
+        catch { case e: Throwable =>
+          System.err.println(s"[$tag] flush failed (data retained, " +
+            s"backing off): ${e.getMessage}")
+          delayMs = math.min(delayMs * 2, baseMs * 32)
+        }
+    }
+  }
 }
 
 /** AMQP 1.0 frame layer (OASIS AMQP 1.0 part 2) over the [[Amqp]]
@@ -275,12 +328,9 @@ final class AmqpServer(g: Graft, policyName: Option[String] = None,
     t.start()
     threads.add(t)
     flushDelayS.foreach { d =>
-      val f = new Thread(() => {
-        while (running.get()) {
-          Thread.sleep((d * 1000).toLong)
-          if (running.get()) try flush() catch { case _: Throwable => () }
-        }
-      }, "graft-amqp1d-flush")
+      val f = new Thread(() =>
+        Protocols.flushLoop("amqp1d", running, d, () => flush()),
+        "graft-amqp1d-flush")
       f.setDaemon(true)
       f.start()
       threads.add(f)
@@ -348,25 +398,36 @@ final class AmqpServer(g: Graft, policyName: Option[String] = None,
   /** Flush buffered collectd bodies through the gated mapping into the
     * store (amqp1d.py BatchProcessor._flush): metrics are
     * `host/metric` ids created on first sight, measures land via the
-    * facade's bulk DataFrame door.
+    * facade's bulk DataFrame door, then process() drains staging (the
+    * metricd role fused into the daemon). Same failure contract as
+    * [[StatsdServer.flush]]: staging failure restores the body buffer
+    * and rethrows; landing failure leaves the measures 202-staged for
+    * the next flush's process() — collectd bodies carry their own
+    * timestamps, so the retry is new-wins idempotent.
     */
   def flush(): Unit = {
     val snapshot = bodies.synchronized {
       val s = bodies.toList; bodies.clear(); s
     }
-    if (snapshot.isEmpty) return
-    val s = g.spark
-    import s.implicits._
-    val measures = RemoteWrite.collectdToMeasures(snapshot.toDF("body"))
-      .select(concat(col("resource_id"), lit("/"), col("metric"))
-          .as("metric_id"),
-        col("timestamp"), col("value"))
-    // the live metric-name set is daemon-bounded (hosts × plugins),
-    // not measure-bounded — same envelope as the REST wire doors
-    val ids = measures.select("metric_id").distinct()
-      .collect().map(_.getString(0))
-    ids.foreach(Protocols.ensureMetric(g, _, policyName))
-    g.batchAddMeasures(measures)
+    if (snapshot.nonEmpty)
+      try {
+        val s = g.spark
+        import s.implicits._
+        val measures = RemoteWrite.collectdToMeasures(snapshot.toDF("body"))
+          .select(concat(col("resource_id"), lit("/"), col("metric"))
+              .as("metric_id"),
+            col("timestamp"), col("value"))
+        // the live metric-name set is daemon-bounded (hosts × plugins),
+        // not measure-bounded — same envelope as the REST wire doors
+        val ids = measures.select("metric_id").distinct()
+          .collect().map(_.getString(0))
+        ids.foreach(Protocols.ensureMetric(g, _, policyName))
+        g.batchAddMeasures(measures)
+      } catch { case e: Throwable =>
+        bodies.synchronized { snapshot.reverseIterator.foreach(_ +=: bodies) }
+        throw e
+      }
+    g.process()
   }
 
   /** Stop accepting and close live connections (unblocking their

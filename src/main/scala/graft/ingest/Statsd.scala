@@ -24,10 +24,12 @@ object Statsd {
 
   /** Parse a one-string-column DataFrame of statsd lines into
     * `(bucket, value, kind, rate, seq)`; `seqCol` (arrival order)
-    * breaks gauge last-write ties deterministically.
+    * breaks gauge last-write ties deterministically. `extra` names
+    * input columns carried through unchanged (the daemon threads its
+    * per-line receipt timestamp this way).
     */
   def parse(lines: DataFrame, lineCol: String = "line",
-            seqCol: String = "seq"): DataFrame =
+            seqCol: String = "seq", extra: Seq[String] = Nil): DataFrame =
     lines
       .withColumn("bucket", regexp_extract(col(lineCol), Pat, 1))
       // regexp_extract yields "" for non-matches/absent groups; guard
@@ -40,8 +42,8 @@ object Statsd {
       .withColumn("rate",
         coalesce(when(col("__r") =!= "", col("__r").cast("double")), lit(1.0)))
       .filter(col("bucket") =!= "" && col("value").isNotNull)
-      .select(col("bucket"), col("value"), col("kind"), col("rate"),
-        col(seqCol).cast("long").as("seq"))
+      .select((Seq(col("bucket"), col("value"), col("kind"), col("rate"),
+        col(seqCol).cast("long").as("seq")) ++ extra.map(col)): _*)
 
   /** Flush: one row per (bucket, kind) with the statsd aggregate
     * semantics. Counters scale by 1/rate; gauges keep the last write

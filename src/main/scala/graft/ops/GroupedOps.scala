@@ -76,7 +76,11 @@ object GroupedOps {
           // a ref repeated in ONE leaf is a distinct series to the
           // reference (two identical matrix columns): disambiguate its
           // sid so positional windows don't interleave the copies,
-          // while cross-series aggregates still count it per occurrence
+          // while cross-series aggregates still count it per occurrence.
+          // The synthetic "#i" suffix is INTERNAL ONLY: every output
+          // path of run() projects sid away (grpCols, bucket, value),
+          // matching the reference's unnamed positional matrix columns
+          // — keep it that way if sid ever gets surfaced.
           val df =
             if (ml.refs.indexOf(r) == i) df0
             else df0.withColumn("sid", concat(col("sid"), lit(s"#$i")))

@@ -34,8 +34,13 @@ object MeasureSearch {
         case "*" | "×" | "mul"  => a * b
         case "/" | "÷" | "div"  => a / b
         // python operator.mod (rest/api.py binary_operators): the
-        // result takes the DIVISOR's sign — pmod matches both ways
-        case "%" | "mod"        => pmod(a, b)
+        // result takes the DIVISOR's sign — true floor-mod, because
+        // pmod only corrects the negative-DIVIDEND case (pmod(7,-3)=1
+        // while python 7 % -3 = -2); b=0 keeps pmod's NaN result
+        // rather than python's ZeroDivisionError (a filter predicate
+        // must not abort the scan)
+        case "%" | "mod"        =>
+          when(b === 0, lit(Double.NaN)).otherwise(a - floor(a / b) * b)
         case "**" | "^" | "pow" => pow(a, b)
         case other => throw new IllegalArgumentException(s"arith $other")
       }

@@ -357,14 +357,22 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       case ("GET", List("v1", "capabilities")) =>
         ok("aggregation_methods" -> g.capabilities.toList.sorted)
 
-      // /v1/status (rest/api.py StatusController): backlog summary
+      // /v1/status (rest/api.py StatusController): backlog summary.
+      // The metricd block always exists in the reference response; with
+      // no coordinator it reports processors=null, statistics={}
+      // (rest/api.py:2216-2219) — the daemon fleet is replaced by Spark
+      // here, so that no-coordinator shape is the truthful one, and
+      // clients that read the key don't crash.
       case ("GET", List("v1", "status")) =>
         val st = g.status()
-        ok("storage" -> (
+        ok(("storage" -> (
           ("summary" -> (
             ("metrics" -> st.size) ~ ("measures" -> st.values.sum))) ~
           ("measures_to_process" -> JObject(
-            st.toList.sortBy(_._1).map { case (m, n) => m -> JInt(n) }))))
+            st.toList.sortBy(_._1).map { case (m, n) => m -> JInt(n) })))) ~
+          ("metricd" -> (
+            ("processors" -> JNull) ~
+            ("statistics" -> JObject(Nil)))))
 
       // -------------------------------------------------- archive policies
       case ("POST", List("v1", "archive_policy")) =>
@@ -942,6 +950,53 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         }))
 
       // -------------------------------------------------- wire protocols
+      // InfluxDB compatibility handshake (rest/influxdb.py:106-139):
+      // real clients (telegraf) ping and issue CREATE DATABASE before
+      // the first write, so without these two routes a stock client
+      // fails before any data flows. ping answers with the version
+      // header; query understands exactly the reference's grammar —
+      // `CREATE DATABASE <name>[;]`, name bare-word or double-quoted
+      // with backslash escapes — creating <name> as a resource type
+      // (already-exists passes, influxdb.py:133-136); any other q is
+      // 501 with the reference's error triple.
+      case ("GET" | "HEAD", List("v1", "influxdb", "ping")) =>
+        noContent.copy(headers =
+          Map("X-Influxdb-Version" -> "Graft influxdb-compat"))
+
+      case ("POST", List("v1", "influxdb", "query")) =>
+        // q arrives as a query param or a form-encoded body field
+        val qParam = q.get("q").orElse {
+          new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+            .split("&").toSeq.collectFirst {
+              case kv if kv.startsWith("q=") =>
+                java.net.URLDecoder.decode(kv.substring(2), "UTF-8")
+            }
+        }
+        qParam match {
+          case None => ok(JNothing) // reference: absent q is a no-op 200
+          case Some(query) =>
+            val Create = ("(?is)\\s*create\\s+database\\s+" +
+              "(?:\"((?:[^\"\\\\]|\\\\.)+)\"|([A-Za-z_][A-Za-z0-9_]*))" +
+              "\\s*;?\\s*").r
+            query match {
+              case Create(quoted, bare) =>
+                // the reference enforces "create resource type" here
+                // (influxdb.py:130) — same gate as the direct route
+                enforceAdmin(creator)
+                val name =
+                  if (quoted != null) quoted.replaceAll("(?s)\\\\(.)", "$1")
+                  else bare
+                try g.createResourceType(
+                  graft.catalog.ResourceTypes.ResourceType(name, Nil))
+                catch { case _: graft.api.GraftError.Conflict => () }
+                noContent
+              case _ => Response(501, JObject(
+                "cause" -> JString("Not implemented error"),
+                "detail" -> JString("q"),
+                "reason" -> JString("Query not implemented")))
+            }
+        }
+
       // InfluxDB line-protocol write (the reference's rest/influxdb.py):
       // text body of lines; metrics auto-create via the R9 rules; 204.
       case ("POST", List("v1", "influxdb", "write")) =>

@@ -145,6 +145,67 @@ class ProtocolSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("statsd flush failure contract: a held store lock is LOUD, " +
+      "nothing is lost, and the next flush drains everything") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-proto-lock").toString
+    val g = new graft.api.Graft(spark, dir)
+    g.createPolicy(graft.model.ArchivePolicy("st", 0,
+      Seq(graft.model.ArchivePolicyItem(
+        graft.model.Granularity.seconds(60), None, None)),
+      Set("mean")))
+    val server = new graft.ingest.StatsdServer(g, policyName = Some("st"))
+    val port = server.serve(0)
+    try {
+      val sock = new java.net.DatagramSocket()
+      val b = "temp:20|g".getBytes("UTF-8")
+      sock.send(new java.net.DatagramPacket(b, b.length,
+        java.net.InetAddress.getLoopbackAddress, port))
+      await("1 buffered line")(server.pendingLines == 1)
+      // a LIVE concurrent writer holds the per-policy store lock
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val lock = new org.apache.hadoop.fs.Path(s"$dir/st/.lock")
+      fs.mkdirs(lock.getParent)
+      fs.create(lock, false).close()
+      // landing fails loudly (the flush LOOP catches+logs+backs off;
+      // direct callers see the error) — staging kept the measure
+      intercept[IllegalStateException](server.flush())
+      assert(server.pendingLines == 0, "line buffer drained into staging")
+      assert(g.status().getOrElse("temp|g", 0L) === 1L,
+        "failed landing lost the staged measure")
+      fs.delete(lock, false)
+      // next flush (nothing newly buffered) drains the retained staging
+      server.flush()
+      assert(g.status().isEmpty)
+      assert(g.getMeasures("temp|g", "mean").map(_._3) === Seq(20.0))
+    } finally server.stop()
+  }
+
+  test("statsd stamps flushed measures with RECEIPT time, not flush " +
+      "time (statsd.py treat_metric utcnow at receipt)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-proto-ts").toString
+    val g = new graft.api.Graft(spark, dir)
+    g.createPolicy(graft.model.ArchivePolicy("st1s", 0,
+      Seq(graft.model.ArchivePolicyItem(
+        graft.model.Granularity.seconds(1), None, None)),
+      Set("mean")))
+    val server = new graft.ingest.StatsdServer(g, policyName = Some("st1s"))
+    val port = server.serve(0)
+    try {
+      val sock = new java.net.DatagramSocket()
+      val b = "temp:42|g".getBytes("UTF-8")
+      sock.send(new java.net.DatagramPacket(b, b.length,
+        java.net.InetAddress.getLoopbackAddress, port))
+      await("1 buffered line")(server.pendingLines == 1)
+      val recvMs = System.currentTimeMillis()
+      Thread.sleep(2500) // flush-time stamping would land 2.5 s later
+      server.flush()
+      val bucketMs = g.getMeasures("temp|g", "mean").last._1.getTime
+      assert(math.abs(bucketMs - recvMs) < 1500,
+        s"flushed bucket $bucketMs is not the receipt second (~$recvMs)")
+    } finally server.stop()
+  }
+
   test("serveAll runs http + statsd + amqp under one lifecycle and " +
       "stop() flushes the daemons' buffers before closing") {
     val g = newGraft()

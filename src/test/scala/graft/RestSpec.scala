@@ -57,6 +57,52 @@ class RestSpec extends SparkSpec {
     } === List(5.0))
   }
 
+  test("influxdb compatibility handshake: ping + CREATE DATABASE, " +
+      "then a telegraf-shaped write sequence (rest/influxdb.py:106-139)") {
+    val api = newApi
+    // 1. ping (telegraf probes before anything else): 204 + version hdr
+    val ping = api.dispatch("GET", "/v1/influxdb/ping")
+    assert(ping.status === 204)
+    assert(ping.headers.contains("X-Influxdb-Version"))
+    assert(api.dispatch("HEAD", "/v1/influxdb/ping").status === 204)
+    // 2. CREATE DATABASE (form-encoded body, as influx clients send it)
+    val cq = api.dispatch("POST", "/v1/influxdb/query",
+      body = "q=CREATE+DATABASE+telegraf")
+    assert(cq.status === 204)
+    // created as a resource type; repeating passes (already-exists)
+    assert(api.dispatch("GET", "/v1/resource_type/telegraf").status === 200)
+    assert(api.dispatch("POST", "/v1/influxdb/query",
+      body = "q=CREATE+DATABASE+telegraf").status === 204)
+    // quoted name + trailing semicolon, query-param form
+    assert(api.dispatch("POST", "/v1/influxdb/query",
+      query = Map("q" -> "create database \"tele-graf\";")).status === 204)
+    // anything else is the reference's 501 triple
+    val notImpl = api.dispatch("POST", "/v1/influxdb/query",
+      body = "q=SELECT+*+FROM+cpu")
+    assert(notImpl.status === 501)
+    assert(notImpl.body \ "reason" === JString("Query not implemented"))
+    assert(notImpl.body \ "detail" === JString("q"))
+    // 3. the write a real client then issues lands end to end
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"name": "all", "metric_pattern": "*", "archive_policy_name": "low"}""")
+    assert(api.dispatch("POST", "/v1/influxdb/write",
+      body = "cpu,host=web01 value=0.5 1388577600000000000").status === 204)
+    val st = api.dispatch("GET", "/v1/status")
+    assert(st.body \ "storage" \ "summary" \ "measures" === JInt(1))
+  }
+
+  test("/v1/status always carries the metricd block in the " +
+      "no-coordinator shape (rest/api.py:2216-2219)") {
+    val api = newApi
+    val st = api.dispatch("GET", "/v1/status")
+    assert(st.status === 200)
+    assert(st.body \ "metricd" \ "processors" === JNull)
+    assert(st.body \ "metricd" \ "statistics" === JObject(Nil))
+  }
+
   test("unknown metric and bad input map to 404/400") {
     val api = newApi
     assert(api.dispatch("POST", "/v1/metric/nope/measures",
