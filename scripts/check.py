@@ -3,7 +3,7 @@
 then execute each oracle SQL in DuckDB over the same parquet tables and
 compare (columns sorted by name, rows sorted, exact value compare with
 float tolerance reporting)."""
-import json, math, subprocess, sys
+import hashlib, json, math, os, subprocess, sys
 import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -22,9 +22,55 @@ if RUN_VERIFY:
             print("VERIFY-ERR:", line)
 
 con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+# ---- oracle-result cache -------------------------------------------------
+# Some oracles are deliberately quadratic (all-pairs dedup arms): at sf0.1
+# they cost 15-60 MINUTES each in DuckDB. The oracle result is a pure
+# function of (source tables, SQL text), so cache it keyed by the SF dir,
+# a size+mtime fingerprint of every table, and the SQL hash. Best-effort:
+# any cache failure (exotic dtypes, unwritable dir) falls back to a live
+# run, and a dtype-kind drift through the parquet round-trip invalidates
+# the hit (the gate compares TYPED values, so fidelity beats speed).
+ORACLE_CACHE = os.environ.get("GRAFT_ORACLE_CACHE", "/tmp/graft-oracle-cache")
+def _table_fp():
+    parts = []
+    for t in TABLES:
+        try:
+            st = os.stat(f"{SF_DIR}/{t}.parquet")
+            parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+        except OSError:
+            parts.append(f"{t}:absent")
+    return ",".join(parts)
+_FP = _table_fp()
+
+def oracle_df(sql):
+    key = hashlib.sha256(f"{SF_DIR}|{_FP}|{sql}".encode()).hexdigest()[:24]
+    pq, meta = f"{ORACLE_CACHE}/{key}.parquet", f"{ORACLE_CACHE}/{key}.json"
+    if os.path.exists(pq) and os.path.exists(meta):
+        try:
+            import pandas as pd
+            exp = pd.read_parquet(pq)
+            kinds = json.load(open(meta))
+            if {c: exp[c].dtype.kind for c in exp.columns} == kinds:
+                return exp
+            print(f"    (cache {key}: dtype drift, recomputing)", flush=True)
+        except Exception as e:
+            print(f"    (cache read failed: {e}; recomputing)", flush=True)
+    exp = con.execute(sql).fetch_df()
+    try:
+        os.makedirs(ORACLE_CACHE, exist_ok=True)
+        exp.to_parquet(pq + ".tmp")
+        os.replace(pq + ".tmp", pq)
+        with open(meta + ".tmp", "w") as f:
+            json.dump({c: exp[c].dtype.kind for c in exp.columns}, f)
+        os.replace(meta + ".tmp", meta)
+    except Exception as e:
+        print(f"    (cache write skipped: {e})", flush=True)
+    return exp
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails, passes, weak = [], [], []
@@ -42,7 +88,7 @@ for name in sorted(have):
         weak.append((name, n))
         continue
     try:
-        exp = con.execute(oracle[name]).fetch_df()
+        exp = oracle_df(oracle[name])
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
         continue

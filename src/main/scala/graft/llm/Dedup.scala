@@ -302,7 +302,7 @@ object Dedup {
     val repPairs = cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", col("inter") / col("uni"))
+      .withColumn("jaccard", try_divide(col("inter"), col("uni")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     // Within-group pairs are identical content: jaccard exactly 1.0,
@@ -336,7 +336,7 @@ object Dedup {
     l.crossJoin(r).filter(col("id_a") < col("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", col("inter") / col("uni"))
+      .withColumn("jaccard", try_divide(col("inter"), col("uni")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -374,7 +374,7 @@ object Dedup {
     val vb = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine",
-        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        try_divide(Similarity.dot(col("v_a"), col("v_b")), col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -395,7 +395,7 @@ object Dedup {
       col("nrm").as("n_b"))
     l.crossJoin(r).filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        try_divide(Similarity.dot(col("v_a"), col("v_b")), col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -706,7 +706,7 @@ object Dedup {
     val wit = a.join(b, Seq("cell"))
       .filter(col("__idb") < col("__ida"))
       .withColumn("__cos",
-        Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        try_divide(Similarity.dot(col("__va"), col("__vb")), col("__na") * col("__nb")))
       .filter(col("__cos") >= threshold)
       .groupBy(col("__ida").as(idCol))
       .agg(max(struct(col("__cos").as("c"), (-col("__idb")).as("negid")))

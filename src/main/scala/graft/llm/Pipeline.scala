@@ -288,7 +288,7 @@ object Pipeline {
       } else c.crossJoin(broadcast(b0))
     scored
       .withColumn("__cos",
-        Similarity.dot(col("__cv"), col("__bv")) / (col("__cn") * col("__bn")))
+        try_divide(Similarity.dot(col("__cv"), col("__bv")), col("__cn") * col("__bn")))
       .groupBy(col(idCol))
       .agg(max(col("__cos")).as("best_cosine"),
         sum(when(col("__cos") >= threshold, 1L).otherwise(0L)).as("n_hits"))

@@ -22,7 +22,12 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(call_function("vec_dot", a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity; a zero-norm (degenerate) vector yields NULL —
+    * SQL division semantics (DuckDB oracle, pre-ANSI Spark), where a
+    * bare `/` under ANSI (the Spark 4 default) would instead abort the
+    * whole job on the first zero norm. */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
   /** Brute-force cosine top-k: every query row against every corpus row.
     * Queries are broadcast (small side); corpus scan is embarrassingly
@@ -39,8 +44,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       l2norm(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) /
-        (col("__qn") * col("__cn")))
+      .withColumn("cosine", try_divide(dot(col("qv"), col("cv")),
+        col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -234,8 +239,8 @@ object Similarity {
       .withColumn("__cn", l2norm(col(vecCol)))
     val scored = cells.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("cosine", dot(col("qv"), col(vecCol)) /
-        (col("__qn") * col("__cn")))
+      .withColumn("cosine", try_divide(dot(col("qv"), col(vecCol)),
+        col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -276,8 +281,8 @@ object Similarity {
 
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) /
-        (col("__qn") * col("__cn")))
+      .withColumn("cosine", try_divide(dot(col("qv"), col("cv")),
+        col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -111,14 +111,44 @@ object Compiler {
     case "add" => l + r
     case "sub" => l - r
     case "mul" => l * r
-    case "div" => l / r
-    case "mod" => l % r
+    // numpy.true_divide (operations.py:95-97): x/0 = ±inf (sign of x),
+    // 0/0 = NaN. Under ANSI (Spark 4 default) a bare `/` instead THROWS
+    // on the first zero divisor — one zero sample in the divisor metric
+    // must not kill the whole query. (-0.0 divisors land on +inf where
+    // numpy gives -inf; measures carrying negative zero are beyond the
+    // tested surface.) CaseWhen branches evaluate lazily, so the
+    // guarded `/` never sees a zero.
+    case "div" =>
+      when(r.isNull || l.isNull, lit(null).cast("double")) // missing cell
+        .when(r =!= 0, l / r)
+        .when(l === 0 || isnan(l), lit(Double.NaN))
+        .otherwise(signum(l) * lit(Double.PositiveInfinity))
+    // numpy.mod (operations.py:84-85) is FLOOR mod — the result takes
+    // the DIVISOR's sign; Spark's % is truncated mod (dividend's sign),
+    // diverging for mixed-sign operands. mod-by-zero keeps numpy's NaN.
+    case "mod" =>
+      when(r === 0, lit(Double.NaN)).otherwise(l - floor(l / r) * r)
     case "pow" => pow(l, r)
-    case "max2" => greatest(l, r)
-    case "min2" => least(l, r)
-    case "clip_min" => greatest(l, r)
-    case "clip_max" => least(l, r)
+    // the reference's binary max is numpy.fmax (operations.py:105) —
+    // NaN-IGNORING: fmax(2, nan) = 2. Spark's greatest orders NaN above
+    // every double, so guard explicitly. min2 is our symmetric
+    // extension (the reference exposes no binary min), fmin-shaped.
+    case "max2" =>
+      when(isnan(l), r).when(isnan(r), l).otherwise(greatest(l, r))
+    case "min2" =>
+      when(isnan(l), r).when(isnan(r), l).otherwise(least(l, r))
+    // numpy.clip PROPAGATES NaN (clip(nan, lo, hi) = nan); Spark's
+    // least/greatest order NaN above all doubles, which would clamp a
+    // NaN cell to the bound instead
+    case "clip_min" => when(isnan(l), l).otherwise(greatest(l, r))
+    case "clip_max" => when(isnan(l), l).otherwise(least(l, r))
   }
+
+  /** Ternary clip, NaN-propagating like numpy.clip (a NaN cell stays
+    * NaN; least/greatest alone would clamp it to `hi`).
+    */
+  private[ops] def clipCol(c: Column, lo: Column, hi: Column): Column =
+    when(isnan(c), c).otherwise(least(greatest(c, lo), hi))
 
   private[ops] def unCol(op: String, c: Column): Column = op match {
     case "abs" | "absolute" => abs(c)
@@ -172,7 +202,7 @@ object Compiler {
         yield pairs
     case Clip(sub, Num(lo), Num(hi)) =>
       elementwise(sub, base).map(_.map { case (n, c) =>
-        n -> least(greatest(c, lit(lo)), lit(hi)) })
+        n -> clipCol(c, lit(lo), lit(hi)) })
     case Un(op, sub) =>
       elementwise(sub, base).map(_.map { case (n, c) => n -> unCol(op, c) })
     case _ => None
@@ -246,7 +276,7 @@ object Compiler {
       val g = eval(sub, base)
       val loC = lo match { case Num(v) => lit(v); case _ => sys.error("clip bounds must be scalars") }
       val hiC = hi match { case Num(v) => lit(v); case _ => sys.error("clip bounds must be scalars") }
-      mapCols(g, c => least(greatest(c, loC), hiC))
+      mapCols(g, c => clipCol(c, loC, hiC))
 
     case Un(op, sub) => mapCols(eval(sub, base), c => unCol(op, c))
 

@@ -196,7 +196,7 @@ object GroupedOps {
           case _ => throw new IllegalArgumentException("clip bounds must be scalars") }
         val hiC = hi match { case Num(v) => lit(v)
           case _ => throw new IllegalArgumentException("clip bounds must be scalars") }
-        mapValue(ev(sub), c => least(greatest(c, loC), hiC))
+        mapValue(ev(sub), c => Compiler.clipCol(c, loC, hiC))
 
       case Un(op, sub) => mapValue(ev(sub), c => Compiler.unCol(op, c))
 

@@ -54,6 +54,34 @@ class OpsSpec extends SparkSpec {
     assert(values(g).map(_._2.head) == Seq(1.5, 2.0, 2.5))
   }
 
+  test("mod is numpy FLOOR mod (divisor's sign), max is NaN-ignoring " +
+      "fmax, clip propagates NaN (operations.py:84,105 + numpy.clip)") {
+    val negSeries = Seq(
+      ("m1/mean", "2014-01-01 12:00:00",  7.0),
+      ("m1/mean", "2014-01-01 12:01:00", -7.0),
+      ("m1/mean", "2014-01-01 12:02:00", -1.0))
+    // python/numpy: 7 % -3 = -2, -7 % -3 = -1, -1 % -3 = -1
+    val m = Compiler.eval(Parser.parse("(% (metric m1 mean) -3)"),
+      mkGrid(negSeries: _*))
+    assert(values(m).map(_._2.head) == Seq(-2.0, -1.0, -1.0))
+    // ... and 7 % 3 = 1, -7 % 3 = 2, -1 % 3 = 2 (positive divisor)
+    val p = Compiler.eval(Parser.parse("(% (metric m1 mean) 3)"),
+      mkGrid(negSeries: _*))
+    assert(values(p).map(_._2.head) == Seq(1.0, 2.0, 2.0))
+    // NaN via 0/0 upstream: fmax ignores it, clip propagates it
+    val nanSeries = Seq(
+      ("m1/mean", "2014-01-01 12:00:00", 0.0),
+      ("m2/mean", "2014-01-01 12:00:00", 0.0))
+    val fm = Compiler.eval(Parser.parse(
+      "(max (/ (metric m1 mean) (metric m2 mean)) 5)"),
+      mkGrid(nanSeries: _*))
+    assert(values(fm).map(_._2.head) == Seq(5.0)) // fmax(nan, 5) = 5
+    val cl = Compiler.eval(Parser.parse(
+      "(clip (/ (metric m1 mean) (metric m2 mean)) 1 2)"),
+      mkGrid(nanSeries: _*))
+    assert(values(cl).forall(_._2.head.isNaN)) // clip(nan, 1, 2) = nan
+  }
+
   test("rolling sum 2 emitted only from the window-th point (test_aggregates.py:1427-1470)") {
     val g = Compiler.eval(Parser.parse("(rolling sum 2 (metric m1 mean))"),
       mkGrid(twoSeries: _*))
