@@ -139,8 +139,12 @@ final class StatsdServer(g: Graft, policyName: Option[String] = None,
         throw e
       }
     // land what is staged (ours plus anything already pending) — the
-    // metricd role fused into the daemon; no-op when staging is empty
-    g.process()
+    // metricd role fused into the daemon; no-op when staging is empty.
+    // Serialized on the shared facade: the statsd and amqp1d timers
+    // (and a shutdown drain) must contend on the JVM monitor, not
+    // surface routine same-process races as held-store-lock errors —
+    // cross-PROCESS contention stays the lock's loud-retry.
+    g.synchronized(g.process())
   }
 
 
@@ -427,7 +431,7 @@ final class AmqpServer(g: Graft, policyName: Option[String] = None,
         bodies.synchronized { snapshot.reverseIterator.foreach(_ +=: bodies) }
         throw e
       }
-    g.process()
+    g.synchronized(g.process()) // same intra-JVM serialization as statsd
   }
 
   /** Stop accepting and close live connections (unblocking their

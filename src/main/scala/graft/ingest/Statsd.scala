@@ -51,7 +51,11 @@ object Statsd {
     */
   def flush(parsed: DataFrame): DataFrame =
     parsed.groupBy("bucket", "kind").agg(
-      sum(when(col("kind") === "c", col("value") / col("rate"))).as("counter"),
+      // try_divide: a malformed `|@0` sampling rate must contribute
+      // nothing (NULL, skipped by sum) — a bare `/` under ANSI throws,
+      // turning one poison line into a permanently failing flush
+      sum(when(col("kind") === "c",
+        try_divide(col("value"), col("rate")))).as("counter"),
       max_by(col("value"), col("seq")).as("gauge"),
       count(lit(1)).as("n"),
       avg(col("value")).as("mean"),
