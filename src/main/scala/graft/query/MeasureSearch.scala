@@ -32,7 +32,14 @@ object MeasureSearch {
         case "+" | "add"        => a + b
         case "-" | "sub"        => a - b
         case "*" | "×" | "mul"  => a * b
-        case "/" | "÷" | "div"  => a / b
+        // python operator.truediv raises ZeroDivisionError (a 500 in
+        // the reference); under ANSI a bare `/` would likewise THROW on
+        // the first zero divisor and abort the whole scan. Keep the
+        // predicate total instead: 0-divisor yields NaN (same choice as
+        // mod below), and NaN compares deterministically — and the same
+        // way — in both Spark and the DuckDB oracle (above every value)
+        case "/" | "÷" | "div"  =>
+          when(b === 0, lit(Double.NaN)).otherwise(a / b)
         // python operator.mod (rest/api.py binary_operators): the
         // result takes the DIVISOR's sign — true floor-mod, because
         // pmod only corrects the negative-DIVIDEND case (pmod(7,-3)=1

@@ -21,7 +21,9 @@ import graft.model.Granularity
   */
 object Kernels {
 
-  private val PctRe = "^([0-9]{1,2})pct$".r
+  // carbonara.py:578 `([1-9][0-9]?)pct`: 1-99 only, no leading zero —
+  // "0pct" and "09pct" are unknown methods, not percentile 0/9
+  private val PctRe = "^([1-9][0-9]?)pct$".r
 
   /** Aggregate expression for a base (non-rate) method over a value
     * column, given the timestamp column for order-sensitive methods.

@@ -298,6 +298,13 @@ class ApiSpec extends SparkSpec {
       Cmp("=", Arith("%", Value, Const(3)), Const(1)))
       .select("metric_id").collect().map(_.getString(0)).toSeq
     assert(modGot == Seq("m3"))
+    // a zero divisor must not abort the scan (ANSI `/` throws):
+    // Value/0 = NaN, and NaN orders above every double in both Spark
+    // and the oracle, so `> 50` deterministically matches
+    val divGot = g.searchMetricValues(Seq("m3"), "mean", 300,
+      Cmp(">", Arith("/", Value, Const(0)), Const(50)))
+      .select("metric_id").collect().map(_.getString(0)).toSeq
+    assert(divGot == Seq("m3"))
   }
 
   test("use_history group-by: revision windows weight buckets fractionally " +

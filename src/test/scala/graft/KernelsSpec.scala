@@ -73,6 +73,43 @@ class KernelsSpec extends SparkSpec {
     }
   }
 
+  test("0pct / 09pct are unknown methods, not percentile 0/9 (carbonara.py:578)") {
+    // reference regex is ([1-9][0-9]?)pct — 1-99, no leading zero
+    intercept[IllegalArgumentException] {
+      Kernels.aggColumn("0pct", col("value"), col("timestamp"))
+    }
+    intercept[IllegalArgumentException] {
+      Kernels.aggColumn("09pct", col("value"), col("timestamp"))
+    }
+    Kernels.aggColumn("99pct", col("value"), col("timestamp")) // still fine
+  }
+
+  test("NaN measures propagate exactly like numpy (carbonara.py:134-210)") {
+    // numpy argsort/lexsort order NaN last and Spark's double ordering
+    // does the same (NaN above every value), so each kernel's NaN
+    // behavior matches the reference with no special-casing:
+    //   min IGNORES NaN (py:148-153 — reversed overwrite, real values
+    //   written last), max returns it (py:155-160 — NaN written last),
+    //   sum/mean/std poison through bincount (py:134-146, 173-182),
+    //   median/quantile see it as the sort tail (py:162-171, 197-210),
+    //   count counts it (py:184-185). Goldens recomputed with numpy.
+    val rows = Seq(
+      ("m", "2014-01-01 12:00:00", 3.0),
+      ("m", "2014-01-01 12:00:04", Double.NaN),
+      ("m", "2014-01-01 12:00:09", 5.0))
+    def one(method: String): Double = agg(method, rows: _*)().head._2
+    assert(one("min") == 3.0)
+    assert(one("max").isNaN)
+    assert(one("sum").isNaN)
+    assert(one("mean").isNaN)
+    assert(one("std").isNaN)
+    assert(one("count") == 3.0)
+    assert(one("median") == 5.0) // sorted [3, 5, NaN], odd count → index 1
+    assert(one("95pct").isNaN)   // interpolates into the NaN tail
+    assert(one("first") == 3.0)
+    assert(one("last") == 5.0)
+  }
+
   test("merge: new batch wins, first occurrence wins within batch (test_carbonara.py:84-104)") {
     // batch with duplicate timestamps: first occurrence at dup ts wins
     val s = spark
