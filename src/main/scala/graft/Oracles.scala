@@ -1321,8 +1321,11 @@ object Oracles {
          a AS (SELECT id, max(ts_s) AS last_s FROM e GROUP BY 1),
          n AS (SELECT max(last_s) AS now_s FROM a),
          d AS (SELECT a.id,
-                      CASE WHEN a.last_s <= n.now_s - 3*86400
-                        THEN a.last_s END AS ended_s,
+                      CASE WHEN a.last_s < n.now_s - 12*3600 - 8*3600
+                        THEN n.now_s - 12*3600
+                      WHEN a.last_s < n.now_s - 4*3600 - 8*3600
+                        THEN n.now_s - 4*3600
+                      END AS ended_s,
                       n.now_s AS now_s
                FROM a, n),
          r AS (SELECT id,
@@ -1332,7 +1335,7 @@ object Oracles {
                       now_s
                FROM d)
          SELECT id, ended_s,
-                CAST(CASE WHEN ended_s IS NULL OR ended_s >= now_s - 5*86400
+                CAST(CASE WHEN ended_s IS NULL OR ended_s >= now_s - 6*3600
                      THEN 1 ELSE 0 END AS BIGINT) AS kept
          FROM r""",
 

@@ -1459,10 +1459,15 @@ object Queries {
     }),
     // J6 end-dating + resurrection + auto-clean over a catalog derived
     // from the data: users are resources, last event = last activity.
-    // Users idle ≥ 3 d at corpus end get end-dated at their last
-    // activity; every 7th user then receives a fresh measure (ingest
-    // resurrection clears ended_at); auto-clean drops resources ended
-    // more than 5 d ago. Output: (id, ended_s, kept) — three classes.
+    // TWO janitor passes, reference semantics (chef.py: ended_at =
+    // the RUN time, strict < inactivity boundary): pass A at now-12h
+    // ends users idle >8h then (stamp now-12h → later auto-cleaned);
+    // pass B at now-4h ends the next cohort (stamp now-4h → inside
+    // grace, kept) and must NOT re-stamp pass-A resources. Every 7th
+    // user then receives a fresh measure (ingest resurrection clears
+    // ended_at); auto-clean at corpus end drops resources ended more
+    // than 6 h ago. Output: (id, ended_s, kept) — four classes, all
+    // populated at sf0.01 (23 / 17 / resurrected / active).
     "j6_end_dating" -> ((s, dir) => {
       val ev = events(s, dir).select(col("user_id").cast("string").as("id"),
         unix_timestamp(col("ts")).cast("long").as("ts_s"))
@@ -1474,13 +1479,15 @@ object Queries {
       val act = ev.groupBy(col("id").as("resource_id"))
         .agg(max(col("ts_s")).as("last_ts_s"))
       val nowS = act.agg(max("last_ts_s")).head.getLong(0)
-      val ended = graft.catalog.Maintenance.endDateInactive(
-        res, act, nowS, inactiveS = 3L * 86400)
+      val passA = graft.catalog.Maintenance.endDateInactive(
+        res, act, nowS - 12L * 3600, inactiveS = 8L * 3600)
+      val passB = graft.catalog.Maintenance.endDateInactive(
+        passA, act, nowS - 4L * 3600, inactiveS = 8L * 3600)
       val fresh = act.filter(col("resource_id").cast("long") % 7 === 0)
         .withColumn("last_ts_s", lit(nowS))
-      val resur = graft.catalog.Maintenance.resurrect(ended, fresh)
+      val resur = graft.catalog.Maintenance.resurrect(passB, fresh)
       val kept = graft.catalog.Maintenance.autoClean(resur, nowS,
-          graceS = 5L * 86400)
+          graceS = 6L * 3600)
         .select(col("id"), lit(1L).as("kept"))
       resur
         .select(col("id"),

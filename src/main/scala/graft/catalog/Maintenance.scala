@@ -10,8 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** End-date resources whose every metric has been inactive for at
-    * least `inactiveS` seconds as of `nowS` (chef.py:57-117).
+  /** End-date resources whose every metric has been inactive for
+    * STRICTLY more than `inactiveS` seconds as of `nowS`
+    * (chef.py:126-133: `last_measure_timestamp < moment_now - inactive`,
+    * strict). The stamp is `nowS` — the janitor RUN time, chef.py's
+    * `moment_now` (update_resource(ended_at=moment_now)) — NOT the last
+    * activity timestamp: the auto-clean grace countdown starts at
+    * detection, so a long-idle resource still gets the full grace
+    * period after the janitor first notices it. Already-ended resources
+    * keep their original stamp (chef.py:172-175 skips them).
     * `lastActivity` is `(resource_id, last_ts_s)` — typically
     * max(last_measure_timestamp) over the resource's metrics; resources
     * with no row in it are left untouched (no metrics ≠ inactive).
@@ -23,8 +30,8 @@ object Maintenance {
         col("last_ts_s")), Seq("id"), "left")
       .withColumn("ended_at",
         when(col("ended_at").isNull && col("last_ts_s").isNotNull &&
-            col("last_ts_s") <= nowS - inactiveS,
-          to_timestamp(from_unixtime(col("last_ts_s"))))
+            col("last_ts_s") < nowS - inactiveS,
+          to_timestamp(from_unixtime(lit(nowS))))
         .otherwise(col("ended_at")))
       .drop("last_ts_s")
 

@@ -85,7 +85,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(g.lastMeasureTimestamp("m2").contains(ts("2024-01-01 10:00:00")))
   }
 
-  test("endDateInactive + autoClean lifecycle") {
+  test("endDateInactive + autoClean lifecycle (chef.py:126-133, 180-181)") {
     val s = spark
     import s.implicits._
     val res = Seq(
@@ -97,15 +97,26 @@ class MaintenanceSpec extends SparkSpec {
     val now = 1_000_000L
     val ended = Maintenance.endDateInactive(res, act, now, inactiveS = 500_000L)
     val byId = ended.collect().map(r => r.getString(0) -> r.get(1)).toMap
-    assert(byId("r1") != null) // inactive since t=1000 -> ended
+    // the stamp is the janitor RUN time (chef.py:180-181 moment_now),
+    // not the last activity timestamp
+    assert(byId("r1") == new java.sql.Timestamp(now * 1000))
     assert(byId("r2") == null) // active recently
-    assert(byId("r3") != null) // already ended, untouched
-    // grace: drop resources ended before now - grace
+    // already-ended keeps its ORIGINAL stamp (chef.py:172-175)
+    assert(byId("r3") == new java.sql.Timestamp(100_000L * 1000))
+    // strict boundary (chef.py:126-133 `<`): last activity EXACTLY
+    // inactiveS ago is not yet inactive
+    val edge = Maintenance.endDateInactive(res.filter(col("id") === "r1"),
+      Seq(("r1", now - 500_000L)).toDF("resource_id", "last_ts_s"),
+      now, inactiveS = 500_000L)
+    assert(edge.collect().head.get(1) == null)
+    // grace: drop resources ended before now - grace; r1's fresh stamp
+    // (= now) is inside ANY grace — detection starts the countdown
     val cleaned = Maintenance.autoClean(ended, now, graceS = 100_000L)
-    assert(cleaned.select("id").collect().map(_.getString(0)).toSet == Set("r2"))
+    assert(cleaned.select("id").collect().map(_.getString(0)).toSet ==
+      Set("r1", "r2"))
     // boundary: ended EXACTLY graceS ago survives ("more than" deletes)
     val atBoundary = Maintenance.autoClean(ended, now, graceS = 900_000L)
     assert(atBoundary.select("id").collect().map(_.getString(0)).toSet ==
-      Set("r2", "r3")) // r3 ended at t=100k = now - 900k
+      Set("r1", "r2", "r3")) // r3 ended at t=100k = now - 900k
   }
 }
