@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 import graft.model.{ArchivePolicy, Granularity}
@@ -611,6 +611,13 @@ class Graft(val spark: SparkSession, root: String) {
       case _ => grid
     }
     val filled = effFill match {
+      // "dropna" does NOT touch the grid (processor.py:173-175: its
+      // grid filler is NaN, same as null/None) — evaluation stays
+      // NaN-skipping over partial buckets; the dropping happens at
+      // OUTPUT, per series. A grid-level row filter here would remove
+      // a bucket from EVERY series whenever ANY series misses it,
+      // changing aggregate-across/rolling results on unaligned series.
+      case Some("dropna") | Some("null") => checked
       case Some(f) => checked.copy(df =
         graft.timeseries.TimeSeriesOps.fill(checked.df, checked.cols, f,
           partitionCols = checked.partCols))
@@ -626,8 +633,26 @@ class Graft(val spark: SparkSession, root: String) {
         filled.copy(df = graft.llm.OpCaches.persist(filled.df))
       else filled
     val out = Compiler.eval(ast, shared)
-    out.df
+    // Output-stage drop (processor.py:237-244, 257-262): for
+    // dropna/ffill/bfill/full_*, positions where the series value is
+    // NaN or ±inf (residual leading gaps after ffill, division blowups)
+    // are dropped from the emitted measures. Exact per-series semantics
+    // for the single-series result; a multi-series wide frame drops
+    // only all-empty rows here (each series' own gaps drop at
+    // serialization, where the frame fans out per reference).
+    if (effFill.exists(OutputDropFills)) {
+      def absent(c: Column) =
+        c.isNull || isnan(c) || abs(c) === lit(Double.PositiveInfinity)
+      if (out.cols.sizeIs == 1) out.df.filter(!absent(col(out.cols.head)))
+      else out.df.filter(!out.cols.map(c => absent(col(c))).reduce(_ && _))
+    } else out.df
   }
+
+  /** Fill modes whose OUTPUT drops NaN/±inf positions per series
+    * (processor.py:237-244).
+    */
+  private val OutputDropFills: Set[String] =
+    Set("dropna", "ffill", "bfill", "full_ffill", "full_bfill")
 
   private def collectRefs(n: graft.ops.Node): Seq[(String, String)] = n match {
     case graft.ops.MetricLeaf(refs) => refs

@@ -216,6 +216,33 @@ class ApiSpec extends SparkSpec {
     assert(e.getMessage.contains("Unable to aggregate"))
   }
 
+  test("dropna: NaN-skipping eval, output-stage drop " +
+      "(processor.py:173-175, 237-244)") {
+    val g = freshGraft()
+    g.createMetric("m1", "gabbi-low")
+    g.createMetric("m2", "gabbi-low")
+    g.addMeasures("m1", Seq(("2015-03-06 14:30:00", 1.0),
+      ("2015-03-06 14:35:00", 2.0), ("2015-03-06 14:40:00", 3.0)))
+    g.addMeasures("m2", Seq(("2015-03-06 14:35:00", 10.0),
+      ("2015-03-06 14:40:00", 0.0)))
+    g.process()
+    // aggregate-across must see PARTIAL buckets (the reference's dropna
+    // grid keeps its NaN filler through evaluation; nan-aggs skip) —
+    // a grid-level row filter would lose b1 and b3 entirely
+    val sums = g.aggregates(
+        "(aggregate sum (metric (m1 mean) (m2 mean)))", 300,
+        fill = Some("dropna"))
+      .orderBy("bucket").collect().map(_.getDouble(1)).toSeq
+    assert(sums == Seq(1.0, 12.0, 3.0))
+    // output drop: missing cell (b1: 1/na) AND ±inf (b3: 3/0 under
+    // numpy true_divide) both vanish from the emitted measures
+    val ratio = g.aggregates(
+        "(/ (metric m1 mean) (metric m2 mean))", 300,
+        fill = Some("dropna"))
+      .orderBy("bucket").collect().map(_.getDouble(1)).toSeq
+    assert(ratio == Seq(0.2))
+  }
+
   test("resource-scoped group-by aggregation (G1/G2) via metric catalog") {
     val s = spark
     import s.implicits._
