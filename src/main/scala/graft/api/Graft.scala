@@ -640,12 +640,7 @@ class Graft(val spark: SparkSession, root: String) {
     // for the single-series result; a multi-series wide frame drops
     // only all-empty rows here (each series' own gaps drop at
     // serialization, where the frame fans out per reference).
-    if (effFill.exists(OutputDropFills)) {
-      def absent(c: Column) =
-        c.isNull || isnan(c) || abs(c) === lit(Double.PositiveInfinity)
-      if (out.cols.sizeIs == 1) out.df.filter(!absent(col(out.cols.head)))
-      else out.df.filter(!out.cols.map(c => absent(col(c))).reduce(_ && _))
-    } else out.df
+    outputDrop(out.df, out.cols, effFill)
   }
 
   /** Fill modes whose OUTPUT drops NaN/±inf positions per series
@@ -653,6 +648,20 @@ class Graft(val spark: SparkSession, root: String) {
     */
   private val OutputDropFills: Set[String] =
     Set("dropna", "ffill", "bfill", "full_ffill", "full_bfill")
+
+  /** Output-stage measure drop (processor.py:237-244, 257-262): exact
+    * per-series semantics for a single-series result; a multi-series
+    * wide frame drops only all-empty rows (each series' own gaps drop
+    * at serialization, where the frame fans out per reference).
+    */
+  private def outputDrop(df: DataFrame, valueCols: Seq[String],
+                         fill: Option[String]): DataFrame =
+    if (fill.exists(OutputDropFills)) {
+      def absent(c: Column) =
+        c.isNull || isnan(c) || abs(c) === lit(Double.PositiveInfinity)
+      if (valueCols.sizeIs == 1) df.filter(!absent(col(valueCols.head)))
+      else df.filter(!valueCols.map(c => absent(col(c))).reduce(_ && _))
+    } else df
 
   private def collectRefs(n: graft.ops.Node): Seq[(String, String)] = n match {
     case graft.ops.MetricLeaf(refs) => refs
@@ -1193,7 +1202,12 @@ class Graft(val spark: SparkSession, root: String) {
         .select((groupby.map(col) ++ Seq(
           concat(col("metric_id"), lit("/"), lit(method)).as("sid"),
           col("bucket"), col("value"))): _*)
-    }, fill)
+    }, fill) match {
+      // same output-stage contract as the ungrouped door: the grouped
+      // result is one series per group, so the per-series drop is a
+      // row filter on its single value column
+      case out => outputDrop(out, Seq("value"), fill)
+    }
   }
 
   private var resourceHistoryTbl: Option[DataFrame] = None

@@ -284,6 +284,18 @@ object GroupedOps {
       case Some("bfill") => dense.withColumn("value",
         first(col("value"), ignoreNulls = true).over(
           sw.rowsBetween(0, Window.unboundedFollowing)))
+      case Some("full_ffill") => dense.withColumn("value",
+        coalesce(
+          last(col("value"), ignoreNulls = true).over(
+            sw.rowsBetween(Window.unboundedPreceding, 0)),
+          first(col("value"), ignoreNulls = true).over(
+            sw.rowsBetween(0, Window.unboundedFollowing))))
+      case Some("full_bfill") => dense.withColumn("value",
+        coalesce(
+          first(col("value"), ignoreNulls = true).over(
+            sw.rowsBetween(0, Window.unboundedFollowing)),
+          last(col("value"), ignoreNulls = true).over(
+            sw.rowsBetween(Window.unboundedPreceding, 0))))
       case Some(num) => dense.withColumn("value",
         coalesce(col("value"), lit(num.toDouble)))
     }

@@ -134,5 +134,15 @@ class GroupedOpsSpec extends SparkSpec {
     assert(got == Seq(
       ("west", "2015-03-06 14:30:00.0", 25.0),
       ("west", "2015-03-06 14:35:00.0", 0.0)))
+    // full_ffill: the same gap forward-fills from B1 (u3: 50), so
+    // west B2 = 100*50/200 = 25 — this path used to throw
+    // NumberFormatException ("full_ffill" fell into the numeric case)
+    val ff = rows(g.groupByAggregatesOps(
+      "(* 100 (/ (aggregate sum (metric mem.used mean)) " +
+        "(aggregate sum (metric mem.total mean))))",
+      300, "zone = \"west\"", Seq("zone"), fill = Some("full_ffill")))
+    assert(ff == Seq(
+      ("west", "2015-03-06 14:30:00.0", 25.0),
+      ("west", "2015-03-06 14:35:00.0", 25.0)))
   }
 }
