@@ -106,22 +106,34 @@ object Similarity {
     var cents: Array[Seq[Double]] = sample.headOption.map(_._2).toArray
     if (cents.nonEmpty) {
       val maxc = Array.fill(sample.length)(-2.0)
+      // explicit picked-tracking: "cos(self) = 1 prevents re-picking"
+      // breaks for a zero-norm vector (cosL = NaN, maxc stuck at the
+      // -2.0 sentinel → the same index would seed every remaining cell)
+      val picked = Array.fill(sample.length)(false)
+      picked(0) = true
       while (cents.length < nlist) {
         val newest = cents.last
-        var best = 0
+        var best = -1
         var bestC = Double.MaxValue
         var bestH = Long.MaxValue
         var i = 0
         while (i < sample.length) {
           val c = cosL(sample(i)._2, newest)
           if (c > maxc(i)) maxc(i) = c
-          if (maxc(i) < bestC ||
-              (maxc(i) == bestC && sample(i)._1 < bestH)) {
+          if (!picked(i) && (best < 0 || maxc(i) < bestC ||
+              (maxc(i) == bestC && sample(i)._1 < bestH))) {
             best = i; bestC = maxc(i); bestH = sample(i)._1
           }
           i += 1
         }
-        cents = cents :+ sample(best)._2
+        if (best < 0) {
+          // every sample row is already a seed: duplicate the head
+          // rather than loop forever (nlist > distinct sample size)
+          cents = cents :+ sample(0)._2
+        } else {
+          picked(best) = true
+          cents = cents :+ sample(best)._2
+        }
       }
     }
     def centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq

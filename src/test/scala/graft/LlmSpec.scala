@@ -274,6 +274,32 @@ class LlmSpec extends SparkSpec {
     assert(got(4L) == (0.0, 0.0))
   }
 
+  test("kmeansCentroids seeding survives a zero-norm vector") {
+    val s = spark
+    import s.implicits._
+    // cos(zero, anything) is NaN, so maxc for the zero row never moves
+    // off the -2.0 sentinel; without explicit picked-tracking the same
+    // index would seed every remaining cell. The zero vector has the
+    // lowest xxhash-ordered position guard removed by using distinct
+    // directions, so all we pin is: nlist distinct seeds come back.
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 0.0)), // zero-norm poison row
+      (2L, Seq(1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0)))
+    val em = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(em, nlist = 3, iters = 0)
+      .collect().map(_.getSeq[Double](1))
+    assert(cents.length == 3)
+    // at most one seed may be the zero vector — the old bug made every
+    // post-poison seed a copy of whatever index got stuck
+    assert(cents.distinct.length == 3, s"duplicate seeds: ${cents.toSeq}")
+    // nlist > sample size still terminates (duplicates the head)
+    val over = Similarity.kmeansCentroids(em, nlist = 6, iters = 0)
+      .collect()
+    assert(over.length == 6)
+  }
+
   test("kmeansAssign recovers well-separated clusters") {
     val s = spark
     import s.implicits._
