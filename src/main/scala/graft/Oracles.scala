@@ -615,7 +615,7 @@ object Oracles {
 
     "i5_amqp_collectd" ->
       """SELECT 'h' || CAST(user_id AS VARCHAR) AS resource_id,
-                'cpu.' || event_type AS metric,
+                'cpu@' || event_type AS metric,
                 count(*) AS n, CAST(sum(value) AS REAL) AS sum_v
          FROM events GROUP BY 1, 2""",
 

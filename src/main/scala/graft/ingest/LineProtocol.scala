@@ -108,7 +108,11 @@ object LineProtocol {
               splitUnescaped(parts(1), ',').iterator.flatMap { f =>
                 splitUnescaped(f, '=') match {
                   case Seq(k, raw) => parseValue(raw).map(v =>
-                    Parsed(resource, s"$measurement.${unescape(k)}$suffix",
+                    // "/" is not a legal gnocchi metric-name char, so
+                    // the reference rewrites it (influxdb.py:225-229);
+                    // the resource id is NOT rewritten
+                    Parsed(resource,
+                      s"$measurement.${unescape(k)}$suffix".replace('/', '_'),
                       tsNs, v))
                   case _ => None
                 }

@@ -31,6 +31,9 @@ object PromProto {
     def readVarint(): Long = {
       var shift = 0; var out = 0L
       while (true) {
+        // bound to THIS message's window — a truncated varint must
+        // fail, not silently consume the parent message's bytes
+        require(pos < until, "truncated varint")
         val b = buf(pos); pos += 1
         out |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return out
@@ -46,6 +49,7 @@ object PromProto {
     }
 
     def readFixed64(): Long = {
+      require(pos + 8 <= until, "truncated fixed64")
       var out = 0L
       var i = 0
       while (i < 8) { out |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
@@ -69,7 +73,7 @@ object PromProto {
 
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
-      case 1 => pos += 8
+      case 1 => require(pos + 8 <= until, "truncated fixed64"); pos += 8
       case 2 =>
         // a corrupt length whose .toInt goes negative would move pos
         // BACKWARDS and the parse loop would never terminate — bound it
@@ -77,7 +81,7 @@ object PromProto {
         require(len >= 0 && pos + len <= until,
           s"corrupt length-delimited field: len=$len at $pos")
         pos += len
-      case 5 => pos += 4
+      case 5 => require(pos + 4 <= until, "truncated fixed32"); pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
   }

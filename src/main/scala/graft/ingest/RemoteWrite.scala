@@ -66,9 +66,11 @@ object RemoteWrite {
       .withColumn("metric", col("labels").getItem("__name__"))
       .filter(col("metric").isNotNull && !isnan(col("value")))
       .select(
+        // missing job/instance default to "none" (rest/api.py:2340-2341
+        // attrs.get("job", "none")), forming resource id "job@instance"
         concat_ws("@",
-          coalesce(col("labels").getItem("job"), lit("unknown")),
-          coalesce(col("labels").getItem("instance"), lit("unknown")))
+          coalesce(col("labels").getItem("job"), lit("none")),
+          coalesce(col("labels").getItem("instance"), lit("none")))
           .as("resource_id"),
         col("metric"),
         timestamp_millis(col("ts_ms")).as("timestamp"),
@@ -85,9 +87,14 @@ object RemoteWrite {
     StructField("values", ArrayType(DoubleType)))))
 
   /** Collectd JSON (the amqp1d payload): one measure per entry of the
-    * `values` array, metric named
-    * `plugin[-plugin_instance].type[-type_instance][.dsname]`,
-    * resource = host.
+    * `values` array, metric named exactly as the reference's
+    * `CollectdFormatHandler._serialize_identifier` (amqp1d.py:169-184):
+    * `plugin[-plugin_instance]@type[-type_instance][-dsname]`, the
+    * dsname suffix only when the message carries MORE THAN ONE
+    * dsname; resource = host. One declared divergence: the reference
+    * stamps every measure with receipt utcnow (amqp1d.py:187) — here
+    * the measure keeps the message's own `time`, so a failed flush
+    * retries idempotently (new-wins merge) instead of double-counting.
     */
   def collectdToMeasures(json: DataFrame, jsonCol: String = "body"): DataFrame = {
     val rec = explode(from_json(col(jsonCol), collectdSchema)).as("r")
@@ -96,6 +103,7 @@ object RemoteWrite {
       .withColumn("__z", arrays_zip(col("dsnames"), col("values")))
       .select(col("host"), col("plugin"), col("plugin_instance"),
         col("type"), col("type_instance"), col("time"),
+        size(col("dsnames")).as("__nds"),
         explode(col("__z")).as("dv"))
       .select(
         col("host").as("resource_id"),
@@ -103,12 +111,12 @@ object RemoteWrite {
           concat_ws("-", col("plugin"),
             when(col("plugin_instance") === "", null)
               .otherwise(col("plugin_instance"))),
-          lit("."),
+          lit("@"),
           concat_ws("-", col("type"),
             when(col("type_instance") === "", null)
               .otherwise(col("type_instance"))),
-          when(col("dv.dsnames").isNotNull && col("dv.dsnames") =!= "value",
-            concat(lit("."), col("dv.dsnames"))).otherwise(lit("")))
+          when(col("__nds") > 1,
+            concat(lit("-"), col("dv.dsnames"))).otherwise(lit("")))
           .as("metric"),
         timestamp_seconds(col("time")).as("timestamp"),
         col("dv.values").as("value"))

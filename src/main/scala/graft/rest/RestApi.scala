@@ -225,9 +225,11 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
   def dispatch(method: String, rawPath: String,
                query: Map[String, String] = Map.empty,
                body: String = "",
-               creator: Option[String] = None): Response =
+               creator: Option[String] = None,
+               reqHeaders: Map[String, String] = Map.empty): Response =
     dispatchBytes(method, rawPath, query,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8), creator)
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8), creator,
+      reqHeaders)
 
   /** Byte-level entry: the wire-protocol routes (prometheus snappy+
     * protobuf) need the raw body; JSON routes decode it as UTF-8.
@@ -239,7 +241,8 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
   def dispatchBytes(method: String, rawPath: String,
                     query: Map[String, String],
                     bytes: Array[Byte],
-                    creator: Option[String] = None): Response = {
+                    creator: Option[String] = None,
+                    reqHeaders: Map[String, String] = Map.empty): Response = {
     // segments are %-decoded AFTER splitting so ids containing an
     // encoded slash (metric "r1/cpu" → r1%2Fcpu) stay one segment
     val segs = rawPath.split("/").filter(_.nonEmpty).toList
@@ -248,7 +251,8 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       if (s.trim.isEmpty) JNothing else JsonMethods.parse(s)
     }
-    try route(method.toUpperCase, segs, query, () => json, bytes, creator)
+    try route(method.toUpperCase, segs, query, () => json, bytes, creator,
+      reqHeaders)
     catch {
       // the facade's typed domain errors carry their own HTTP status —
       // the ONE place the mapping lives (graft.api.GraftError)
@@ -320,7 +324,13 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
   private def route(method: String, segs: List[String],
                     q: Map[String, String], body: () => JValue,
                     raw: Array[Byte],
-                    creator: Option[String] = None): Response = {
+                    creator: Option[String] = None,
+                    reqHeaders: Map[String, String] = Map.empty): Response = {
+    // header lookup is case-insensitive on the wire (RFC 9110)
+    def header(name: String): Option[String] =
+      reqHeaders.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      }
     // Resource ids in the URL resolve through the same ResourceUUID
     // transformation as creation, salted with the REQUESTING creator
     // (rest/api.py ResourceController) — so the external string form
@@ -1005,7 +1015,11 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         import org.apache.spark.sql.functions._
         val lines = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
           .split("\n").toSeq.toDF("line")
-        stageWire(graft.ingest.LineProtocol.parse(lines)
+        // which tag becomes the resource id is client-selectable
+        // (influxdb.py:158-160 X-Gnocchi-InfluxDB-Tag-Resource-ID)
+        val rtag = header("X-Gnocchi-InfluxDB-Tag-Resource-ID")
+          .getOrElse("host")
+        stageWire(graft.ingest.LineProtocol.parse(lines, resourceTag = rtag)
           .select(
             concat(col("resource_id"), lit("/"), col("metric")).as("metric_id"),
             coalesce(timestamp_micros((col("ts_ns") / 1000).cast("long")),

@@ -70,8 +70,16 @@ class RestServer(api: RestApi) {
               }.filter(_.nonEmpty)
             // raw path: the dispatcher decodes per-segment, so ids with
             // an encoded slash survive routing
+            // first value per header name — the routes that read
+            // headers (influx resource-tag) are single-valued
+            val reqHeaders = {
+              import scala.jdk.CollectionConverters._
+              ex.getRequestHeaders.asScala.collect {
+                case (k, vs) if !vs.isEmpty => k -> vs.get(0)
+              }.toMap
+            }
             api.dispatchBytes(ex.getRequestMethod,
-              ex.getRequestURI.getRawPath, query, body, creator)
+              ex.getRequestURI.getRawPath, query, body, creator, reqHeaders)
           } catch { // the dispatcher maps domain errors; this is transport
             case e: Throwable =>
               Response(500, org.json4s.JObject(

@@ -119,13 +119,22 @@ class AmqpSpec extends SparkSpec {
         |"dsnames":["value"],"values":[93.5]},
         |{"host":"web1","plugin":"df","plugin_instance":"",
         |"type":"df_complex","type_instance":"free","time":1700000000.0,
-        |"dsnames":["value"],"values":[1.25e10]}]""".stripMargin
+        |"dsnames":["value"],"values":[1.25e10]},
+        |{"host":"web1","plugin":"load","plugin_instance":"",
+        |"type":"load","type_instance":"","time":1700000000.0,
+        |"dsnames":["shortterm","midterm","longterm"],
+        |"values":[0.5,0.4,0.3]}]""".stripMargin
     val msgs = Seq(Amqp.encodeMessage(json.getBytes(UTF_8))).toDF("msg")
     val out = RemoteWrite.amqpToMeasures(msgs)
       .orderBy("metric").collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSeq
+    // names per amqp1d.py _serialize_identifier: plugin[-pi]@type[-ti]
+    // with a -dsname suffix ONLY for multi-dsname messages
     assert(out == Seq(
-      ("web1", "cpu-0.percent-idle", 93.5),
-      ("web1", "df.df_complex-free", 1.25e10)))
+      ("web1", "cpu-0@percent-idle", 93.5),
+      ("web1", "df@df_complex-free", 1.25e10),
+      ("web1", "load@load-longterm", 0.3),
+      ("web1", "load@load-midterm", 0.4),
+      ("web1", "load@load-shortterm", 0.5)))
   }
 }

@@ -291,8 +291,8 @@ class ProtocolSpec extends SparkSpec {
       sock.close()
       server.flush()
       g.process()
-      assert(g.getMeasures("web1/cpu.idle", "mean").map(_._3) === Seq(42.0))
-      assert(g.getMeasures("web1/mem.used", "mean").map(_._3) === Seq(7.5))
+      assert(g.getMeasures("web1/cpu@idle", "mean").map(_._3) === Seq(42.0))
+      assert(g.getMeasures("web1/mem@used", "mean").map(_._3) === Seq(7.5))
     } finally server.stop()
   }
 

@@ -92,6 +92,19 @@ class RestSpec extends SparkSpec {
       body = "cpu,host=web01 value=0.5 1388577600000000000").status === 204)
     val st = api.dispatch("GET", "/v1/status")
     assert(st.body \ "storage" \ "summary" \ "measures" === JInt(1))
+    // 4. "/" is rewritten to "_" in metric names (influxdb.py:225-229)
+    // and X-Gnocchi-InfluxDB-Tag-Resource-ID picks the resource tag
+    assert(api.dispatch("POST", "/v1/influxdb/write",
+      body = "disk/io,dc=east,host=web01 rate/s=2.0 1388577600000000000",
+      reqHeaders = Map("x-gnocchi-influxdb-tag-resource-id" -> "dc"))
+      .status === 204)
+    val ids = api.dispatch("GET", "/v1/metric").body match {
+      case JArray(ms) => ms.map(m => JsonMethods.compact(
+        JsonMethods.render(m \ "id")))
+      case _ => Nil
+    }
+    assert(ids.exists(_.contains("east/disk_io.rate_s@host=web01")))
+    assert(!ids.exists(_.contains("disk/io")))
   }
 
   test("/v1/status always carries the metricd block in the " +
