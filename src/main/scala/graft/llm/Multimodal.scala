@@ -215,8 +215,12 @@ object Multimodal {
     var samples: Array[Short] = null
     while (bb.remaining() >= 8 && (rate < 0 || samples == null)) {
       val id = tag(); val sz = bb.getInt()
+      // a corrupt negative/short size would move position BACKWARDS and
+      // the chunk walk would never terminate — fail loudly instead
+      require(sz >= 0, s"corrupt chunk size $sz in '$id'")
       id match {
         case "fmt " =>
+          require(sz >= 16, s"fmt chunk too short: $sz")
           val fmt = bb.getShort(); val ch = bb.getShort()
           require(fmt == 1 && ch == 1, s"need PCM mono: fmt=$fmt ch=$ch")
           rate = bb.getInt()
