@@ -63,9 +63,9 @@ class RemoteWriteSpec extends SparkSpec {
     val out = RemoteWrite.collectdToMeasures(Seq(body).toDF("body"))
       .collect().map(r => (r.getString(1), r.getDouble(3))).toSet
     assert(out == Set(
-      ("cpu-0.cpu-idle", 99.5),
-      ("df.df_complex-free.read", 1.0),
-      ("df.df_complex-free.write", 2.0)))
+      ("cpu-0@cpu-idle", 99.5),
+      ("df@df_complex-free-read", 1.0),
+      ("df@df_complex-free-write", 2.0)))
   }
 
   test("store compact and raw re-truncation keep data readable") {
