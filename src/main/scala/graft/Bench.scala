@@ -102,7 +102,7 @@ object Bench {
       if (rows.nonEmpty) rows.map(_._2).sorted.apply(rows.size / 2) else 0.0
     rows.map { case (name, t) =>
       val limit = baseline.get(name)
-        .map(b => math.max(2.0 * b, b + 0.75))
+        .map(b => math.max(1.4 * b, b + 0.75))
         .getOrElse(math.max(2.0, 4.0 * med))
       if (t <= math.max(floorSec, limit) || t >= 1e9) (name, t)
       else runOf(name) match {

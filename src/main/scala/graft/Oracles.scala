@@ -290,6 +290,38 @@ object Oracles {
                 gran_s, b AS bucket_s, CAST(v AS REAL) AS v
          FROM u""",
 
+    // P6b: per-reference fan-out with per-series ffill + leading-NULL
+    // drop — purchase only carries measures from Jan 10, so its grid
+    // buckets before its first value stay NULL after ffill and drop,
+    // while click keeps all of its own
+    "p6b_shaped_refs" ->
+      """WITH d AS (SELECT event_type, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events WHERE event_type IN ('click', 'purchase')
+                    GROUP BY 1, 2),
+         h AS (SELECT event_type,
+                      CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+                      avg(value) AS v
+               FROM d
+               WHERE event_type = 'click'
+                  OR ts >= TIMESTAMP '2024-01-10 00:00:00'
+               GROUP BY 1, 2),
+         g AS (SELECT DISTINCT b FROM h),
+         m AS (SELECT 'click' AS metric_id UNION ALL SELECT 'purchase'),
+         grid AS (SELECT m.metric_id, g.b FROM m CROSS JOIN g),
+         j AS (SELECT grid.metric_id, grid.b, h.v FROM grid
+               LEFT JOIN h ON h.event_type = grid.metric_id
+                          AND h.b = grid.b),
+         f AS (SELECT metric_id, b,
+                      last_value(v IGNORE NULLS) OVER (
+                        PARTITION BY metric_id ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS fv
+               FROM j)
+         SELECT metric_id, 'mean' AS method, b AS bucket_s,
+                CAST(fv AS REAL) AS v
+         FROM f WHERE fv IS NOT NULL""",
+
     "s1_search_measures" ->
       s"""WITH s AS ($hourlyMean)
          SELECT event_type, b AS bucket_s, CAST(v AS REAL) AS v FROM s

@@ -1216,6 +1216,35 @@ object Queries {
       }.toDF("ord", "gran_s", "bucket_s", "v")
         .select(col("ord"), col("gran_s"), col("bucket_s"), r6(col("v")).as("v"))
     }),
+    // P6b per-reference output shaping under the oracle
+    // (processor.py:246-272 m_output, 257-262 per-series drop): a
+    // TWO-metric unaggregated `/v1/aggregates` read with fill=ffill
+    // through the full facade. `purchase` is ingested only from
+    // Jan 10 on, so its leading grid buckets stay NaN after ffill and
+    // must drop PER SERIES — `click` keeps every bucket it owns. The
+    // long (metric_id, method, bucket, value) frame is the REST door's
+    // {metric: {agg: [...]}} fan-out, row-for-row.
+    "p6b_shaped_refs" -> ((s, dir) => {
+      val root = s"/tmp/graft-q-store/p6b-${math.abs(dir.hashCode)}"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val g = new graft.api.Graft(s, root)
+      g.createPolicy(ArchivePolicy("p6b", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean")))
+      g.createMetric("click", "p6b")
+      g.createMetric("purchase", "p6b")
+      val meas = dedupMeasures(s, dir)
+      g.batchAddMeasures(meas.filter(col("metric_id") === "click"))
+      g.batchAddMeasures(meas.filter(col("metric_id") === "purchase" &&
+        col("timestamp") >=
+          lit(java.time.Instant.parse("2024-01-10T00:00:00Z"))))
+      g.process()
+      g.aggregatesRefs("(metric (click mean) (purchase mean))", 3600L,
+          fill = Some("ffill"))
+        .select(col("metric_id"), col("method"), bucketS(),
+          r6(col("value")).as("v"))
+    }),
     // B2-through-the-store under the oracle: a policy declaring
     // calendar granularities (M + W) alongside the hourly fixed one;
     // ingest, then read monthly and weekly series through the

@@ -576,6 +576,26 @@ class Graft(val spark: SparkSession, root: String) {
                  neededOverlap: Option[Double] = None,
                  from: Option[java.sql.Timestamp] = None,
                  to: Option[java.sql.Timestamp] = None): DataFrame = {
+    val out = aggregatesGrid(operations, granS, fill, neededOverlap, from, to)
+    // Output-stage drop (processor.py:237-244, 257-262): for
+    // dropna/ffill/bfill/full_*, positions where the series value is
+    // NaN or ±inf (residual leading gaps after ffill, division blowups)
+    // are dropped from the emitted measures. Exact per-series semantics
+    // for the single-series result; a multi-series wide frame drops
+    // only all-empty rows here (per-series drop lives in the
+    // [[aggregatesRefs]] fan-out, where each reference is its own rows).
+    outputDrop(out.df, out.cols, fill)
+  }
+
+  /** The evaluated grid behind [[aggregates]], before output-stage
+    * dropping — wide frame keyed by `bucket` with one `metric/method`
+    * column per reference.
+    */
+  private def aggregatesGrid(operations: String, granS: Long,
+                 fill: Option[String] = None,
+                 neededOverlap: Option[Double] = None,
+                 from: Option[java.sql.Timestamp] = None,
+                 to: Option[java.sql.Timestamp] = None): graft.ops.Grid = {
     val ast = Parser.parse(operations)
     val refs = collectRefs(ast)
     refs.foreach { case (m, a) => requireMethod(m, a) }
@@ -632,15 +652,64 @@ class Graft(val spark: SparkSession, root: String) {
         // call for the session's lifetime
         filled.copy(df = graft.llm.OpCaches.persist(filled.df))
       else filled
-    val out = Compiler.eval(ast, shared)
-    // Output-stage drop (processor.py:237-244, 257-262): for
-    // dropna/ffill/bfill/full_*, positions where the series value is
-    // NaN or ±inf (residual leading gaps after ffill, division blowups)
-    // are dropped from the emitted measures. Exact per-series semantics
-    // for the single-series result; a multi-series wide frame drops
-    // only all-empty rows here (each series' own gaps drop at
-    // serialization, where the frame fans out per reference).
-    outputDrop(out.df, out.cols, effFill)
+    Compiler.eval(ast, shared)
+  }
+
+  /** Whether `/v1/aggregates` output is the single "aggregated" list
+    * or the per-reference fan-out (processor.py:229-272) — see
+    * [[Compiler.isAggregated]].
+    */
+  def aggregatesIsAggregated(operations: String): Boolean =
+    Compiler.isAggregated(Parser.parse(operations))
+
+  /** Per-reference output of `/v1/aggregates` for NON-aggregated
+    * operations trees (processor.py:246-272 m_output): the wide grid
+    * fans out to `(metric_id, method, bucket, value)` rows — one set
+    * per metric reference, each carrying the leaf's aggregation name.
+    * Per-series drop semantics (processor.py:257-262): for
+    * dropna/ffill/bfill/full_* fills, NaN/±inf positions drop PER
+    * SERIES (a residual leading gap in one metric doesn't cost the
+    * other its bucket); absent grid cells (null) never emit — triples
+    * carry present points only, as the single-series door. The fan-out
+    * is a narrow explode over the already-evaluated grid: no extra
+    * scan, shuffle, or join at any scale.
+    */
+  def aggregatesRefs(operations: String, granS: Long,
+                     fill: Option[String] = None,
+                     neededOverlap: Option[Double] = None,
+                     from: Option[java.sql.Timestamp] = None,
+                     to: Option[java.sql.Timestamp] = None): DataFrame = {
+    val out = aggregatesGrid(operations, granS, fill, neededOverlap, from, to)
+    val pairs = out.cols.map(c =>
+      struct(lit(c).as("ref"), col(c).cast("double").as("value")))
+    val long = out.df
+      .select((out.partCols.map(col) ++ Seq(col("bucket"),
+        explode(array(pairs: _*)).as("__s"))): _*)
+      // refName is `$metric/$method` and metric ids may themselves
+      // contain '/' (batch-created `resource/name` metrics) — the
+      // method is the LAST segment, the metric id everything before it
+      .select((out.partCols.map(col) ++ Seq(
+        regexp_extract(col("__s.ref"), "^(.*)/([^/]*)$", 1).as("metric_id"),
+        regexp_extract(col("__s.ref"), "^(.*)/([^/]*)$", 2).as("method"),
+        col("bucket"), col("__s.value").as("value"))): _*)
+    val present = long.filter(col("value").isNotNull)
+    if (fill.exists(OutputDropFills))
+      present.filter(!isnan(col("value")) &&
+        abs(col("value")) =!= lit(Double.PositiveInfinity))
+    else present
+  }
+
+  /** [[aggregatesRefs]] across every common granularity, coarse→fine
+    * with a `gran_s` column — the no-granularity form of the
+    * per-reference door (processor.py:246-272 iterates samplings in
+    * reverse-sorted order).
+    */
+  def aggregatesRefsAuto(operations: String,
+                         fill: Option[String] = None): DataFrame = {
+    val refs = collectRefs(Parser.parse(operations))
+    commonGranularities(refs.map(_._1).distinct)
+      .map(g => aggregatesRefs(operations, g, fill).withColumn("gran_s", lit(g)))
+      .reduce(_ unionByName _)
   }
 
   /** Fill modes whose OUTPUT drops NaN/±inf positions per series

@@ -97,9 +97,13 @@ object LineProtocol {
                   case _ => None
                 }
               }
+              // a line missing the resource tag carries NULL here: the
+              // REST door aborts 400 with the reference's message
+              // (influxdb.py:198-208) rather than silently rebucketing
+              // every line under an invented resource id
               val resource = tags.collectFirst {
                 case (k, v) if k == resourceTag => v
-              }.getOrElse("unknown")
+              }.orNull
               val metricTags = tags.filterNot(_._1 == resourceTag)
                 .sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
               val suffix = if (metricTags.isEmpty) "" else s"@$metricTags"

@@ -229,6 +229,10 @@ object Multimodal {
           require(bits == 16, s"need 16-bit samples: $bits")
           bb.position(bb.position() + (sz - 16))
         case "data" =>
+          // validate BEFORE allocating: a corrupt multi-GB chunk size
+          // must be a loud parse failure, not an OOM-sized allocation
+          require(sz <= bb.remaining(),
+            s"data chunk size $sz exceeds remaining ${bb.remaining()} bytes")
           val n = sz / 2
           samples = new Array[Short](n)
           var i = 0

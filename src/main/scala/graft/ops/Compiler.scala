@@ -223,6 +223,31 @@ object Compiler {
     * persist the base grid first: the join re-evaluates the grid's
     * entire upstream plan once per side otherwise.
     */
+  /** Whether the operations tree "aggregates" in the reference's sense
+    * (operations.py): `handle_aggregate` always returns True
+    * (operations.py:232-240), and a binary/ternary op whose operands
+    * are BOTH series grids sets it True (operations.py:168-178,
+    * 204-216); unary ops, rolling, resample and scalar⊕series binaries
+    * only propagate the flag. Drives the `/v1/aggregates` output
+    * SHAPE (processor.py:229-272): aggregated → one "aggregated"
+    * list; not aggregated → fan out per metric reference. Clip bounds
+    * are scalar-only here, so Clip never sets the flag itself (the
+    * reference needs all three operands to be ndarrays to set it,
+    * operations.py:204-216).
+    */
+  def isAggregated(n: Node): Boolean = n match {
+    case AggAcross(_, _) => true
+    case Bin(_, l, r) =>
+      (!l.isInstanceOf[Num] && !r.isInstanceOf[Num]) ||
+        isAggregated(l) || isAggregated(r)
+    case Clip(s, _, _)      => isAggregated(s)
+    case Un(_, s)           => isAggregated(s)
+    case RateOfChange(_, s) => isAggregated(s)
+    case Rolling(_, _, s)   => isAggregated(s)
+    case Resample(_, _, s)  => isAggregated(s)
+    case _                  => false
+  }
+
   def hasGridJoin(n: Node): Boolean = n match {
     case Bin(_, l, r) if !l.isInstanceOf[Num] && !r.isInstanceOf[Num] =>
       !(ewShape(l) && ewShape(r)) || hasGridJoin(l) || hasGridJoin(r)

@@ -31,7 +31,23 @@ final case class Response(status: Int, body: JValue,
   *   request to a guarded route gets 401. Off by default — the
   *   reference's own gabbi runs mostly use a permissive auth helper.
   */
+object RestApi {
+  // The reference parses request bodies with Python's json module,
+  // which accepts bare NaN/Infinity literals by default — a measure
+  // POSTed as {"value": NaN} ingests and stores as float64 NaN
+  // (carbonara kernels then propagate it, see KernelsSpec). Jackson
+  // rejects those literals unless opted in, and quotes them on write;
+  // align both directions once, process-wide (the mapper is shared).
+  locally {
+    import com.fasterxml.jackson.core.json.{JsonReadFeature, JsonWriteFeature}
+    JsonMethods.mapper
+      .enable(JsonReadFeature.ALLOW_NON_NUMERIC_NUMBERS.mappedFeature())
+      .disable(JsonWriteFeature.WRITE_NAN_AS_STRINGS.mappedFeature())
+  }
+}
+
 class RestApi(g: Graft, requireAuth: Boolean = false) {
+  RestApi // force companion init: NaN-literal JSON config (see object)
 
   private def ok(b: JValue) = Response(200, b)
   private def created(b: JValue) = Response(201, b)
@@ -217,6 +233,40 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     JArray(rows.toList.map { case (t, gS, v) =>
       JArray(List(JString(iso(t)), JDouble(gS.toDouble), JDouble(v)))
     })
+
+  /** Per-reference measures block for non-aggregated `/v1/aggregates`
+    * (processor.py:246-272 m_output): `{metric_id: {method: [[ts,
+    * gran, v], ...]}}` with each reference's triples coarse→fine then
+    * bucket-ascending, as the reference's reverse-sorted sampling loop
+    * extends them. `granS` carries the single requested granularity;
+    * None means the frame carries a `gran_s` column (the
+    * every-common-granularity form).
+    */
+  private def refsMeasuresJson(df: org.apache.spark.sql.DataFrame,
+                               granS: Option[Long]): JValue = {
+    import org.apache.spark.sql.functions.col
+    val ordered = (granS match {
+      case Some(_) => df.orderBy(col("metric_id"), col("method"), col("bucket"))
+      case None => df.orderBy(col("metric_id"), col("method"),
+        col("gran_s").desc, col("bucket"))
+    }).collect()
+    val byMetric = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, List[JValue]]]
+    ordered.foreach { r =>
+      val g = granS.getOrElse(r.getAs[Long]("gran_s"))
+      val triple: JValue = JArray(List(
+        JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
+        JDouble(g.toDouble), JDouble(r.getAs[Double]("value"))))
+      val methods = byMetric.getOrElseUpdate(r.getAs[String]("metric_id"),
+        scala.collection.mutable.LinkedHashMap.empty)
+      methods.update(r.getAs[String]("method"),
+        methods.getOrElse(r.getAs[String]("method"), Nil) :+ triple)
+    }
+    JObject(byMetric.toList.map { case (mid, methods) =>
+      mid -> (JObject(methods.toList.map { case (m, ts) =>
+        m -> (JArray(ts): JValue) }): JValue)
+    })
+  }
 
   /** DataFrame → JSON rows (REST-page sized by contract). */
   private def frameJson(df: org.apache.spark.sql.DataFrame, limit: Int): JValue =
@@ -612,19 +662,35 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
                   ("unit" -> g.metricUnitOf(id)) ~
                   ("archive_policy" ->
                     policyJson(g.policies(g.metricPolicyName(id))))))
+        // Output SHAPE follows the reference's is_aggregated flag
+        // (processor.py:229-272): an `aggregate`-collapsed (or
+        // series⊕series) tree emits ONE "aggregated" list; any other
+        // tree fans out per metric reference, {metric: {agg: [...]}}
+        // (rest/aggregates/api.py + gabbits/aggregates-with-metric-ids
+        // .yaml "get aggregates, no references").
+        val aggregated = g.aggregatesIsAggregated(operations)
         b \ "granularity" match {
           case JNothing => // P1: every common granularity, coarse→fine
-            val df = g.aggregatesAuto(operations, fill)
-            ok(withRefs("aggregated" ->
-              frameJson(df.orderBy("gran_s", "bucket"), 100000)))
+            if (aggregated) {
+              val df = g.aggregatesAuto(operations, fill)
+              ok(withRefs("aggregated" ->
+                frameJson(df.orderBy("gran_s", "bucket"), 100000)))
+            } else
+              ok(withRefs(refsMeasuresJson(
+                g.aggregatesRefsAuto(operations, fill), None)))
           case n =>
             val granS = jnum(n).toLong
             val overlap = b \ "needed_overlap" match {
               case JNothing => None; case o => Some(jnum(o))
             }
-            val rows = g.shaped(
-              g.aggregates(operations, granS, fill, overlap), granS)
-            ok(withRefs("aggregated" -> measuresTriples(rows)))
+            if (aggregated) {
+              val rows = g.shaped(
+                g.aggregates(operations, granS, fill, overlap), granS)
+              ok(withRefs("aggregated" -> measuresTriples(rows)))
+            } else
+              ok(withRefs(refsMeasuresJson(
+                g.aggregatesRefs(operations, granS, fill, overlap),
+                Some(granS))))
         }
 
       // -------------------------------------------------- resources
@@ -1019,7 +1085,18 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         // (influxdb.py:158-160 X-Gnocchi-InfluxDB-Tag-Resource-ID)
         val rtag = header("X-Gnocchi-InfluxDB-Tag-Resource-ID")
           .getOrElse("host")
-        stageWire(graft.ingest.LineProtocol.parse(lines, resourceTag = rtag)
+        val parsed = graft.ingest.LineProtocol.parse(lines, resourceTag = rtag)
+        // any line missing the selected resource tag aborts the whole
+        // write 400, as the reference (influxdb.py:198-208) — a typo'd
+        // X-Gnocchi-InfluxDB-Tag-Resource-ID must fail loudly, not
+        // silently rebucket every line. Request bodies are bounded, so
+        // the extra pass is a per-request constant, not a scale cost.
+        if (parsed.filter(parsed("resource_id").isNull).limit(1).count() > 0)
+          return Response(400, JObject(
+            "cause" -> JString("Value error"),
+            "detail" -> JString("key"),
+            "reason" -> JString(s"Unable to find key `$rtag' in tags")))
+        stageWire(parsed
           .select(
             concat(col("resource_id"), lit("/"), col("metric")).as("metric_id"),
             coalesce(timestamp_micros((col("ts_ns") / 1000).cast("long")),

@@ -105,6 +105,20 @@ class RestSpec extends SparkSpec {
     }
     assert(ids.exists(_.contains("east/disk_io.rate_s@host=web01")))
     assert(!ids.exists(_.contains("disk/io")))
+    // 5. a line missing the selected resource tag aborts 400 with the
+    // reference's message (influxdb.py:198-208) — a typo'd tag header
+    // must not silently rebucket lines under an invented resource
+    val before = api.dispatch("GET", "/v1/status")
+      .body \ "storage" \ "summary" \ "measures"
+    val missing = api.dispatch("POST", "/v1/influxdb/write",
+      body = "cpu,host=web01 value=0.5 1388577600000000000",
+      reqHeaders = Map("x-gnocchi-influxdb-tag-resource-id" -> "hots"))
+    assert(missing.status === 400)
+    assert(missing.body \ "reason" ===
+      JString("Unable to find key `hots' in tags"))
+    // nothing staged by the rejected write
+    assert(api.dispatch("GET", "/v1/status")
+      .body \ "storage" \ "summary" \ "measures" === before)
   }
 
   test("/v1/status always carries the metricd block in the " +
@@ -165,11 +179,18 @@ class RestSpec extends SparkSpec {
     // drain via ?refresh (metric id with an encoded slash routes intact)
     assert(api.dispatch("GET", "/v1/metric/r1%2Fcpu/measures",
       query = Map("refresh" -> "true")).status === 200)
+    // a scalar⊕series tree is NOT aggregated (operations.py:168-178) —
+    // the output fans out per metric reference, keyed by the leaf's
+    // aggregation (gabbits/aggregates-with-metric-ids.yaml "aggregates
+    // with + 2.0"): {"measures": {"r1/cpu": {"mean": [[ts, g, v]...]}}}
     val agg = api.dispatch("POST", "/v1/aggregates", body =
       """{"operations": "(* 2 (metric r1/cpu mean))", "granularity": 300}""")
     assert(agg.status === 200)
-    val rows = (agg.body \ "measures" \ "aggregated").asInstanceOf[JArray].arr
-    assert(rows.map { case JArray(List(_, _, JDouble(v))) => v; case _ => fail() }
+    val rows = (agg.body \ "measures" \ "r1/cpu" \ "mean")
+      .asInstanceOf[JArray].arr
+    assert(rows.map { case JArray(List(_, JDouble(g300), JDouble(v))) =>
+        assert(g300 === 300.0); v
+      case _ => fail() }
       === List(12.0)) // 2 * mean(4, 8)
 
     // details=true attaches the resolved metric references next to the
@@ -182,7 +203,7 @@ class RestSpec extends SparkSpec {
     val refs = (det.body \ "references").asInstanceOf[JArray].arr
     assert(refs.map(_ \ "id") === List(JString("r1/cpu")))
     assert(refs.head \ "archive_policy" \ "name" === JString("s"))
-    assert((det.body \ "measures" \ "aggregated")
+    assert((det.body \ "measures" \ "r1/cpu" \ "mean")
       .asInstanceOf[JArray].arr.nonEmpty)
     // without details the block is absent, as before
     assert(agg.body \ "references" === JNothing)
@@ -191,6 +212,68 @@ class RestSpec extends SparkSpec {
       query = Map("details" -> "true"),
       body = """{"operations": "(metric ghost mean)",
         "granularity": 300}""").status === 404)
+  }
+
+  test("aggregates per-reference shape: unaggregated trees fan out " +
+      "per metric (gabbits/aggregates-with-metric-ids.yaml)") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "pr", "definition": [{"granularity": "300"}],
+          "aggregation_methods": ["mean"]}""")
+    for (m <- Seq("ma", "mb"))
+      api.dispatch("POST", "/v1/metric", body =
+        s"""{"name": "$m", "archive_policy_name": "pr"}""")
+    // ma covers three buckets; mb misses the FIRST one (its ffill
+    // residual leading NaN must drop per-series, processor.py:257-262)
+    api.dispatch("POST", "/v1/metric/ma/measures", body =
+      """[{"timestamp": "2014-01-01T00:00:00Z", "value": 1.0},
+          {"timestamp": "2014-01-01T00:05:00Z", "value": 2.0},
+          {"timestamp": "2014-01-01T00:10:00Z", "value": 3.0}]""")
+    api.dispatch("POST", "/v1/metric/mb/measures", body =
+      """[{"timestamp": "2014-01-01T00:05:00Z", "value": 10.0},
+          {"timestamp": "2014-01-01T00:10:00Z", "value": 20.0}]""")
+    api.dispatch("GET", "/v1/metric/ma/measures",
+      query = Map("refresh" -> "true"))
+    api.dispatch("GET", "/v1/metric/mb/measures",
+      query = Map("refresh" -> "true"))
+
+    // bare multi-metric leaf → {metric: {agg: [...]}} with BOTH refs
+    val multi = api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": "(metric (ma mean) (mb mean))",
+          "granularity": 300, "fill": "ffill"}""")
+    assert(multi.status === 200)
+    def triples(v: JValue) = v.asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(t), JDouble(g), JDouble(x))) => (t, g, x)
+      case other => fail(s"bad triple $other")
+    }
+    val ma = triples(multi.body \ "measures" \ "ma" \ "mean")
+    val mb = triples(multi.body \ "measures" \ "mb" \ "mean")
+    assert(ma === List(("2014-01-01T00:00:00Z", 300.0, 1.0),
+      ("2014-01-01T00:05:00Z", 300.0, 2.0),
+      ("2014-01-01T00:10:00Z", 300.0, 3.0)))
+    // mb's leading grid bucket stays NaN after ffill → dropped for mb
+    // only; ma keeps its own t0 bucket
+    assert(mb === List(("2014-01-01T00:05:00Z", 300.0, 10.0),
+      ("2014-01-01T00:10:00Z", 300.0, 20.0)))
+
+    // the same tree wrapped in `aggregate` collapses to ONE
+    // "aggregated" list (processor.py:232-240 is_aggregated=True)
+    val agg = api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": "(aggregate mean (metric (ma mean) (mb mean)))",
+          "granularity": 300}""")
+    assert(agg.status === 200)
+    assert(triples(agg.body \ "measures" \ "aggregated")
+      === List(("2014-01-01T00:00:00Z", 300.0, 1.0),
+        ("2014-01-01T00:05:00Z", 300.0, 6.0),
+        ("2014-01-01T00:10:00Z", 300.0, 11.5)))
+    assert(agg.body \ "measures" \ "ma" === JNothing)
+
+    // no-granularity form: per-ref triples across every common
+    // granularity, coarse→fine (single 300 s policy here — shape only)
+    val auto = api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": "(metric (ma mean) (mb mean))"}""")
+    assert(auto.status === 200)
+    assert(triples(auto.body \ "measures" \ "ma" \ "mean").size === 3)
   }
 
   test("resource search route uses the filter DSL") {
@@ -1080,6 +1163,90 @@ class RestSpec extends SparkSpec {
       val body = new String(conn.getInputStream.readAllBytes())
       assert((JsonMethods.parse(body) \ "aggregation_methods")
         .asInstanceOf[JArray].arr.contains(JString("mean")))
+    } finally server.stop()
+  }
+
+  test("NaN measure literal ingests through the JSON door and " +
+      "poisons its bucket, as the reference (python json accepts NaN; " +
+      "carbonara.py:134-146 stores and propagates it)") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "nn", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean", "min", "count"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "mn", "archive_policy_name": "nn"}""")
+    // bare NaN literal, exactly as python's json module emits/accepts
+    val post = api.dispatch("POST", "/v1/metric/mn/measures", body =
+      """[{"timestamp": "2014-01-01T12:00:01Z", "value": 3.0},
+          {"timestamp": "2014-01-01T12:00:40Z", "value": NaN}]""")
+    assert(post.status === 202)
+    def vals(agg: String) = api.dispatch("GET", "/v1/metric/mn/measures",
+      query = Map("refresh" -> "true", "aggregation" -> agg))
+      .body.asInstanceOf[JArray].arr.map {
+        case JArray(List(_, _, JDouble(v))) => v
+        case other => fail(s"bad triple: $other")
+      }
+    assert(vals("mean").map(_.isNaN) === List(true)) // NaN poisons mean
+    assert(vals("min") === List(3.0))                // min ignores NaN
+    assert(vals("count") === List(2.0))              // count counts it
+    // and the wire round-trips: bare NaN in, bare NaN out (python
+    // json.dumps emits NaN unquoted)
+    val rendered = JsonMethods.compact(JsonMethods.render(
+      JArray(List(JDouble(Double.NaN)))))
+    assert(rendered === "[NaN]")
+    assert(JsonMethods.parse("[NaN]") match {
+      case JArray(List(JDouble(v))) => v.isNaN
+      case JArray(List(JDecimal(_))) => false
+      case _ => false
+    })
+  }
+
+  test("influx write accepts a chunked Transfer-Encoding body " +
+      "(influxdb.py:141-152)") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "ch", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"name": "all", "metric_pattern": "*",
+          "archive_policy_name": "ch"}""")
+    val server = new RestServer(api)
+    val port = server.serve(0)
+    try {
+      // telegraf can post chunked (uwsgi dechunks for the reference);
+      // the JDK server dechunks for us — pin it end-to-end with a raw
+      // socket so no client library silently buffers to Content-Length
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = sock.getOutputStream
+        val lines = "cpu,host=h1 value=4.0 1388577600000000000\n" +
+          "cpu,host=h1 value=8.0 1388577630000000000\n"
+        val chunk = lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val head = s"POST /v1/influxdb/write HTTP/1.1\r\n" +
+          s"Host: 127.0.0.1:$port\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"
+        out.write(head.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // two chunks, split mid-line to prove reassembly
+        val cut = chunk.length / 2
+        for ((lo, hi) <- Seq((0, cut), (cut, chunk.length))) {
+          out.write(s"${(hi - lo).toHexString}\r\n".getBytes)
+          out.write(chunk, lo, hi - lo)
+          out.write("\r\n".getBytes)
+        }
+        out.write("0\r\n\r\n".getBytes)
+        out.flush()
+        val status = new String(sock.getInputStream.readNBytes(12))
+        assert(status === "HTTP/1.1 204")
+      } finally sock.close()
+      // the staged measures are readable: both lines landed intact
+      val got = api.dispatch("GET", "/v1/metric/h1%2Fcpu.value/measures",
+        query = Map("refresh" -> "true"))
+      assert(got.status === 200)
+      val vals = got.body.asInstanceOf[JArray].arr.map {
+        case JArray(List(_, _, JDouble(v))) => v
+        case other => fail(s"bad triple: $other")
+      }
+      assert(vals === List(6.0)) // one 60 s bucket, mean(4, 8)
     } finally server.stop()
   }
 }
