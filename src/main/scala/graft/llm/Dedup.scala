@@ -16,6 +16,16 @@ object Dedup {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** THE content-identity key, shared by the batch dedup plane and the
+    * streaming drain so the two can never diverge. Null text maps to a
+    * non-null sentinel (not md5-hex-shaped, so it can't collide):
+    * a null key would survive every `left_anti` equi-join against the
+    * standing index — null-rejecting equality — and re-admit the same
+    * null-text content every micro-batch.
+    */
+  def contentKey(text: Column): Column =
+    coalesce(md5(normalized(text)), lit("__no_text__"))
+
   /** Exact dedup: hash-groupBy on normalized text. Returns one row per
     * distinct content with `dup_count` and the canonical (minimum) id.
     * At 100 TB this is a single hash aggregate on a 64-bit key — the
@@ -24,7 +34,7 @@ object Dedup {
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame =
     docs
-      .withColumn("content_hash", md5(normalized(col(textCol))))
+      .withColumn("content_hash", contentKey(col(textCol)))
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("dup_count"))

@@ -97,9 +97,11 @@ object StreamingIngest {
     // an s3a:// index under an hdfs:// default would throw "Wrong FS"
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the SAME content identity as the batch dedup plane
+    // (Dedup.contentKey: null-safe, normalized-md5) — a local key
+    // formula here could silently diverge from Dedup.exact
     val winners = batch
-      .withColumn("content_md5",
-        md5(graft.llm.Dedup.normalized(col("text"))))
+      .withColumn("content_md5", graft.llm.Dedup.contentKey(col("text")))
       .groupBy("content_md5").agg(min(col("doc_id")).as("doc_id"))
     val indexPath = new org.apache.hadoop.fs.Path(indexDir)
     val priorBatches =
@@ -116,7 +118,13 @@ object StreamingIngest {
     // of silently losing the old run's survivors. Legitimate replay
     // never sees an existing id above its own.
     val maxExisting = priorBatches
-      .map(p => p.substring(p.lastIndexOf('=') + 1).toLong)
+      .map { p =>
+        val tag = p.substring(p.lastIndexOf('=') + 1)
+        tag.toLongOption.getOrElse(throw new IllegalStateException(
+          s"dedup index $indexDir contains a non-numeric batch " +
+            s"directory '$p' — remove or rename the stray entry (only " +
+            "batch=<n> dirs written by this drain belong here)"))
+      }
       .maxOption.getOrElse(-1L)
     require(maxExisting <= id,
       s"dedup index $indexDir already holds batch=$maxExisting but this " +
@@ -165,11 +173,22 @@ object StreamingIngest {
           val incoming = it.map(p => (p.ts_ms, p.value)).toSeq
           if (incoming.isEmpty) Iterator.empty
           else {
-            val lastMs = (prev.map(_._1) ++ incoming.map(_._1)).max
-            val firstBlockMs =
-              (lastMs / 1000 / blockS * blockS - blockS * backWindow) * 1000
-            // reject too-old input (carbonara.py:465-468)
-            val accepted = incoming.filter(_._1 >= firstBlockMs)
+            // floorDiv: truncating division rounds pre-epoch (negative)
+            // timestamps toward zero, sliding the window a block too new
+            def firstBlock(lastMs: Long): Long =
+              (Math.floorDiv(Math.floorDiv(lastMs, 1000L), blockS) * blockS -
+                blockS * backWindow) * 1000
+            // reject-too-old measures the OLD buffer's last timestamp
+            // (carbonara.py:354-373: set_values slices incoming at
+            // first_block_timestamp() of the PRE-merge series, and only
+            // when the buffer is non-empty) — cutting against the
+            // batch's own max would silently drop in-window history
+            // that arrives in the same micro-batch as newer points
+            // (a backfill burst, the first batch ever)
+            val accepted = prev.map(_._1).maxOption match {
+              case Some(prevLast) => incoming.filter(_._1 >= firstBlock(prevLast))
+              case None => incoming
+            }
             // merge, new wins on duplicate ts. Within ONE micro-batch
             // the reference keeps the first DELIVERED duplicate
             // (carbonara.py:92-105), but the iterator order after the
@@ -182,6 +201,9 @@ object StreamingIngest {
             for ((t, v) <- accepted.sortBy(p => (p._1, p._2))
                  if !merged.contains(t)) merged(t) = v
             for ((t, v) <- prev if !merged.contains(t)) merged(t) = v
+            // truncation measures the POST-merge last timestamp
+            // (carbonara.py:369-373 _truncate after set_values)
+            val firstBlockMs = firstBlock(merged.keys.max)
             val (open, closed) = merged.toSeq.partition(_._1 >= firstBlockMs)
             state.update(BoundState(open.sortBy(_._1)))
             closed.sortBy(_._1).iterator

@@ -111,6 +111,17 @@ object TimeSeriesOps {
       .filterNot(c => keyCols.contains(c) || c == rightTs).toSeq
     val leftCols = left.columns.toSeq
     val otherLeft = leftCols.filterNot(c => keyCols.contains(c) || c == leftTs)
+    // a left column named like an emitted payload column (chained
+    // asofJoins with the same prefix) or like an internal tag would
+    // silently produce a DUPLICATE-named output column — ambiguous on
+    // the next select. Fail loudly; the caller picks another prefix.
+    val emitted = (s"${payloadPrefix}ts" +: payloadCols.map(payloadPrefix + _))
+      .toSet ++ Set("__ts", "__side", "__asof")
+    val clash = otherLeft.filter(emitted)
+    require(clash.isEmpty,
+      s"asofJoin: left columns ${clash.mkString(", ")} collide with the " +
+        s"'$payloadPrefix' payload output (or internal tags) — pass a " +
+        "different payloadPrefix")
     val asofType = StructType(
       StructField(s"${payloadPrefix}ts", right.schema(rightTs).dataType) +:
         payloadCols.map(c => StructField(s"$payloadPrefix$c",
@@ -191,6 +202,10 @@ object TimeSeriesOps {
     */
   def truncate(df: DataFrame, timespanNs: Long, keyCols: Seq[String],
                tsCol: String = "bucket"): DataFrame = {
+    // same µs-alignment contract as fetchRaw — a silently floored
+    // sub-µs timespan would hide a caller passing ms/µs instead of ns
+    require(timespanNs % 1000 == 0,
+      s"timespan must be whole microseconds, got ${timespanNs}ns")
     val w = Window.partitionBy(keyCols.map(col): _*)
     val lastTs = max(col(tsCol)).over(w)
     df.withColumn("__cut", lastTs - expr(s"INTERVAL ${timespanNs / 1000} MICROSECOND"))

@@ -66,6 +66,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boundedSeries backfill burst: reject-old measures the OLD " +
+      "buffer, not the batch's own max (carbonara.py:354-373)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import StreamingIngest.Point
+    val in = MemoryStream[Point]
+    val out = StreamingIngest.boundedSeries(in.toDS(), 60L, 1)
+    val q = out.writeStream.format("memory").queryName("bound_bf")
+      .outputMode("append").start()
+    def emitted() = s.sql("SELECT ts_ms, value FROM bound_bf ORDER BY ts_ms")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    try {
+      val t0 = ts("2024-01-01 10:00:00").getTime
+      // FIRST batch carries a whole hour of history in one burst: an
+      // empty buffer accepts everything (the reference only slices
+      // against first_block_timestamp when len(self.ts) != 0) and the
+      // blocks that fall outside the advancing window close at once —
+      // nothing silently vanishes
+      val burst = (0 until 60).map(i => Point("m", t0 + i * 60_000L, i.toDouble))
+      in.addData(burst: _*)
+      q.processAllAvailable()
+      // window = [floor(10:59,60s)-60s, inf) → last two blocks stay
+      // open, the first 58 points emit as closed
+      assert(emitted() ==
+        (0 until 58).map(i => (t0 + i * 60_000L, i.toDouble)))
+      // and a point inside the OLD buffer's window still lands even if
+      // the same batch carries much newer points
+      in.addData(Point("m", t0 + 58 * 60_000L + 30_000L, 99.0),
+        Point("m", t0 + 62 * 60_000L, 100.0))
+      q.processAllAvailable()
+      assert(emitted().contains((t0 + 58 * 60_000L + 30_000L, 99.0)))
+    } finally q.stop()
+  }
+
+  test("dedupBatch null-text content dedups across batches " +
+      "(null-safe content key)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-nulldd").toString
+    val index = s"$root/index"; val kept = s"$root/kept"
+    StreamingIngest.dedupBatch(
+      Seq((1L, Option("alpha")), (2L, Option.empty[String]))
+        .toDF("doc_id", "text"), 0L, index, kept)
+    // re-delivery of the SAME null-text content in the next batch must
+    // anti-join away (a null md5 key would survive every equi-join)
+    StreamingIngest.dedupBatch(
+      Seq((3L, Option.empty[String]), (4L, Option("beta")))
+        .toDF("doc_id", "text"), 1L, index, kept)
+    val kept1 = s.read.parquet(s"$kept/batch=1").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept1 == Set(4L))
+  }
+
   test("dedupBatch replay: re-running a failed attempt's batch id is idempotent") {
     val s = spark
     import s.implicits._
