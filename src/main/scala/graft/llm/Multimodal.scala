@@ -61,6 +61,10 @@ object Multimodal {
     */
   def frameSample(media: DataFrame, frameSize: Int = DefaultFrameSize,
                   every: Int = 2): DataFrame = {
+    // a non-positive size would silently yield zero frames (null
+    // division → empty array branch) — caller typos must be loud
+    require(frameSize > 0 && every > 0,
+      s"frameSize and every must be positive, got ($frameSize, $every)")
     val nf = (octet_length(col("payload")) / frameSize).cast("long")
     media
       .withColumn("frame_no",
@@ -101,9 +105,43 @@ object Multimodal {
     * returned pixel grid, so richer codecs (TwelveMonkeys, javacv)
     * drop in here without moving anything else.
     */
-  private[llm] def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-    if (looksLikeImage(bytes)) {
-      javax.imageio.ImageIO.setUseCache(false)
+  // JVM-global, set ONCE — not per decoded row on the hot path
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decompression-bomb cap: a few-KB payload can DECLARE a huge pixel
+    * grid (40000×40000 ≈ 1.6 G pixels) and the full decode would then
+    * OOM the executor — an Error, not the Exception the stub fallback
+    * catches. Reader-reported dimensions are checked against this cap
+    * BEFORE decoding; 64 M pixels = 64 MB grayscale, comfortably inside
+    * a task's memory at any corpus scale.
+    */
+  private val MaxDecodePixels = 64L * 1024 * 1024
+
+  /** Reader-declared (width, height) without decoding pixel data. */
+  private def declaredDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    // a null cell in a 100 TB corpus must not abort the job: it is
+    // "unreadable", so it takes the documented stub fallback
+    if (bytes == null) return decodeStub(Array.emptyByteArray)
+    val inBounds = looksLikeImage(bytes) &&
+      (try declaredDims(bytes).exists { case (w, h) =>
+          w.toLong * h <= MaxDecodePixels }
+       catch { case _: Exception => false })
+    if (inBounds) {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: Exception => null }
@@ -130,7 +168,6 @@ object Multimodal {
     * is lossless, so decode(encodePng(px)) == px exactly).
     */
   def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
-    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, width, height, pixels)
@@ -144,11 +181,21 @@ object Multimodal {
     * per task, histogram buffer reused across rows — constant memory
     * per partition regardless of corpus size.
     */
-  def decodeFeatures(media: DataFrame): DataFrame = {
+  /** The one typed codec-boundary projection every decode entry point
+    * shares — a fix to id/payload handling lands once, not three times.
+    */
+  private def mediaRows(media: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
+  }
+
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    mediaRows(media)
       .mapPartitions { it =>
         val hist = new Array[Long](16)
         it.map { case (id, payload) =>
@@ -218,6 +265,17 @@ object Multimodal {
       // a corrupt negative/short size would move position BACKWARDS and
       // the chunk walk would never terminate — fail loudly instead
       require(sz >= 0, s"corrupt chunk size $sz in '$id'")
+      // validate against the buffer BEFORE any read or allocation: a
+      // truncated chunk body must be a descriptive data error, not a
+      // raw BufferUnderflowException, and a corrupt multi-GB declared
+      // size must not trigger an OOM-sized allocation
+      require(sz <= bb.remaining(),
+        s"chunk '$id' size $sz exceeds remaining ${bb.remaining()} bytes")
+      // next chunk starts after the data + the RIFF odd-size pad byte —
+      // for EVERY chunk kind (a per-arm skip would misalign the walk on
+      // odd-sized fmt/data chunks); pad clamped for files that omit the
+      // final pad at EOF
+      val next = math.min(bb.position() + sz + (sz & 1), bb.limit())
       id match {
         case "fmt " =>
           require(sz >= 16, s"fmt chunk too short: $sz")
@@ -227,18 +285,14 @@ object Multimodal {
           bb.getInt(); bb.getShort() // byte rate, block align
           val bits = bb.getShort()
           require(bits == 16, s"need 16-bit samples: $bits")
-          bb.position(bb.position() + (sz - 16))
         case "data" =>
-          // validate BEFORE allocating: a corrupt multi-GB chunk size
-          // must be a loud parse failure, not an OOM-sized allocation
-          require(sz <= bb.remaining(),
-            s"data chunk size $sz exceeds remaining ${bb.remaining()} bytes")
           val n = sz / 2
           samples = new Array[Short](n)
           var i = 0
           while (i < n) { samples(i) = bb.getShort(); i += 1 }
-        case _ => bb.position(bb.position() + sz + (sz & 1)) // skip + pad
+        case _ => ()
       }
+      bb.position(next)
     }
     require(rate > 0 && samples != null, "missing fmt or data chunk")
     (rate, samples)
@@ -253,9 +307,12 @@ object Multimodal {
   def audioFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
+    mediaRows(media)
       .mapPartitions(_.map { case (id, payload) =>
+        // the audio plane has no stub fallback (bad payload = data
+        // error) but the error must name the row, not surface as an
+        // anonymous NPE from inside the codec
+        require(payload != null, s"null audio payload for media_id=$id")
         val (rate, s) = decodeWav(payload)
         var mn = Long.MaxValue; var mx = Long.MinValue
         var sum = 0L; var sq = 0L; var i = 0
@@ -278,8 +335,7 @@ object Multimodal {
   def resize(media: DataFrame, outW: Int, outH: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
+    mediaRows(media)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val (w, h, px) = decode(bytes)

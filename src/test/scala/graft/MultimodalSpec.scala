@@ -106,6 +106,68 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decodeWav("not audio at all".getBytes)
     }
+    // a truncated chunk BODY is a descriptive data error, not a raw
+    // BufferUnderflowException: declare fmt sz=16 with only 10 bytes
+    val trunc = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    trunc.put("RIFF".getBytes("US-ASCII")); trunc.putInt(22)
+    trunc.put("WAVE".getBytes("US-ASCII"))
+    trunc.put("fmt ".getBytes("US-ASCII")); trunc.putInt(16)
+    trunc.put(Array.fill[Byte](10)(0))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(java.util.Arrays.copyOf(trunc.array(), 30))
+    }
+    assert(e.getMessage.contains("exceeds remaining"))
+    // and a corrupt huge declared size fails the same way, BEFORE any
+    // allocation (no OOM-sized array)
+    val huge = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    huge.put("RIFF".getBytes("US-ASCII")); huge.putInt(12)
+    huge.put("WAVE".getBytes("US-ASCII"))
+    huge.put("data".getBytes("US-ASCII")); huge.putInt(Int.MaxValue - 8)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(huge.array())
+    }
+    assert(e2.getMessage.contains("exceeds remaining"))
+  }
+
+  test("decode hardening: null payload stubs, bomb dims rejected " +
+      "before decode, non-positive frame sizes loud") {
+    val s = spark
+    import s.implicits._
+    // null payload row flows through the stub, not an NPE that would
+    // abort a 100 TB job on one bad cell
+    val media = Seq((1L, Option("abc".getBytes)),
+      (2L, Option.empty[Array[Byte]])).toDF("media_id", "payload")
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap // media_id -> height
+    assert(feats(2L) == 0) // empty stub grid
+    // a tiny payload DECLARING a giant pixel grid must fall back to
+    // the stub instead of attempting a multi-GB decode: real PNG
+    // header with width=height=50000 (2.5 G pixels), CRC-correct IHDR
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(50000); ihdr.putInt(50000)
+    ihdr.put(8.toByte); ihdr.put(0.toByte) // bit depth, grayscale
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr.array())
+    val bomb = java.nio.ByteBuffer.allocate(8 + 4 + 4 + 13 + 4)
+    bomb.put(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte))
+    bomb.putInt(13); bomb.put("IHDR".getBytes("US-ASCII"))
+    bomb.put(ihdr.array()); bomb.putInt(crc.getValue.toInt)
+    val (w, h, px) = Multimodal.decode(bomb.array())
+    // stub dims, not 50000x50000, and no giant allocation happened
+    assert(w == Multimodal.FakeImageWidth && px.length == bomb.array().length)
+    assert(h == (px.length + w - 1) / w)
+    // while a REAL small image still decodes through the codec
+    val png = Multimodal.encodePng(3, 2, Array[Byte](1, 2, 3, 4, 5, 6))
+    val (w2, h2, px2) = Multimodal.decode(png)
+    assert((w2, h2) == ((3, 2)) && px2.sameElements(
+      Array[Byte](1, 2, 3, 4, 5, 6)))
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(media, frameSize = 0)
+    }
   }
 
   test("audioFeatures: exact integer aggregates through the real codec") {
