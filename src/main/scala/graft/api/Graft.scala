@@ -553,10 +553,13 @@ class Graft(val spark: SparkSession, root: String) {
     * shaping).
     */
   def aggregatesAuto(operations: String,
-                     fill: Option[String] = None): DataFrame = {
+                     fill: Option[String] = None,
+                     from: Option[java.sql.Timestamp] = None,
+                     to: Option[java.sql.Timestamp] = None): DataFrame = {
     val refs = collectRefs(Parser.parse(operations))
     commonGranularities(refs.map(_._1).distinct)
-      .map(g => aggregates(operations, g, fill).withColumn("gran_s", lit(g)))
+      .map(g => aggregates(operations, g, fill, from = from, to = to)
+        .withColumn("gran_s", lit(g)))
       .reduce(_ unionByName _)
   }
 
@@ -705,10 +708,13 @@ class Graft(val spark: SparkSession, root: String) {
     * reverse-sorted order).
     */
   def aggregatesRefsAuto(operations: String,
-                         fill: Option[String] = None): DataFrame = {
+                         fill: Option[String] = None,
+                         from: Option[java.sql.Timestamp] = None,
+                         to: Option[java.sql.Timestamp] = None): DataFrame = {
     val refs = collectRefs(Parser.parse(operations))
     commonGranularities(refs.map(_._1).distinct)
-      .map(g => aggregatesRefs(operations, g, fill).withColumn("gran_s", lit(g)))
+      .map(g => aggregatesRefs(operations, g, fill, from = from, to = to)
+        .withColumn("gran_s", lit(g)))
       .reduce(_ unionByName _)
   }
 

@@ -625,7 +625,21 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       case ("POST", List("v1", "aggregates")) =>
         val b = body()
         val operations = jstr(b \ "operations")
-        val fill = b \ "fill" match { case JString(s) => Some(s); case _ => None }
+        // start/stop arrive as query params (rest/aggregates/api.py:515
+        // post(self, start=None, stop=None, ...))
+        val from = q.get("start").map(parseTs)
+        val to = q.get("stop").map(parseTs)
+        val overlap = (b \ "needed_overlap" match {
+          case JNothing => None; case o => Some(jnum(o))
+        }).orElse(q.get("needed_overlap").map(_.toDouble))
+        // the REST layer defaults fill="dropna" when NEITHER fill nor
+        // needed_overlap is given (rest/aggregates/api.py:521-522) —
+        // evaluation stays NaN-skipping (dropna never touches the
+        // grid), only the output drop engages
+        val fill = (b \ "fill" match {
+          case JString(s) => Some(s); case _ => None
+        }).orElse(q.get("fill"))
+          .orElse(if (overlap.isEmpty) Some("dropna") else None)
         val groupby = b \ "groupby" match {
           case JArray(a) => a.map(jstr); case _ => Nil
         }
@@ -669,27 +683,27 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         // (rest/aggregates/api.py + gabbits/aggregates-with-metric-ids
         // .yaml "get aggregates, no references").
         val aggregated = g.aggregatesIsAggregated(operations)
-        b \ "granularity" match {
-          case JNothing => // P1: every common granularity, coarse→fine
+        (b \ "granularity" match {
+          case JNothing => q.get("granularity").map(_.toLong)
+          case n => Some(jnum(n).toLong)
+        }) match {
+          case None => // P1: every common granularity, coarse→fine
             if (aggregated) {
-              val df = g.aggregatesAuto(operations, fill)
+              val df = g.aggregatesAuto(operations, fill, from, to)
               ok(withRefs("aggregated" ->
                 frameJson(df.orderBy("gran_s", "bucket"), 100000)))
             } else
               ok(withRefs(refsMeasuresJson(
-                g.aggregatesRefsAuto(operations, fill), None)))
-          case n =>
-            val granS = jnum(n).toLong
-            val overlap = b \ "needed_overlap" match {
-              case JNothing => None; case o => Some(jnum(o))
-            }
+                g.aggregatesRefsAuto(operations, fill, from, to), None)))
+          case Some(granS) =>
             if (aggregated) {
               val rows = g.shaped(
-                g.aggregates(operations, granS, fill, overlap), granS)
+                g.aggregates(operations, granS, fill, overlap, from, to),
+                granS)
               ok(withRefs("aggregated" -> measuresTriples(rows)))
             } else
               ok(withRefs(refsMeasuresJson(
-                g.aggregatesRefs(operations, granS, fill, overlap),
+                g.aggregatesRefs(operations, granS, fill, overlap, from, to),
                 Some(granS))))
         }
 

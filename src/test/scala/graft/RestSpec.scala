@@ -274,6 +274,20 @@ class RestSpec extends SparkSpec {
       """{"operations": "(metric (ma mean) (mb mean))"}""")
     assert(auto.status === 200)
     assert(triples(auto.body \ "measures" \ "ma" \ "mean").size === 3)
+
+    // start/stop query params slice the read window, as the
+    // reference's post(self, start=None, stop=None, ...)
+    // (gabbits/aggregates-with-metric-ids.yaml "with start/stop")
+    val sliced = api.dispatch("POST", "/v1/aggregates",
+      query = Map("start" -> "2014-01-01T00:05:00Z",
+        "stop" -> "2014-01-01T00:09:59Z"),
+      body = """{"operations": "(metric (ma mean) (mb mean))",
+          "granularity": 300}""")
+    assert(sliced.status === 200)
+    assert(triples(sliced.body \ "measures" \ "ma" \ "mean")
+      === List(("2014-01-01T00:05:00Z", 300.0, 2.0)))
+    assert(triples(sliced.body \ "measures" \ "mb" \ "mean")
+      === List(("2014-01-01T00:05:00Z", 300.0, 10.0)))
   }
 
   test("resource search route uses the filter DSL") {
