@@ -322,6 +322,23 @@ object Oracles {
                 CAST(fv AS REAL) AS v
          FROM f WHERE fv IS NOT NULL""",
 
+    // G6: per-resource fan-out — srv1/load is the click hourly mean,
+    // srv2/load the purchase one; srv3 (view) is outside the scope
+    "g6_resource_refs" ->
+      """WITH d AS (SELECT event_type, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events WHERE event_type IN ('click', 'purchase')
+                    GROUP BY 1, 2),
+         h AS (SELECT event_type,
+                      CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+                      avg(value) AS v
+               FROM d GROUP BY 1, 2)
+         SELECT CASE event_type WHEN 'click' THEN 'srv1' ELSE 'srv2' END
+                  AS resource_id,
+                'load' AS metric_name, 'mean' AS method,
+                b AS bucket_s, CAST(v AS REAL) AS v
+         FROM h""",
+
     "s1_search_measures" ->
       s"""WITH s AS ($hourlyMean)
          SELECT event_type, b AS bucket_s, CAST(v AS REAL) AS v FROM s

@@ -1245,6 +1245,40 @@ object Queries {
         .select(col("metric_id"), col("method"), bucketS(),
           r6(col("value")).as("v"))
     }),
+    // Search-scoped NON-aggregated aggregates under the oracle
+    // (rest/aggregates/api.py:684-710 _get_measures_by_name →
+    // processor.py:264-272 r_output): metric leaves are NAME wildcards
+    // resolved per matched resource; the full facade path (ingest →
+    // store scan → grid → per-resource fan-out) emits one series per
+    // (resource, metric). srv1/load carries the click series and
+    // srv2/load the purchase series; the search scope excludes srv3.
+    "g6_resource_refs" -> ((s, dir) => {
+      val root = s"/tmp/graft-q-store/g6-${math.abs(dir.hashCode)}"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val g = new graft.api.Graft(s, root)
+      g.createPolicy(ArchivePolicy("g6", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean")))
+      for (m <- Seq("m_c", "m_p", "m_v")) g.createMetric(m, "g6")
+      val meas = dedupMeasures(s, dir)
+      g.batchAddMeasures(meas.filter(col("metric_id") === "click")
+        .withColumn("metric_id", lit("m_c")))
+      g.batchAddMeasures(meas.filter(col("metric_id") === "purchase")
+        .withColumn("metric_id", lit("m_p")))
+      g.batchAddMeasures(meas.filter(col("metric_id") === "view")
+        .withColumn("metric_id", lit("m_v")))
+      g.process()
+      import s.implicits._
+      g.setResources(Seq(("srv1", "a"), ("srv2", "b"), ("srv3", "c"))
+        .toDF("id", "zone"))
+      g.setMetrics(Seq(("m_c", "srv1", "load"), ("m_p", "srv2", "load"),
+        ("m_v", "srv3", "load")).toDF("metric_id", "resource_id", "name"))
+      g.aggregatesByResource("(metric load mean)", 3600L,
+          "zone in ['a', 'b']")
+        .select(col("resource_id"), col("metric_name"), col("method"),
+          bucketS(), r6(col("value")).as("v"))
+    }),
     // B2-through-the-store under the oracle: a policy declaring
     // calendar granularities (M + W) alongside the hourly fixed one;
     // ingest, then read monthly and weekly series through the

@@ -598,8 +598,15 @@ class Graft(val spark: SparkSession, root: String) {
                  fill: Option[String] = None,
                  neededOverlap: Option[Double] = None,
                  from: Option[java.sql.Timestamp] = None,
-                 to: Option[java.sql.Timestamp] = None): graft.ops.Grid = {
-    val ast = Parser.parse(operations)
+                 to: Option[java.sql.Timestamp] = None): graft.ops.Grid =
+    aggregatesGridAst(Parser.parse(operations), granS, fill, neededOverlap,
+      from, to)
+
+  private def aggregatesGridAst(ast: graft.ops.Node, granS: Long,
+                 fill: Option[String],
+                 neededOverlap: Option[Double],
+                 from: Option[java.sql.Timestamp],
+                 to: Option[java.sql.Timestamp]): graft.ops.Grid = {
     val refs = collectRefs(ast)
     refs.foreach { case (m, a) => requireMethod(m, a) }
     val effFill = fill
@@ -681,8 +688,12 @@ class Graft(val spark: SparkSession, root: String) {
                      fill: Option[String] = None,
                      neededOverlap: Option[Double] = None,
                      from: Option[java.sql.Timestamp] = None,
-                     to: Option[java.sql.Timestamp] = None): DataFrame = {
-    val out = aggregatesGrid(operations, granS, fill, neededOverlap, from, to)
+                     to: Option[java.sql.Timestamp] = None): DataFrame =
+    refsFanOut(
+      aggregatesGrid(operations, granS, fill, neededOverlap, from, to), fill)
+
+  private def refsFanOut(out: graft.ops.Grid,
+                         fill: Option[String]): DataFrame = {
     val pairs = out.cols.map(c =>
       struct(lit(c).as("ref"), col(c).cast("double").as("value")))
     val long = out.df
@@ -700,6 +711,71 @@ class Graft(val spark: SparkSession, root: String) {
       present.filter(!isnan(col("value")) &&
         abs(col("value")) =!= lit(Double.PositiveInfinity))
     else present
+  }
+
+  /** Search-scoped, non-grouped `/v1/aggregates`
+    * (rest/aggregates/api.py:562-569 → `_get_measures_by_name`,
+    * api.py:684-710): metric leaves are NAME WILDCARDS, fnmatched
+    * against the metrics of every resource the filter matches; all
+    * resolved (resource × metric) series evaluate on ONE grid (one
+    * pruned multi-series scan per policy, same as the id form). The
+    * long output `(resource_id, metric_name, method, bucket, value)`
+    * is the REST door's per-resource fan-out
+    * (processor.py:246-272 r_output) with the per-series NaN/inf drop;
+    * wrap the tree in `aggregate` for the single collapsed series
+    * (that form routes through the grouped door). No resolved metric
+    * at all → NotFound, as the reference's NoSuchMetric
+    * (api.py:697-701).
+    */
+  def aggregatesByResource(operations: String, granS: Long,
+                           filterStr: String,
+                           fill: Option[String] = None,
+                           neededOverlap: Option[Double] = None,
+                           from: Option[java.sql.Timestamp] = None,
+                           to: Option[java.sql.Timestamp] = None): DataFrame = {
+    import graft.ops._
+    val ast0 = Parser.parse(operations)
+    val wildcards = collectRefs(ast0)
+    val res = searchResources(filterStr)
+    val cat = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
+      .join(broadcast(res.select(col("id").as("resource_id"))),
+        Seq("resource_id"))
+    // resolved scope is catalog metadata — driver-bounded by contract
+    // (rest/aggregates/api.py resolves the same list in the indexer)
+    val resolved: Map[String, Seq[(String, String, String)]] =
+      wildcards.map(_._1).distinct.map { pat =>
+        pat -> cat
+          .filter(col("name").rlike(graft.catalog.Fnmatch.regex(pat)))
+          .select("metric_id", "resource_id", "name").collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      }.toMap
+    if (resolved.values.forall(_.isEmpty))
+      throw new GraftError.NotFound(
+        s"Metrics not found: ${wildcards.map(_._1).distinct.sorted.mkString(", ")}")
+    // rewrite name-wildcard leaves to the resolved metric-ID leaves —
+    // the compiler then treats each (resource × metric) as its own
+    // series, exactly the reference's reference list
+    def rewrite(n: Node): Node = n match {
+      case MetricLeaf(rs) => MetricLeaf(rs.flatMap { case (pat, agg) =>
+        resolved(pat).map { case (mid, _, _) => (mid, agg) } }.distinct)
+      case Bin(op, l, r)       => Bin(op, rewrite(l), rewrite(r))
+      case Clip(s, lo, hi)     => Clip(rewrite(s), lo, hi)
+      case Un(op, s)           => Un(op, rewrite(s))
+      case RateOfChange(p, s)  => RateOfChange(p, rewrite(s))
+      case AggAcross(a, s)     => AggAcross(a, rewrite(s))
+      case Rolling(a, w, s)    => Rolling(a, w, rewrite(s))
+      case Resample(a, g, s)   => Resample(a, g, rewrite(s))
+      case other               => other
+    }
+    val long = refsFanOut(aggregatesGridAst(rewrite(ast0), granS, fill,
+      neededOverlap, from, to), fill)
+    // metric_id → (resource_id, metric name): broadcast metadata join,
+    // no shuffle on the measure rows
+    val naming = broadcast(cat.select(col("metric_id"),
+      col("resource_id"), col("name").as("metric_name")))
+    long.join(naming, Seq("metric_id"))
+      .select(col("resource_id"), col("metric_name"), col("method"),
+        col("bucket"), col("value"))
   }
 
   /** [[aggregatesRefs]] across every common granularity, coarse→fine

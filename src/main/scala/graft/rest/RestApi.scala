@@ -268,6 +268,36 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     })
   }
 
+  /** Per-RESOURCE measures block for search-scoped non-aggregated
+    * `/v1/aggregates` (processor.py:264-272 r_output):
+    * `{resource_id: {metric_name: {method: [[ts, gran, v], ...]}}}`.
+    */
+  private def resourceMeasuresJson(df: org.apache.spark.sql.DataFrame,
+                                   granS: Long): JValue = {
+    import org.apache.spark.sql.functions.col
+    val ordered = df.orderBy(col("resource_id"), col("metric_name"),
+      col("method"), col("bucket")).collect()
+    val byRes = scala.collection.mutable.LinkedHashMap.empty[String,
+      scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.LinkedHashMap[String, List[JValue]]]]
+    ordered.foreach { r =>
+      val triple: JValue = JArray(List(
+        JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
+        JDouble(granS.toDouble), JDouble(r.getAs[Double]("value"))))
+      val mets = byRes.getOrElseUpdate(r.getAs[String]("resource_id"),
+        scala.collection.mutable.LinkedHashMap.empty)
+      val aggs = mets.getOrElseUpdate(r.getAs[String]("metric_name"),
+        scala.collection.mutable.LinkedHashMap.empty)
+      aggs.update(r.getAs[String]("method"),
+        aggs.getOrElse(r.getAs[String]("method"), Nil) :+ triple)
+    }
+    JObject(byRes.toList.map { case (rid, mets) =>
+      rid -> (JObject(mets.toList.map { case (m, aggs) =>
+        m -> (JObject(aggs.toList.map { case (a, ts) =>
+          a -> (JArray(ts): JValue) }): JValue) }): JValue)
+    })
+  }
+
   /** DataFrame → JSON rows (REST-page sized by contract). */
   private def frameJson(df: org.apache.spark.sql.DataFrame, limit: Int): JValue =
     JArray(df.limit(limit).toJSON.collect().toList.map(JsonMethods.parse(_)))
@@ -651,13 +681,24 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         // one series per group via GroupedOps
         if (search.isDefined || groupby.nonEmpty) {
           val granS = b \ "granularity" match {
-            case JNothing => throw new IllegalArgumentException(
-              "granularity required with search/groupby")
+            case JNothing => q.getOrElse("granularity",
+              throw new IllegalArgumentException(
+                "granularity required with search/groupby")).toLong
             case n => jnum(n).toLong
           }
-          val df = g.groupByAggregatesOps(operations, granS,
-            search.getOrElse(throw new IllegalArgumentException(
-              "search required with groupby")), groupby, fill)
+          val flt = search.getOrElse(throw new IllegalArgumentException(
+            "search required with groupby"))
+          // search WITHOUT groupby + a non-aggregated tree → the
+          // per-RESOURCE fan-out (_get_measures_by_name →
+          // processor.py:246-272 r_output): {measures: {resource:
+          // {metric: {agg: [...]}}}}. Aggregated trees (and grouped
+          // queries) keep the scoped/grouped series form.
+          if (groupby.isEmpty && !g.aggregatesIsAggregated(operations))
+            return ok("measures" -> resourceMeasuresJson(
+              g.aggregatesByResource(operations, granS, flt, fill,
+                overlap, from, to), granS))
+          val df = g.groupByAggregatesOps(operations, granS, flt,
+            groupby, fill, from, to)
           return ok("measures" -> frameJson(
             df.orderBy((groupby :+ "bucket").map(
               org.apache.spark.sql.functions.col): _*), 100000))

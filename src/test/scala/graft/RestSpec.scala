@@ -451,6 +451,51 @@ class RestSpec extends SparkSpec {
       (JString("east"), JDouble(10.0)), (JString("west"), JDouble(30.0))))
   }
 
+  test("search-scoped non-aggregated aggregates fan out per resource " +
+      "(_get_measures_by_name -> processor r_output)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "300"}],
+          "aggregation_methods": ["mean"]}""")
+    for ((m, v) <- Seq(("u1", 10.0), ("u2", 30.0), ("u3", 7.0))) {
+      api.dispatch("POST", "/v1/metric",
+        body = s"""{"id": "$m", "archive_policy_name": "low"}""")
+      api.dispatch("POST", s"/v1/metric/$m/measures", body =
+        s"""[{"timestamp": "2015-03-06T14:33:00Z", "value": $v}]""")
+    }
+    g.process()
+    g.setResources(Seq(("r1", "east"), ("r2", "west"), ("r3", "north"))
+      .toDF("id", "zone"))
+    // r1 carries mem.used + cpu.util; r2 carries mem.used; metric
+    // leaves are NAME wildcards fnmatched per resource
+    g.setMetrics(Seq(("u1", "r1", "mem.used"), ("u2", "r2", "mem.used"),
+      ("u3", "r1", "cpu.util")).toDF("metric_id", "resource_id", "name"))
+    val resp = api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": "(metric (mem.used mean) (cpu.* mean))",
+          "granularity": 300,
+          "search": "zone in ['east', 'west']"}""")
+    assert(resp.status === 200)
+    def one(rid: String, met: String) =
+      (resp.body \ "measures" \ rid \ met \ "mean").asInstanceOf[JArray]
+        .arr.map { case JArray(List(_, JDouble(gr), JDouble(v))) =>
+          assert(gr === 300.0); v
+        case other => fail(s"bad triple $other") }
+    assert(one("r1", "mem.used") === List(10.0))
+    assert(one("r1", "cpu.util") === List(7.0))
+    assert(one("r2", "mem.used") === List(30.0))
+    // r2 has no cpu.* metric and r3 is outside the search scope
+    assert(resp.body \ "measures" \ "r2" \ "cpu.util" === JNothing)
+    assert(resp.body \ "measures" \ "r3" === JNothing)
+    // nothing resolves → 404 NoSuchMetric, as the reference
+    assert(api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": "(metric ghost.* mean)", "granularity": 300,
+          "search": "zone = 'east'"}""").status === 404)
+  }
+
   test("policy/rule/metric listing + delete routes") {
     val api = newApi
     for (n <- Seq("b-pol", "a-pol"))
