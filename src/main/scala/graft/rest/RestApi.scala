@@ -688,6 +688,31 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           }
           val flt = search.getOrElse(throw new IllegalArgumentException(
             "search required with groupby"))
+          // G3/G4 use_history=true (rest/aggregates/api.py:571-577):
+          // revision-weighted grouping through the history facade —
+          // one groupby attribute, a single-metric tree (the
+          // reference's HistoryGrouper shape)
+          val useHistory = q.get("use_history").contains("true") ||
+            b \ "use_history" == JBool(true)
+          if (useHistory) {
+            if (groupby.size != 1) throw new IllegalArgumentException(
+              "use_history supports exactly one groupby attribute")
+            val (name, meth) = graft.ops.Parser.parse(operations) match {
+              case graft.ops.AggAcross(_, graft.ops.MetricLeaf(Seq((n, m)))) =>
+                (n, m)
+              case graft.ops.MetricLeaf(Seq((n, m))) => (n, m)
+              case _ => throw new IllegalArgumentException(
+                "use_history supports a single-metric operations tree")
+            }
+            val df = g.groupByAggregatesHistory(name, meth, granS, flt,
+              groupby.head, from, to)
+            return ok("measures" -> frameJson(
+              df.select(
+                org.apache.spark.sql.functions.col("grp").as(groupby.head),
+                org.apache.spark.sql.functions.col("bucket_s"),
+                org.apache.spark.sql.functions.col("v").as("value"))
+                .orderBy(groupby.head, "bucket_s"), 100000))
+          }
           // search WITHOUT groupby + a non-aggregated tree → the
           // per-RESOURCE fan-out (_get_measures_by_name →
           // processor.py:246-272 r_output): {measures: {resource:

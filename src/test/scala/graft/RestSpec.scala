@@ -451,6 +451,46 @@ class RestSpec extends SparkSpec {
       (JString("east"), JDouble(10.0)), (JString("west"), JDouble(30.0))))
   }
 
+  test("use_history=true groups by the attribute's revision windows " +
+      "(rest/aggregates/api.py:571-577)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "300"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "u1", "archive_policy_name": "low"}""")
+    // one measure per revision side; the zone edge sits ON a bucket
+    // boundary so each bucket lands wholly in one group
+    api.dispatch("POST", "/v1/metric/u1/measures", body =
+      """[{"timestamp": "2015-03-06T14:33:00Z", "value": 10.0},
+          {"timestamp": "2015-03-06T14:36:00Z", "value": 30.0}]""")
+    g.process()
+    g.setMetrics(Seq(("u1", "r1", "load"))
+      .toDF("metric_id", "resource_id", "name"))
+    def t(x: String) = java.sql.Timestamp.from(java.time.Instant.parse(x))
+    g.setResourceHistory(Seq(
+      ("r1", "east", t("2015-03-06T00:00:00Z"),
+        Option(t("2015-03-06T14:35:00Z"))),
+      ("r1", "west", t("2015-03-06T14:35:00Z"),
+        Option.empty[java.sql.Timestamp]))
+      .toDF("id", "zone", "revision_start", "revision_end"))
+    val resp = api.dispatch("POST", "/v1/aggregates",
+      query = Map("use_history" -> "true"),
+      body = """{"operations": "(aggregate mean (metric load mean))",
+          "granularity": 300,
+          "search": "zone in ['east', 'west']",
+          "groupby": ["zone"]}""")
+    assert(resp.status === 200)
+    val rows = (resp.body \ "measures").asInstanceOf[JArray].arr
+      .map(r => (r \ "zone", r \ "value"))
+    assert(rows === List(
+      (JString("east"), JDouble(10.0)), (JString("west"), JDouble(30.0))))
+  }
+
   test("search-scoped non-aggregated aggregates fan out per resource " +
       "(_get_measures_by_name -> processor r_output)") {
     val s = spark
