@@ -718,10 +718,23 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           // processor.py:246-272 r_output): {measures: {resource:
           // {metric: {agg: [...]}}}}. Aggregated trees (and grouped
           // queries) keep the scoped/grouped series form.
-          if (groupby.isEmpty && !g.aggregatesIsAggregated(operations))
-            return ok("measures" -> resourceMeasuresJson(
+          if (groupby.isEmpty && !g.aggregatesIsAggregated(operations)) {
+            val m = resourceMeasuresJson(
               g.aggregatesByResource(operations, granS, flt, fill,
-                overlap, from, to), granS))
+                overlap, from, to), granS)
+            // details=true attaches the matched resources
+            // (rest/aggregates/api.py:708-709 response["references"] =
+            // resources) — ids here; full rows ride the resource routes
+            val det = q.get("details").contains("true") ||
+              b \ "details" == JBool(true)
+            return ok(
+              if (!det) "measures" -> m
+              else ("measures" -> m) ~ ("references" -> (m match {
+                case JObject(fields) => JArray(fields.map {
+                  case (rid, _) => ("id" -> rid): JValue })
+                case _ => JArray(Nil)
+              })))
+          }
           val df = g.groupByAggregatesOps(operations, granS, flt,
             groupby, fill, from, to)
           return ok("measures" -> frameJson(

@@ -534,6 +534,13 @@ class RestSpec extends SparkSpec {
     assert(api.dispatch("POST", "/v1/aggregates", body =
       """{"operations": "(metric ghost.* mean)", "granularity": 300,
           "search": "zone = 'east'"}""").status === 404)
+    // details=true attaches the matched resources (api.py:708-709)
+    val det = api.dispatch("POST", "/v1/aggregates",
+      query = Map("details" -> "true"), body =
+      """{"operations": "(metric (mem.used mean) (cpu.* mean))",
+          "granularity": 300, "search": "zone in ['east', 'west']"}""")
+    assert((det.body \ "references").asInstanceOf[JArray].arr
+      .map(_ \ "id").toSet === Set(JString("r1"), JString("r2")))
   }
 
   test("policy/rule/metric listing + delete routes") {
