@@ -217,6 +217,29 @@ object Oracles {
                 CAST(avg(v) AS REAL) AS v
          FROM s WHERE event_type = 'click' GROUP BY 1""",
 
+    "x8b_rolling_rate" ->
+      s"""WITH s AS ($hourlyMean),
+         c AS (SELECT b, row_number() OVER (ORDER BY b) AS rn,
+                      sum(v) OVER (ORDER BY b
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rv
+               FROM s WHERE event_type = 'click'),
+         f AS (SELECT b, rn, rv - lag(rv) OVER (ORDER BY b) AS dv
+               FROM c WHERE rn >= 4)
+         SELECT b AS bucket_s, CAST(dv AS REAL) AS v
+         FROM f WHERE dv IS NOT NULL""",
+
+    "x9b_resample_pct" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT CAST(FLOOR(b/86400)*86400 AS BIGINT) AS bucket_s,
+                CAST(quantile_cont(v, 0.95) AS REAL) AS v
+         FROM s WHERE event_type = 'click' GROUP BY 1""",
+
+    "x9c_resample_last" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT CAST(FLOOR(b/86400)*86400 AS BIGINT) AS bucket_s,
+                CAST(arg_max(v, b) AS REAL) AS v
+         FROM s WHERE event_type = 'click' GROUP BY 1""",
+
     "p3_align_fill0" ->
       s"""WITH s AS ($hourlyMean),
          c AS (SELECT b, v FROM s WHERE event_type = 'click'),
@@ -748,6 +771,9 @@ object Oracles {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
 
+    // union-bucket grid per group, nansum -> 0.0 for absent subtree
+    // buckets, non-finite ratios dropped at output (view-only buckets
+    // emit 0.0; click-only buckets are the dropped inf positions)
     "g5_grouped_ratio" ->
       """WITH m AS (
            SELECT user_id % 3 AS grp, user_id, event_type,
@@ -758,9 +784,15 @@ object Oracles {
          c AS (SELECT grp, b, sum(v) AS cs FROM m
                WHERE event_type = 'click' GROUP BY 1, 2),
          w AS (SELECT grp, b, sum(v) AS ws FROM m
-               WHERE event_type = 'view' GROUP BY 1, 2)
-         SELECT c.grp, c.b AS bucket_s, CAST(100*c.cs/w.ws AS REAL) AS value
-         FROM c JOIN w ON c.grp = w.grp AND c.b = w.b""",
+               WHERE event_type = 'view' GROUP BY 1, 2),
+         u AS (SELECT grp, b FROM c UNION SELECT grp, b FROM w),
+         j AS (SELECT u.grp, u.b,
+                      COALESCE(c.cs, 0) AS cs, COALESCE(w.ws, 0) AS ws
+               FROM u LEFT JOIN c ON u.grp = c.grp AND u.b = c.b
+                      LEFT JOIN w ON u.grp = w.grp AND u.b = w.b)
+         SELECT grp, b AS bucket_s,
+                CAST(100*cs/NULLIF(ws, 0) AS REAL) AS value
+         FROM j WHERE 100*cs/NULLIF(ws, 0) IS NOT NULL""",
 
     "g5b_grouped_rolling" ->
       """WITH m AS (

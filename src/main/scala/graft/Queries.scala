@@ -353,6 +353,30 @@ object Queries {
         grid(s, dir, Seq("click")))
       g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
     }),
+    // rolling rate:X = first-difference of the rolled series, one more
+    // row consumed (operations.py:38-49 rated_agg + :258-259)
+    "x8b_rolling_rate" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse(
+          "(rolling rate:sum 4 (metric click mean))"),
+        grid(s, dir, Seq("click")))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
+    }),
+    // resample hands each series to the CARBONARA kernels
+    // (operations.py:264-280): exact-interpolated Npct and
+    // timestamp-ordered last are resample-only aggregation names
+    // (RESAMPLE_AVAILABLE_AGG_MAP)
+    "x9b_resample_pct" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse(
+          "(resample 95pct 86400 (metric click mean))"),
+        grid(s, dir, Seq("click")))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
+    }),
+    "x9c_resample_last" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse(
+          "(resample last 86400 (metric click mean))"),
+        grid(s, dir, Seq("click")))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
+    }),
     "p3_align_fill0" -> ((s, dir) => {
       val g = grid(s, dir, Seq("click", "purchase"))
       val filled = TimeSeriesOps.fill(g.df, g.cols, "0")
@@ -615,11 +639,18 @@ object Queries {
     // the full operations grammar). "Resources" = users (grp = id%3),
     // "metrics" = event types, series = hourly means per (user, type).
     "g5_grouped_ratio" -> ((s, dir) => {
+      // the group's grid spans the UNION of BOTH subtrees' buckets
+      // (processor builds ONE matrix over every referenced series) and
+      // nansum over an all-absent bucket is 0.0 (operations.py:26-36)
+      // — so click-only buckets divide by 0 (→ ±inf per true_divide)
+      // and view-only buckets emit 0.0. The dropna output contract
+      // (processor.py:257-262) then drops the non-finite positions.
       GroupedOps.run(Parser.parse(
           "(* 100 (/ (aggregate sum (metric click mean)) " +
             "(aggregate sum (metric view mean))))"),
           Seq("grp"), { case (name, _) => userHourly(s, dir, name) }, None)
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) =!= lit(Double.PositiveInfinity))
         .select(col("grp"), bucketS(), r6(col("value")).as("value"))
     }),
     // rolling window per series INSIDE the group collapse: positional

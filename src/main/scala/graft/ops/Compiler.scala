@@ -101,6 +101,59 @@ object Compiler {
     case other    => throw new IllegalArgumentException(s"aggregate op $other")
   }
 
+  /** AGG_MAP's nan-skipping form (operations.py:26-36: the numpy `nan*`
+    * ufuncs): NaN cells are EXCLUDED from the aggregate — Spark skips
+    * null but propagates NaN, so NaN maps to null first — and an
+    * all-NaN/empty input follows numpy: `nansum` returns 0.0 and the
+    * count 0, every other kernel returns NaN. Plain [[acrossAgg]] on
+    * raw values matches carbonara's NON-skipping kernels instead
+    * (resample, §A10); pick per the reference's call site.
+    */
+  private[ops] def nanSkipAgg(agg: String, v0: Column): Column = {
+    val v = when(!isnan(v0), v0) // null for NaN and null alike
+    agg match {
+      case "sum"   => coalesce(sum(v), lit(0.0))
+      case "count" => count(v).cast("double")
+      case other   => coalesce(acrossAgg(other, v), lit(Double.NaN))
+    }
+  }
+
+  /** [[nanSkipAgg]] as a window aggregate — `.over` must bind to the
+    * aggregate itself, inside the null-handling wrapper.
+    */
+  private[ops] def nanSkipAggOver(agg: String, v0: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val v = when(!isnan(v0), v0)
+    agg match {
+      case "sum"   => coalesce(sum(v).over(w), lit(0.0))
+      case "count" => count(v).over(w).cast("double")
+      case other   => coalesce(acrossAgg(other, v).over(w), lit(Double.NaN))
+    }
+  }
+
+  // carbonara.py:578 percentile methods, valid in `resample` only
+  // (RESAMPLE_AVAILABLE_AGG_MAP, operations.py:53-55)
+  private val PctRe = "^([1-9][0-9]?)pct$".r
+
+  /** Resample aggregation (operations.py:264-280 hands each series to
+    * the CARBONARA kernels): the base AGG_MAP names minus `var`, plus
+    * `last`/`first` (timestamp order) and exact-interpolated `Npct`
+    * (RESAMPLE_AVAILABLE_AGG_MAP). NOT nan-skipping — carbonara's
+    * bincount kernels poison a bucket through its NaN, and Spark's
+    * NaN-greatest ordering reproduces the min/max/percentile edge
+    * behavior (see KernelsSpec's NaN golden).
+    */
+  private[ops] def resampleAgg(agg: String, v: Column,
+                               origBucket: Column): Column = agg match {
+    case "var" => throw new IllegalArgumentException(
+      "var is not available in resample (RESAMPLE_AVAILABLE_AGG_MAP)")
+    case "std"    => stddev_samp(v) // carbonara sample std, not AGG_MAP's pop
+    case "last"   => max_by(v, origBucket)
+    case "first"  => min_by(v, origBucket)
+    case PctRe(n) => percentile(v, lit(n.toInt / 100.0))
+    case other    => acrossAgg(other, v)
+  }
+
   private[ops] def binCol(op: String, l: Column, r: Column): Column = op match {
     case "eq"  => (l === r).cast("double")
     case "ne"  => (l =!= r).cast("double")
@@ -322,33 +375,66 @@ object Compiler {
       val (isRate, a) =
         if (agg.startsWith("rate:")) (true, agg.stripPrefix("rate:")) else (false, agg)
       val src = if (isRate) eval(RateOfChange(perSecond = false, sub), base) else g
-      // unpivot cols → (bucket, value); nulls dropped (nan-skipping aggs)
+      // unpivot cols → (bucket, value); aggregation is the numpy nan*
+      // family, so an all-NaN/empty bucket still emits (nansum → 0.0,
+      // count → 0, the rest → NaN — operations.py:26-36)
       val stacked = src.df.select((keyCols(src) :+
         explode(array(src.cols.map(c => col(c).cast("double")): _*)).as("v")): _*)
-        .filter(col("v").isNotNull && !isnan(col("v")))
       Grid(stacked.groupBy(keyCols(src): _*)
-        .agg(acrossAgg(a, col("v")).as("aggregated")),
+        .agg(nanSkipAgg(a, col("v")).as("aggregated")),
         Seq("aggregated"), src.partCols)
 
     case Rolling(agg, n, sub) =>
       val g = eval(sub, base)
+      val (isRate, a) =
+        if (agg.startsWith("rate:")) (true, agg.stripPrefix("rate:")) else (false, agg)
       val w = seriesWindow(g).rowsBetween(-(n - 1), 0)
+      // AGG_MAP is nan-skipping in rolling windows too (operations.py:
+      // 243-260 hands the strided windows to the same nan* ufuncs)
       val rolled = g.cols.foldLeft(g.df) { (d, c) =>
-        d.withColumn(s"__r_$c", acrossAgg(agg, col(c)).over(w))
+        d.withColumn(s"__r_$c", nanSkipAggOver(a, col(c), w))
       }
       // emit only full windows (operations.py:245-250)
-      val out = rolled.withColumn("__rn", row_number().over(seriesWindow(g)))
+      val full = rolled.withColumn("__rn", row_number().over(seriesWindow(g)))
         .filter(col("__rn") >= n)
         .select((keyCols(g) ++ g.cols.map(c => col(s"__r_$c").as(c))): _*)
+      // rate:X = first-difference of the rolled series, one more row
+      // consumed (operations.py:38-49 rated_agg + :258-259)
+      val out = if (!isRate) full else {
+        val fg = Grid(full, g.cols, g.partCols)
+        val sw2 = seriesWindow(fg)
+        val diffed = g.cols.foldLeft(full) { (d, c) =>
+          d.withColumn(c, col(c) - lag(col(c), 1).over(sw2))
+        }
+        diffed.withColumn("__rn2", row_number().over(sw2))
+          .filter(col("__rn2") > 1).drop("__rn2")
+      }
       Grid(out, g.cols, g.partCols)
 
     case Resample(agg, gran, sub) =>
       val g = eval(sub, base)
-      val floored = g.df.withColumn("bucket", Bucketing.bucket(col("bucket"), gran))
-      val out = floored.groupBy(keyCols(g): _*)
-        .agg(g.cols.map(c => acrossAgg(agg, col(c)).as(c)).head,
-             g.cols.map(c => acrossAgg(agg, col(c)).as(c)).tail: _*)
-      Grid(out, g.cols, g.partCols)
+      val (isRate, a) =
+        if (agg.startsWith("rate:")) (true, agg.stripPrefix("rate:")) else (false, agg)
+      // rate:X resamples the FIRST-DIFFERENCED series (carbonara
+      // GroupedTimeSeries.derived before bucketing, carbonara.py:212-221)
+      val src = if (isRate) eval(RateOfChange(perSecond = false, sub), base) else g
+      val floored = src.df
+        .withColumn("__orig", col("bucket"))
+        .withColumn("bucket", Bucketing.bucket(col("bucket"), gran))
+      val aggd = floored.groupBy(keyCols(src): _*)
+        .agg(resampleAgg(a, col(src.cols.head), col("__orig"))
+               .as(src.cols.head),
+             (src.cols.tail.map(c =>
+                resampleAgg(a, col(c), col("__orig")).as(c)) ++
+              src.cols.map(c => count(col(c)).as(s"__n_$c"))): _*)
+      // carbonara's std drops n<=1 buckets per series
+      // (carbonara.py:173-182); a multi-series grid nulls the cell
+      val out =
+        if (a != "std") aggd.select((keyCols(src) ++ src.cols.map(col)): _*)
+        else aggd.select((keyCols(src) ++ src.cols.map(c =>
+          when(col(s"__n_$c") > 1, col(c)).as(c))): _*)
+          .filter(src.cols.map(c => col(c).isNotNull).reduce(_ || _))
+      Grid(out, src.cols, src.partCols)
   }
 
   def refName(metric: String, agg: String): String = s"$metric/$agg"

@@ -34,7 +34,7 @@ object GroupedOps {
 
   /** Distinct `(name, method)` metric references in a tree. */
   def collectRefs(n: Node): Seq[(String, String)] = n match {
-    case MetricLeaf(refs)       => refs
+    case MetricLeaf(refs)       => refs.distinct
     case Bin(_, l, r)           => (collectRefs(l) ++ collectRefs(r)).distinct
     case Clip(s, _, _)          => collectRefs(s)
     case Un(_, s)               => collectRefs(s)
@@ -56,12 +56,26 @@ object GroupedOps {
   def run(ast: Node, grpCols: Seq[String],
           expand: ((String, String)) => DataFrame,
           fill: Option[String]): DataFrame = {
-    val dense = fill.isDefined || needsDense(ast)
+    // validate the tree SHAPE before any expand()/persist() work: a
+    // malformed request (uncollapsed leaf, metric-free tree) must not
+    // first run catalog actions and leak never-released cache entries
+    val acc = scala.collection.mutable.ArrayBuffer[(String, Node)]()
+    val rewritten = rewrite(ast, acc)
+    val refs = collectRefs(ast)
+    if (refs.isEmpty) throw new IllegalArgumentException(
+      "grouped operations must reference at least one metric")
+    // dropna/null never touch the grid (processor.py:173-175, mirrored
+    // by the ungrouped door) — densify only for a real fill policy, a
+    // positional operator, or MULTIPLE aggregate subtrees (whose
+    // shared bucket union carries numpy's empty-bucket semantics:
+    // nansum over an all-absent bucket is 0.0, not a missing row)
+    val dense = fill.exists(f => f != "dropna" && f != "null") ||
+      needsDense(ast) || acc.size > 1
     val counts = leafRefCounts(ast)
     // a ref frame consumed by more than one plan branch (densify reads
     // it three ways; a ref shared across aggregate subtrees feeds each)
     // would be re-evaluated per consumer — persist those once
-    val refFrames = collectRefs(ast).map { r =>
+    val refFrames = refs.map { r =>
       val df = expand(r)
       r -> (if (dense || counts.getOrElse(r, 0) > 1)
               graft.llm.OpCaches.persist(df) // released by the caller
@@ -86,8 +100,6 @@ object GroupedOps {
             else df0.withColumn("sid", concat(col("sid"), lit(s"#$i")))
           if (dense) densify(df, grpCols, buckets, fill) else df
       }.reduce(_ unionByName _)
-    val acc = scala.collection.mutable.ArrayBuffer[(String, Node)]()
-    val rewritten = rewrite(ast, acc)
     rewritten match {
       case MetricLeaf(Seq((only, _))) =>
         // whole expression is one aggregate subtree — no grid needed
@@ -211,27 +223,53 @@ object GroupedOps {
           .filter(col("__rn") > 1).drop("__rn") // numpy.diff drops row 1
 
       case Rolling(agg, n, sub) =>
+        val (isRate, a) =
+          if (agg.startsWith("rate:")) (true, agg.stripPrefix("rate:"))
+          else (false, agg)
         val df = ev(sub)
         val w = sw.rowsBetween(-(n - 1), 0)
-        df.withColumn("__roll", Compiler.acrossAgg(agg, col("value")).over(w))
+        // AGG_MAP is nan-skipping in rolling windows (operations.py:
+        // 243-260); rate:X first-differences the rolled series and
+        // consumes one more row (operations.py:38-49, :258-259)
+        val full = df
+          .withColumn("__roll", Compiler.nanSkipAggOver(a, col("value"), w))
           .withColumn("__rn", row_number().over(sw))
           .filter(col("__rn") >= n) // full windows only (operations.py:245-250)
           .withColumn("value", col("__roll")).drop("__roll", "__rn")
+        if (!isRate) full
+        else full
+          .withColumn("value", col("value") - lag(col("value"), 1).over(sw))
+          .withColumn("__rn2", row_number().over(sw))
+          .filter(col("__rn2") > 1).drop("__rn2")
 
       case Resample(agg, gran, sub) =>
-        ev(sub)
+        val (isRate, a) =
+          if (agg.startsWith("rate:")) (true, agg.stripPrefix("rate:"))
+          else (false, agg)
+        // rate:X resamples the first-differenced series (carbonara
+        // GroupedTimeSeries.derived before bucketing, py:212-221);
+        // the carbonara kernels also carry last/first/Npct and the
+        // sample-std n<=1 drop
+        val src = if (isRate) ev(RateOfChange(perSecond = false, sub))
+                  else ev(sub)
+        val aggd = src
+          .withColumn("__orig", col("bucket"))
           .withColumn("bucket", Bucketing.bucket(col("bucket"), gran))
           .groupBy((seriesKeys.map(col) :+ col("bucket")): _*)
-          .agg(Compiler.acrossAgg(agg, col("value")).as("value"))
+          .agg(Compiler.resampleAgg(a, col("value"), col("__orig"))
+            .as("value"), count(col("value")).as("__n"))
+        (if (a == "std") aggd.filter(col("__n") > 1) else aggd).drop("__n")
 
       case AggAcross(agg, sub) =>
         val (isRate, a) =
           if (agg.startsWith("rate:")) (true, agg.stripPrefix("rate:"))
           else (false, agg)
         val src = if (isRate) ev(RateOfChange(perSecond = false, sub)) else ev(sub)
-        src.filter(col("value").isNotNull && !isnan(col("value")))
-          .groupBy((grpCols.map(col) :+ col("bucket")): _*)
-          .agg(Compiler.acrossAgg(a, col("value")).as("value"))
+        // numpy nan* semantics: NaN/absent cells skip, and an
+        // all-absent bucket still emits (nansum → 0.0, count → 0,
+        // the rest → NaN — operations.py:26-36)
+        src.groupBy((grpCols.map(col) :+ col("bucket")): _*)
+          .agg(Compiler.nanSkipAgg(a, col("value")).as("value"))
           .withColumn("sid", lit("__agg"))
           .select((grpCols.map(col) ++ Seq(col("sid"), col("bucket"),
             col("value"))): _*)

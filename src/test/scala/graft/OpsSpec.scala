@@ -149,6 +149,63 @@ class OpsSpec extends SparkSpec {
     assert(values(g).map(_._2.head) == Seq(5.0, 7.0, 9.0, 10.0))
   }
 
+  test("numpy empty-bucket semantics: nansum of an all-absent bucket " +
+      "is 0.0 and count 0, the rest NaN (operations.py:26-36)") {
+    // m1 has no 12:03 point but m2 does → the 12:03 grid row exists
+    // with an all-null m1 subtree: nansum -> 0.0, nanmean -> NaN
+    val sparse = twoSeries :+ (("m2/mean", "2014-01-01 12:03:00", 7.0))
+    def agg(a: String) = values(Compiler.eval(
+      Parser.parse(s"(aggregate $a (metric m1 mean))"),
+      mkGrid(sparse: _*))).map(_._2.head)
+    assert(agg("sum") == Seq(1.0, 2.0, 3.0, 0.0))
+    assert(agg("count") == Seq(1.0, 1.0, 1.0, 0.0))
+    val m = agg("mean")
+    assert(m.take(3) == Seq(1.0, 2.0, 3.0) && m(3).isNaN)
+  }
+
+  test("rolling is nan-skipping (AGG_MAP nan* ufuncs) and rate: " +
+      "first-differences the rolled series (operations.py:38-49)") {
+    // a NaN cell (division blow-up) must be SKIPPED by rolling mean,
+    // not poison both windows touching it
+    val g0 = mkGrid(twoSeries: _*)
+    val withNan = g0.copy(df = g0.df.withColumn("m1/mean",
+      when(col("m1/mean") === 2.0, lit(Double.NaN))
+        .otherwise(col("m1/mean"))))
+    val rolled = values(Compiler.eval(
+      Parser.parse("(rolling mean 2 (metric m1 mean))"), withNan))
+      .map(_._2.head)
+    assert(rolled == Seq(1.0, 3.0)) // nanmean skips the NaN middle
+    // rate:sum over [1,2,3]: rolled-2 sums [3,5], diffed -> [2.0]
+    val rated = values(Compiler.eval(
+      Parser.parse("(rolling rate:sum 2 (metric m1 mean))"),
+      mkGrid(twoSeries: _*))).map(_._2.head)
+    assert(rated == Seq(2.0))
+  }
+
+  test("resample carries the carbonara-only aggregations: last/first " +
+      "by timestamp, exact Npct, sample std with n<=1 drop, rate: " +
+      "(operations.py:264-280, carbonara.py:173-210)") {
+    def res(a: String) = values(Compiler.eval(
+      Parser.parse(s"(resample $a 3600 (metric m1 mean))"),
+      mkGrid(twoSeries: _*))).map(_._2.head)
+    assert(res("last") == Seq(3.0))
+    assert(res("first") == Seq(1.0))
+    assert(res("50pct") == Seq(2.0))
+    assert(res("std") == Seq(1.0)) // SAMPLE std of [1,2,3]
+    // rate:mean = resample the first-differenced series: diffs [1,1]
+    assert(res("rate:mean") == Seq(1.0))
+    // var is not in RESAMPLE_AVAILABLE_AGG_MAP
+    intercept[IllegalArgumentException] {
+      Compiler.eval(Parser.parse("(resample var 3600 (metric m1 mean))"),
+        mkGrid(twoSeries: _*)).df.collect()
+    }
+    // std drops n<=1 buckets: single-point series resamples to nothing
+    val single = Seq(("m1/mean", "2014-01-01 12:00:00", 5.0))
+    assert(values(Compiler.eval(
+      Parser.parse("(resample std 3600 (metric m1 mean))"),
+      mkGrid(single: _*))).isEmpty)
+  }
+
   test("fill=ffill then overlap trim (processor.py:173-220)") {
     val sparse = Seq(
       ("a", "2014-01-01 12:00:00", 1.0),
