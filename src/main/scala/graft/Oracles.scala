@@ -1491,10 +1491,11 @@ object Oracles {
 
     // window starts replayed with generate_series; list-slice text
     // reassembly must match the engine's array_join(slice(...)) exactly
+    // chunk_text is whitespace-collapsed but CASE-PRESERVING
     "ck1_chunk_windows" ->
       """WITH d AS (
            SELECT doc_id,
-                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
            FROM documents),
          w AS (SELECT doc_id, string_split(t, ' ') AS w,
                       len(string_split(t, ' ')) AS n

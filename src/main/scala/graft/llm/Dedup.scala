@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** THE band-bucket formula of MinHash-LSH: band b's bucket is
+    * xxhash64 of the band's signature slice salted with the band
+    * index. Shared by [[minhashLsh]] and the decontamination arm
+    * ([[Pipeline.fuzzyDecontaminate]]) — the two sides must produce
+    * bit-identical buckets or candidate recall silently diverges.
+    */
+  private[llm] def bandBucketCols(sig: Column, bands: Int,
+                                  rows: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      xxhash64(((b * rows until (b + 1) * rows)
+        .map(i => element_at(sig, i + 1))
+        :+ lit(b.toLong)): _*)
+    }
+
   /** Normalize text for fingerprinting: lowercase, collapse whitespace. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
@@ -270,12 +284,8 @@ object Dedup {
     // inline it into the per-band element_at references.
     val sig = sh.select(col("id"),
       call_function("minhash_sig", col("shh"), lit(numHashes)).as("__sig"))
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(((b * rows until (b + 1) * rows)
-        .map(i => element_at(col("__sig"), i + 1))
-        :+ lit(b.toLong)): _*)
-    }
-    val banded0 = sig.select(col("id"), posexplode(array(bandCols: _*)))
+    val banded0 = sig.select(col("id"),
+        posexplode(array(bandBucketCols(col("__sig"), bands, rows): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // Bucket-size cap: one giant duplicate cluster would make a single
     // band bucket quadratic (k docs -> k²/2 candidate pairs). Buckets

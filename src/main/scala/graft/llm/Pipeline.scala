@@ -166,12 +166,10 @@ object Pipeline {
     def banded(sh: DataFrame, outId: String): DataFrame = {
       val sig = sh.select(col(outId),
         call_function("minhash_sig", col("shh"), lit(numHashes)).as("__sig"))
-      val bandCols = (0 until bands).map { b =>
-        xxhash64(((b * rows until (b + 1) * rows)
-          .map(i => element_at(col("__sig"), i + 1))
-          :+ lit(b.toLong)): _*)
-      }
-      sig.select(col(outId), explode(array(bandCols: _*)).as("bucket"))
+      // Dedup.bandBucketCols: the ONE band-bucket formula — candidate
+      // recall silently diverges if the two sides ever drift
+      sig.select(col(outId), explode(array(
+        Dedup.bandBucketCols(col("__sig"), bands, rows): _*)).as("bucket"))
     }
     // registered with OpCaches: the returned plan reads `groups` (see
     // decontaminate)
@@ -190,8 +188,12 @@ object Pipeline {
     val repHits = cand.join(cSh, Seq(idCol))
       .join(broadcast(bSh.withColumnRenamed("shh", "__bsh")), Seq("bench_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("shh"), col("__bsh"))).cast("double") /
-          size(array_union(col("shh"), col("__bsh"))).cast("double"))
+        // try_divide, NOT `/`: under ANSI a 0/0 (two shingle-less docs
+        // banded together via the degenerate all-MaxValue signature)
+        // would abort the job; NULL fails every threshold instead
+        try_divide(
+          size(array_intersect(col("shh"), col("__bsh"))).cast("double"),
+          size(array_union(col("shh"), col("__bsh"))).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col(idCol), col("bench_id"), col("jaccard"))
     Dedup.expandDocs(repHits, groups, idCol, Seq("bench_id", "jaccard"))
@@ -205,7 +207,10 @@ object Pipeline {
     * one window. A window starts at every `k·stride < n_tokens` and
     * covers `[start, min(start+size, n))`; empty documents emit
     * nothing. Emits `(id, chunk_idx, tok_start, n_tokens,
-    * chunk_text)`.
+    * chunk_text)`. `chunk_text` is whitespace-NORMALIZED (runs of
+    * whitespace collapse to single spaces — a consequence of the
+    * token stream being the unit of chunking) but CASE-PRESERVING:
+    * a training-prep operator must not lowercase the corpus it emits.
     *
     * Scale shape: pure map — tokens from one split, windows from one
     * `sequence` explode, text by array slice. No shuffle, no state,
@@ -217,7 +222,7 @@ object Pipeline {
                 textCol: String = "text"): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size: size=$size stride=$stride")
-    val norm = Dedup.normalized(col(textCol))
+    val norm = trim(regexp_replace(col(textCol), "\\s+", " "))
     val base = Dedup.rebalance(df)
       .withColumn("__w", split(norm, " "))
       .withColumn("__n",

@@ -46,11 +46,23 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", try_divide(dot(col("qv"), col("cv")),
         col("__qn") * col("__cn")))
+    topK(scored, k)
+  }
+
+  /** Per-query top-k by cosine: the ONE rank/tiebreak/output contract
+    * every variant (brute force, IVF, LSH, index probes) shares — the
+    * ANN arms are gated against the brute-force oracle, so the
+    * tiebreak (`cosine` desc, corpus id asc) and column set must never
+    * drift between them. `scored` needs (query_id, <corpusIdCol>,
+    * cosine). */
+  private def topK(scored: DataFrame, k: Int,
+                   corpusIdCol: String = "corpus_id"): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
+      .orderBy(col("cosine").desc, col(corpusIdCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+      .select(col("query_id"), col(corpusIdCol).as("corpus_id"),
+        col("cosine"), col("rank"))
   }
 
   /** Deterministic k-means centroids for [[ivfTopK]]: init from the
@@ -74,6 +86,7 @@ object Similarity {
     val train = (if (sampleMod > 1)
       train0.filter(pmod(xxhash64(col("cid")), lit(sampleMod.toLong)) === 0)
     else train0).cache()
+    try {
     // deterministic farthest-point (k-center greedy) seeding: first
     // seed = min-hash row, each next seed the point least similar to
     // every chosen one (hash tiebreak). Unlike a pure hash sample this
@@ -155,8 +168,8 @@ object Similarity {
           .getOrElse(cents(cell)) // empty cell keeps its old centroid
       }
     }
-    train.unpersist()
-    centDf
+      centDf
+    } finally train.unpersist() // also on the empty-sample throw path
   }
 
   /** K-means cluster assignment as a first-class operator: every
@@ -253,12 +266,7 @@ object Similarity {
       .filter(col("query_id") =!= col(idCol))
       .withColumn("cosine", try_divide(dot(col("qv"), col(vecCol)),
         col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("corpus_id"),
-        col("cosine"), col("rank"))
+    topK(scored, k, corpusIdCol = idCol)
   }
 
   /** IVF-style ANN: partition the corpus into `nlist` cells around
@@ -295,11 +303,7 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", try_divide(dot(col("qv"), col("cv")),
         col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+    topK(scored, k)
   }
 
   /** Persist an LSH index: `postings/` — (id, bucket-key) pairs
@@ -387,11 +391,7 @@ object Similarity {
     val scored = cand.join(cv, Seq("corpus_id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine", cosine(col("query_v"), col("corpus_v")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+    topK(scored, k)
   }
 
   /** LSH-bucketed ANN: corpus and queries are hashed into `tables`
@@ -425,11 +425,7 @@ object Similarity {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
     val scored = cand.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine", cosine(col("query_v"), col("corpus_v")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+    topK(scored, k)
   }
 
   /** Hyperplane weight ±1 from the parity of xxhash64(seed, bit, dim):
@@ -453,12 +449,10 @@ object Similarity {
     * Candidates share a bucket; exact cosine re-ranks. `seed` selects
     * an independent hyperplane family (for multi-table
     * OR-amplification in [[lshTopK]] / [[Dedup.embeddingNearDup]]).
-    * `dim` (the embedding width) is probed from the first row when not
-    * given — pass it explicitly when bucketing repeatedly.
+    * The embedding width is derived per-row by the native kernel.
     */
   def lshBuckets(df: DataFrame, nbits: Int = 16,
-                 idCol: String = "vec_id", vecCol: String = "embedding",
-                 seed: Int = 0, dim: Int = -1): DataFrame =
+                 vecCol: String = "embedding", seed: Int = 0): DataFrame =
     // table index == hyperplane-family seed, so the fused kernel's
     // element (seed+1) is exactly lshBucketCol(vec, nbits, seed, dim).
     // The kernel computes tables 1..seed+1 in one pass, so a LOOP over

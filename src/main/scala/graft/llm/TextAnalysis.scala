@@ -299,12 +299,16 @@ object TextAnalysis {
     // token stream; Catalyst does not dedupe shared subplans, so
     // unpersisted this would tokenize the corpus twice (OpCaches:
     // released by the caller once results are materialized)
+    // array_remove strips the phantom "" token split() yields for
+    // empty/whitespace-only text — otherwise those docs pass the
+    // size>0 guard, count into n_docs, and inflate every idf by
+    // ln(n_total/n_nonempty)
     val docs = OpCaches.persist(df.select(col(idCol),
-      array_distinct(split(Dedup.normalized(col(textCol)), " ")).as("__toks"))
+      array_remove(array_distinct(
+        split(Dedup.normalized(col(textCol)), " ")), "").as("__toks"))
       .filter(size(col("__toks")) > 0))
     val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
     docs.select(explode(col("__toks")).as("token"))
-      .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .withColumn("idf",
@@ -415,7 +419,10 @@ object TextAnalysis {
     // the corpus (profiled at ~1.3 s/pass of the 4.6 s total at 32×)
     val withWords = OpCaches.persist(
       Dedup.rebalance(Dedup.collapseRepsW(df, groups, idCol))
-        .withColumn("__w", split(Dedup.normalized(col(textCol)), " "))
+        // array_remove: an empty doc's phantom "" token must not
+        // enter the vocabulary (V) of the add-alpha smoothing
+        .withColumn("__w",
+          array_remove(split(Dedup.normalized(col(textCol)), " "), ""))
         .select(col(idCol), col("__gs"), col("__w")))
     val n1 = greatest(size(col("__w")) - 1, lit(0))
     val dp = withWords

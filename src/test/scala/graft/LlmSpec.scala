@@ -495,6 +495,44 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(got("spark")._2 - math.log(1.5)) < 1e-12)
   }
 
+  test("empty/whitespace-only docs are invisible to docFrequency and " +
+      "the perplexity vocabulary (split('') phantom token)") {
+    val d = docs(
+      (1L, "spark catalyst"),
+      (2L, "spark"),
+      (3L, ""),       // split -> [""], must NOT count into n_docs
+      (4L, "   \n "))
+    val got = TextAnalysis.docFrequency(d)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set("spark", "catalyst")) // no "" token
+    assert(math.abs(got("spark") - math.log(1.0)) < 1e-12) // n_docs = 2
+    // perplexity vocab: "a b" + empty doc → V = 2, not 3
+    val p = TextAnalysis.perplexity(docs((1L, "a b a b"), (2L, "")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    // bigrams of doc1: ab, ba, ab; V=2, alpha=0.5:
+    // P(b|a)=(2+0.5)/(2+1), P(a|b)=(1+0.5)/(1+1)
+    val expected = math.exp(
+      -(2 * math.log(2.5 / 3) + math.log(0.75)) / 3)
+    assert(math.abs(p(1L) - expected) < 1e-9)
+  }
+
+  test("chunkDocs preserves casing (whitespace-normalized only) and " +
+      "fuzzyDecontaminate survives shingle-less pairs under ANSI") {
+    val s = spark
+    import s.implicits._
+    val chunk = graft.llm.Pipeline.chunkDocs(
+      docs((1L, "The  CEO said\n\"Hello\"")), size = 2, stride = 2)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text"))
+    assert(chunk.toSeq == Seq("The CEO", "said \"Hello\""))
+    // two shingle-less (sub-n-gram) docs band together via the
+    // degenerate all-MaxValue signature; the 0/0 jaccard must be a
+    // NULL that fails the threshold, not an ANSI DIVIDE_BY_ZERO abort
+    val hits = graft.llm.Pipeline.fuzzyDecontaminate(
+      docs((1L, "hi"), (2L, "the quick brown fox jumps over the lazy dog " * 2)),
+      docs((9L, "yo")), threshold = 0.5)
+    assert(hits.collect().isEmpty)
+  }
+
   test("removeRepeatedSpans: cross-doc 5-gram spans cut, survivors rejoin") {
     // docs 1+2 share "one two three four five" (positions 2..6 in doc1,
     // 0..4 in doc2); doc3 shares nothing
