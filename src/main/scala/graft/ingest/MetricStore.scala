@@ -75,8 +75,12 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
         // partitions with batch-only rows.
         val rel = fs.makeQualified(fp).toString
           .stripPrefix(rootPrefix).stripPrefix("/")
-        found = !fp.getName.startsWith("_") &&
-          !rel.split('/').exists(_.startsWith("."))
+        // Spark's shouldFilterOut skips '_'-prefixed SEGMENTS too
+        // (_temporary from a crashed committer): counting those as
+        // data would make spark.read see zero files and throw instead
+        // of taking the empty-store fallback — a permanent wedge
+        found = !rel.split('/').exists(s =>
+          s.startsWith(".") || s.startsWith("_"))
       }
       found
     }
@@ -136,13 +140,25 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
             java.nio.file.StandardOpenOption.WRITE)
           true
         } catch { case _: java.io.IOException => false }
-      else
+      else {
+        var created = false
         try {
           val out = fs.create(lock, false)
+          created = true
           out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           out.close(); true
         }
-        catch { case _: java.io.IOException => false }
+        catch { case _: java.io.IOException =>
+          // created-but-token-write-failed would self-orphan the lock:
+          // WE hold a file no token identifies, every retry (ours
+          // included) reads "locked by another writer" until the
+          // stale break — clean it up best-effort before reporting
+          // acquisition failure
+          if (created)
+            try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+          false
+        }
+      }
     if (!tryAcquire()) {
       val age = try System.currentTimeMillis() -
           fs.getFileStatus(lock).getModificationTime
@@ -163,7 +179,23 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
             s"age ${age / 1000}s); retry this batch after it finishes " +
             "or remove the lock if the holder crashed")
     }
+    val acquiredAt = System.currentTimeMillis()
     def release(): Unit = {
+      // an over-stale hold must NOT delete at all: the token read and
+      // the delete are not atomic, so a successor that just broke our
+      // stale lock and acquired could lose ITS lock to our delete —
+      // reopening the concurrent-writer window the lock exists to
+      // close. Under staleMs no breaker may act, so check-then-delete
+      // is race-free there.
+      if (System.currentTimeMillis() - acquiredAt > staleMs) {
+        System.err.println(
+          s"[graft] WARN: this batch held store lock $lock longer than " +
+            s"lockStaleMs=${staleMs}ms — leaving the lock for the next " +
+            "writer's stale break instead of racing a possible " +
+            "successor. Raise spark.graft.ingest.lockStaleMs above the " +
+            "longest batch.")
+        return
+      }
       val mine =
         try {
           val in = fs.open(lock)
@@ -706,9 +738,14 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
   private def importCarbonaraImpl(srcPath: String): Unit = {
     require(!pathExists(aggPath) && !pathExists(rawPath),
       s"importCarbonara requires a fresh store (found content under $root)")
+    // persist: the dropped-count action and the write below would each
+    // re-list, re-read and re-lz4-decode the ENTIRE source store — the
+    // dominant cost of a large migration, paid twice
     val all = graft.sources.Carbonara.readAggregates(spark, srcPath)
       .withColumn("__aligned",
         col("granularity_s") === col("granularity_s").cast("long").cast("double"))
+      .persist()
+    try {
     val dropped = all.filter(!col("__aligned")).count()
     if (dropped > 0)
       System.err.println(s"[carbonara-import] $dropped sub-second-granularity " +
@@ -724,6 +761,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .sortWithinPartitions("metric_id", "bucket")
       .write.partitionBy("method", "gran_s", "split", "msack")
       .parquet(aggPath)
+    } finally all.unpersist()
     graft.sources.Carbonara.readRaw(spark, srcPath)
       .withColumn("sack", sackOf(col("metric_id")))
       .repartition(col("sack"))

@@ -80,6 +80,12 @@ object Carbonara {
     * (carbonara.py:379-404). */
   def decodeBound(data: Array[Byte]): (Array[Long], Array[Double]) = {
     val raw = lz4Decompress(data)
+    // a ragged tail means mid-stream truncation/corruption — and since
+    // values sit AFTER all timestamps, it would also desynchronize
+    // every value read; fail loudly like lz4Decompress does
+    require(raw.length % 16 == 0,
+      s"raw-buffer payload length ${raw.length} is not a whole number " +
+        "of <Qd> records — corrupt object")
     val n = raw.length / 16 // _SERIALIZATION_TIMESTAMP_VALUE_LEN = <Qd>
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val ts = new Array[Long](n)
@@ -123,6 +129,9 @@ object Carbonara {
     val granNs = math.round(granSec * 1e9)
     if (data(0) == 'c'.toByte) {
       val raw = lz4Decompress(java.util.Arrays.copyOfRange(data, 1, data.length))
+      require(raw.length % 10 == 0,
+        s"compressed agg payload length ${raw.length} is not a whole " +
+          "number of <Hd> records — corrupt object")
       val n = raw.length / 10 // COMPRESSED_SERIAL_LEN = <Hd>
       val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
       val ts = new Array[Long](n)
@@ -139,6 +148,9 @@ object Carbonara {
       (ts, vs)
     } else {
       // padded <?d records; record i => key + i*gran where flag set
+      require(data.length % 9 == 0,
+        s"padded agg payload length ${data.length} is not a whole " +
+          "number of <?d> records — corrupt object")
       val n = data.length / 9 // PADDED_SERIAL_LEN
       val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
       val ts = Array.newBuilder[Long]
@@ -201,7 +213,16 @@ object Carbonara {
     val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
     while (i < n) {
+      // same guards as the compressed encoder: integer-dividing an
+      // unaligned timestamp would silently SHIFT the point, and two
+      // points in one granule would silently overwrite each other
+      require((tsNs(i) - keyNs) % granNs == 0,
+        s"timestamp ${tsNs(i)} at $i is not aligned to the ${granNs}ns " +
+          "granularity — integer-dividing would silently shift the point")
       val loc = ((tsNs(i) - tsNs(0)) / granNs).toInt
+      require(out(loc * 9) == 0,
+        s"two points in one ${granNs}ns granule at slot $loc — the " +
+          "second would silently overwrite the first")
       out(loc * 9) = 1
       bb.putDouble(loc * 9 + 1, values(i))
       i += 1
@@ -275,7 +296,10 @@ object Carbonara {
         }
       }(enc)
     rows.select(col("metric_id"),
-      timestamp_micros(expr("ts div 1000")).as("timestamp"),
+      // floor, not truncate-toward-zero: a pre-1970 sub-us timestamp
+      // must not move FORWARD across a bucket boundary
+      timestamp_micros(expr(
+        "(ts - ((ts % 1000) + 1000) % 1000) div 1000")).as("timestamp"),
       col("value"))
   }
 
@@ -313,7 +337,10 @@ object Carbonara {
       // floor, not truncate-toward-zero: pre-1970 ns must bucket DOWN
       expr("(ts - ((ts % 1000000000) + 1000000000) % 1000000000) div 1000000000")
         .as("bucket_s"),
-      timestamp_micros(expr("ts div 1000")).as("timestamp"),
+      // same floor rule as bucket_s — `div` truncation would let a
+      // pre-1970 timestamp and its bucket disagree
+      timestamp_micros(expr(
+        "(ts - ((ts % 1000) + 1000) % 1000) div 1000")).as("timestamp"),
       col("value"))
   }
 
@@ -325,6 +352,21 @@ object Carbonara {
     * (metric, method, granularity, split key), the incremental unit
     * the reference writes. One shuffle on the object key; object
     * payloads are built per group, never collected. */
+  /** Metric-id path-segment guard for export `rel_path`s: the
+    * reference keys objects by UUID, but ids here are arbitrary
+    * strings — a '/' would nest directories and RE-IMPORT under the
+    * wrong metric (the readers take path segments positionally), and
+    * a ':' in the leading segment makes `new Path(base, rel)` parse it
+    * as a URI scheme. Refuse loudly instead of silently corrupting a
+    * migration.
+    */
+  private def pathSafeId(id: String): String = {
+    require(id.nonEmpty && !id.contains('/') && !id.contains(':'),
+      s"metric id '$id' cannot form a carbonara object path " +
+        "(empty, or contains '/' or ':') — rename or map ids before export")
+    id
+  }
+
   def aggSplitObjects(rows: DataFrame): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
@@ -353,7 +395,8 @@ object Carbonara {
         val data = encodeAggCompressed(pts.map(_._1), pts.map(_._2),
           k._4.toDouble, k._3.toDouble)
         (k._1, k._2,
-          s"${k._1}/agg_${k._2}/${splitObjectName(k._4.toDouble, k._3.toDouble)}",
+          s"${pathSafeId(k._1)}/agg_${k._2}/" +
+            splitObjectName(k._4.toDouble, k._3.toDouble),
           data)
       }
       .toDF("metric_id", "method", "rel_path", "data")
@@ -371,7 +414,8 @@ object Carbonara {
       .groupByKey(_._1)
       .mapGroups { (m: String, it: Iterator[(String, Long, Double)]) =>
         val pts = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-        (m, s"$m/none_$Version", encodeBound(pts.map(_._1), pts.map(_._2)))
+        (m, s"${pathSafeId(m)}/none_$Version",
+          encodeBound(pts.map(_._1), pts.map(_._2)))
       }
       .toDF("metric_id", "rel_path", "data")
   }

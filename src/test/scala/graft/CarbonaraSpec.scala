@@ -76,6 +76,46 @@ class CarbonaraSpec extends SparkSpec {
     assert(java.util.Arrays.equals(bytes, aggPaddedBytes))
   }
 
+  test("corrupt/degenerate payloads fail loudly, not silently") {
+    // ragged tail = mid-stream truncation: values sit after all
+    // timestamps, so silent tail-dropping would desynchronize reads
+    val ragged = intercept[IllegalArgumentException] {
+      Carbonara.decodeBound(Carbonara.lz4Compress(new Array[Byte](23)))
+    }
+    assert(ragged.getMessage.contains("whole number"))
+    intercept[IllegalArgumentException] {
+      Carbonara.decodeAgg(
+        'c'.toByte +: Carbonara.lz4Compress(new Array[Byte](13)),
+        aggKey, aggGran)
+    }
+    intercept[IllegalArgumentException] { // padded: 9n + 5
+      Carbonara.decodeAgg(new Array[Byte](14), aggKey, aggGran)
+    }
+    // padded encoder refuses what the compressed one refuses:
+    // unaligned timestamps (silent shift) and same-slot collisions
+    // (silent overwrite)
+    val g = math.round(aggGran * 1e9)
+    val k = math.round(aggKey * 1e9)
+    intercept[IllegalArgumentException] {
+      Carbonara.encodeAggPadded(Array(k, k + g * 3 / 2),
+        Array(1.0, 2.0), aggKey, aggGran)
+    }
+    intercept[IllegalArgumentException] {
+      Carbonara.encodeAggPadded(Array(k, k), Array(1.0, 2.0),
+        aggKey, aggGran)
+    }
+    // export path guard: ids that cannot form an object path abort
+    // rather than silently re-importing under the wrong metric
+    val s = spark
+    import s.implicits._
+    val bad = Seq(("cpu/user", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1.0)).toDF("metric_id", "timestamp", "value")
+    val e = intercept[Exception] {
+      Carbonara.rawBufferObjects(bad).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null) // wrapped by Spark
+  }
+
   test("codec round-trips hold for arbitrary series (property)") {
     val genSeries = for {
       n <- Gen.chooseNum(0, 200)
