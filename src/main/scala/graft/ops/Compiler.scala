@@ -193,15 +193,20 @@ object Compiler {
     // numpy.clip PROPAGATES NaN (clip(nan, lo, hi) = nan); Spark's
     // least/greatest order NaN above all doubles, which would clamp a
     // NaN cell to the bound instead
-    case "clip_min" => when(isnan(l), l).otherwise(greatest(l, r))
-    case "clip_max" => when(isnan(l), l).otherwise(least(l, r))
+    // …and a missing cell stays missing: greatest/least SKIP nulls, so
+    // without the guard clip(absent) would manufacture the bound out
+    // of a gap (numpy: clip(nan)=nan → skipped by every nan-agg)
+    case "clip_min" => when(l.isNull || isnan(l), l).otherwise(greatest(l, r))
+    case "clip_max" => when(l.isNull || isnan(l), l).otherwise(least(l, r))
   }
 
   /** Ternary clip, NaN-propagating like numpy.clip (a NaN cell stays
-    * NaN; least/greatest alone would clamp it to `hi`).
+    * NaN; least/greatest alone would clamp it to `hi`) — and
+    * null-propagating (least/greatest skip nulls, so an unguarded
+    * clip would turn a missing cell into a bound).
     */
   private[ops] def clipCol(c: Column, lo: Column, hi: Column): Column =
-    when(isnan(c), c).otherwise(least(greatest(c, lo), hi))
+    when(c.isNull || isnan(c), c).otherwise(least(greatest(c, lo), hi))
 
   private[ops] def unCol(op: String, c: Column): Column = op match {
     case "abs" | "absolute" => abs(c)

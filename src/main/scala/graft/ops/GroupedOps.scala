@@ -69,8 +69,20 @@ object GroupedOps {
     // positional operator, or MULTIPLE aggregate subtrees (whose
     // shared bucket union carries numpy's empty-bucket semantics:
     // nansum over an all-absent bucket is 0.0, not a missing row)
-    val dense = fill.exists(f => f != "dropna" && f != "null") ||
-      needsDense(ast) || acc.size > 1
+    val leafDense = fill.exists(f => f != "dropna" && f != "null") ||
+      needsDense(ast)
+    // When density is needed ONLY for cross-subtree bucket agreement
+    // and every subtree is pure-elementwise over its leaves, the leaf
+    // densify (|group buckets| × |series| rows — quadratic-ish when
+    // groups are few and series many) is equivalent to collapsing
+    // SPARSE and padding the collapsed (grpCols, bucket) output to the
+    // bucket union with numpy's empty-bucket emission: nan-skipping
+    // aggregates ignore the padded null cells, elementwise ops map
+    // null→null, so only the all-absent buckets differ — exactly the
+    // rows the pad adds. |buckets| × |groups| instead of × |series|.
+    val padAtRoot = !leafDense && acc.size > 1 &&
+      acc.forall { case (_, sub) => pureAggSubtree(sub) }
+    val dense = leafDense || (acc.size > 1 && !padAtRoot)
     val counts = leafRefCounts(ast)
     // a ref frame consumed by more than one plan branch (densify reads
     // it three ways; a ref shared across aggregate subtrees feeds each)
@@ -107,9 +119,24 @@ object GroupedOps {
           .select((grpCols.map(col) ++ Seq(col("bucket"), col("value"))): _*)
       case _ =>
         val synthNames = acc.map { case (n, _) => Compiler.refName(n, "grouped") }
-        val long = acc.map { case (name, sub) =>
-          evalLong(sub, grpCols, leafFn)
-            .select((grpCols.map(col) ++ Seq(
+        // padAtRoot: collapse SPARSE first, then take the bucket union
+        // from the COLLAPSED outputs — elementwise ops preserve the
+        // row set, so collapse emits exactly the leaf bucket set. The
+        // big leaf frames are consumed once each and never persisted;
+        // only the tiny (grpCols, bucket) collapses are.
+        val collapsedSubs = acc.map { case (name, sub) =>
+          val out = evalLong(sub, grpCols, leafFn)
+          (name, sub,
+            if (padAtRoot) graft.llm.OpCaches.persist(out) else out)
+        }
+        lazy val collapsedBuckets = collapsedSubs
+          .map(_._3.select((grpCols.map(col) :+ col("bucket")): _*))
+          .reduce(_ unionByName _).distinct()
+        val long = collapsedSubs.map { case (name, sub, out0) =>
+          val out = if (padAtRoot)
+                      padToBuckets(out0, sub, grpCols, collapsedBuckets)
+                    else out0
+          out.select((grpCols.map(col) ++ Seq(
               lit(Compiler.refName(name, "grouped")).as("ref"),
               col("bucket"), col("value"))): _*)
         }.reduce(_ unionByName _)
@@ -337,6 +364,62 @@ object GroupedOps {
       case Some(num) => dense.withColumn("value",
         coalesce(col("value"), lit(num.toDouble)))
     }
+  }
+
+  /** True when `n` is an aggregate subtree whose body only maps leaf
+    * cells elementwise (scalar arithmetic / clip / unary): collapsing
+    * SPARSE then padding the collapsed output (see [[padToBuckets]])
+    * is then exactly equivalent to leaf-level densify, because
+    * nan-skipping collapse ignores padded null cells and elementwise
+    * ops map null to null. Positional ops (rolling, rateofchange,
+    * `rate:` aggregates), resample (changes the bucket set), nested
+    * aggregates and series⊕series joins all OBSERVE leaf density and
+    * disqualify the subtree.
+    */
+  private def pureAggSubtree(n: Node): Boolean = n match {
+    case AggAcross(agg, s) => !agg.startsWith("rate:") && pureElementwise(s)
+    case _                 => false
+  }
+
+  /** Ops whose [[Compiler.binCol]] maps a null operand to null/NaN
+    * (both skipped identically by the nan-skipping collapse). max2 /
+    * min2 are EXCLUDED: their NaN-guard `when(isnan(l), …)
+    * .otherwise(greatest/least(l, r))` turns a null cell into the
+    * other operand (Spark's greatest/least skip nulls — which for
+    * fmax IS numpy's behavior over an absent=NaN cell), so leaf
+    * density is observable through them. clip_min / clip_max / Clip
+    * are null-propagating by construction (clipCol's null guard).
+    */
+  private val NullSafeBin = Set("eq", "ne", "lt", "gt", "le", "ge",
+    "add", "sub", "mul", "div", "mod", "pow", "clip_min", "clip_max")
+
+  private def pureElementwise(n: Node): Boolean = n match {
+    case MetricLeaf(_)      => true
+    case Bin(op, Num(_), r) => NullSafeBin(op) && pureElementwise(r)
+    case Bin(op, l, Num(_)) => NullSafeBin(op) && pureElementwise(l)
+    case Clip(s, _, _)      => pureElementwise(s)
+    case Un(_, s)           => pureElementwise(s)
+    case _                  => false
+  }
+
+  /** Pad a COLLAPSED aggregate-subtree output `(grpCols..., sid,
+    * bucket, value)` to the per-group bucket union with numpy's
+    * empty-bucket emission (operations.py:26-36: nansum → 0.0,
+    * count → 0, the rest → NaN) — restricted to groups that have at
+    * least one series of the subtree's metrics, matching what
+    * leaf-level densify (buckets ⋈ series on grpCols) would emit.
+    */
+  private def padToBuckets(df: DataFrame, sub: Node, grpCols: Seq[String],
+                           buckets: DataFrame): DataFrame = {
+    val padVal: Column = sub match {
+      case AggAcross(agg, _) if agg == "sum" || agg == "count" => lit(0.0)
+      case _ => lit(Double.NaN)
+    }
+    val grps = df.select(grpCols.map(col): _*).distinct()
+    buckets.join(grps, grpCols) // tiny: one row per group with series
+      .join(df, grpCols :+ "bucket", "left")
+      .withColumn("value", coalesce(col("value"), padVal))
+      .withColumn("sid", coalesce(col("sid"), lit("__agg")))
   }
 
   /** True when the tree contains a POSITIONAL operator (rolling /

@@ -111,6 +111,33 @@ class GroupedOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("ambiguous"))
   }
 
+  test("an all-absent bucket still emits through the sparse collapse: " +
+      "nansum pads 0.0 on the cross-subtree bucket union " +
+      "(operations.py:26-36 — exercised by the pad-at-root fast path, " +
+      "no fill policy)") {
+    val g = fleet()
+    // west's only mem.used series (u3) loses its B2 point entirely;
+    // mem.total still carries B2, so the union grid has a B2 row where
+    // used is all-absent → nansum emits 0.0 → ratio 0/200 = 0 %
+    g.deleteMetric("u3")
+    g.createMetric("u3", "low")
+    g.addMeasures("u3", Seq(("2015-03-06 14:33:20", 50.0)))
+    g.process()
+    val s = spark
+    import s.implicits._
+    g.setMetrics(Seq(
+      ("u1", "r1", "mem.used"), ("u2", "r2", "mem.used"), ("u3", "r3", "mem.used"),
+      ("t1", "r1", "mem.total"), ("t2", "r2", "mem.total"), ("t3", "r3", "mem.total"))
+      .toDF("metric_id", "resource_id", "name"))
+    val got = rows(g.groupByAggregatesOps(
+      "(* 100 (/ (aggregate sum (metric mem.used mean)) " +
+        "(aggregate sum (metric mem.total mean))))",
+      300, "zone = \"west\"", Seq("zone")))
+    assert(got == Seq(
+      ("west", "2015-03-06 14:30:00.0", 25.0),
+      ("west", "2015-03-06 14:35:00.0", 0.0)))
+  }
+
   test("fill densifies a missing series point before the collapse") {
     val g = fleet()
     // drop u3's B2 point by deleting + re-adding only B1. deleteMetric

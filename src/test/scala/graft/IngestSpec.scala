@@ -31,6 +31,9 @@ class IngestSpec extends SparkSpec {
     store.addMeasures(measures(("m", "2014-01-01 12:00:01", 1.0)))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    // normal lifecycle (default staleness): the batch released its lock
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.lock")),
+      "lock not released after a successful batch")
     // simulate a LIVE concurrent writer: its lock is held and it has
     // in-flight staging under the agg plane
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/.lock"), false).close()
@@ -51,8 +54,18 @@ class IngestSpec extends SparkSpec {
     assert(store.getMeasures("m", "mean", 60)
       .collect().map(_.getDouble(2)).toSeq == Seq(3.0)) // mean(1,5)
     assert(!fs.exists(winners), "stale staging not swept after lock break")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.lock")),
-      "lock not released after a successful batch")
+    // under lockStaleMs=0 every hold is instantly over-stale, so
+    // release deliberately LEAVES the lock rather than race a possible
+    // successor's break (check-then-delete is only race-free when no
+    // breaker may act); the leak self-heals via the next writer's
+    // stale break — prove it by running one more batch
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.lock")),
+      "over-stale hold should leave the lock for the successor's break")
+    spark.conf.set("spark.graft.ingest.lockStaleMs", "0")
+    try store.addMeasures(measures(("m", "2014-01-01 12:00:04", 6.0)))
+    finally spark.conf.unset("spark.graft.ingest.lockStaleMs")
+    assert(store.getMeasures("m", "mean", 60)
+      .collect().map(_.getDouble(2)).toSeq == Seq(4.0)) // mean(1,5,6)
   }
 
   test("two batches accumulate; overlapping timestamps: new wins") {

@@ -96,6 +96,19 @@ class OpsSpec extends SparkSpec {
     assert(g.df.count() == 0)
   }
 
+  test("clip over a partially-overlapping series: missing cells stay " +
+      "missing (greatest/least skip nulls — an unguarded clip would " +
+      "manufacture the bound out of a gap)") {
+    val g = Compiler.eval(Parser.parse("(clip (metric m3 mean) 1.0 2.0)"),
+      mkGrid(twoSeries :+ (("m3/mean", "2014-01-01 12:01:00", 10.0)): _*))
+    val vs = values(g).map(_._2.head)
+    assert(vs(1) == 2.0 && vs.count(_.isNaN) == 2)
+    val mn = Compiler.eval(Parser.parse("(min (metric m3 mean) 2.0)"),
+      mkGrid(twoSeries :+ (("m3/mean", "2014-01-01 12:01:00", 10.0)): _*))
+    // binary min/max stay fmin/fmax-shaped: the gap yields the scalar
+    assert(values(mn).map(_._2.head) == Seq(2.0, 2.0, 2.0))
+  }
+
   test("binary op over partially-overlapping series: missing cells stay null") {
     val g = Compiler.eval(Parser.parse("(+ (metric m1 mean) (metric m3 mean))"),
       mkGrid(twoSeries :+ (("m3/mean", "2014-01-01 12:01:00", 10.0)): _*))
