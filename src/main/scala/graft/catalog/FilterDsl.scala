@@ -118,7 +118,10 @@ object FilterParser {
     def eof: Boolean = toks.isEmpty
     def rest: String = toks.mkString(" ")
     private def peek: Option[String] = toks.headOption
-    private def next(): String = { val h = toks.head; toks = toks.tail; h }
+    private def next(): String = {
+      require(toks.nonEmpty, "unexpected end of filter expression")
+      val h = toks.head; toks = toks.tail; h
+    }
     private def expect(t: String): Unit = {
       val g = next(); require(g.equalsIgnoreCase(t), s"expected $t got $g")
     }

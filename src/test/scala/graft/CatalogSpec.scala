@@ -77,6 +77,15 @@ class CatalogSpec extends SparkSpec {
     assert(df.filter(Filter.compile(Filter.Or(Nil))).count() == 0)
   }
 
+  test("truncated filter expression raises a clean parse error, not " +
+      "head-of-empty") {
+    val e = intercept[IllegalArgumentException](
+      FilterParser.parse("a in [1, 2"))
+    assert(e.getMessage.contains("unexpected end"))
+    assert(intercept[IllegalArgumentException](
+      FilterParser.parse("a =")).getMessage.contains("unexpected end"))
+  }
+
   test("pagination marker: id containing '@' with non-numeric suffix " +
       "resolves as a plain id, not a malformed history marker") {
     val s = spark
