@@ -279,6 +279,14 @@ object Oracles {
     // X10: both verdicts derived from the data — bucket count of the
     // aligned hourly grid, and whether that grid carries >1 residue
     // mod 7200 (⇒ the 7200 s declaration must be rejected)
+    // the repo-pinned side of the null-vs-NaN divergence: count of
+    // PRESENT series per union bucket (the reference would return the
+    // constant grid width — see the query comment in Queries.scala)
+    "x11_cmp_gap" ->
+      s"""WITH s AS ($hourlyMean)
+         SELECT b AS bucket_s, CAST(count(*) AS REAL) AS v
+         FROM s WHERE event_type IN ('purchase', 'signup') GROUP BY 1""",
+
     "x10_sanity" ->
       s"""WITH s AS ($hourlyMean),
          g AS (SELECT DISTINCT b FROM s WHERE event_type = 'click')
@@ -678,6 +686,57 @@ object Oracles {
            WHERE m.b < rv.re AND m.b + 3600 > rv.rs)
          SELECT grp, b AS bucket_s, CAST(sum(wv) AS REAL) AS v
          FROM j GROUP BY 1, 2""",
+
+    // per-user click/view hourly ratio on the two subtrees' bucket
+    // UNION (numpy empty-bucket nansum → 0.0 pads), the reference's
+    // default fill=dropna NaN/inf drop per resource, then the Grouper
+    // weighting: revision windows flipping gb mid-bucket at
+    // first-event-day+7d+30min, summed per (ga, gb, bucket). A user
+    // present in only ONE subtree contributes nothing (its other grid
+    // column is absent → null → dropped), hence the both-sides join.
+    "g3c_history_multiattr" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS ts_s,
+                  value
+           FROM events),
+         hourly AS (
+           SELECT user_id, event_type,
+                  CAST(FLOOR(ts_s/3600)*3600 AS BIGINT) AS b, avg(value) AS mv
+           FROM ev WHERE event_type IN ('click', 'view') GROUP BY 1, 2, 3),
+         c AS (SELECT user_id, b, mv FROM hourly WHERE event_type = 'click'),
+         v AS (SELECT user_id, b, mv FROM hourly WHERE event_type = 'view'),
+         both_u AS (
+           SELECT user_id FROM (SELECT DISTINCT user_id FROM c)
+           INTERSECT SELECT user_id FROM (SELECT DISTINCT user_id FROM v)),
+         j AS (
+           SELECT COALESCE(c.user_id, v.user_id) AS user_id,
+                  COALESCE(c.b, v.b) AS b,
+                  COALESCE(c.mv, 0.0) AS cs, COALESCE(v.mv, 0.0) AS vs
+           FROM c FULL OUTER JOIN v ON c.user_id = v.user_id AND c.b = v.b),
+         ratio AS (
+           SELECT j.user_id, j.b, j.cs / j.vs AS value
+           FROM j JOIN both_u USING (user_id)
+           WHERE j.vs <> 0),
+         cuts AS (
+           SELECT user_id,
+                  CAST(FLOOR(MIN(ts_s)/86400)*86400 + 7*86400 + 1800
+                    AS BIGINT) AS cut_s
+           FROM ev GROUP BY 1),
+         revs AS (
+           SELECT user_id, 'u' || CAST(user_id % 2 AS VARCHAR) AS ga,
+                  'w1' AS gb, CAST(0 AS BIGINT) AS s, cut_s AS e
+           FROM cuts
+           UNION ALL
+           SELECT user_id, 'u' || CAST(user_id % 2 AS VARCHAR), 'w2', cut_s,
+                  CAST(4000000000 AS BIGINT)
+           FROM cuts)
+         SELECT r.ga, r.gb, m.b AS bucket_s,
+                CAST(SUM(m.value * (LEAST(m.b + 3600, r.e) -
+                                    GREATEST(m.b, r.s)) / 3600.0)
+                  AS REAL) AS value
+         FROM ratio m JOIN revs r USING (user_id)
+         WHERE m.b < r.e AND m.b + 3600 > r.s
+         GROUP BY 1, 2, 3""",
 
     "i3_remote_write" ->
       """SELECT event_type AS metric,

@@ -412,6 +412,23 @@ object Queries {
       g.df.agg(count(lit(1)).as("aligned_buckets"))
         .withColumn("misaligned_rejected", lit(rejected))
     }),
+    // X11: EXECUTABLE pin of the repo's one deliberate semantic
+    // divergence (NOTES "null-vs-NaN grid cells"). The reference
+    // materializes absent grid cells as numpy NaN, so a comparison
+    // sees them — eq(NaN, 0) → False (operations.py:160-188) is a
+    // real non-NaN 0.0 and `aggregate count` COUNTS it: the reference
+    // returns the full grid width (here 2) for every union bucket.
+    // This engine keeps absent cells null; eq(null, 0) → null and the
+    // nan-skipping count SKIPS it, so the count is the number of
+    // PRESENT series per bucket. The oracle encodes the repo's pinned
+    // semantics; a consumer needing the reference's arithmetic over
+    // absent cells densifies first with an explicit fill.
+    "x11_cmp_gap" -> ((s, dir) => {
+      val g = Compiler.eval(Parser.parse(
+          "(aggregate count (eq (metric (purchase mean) (signup mean)) 0))"),
+        grid(s, dir, Seq("purchase", "signup")))
+      g.df.select(bucketS(), r6(col(g.cols.head)).as("v"))
+    }),
     // P1 granularity planning under the oracle (processor.py:89-132):
     // granularities common to every referenced metric's policy, coarse
     // first; disjoint policies raise `No granularity match`. The plan
@@ -634,6 +651,48 @@ object Queries {
           col("w.rev_start_s").as("rev_start_s"), col("w.rev_end_s").as("rev_end_s"))
       HistoryAgg.weightedGroupAgg(ev, revs, H, "user_id")
         .select(col("grp"), col("bucket_s"), r6(col("v")).as("v"))
+    }),
+    // G3c: the FULL Grouper surface (rest/aggregates/api.py:258-493) —
+    // a two-attribute groupby and a two-metric operations tree,
+    // evaluated per resource (users), weighted by revision windows
+    // that flip an attribute MID-BUCKET (fractional coefficients), and
+    // summed per (group tuple, bucket). ga is a static user attribute;
+    // gb flips at first-event-day + 7d + 30min.
+    "g3c_history_multiattr" -> ((s, dir) => {
+      def perType(t: String): DataFrame =
+        events(s, dir).filter(col("event_type") === t)
+          .groupBy(col("user_id").as("__rid"),
+            concat(lit(t + "/"), col("user_id")).as("sid"),
+            Bucketing.floorTimestamp(col("ts"), H * 1_000_000_000L).as("bucket"))
+          .agg(avg("value").as("value"))
+      val per = GroupedOps.run(Parser.parse(
+          "(/ (aggregate sum (metric click mean)) " +
+            "(aggregate sum (metric view mean)))"),
+          Seq("__rid"), { case (name, _) => perType(name) }, None)
+        // the reference's default fill=dropna drops NaN/inf PER
+        // RESOURCE before the Grouper weights and sums (processor.py:
+        // 237-244 inside _get_measures_by_name)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) =!= lit(Double.PositiveInfinity))
+        .withColumn("bucket_s", unix_timestamp(col("bucket")).cast("long"))
+        .select(col("__rid"), col("bucket_s"), col("value"))
+      val cuts = events(s, dir).groupBy(col("user_id").as("__rid"))
+        .agg(((floor(min(unix_timestamp(col("ts"))) / 86400L) * 86400L) +
+          7L * 86400 + 1800).cast("long").as("cut_s"))
+      val revs = cuts
+        .withColumn("w", explode(array(
+          struct(lit("w1").as("gb"), lit(0L).as("rev_start_s"),
+            col("cut_s").as("rev_end_s")),
+          struct(lit("w2").as("gb"), col("cut_s").as("rev_start_s"),
+            lit(4_000_000_000L).as("rev_end_s")))))
+        .select(col("__rid"),
+          concat(lit("u"), col("__rid") % 2).as("ga"),
+          col("w.gb").as("gb"),
+          col("w.rev_start_s").as("rev_start_s"),
+          col("w.rev_end_s").as("rev_end_s"))
+      HistoryAgg.weightedJoin(per, revs, H, "__rid", Seq("ga", "gb"))
+        .select(col("ga"), col("gb"), col("bucket_s"),
+          r6(col("value")).as("value"))
     }),
     // G5: resource-grouped NESTED operations (api.py:191-493 groupby ×
     // the full operations grammar). "Resources" = users (grp = id%3),

@@ -756,8 +756,15 @@ class Graft(val spark: SparkSession, root: String) {
     // the compiler then treats each (resource × metric) as its own
     // series, exactly the reference's reference list
     def rewrite(n: Node): Node = n match {
-      case MetricLeaf(rs) => MetricLeaf(rs.flatMap { case (pat, agg) =>
-        resolved(pat).map { case (mid, _, _) => (mid, agg) } }.distinct)
+      case MetricLeaf(rs) =>
+        val expanded = rs.flatMap { case (pat, agg) =>
+          resolved(pat).map { case (mid, _, _) => (mid, agg) } }.distinct
+        // a leaf whose every wildcard resolved empty would reach the
+        // compiler as a zero-series grid and die with an opaque shape
+        // error — reject it here with the unresolved patterns instead
+        if (expanded.isEmpty) throw new GraftError.NotFound(
+          s"Metrics not found: ${rs.map(_._1).distinct.sorted.mkString(", ")}")
+        MetricLeaf(expanded)
       case Bin(op, l, r)       => Bin(op, rewrite(l), rewrite(r))
       case Clip(s, lo, hi)     => Clip(rewrite(s), lo, hi)
       case Un(op, s)           => Un(op, rewrite(s))
@@ -776,6 +783,47 @@ class Graft(val spark: SparkSession, root: String) {
     long.join(naming, Seq("metric_id"))
       .select(col("resource_id"), col("metric_name"), col("method"),
         col("bucket"), col("value"))
+  }
+
+  /** Resources matched by `filterStr` that own at least one metric
+    * matching a leaf wildcard of `operations` — the resource set the
+    * reference's `_get_measures_by_name` builds its `references`
+    * response block from (rest/aggregates/api.py:684-710) — with the
+    * requested attribute columns, independent of whether the resolved
+    * series produced any output rows. Catalog metadata, driver-bounded
+    * by contract. Returns `(attr values, resource_id)` pairs.
+    */
+  def resolvedResourceScope(operations: String, filterStr: String,
+      attrs: Seq[String] = Nil): Seq[(Seq[Any], String)] =
+    resolvedScopeOf(searchResources(filterStr),
+      collectRefs(Parser.parse(operations)).map(_._1).distinct, attrs)
+
+  /** As [[resolvedResourceScope]] but over the resource HISTORY table:
+    * one entry per (attribute values, resource) across the resource's
+    * matching attribute revisions — the Grouper's group membership
+    * (rest/aggregates/api.py:325-353).
+    */
+  def resolvedResourceScopeHistory(operations: String, filterStr: String,
+      attrs: Seq[String]): Seq[(Seq[Any], String)] = {
+    val pred = Filter.compile(FilterParser.parse(filterStr))
+    val hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
+      "no resource history table — call setResourceHistory(df) first"))
+      .filter(pred)
+    resolvedScopeOf(hist,
+      collectRefs(Parser.parse(operations)).map(_._1).distinct, attrs)
+  }
+
+  private def resolvedScopeOf(res: DataFrame, pats: Seq[String],
+      attrs: Seq[String]): Seq[(Seq[Any], String)] = {
+    val cat = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
+    val nameMatch = pats.map(p =>
+      col("name").rlike(graft.catalog.Fnmatch.regex(p))).reduce(_ || _)
+    cat.filter(nameMatch)
+      .join(broadcast(res.select((col("id").as("resource_id") +:
+        attrs.map(col)): _*).distinct()), Seq("resource_id"))
+      .select((col("resource_id") +: attrs.map(col)): _*).distinct()
+      .collect().toSeq
+      .map(r => (attrs.map(a => r.getAs[Any](a)), r.getAs[String]("resource_id")))
   }
 
   /** [[aggregatesRefs]] across every common granularity, coarse→fine
@@ -1284,31 +1332,87 @@ class Graft(val spark: SparkSession, root: String) {
                         filterStr: String, groupby: Seq[String],
                         acrossAgg: String = "mean",
                         from: Option[java.sql.Timestamp] = None,
-                        to: Option[java.sql.Timestamp] = None): DataFrame = {
-    val res = searchResources(filterStr)
+                        to: Option[java.sql.Timestamp] = None): DataFrame =
+    legacyResourceAggregation(metricName, method, Some(granS),
+      searchResources(filterStr), groupby, acrossAgg, from, to)
+      .drop("gran_s")
+
+  /** Legacy `/v1/aggregation/resource/<type>/metric/<name>` semantics
+    * (rest/api.py AggregationController + gabbits/resource-aggregation
+    * .yaml): the NAMED metric across the searched resources, optional
+    * `groupby` attribute list, optional `resample` (each metric's
+    * series re-buckets BEFORE cross-metric aggregation), numeric
+    * `fill` (each metric pads to the bucket union), and — with no
+    * granularity — EVERY common granularity of the matched metrics,
+    * coarse→fine. Output: `(groupby..., bucket, gran_s, value)`.
+    */
+  def legacyResourceAggregation(metricName: String, method: String,
+      granS: Option[Long], resScope: DataFrame, groupby: Seq[String],
+      acrossAgg: String = "mean",
+      from: Option[java.sql.Timestamp] = None,
+      to: Option[java.sql.Timestamp] = None,
+      resampleS: Option[Long] = None,
+      fill: Option[String] = None): DataFrame = {
+    // groupby must name real resource attributes (rest/api.py:1700-1703
+    // "Invalid groupby attribute")
+    groupby.find(a => !resScope.columns.contains(a)).foreach { a =>
+      throw new IllegalArgumentException(s"Invalid groupby attribute: $a") }
     // full fnmatch semantics incl. `?` and char classes
     // (rest/aggregates/api.py:684-710)
     val mets = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
       .filter(col("name").rlike(graft.catalog.Fnmatch.regex(metricName)))
-      .join(broadcast(res.select((col("id").as("resource_id") +:
+      .join(broadcast(resScope.select((col("id").as("resource_id") +:
         groupby.map(col)): _*)), Seq("resource_id"))
     val ids = mets.select("metric_id").distinct()
       .collect().map(_.getString(0)).toSeq // metric list, as the reference
-    val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
-      storeOf(pol).getMeasuresMany(polIds, Seq(method), granS, from, to)
-    }.reduceOption(_ unionByName _)
-      .getOrElse(MetricStore.emptyAggregates(spark)
-        .select("metric_id", "method", "bucket", "value"))
     val acrossCol = acrossAgg match {
       case "mean" => avg(col("value")); case "sum" => sum(col("value"))
       case "min" => min(col("value")); case "max" => max(col("value"))
       case "count" => count(col("value")).cast("double")
       case other => sys.error(s"unsupported across-agg $other")
     }
-    series.join(broadcast(mets.select(
-        (col("metric_id") +: groupby.map(col)): _*)), Seq("metric_id"))
-      .groupBy((groupby.map(col) :+ col("bucket")): _*)
-      .agg(acrossCol.as("value"))
+    if (ids.isEmpty) {
+      // no metric matched: empty page (the gabbi "no data" golden)
+      val e = MetricStore.emptyAggregates(spark)
+        .select(col("bucket"), col("value"))
+        .withColumn("gran_s", lit(granS.getOrElse(0L)))
+      return groupby.foldLeft(e)((d, a) =>
+          d.withColumn(a, lit(null).cast("string")))
+        .select((groupby.map(col) ++
+          Seq(col("bucket"), col("gran_s"), col("value"))): _*)
+    }
+    val grans = granS.map(Seq(_)).getOrElse(commonGranularities(ids))
+    grans.map { gr =>
+      var series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
+        storeOf(pol).getMeasuresMany(polIds, Seq(method), gr, from, to)
+      }.reduceOption(_ unionByName _)
+        .getOrElse(MetricStore.emptyAggregates(spark)
+          .select("metric_id", "method", "bucket", "value"))
+      // resample BEFORE the cross-metric aggregation (each metric's
+      // series re-buckets; mean-of-means for the same-method rule)
+      val outGran = resampleS.getOrElse(gr)
+      for (rs <- resampleS) series = series
+        .withColumn("bucket", graft.timeseries.Bucketing.floorTimestamp(
+          col("bucket"), rs * 1_000_000_000L))
+        .groupBy(col("metric_id"), col("bucket"))
+        .agg(avg(col("value")).as("value"))
+        .select(col("metric_id"), col("bucket"), col("value"))
+      // numeric fill: pad each metric to the union of buckets so every
+      // metric contributes to every bucket (processor fill semantics)
+      for (f <- fill if f.matches("-?[0-9.]+")) {
+        val buckets = series.select("bucket").distinct()
+        val metIds = series.select("metric_id").distinct()
+        series = buckets.crossJoin(broadcast(metIds))
+          .join(series, Seq("metric_id", "bucket"), "left")
+          .select(col("metric_id"), col("bucket"),
+            coalesce(col("value"), lit(f.toDouble)).as("value"))
+      }
+      series.join(broadcast(mets.select(
+          (col("metric_id") +: groupby.map(col)): _*)), Seq("metric_id"))
+        .groupBy((groupby.map(col) :+ col("bucket")): _*)
+        .agg(acrossCol.as("value"))
+        .withColumn("gran_s", lit(outGran))
+    }.reduce(_ unionByName _)
   }
 
   /** G2+X*: resource-grouped evaluation of an ARBITRARY nested
@@ -1412,6 +1516,93 @@ class Graft(val spark: SparkSession, root: String) {
       .select(col("metric_id"),
         unix_timestamp(col("bucket")).cast("long").as("ts_s"), col("value"))
     graft.catalog.HistoryAgg.weightedGroupAgg(series, revs, granS, "metric_id")
+  }
+
+  /** G3/G4 generalized `use_history=true` — the reference's full
+    * Grouper surface (rest/aggregates/api.py:258-493): a groupby
+    * attribute LIST and an ARBITRARY aggregated operations tree. The
+    * tree evaluates PER RESOURCE (api.py:383-419 runs
+    * `_get_measures_by_name` per revision slice — bucket values don't
+    * depend on the slice bounds, so one per-resource evaluation +
+    * an interval join against the revision windows is equivalent);
+    * each output bucket is weighted by
+    * `usage_coefficient = overlap / granularity` (api.py:244-259,
+    * 462-470) and same-bucket values within a group are summed
+    * (api.py:231-241). Output: `(groupby..., bucket, value)`.
+    *
+    * Per `truncate_resource_time_window` (api.py:356-381) every
+    * revision window clamps to `[from, to]` and a resource's FIRST
+    * revision reaches back to the query start (unbounded when none):
+    * measures predating the first known revision belong to it. The
+    * reference's cross-resource `join_sequential_groups` merge
+    * (api.py:213-226) — which DROPS a second resource whose truncated
+    * window starts at the same instant — is not reproduced: same-
+    * resource merges are coverage-equivalent under the interval-join
+    * sum, and the cross-resource row drop is a reference defect.
+    */
+  def groupByAggregatesHistoryOps(operations: String, granS: Long,
+      filterStr: String, groupby: Seq[String],
+      fill: Option[String] = None,
+      from: Option[java.sql.Timestamp] = None,
+      to: Option[java.sql.Timestamp] = None): DataFrame = {
+    import graft.ops.GroupedOps
+    val pred = Filter.compile(FilterParser.parse(filterStr))
+    var hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
+      "no resource history table — call setResourceHistory(df) first"))
+      .filter(pred)
+    // G4 period filter (api.py:279-299): prune revisions outside the
+    // query window before the interval join
+    for (f <- from) hist = hist.filter(
+      col("revision_end").isNull || col("revision_end") >= f)
+    for (t <- to) hist = hist.filter(col("revision_start") < t)
+    val fromS = from.map(_.toInstant.getEpochSecond)
+    val toS = to.map(_.toInstant.getEpochSecond)
+    val negInf = Long.MinValue / 4; val posInf = Long.MaxValue / 4
+    // history is catalog-sized by contract (one row per attribute
+    // revision) — the per-resource window ranking and the broadcast
+    // below both lean on that
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("revision_start"))
+    val revs = hist
+      .withColumn("__rn", row_number().over(rw))
+      .withColumn("rev_start_s",
+        when(col("__rn") === 1, lit(fromS.getOrElse(negInf)))
+          .otherwise(greatest(unix_timestamp(col("revision_start")),
+            lit(fromS.getOrElse(negInf)))))
+      .withColumn("rev_end_s",
+        least(coalesce(unix_timestamp(col("revision_end")), lit(posInf)),
+          lit(toS.getOrElse(posInf))))
+      .select((col("id").as("__rid") +: groupby.map(col)) ++
+        Seq(col("rev_start_s"), col("rev_end_s")): _*)
+    val resIds = hist.select(col("id").as("resource_id")).distinct()
+    val per = GroupedOps.run(Parser.parse(operations), Seq("__rid"),
+      { case (name, method) =>
+        val mets = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
+          .filter(col("name").rlike(graft.catalog.Fnmatch.regex(name)))
+          .join(broadcast(resIds), Seq("resource_id"))
+        val ids = mets.select("metric_id").distinct()
+          .collect().map(_.getString(0)).toSeq // metric list, as the reference
+        ids.foreach(requireMethod(_, method))
+        val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
+          storeOf(pol).getMeasuresMany(polIds, Seq(method), granS, from, to)
+        }.reduceOption(_ unionByName _)
+          .getOrElse(MetricStore.emptyAggregates(spark)
+            .select("metric_id", "method", "bucket", "value"))
+        series.join(broadcast(
+            mets.select(col("metric_id"), col("resource_id"))), Seq("metric_id"))
+          .select(col("resource_id").as("__rid"),
+            concat(col("metric_id"), lit("/"), lit(method)).as("sid"),
+            col("bucket"), col("value"))
+      }, fill)
+    // the reference drops NaN/inf per resource slice (processor
+    // fill=dropna output contract) BEFORE weighting and group-summing
+    val dropped = outputDrop(per, Seq("value"), fill)
+      .withColumn("bucket_s", unix_timestamp(col("bucket")).cast("long"))
+      .select(col("__rid"), col("bucket_s"), col("value"))
+    graft.catalog.HistoryAgg.weightedJoin(dropped, revs, granS,
+        "__rid", groupby)
+      .withColumn("bucket", col("bucket_s").cast("timestamp"))
+      .select((groupby.map(col) ++ Seq(col("bucket"), col("value"))): _*)
   }
 
   /** P6 output shaping (processor.py:229-272): collect a single-metric

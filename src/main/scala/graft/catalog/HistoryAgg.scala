@@ -35,15 +35,39 @@ object HistoryAgg {
       .groupBy(col(keyCol), col("bucket_s"))
       .agg(avg(col(valueCol)).as("mv"))
 
-    val j = agg.join(broadcast(revisions), Seq(keyCol))
-      .filter(col("bucket_s") < col("rev_end_s") &&
-              (col("bucket_s") + granularityS) > col("rev_start_s"))
-      .withColumn("coef",
-        (least(col("bucket_s") + granularityS, col("rev_end_s")) -
-         greatest(col("bucket_s"), col("rev_start_s"))).cast("double") /
-          granularityS.toDouble)
+    weightedJoin(agg, revisions, granularityS, keyCol, Seq(grpCol),
+      valueCol = "mv").withColumnRenamed("mv", "v")
+  }
 
-    j.groupBy(col(grpCol), col("bucket_s"))
-      .agg(sum(col("mv") * col("coef")).as("v"))
+  /** The Grouper's weighting+summing kernel generalized to a groupby
+    * LIST and an arbitrary per-key bucketed frame
+    * (rest/aggregates/api.py:244-259 usage_coefficient ×
+    * api.py:231-241 sum_groups_same_time_values): interval-join each
+    * `(keyCol, bucket_s, value)` row to the key's attribute-revision
+    * windows, weight by overlap/granularity, and sum same-bucket
+    * values within each `(grpCols..., bucket_s)` group. The revision
+    * table is catalog-sized → broadcast; the one shuffle is the final
+    * group-sum.
+    *
+    * measures:  (keyCol, tsSecCol: bucket epoch-seconds LONG, valueCol)
+    * revisions: (keyCol, grpCols..., rev_start_s LONG, rev_end_s LONG)
+    */
+  def weightedJoin(
+      measures: DataFrame,
+      revisions: DataFrame,
+      granularityS: Long,
+      keyCol: String,
+      grpCols: Seq[String],
+      tsSecCol: String = "bucket_s",
+      valueCol: String = "value"): DataFrame = {
+    val j = measures.join(broadcast(revisions), Seq(keyCol))
+      .filter(col(tsSecCol) < col("rev_end_s") &&
+              (col(tsSecCol) + granularityS) > col("rev_start_s"))
+      .withColumn("__coef",
+        (least(col(tsSecCol) + granularityS, col("rev_end_s")) -
+         greatest(col(tsSecCol), col("rev_start_s"))).cast("double") /
+          granularityS.toDouble)
+    j.groupBy((grpCols.map(col) :+ col(tsSecCol)): _*)
+      .agg(sum(col(valueCol) * col("__coef")).as(valueCol))
   }
 }

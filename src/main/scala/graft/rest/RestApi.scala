@@ -36,18 +36,28 @@ object RestApi {
   // which accepts bare NaN/Infinity literals by default — a measure
   // POSTed as {"value": NaN} ingests and stores as float64 NaN
   // (carbonara kernels then propagate it, see KernelsSpec). Jackson
-  // rejects those literals unless opted in, and quotes them on write;
-  // align both directions once, process-wide (the mapper is shared).
-  locally {
+  // rejects those literals unless opted in, and quotes them on write.
+  // Align both directions on a DEDICATED mapper (a configured copy of
+  // json4s's, modules included) so the process-global json4s mapper
+  // keeps stock behavior for every other consumer in the JVM.
+  private[rest] val mapper: com.fasterxml.jackson.databind.ObjectMapper = {
     import com.fasterxml.jackson.core.json.{JsonReadFeature, JsonWriteFeature}
-    JsonMethods.mapper
+    JsonMethods.mapper.copy()
       .enable(JsonReadFeature.ALLOW_NON_NUMERIC_NUMBERS.mappedFeature())
       .disable(JsonWriteFeature.WRITE_NAN_AS_STRINGS.mappedFeature())
   }
+
+  /** Parse a REST body with the NaN-literal-accepting mapper. */
+  private[graft] def parseJson(s: String): JValue =
+    mapper.readValue(s, classOf[JValue])
+
+  /** Serialize a REST response; NaN/±Infinity render as bare literals
+    * (the reference's json.dumps behavior). */
+  private[graft] def renderJson(v: JValue): String =
+    mapper.writeValueAsString(v)
 }
 
 class RestApi(g: Graft, requireAuth: Boolean = false) {
-  RestApi // force companion init: NaN-literal JSON config (see object)
 
   private def ok(b: JValue) = Response(200, b)
   private def created(b: JValue) = Response(201, b)
@@ -245,26 +255,30 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
   private def refsMeasuresJson(df: org.apache.spark.sql.DataFrame,
                                granS: Option[Long]): JValue = {
     import org.apache.spark.sql.functions.col
+    // REST-page cap + ListBuffer accumulation: List `:+` per row over
+    // an uncapped collect is quadratic driver-side work on a large
+    // window (same 100000-row cap as the aggregated branch)
     val ordered = (granS match {
       case Some(_) => df.orderBy(col("metric_id"), col("method"), col("bucket"))
       case None => df.orderBy(col("metric_id"), col("method"),
         col("gran_s").desc, col("bucket"))
-    }).collect()
-    val byMetric = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.LinkedHashMap[String, List[JValue]]]
+    }).limit(100000).collect()
+    val byMetric = scala.collection.mutable.LinkedHashMap.empty[String,
+      scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.ListBuffer[JValue]]]
     ordered.foreach { r =>
       val g = granS.getOrElse(r.getAs[Long]("gran_s"))
       val triple: JValue = JArray(List(
         JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
         JDouble(g.toDouble), JDouble(r.getAs[Double]("value"))))
-      val methods = byMetric.getOrElseUpdate(r.getAs[String]("metric_id"),
-        scala.collection.mutable.LinkedHashMap.empty)
-      methods.update(r.getAs[String]("method"),
-        methods.getOrElse(r.getAs[String]("method"), Nil) :+ triple)
+      byMetric.getOrElseUpdate(r.getAs[String]("metric_id"),
+          scala.collection.mutable.LinkedHashMap.empty)
+        .getOrElseUpdate(r.getAs[String]("method"),
+          scala.collection.mutable.ListBuffer.empty) += triple
     }
     JObject(byMetric.toList.map { case (mid, methods) =>
       mid -> (JObject(methods.toList.map { case (m, ts) =>
-        m -> (JArray(ts): JValue) }): JValue)
+        m -> (JArray(ts.toList): JValue) }): JValue)
     })
   }
 
@@ -276,26 +290,93 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
                                    granS: Long): JValue = {
     import org.apache.spark.sql.functions.col
     val ordered = df.orderBy(col("resource_id"), col("metric_name"),
-      col("method"), col("bucket")).collect()
+      col("method"), col("bucket")).limit(100000).collect()
     val byRes = scala.collection.mutable.LinkedHashMap.empty[String,
       scala.collection.mutable.LinkedHashMap[String,
-        scala.collection.mutable.LinkedHashMap[String, List[JValue]]]]
+        scala.collection.mutable.LinkedHashMap[String,
+          scala.collection.mutable.ListBuffer[JValue]]]]
     ordered.foreach { r =>
       val triple: JValue = JArray(List(
         JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
         JDouble(granS.toDouble), JDouble(r.getAs[Double]("value"))))
-      val mets = byRes.getOrElseUpdate(r.getAs[String]("resource_id"),
-        scala.collection.mutable.LinkedHashMap.empty)
-      val aggs = mets.getOrElseUpdate(r.getAs[String]("metric_name"),
-        scala.collection.mutable.LinkedHashMap.empty)
-      aggs.update(r.getAs[String]("method"),
-        aggs.getOrElse(r.getAs[String]("method"), Nil) :+ triple)
+      byRes.getOrElseUpdate(r.getAs[String]("resource_id"),
+          scala.collection.mutable.LinkedHashMap.empty)
+        .getOrElseUpdate(r.getAs[String]("metric_name"),
+          scala.collection.mutable.LinkedHashMap.empty)
+        .getOrElseUpdate(r.getAs[String]("method"),
+          scala.collection.mutable.ListBuffer.empty) += triple
     }
     JObject(byRes.toList.map { case (rid, mets) =>
       rid -> (JObject(mets.toList.map { case (m, aggs) =>
         m -> (JObject(aggs.toList.map { case (a, ts) =>
-          a -> (JArray(ts): JValue) }): JValue) }): JValue)
+          a -> (JArray(ts.toList): JValue) }): JValue) }): JValue)
     })
+  }
+
+  /** Grouped `/v1/aggregates` response (rest/aggregates/api.py:653-672
+    * get_measures_grouping; :474-493 Grouper.format_response): a LIST
+    * of `{"group": {attr: value}, "measures": {"measures":
+    * {"aggregated": [[ts, gran, v], ...]}}}` entries in group-key
+    * order. Groups with no measures are omitted and an EMPTY result
+    * 404s with the referenced metric names (api.py:602-606). `scope`
+    * (details=true) attaches each group's matched resource ids as
+    * `measures.references` (api.py:704-710) — ids here; full rows ride
+    * the resource routes.
+    */
+  private def groupedMeasuresJson(df: org.apache.spark.sql.DataFrame,
+      groupby: Seq[String], granS: Long, operations: String,
+      scope: Option[Seq[(Seq[Any], String)]]): JValue = {
+    import org.apache.spark.sql.functions.col
+    val ordered = df.orderBy((groupby :+ "bucket").map(col): _*)
+      .limit(100000).collect()
+    if (ordered.isEmpty) {
+      val names = graft.ops.GroupedOps.collectRefs(
+        graft.ops.Parser.parse(operations)).map(_._1).distinct.sorted
+      throw new graft.api.GraftError.NotFound(
+        s"Metrics not found: ${names.mkString(", ")}")
+    }
+    val vi = ordered.head.fieldIndex("value")
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], scala.collection.mutable.ListBuffer[JValue]]
+    ordered.foreach { r =>
+      // null cells (absent grid positions under fill=null) skip, as the
+      // single-series door's shaped() — triples carry present points
+      if (!r.isNullAt(vi)) {
+        val triple: JValue = JArray(List(
+          JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
+          JDouble(granS.toDouble), JDouble(r.getDouble(vi))))
+        groups.getOrElseUpdate(groupby.map(a => r.getAs[Any](a)),
+          scala.collection.mutable.ListBuffer.empty) += triple
+      }
+    }
+    JArray(groups.toList.map { case (key, triples) =>
+      val measures: JValue =
+        "aggregated" -> (JArray(triples.toList): JValue)
+      val inner: JValue = scope match {
+        case Some(sc) => ("measures" -> measures) ~
+          ("references" -> JArray(sc.collect {
+            case (k, rid) if k == key => rid
+          }.distinct.sorted.toList.map(id => (("id" -> id): JValue))))
+        case None => "measures" -> measures
+      }
+      ("group" -> JObject(groupby.zip(key).toList.map {
+        case (a, v) => a -> anyJ(v) })) ~ ("measures" -> inner)
+    })
+  }
+
+  /** Row attribute value → JSON (group keys carry the catalog's own
+    * attribute types). */
+  private def anyJ(v: Any): JValue = v match {
+    case null                   => JNull
+    case s: String              => JString(s)
+    case i: Int                 => JInt(i)
+    case l: Long                => JInt(l)
+    case d: Double              => JDouble(d)
+    case f: Float               => JDouble(f.toDouble)
+    case b: Boolean             => JBool(b)
+    case t: java.sql.Timestamp  => JString(iso(t))
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case other                  => JString(other.toString)
   }
 
   /** DataFrame → JSON rows (REST-page sized by contract). */
@@ -329,7 +410,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
     def json: JValue = {
       val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      if (s.trim.isEmpty) JNothing else JsonMethods.parse(s)
+      if (s.trim.isEmpty) JNothing else RestApi.parseJson(s)
     }
     try route(method.toUpperCase, segs, query, () => json, bytes, creator,
       reqHeaders)
@@ -440,9 +521,18 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     })
     (method, segs) match {
       // -------------------------------------------------- root + capability
+      // version document (rest/api.py:2423-2438; gabbits/base.yaml
+      // asserts $.versions[0].id/status)
       case ("GET", Nil) | ("GET", List("v1")) =>
-        ok(("version" -> "1.0") ~ ("links" -> List(
-          ("rel" -> "self") ~ ("href" -> "/v1"))))
+        ok("versions" -> List(
+          ("status" -> "CURRENT") ~
+            ("links" -> List(("rel" -> "self") ~ ("href" -> "/v1/"))) ~
+            ("id" -> "v1.0") ~
+            ("updated" -> "2015-03-19")))
+
+      // liveness door (gabbits/healthcheck.yaml; the reference mounts
+      // oslo's healthcheck app) — 200 with no body
+      case ("GET", List("healthcheck")) => ok(JNothing)
 
       case ("GET", List("v1", "capabilities")) =>
         ok("aggregation_methods" -> g.capabilities.toList.sorted)
@@ -455,11 +545,15 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // clients that read the key don't crash.
       case ("GET", List("v1", "status")) =>
         val st = g.status()
-        ok(("storage" -> (
-          ("summary" -> (
-            ("metrics" -> st.size) ~ ("measures" -> st.values.sum))) ~
-          ("measures_to_process" -> JObject(
-            st.toList.sortBy(_._1).map { case (m, n) => m -> JInt(n) })))) ~
+        val summary: JObject = "summary" -> (
+          ("metrics" -> st.size) ~ ("measures" -> st.values.sum))
+        // ?details=False drops the per-metric backlog block
+        // (rest/api.py:2204-2213; gabbits/base.yaml "no details")
+        val storage: JValue =
+          if (q.get("details").exists(_.equalsIgnoreCase("false"))) summary
+          else summary ~ ("measures_to_process" -> JObject(
+            st.toList.sortBy(_._1).map { case (m, n) => m -> JInt(n) }))
+        ok(("storage" -> storage) ~
           ("metricd" -> (
             ("processors" -> JNull) ~
             ("statistics" -> JObject(Nil)))))
@@ -588,7 +682,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
 
       // -------------------------------------------------- batch ingest
       case ("POST", List("v1", "batch", "resources", "metrics", "measures")) =>
-        g.batchAddMeasures(JsonMethods.compact(JsonMethods.render(body())),
+        g.batchAddMeasures(RestApi.renderJson(body()),
           createMetrics = q.get("create_metrics").contains("true"))
         accepted
 
@@ -670,9 +764,13 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           case JString(s) => Some(s); case _ => None
         }).orElse(q.get("fill"))
           .orElse(if (overlap.isEmpty) Some("dropna") else None)
-        val groupby = b \ "groupby" match {
+        // groupby rides the query string in the reference
+        // (post(self, ..., groupby=None); repeated keys, gabbits/
+        // aggregates-with-resources.yaml) — body list also accepted
+        val groupby = (b \ "groupby" match {
           case JArray(a) => a.map(jstr); case _ => Nil
-        }
+        }) ++ q.get("groupby").map(_.split(",").toSeq
+          .filter(_.nonEmpty)).getOrElse(Nil)
         val search = b \ "search" match {
           case JString(s) => Some(s); case _ => None
         }
@@ -688,58 +786,64 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           }
           val flt = search.getOrElse(throw new IllegalArgumentException(
             "search required with groupby"))
+          val det = q.get("details").contains("true") ||
+            b \ "details" == JBool(true)
+          // groupby attributes are deduped and sorted (api.py:557
+          // groupby = sorted(set(api.arg_to_list(groupby))))
+          val grpSorted = groupby.distinct.sorted
           // G3/G4 use_history=true (rest/aggregates/api.py:571-577):
-          // revision-weighted grouping through the history facade —
-          // one groupby attribute, a single-metric tree (the
-          // reference's HistoryGrouper shape)
+          // the full Grouper surface — a groupby attribute LIST and an
+          // arbitrary aggregated operations tree, evaluated per
+          // resource and weighted by the attribute-revision windows
           val useHistory = q.get("use_history").contains("true") ||
             b \ "use_history" == JBool(true)
-          if (useHistory) {
-            if (groupby.size != 1) throw new IllegalArgumentException(
-              "use_history supports exactly one groupby attribute")
-            val (name, meth) = graft.ops.Parser.parse(operations) match {
-              case graft.ops.AggAcross(_, graft.ops.MetricLeaf(Seq((n, m)))) =>
-                (n, m)
-              case graft.ops.MetricLeaf(Seq((n, m))) => (n, m)
-              case _ => throw new IllegalArgumentException(
-                "use_history supports a single-metric operations tree")
-            }
-            val df = g.groupByAggregatesHistory(name, meth, granS, flt,
-              groupby.head, from, to)
-            return ok("measures" -> frameJson(
-              df.select(
-                org.apache.spark.sql.functions.col("grp").as(groupby.head),
-                org.apache.spark.sql.functions.col("bucket_s"),
-                org.apache.spark.sql.functions.col("v").as("value"))
-                .orderBy(groupby.head, "bucket_s"), 100000))
+          if (useHistory && grpSorted.nonEmpty) {
+            val df = g.groupByAggregatesHistoryOps(operations, granS, flt,
+              grpSorted, fill, from, to)
+            return ok(groupedMeasuresJson(df, grpSorted, granS, operations,
+              if (det) Some(g.resolvedResourceScopeHistory(operations, flt,
+                grpSorted)) else None))
           }
           // search WITHOUT groupby + a non-aggregated tree → the
           // per-RESOURCE fan-out (_get_measures_by_name →
           // processor.py:246-272 r_output): {measures: {resource:
           // {metric: {agg: [...]}}}}. Aggregated trees (and grouped
           // queries) keep the scoped/grouped series form.
-          if (groupby.isEmpty && !g.aggregatesIsAggregated(operations)) {
+          if (grpSorted.isEmpty && !g.aggregatesIsAggregated(operations)) {
             val m = resourceMeasuresJson(
               g.aggregatesByResource(operations, granS, flt, fill,
                 overlap, from, to), granS)
-            // details=true attaches the matched resources
+            // details=true attaches every matched resource
             // (rest/aggregates/api.py:708-709 response["references"] =
-            // resources) — ids here; full rows ride the resource routes
-            val det = q.get("details").contains("true") ||
-              b \ "details" == JBool(true)
+            // resources) — from the RESOLVED scope, not the emitted
+            // measure keys: a matched resource whose series produced
+            // zero output rows still appears. Ids here; full rows ride
+            // the resource routes.
             return ok(
               if (!det) "measures" -> m
-              else ("measures" -> m) ~ ("references" -> (m match {
-                case JObject(fields) => JArray(fields.map {
-                  case (rid, _) => ("id" -> rid): JValue })
-                case _ => JArray(Nil)
-              })))
+              else ("measures" -> m) ~ ("references" ->
+                JArray(g.resolvedResourceScope(operations, flt).map(_._2)
+                  .distinct.sorted.toList.map(id => (("id" -> id): JValue)))))
+          }
+          if (grpSorted.isEmpty) {
+            // search-scoped AGGREGATED tree without groupby
+            // (api.py:562-569 → _get_measures_by_name): ONE
+            // {"aggregated": [...]} block; details=true attaches the
+            // resolved resource scope
+            val df = g.groupByAggregatesOps(operations, granS, flt, Nil,
+              fill, from, to)
+            val m: JValue = "aggregated" -> measuresTriples(g.shaped(df, granS))
+            return ok(
+              if (!det) "measures" -> m
+              else ("measures" -> m) ~ ("references" ->
+                JArray(g.resolvedResourceScope(operations, flt).map(_._2)
+                  .distinct.sorted.toList.map(id => (("id" -> id): JValue)))))
           }
           val df = g.groupByAggregatesOps(operations, granS, flt,
-            groupby, fill, from, to)
-          return ok("measures" -> frameJson(
-            df.orderBy((groupby :+ "bucket").map(
-              org.apache.spark.sql.functions.col): _*), 100000))
+            grpSorted, fill, from, to)
+          return ok(groupedMeasuresJson(df, grpSorted, granS, operations,
+            if (det) Some(g.resolvedResourceScope(operations, flt, grpSorted))
+            else None))
         }
         // ?details=true (query or body) attaches the RESOLVED metric
         // references next to the measures (rest/aggregates/api.py:
@@ -889,8 +993,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         if (graft.catalog.ResourceUuid.transform(id, creator) != id &&
             rawIdExists(id))
           return err(409, s"resource $id already exists")
-        g.createResource(tpe, id,
-          JsonMethods.compact(JsonMethods.render(b)), creator)
+        g.createResource(tpe, id, RestApi.renderJson(b), creator)
         created(frameJson(g.searchResources(s"id = '${qesc(rid(id))}'"), 1) match {
           case JArray(List(one)) => one; case _ => b
         })
@@ -1029,6 +1132,16 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       case ("GET", List("v1", "resource_type")) =>
         ok(JArray(g.listResourceTypes.map(resourceTypeJson).toList))
 
+      // resources index page: {type: url} (rest/api.py
+      // ResourcesController index; gabbits/base.yaml "Get list of
+      // resource type and URL")
+      case ("GET", List("v1", "resource")) =>
+        // "generic" is the reference's built-in base type — always
+        // listed even before any custom type is registered
+        ok(JObject((g.listResourceTypes.map(_.name).toSet + "generic")
+          .toList.sorted.map(t =>
+            t -> (JString(s"/v1/resource/$t"): JValue))))
+
       case ("GET", List("v1", "resource_type", name)) =>
         ok(resourceTypeJson(g.resourceType(name)))
 
@@ -1099,24 +1212,57 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // AggregationController.resource): POST with the resource search
       // body; aggregates the NAMED metric across matched resources.
       case ("POST", List("v1", "aggregation", "resource", _, "metric", name)) =>
-        val filter = body() \ "filter" match {
-          case JString(s) => s
-          case JNothing => "id like '%'" // empty body = every resource
-          case other =>
-            throw new IllegalArgumentException(s"bad filter: $other")
+        // search scope: ?filter= carries the string DSL; otherwise the
+        // POST body IS the attribute filter tree (ResourceSearchSchema;
+        // `{"filter": "..."}` and empty-body = match-all also accepted,
+        // gabbits/resource-aggregation.yaml)
+        val scope = q.get("filter") match {
+          case Some(f) => g.searchResources(f)
+          case None => body() match {
+            case JNothing | JObject(Nil) => g.searchResources("id like '%'")
+            case JObject(List(("filter", JString(f)))) => g.searchResources(f)
+            case o => g.searchResources(parseFilterTree(o))
+          }
         }
         val agg = q.getOrElse("aggregation", "mean")
-        val granS = q.get("granularity").map(_.toLong).getOrElse(
-          throw new IllegalArgumentException("granularity required"))
-        val df = g.groupByAggregates(name, agg, granS, filter,
-          groupby = Nil,
+        // repeated ?groupby= keys arrive comma-joined from the transport
+        val grpBy = q.get("groupby").map(_.split(",").toSeq
+          .filter(_.nonEmpty)).getOrElse(Nil).distinct
+        val df = g.legacyResourceAggregation(name, agg,
+          q.get("granularity").map(_.toLong), scope, grpBy,
           acrossAgg = q.getOrElse("reaggregation", "mean"),
           from = q.get("start").map(parseTs),
-          to = q.get("stop").map(parseTs))
-        ok(measuresTriples(df.orderBy("bucket").collect().toSeq.map { r =>
-          (r.getAs[java.sql.Timestamp]("bucket"), granS,
-            r.getAs[Double]("value"))
-        }))
+          to = q.get("stop").map(parseTs),
+          resampleS = q.get("resample").map(_.toDouble.toLong),
+          fill = q.get("fill"))
+        // coarse→fine within each group (rest/api.py cross-measures
+        // page order)
+        val rows = df.orderBy((grpBy.map(
+            org.apache.spark.sql.functions.col) ++ Seq(
+            org.apache.spark.sql.functions.col("gran_s").desc,
+            org.apache.spark.sql.functions.col("bucket"))): _*)
+          .limit(100000).collect()
+        def triplesOf(rs: Seq[org.apache.spark.sql.Row]): JValue =
+          measuresTriples(rs.map { r =>
+            (r.getAs[java.sql.Timestamp]("bucket"), r.getAs[Long]("gran_s"),
+              r.getAs[Double]("value"))
+          })
+        if (grpBy.isEmpty) ok(triplesOf(rows.toSeq))
+        else {
+          // legacy grouped shape: [{measures: [...], group: {...}}]
+          val groups = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Any], scala.collection.mutable.ListBuffer[
+              org.apache.spark.sql.Row]]
+          rows.foreach { r =>
+            groups.getOrElseUpdate(grpBy.map(a => r.getAs[Any](a)),
+              scala.collection.mutable.ListBuffer.empty) += r
+          }
+          ok(JArray(groups.toList.map { case (key, rs) =>
+            ("measures" -> triplesOf(rs.toSeq)) ~
+              ("group" -> JObject(grpBy.zip(key).toList.map {
+                case (a, v) => a -> anyJ(v) }))
+          }))
+        }
 
       // -------------------------------------------------- wire protocols
       // InfluxDB compatibility handshake (rest/influxdb.py:106-139):

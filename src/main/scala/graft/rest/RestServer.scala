@@ -4,7 +4,6 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import org.json4s.JNothing
-import org.json4s.jackson.JsonMethods
 
 /** Wire binding for [[RestApi]] on the JDK's built-in HTTP server (the
   * reference runs a WSGI app, rest/app.py; here the server is a thin
@@ -49,13 +48,20 @@ class RestServer(api: RestApi) {
         val resp =
           try {
             val body = ex.getRequestBody.readAllBytes()
+            // REPEATED keys (?groupby=a&groupby=b, ?attrs=x&attrs=y,
+            // ?sort=..&sort=..) comma-join in order — the dispatcher's
+            // list-valued params split on "," (the reference's
+            // arg_to_list surface); single-occurrence values are
+            // untouched, so commas inside e.g. ?filter= survive
             val query = Option(ex.getRequestURI.getRawQuery)
               .map(_.split("&").toSeq.filter(_.nonEmpty).map { kv =>
                 kv.split("=", 2) match {
                   case Array(k, v) => decode(k) -> decode(v)
                   case Array(k)    => decode(k) -> ""
                 }
-              }.toMap).getOrElse(Map.empty[String, String])
+              }.groupBy(_._1).view
+                .mapValues(_.map(_._2).mkString(",")).toMap)
+              .getOrElse(Map.empty[String, String])
             // basic-auth user → the dispatcher's creator (the
             // reference's auth_helper surface; password unchecked —
             // identification, not authentication, as gnocchi's own
@@ -88,8 +94,7 @@ class RestServer(api: RestApi) {
           }
         val bytes = resp.body match {
           case JNothing => Array.empty[Byte]
-          case b => JsonMethods.compact(JsonMethods.render(b))
-            .getBytes(StandardCharsets.UTF_8)
+          case b => RestApi.renderJson(b).getBytes(StandardCharsets.UTF_8)
         }
         if (bytes.nonEmpty)
           ex.getResponseHeaders.add("Content-Type", "application/json")

@@ -419,6 +419,102 @@ class RestSpec extends SparkSpec {
     assert(api.dispatch("GET", "/v1/resource_type/instance").status === 404)
   }
 
+  test("legacy /v1/aggregation/resource route: body-is-filter-tree, " +
+      "?filter=, groupby list, no-granularity = every common " +
+      "granularity coarse->fine (gabbits/resource-aggregation.yaml)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "300"},
+          {"granularity": "1"}], "aggregation_methods": ["mean"]}""")
+    // the gabbi fixture: three resources, shared user, projects A,A,B
+    val vals = Map("m1" -> (43.1, 12.0), "m2" -> (23.0, 8.0),
+      "m3" -> (230.0, 45.41))
+    for ((m, (v1, v2)) <- vals) {
+      api.dispatch("POST", "/v1/metric",
+        body = s"""{"id": "$m", "archive_policy_name": "low"}""")
+      api.dispatch("POST", s"/v1/metric/$m/measures", body =
+        s"""[{"timestamp": "2015-03-06T14:33:57Z", "value": $v1},
+             {"timestamp": "2015-03-06T14:34:12Z", "value": $v2}]""")
+    }
+    g.process()
+    g.setResources(Seq(("r1", "A", "U"), ("r2", "A", "U"), ("r3", "B", "U"))
+      .toDF("id", "project_id", "user_id"))
+    g.setMetrics(Seq(("m1", "r1", "cpu.util"), ("m2", "r2", "cpu.util"),
+      ("m3", "r3", "cpu.util")).toDF("metric_id", "resource_id", "name"))
+    // groupby + body filter tree + NO granularity → both policy
+    // granularities, coarse first (the gabbi golden values)
+    val grouped = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/cpu.util",
+      query = Map("groupby" -> "project_id"),
+      body = """{"=": {"user_id": "U"}}""")
+    assert(grouped.status === 200)
+    val arr = grouped.body.asInstanceOf[JArray].arr
+    assert(arr.map(_ \ "group") === List(
+      JObject("project_id" -> JString("A")),
+      JObject("project_id" -> JString("B"))))
+    def triples(i: Int) = (arr(i) \ "measures").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JArray].arr).map { t =>
+        (t(1), t(2)) match {
+          case (JDouble(gr), JDouble(v)) => (gr, v)
+          case other => fail(s"bad triple tail: $other")
+        }
+      }
+    def close(got: Seq[(Double, Double)], want: Seq[(Double, Double)]) =
+      got.size == want.size && got.zip(want).forall { case ((g1, v1), (g2, v2)) =>
+        g1 == g2 && math.abs(v1 - v2) < 1e-9 }
+    // the gabbi golden values (aggregates-with-resources fixture data)
+    assert(close(triples(0), Seq((300.0, 21.525), (1.0, 33.05), (1.0, 10.0))))
+    assert(close(triples(1), Seq((300.0, 137.705), (1.0, 230.0), (1.0, 45.41))))
+    // repeated groupby keys (comma-joined at the transport) and the
+    // ?filter= string-DSL form
+    val multi = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/cpu.util",
+      query = Map("groupby" -> "project_id,user_id",
+        "filter" -> "user_id = 'U'", "granularity" -> "300"))
+    assert(multi.body.asInstanceOf[JArray].arr.map(_ \ "group") === List(
+      JObject("project_id" -> JString("A"), "user_id" -> JString("U")),
+      JObject("project_id" -> JString("B"), "user_id" -> JString("U"))))
+    // invalid groupby attribute → 400 (rest/api.py:1700-1703)
+    val bad = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/cpu.util",
+      query = Map("groupby" -> "project_id,thisisdumb"))
+    assert(bad.status === 400)
+    assert((bad.body \ "description").asInstanceOf[JString].s
+      .contains("Invalid groupby attribute"))
+    // ungrouped + granularity → flat triples, as before
+    val flat = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/cpu.util",
+      query = Map("granularity" -> "300"))
+    val fv = flat.body.asInstanceOf[JArray].arr.map(t =>
+      t.asInstanceOf[JArray].arr(2)).collect { case JDouble(v) => v }
+    assert(fv.size === 1)
+    assert(math.abs(fv.head - (27.55 + 15.5 + 137.705) / 3) < 1e-9)
+  }
+
+  test("root version document, healthcheck, resource index page, and " +
+      "status?details=False (gabbits/base.yaml, healthcheck.yaml)") {
+    val s = spark
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    val root = api.dispatch("GET", "/")
+    assert((root.body \ "versions")(0) \ "id" === JString("v1.0"))
+    assert((root.body \ "versions")(0) \ "status" === JString("CURRENT"))
+    assert(api.dispatch("GET", "/healthcheck").status === 200)
+    val idx = api.dispatch("GET", "/v1/resource/")
+    assert(idx.body \ "generic" === JString("/v1/resource/generic"))
+    val st = api.dispatch("GET", "/v1/status")
+    assert((st.body \ "storage").asInstanceOf[JObject].obj.size === 2)
+    val nodet = api.dispatch("GET", "/v1/status",
+      query = Map("details" -> "False"))
+    assert((nodet.body \ "storage").asInstanceOf[JObject].obj.size === 1)
+    assert((nodet.body \ "metricd").asInstanceOf[JObject].obj.size === 2)
+  }
+
   test("scoped+grouped aggregates route (search/groupby body form)") {
     val s = spark
     import s.implicits._
@@ -445,10 +541,35 @@ class RestSpec extends SparkSpec {
           "search": "zone in ['east', 'west']",
           "groupby": ["zone"]}""")
     assert(resp.status === 200)
-    val rows = (resp.body \ "measures").asInstanceOf[JArray].arr
-      .map(r => (r \ "zone", r \ "value"))
-    assert(rows === List(
-      (JString("east"), JDouble(10.0)), (JString("west"), JDouble(30.0))))
+    // reference grouped shape (rest/aggregates/api.py:653-672 +
+    // gabbits/aggregates-with-resources.yaml): a LIST of
+    // {group: {...}, measures: {measures: {aggregated: [[ts,g,v]...]}}}
+    val groups = resp.body.asInstanceOf[JArray].arr
+    assert(groups.map(_ \ "group") === List(
+      JObject("zone" -> JString("east")), JObject("zone" -> JString("west"))))
+    assert(groups.map(e =>
+        (e \ "measures" \ "measures" \ "aggregated").asInstanceOf[JArray]
+          .arr.map(t => t.asInstanceOf[JArray].arr(2))) ===
+      List(List(JDouble(10.0)), List(JDouble(30.0))))
+    // details=true attaches each group's matched resources
+    val det = api.dispatch("POST", "/v1/aggregates",
+      query = Map("details" -> "true"), body =
+      """{"operations": "(aggregate sum (metric mem.used mean))",
+          "granularity": 300,
+          "search": "zone in ['east', 'west']",
+          "groupby": ["zone"]}""")
+    assert(det.body.asInstanceOf[JArray].arr.map(e =>
+        (e \ "measures" \ "references").asInstanceOf[JArray].arr
+          .map(_ \ "id")) ===
+      List(List(JString("r1")), List(JString("r2"))))
+    // a search matching nothing 404s with the referenced metric names
+    // (api.py:602-606)
+    val none = api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": "(aggregate sum (metric mem.used mean))",
+          "granularity": 300,
+          "search": "zone = 'nowhere'",
+          "groupby": ["zone"]}""")
+    assert(none.status === 404)
   }
 
   test("use_history=true groups by the attribute's revision windows " +
@@ -485,10 +606,73 @@ class RestSpec extends SparkSpec {
           "search": "zone in ['east', 'west']",
           "groupby": ["zone"]}""")
     assert(resp.status === 200)
-    val rows = (resp.body \ "measures").asInstanceOf[JArray].arr
-      .map(r => (r \ "zone", r \ "value"))
-    assert(rows === List(
-      (JString("east"), JDouble(10.0)), (JString("west"), JDouble(30.0))))
+    val groups = resp.body.asInstanceOf[JArray].arr
+    assert(groups.map(_ \ "group") === List(
+      JObject("zone" -> JString("east")), JObject("zone" -> JString("west"))))
+    assert(groups.map(e =>
+        (e \ "measures" \ "measures" \ "aggregated").asInstanceOf[JArray]
+          .arr.map(t => t.asInstanceOf[JArray].arr(2))) ===
+      List(List(JDouble(10.0)), List(JDouble(30.0))))
+  }
+
+  test("use_history=true takes a groupby LIST and an arbitrary " +
+      "aggregated tree (Grouper, rest/aggregates/api.py:674-682; " +
+      "group key tuple :191-194); edge-straddling buckets weight " +
+      "fractionally") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "300"}],
+          "aggregation_methods": ["mean"]}""")
+    for (m <- Seq("u1", "u2")) {
+      api.dispatch("POST", "/v1/metric",
+        body = s"""{"id": "$m", "archive_policy_name": "low"}""")
+      // one measure per 5-min bucket at :30, :35, :40
+      api.dispatch("POST", s"/v1/metric/$m/measures", body =
+        s"""[{"timestamp": "2015-03-06T14:30:00Z", "value": 10.0},
+             {"timestamp": "2015-03-06T14:35:00Z", "value": 20.0},
+             {"timestamp": "2015-03-06T14:40:00Z", "value": 40.0}]""")
+    }
+    g.process()
+    g.setMetrics(Seq(("u1", "r1", "load"), ("u2", "r1", "temp"))
+      .toDF("metric_id", "resource_id", "name"))
+    def t(x: String) = java.sql.Timestamp.from(java.time.Instant.parse(x))
+    // zone flips MID-BUCKET (14:37:30) → that bucket splits 50/50; env
+    // is the second groupby attribute and never changes
+    g.setResourceHistory(Seq(
+      ("r1", "east", "prod", t("2015-03-06T00:00:00Z"),
+        Option(t("2015-03-06T14:37:30Z"))),
+      ("r1", "west", "prod", t("2015-03-06T14:37:30Z"),
+        Option.empty[java.sql.Timestamp]))
+      .toDF("id", "zone", "env", "revision_start", "revision_end"))
+    val resp = api.dispatch("POST", "/v1/aggregates",
+      query = Map("use_history" -> "true"),
+      body = """{"operations":
+            "(+ (aggregate mean (metric load mean)) (aggregate mean (metric temp mean)))",
+          "granularity": 300,
+          "search": "env = 'prod'",
+          "groupby": ["zone", "env"]}""")
+    assert(resp.status === 200)
+    val groups = resp.body.asInstanceOf[JArray].arr
+    // groupby attrs are sorted (api.py:557): key order env, zone
+    assert(groups.map(_ \ "group") === List(
+      JObject("env" -> JString("prod"), "zone" -> JString("east")),
+      JObject("env" -> JString("prod"), "zone" -> JString("west"))))
+    def triples(i: Int) =
+      (groups(i) \ "measures" \ "measures" \ "aggregated")
+        .asInstanceOf[JArray].arr.map(_.asInstanceOf[JArray].arr)
+    // tree value per bucket = load + temp = 20, 40, 80
+    // east: [14:30 full) 20, [14:35 half) 40*0.5=20
+    assert(triples(0).map(x => (x(0), x(2))) === List(
+      (JString("2015-03-06T14:30:00Z"), JDouble(20.0)),
+      (JString("2015-03-06T14:35:00Z"), JDouble(20.0))))
+    // west: [14:35 half) 40*0.5=20, [14:40 full) 80
+    assert(triples(1).map(x => (x(0), x(2))) === List(
+      (JString("2015-03-06T14:35:00Z"), JDouble(20.0)),
+      (JString("2015-03-06T14:40:00Z"), JDouble(80.0))))
   }
 
   test("search-scoped non-aggregated aggregates fan out per resource " +
@@ -1296,15 +1480,18 @@ class RestSpec extends SparkSpec {
     assert(vals("min") === List(3.0))                // min ignores NaN
     assert(vals("count") === List(2.0))              // count counts it
     // and the wire round-trips: bare NaN in, bare NaN out (python
-    // json.dumps emits NaN unquoted)
-    val rendered = JsonMethods.compact(JsonMethods.render(
-      JArray(List(JDouble(Double.NaN)))))
-    assert(rendered === "[NaN]")
-    assert(JsonMethods.parse("[NaN]") match {
+    // json.dumps emits NaN unquoted) — on the REST door's DEDICATED
+    // mapper; the process-global json4s mapper stays stock (other
+    // json4s consumers in the JVM must not see NaN literals)
+    assert(RestApi.renderJson(JArray(List(JDouble(Double.NaN)))) === "[NaN]")
+    assert(RestApi.parseJson("[NaN]") match {
       case JArray(List(JDouble(v))) => v.isNaN
       case JArray(List(JDecimal(_))) => false
       case _ => false
     })
+    assert(JsonMethods.compact(JsonMethods.render(
+      JArray(List(JDouble(Double.NaN))))) === "[\"NaN\"]")
+    intercept[Exception](JsonMethods.parse("[NaN]"))
   }
 
   test("influx write accepts a chunked Transfer-Encoding body " +
