@@ -552,16 +552,89 @@ object Bench {
           }
       }
 
+    // ---- scale invariants: oracle-free empirical checks of the 100x
+    // scale claims on the amplified corpus (the sf sidecars are maxed —
+    // this is the first measured point past them). Values are the
+    // measured quantity when the assertion HOLDS and 1e9 when it
+    // fails, so a broken invariant reads as a regression:
+    //  * inv_dd2_max_raw_bucket — largest (band,bucket) population
+    //    BEFORE the cap at 32x; must stay <= maxBucket (cap never
+    //    engaged => zero candidates silently dropped).
+    //  * inv_dd2_candidate_ratio — LSH candidate pairs 32x / 1x; the
+    //    collapse-first design makes candidates track DISTINCT content,
+    //    not rows, so the ratio must stay near 1 (bound 4).
+    //  * inv_spill_bytes — task spill (memory+disk) across the dd2
+    //    stats + dd6/es1/sd1 runs at 32x; must be exactly 0.
+    //  * inv_runtime_ratio — worst of dd6/es1/sd1 t(32x)/t(1x); must
+    //    sit inside a linear envelope (<= 40x, or 10 s absolute) —
+    //    a quadratic blow-up reads ~1000x here.
+    val invariants: Seq[(String, Double)] =
+      if (scaleF <= 1 || !selected("scale_invariants")) Nil
+      else {
+        val scaleDir = s"/tmp/graft-bench-scale-${scaleF}x"
+        sess = freshSession()
+        val spilled = new java.util.concurrent.atomic.AtomicLong(0)
+        sess.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = te.taskMetrics
+              if (m != null)
+                spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            }
+          })
+        def docs(d: String) = sess.read.parquet(s"$d/documents.parquet")
+        def em(d: String) = sess.read.parquet(s"$d/embeddings.parquet")
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        val s1 = graft.llm.DedupDiag.lshCandidateStats(docs(sfDir))
+        val sN = graft.llm.DedupDiag.lshCandidateStats(docs(scaleDir))
+        System.err.println(s"[bench] invariants: lsh stats 1x=$s1 ${scaleF}x=$sN")
+        def t(name: String)(f: => DataFrame): Double =
+          measure(name, () => noop(f))
+        val dd6r = t("inv_dd6_32x")(graft.llm.Dedup.fuzzyClusters(
+            docs(scaleDir), n = 3, numHashes = 64, bands = 16, threshold = 0.4)) /
+          math.max(t("inv_dd6_1x")(graft.llm.Dedup.fuzzyClusters(
+            docs(sfDir), n = 3, numHashes = 64, bands = 16, threshold = 0.4)), 0.25)
+        val es1r = t("inv_es1_32x")(graft.llm.Dedup.removeRepeatedSpans(
+            docs(scaleDir), w = 5)) /
+          math.max(t("inv_es1_1x")(graft.llm.Dedup.removeRepeatedSpans(
+            docs(sfDir), w = 5)), 0.25)
+        val sd1r = t("inv_sd1_32x")(graft.llm.Dedup.semDedup(em(scaleDir),
+            nClusters = 256, threshold = 0.95, iters = 2, sampleMod = 8)) /
+          math.max(t("inv_sd1_1x")(graft.llm.Dedup.semDedup(em(sfDir),
+            nClusters = 256, threshold = 0.95, iters = 2, sampleMod = 8)), 0.25)
+        val runtimeRatio = Seq(dd6r, es1r, sd1r).max
+        val candRatio =
+          sN.candidatePairs.toDouble / math.max(s1.candidatePairs, 1L)
+        Seq(
+          "inv_dd2_max_raw_bucket" ->
+            (if (sN.maxRawBucket <= 100000L) sN.maxRawBucket.toDouble else 1e9),
+          "inv_dd2_candidate_ratio" ->
+            (if (candRatio <= 4.0) candRatio else 1e9),
+          "inv_spill_bytes" ->
+            (if (spilled.get() == 0L) 0.0 else 1e9),
+          "inv_runtime_ratio" ->
+            (if (runtimeRatio <= 40.0) runtimeRatio else 1e9))
+      }
+    val invariantsOk = invariants.nonEmpty && invariants.forall(_._2 < 1e9)
+    invariants.foreach { case (k, v) =>
+      System.err.println(f"[bench] invariant $k = $v%.3f" +
+        (if (v >= 1e9) "  *** FAILED ***" else ""))
+    }
+
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val scaleTotal = scaleResults.filterNot(_._1 == "scale_amplify_write")
       .map(_._2).sum
+    val invJson =
+      if (invariants.isEmpty) ""
+      else s""","invariants":${jmap(invariants)},"invariants_ok":$invariantsOk"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jmap(results)},"sf":"$sfDir",""" +
       s""""scale":{"factor":$scaleF,"total":$scaleTotal,""" +
-      s""""queries":${jmap(scaleResults)}}}"""
+      s""""queries":${jmap(scaleResults)}}$invJson}"""
     // Full per-query JSON goes to a FILE (it is ~4 KB at 125 queries —
     // larger than the gate driver's 2 KB stdout-tail capture, which is
     // how BENCH_r05 ended up `parsed: null`), plus stdout for humans.
@@ -582,7 +655,9 @@ object Bench {
       s""""query_count":${results.size},"full":"$outPath",""" +
       s""""scale":{"factor":$scaleF,"total":$scaleTotal,""" +
       s""""queries":${jmap(top(scaleResults, 8))},""" +
-      s""""query_count":${scaleResults.size}}}"""
+      s""""query_count":${scaleResults.size}}""" +
+      (if (invariants.isEmpty) "}"
+       else s""","invariants_ok":$invariantsOk}""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_summary.json"),
       (compact + "\n").getBytes("UTF-8"))

@@ -188,6 +188,10 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       // close. Under staleMs no breaker may act, so check-then-delete
       // is race-free there.
       if (System.currentTimeMillis() - acquiredAt > staleMs) {
+        // counted so operators SEE a misconfigured lockStaleMs (every
+        // over-stale batch leaks one lock file) — surfaced through
+        // /v1/status metricd.statistics
+        MetricStore.lockLeaks.incrementAndGet()
         System.err.println(
           s"[graft] WARN: this batch held store lock $lock longer than " +
             s"lockStaleMs=${staleMs}ms — leaving the lock for the next " +
@@ -932,6 +936,13 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
 }
 
 object MetricStore {
+  /** Store-lock files left behind by over-stale holds (release
+    * deliberately leaves the lock for the successor's stale break) —
+    * process-wide, so /v1/status can surface a misconfigured
+    * lockStaleMs instead of it only WARNing into a log.
+    */
+  val lockLeaks = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Partition-directory escaping, exactly as Spark's write path does
     * it (`method=rate:mean` lands as `method=rate%3Amean`). Every
     * hand-built partition path MUST go through this. */

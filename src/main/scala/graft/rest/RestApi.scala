@@ -553,10 +553,14 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           if (q.get("details").exists(_.equalsIgnoreCase("false"))) summary
           else summary ~ ("measures_to_process" -> JObject(
             st.toList.sortBy(_._1).map { case (m, n) => m -> JInt(n) }))
+        // lock_leaks: store-lock files left by over-stale batch holds
+        // (MetricStore.withStoreLock release path) — a nonzero count
+        // means lockStaleMs is below the longest batch
         ok(("storage" -> storage) ~
           ("metricd" -> (
             ("processors" -> JNull) ~
-            ("statistics" -> JObject(Nil)))))
+            ("statistics" -> JObject(List("lock_leaks" ->
+              JInt(BigInt(graft.ingest.MetricStore.lockLeaks.get()))))))))
 
       // -------------------------------------------------- archive policies
       case ("POST", List("v1", "archive_policy")) =>

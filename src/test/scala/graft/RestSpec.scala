@@ -127,7 +127,10 @@ class RestSpec extends SparkSpec {
     val st = api.dispatch("GET", "/v1/status")
     assert(st.status === 200)
     assert(st.body \ "metricd" \ "processors" === JNull)
-    assert(st.body \ "metricd" \ "statistics" === JObject(Nil))
+    // statistics carries the engine's own counters (lock_leaks) —
+    // shape-wise the reference's dict, content engine-specific
+    assert((st.body \ "metricd" \ "statistics" \ "lock_leaks")
+      .isInstanceOf[JInt])
   }
 
   test("unknown metric and bad input map to 404/400") {
@@ -493,6 +496,29 @@ class RestSpec extends SparkSpec {
       t.asInstanceOf[JArray].arr(2)).collect { case JDouble(v) => v }
     assert(fv.size === 1)
     assert(math.abs(fv.head - (27.55 + 15.5 + 137.705) / 3) < 1e-9)
+  }
+
+  test("over-stale lock holds count as lock_leaks in /v1/status " +
+      "metricd statistics (misconfigured lockStaleMs is observable)") {
+    val s = spark
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "300"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "lk1", "archive_policy_name": "low"}""")
+    api.dispatch("POST", "/v1/metric/lk1/measures", body =
+      """[{"timestamp": "2015-03-06T14:33:00Z", "value": 1.0}]""")
+    val before = graft.ingest.MetricStore.lockLeaks.get()
+    s.conf.set("spark.graft.ingest.lockStaleMs", "0")
+    try g.process() // any real batch outlives a 0 ms staleness bound
+    finally s.conf.unset("spark.graft.ingest.lockStaleMs")
+    val st = api.dispatch("GET", "/v1/status")
+    val leaks = (st.body \ "metricd" \ "statistics" \ "lock_leaks")
+      .asInstanceOf[JInt].num
+    assert(leaks >= BigInt(before + 1))
   }
 
   test("root version document, healthcheck, resource index page, and " +
