@@ -131,25 +131,68 @@ class Graft(val spark: SparkSession, root: String) {
 
   def metricUnitOf(id: String): Option[String] = metricUnit.get(id)
 
+  // creator is recorded by the REST door (the reference's auth_helper
+  // value lands on the metric row, rest/api.py MetricsController.post)
+  private val metricCreator = scala.collection.concurrent.TrieMap[String, String]()
+
+  def setMetricCreator(id: String, creator: String): Unit =
+    metricCreator(id) = creator
+
+  def metricCreatorOf(id: String): Option[String] = metricCreator.get(id)
+
+  /** Bulk metric-id → catalog name map (one driver-bounded collect —
+    * the listing door must not collect per row). Empty without a
+    * registered catalog. */
+  def metricNames: Map[String, String] =
+    metricsCatalog.map(_.select("metric_id", "name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap)
+      .getOrElse(Map.empty)
+
   // @volatile immutable snapshot: the daemon flush threads read rules
-  // through createMetric -> rulePolicy while the HTTP thread mutates
-  @volatile private var policyRules = Vector.empty[(String, String)]
+  // through createMetric -> rulePolicy while the HTTP thread mutates.
+  // Rules are NAMED entities (name, metric_pattern, archive_policy):
+  // the REST routes key on the name, matching keys on the pattern
+  // (rest/api.py ArchivePolicyRulesController).
+  @volatile private var policyRules = Vector.empty[(String, String, String)]
 
   /** R9 archive-policy rules (indexer/__init__.py:460-466): glob
     * pattern → policy; metric creation without an explicit policy takes
-    * the LONGEST matching pattern.
+    * the LONGEST matching pattern. The rule NAME is unique
+    * (indexer ArchivePolicyRuleAlreadyExists).
     */
-  def createPolicyRule(pattern: String, policyName: String): Unit = {
+  def createPolicyRule(name: String, pattern: String,
+                       policyName: String): Unit = {
     GraftError.found(policies.contains(policyName), s"no policy $policyName")
-    stagingLock.synchronized { policyRules :+= ((pattern, policyName)) }
+    stagingLock.synchronized {
+      require(!policyRules.exists(_._1 == name),
+        s"Archive policy rule $name already exists.")
+      policyRules :+= ((name, pattern, policyName))
+    }
   }
+
+  /** Name-defaults-to-pattern shorthand (facade callers). */
+  def createPolicyRule(pattern: String, policyName: String): Unit =
+    createPolicyRule(pattern, pattern, policyName)
+
+  /** PATCH /v1/archive_policy_rule/<name>: rename
+    * (rest/api.py ArchivePolicyRuleController.patch — name is the only
+    * mutable field; a taken target name is a client error).
+    */
+  def renamePolicyRule(name: String, newName: String): Unit =
+    stagingLock.synchronized {
+      val i = policyRules.indexWhere(_._1 == name)
+      GraftError.found(i >= 0, s"no archive policy rule $name")
+      require(!policyRules.exists(_._1 == newName),
+        s"Archive policy rule $newName already exists.")
+      policyRules = policyRules.updated(i, policyRules(i).copy(_1 = newName))
+    }
 
   /** Longest-matching-rule policy for a metric name
     * (indexer/__init__.py:460-466). */
   private def rulePolicy(metricName: String): String = policyRules
-    .filter { case (p, _) => graft.catalog.Fnmatch.matches(p, metricName) }
-    .sortBy { case (p, _) => (-p.length, p) }
-    .headOption.map(_._2).getOrElse(GraftError.notFound(
+    .filter { case (_, p, _) => graft.catalog.Fnmatch.matches(p, metricName) }
+    .sortBy { case (_, p, _) => (-p.length, p) }
+    .headOption.map(_._3).getOrElse(GraftError.notFound(
       s"no archive policy rule matches metric $metricName"))
 
   /** Create a metric letting the rules pick the policy. */
@@ -174,15 +217,16 @@ class Graft(val spark: SparkSession, root: String) {
     policies.remove(name)
   }
 
-  /** GET /v1/archive_policy_rule — rules in match-precedence order
-    * (longest pattern first, the order [[rulePolicy]] applies them).
+  /** GET /v1/archive_policy_rule — (name, pattern, policy) rules in
+    * match-precedence order (longest pattern first, the order
+    * [[rulePolicy]] applies them).
     */
-  def listPolicyRules: Seq[(String, String)] =
-    policyRules.toSeq.sortBy { case (p, _) => (-p.length, p) }
+  def listPolicyRules: Seq[(String, String, String)] =
+    policyRules.toSeq.sortBy { case (_, p, _) => (-p.length, p) }
 
-  def deletePolicyRule(pattern: String): Unit = stagingLock.synchronized {
-    val i = policyRules.indexWhere(_._1 == pattern)
-    GraftError.found(i >= 0, s"no archive policy rule $pattern")
+  def deletePolicyRule(name: String): Unit = stagingLock.synchronized {
+    val i = policyRules.indexWhere(_._1 == name)
+    GraftError.found(i >= 0, s"no archive policy rule $name")
     policyRules = policyRules.patch(i, Nil, 1)
   }
 
@@ -509,10 +553,17 @@ class Graft(val spark: SparkSession, root: String) {
       refreshFirst: Boolean = false): Seq[(java.sql.Timestamp, Long, Double)] = {
     if (refreshFirst) refresh(metricId)
     val pol = policies(metricPolicy(metricId))
-    val grans = granS.map(Seq(_)).getOrElse(
-      pol.definition.map(_.granularity).collect {
-        case Granularity.Fixed(ns) => ns / 1_000_000_000L
-      }.sorted.reverse) // coarse first (rest/api.py:510-517)
+    val polGrans = pol.definition.map(_.granularity).collect {
+      case Granularity.Fixed(ns) => ns / 1_000_000_000L
+    }.sorted.reverse // coarse first (rest/api.py:510-517)
+    // a granularity the policy never stored is the reference's
+    // GranularityDoesNotExist → 404 (rest/api.py:517-521;
+    // gabbits/metric-granularity.yaml "invalid granularity"), not an
+    // empty 200
+    for (g <- granS if !polGrans.contains(g))
+      GraftError.notFound(
+        s"Granularity '$g' for metric $metricId does not exist")
+    val grans = granS.map(Seq(_)).getOrElse(polGrans)
     grans.flatMap { g =>
       storeOf(pol.name)
         .getMeasures(metricId, method, g,
@@ -918,6 +969,7 @@ class Graft(val spark: SparkSession, root: String) {
     storeOf(metricPolicy(metricId)).expungeMetric(metricId)
     metricPolicy.remove(metricId)
     metricUnit.remove(metricId)
+    metricCreator.remove(metricId)
     dropFromMetricsCatalog(Seq(metricId))
   }
 
@@ -947,7 +999,9 @@ class Graft(val spark: SparkSession, root: String) {
     ids.groupBy(metricPolicy).foreach { case (pol, group) =>
       storeOf(pol).expungeMetrics(group)
     }
-    ids.foreach { id => metricPolicy.remove(id); metricUnit.remove(id) }
+    ids.foreach { id =>
+      metricPolicy.remove(id); metricUnit.remove(id); metricCreator.remove(id)
+    }
     dropFromMetricsCatalog(ids)
   }
 
@@ -1208,6 +1262,14 @@ class Graft(val spark: SparkSession, root: String) {
     * side of resources (indexer metric table, sqlalchemy_base.py:79-122).
     */
   def setMetrics(df: DataFrame): Unit = metricsCatalog = Some(df)
+
+  /** Metric NAME from the catalog (None for standalone metrics or when
+    * no catalog is registered) — the `name` field the reference's
+    * aggregates `references` block carries. Driver-bounded lookup.
+    */
+  def metricNameOf(id: String): Option[String] =
+    metricsCatalog.flatMap(_.filter(col("metric_id") === id)
+      .select("name").collect().headOption.map(_.getString(0)))
 
   /** Resolve a resource's NAMED metric to its metric id
     * (GET /v1/resource/<type>/<id>/metric/<name>/..., the indexer's

@@ -249,6 +249,12 @@ object Fnmatch {
 object Pagination {
   def apply(df: DataFrame, sorts: Seq[(String, Boolean)], uniqueKey: String,
             marker: Option[Any], limit: Int, maxLimit: Int = 1000): DataFrame = {
+    // an unknown sort attribute must be a clean client error (the
+    // reference 400s, gabbits/pagination.yaml "invalid sort key"), not
+    // an AnalysisException surfacing as a 500
+    sorts.collectFirst { case (k, _) if !df.columns.contains(k) => k }
+      .foreach(k => throw new IllegalArgumentException(
+        s"Invalid sort key: $k"))
     val withTie =
       if (sorts.exists(_._1 == uniqueKey)) sorts
       else sorts :+ (uniqueKey -> true)

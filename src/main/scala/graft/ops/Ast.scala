@@ -110,7 +110,12 @@ object Parser {
             }
           }
           require(cur.headOption.contains(")"), "unclosed (metric ...)")
-          (MetricLeaf(refs.toSeq), cur.tail)
+          // duplicate refs collapse at extraction, as the reference's
+          // ReferencesList OrderedSet (rest/aggregates/api.py:142-152;
+          // evaluate() then selects each matching column once,
+          // operations.py:356-360) — a kept duplicate would also make
+          // the pivoted grid column name ambiguous
+          (MetricLeaf(refs.toSeq.distinct), cur.tail)
         case m :: a :: ")" :: tail => (MetricLeaf(Seq((m, a))), tail)
         case _ => throw new IllegalArgumentException(s"bad metric leaf: $rest")
       }
@@ -175,7 +180,8 @@ object Parser {
               s"bad metric ref: $other")
           }
         }
-        MetricLeaf(refs)
+        // same ReferencesList dedupe as the string form
+        MetricLeaf(refs.distinct)
       case JArray(JString("aggregate") :: JString(agg) :: sub :: Nil) =>
         AggAcross(agg, fromJson(sub))
       case JArray(JString("rolling") :: JString(agg) :: w :: sub :: Nil) =>

@@ -379,6 +379,49 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     case other                  => JString(other.toString)
   }
 
+  private def ruleJson(r: (String, String, String)): JValue =
+    ("name" -> r._1) ~ ("metric_pattern" -> r._2) ~
+      ("archive_policy_name" -> r._3)
+
+  /** `?attrs=a,b` projection over a JSON row page (rest/api.py:
+    * 1219-1223 jsonify params): keep the listed attributes plus `id`;
+    * unknown names simply project away (gabbits/search.yaml accepts
+    * bogus attrs).
+    */
+  private def attrsProject(page: JValue, q: Map[String, String]): JValue =
+    q.get("attrs") match {
+      case Some(attrs) =>
+        val keep = attrs.split(",").map(_.trim).toSet + "id"
+        page match {
+          case JArray(rows) => JArray(rows.map {
+            case JObject(fields) => JObject(fields.filter(f => keep(f._1)))
+            case other => other
+          })
+          case other => other
+        }
+      case None => page
+    }
+
+  /** `key[:dir][,key[:dir]…]` sort syntax (rest/api.py sort params;
+    * repeated ?sort= keys arrive comma-joined). Directions follow the
+    * reference's `asc|desc[-nullsfirst|-nullslast]` grammar; anything
+    * else is a clean 400 (gabbits/pagination.yaml "invalid sort_dir").
+    * Nulls placement rides Spark's defaults (asc = nulls first,
+    * desc = nulls last).
+    */
+  private def parseSorts(s: String): Seq[(String, Boolean)] =
+    s.split(",").toSeq.filter(_.nonEmpty).map { part =>
+      part.split(":", 2) match {
+        case Array(k) => k -> true
+        case Array(k, d) => d match {
+          case "asc" | "asc-nullsfirst" | "asc-nullslast"    => k -> true
+          case "desc" | "desc-nullsfirst" | "desc-nullslast" => k -> false
+          case other => throw new IllegalArgumentException(
+            s"Invalid sort direction: $other")
+        }
+      }
+    }
+
   /** DataFrame → JSON rows (REST-page sized by contract). */
   private def frameJson(df: org.apache.spark.sql.DataFrame, limit: Int): JValue =
     JArray(df.limit(limit).toJSON.collect().toList.map(JsonMethods.parse(_)))
@@ -597,35 +640,79 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         g.updatePolicy(name, items)
         ok(policyJson(g.policies(name)))
 
+      // rules are NAMED entities routed by name; the pattern is a
+      // matching attribute (rest/api.py ArchivePolicyRule{s,}Controller,
+      // gabbits/archive-rule.yaml). Name defaults to the pattern for
+      // bodies that omit it (a lenient superset of the required field).
       case ("POST", List("v1", "archive_policy_rule")) =>
         enforceAdmin(creator)
         val b = body()
-        g.createPolicyRule(jstr(b \ "metric_pattern"),
-          jstr(b \ "archive_policy_name"))
-        created(("metric_pattern" -> jstr(b \ "metric_pattern")) ~
-          ("archive_policy_name" -> jstr(b \ "archive_policy_name")))
+        val pat = jstr(b \ "metric_pattern")
+        val name = b \ "name" match { case JString(n) => n; case _ => pat }
+        g.createPolicyRule(name, pat, jstr(b \ "archive_policy_name"))
+        created(ruleJson((name, pat, jstr(b \ "archive_policy_name"))))
 
       case ("GET", List("v1", "archive_policy_rule")) =>
-        ok(JArray(g.listPolicyRules.toList.map { case (pat, pol) =>
-          ("metric_pattern" -> pat) ~ ("archive_policy_name" -> pol)
-        }))
+        ok(JArray(g.listPolicyRules.toList.map(ruleJson)))
 
-      case ("GET", List("v1", "archive_policy_rule", pattern)) =>
-        g.listPolicyRules.find(_._1 == pattern) match {
-          case Some((pat, pol)) =>
-            ok(("metric_pattern" -> pat) ~ ("archive_policy_name" -> pol))
-          case None => err(404, s"no archive policy rule $pattern")
+      case ("GET", List("v1", "archive_policy_rule", name)) =>
+        g.listPolicyRules.find(_._1 == name) match {
+          case Some(r) => ok(ruleJson(r))
+          case None => err(404, s"no archive policy rule $name")
         }
 
-      case ("DELETE", List("v1", "archive_policy_rule", pattern)) =>
+      // rename — name is the only mutable field; a missing name in the
+      // body is a 400 (gabbits/archive-rule.yaml "missing name")
+      case ("PATCH", List("v1", "archive_policy_rule", name)) =>
         enforceAdmin(creator)
-        g.deletePolicyRule(pattern); noContent
+        val newName = jstr(body() \ "name")
+        g.renamePolicyRule(name, newName)
+        ok(ruleJson(g.listPolicyRules.find(_._1 == newName).get))
+
+      case ("DELETE", List("v1", "archive_policy_rule", name)) =>
+        enforceAdmin(creator)
+        g.deletePolicyRule(name); noContent
 
       // -------------------------------------------------- metrics
       case ("GET", List("v1", "metric")) =>
-        val all = g.listMetrics
+        // attribute filters + sort + keyset marker (rest/api.py
+        // MetricsController.get_all; gabbits/metric-list.yaml:
+        // ?name= ?unit= ?creator= ?id= ?archive_policy_name=
+        // &sort=name:desc&limit=&marker=)
+        val names = g.metricNames // one catalog collect; standalone
+        def nameOf(id: String) = names.getOrElse(id, id)
+        var rows: Seq[(String, String)] = g.listMetrics // (id, policy)
+        for (v <- q.get("id")) rows = rows.filter(_._1 == v)
+        for (v <- q.get("name")) rows = rows.filter(r => nameOf(r._1) == v)
+        for (v <- q.get("unit"))
+          rows = rows.filter(r => g.metricUnitOf(r._1).contains(v))
+        for (v <- q.get("creator"))
+          rows = rows.filter(r => g.metricCreatorOf(r._1).contains(v))
+        for (v <- q.get("archive_policy_name")) rows = rows.filter(_._2 == v)
+        val sorts = q.get("sort").map(parseSorts).getOrElse(Seq("id" -> true))
+        def keyOf(r: (String, String), k: String): String = k match {
+          case "id" => r._1
+          case "name" => nameOf(r._1)
+          case "unit" => g.metricUnitOf(r._1).getOrElse("")
+          case "creator" => g.metricCreatorOf(r._1).getOrElse("")
+          case "archive_policy_name" => r._2
+          case other => throw new IllegalArgumentException(
+            s"Invalid sort key: $other")
+        }
+        val ord = sorts.foldRight[Ordering[(String, String)]](
+            Ordering.by(_._1)) { case ((k, asc), tie) =>
+          val by = Ordering.by[(String, String), String](keyOf(_, k))
+          val main = if (asc) by else by.reverse
+          (a, b) => { val c = main.compare(a, b)
+            if (c != 0) c else tie.compare(a, b) }
+        }
+        val sorted = rows.sorted(ord)
         val after = q.get("marker") match {
-          case Some(m) => all.dropWhile(_._1 <= m); case None => all
+          case Some(m) =>
+            val i = sorted.indexWhere(_._1 == m)
+            if (i < 0) throw new IllegalArgumentException(s"Invalid marker: $m")
+            sorted.drop(i + 1)
+          case None => sorted
         }
         val limit = q.get("limit").map(_.toInt).getOrElse(100)
         val page = after.take(limit).toList
@@ -636,12 +723,18 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
               ">; rel=\"next\""))
           else Map.empty[String, String]
         ok(JArray(page.map { case (id, pol) =>
-          ("id" -> id) ~ ("archive_policy_name" -> pol)
+          ("id" -> id) ~
+            ("name" -> names.get(id)) ~
+            ("unit" -> g.metricUnitOf(id)) ~
+            ("creator" -> g.metricCreatorOf(id)) ~
+            ("archive_policy_name" -> pol)
         })).copy(headers = hdrs)
 
       case ("GET", List("v1", "metric", id)) =>
         ok(("id" -> id) ~
+          ("name" -> g.metricNameOf(id)) ~
           ("unit" -> g.metricUnitOf(id)) ~
+          ("creator" -> g.metricCreatorOf(id)) ~
           ("archive_policy" -> policyJson(g.policies(g.metricPolicyName(id)))))
 
       case ("POST", List("v1", "metric")) =>
@@ -655,7 +748,9 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           case JString(pol) => g.createMetric(id, pol, unit)
           case _            => g.createMetricRuled(id, unit) // R9 rules
         }
-        created(("id" -> id) ~ ("unit" -> unit))
+        creator.foreach(g.setMetricCreator(id, _))
+        created(("id" -> id) ~ ("unit" -> unit) ~
+          ("creator" -> creator))
 
       case ("DELETE", List("v1", "metric", id)) =>
         enforceAuthed(creator)
@@ -736,7 +831,14 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
               searched.columns.contains("type"))
             searched.filter(org.apache.spark.sql.functions.col("type") === tpe)
           else searched
-        ok(frameJson(scoped, q.get("limit").map(_.toInt).getOrElse(1000)))
+        // ?sort/?marker/?limit keyset-paginate the search page exactly
+        // like the listing route (rest/api.py:1453-1481;
+        // gabbits/search.yaml "search with paging"); ?attrs projects
+        val paged = graft.catalog.Pagination(scoped,
+          q.get("sort").map(parseSorts).getOrElse(Seq("id" -> true)),
+          "id", q.get("marker"),
+          q.get("limit").map(_.toInt).getOrElse(1000))
+        ok(attrsProject(frameJson(paged, Int.MaxValue), q))
 
       case ("POST", List("v1", "search", "metric")) =>
         val ids = q.getOrElse("metric_id",
@@ -752,7 +854,27 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // -------------------------------------------------- aggregates DSL
       case ("POST", List("v1", "aggregates")) =>
         val b = body()
-        val operations = jstr(b \ "operations")
+        // operations arrive as the string DSL OR the nested-list form
+        // (OperationsSchema accepts both; the gabbits use
+        // `["metric", ["<id>", "mean"], ...]` extensively) — the list
+        // form renders to the equivalent s-expression for one parser
+        def opsToSexpr(v: JValue): String = v match {
+          case JArray(items) => items.map(opsToSexpr).mkString("(", " ", ")")
+          case JString(s)    => s
+          case JInt(n)       => n.toString
+          case JLong(n)      => n.toString
+          case JDouble(d)    => d.toString
+          case JDecimal(d)   => d.toString
+          case JBool(x)      => x.toString
+          case other => throw new IllegalArgumentException(
+            s"bad operations node: $other")
+        }
+        val operations = b \ "operations" match {
+          case JString(s) => s
+          case a: JArray  => opsToSexpr(a)
+          case other => throw new IllegalArgumentException(
+            s"operations must be a string or list: $other")
+        }
         // start/stop arrive as query params (rest/aggregates/api.py:515
         // post(self, start=None, stop=None, ...))
         val from = q.get("start").map(parseTs)
@@ -860,6 +982,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
             ("references" -> g.aggregatesReferences(operations)
               .map(_._1).distinct.sorted.map(id =>
                 ("id" -> id) ~
+                  ("name" -> g.metricNameOf(id)) ~
                   ("unit" -> g.metricUnitOf(id)) ~
                   ("archive_policy" ->
                     policyJson(g.policies(g.metricPolicyName(id))))))
@@ -900,13 +1023,8 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // marker, as the reference (rest/api.py:1474-1481) — clients walk
       // pages without re-deriving the marker.
       case ("GET", List("v1", "resource", tpe)) =>
-        val sorts = q.get("sort").map(_.split(",").toSeq.map { s =>
-          s.split(":", 2) match {
-            case Array(k, "desc") => k -> false
-            case Array(k, _)      => k -> true
-            case Array(k)         => k -> true
-          }
-        }).getOrElse(Seq("id" -> true))
+        val sorts = q.get("sort").map(parseSorts)
+          .getOrElse(Seq("id" -> true))
         val limit = q.get("limit").map(_.toInt).getOrElse(100)
         val history = q.get("history").contains("true")
         val page0 = frameJson(
@@ -932,18 +1050,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
               })
             case other => other
           }
-        val page = q.get("attrs") match {
-          case Some(attrs) =>
-            val keep = attrs.split(",").map(_.trim).toSet + "id"
-            page1 match {
-              case JArray(rows) => JArray(rows.map {
-                case JObject(fields) => JObject(fields.filter(f => keep(f._1)))
-                case other => other
-              })
-              case other => other
-            }
-          case None => page1
-        }
+        val page = attrsProject(page1, q)
         // full page → Link rel="next"; history markers are id@revision
         // (rest/api.py:1238-1241). Markers derive from the PRE-attrs
         // rows: the projection strips `revision`, and a degraded
@@ -1359,6 +1466,15 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
             concat(col("resource_id"), lit("/"), col("metric")).as("metric_id"),
             col("timestamp"), col("value")))
         accepted
+
+      // a wrong METHOD on a known collection route is 405, not 404
+      // (gabbits/archive.yaml "wrong method" — pecan RestController)
+      case (_, List("v1", "archive_policy"))
+         | (_, List("v1", "archive_policy_rule"))
+         | (_, List("v1", "metric"))
+         | (_, List("v1", "resource", _))
+         | (_, List("v1", "resource_type")) =>
+        err(405, s"method $method not allowed")
 
       case _ => err(404, s"no route for $method /${segs.mkString("/")}")
     }

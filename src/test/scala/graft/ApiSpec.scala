@@ -363,6 +363,50 @@ class ApiSpec extends SparkSpec {
       (("b", t0 + 60), 3.0), (("b", t0 + 120), 8.0)))
   }
 
+  test("generalized use_history: query-window clamping weights the " +
+      "edge bucket fractionally and the FIRST revision reaches back " +
+      "to the query start (truncate_resource_time_window, " +
+      "rest/aggregates/api.py:356-381)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-api").toString
+    val g = new Graft(spark, dir)
+    g.createMetric("m1", "medium") // 60 s granularity
+    g.setMetrics(Seq(("m1", "r1", "cpu.util"))
+      .toDF("metric_id", "resource_id", "name"))
+    // first KNOWN revision starts at 12:01 — but measures exist from
+    // 12:00, and the reference assigns them to the first revision
+    g.setResourceHistory(Seq(
+      ("r1", "a", ts("2024-01-01 12:01:00"), Some(ts("2024-01-01 12:02:00"))),
+      ("r1", "b", ts("2024-01-01 12:02:00"), Option.empty[java.sql.Timestamp]))
+      .toDF("id", "flavor", "revision_start", "revision_end"))
+    g.addMeasures("m1", Seq(
+      ("2024-01-01 12:00:30", 2.0),   // bucket 12:00 — before rev 1 starts
+      ("2024-01-01 12:01:30", 4.0),   // bucket 12:01 — inside rev 1
+      ("2024-01-01 12:02:30", 8.0)))  // bucket 12:02 — rev 2
+    g.process()
+    val t0 = ts("2024-01-01 12:00:00").getTime / 1000
+    def run(from: Option[java.sql.Timestamp],
+            to: Option[java.sql.Timestamp]) =
+      g.groupByAggregatesHistoryOps(
+          "(aggregate mean (metric cpu.* mean))", 60, "id = \"r1\"",
+          Seq("flavor"), None, from, to)
+        .collect().map(r => ((r.getString(0),
+          r.getAs[java.sql.Timestamp]("bucket").getTime / 1000),
+          r.getAs[Double]("value"))).toMap
+    // no window: bucket 12:00 belongs to FIRST revision 'a' (reach-back)
+    assert(run(None, None) == Map(
+      (("a", t0), 2.0), (("a", t0 + 60), 4.0), (("b", t0 + 120), 8.0)))
+    // from=12:00:30 clamps every window: bucket 12:00 overlaps the
+    // query by 30/60 s -> coefficient 0.5 (Measure.usage_coefficient,
+    // api.py:244-259); later buckets are whole
+    assert(run(Some(ts("2024-01-01 12:00:30")), None) == Map(
+      (("a", t0), 1.0), (("a", t0 + 60), 4.0), (("b", t0 + 120), 8.0)))
+    // to=12:02:30 clamps the tail: bucket 12:02 gets coefficient 0.5
+    assert(run(None, Some(ts("2024-01-01 12:02:30")))
+      .apply(("b", t0 + 120)) == 4.0)
+  }
+
   test("a failed drain re-stages the snapshot: 202-accepted measures " +
       "survive a store-write failure and land on retry") {
     val dir = Files.createTempDirectory("graft-durable").toString

@@ -57,17 +57,20 @@ class GroupedOpsSpec extends SparkSpec {
       ("west", "2015-03-06 14:35:00.0", 30.0)))
   }
 
-  test("a ref repeated inside one metric leaf stays two series: " +
-      "aggregates count both, positional ops roll them separately") {
-    // sum leaf: each occurrence contributes — east B1 = 2*(10+30) = 80
+  test("a ref repeated inside one metric leaf DEDUPES at extraction: " +
+      "the reference's ReferencesList is an OrderedSet " +
+      "(rest/aggregates/api.py:142-152) and evaluate() selects each " +
+      "matching column once (operations.py:356-360)") {
+    // sum leaf: the duplicate collapses — east B1 = 10+30 = 40, same
+    // as the single-ref form (the gabbi pins this: "we put metric2
+    // twice to ensure we retrieve it once")
     val dup = rows(fleet().groupByAggregatesOps(
       "(aggregate sum (metric (mem.used mean) (mem.used mean)))",
       300, "zone in [\"east\"]", Seq("zone")))
     assert(dup == Seq(
-      ("east", "2015-03-06 14:30:00.0", 80.0),
-      ("east", "2015-03-06 14:35:00.0", 120.0)))
-    // rolling over the duplicated leaf: each copy rolls independently,
-    // so the aggregate max equals the single-ref answer
+      ("east", "2015-03-06 14:30:00.0", 40.0),
+      ("east", "2015-03-06 14:35:00.0", 60.0)))
+    // rolling over the deduped leaf = the single-ref answer
     val roll = rows(fleet().groupByAggregatesOps(
       "(aggregate max (rolling mean 2 " +
         "(metric (mem.used mean) (mem.used mean))))",

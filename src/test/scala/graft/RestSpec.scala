@@ -142,6 +142,20 @@ class RestSpec extends SparkSpec {
     assert(api.dispatch("POST", "/v1/archive_policy",
       body = """{"name": "x"""").status === 400)
     assert(api.dispatch("GET", "/v1/no/such/route").status === 404)
+    // wrong METHOD on a known route → 405 (gabbits/archive.yaml)
+    assert(api.dispatch("PUT", "/v1/archive_policy").status === 405)
+    assert(api.dispatch("PUT", "/v1/metric").status === 405)
+    // a granularity the policy never stored → 404, not empty 200
+    // (gabbits/metric-granularity.yaml "invalid granularity")
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "g404", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "mg", "archive_policy_name": "g404"}""")
+    assert(api.dispatch("GET", "/v1/metric/mg/measures",
+      query = Map("granularity" -> "42")).status === 404)
+    assert(api.dispatch("GET", "/v1/metric/mg/measures",
+      query = Map("granularity" -> "60")).status === 200)
   }
 
   test("measure search compiles the boolean tree (rest/api.py:1514-1652)") {
@@ -291,6 +305,28 @@ class RestSpec extends SparkSpec {
       === List(("2014-01-01T00:05:00Z", 300.0, 2.0)))
     assert(triples(sliced.body \ "measures" \ "mb" \ "mean")
       === List(("2014-01-01T00:05:00Z", 300.0, 10.0)))
+
+    // operations also arrive in the nested-LIST form
+    // (OperationsSchema accepts both; gabbits/aggregates-with-metric-
+    // ids.yaml uses it throughout) — a repeated ref dedupes in the
+    // references block, and references carry archive_policy
+    val listForm = api.dispatch("POST", "/v1/aggregates",
+      query = Map("details" -> "true"), body =
+      """{"operations": ["metric", ["ma", "mean"], ["mb", "mean"],
+                         ["mb", "mean"]],
+          "granularity": 300}""")
+    assert(listForm.status === 200)
+    assert(triples(listForm.body \ "measures" \ "ma" \ "mean").size === 3)
+    val refs = (listForm.body \ "references").asInstanceOf[JArray].arr
+    assert(refs.map(_ \ "id") === List(JString("ma"), JString("mb")))
+    assert(refs.map(r => r \ "archive_policy" \ "name")
+      === List(JString("pr"), JString("pr")))
+    val listAgg = api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": ["*", 2, ["aggregate", "mean",
+            ["metric", ["ma", "mean"], ["mb", "mean"]]]],
+          "granularity": 300}""")
+    assert(triples(listAgg.body \ "measures" \ "aggregated").map(_._3)
+      === List(2.0, 12.0, 23.0))
   }
 
   test("resource search route uses the filter DSL") {
@@ -519,6 +555,68 @@ class RestSpec extends SparkSpec {
     val leaks = (st.body \ "metricd" \ "statistics" \ "lock_leaks")
       .asInstanceOf[JInt].num
     assert(leaks >= BigInt(before + 1))
+  }
+
+  test("metric listing filters/sort/creator and search-route " +
+      "pagination + attrs; invalid sort key/dir 400 " +
+      "(gabbits/metric-list.yaml, pagination.yaml, search.yaml)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "first_archive", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric", creator = Some("jd"), body =
+      """{"id": "disk.io.rate", "unit": "B/s",
+          "archive_policy_name": "first_archive"}""")
+    api.dispatch("POST", "/v1/metric", creator = Some("foobar"), body =
+      """{"id": "cpu.util", "unit": "ns",
+          "archive_policy_name": "first_archive"}""")
+    def ids(resp: graft.rest.Response) = resp.body.asInstanceOf[JArray].arr.map(_ \ "id")
+    assert(ids(api.dispatch("GET", "/v1/metric",
+      query = Map("unit" -> "ns"))) === List(JString("cpu.util")))
+    assert(ids(api.dispatch("GET", "/v1/metric",
+      query = Map("creator" -> "jd"))) === List(JString("disk.io.rate")))
+    assert(ids(api.dispatch("GET", "/v1/metric",
+      query = Map("creator" -> "nobody"))) === Nil)
+    assert(ids(api.dispatch("GET", "/v1/metric",
+      query = Map("name" -> "disk.io.rate"))) === List(JString("disk.io.rate")))
+    assert(ids(api.dispatch("GET", "/v1/metric",
+      query = Map("archive_policy_name" -> "first_archive",
+        "sort" -> "name:desc"))) ===
+      List(JString("disk.io.rate"), JString("cpu.util")))
+    // creator rides the single-metric GET (gabbits/base.yaml
+    // "$.creator: foobar")
+    assert(api.dispatch("GET", "/v1/metric/cpu.util").body \ "creator"
+      === JString("foobar"))
+    // invalid sort dir / key → 400 (pagination.yaml)
+    assert(api.dispatch("GET", "/v1/metric",
+      query = Map("sort" -> "id:invalid")).status === 400)
+    assert(api.dispatch("GET", "/v1/metric",
+      query = Map("sort" -> "invalid:asc")).status === 400)
+    assert(api.dispatch("GET", "/v1/metric",
+      query = Map("marker" -> "nope")).status === 400)
+    // resource listing with an unknown sort column → 400, not 500
+    g.setResources(Seq(("r1", "east"), ("r2", "west")).toDF("id", "zone"))
+    assert(api.dispatch("GET", "/v1/resource/generic",
+      query = Map("sort" -> "invalid:asc")).status === 400)
+    assert(api.dispatch("GET", "/v1/resource/generic",
+      query = Map("sort" -> "id:invalid")).status === 400)
+    // search route pages with sort+marker and projects with attrs
+    val p1 = api.dispatch("POST", "/v1/search/resource/generic",
+      query = Map("sort" -> "zone:desc", "limit" -> "1"))
+    assert(ids(p1) === List(JString("r2")))
+    val p2 = api.dispatch("POST", "/v1/search/resource/generic",
+      query = Map("sort" -> "zone:desc", "limit" -> "1", "marker" -> "r2"))
+    assert(ids(p2) === List(JString("r1")))
+    val proj = api.dispatch("POST", "/v1/search/resource/generic",
+      query = Map("attrs" -> "id,bogus"))
+    assert(proj.body.asInstanceOf[JArray].arr.forall {
+      case JObject(fields) => fields.map(_._1).toSet == Set("id")
+      case _ => false
+    })
   }
 
   test("root version document, healthcheck, resource index page, and " +
@@ -777,6 +875,34 @@ class RestSpec extends SparkSpec {
     assert(api.dispatch("GET", "/v1/archive_policy_rule/disk.*")
       .body \ "archive_policy_name" === JString("a-pol"))
     assert(api.dispatch("GET", "/v1/archive_policy_rule/none").status === 404)
+
+    // named rules + PATCH rename (gabbits/archive-rule.yaml): name is
+    // the route key and the only mutable field; missing/taken → 400
+    api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"name": "rule3", "metric_pattern": "net.*",
+          "archive_policy_name": "a-pol"}""")
+    assert(api.dispatch("PATCH", "/v1/archive_policy_rule/rule3")
+      .status === 400) // missing name in body
+    val ren = api.dispatch("PATCH", "/v1/archive_policy_rule/rule3",
+      body = """{"name": "rule3_renamed"}""")
+    assert(ren.status === 200)
+    assert(ren.body \ "metric_pattern" === JString("net.*"))
+    assert(api.dispatch("GET", "/v1/archive_policy_rule/rule3")
+      .status === 404)
+    assert(api.dispatch("GET", "/v1/archive_policy_rule/rule3_renamed")
+      .body \ "archive_policy_name" === JString("a-pol"))
+    // rename onto a taken name → 400 with the reference's message
+    val taken = api.dispatch("PATCH", "/v1/archive_policy_rule/*",
+      body = """{"name": "rule3_renamed"}""")
+    assert(taken.status === 400)
+    assert((taken.body \ "description").asInstanceOf[JString].s
+      .contains("already exists"))
+    // duplicate CREATE under one name → 400 too
+    assert(api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"name": "rule3_renamed", "metric_pattern": "x.*",
+          "archive_policy_name": "a-pol"}""").status === 400)
+    assert(api.dispatch("DELETE", "/v1/archive_policy_rule/rule3_renamed")
+      .status === 204)
 
     api.dispatch("POST", "/v1/metric",
       body = """{"id": "disk.io", "archive_policy_name": "a-pol"}""")
