@@ -606,6 +606,17 @@ object Bench {
         val runtimeRatio = Seq(dd6r, es1r, sd1r).max
         val candRatio =
           sN.candidatePairs.toDouble / math.max(s1.candidatePairs, 1L)
+        // the listener bus is ASYNC: late task-end events could read as
+        // spill=0 (a false pass). No public drain API — poll until the
+        // counter is stable across two 250 ms windows (bounded 5 s)
+        var stableFor = 0
+        var last = -1L
+        var waited = 0
+        while (stableFor < 2 && waited < 20) {
+          Thread.sleep(250); waited += 1
+          val now = spilled.get()
+          if (now == last) stableFor += 1 else { stableFor = 0; last = now }
+        }
         Seq(
           "inv_dd2_max_raw_bucket" ->
             (if (sN.maxRawBucket <= 100000L) sN.maxRawBucket.toDouble else 1e9),

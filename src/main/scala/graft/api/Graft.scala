@@ -318,7 +318,9 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def batchAddMeasures(json: String, createMetrics: Boolean = false): Unit = {
     import org.json4s._
-    val body = jackson.JsonMethods.parse(json) match {
+    // JsonCodec, not the stock json4s mapper: a batch body carrying a
+    // bare NaN measure literal must ingest, same as the single door
+    val body = JsonCodec.parse(json) match {
       case JObject(fields) => fields
       case other => throw new IllegalArgumentException(s"bad batch body: $other")
     }
@@ -1443,6 +1445,11 @@ class Graft(val spark: SparkSession, root: String) {
         .select((groupby.map(col) ++
           Seq(col("bucket"), col("gran_s"), col("value"))): _*)
     }
+    // resampling multiple source granularities at once would union
+    // duplicate copies of every output bucket — the reference requires
+    // an explicit granularity with resample
+    require(resampleS.isEmpty || granS.isDefined,
+      "resample requires an explicit granularity")
     val grans = granS.map(Seq(_)).getOrElse(commonGranularities(ids))
     grans.map { gr =>
       var series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
@@ -1450,14 +1457,21 @@ class Graft(val spark: SparkSession, root: String) {
       }.reduceOption(_ unionByName _)
         .getOrElse(MetricStore.emptyAggregates(spark)
           .select("metric_id", "method", "bucket", "value"))
-      // resample BEFORE the cross-metric aggregation (each metric's
-      // series re-buckets; mean-of-means for the same-method rule)
+      // resample BEFORE the cross-metric aggregation, re-bucketing each
+      // metric's series with the SAME method (carbonara's same-method
+      // resample: mean-of-means, max-of-maxes, counts sum)
       val outGran = resampleS.getOrElse(gr)
       for (rs <- resampleS) series = series
         .withColumn("bucket", graft.timeseries.Bucketing.floorTimestamp(
           col("bucket"), rs * 1_000_000_000L))
         .groupBy(col("metric_id"), col("bucket"))
-        .agg(avg(col("value")).as("value"))
+        .agg((method match {
+          case "mean"         => avg(col("value"))
+          case "sum" | "count" => sum(col("value"))
+          case "min"          => min(col("value"))
+          case "max"          => max(col("value"))
+          case other => sys.error(s"unsupported resample method $other")
+        }).as("value"))
         .select(col("metric_id"), col("bucket"), col("value"))
       // numeric fill: pad each metric to the union of buckets so every
       // metric contributes to every bucket (processor fill semantics)
@@ -1594,8 +1608,13 @@ class Graft(val spark: SparkSession, root: String) {
     *
     * Per `truncate_resource_time_window` (api.py:356-381) every
     * revision window clamps to `[from, to]` and a resource's FIRST
-    * revision reaches back to the query start (unbounded when none):
-    * measures predating the first known revision belong to it. The
+    * MATCHING revision reaches back to the query start (unbounded when
+    * none): measures predating it belong to it. The reach-back is
+    * computed AFTER the attribute filter, as the reference does — its
+    * Grouper truncates the rows `list_resources(history=True,
+    * attribute_filter=...)` returned (api.py:301-309, 325-353), so a
+    * filter that excludes the true first revision hands the reach-back
+    * to the earliest SURVIVING one. The
     * reference's cross-resource `join_sequential_groups` merge
     * (api.py:213-226) — which DROPS a second resource whose truncated
     * window starts at the same instant — is not reproduced: same-

@@ -35,26 +35,17 @@ object RestApi {
   // The reference parses request bodies with Python's json module,
   // which accepts bare NaN/Infinity literals by default — a measure
   // POSTed as {"value": NaN} ingests and stores as float64 NaN
-  // (carbonara kernels then propagate it, see KernelsSpec). Jackson
-  // rejects those literals unless opted in, and quotes them on write.
-  // Align both directions on a DEDICATED mapper (a configured copy of
-  // json4s's, modules included) so the process-global json4s mapper
-  // keeps stock behavior for every other consumer in the JVM.
-  private[rest] val mapper: com.fasterxml.jackson.databind.ObjectMapper = {
-    import com.fasterxml.jackson.core.json.{JsonReadFeature, JsonWriteFeature}
-    JsonMethods.mapper.copy()
-      .enable(JsonReadFeature.ALLOW_NON_NUMERIC_NUMBERS.mappedFeature())
-      .disable(JsonWriteFeature.WRITE_NAN_AS_STRINGS.mappedFeature())
-  }
-
+  // (carbonara kernels then propagate it, see KernelsSpec). Both
+  // directions ride the engine-wide [[graft.api.JsonCodec]] (a
+  // dedicated mapper; the process-global json4s one stays stock).
   /** Parse a REST body with the NaN-literal-accepting mapper. */
   private[graft] def parseJson(s: String): JValue =
-    mapper.readValue(s, classOf[JValue])
+    graft.api.JsonCodec.parse(s)
 
   /** Serialize a REST response; NaN/±Infinity render as bare literals
     * (the reference's json.dumps behavior). */
   private[graft] def renderJson(v: JValue): String =
-    mapper.writeValueAsString(v)
+    graft.api.JsonCodec.render(v)
 }
 
 class RestApi(g: Graft, requireAuth: Boolean = false) {
@@ -323,22 +314,33 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     * `measures.references` (api.py:704-710) — ids here; full rows ride
     * the resource routes.
     */
+  /** @param scope   resolved (group key, resource id) membership,
+    *                 feeding the per-group `measures.references` block
+    *                 when `details` is set.
+    * @param groupsFromScope the PLAIN grouped door's group list comes
+    *                 from the matched resources, so a group with
+    *                 metrics but no measures still appears with an
+    *                 empty `aggregated` list (api.py:653-672); the
+    *                 history door's Grouper instead DROPS empty groups
+    *                 (format_response `if aggregated`, api.py:485-490)
+    *                 — its group list is the measure keys.
+    * @param details  attach per-group resource ids as
+    *                 `measures.references`.
+    * An empty RESULT LIST 404s with the referenced metric names
+    * (api.py:602-606) on both doors.
+    */
   private def groupedMeasuresJson(df: org.apache.spark.sql.DataFrame,
       groupby: Seq[String], granS: Long, operations: String,
-      scope: Option[Seq[(Seq[Any], String)]]): JValue = {
+      scope: Seq[(Seq[Any], String)],
+      groupsFromScope: Boolean,
+      details: Boolean): JValue = {
     import org.apache.spark.sql.functions.col
     val ordered = df.orderBy((groupby :+ "bucket").map(col): _*)
       .limit(100000).collect()
-    if (ordered.isEmpty) {
-      val names = graft.ops.GroupedOps.collectRefs(
-        graft.ops.Parser.parse(operations)).map(_._1).distinct.sorted
-      throw new graft.api.GraftError.NotFound(
-        s"Metrics not found: ${names.mkString(", ")}")
-    }
-    val vi = ordered.head.fieldIndex("value")
     val groups = scala.collection.mutable.LinkedHashMap
       .empty[Seq[Any], scala.collection.mutable.ListBuffer[JValue]]
     ordered.foreach { r =>
+      val vi = r.fieldIndex("value")
       // null cells (absent grid positions under fill=null) skip, as the
       // single-series door's shaped() — triples carry present points
       if (!r.isNullAt(vi)) {
@@ -349,16 +351,28 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           scala.collection.mutable.ListBuffer.empty) += triple
       }
     }
-    JArray(groups.toList.map { case (key, triples) =>
-      val measures: JValue =
-        "aggregated" -> (JArray(triples.toList): JValue)
-      val inner: JValue = scope match {
-        case Some(sc) => ("measures" -> measures) ~
-          ("references" -> JArray(sc.collect {
+    // group list: the resolved scope (plain door) or the measure keys
+    // (history door), sorted by the stringified key tuple — the
+    // reference sorts resources by the groupby attributes
+    val keys: Seq[Seq[Any]] =
+      if (groupsFromScope) scope.map(_._1).distinct
+        .sortBy(_.map(String.valueOf).mkString("\u0000"))
+      else groups.keys.toSeq
+    if (keys.isEmpty) {
+      val names = graft.ops.GroupedOps.collectRefs(
+        graft.ops.Parser.parse(operations)).map(_._1).distinct.sorted
+      throw new graft.api.GraftError.NotFound(
+        s"Metrics not found: ${names.mkString(", ")}")
+    }
+    JArray(keys.toList.map { key =>
+      val triples = groups.get(key).map(_.toList).getOrElse(Nil)
+      val measures: JValue = "aggregated" -> (JArray(triples): JValue)
+      val inner: JValue =
+        if (details) ("measures" -> measures) ~
+          ("references" -> JArray(scope.collect {
             case (k, rid) if k == key => rid
           }.distinct.sorted.toList.map(id => (("id" -> id): JValue))))
-        case None => "measures" -> measures
-      }
+        else "measures" -> measures
       ("group" -> JObject(groupby.zip(key).toList.map {
         case (a, v) => a -> anyJ(v) })) ~ ("measures" -> inner)
     })
@@ -690,6 +704,13 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           rows = rows.filter(r => g.metricCreatorOf(r._1).contains(v))
         for (v <- q.get("archive_policy_name")) rows = rows.filter(_._2 == v)
         val sorts = q.get("sort").map(parseSorts).getOrElse(Seq("id" -> true))
+        // validate keys UP FRONT — a lazy check inside Ordering.compare
+        // never fires on a 0/1-row page and the 400 contract must not
+        // depend on store contents
+        val validKeys =
+          Set("id", "name", "unit", "creator", "archive_policy_name")
+        sorts.collectFirst { case (k, _) if !validKeys(k) => k }.foreach(
+          k => throw new IllegalArgumentException(s"Invalid sort key: $k"))
         def keyOf(r: (String, String), k: String): String = k match {
           case "id" => r._1
           case "name" => nameOf(r._1)
@@ -716,12 +737,17 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         }
         val limit = q.get("limit").map(_.toInt).getOrElse(100)
         val page = after.take(limit).toList
+        // the next-page link must carry the SAME filters and sort —
+        // a bare marker link would page a different, unfiltered listing
         val hdrs =
-          if (page.size >= limit && page.nonEmpty)
-            Map("Link" -> (s"</v1/metric?limit=$limit&marker=" +
-              java.net.URLEncoder.encode(page.last._1, "UTF-8") +
-              ">; rel=\"next\""))
-          else Map.empty[String, String]
+          if (page.size >= limit && page.nonEmpty) {
+            val qs = ((q - "marker") ++ Map("limit" -> limit.toString,
+                "marker" -> page.last._1))
+              .toSeq.sortBy(_._1).map { case (k, v) =>
+                k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+              }.mkString("&")
+            Map("Link" -> s"</v1/metric?$qs>; rel=\"next\"")
+          } else Map.empty[String, String]
         ok(JArray(page.map { case (id, pol) =>
           ("id" -> id) ~
             ("name" -> names.get(id)) ~
@@ -920,15 +946,19 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           // G3/G4 use_history=true (rest/aggregates/api.py:571-577):
           // the full Grouper surface — a groupby attribute LIST and an
           // arbitrary aggregated operations tree, evaluated per
-          // resource and weighted by the attribute-revision windows
+          // resource and weighted by the attribute-revision windows.
+          // use_history WITHOUT groupby is silently ignored, exactly
+          // as the reference (`if not groupby` short-circuits before
+          // the use_history check, api.py:561-573)
           val useHistory = q.get("use_history").contains("true") ||
             b \ "use_history" == JBool(true)
           if (useHistory && grpSorted.nonEmpty) {
             val df = g.groupByAggregatesHistoryOps(operations, granS, flt,
               grpSorted, fill, from, to)
             return ok(groupedMeasuresJson(df, grpSorted, granS, operations,
-              if (det) Some(g.resolvedResourceScopeHistory(operations, flt,
-                grpSorted)) else None))
+              scope = if (det) g.resolvedResourceScopeHistory(operations,
+                flt, grpSorted) else Nil,
+              groupsFromScope = false, details = det))
           }
           // search WITHOUT groupby + a non-aggregated tree → the
           // per-RESOURCE fan-out (_get_measures_by_name →
@@ -967,9 +997,11 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           }
           val df = g.groupByAggregatesOps(operations, granS, flt,
             grpSorted, fill, from, to)
+          // the group list comes from the RESOLVED scope: a group whose
+          // metrics produced no measures still appears (empty list)
           return ok(groupedMeasuresJson(df, grpSorted, granS, operations,
-            if (det) Some(g.resolvedResourceScope(operations, flt, grpSorted))
-            else None))
+            scope = g.resolvedResourceScope(operations, flt, grpSorted),
+            groupsFromScope = true, details = det))
         }
         // ?details=true (query or body) attaches the RESOLVED metric
         // references next to the measures (rest/aggregates/api.py:
@@ -978,14 +1010,19 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           b \ "details" == JBool(true)
         def withRefs(measures: JValue): JValue =
           if (!details) "measures" -> measures
-          else ("measures" -> measures) ~
-            ("references" -> g.aggregatesReferences(operations)
-              .map(_._1).distinct.sorted.map(id =>
-                ("id" -> id) ~
-                  ("name" -> g.metricNameOf(id)) ~
-                  ("unit" -> g.metricUnitOf(id)) ~
-                  ("archive_policy" ->
-                    policyJson(g.policies(g.metricPolicyName(id))))))
+          else {
+            // ONE bulk catalog collect — per-id metricNameOf would run
+            // a Spark job per reference
+            val names = g.metricNames
+            ("measures" -> measures) ~
+              ("references" -> g.aggregatesReferences(operations)
+                .map(_._1).distinct.sorted.map(id =>
+                  ("id" -> id) ~
+                    ("name" -> names.get(id)) ~
+                    ("unit" -> g.metricUnitOf(id)) ~
+                    ("archive_policy" ->
+                      policyJson(g.policies(g.metricPolicyName(id))))))
+          }
         // Output SHAPE follows the reference's is_aggregated flag
         // (processor.py:229-272): an `aggregate`-collapsed (or
         // series⊕series) tree emits ONE "aggregated" list; any other

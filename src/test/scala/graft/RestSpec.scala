@@ -468,7 +468,7 @@ class RestSpec extends SparkSpec {
     val api = new RestApi(g)
     api.dispatch("POST", "/v1/archive_policy", body =
       """{"name": "low", "definition": [{"granularity": "300"},
-          {"granularity": "1"}], "aggregation_methods": ["mean"]}""")
+          {"granularity": "1"}], "aggregation_methods": ["mean", "max"]}""")
     // the gabbi fixture: three resources, shared user, projects A,A,B
     val vals = Map("m1" -> (43.1, 12.0), "m2" -> (23.0, 8.0),
       "m3" -> (230.0, 45.41))
@@ -532,6 +532,20 @@ class RestSpec extends SparkSpec {
       t.asInstanceOf[JArray].arr(2)).collect { case JDouble(v) => v }
     assert(fv.size === 1)
     assert(math.abs(fv.head - (27.55 + 15.5 + 137.705) / 3) < 1e-9)
+    // ?resample re-buckets each metric with the SAME method before the
+    // cross-metric mean — max-of-maxes, not avg (r10 review)
+    val rs = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/cpu.util",
+      query = Map("granularity" -> "1", "resample" -> "600",
+        "aggregation" -> "max"))
+    val rv = rs.body.asInstanceOf[JArray].arr.map(t =>
+      t.asInstanceOf[JArray].arr(2)).collect { case JDouble(v) => v }
+    assert(rv.size === 1)
+    assert(math.abs(rv.head - (43.1 + 23.0 + 230.0) / 3) < 1e-9)
+    // resample without an explicit granularity is ambiguous → 400
+    assert(api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/cpu.util",
+      query = Map("resample" -> "600")).status === 400)
   }
 
   test("over-stale lock holds count as lock_leaks in /v1/status " +
@@ -587,6 +601,16 @@ class RestSpec extends SparkSpec {
       query = Map("archive_policy_name" -> "first_archive",
         "sort" -> "name:desc"))) ===
       List(JString("disk.io.rate"), JString("cpu.util")))
+    // the next-page Link preserves the filters and sort (r10 review:
+    // a bare marker link pages a different, unfiltered listing)
+    val lk = api.dispatch("GET", "/v1/metric",
+      query = Map("archive_policy_name" -> "first_archive",
+        "sort" -> "name:desc", "limit" -> "1"))
+    assert(ids(lk) === List(JString("disk.io.rate")))
+    val link = lk.headers("Link")
+    assert(link.contains("sort=name%3Adesc"))
+    assert(link.contains("archive_policy_name=first_archive"))
+    assert(link.contains("marker=disk.io.rate"))
     // creator rides the single-metric GET (gabbits/base.yaml
     // "$.creator: foobar")
     assert(api.dispatch("GET", "/v1/metric/cpu.util").body \ "creator"
@@ -686,6 +710,19 @@ class RestSpec extends SparkSpec {
         (e \ "measures" \ "references").asInstanceOf[JArray].arr
           .map(_ \ "id")) ===
       List(List(JString("r1")), List(JString("r2"))))
+    // a window past every measure still returns the groups, with EMPTY
+    // aggregated lists — the group list comes from the matched
+    // resources, not the measures (api.py:653-672)
+    val late = api.dispatch("POST", "/v1/aggregates",
+      query = Map("start" -> "2020-01-01T00:00:00Z"), body =
+      """{"operations": "(aggregate sum (metric mem.used mean))",
+          "granularity": 300,
+          "search": "zone in ['east', 'west']",
+          "groupby": ["zone"]}""")
+    assert(late.status === 200)
+    assert(late.body.asInstanceOf[JArray].arr.map(e =>
+        (e \ "measures" \ "measures" \ "aggregated")
+          .asInstanceOf[JArray].arr.size) === List(0, 0))
     // a search matching nothing 404s with the referenced metric names
     // (api.py:602-606)
     val none = api.dispatch("POST", "/v1/aggregates", body =
@@ -1644,6 +1681,22 @@ class RestSpec extends SparkSpec {
     assert(JsonMethods.compact(JsonMethods.render(
       JArray(List(JDouble(Double.NaN))))) === "[\"NaN\"]")
     intercept[Exception](JsonMethods.parse("[NaN]"))
+    // the BATCH doors must accept NaN literals too — their body
+    // re-parses inside the facade, which must not fall back to the
+    // stock mapper (review r10: batch NaN 400 regression)
+    assert(api.dispatch("POST", "/v1/batch/metrics/measures", body =
+      """{"mn": [{"timestamp": "2014-01-01T12:00:50Z", "value": NaN}]}""")
+      .status === 202)
+    assert(vals("count") === List(3.0)) // the batch NaN landed
+    // the RESOURCE batch door re-renders and re-parses its body inside
+    // the facade — that parse must not fall back to the stock mapper
+    // (r10 review: batch NaN 400 regression)
+    api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"metric_pattern": "*", "archive_policy_name": "nn"}""")
+    assert(api.dispatch("POST", "/v1/batch/resources/metrics/measures",
+      query = Map("create_metrics" -> "true"),
+      body = """{"rb1": {"bm": [{"timestamp": "2014-01-01T12:00:50Z",
+                                 "value": NaN}]}}""").status === 202)
   }
 
   test("influx write accepts a chunked Transfer-Encoding body " +
