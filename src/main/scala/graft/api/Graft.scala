@@ -1416,7 +1416,8 @@ class Graft(val spark: SparkSession, root: String) {
       from: Option[java.sql.Timestamp] = None,
       to: Option[java.sql.Timestamp] = None,
       resampleS: Option[Long] = None,
-      fill: Option[String] = None): DataFrame = {
+      fill: Option[String] = None,
+      refreshFirst: Boolean = false): DataFrame = {
     // groupby must name real resource attributes (rest/api.py:1700-1703
     // "Invalid groupby attribute")
     groupby.find(a => !resScope.columns.contains(a)).foreach { a =>
@@ -1429,6 +1430,9 @@ class Graft(val spark: SparkSession, root: String) {
         groupby.map(col)): _*)), Seq("resource_id"))
     val ids = mets.select("metric_id").distinct()
       .collect().map(_.getString(0)).toSeq // metric list, as the reference
+    // ?refresh=true drains each metric's backlog before the read
+    // (rest/api.py MetricsMeasuresBatchController refresh semantics)
+    if (refreshFirst) ids.foreach(refresh)
     val acrossCol = acrossAgg match {
       case "mean" => avg(col("value")); case "sum" => sum(col("value"))
       case "min" => min(col("value")); case "max" => max(col("value"))

@@ -22,6 +22,18 @@ import org.apache.spark.util.sketch.BloomFilter
 case class BloomContains(child: Expression, filterBytes: Array[Byte])
   extends UnaryExpression {
 
+  // case-class equals on an Array field is REFERENCE equality — two
+  // expressions built from identical filter bytes would never compare
+  // equal, defeating canonicalized-plan cache hits and CSE. Compare by
+  // content instead.
+  override def equals(other: Any): Boolean = other match {
+    case BloomContains(c, fb) =>
+      c == child && java.util.Arrays.equals(fb, filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+
   @transient private lazy val filter: BloomFilter =
     BloomContains.deserialize(filterBytes)
 

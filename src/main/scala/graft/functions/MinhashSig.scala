@@ -25,7 +25,16 @@ case class MinhashSig(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(LongType, _) if right.foldable &&
-        right.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+        right.dataType == IntegerType =>
+      // validate k at ANALYSIS: a negative k would throw
+      // NegativeArraySizeException per row at execution, and k = 0
+      // silently yields empty signatures that die downstream with an
+      // opaque ANSI element_at error in the banding stage
+      val k = right.eval()
+      if (k == null || k.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig: k must be a positive literal, got $k")
+      else TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       "minhash_sig requires (ARRAY<BIGINT>, foldable INT), got " +
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")

@@ -97,6 +97,16 @@ object PqCodec {
 case class PqEncode(child: Expression, books: PqCodec.Books)
   extends UnaryExpression {
 
+  // content equality over the nested codebook arrays (see
+  // BloomContains) — reference equality would defeat plan-cache hits
+  override def equals(other: Any): Boolean = other match {
+    case PqEncode(c, b) => c == child && java.util.Arrays.deepEquals(
+      b.asInstanceOf[Array[AnyRef]], books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() +
+    java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
+
   @transient private lazy val n2: Array[Array[Double]] = PqCodec.sqNorms(books)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -126,6 +136,14 @@ case class PqEncode(child: Expression, books: PqCodec.Books)
   * the asymmetric-distance lookup table. */
 case class PqAdcTable(child: Expression, books: PqCodec.Books)
   extends UnaryExpression {
+
+  override def equals(other: Any): Boolean = other match {
+    case PqAdcTable(c, b) => c == child && java.util.Arrays.deepEquals(
+      b.asInstanceOf[Array[AnyRef]], books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() +
+    java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

@@ -210,26 +210,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecTopCells(children(0), cells, cents,
           children(2).eval().asInstanceOf[Number].intValue())
       }))
+    // plan-time-literal arguments get the same clear require as
+    // vec_top_cells — a raw eval() on an unbound attribute would
+    // surface as an opaque internal Catalyst error
+    def lit0(children: Seq[Expression], i: Int, fn: String): Expression = {
+      require(children(i).foldable,
+        s"$fn: argument ${i + 1} must be a plan-time literal")
+      children(i)
+    }
     ext.injectFunction((new FunctionIdentifier("bloom_contains"),
       new ExpressionInfo("graft.functions.BloomContains", "bloom_contains"),
       (children: Seq[Expression]) => BloomContains(children(0),
-        children(1).eval().asInstanceOf[Array[Byte]])))
+        lit0(children, 1, "bloom_contains").eval()
+          .asInstanceOf[Array[Byte]])))
     ext.injectFunction((new FunctionIdentifier("pq_encode"),
       new ExpressionInfo("graft.functions.PqEncode", "pq_encode"),
       (children: Seq[Expression]) =>
-        PqEncode(children(0), PqCodec.parseBooks(children(1)))))
+        PqEncode(children(0),
+          PqCodec.parseBooks(lit0(children, 1, "pq_encode")))))
     ext.injectFunction((new FunctionIdentifier("pq_adc_table"),
       new ExpressionInfo("graft.functions.PqAdcTable", "pq_adc_table"),
       (children: Seq[Expression]) =>
-        PqAdcTable(children(0), PqCodec.parseBooks(children(1)))))
+        PqAdcTable(children(0),
+          PqCodec.parseBooks(lit0(children, 1, "pq_adc_table")))))
     ext.injectFunction((new FunctionIdentifier("lsh_keys"),
       new ExpressionInfo("graft.functions.LshKeys", "lsh_keys"),
       (children: Seq[Expression]) => LshKeys(children(0),
-        children(1).eval().asInstanceOf[Number].intValue(),
-        children(2).eval().asInstanceOf[Number].intValue())))
+        lit0(children, 1, "lsh_keys").eval()
+          .asInstanceOf[Number].intValue(),
+        lit0(children, 2, "lsh_keys").eval()
+          .asInstanceOf[Number].intValue())))
     ext.injectFunction((new FunctionIdentifier("remove_spans"),
       new ExpressionInfo("graft.functions.RemoveSpans", "remove_spans"),
       (children: Seq[Expression]) => RemoveSpans(children(0), children(1),
-        children(2).eval().asInstanceOf[Number].intValue())))
+        lit0(children, 2, "remove_spans").eval()
+          .asInstanceOf[Number].intValue())))
   }
 }

@@ -33,6 +33,19 @@ case class VecTopCells(child: Expression, cells: Array[Int],
 
   require(cells.length == cents.length && cells.nonEmpty,
     s"vec_top_cells: ${cells.length} cell ids vs ${cents.length} centroids")
+
+  // content equality over the centroid arrays (see BloomContains) —
+  // reference equality would defeat plan-cache hits and CSE
+  override def equals(other: Any): Boolean = other match {
+    case VecTopCells(c, ce, cn, k) => c == child && k == n &&
+      java.util.Arrays.equals(ce, cells) &&
+      java.util.Arrays.deepEquals(cn.asInstanceOf[Array[AnyRef]],
+        cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    ((31 * child.hashCode() + n) * 31 + java.util.Arrays.hashCode(cells)) *
+      31 + java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
   require(n >= 1, s"vec_top_cells: n must be positive, got $n")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -40,13 +40,24 @@ object Pipeline {
     */
   def hashSplit(df: DataFrame, idCol: String = "doc_id",
                 salt: String = "graft",
-                testHexLt: String = "0d", valHexLt: String = "1a"): DataFrame =
+                testHexLt: String = "0d", valHexLt: String = "1a"): DataFrame = {
+    // md5() emits LOWERCASE hex — an uppercase threshold like "0D"
+    // would silently skew the split ('a'-'f' sort above 'A'-'F'), and
+    // test >= val silently empties the val split
+    Seq("testHexLt" -> testHexLt, "valHexLt" -> valHexLt).foreach {
+      case (n, v) => require(v.nonEmpty && v.matches("[0-9a-g]+"),
+        s"$n must be lowercase hex (or the keep-all sentinel 'g'), got '$v'")
+    }
+    require(testHexLt < valHexLt,
+      s"testHexLt '$testHexLt' must sort below valHexLt '$valHexLt' — " +
+        "equal or inverted thresholds silently empty the val split")
     df.withColumn("__h", md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
       .withColumn("split",
         when(col("__h") < testHexLt, "test")
           .when(col("__h") < valHexLt, "val")
           .otherwise("train"))
       .drop("__h")
+  }
 
   /** Sequence packing: lay documents out in a deterministic global order
     * (strata ascending, id ascending within) and chunk the concatenated
@@ -317,6 +328,14 @@ object Pipeline {
                     groupCol: String, idCol: String = "doc_id",
                     salt: String = "mix"): DataFrame = {
     require(rates.nonEmpty, "mixtureSample: empty mixture definition")
+    rates.foreach { case (g, hex) =>
+      // every md5 hex char sorts below 'g', so "g" is the documented
+      // keep-the-whole-group sentinel
+      require(hex.nonEmpty && hex.matches("[0-9a-g]+"),
+        s"mixtureSample: rate for '$g' must be lowercase hex or 'g', " +
+          s"got '$hex' (md5 emits lowercase — an uppercase threshold " +
+          "skews the kept fraction)")
+    }
     val h = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
     val thr = rates.foldLeft(lit(null).cast("string")) {
       case (acc, (g, hex)) => when(col(groupCol) === g, lit(hex)).otherwise(acc)

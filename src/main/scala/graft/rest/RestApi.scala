@@ -1339,6 +1339,9 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         val ids = q.getOrElse("metric",
           throw new IllegalArgumentException("metric required"))
           .split(",").toSeq.filter(_.nonEmpty)
+        // ?refresh=true drains staged measures first, as the measures
+        // GET (gabbits/aggregation.yaml uses it on this route)
+        if (q.get("refresh").contains("true")) ids.foreach(g.refresh)
         val agg = q.getOrElse("aggregation", "mean")
         val ops =
           if (ids.size == 1) s"(metric ${ids.head} $agg)"
@@ -1382,7 +1385,8 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           from = q.get("start").map(parseTs),
           to = q.get("stop").map(parseTs),
           resampleS = q.get("resample").map(_.toDouble.toLong),
-          fill = q.get("fill"))
+          fill = q.get("fill"),
+          refreshFirst = q.get("refresh").contains("true"))
         // coarse→fine within each group (rest/api.py cross-measures
         // page order)
         val rows = df.orderBy((grpBy.map(

@@ -48,7 +48,10 @@ object StreamingIngest {
                      valCol: String = "value"): DataFrame =
     src.withWatermark(tsCol, delay)
       .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
-      .agg(avg(col(valCol)).as("v"), count(lit(1)).as("n"))
+      // count(valCol), not count(*): null measures don't count, the
+      // same rule windowedAgg's `count` column applies — the two
+      // streaming agg doors must not disagree on null handling
+      .agg(avg(col(valCol)).as("v"), count(col(valCol)).as("n"))
 
   /** Streaming incremental dedup drain: each micro-batch of documents
     * dedups within itself (min id per content hash), anti-joins the
@@ -77,7 +80,7 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        dedupBatch(batch, id, indexDir, keptDir)
+        dedupBatch(batch, id, indexDir, keptDir, Some(checkpointDir))
       }
       .start()
   }
@@ -91,7 +94,8 @@ object StreamingIngest {
     * the kept/index partitions with empty output — silent data loss.
     */
   private[graft] def dedupBatch(batch: DataFrame, id: Long,
-                                indexDir: String, keptDir: String): Unit = {
+                                indexDir: String, keptDir: String,
+                                ownerTag: Option[String] = None): Unit = {
     val s = batch.sparkSession
     // resolve against the INDEX path's filesystem, not the default FS —
     // an s3a:// index under an hdfs:// default would throw "Wrong FS"
@@ -104,6 +108,31 @@ object StreamingIngest {
       .withColumn("content_md5", graft.llm.Dedup.contentKey(col("text")))
       .groupBy("content_md5").agg(min(col("doc_id")).as("doc_id"))
     val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+    // ownership marker: a RESET checkpoint restarts batch ids at 0, and
+    // an old run that produced ONLY batch=0 would slip past the max-id
+    // guard below (its single dir is this batch's own name, excluded
+    // from priorBatches). The marker pins the index to one checkpoint
+    // location; a mismatch refuses before any write touches the old
+    // run's survivors. (A checkpoint DELETED and recreated at the very
+    // same path is indistinguishable — that is explicit user
+    // destruction of the stream's state.)
+    for (tag <- ownerTag) {
+      val marker = new org.apache.hadoop.fs.Path(indexPath, "_checkpoint")
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val held = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        require(held == tag,
+          s"dedup index $indexDir belongs to the stream checkpointed at " +
+            s"'$held' but this stream checkpoints at '$tag' — use a " +
+            "fresh indexDir/keptDir instead of interleaving two streams")
+      } else {
+        fs.mkdirs(indexPath)
+        val out = fs.create(marker, true)
+        try out.write(tag.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+      }
+    }
     val priorBatches =
       if (fs.exists(indexPath))
         fs.listStatus(indexPath).toSeq
@@ -119,7 +148,10 @@ object StreamingIngest {
     // never sees an existing id above its own.
     val maxExisting = priorBatches
       .map { p =>
-        val tag = p.substring(p.lastIndexOf('=') + 1)
+        // parse the NAME's tag, not lastIndexOf('=') on the full path —
+        // a stray 'batch=backup=3' copy must refuse, not read as 3
+        val tag = new org.apache.hadoop.fs.Path(p).getName
+          .stripPrefix("batch=")
         tag.toLongOption.getOrElse(throw new IllegalStateException(
           s"dedup index $indexDir contains a non-numeric batch " +
             s"directory '$p' — remove or rename the stray entry (only " +

@@ -154,6 +154,46 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds(0) == Set(1L, 2L)) // untouched
   }
 
+  test("dedupBatch ownership marker: a foreign stream against an index " +
+      "holding ONLY batch=0 refuses instead of clobbering (the max-id " +
+      "guard is blind there — its one dir is the new batch's own name)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-owner").toString
+    val index = s"$root/index"; val kept = s"$root/kept"
+    // old run: ONE batch, owned by checkpoint A
+    StreamingIngest.dedupBatch(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), 0L, index, kept,
+      ownerTag = Some(s"$root/ckptA"))
+    // same checkpoint replaying its batch 0 is fine (idempotent)
+    StreamingIngest.dedupBatch(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), 0L, index, kept,
+      ownerTag = Some(s"$root/ckptA"))
+    // a DIFFERENT stream (fresh checkpoint) starting at batch 0 must
+    // refuse before any write
+    val e = intercept[IllegalArgumentException](StreamingIngest.dedupBatch(
+      Seq((9L, "omega")).toDF("doc_id", "text"), 0L, index, kept,
+      ownerTag = Some(s"$root/ckptB")))
+    assert(e.getMessage.contains("belongs to the stream checkpointed at"))
+    assert(s.read.parquet(s"$kept/batch=0").select("doc_id")
+      .as[Long].collect().toSet == Set(1L)) // survivors untouched
+  }
+
+  test("dedupBatch refuses a stray batch=backup=3 directory instead of " +
+      "reading it as batch 3") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stray").toString
+    val index = s"$root/index"; val kept = s"$root/kept"
+    StreamingIngest.dedupBatch(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), 0L, index, kept)
+    // an operator's copy of a batch dir
+    new java.io.File(s"$index/batch=backup=3").mkdirs()
+    val e = intercept[IllegalStateException](StreamingIngest.dedupBatch(
+      Seq((2L, "beta")).toDF("doc_id", "text"), 1L, index, kept))
+    assert(e.getMessage.contains("non-numeric batch"))
+  }
+
   test("file-source stream drains micro-batches through the incremental job") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val staging = s"$root/staging"; val ckpt = s"$root/ckpt"
