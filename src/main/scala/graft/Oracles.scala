@@ -98,11 +98,14 @@ object Oracles {
          SELECT event_type, count(*) AS n, min(b) AS min_bucket_s
          FROM m WHERE b > mx - 7*86400 GROUP BY 1""",
 
+    // stop is EXCLUSIVE: the reference slices [floor(from,g), to) via
+    // searchsorted side='left' (carbonara.py:809-822, 255-260) — the
+    // bucket starting exactly at the stop timestamp drops
     "a12_fetch" ->
       s"""WITH s AS ($hourlyMean)
          SELECT event_type, b AS bucket_s, CAST(v AS REAL) AS v FROM s
          WHERE b >= epoch(TIMESTAMP '2024-01-10 13:00:00')
-           AND b <= epoch(TIMESTAMP '2024-01-20 00:00:00')""",
+           AND b < epoch(TIMESTAMP '2024-01-20 00:00:00')""",
 
     "b1_bucket_5m" ->
       """SELECT event_type, CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_s,
@@ -1324,7 +1327,7 @@ object Oracles {
                FROM d),
          w AS (SELECT * FROM b
                WHERE bucket_s >= epoch(TIMESTAMP '2024-01-10 00:00:00')
-                 AND bucket_s <= epoch(TIMESTAMP '2024-01-20 12:00:00'))
+                 AND bucket_s < epoch(TIMESTAMP '2024-01-20 12:00:00'))
          SELECT metric_id, 'mean' AS method, bucket_s,
                 CAST(avg(value) AS REAL) AS v
          FROM w GROUP BY metric_id, bucket_s

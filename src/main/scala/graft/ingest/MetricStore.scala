@@ -620,17 +620,25 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
         col("metric_id") === metricId)
     for (f <- from) df = df.filter(col("split") >= splitOf(lit(f), granS))
     for (t <- to) df = df.filter(col("split") <= splitOf(lit(t), granS))
-    df = TimeSeriesOps.fetch(df, Granularity.seconds(granS), from, to)
-    // retention truncate on read (A11, storage/__init__.py:332-333)
+    // the reference READ ORDER (storage/__init__.py:294-338): prune
+    // splits → truncate (retention anchored at the pruned series' last
+    // point) → resample over the whole pruned range → fetch at the
+    // OUTPUT granularity. Fetching fine-first would hand resample a
+    // PARTIAL first coarse bucket (the reference's resample sees every
+    // fine bucket of split(from)); truncating after a to-slice would
+    // re-anchor retention at the in-range last point.
     for (tsS <- timespanS(granS))
       df = TimeSeriesOps.truncate(df, tsS * 1_000_000_000L,
         Seq("metric_id", "method", "gran_s"))
-    resample match {
+    (resample match {
       case Some(g) =>
-        TimeSeriesOps.resample(df, method, g, Seq("metric_id", "method", "gran_s"))
-          .select("metric_id", "bucket", "value")
-      case None => df.select("metric_id", "bucket", "value")
-    }
+        TimeSeriesOps.fetch(
+          TimeSeriesOps.resample(df, method, g,
+            Seq("metric_id", "method", "gran_s")),
+          g, from, to)
+      case None =>
+        TimeSeriesOps.fetch(df, Granularity.seconds(granS), from, to)
+    }).select("metric_id", "bucket", "value")
   }
 
   /** P2 multi-series fetch (processor.py:134-137): ONE pruned scan with
@@ -651,10 +659,12 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // time-bounded fleet query reads only its splits' files
     for (f <- from) df = df.filter(col("split") >= splitOf(lit(f), granS))
     for (t <- to) df = df.filter(col("split") <= splitOf(lit(t), granS))
-    df = TimeSeriesOps.fetch(df, Granularity.seconds(granS), from, to)
+    // truncate BEFORE the fetch slice, as getMeasures (the reference
+    // read order) — retention anchors at the pruned series' last point
     for (tsS <- timespanS(granS)) // retention truncate on read, as A11
       df = TimeSeriesOps.truncate(df, tsS * 1_000_000_000L,
         Seq("metric_id", "method", "gran_s"))
+    df = TimeSeriesOps.fetch(df, Granularity.seconds(granS), from, to)
     df.select("metric_id", "method", "bucket", "value")
   }
 

@@ -68,10 +68,19 @@ final case class ArchivePolicyItem(
     case Granularity.Fixed(g) =>
       (points, timespanNs) match {
         case (Some(p), None) => copy(timespanNs = Some(g * p))
-        case (None, Some(t)) => copy(points = Some(t / g))
-        case (Some(p), Some(t)) =>
-          require(t == g * p, s"timespan $t != granularity $g * points $p")
-          this
+        case (None, Some(t)) =>
+          // points floors, then timespan RE-DERIVES from it
+          // (archive_policy.py:216-219: timespan 1000s at 300s
+          // granularity stores points=3, timespan=900s); a timespan
+          // below one granule is the reference's ValueError
+          val p = t / g
+          require(p > 0,
+            s"timespan $t below one $g-ns granule: calculated points is 0")
+          copy(points = Some(p), timespanNs = Some(g * p))
+        case (Some(p), Some(_)) =>
+          // points wins and timespan re-derives (archive_policy.py:
+          // 221-223 overwrites the submitted timespan unconditionally)
+          copy(timespanNs = Some(g * p))
         case (None, None) => this // unlimited retention
       }
     case _: Granularity.Calendar => this
@@ -118,14 +127,17 @@ object ArchivePolicy {
     * (gnocchi/archive_policy.py:116-142).
     */
   def resolveMethods(spec: Set[String]): Set[String] = {
-    if (spec.contains("*")) basicMethods
-    else {
-      val adds = spec.filter(_.startsWith("+")).map(_.drop(1))
-      val subs = spec.filter(_.startsWith("-")).map(_.drop(1))
-      val plain = spec.filterNot(s => s.startsWith("+") || s.startsWith("-"))
-      val base = if (plain.nonEmpty) plain else defaultMethods
-      (base ++ adds) -- subs
-    }
+    val adds = spec.filter(_.startsWith("+")).map(_.drop(1))
+    val subs = spec.filter(_.startsWith("-")).map(_.drop(1))
+    val plain = spec.filterNot(s =>
+      s.startsWith("+") || s.startsWith("-") || s == "*")
+    // the -/+ loop applies AFTER expanding `*` too (archive_policy.py:
+    // 116-133): ["*", "-mean"] materializes everything except mean
+    val base =
+      if (spec.contains("*")) basicMethods
+      else if (plain.nonEmpty) plain
+      else defaultMethods
+    (base ++ adds) -- subs
   }
 
   import Granularity.{seconds => sec}

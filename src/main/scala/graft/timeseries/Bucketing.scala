@@ -49,8 +49,10 @@ object Bucketing {
         concat(year(ts).cast("string"),
           when(month(ts) <= 6, lit("-01-01")).otherwise(lit("-07-01"))))
     case "W" =>
-      // week anchored Sunday: dayofweek is 1 (Sun) .. 7 (Sat)
-      date_trunc("day", date_sub(ts, dayofweek(ts) - 1)).cast("timestamp")
+      // week anchored Sunday: dayofweek is 1 (Sun) .. 7 (Sat);
+      // date_sub already yields a day-truncated DATE — the cast to
+      // timestamp is the whole midnight-anchoring
+      date_sub(ts, dayofweek(ts) - 1).cast("timestamp")
     case other => throw new IllegalArgumentException(s"calendar unit $other")
   }
 

@@ -40,6 +40,11 @@ object TimeSeriesOps {
   def merge(newDf: DataFrame, oldDf: DataFrame, keyCols: Seq[String],
             tsCol: String, orderCol: Column,
             orderBound: Long = 0L, orderUnique: Boolean = true): DataFrame = {
+    // internal tags must not silently overwrite caller data columns —
+    // the same loud contract asofJoin enforces for its tags
+    Seq("__prio", "__pk", "__rn").filter(newDf.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"merge: input carries reserved internal column '$c' — rename it"))
     val tagged = newDf.withColumn("__prio", lit(0))
       .unionByName(oldDf.withColumn("__prio", lit(1)))
     val dataCols = newDf.columns
@@ -188,7 +193,26 @@ object TimeSeriesOps {
                keyCols: Seq[String], bucketCol: String = "bucket",
                valueCol: String = "value"): DataFrame = {
     val base = Kernels.baseMethod(method)
-    val re = agg.withColumn("__b2", Bucketing.bucket(col(bucketCol), coarser))
+    // rate:X resamples the FIRST-DIFFERENCED stored values
+    // (carbonara.py:668-676 from_grouped_serie runs derived() before
+    // re-bucketing; numpy.diff consumes the first point) — plain
+    // re-bucketing of already-rate values would double-integrate.
+    // Calendar targets cannot derive (carbonara.py:212-215 TypeError).
+    val src =
+      if (!method.startsWith("rate:")) agg
+      else {
+        coarser match {
+          case _: Granularity.Calendar => throw new IllegalArgumentException(
+            "Cannot derive aggregates on calendar granularities")
+          case _ => ()
+        }
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(bucketCol))
+        agg.withColumn("__rn", row_number().over(w))
+          .withColumn(valueCol, col(valueCol) - lag(col(valueCol), 1).over(w))
+          .filter(col("__rn") > 1).drop("__rn")
+      }
+    val re = src.withColumn("__b2", Bucketing.bucket(col(bucketCol), coarser))
     val grouped = re.groupBy((keyCols.map(col) :+ col("__b2").as(bucketCol)): _*)
       .agg(Kernels.aggColumn(base, col(valueCol), col(bucketCol)).as(valueCol),
            count(col(valueCol)).as("__n"))
@@ -248,15 +272,18 @@ object TimeSeriesOps {
     Seq(lo, hi).flatten.foldLeft(raw)((d, p) => d.filter(p))
   }
 
-  /** A12 fetch (carbonara.py:809-822): slice `[floor(from, g), to]` —
+  /** A12 fetch (carbonara.py:809-822): slice `[floor(from, g), to)` —
     * `from` is floored to the granularity so a 17:02 query returns the
-    * 17:00 bucket. Plain predicates → parquet row-group pruning.
+    * 17:00 bucket; `to` is EXCLUSIVE (the reference slices
+    * `self[from_:to]` via searchsorted side='left', carbonara.py:
+    * 255-260 — the bucket whose start equals the stop drops). Plain
+    * predicates → parquet row-group pruning.
     */
   def fetch(agg: DataFrame, granularity: Granularity,
             from: Option[java.sql.Timestamp], to: Option[java.sql.Timestamp],
             bucketCol: String = "bucket"): DataFrame = {
     val lo = from.map(f => col(bucketCol) >= Bucketing.bucket(lit(f), granularity))
-    val hi = to.map(t => col(bucketCol) <= lit(t))
+    val hi = to.map(t => col(bucketCol) < lit(t))
     Seq(lo, hi).flatten.foldLeft(agg)((d, p) => d.filter(p))
   }
 
@@ -299,10 +326,22 @@ object TimeSeriesOps {
       case "full_bfill" =>
         val b = fill(grid, cols, "bfill", tsCol, partitionCols)
         fill(b, cols, "ffill", tsCol, partitionCols)
-      case num if num.matches("-?([0-9]+(\\.[0-9]+)?|\\.[0-9]+)") =>
+      case num =>
+        // any float(x)-coercible literal is a valid numeric fill in the
+        // reference (rest/api.py voluptuous.Coerce(float)) — scientific
+        // notation ("1e5"), "inf", "nan" included, not just plain
+        // decimals. Python float() spellings that Java's parseDouble
+        // rejects map explicitly.
+        val v = num.trim.toLowerCase match {
+          case "inf" | "+inf" | "infinity" | "+infinity" =>
+            Double.PositiveInfinity
+          case "-inf" | "-infinity" => Double.NegativeInfinity
+          case "nan" | "+nan" | "-nan" => Double.NaN
+          case s => s.toDoubleOption.getOrElse(
+            throw new IllegalArgumentException(s"fill policy $num"))
+        }
         cols.foldLeft(grid)((d, c) =>
-          d.withColumn(c, coalesce(denan(col(c)), lit(num.toDouble))))
-      case other => throw new IllegalArgumentException(s"fill policy $other")
+          d.withColumn(c, coalesce(denan(col(c)), lit(v))))
     }
   }
 }

@@ -187,12 +187,31 @@ class CatalogSpec extends SparkSpec {
     assert(ArchivePolicy.resolveMethods(Set("-mean")) ==
       ArchivePolicy.defaultMethods - "mean")
     assert(ArchivePolicy.resolveMethods(Set("mean", "max")) == Set("mean", "max"))
+    // the -/+ loop applies AFTER `*` expands (archive_policy.py:126-133)
+    assert(ArchivePolicy.resolveMethods(Set("*", "-mean")) ==
+      ArchivePolicy.basicMethods - "mean")
+    // (the reference applies -/+ entries in Python SET iteration order,
+    // so {"*","-x","+x"} is nondeterministic there — not pinned here;
+    // this engine applies adds then subs deterministically)
   }
 
   test("policy item completion: timespan = granularity * points") {
     val item = graft.model.ArchivePolicyItem(
       Granularity.seconds(300), Some(12L), None).completed
     assert(item.timespanNs.contains(300L * 12 * 1_000_000_000L))
+    // timespan-only: points floors, timespan RE-DERIVES
+    // (archive_policy.py:216-219: 1000s at 300s → points 3, span 900s)
+    val t = graft.model.ArchivePolicyItem(
+      Granularity.seconds(300), None, Some(1000L * 1_000_000_000L)).completed
+    assert(t.points.contains(3L))
+    assert(t.timespanNs.contains(900L * 1_000_000_000L))
+    // sub-granule timespan → calculated points 0 → loud error
+    intercept[IllegalArgumentException](graft.model.ArchivePolicyItem(
+      Granularity.seconds(300), None, Some(100L * 1_000_000_000L)).completed)
+    // both given: points wins, timespan overwrites (py:221-223)
+    val b = graft.model.ArchivePolicyItem(Granularity.seconds(300),
+      Some(2L), Some(1000L * 1_000_000_000L)).completed
+    assert(b.timespanNs.contains(600L * 1_000_000_000L))
   }
 
   test("granularity parse: seconds, suffixes, calendar tokens") {

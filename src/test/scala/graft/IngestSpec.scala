@@ -20,6 +20,28 @@ class IngestSpec extends SparkSpec {
     new MetricStore(spark, dir, policy)
   }
 
+  test("read order is truncate -> resample -> fetch at the OUTPUT " +
+      "granularity (storage/__init__.py:294-338): a start inside a " +
+      "coarse bucket returns the FULL-bucket value, not a partial mean") {
+    val dir = Files.createTempDirectory("graft-order").toString
+    val policy = ArchivePolicy("test", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean"))
+    val store = new MetricStore(spark, dir, policy)
+    // four fine buckets inside ONE 240s coarse bucket: 1, 2, 3, 4
+    store.addMeasures(measures(
+      ("m", "2014-01-01 12:00:10", 1.0), ("m", "2014-01-01 12:01:10", 2.0),
+      ("m", "2014-01-01 12:02:10", 3.0), ("m", "2014-01-01 12:03:10", 4.0)))
+    val got = store.getMeasures("m", "mean", 60,
+        from = Some(ts("2014-01-01 12:02:00")),
+        resample = Some(Granularity.seconds(240)))
+      .collect().map(r => (r.getTimestamp(1).toString, r.getDouble(2))).toSeq
+    // the reference resamples the whole pruned range THEN fetches with
+    // `from` floored to the 240s output granularity: mean(1,2,3,4)=2.5.
+    // Fetching fine-first would hand resample only (3,4) → 3.5.
+    assert(got == Seq(("2014-01-01 12:00:00.0", 2.5)))
+  }
+
   test("store lock: a second writer fails loudly at entry and the " +
       "holder's in-flight staging survives (tooz sack locks, " +
       "chef.py:426-431, made mechanical)") {

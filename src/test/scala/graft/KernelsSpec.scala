@@ -164,6 +164,48 @@ class KernelsSpec extends SparkSpec {
     assert(got.length == 1) // 12:00:30 floored to 12:00 → bucket included
   }
 
+  test("fetch stop is EXCLUSIVE: the bucket starting at the stop drops " +
+      "(carbonara.py:809-822 slices [from_:to] via searchsorted " +
+      "side='left')") {
+    val rows = Seq(
+      ("m", "2014-01-01 12:00:10", 1.0), ("m", "2014-01-01 12:01:10", 2.0))
+    val agg = Kernels.aggregate(measures(rows: _*), "mean",
+      Granularity.seconds(60), Seq("metric_id"), "timestamp", "value")
+    val got = TimeSeriesOps.fetch(agg, Granularity.seconds(60),
+      None, Some(ts("2014-01-01 12:01:00"))).collect()
+    assert(got.length == 1) // the 12:01 bucket == stop → excluded
+    // an unaligned stop keeps the bucket it lands inside
+    val got2 = TimeSeriesOps.fetch(agg, Granularity.seconds(60),
+      None, Some(ts("2014-01-01 12:01:01"))).collect()
+    assert(got2.length == 2)
+  }
+
+  test("resample of rate: first-differences the STORED values before " +
+      "re-bucketing (carbonara.py:668-676 from_grouped_serie derived())") {
+    val s = spark
+    import s.implicits._
+    // stored rate:mean values (already rate) at 60s buckets
+    val stored = Seq(
+      ("m", ts("2014-01-01 12:00:00"), 1.0),
+      ("m", ts("2014-01-01 12:01:00"), 3.0),
+      ("m", ts("2014-01-01 12:02:00"), 6.0),
+      ("m", ts("2014-01-01 12:03:00"), 10.0))
+      .toDF("metric_id", "bucket", "value")
+    val got = TimeSeriesOps.resample(stored, "rate:mean",
+        Granularity.seconds(120), Seq("metric_id"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2))).toSeq
+    // derived diffs land at [12:01→2, 12:02→3, 12:03→4]; 120s means:
+    // bucket 12:00 = mean(2) = 2.0, bucket 12:02 = mean(3,4) = 3.5 —
+    // plain mean-of-stored would give (1+3)/2=2, (6+10)/2=8
+    assert(got == Seq(
+      ("2014-01-01 12:00:00.0", 2.0), ("2014-01-01 12:02:00.0", 3.5)))
+    // calendar targets cannot derive (carbonara.py:212-215)
+    val e = intercept[IllegalArgumentException](TimeSeriesOps.resample(
+      stored, "rate:mean", Granularity.Calendar("M"), Seq("metric_id")))
+    assert(e.getMessage.contains("calendar"))
+  }
+
   test("calendar buckets: week anchored Sunday (calendar.py:40-44)") {
     // 2014-01-01 is a Wednesday → week bucket = Sunday 2013-12-29
     val df = measures(("m", "2014-01-01 12:00:00", 1.0))
