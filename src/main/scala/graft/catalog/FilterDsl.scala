@@ -97,8 +97,11 @@ object FilterParser {
   // unquoted UUIDs (`3fa85f64-…`) and ISO dates (`2024-01-01T…`) one
   // token — the pyparsing grammar accepts both unquoted, and the bare
   // int rule would otherwise split them at the first dash
+  // ∧/∨/¬ are the reference grammar's unicode boolean alternatives
+  // (like the ≠/≤/≥ comparison forms) — the parser branches accept
+  // them, so the tokenizer must emit them
   private val tokenRe =
-    ("""\s*("(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'|<=|>=|!=|==|≠|≤|≥|[()\[\],=<>]|""" +
+    ("""\s*("(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'|<=|>=|!=|==|≠|≤|≥|∧|∨|¬|[()\[\],=<>]|""" +
      """[0-9][0-9A-Za-z_.:]*[A-Za-z-][0-9A-Za-z_.:-]*|""" +
      """-?[0-9]+\.[0-9]+|-?[0-9]+|[A-Za-z_][A-Za-z0-9_.:-]*)""").r
 
@@ -156,7 +159,14 @@ object FilterParser {
               vs += value(next()); if (peek.contains(",")) next()
             }
             expect("]"); In(attr, vs.toSeq)
-          case "like" => Like(attr, value(next()).toString)
+          case "like" => value(next()) match {
+            // a null literal after `like` must be the same clean parse
+            // error every other malformed filter raises, not an NPE
+            // escaping as a 500
+            case null => throw new IllegalArgumentException(
+              "like requires a string pattern, got null")
+            case v => Like(attr, v.toString)
+          }
           case o if Set("=", "==", "eq", "<", "lt", ">", "gt", "<=", "le",
               ">=", "ge", "!=", "ne", "≠", "≤", "≥").contains(o) =>
             Cmp(o, attr, value(next()))
@@ -217,6 +227,9 @@ object Fnmatch {
               if (raw.startsWith("!")) (true, raw.substring(1)) else (false, raw)
             val esc = stuff0.replace("\\", "\\\\")
               .replace("]", "\\]").replace("[", "\\[")
+              // '&&' is Java's class INTERSECTION; python fnmatch has
+              // no such operator — '[a&&b]' must stay three literals
+              .replace("&", "\\&")
             val body = (if (neg) "^" else "") +
               (if (!neg && esc.startsWith("^")) "\\" + esc else esc)
             sb.append("[").append(body).append("]")
@@ -255,6 +268,9 @@ object Pagination {
     sorts.collectFirst { case (k, _) if !df.columns.contains(k) => k }
       .foreach(k => throw new IllegalArgumentException(
         s"Invalid sort key: $k"))
+    // a negative client limit must be a clean 400, not Spark's
+    // AnalysisException surfacing as a 500
+    require(limit >= 0, s"Invalid limit: $limit")
     val withTie =
       if (sorts.exists(_._1 == uniqueKey)) sorts
       else sorts :+ (uniqueKey -> true)

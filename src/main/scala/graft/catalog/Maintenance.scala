@@ -31,7 +31,7 @@ object Maintenance {
       .withColumn("ended_at",
         when(col("ended_at").isNull && col("last_ts_s").isNotNull &&
             col("last_ts_s") < nowS - inactiveS,
-          to_timestamp(from_unixtime(lit(nowS))))
+          timestamp_seconds(lit(nowS)))
         .otherwise(col("ended_at")))
       .drop("last_ts_s")
 

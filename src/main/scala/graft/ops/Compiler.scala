@@ -154,13 +154,27 @@ object Compiler {
     case other    => acrossAgg(other, v)
   }
 
+  /** Comparison wrapper: null operands propagate null (absent grid
+    * cells stay absent), NaN operands yield the numpy ufunc's fixed
+    * verdict (`nanVal`), everything else takes the Spark comparison.
+    */
+  private def cmpNanGuard(l: Column, r: Column, res: Column,
+                          nanVal: Double): Column =
+    when(l.isNull || r.isNull, lit(null).cast("double"))
+      .otherwise(when(isnan(l) || isnan(r), lit(nanVal)).otherwise(res))
+
   private[ops] def binCol(op: String, l: Column, r: Column): Column = op match {
-    case "eq"  => (l === r).cast("double")
-    case "ne"  => (l =!= r).cast("double")
-    case "lt"  => (l < r).cast("double")
-    case "gt"  => (l > r).cast("double")
-    case "le"  => (l <= r).cast("double")
-    case "ge"  => (l >= r).cast("double")
+    // numpy ufunc comparison semantics over NaN (operations.py binary
+    // operators are numpy.equal & co.): EVERY comparison with a NaN
+    // operand is False except != which is True — Spark instead treats
+    // NaN = NaN as true and sorts NaN above every double. Null cells
+    // keep propagating null (the grid's absent-cell rule).
+    case "eq"  => cmpNanGuard(l, r, (l === r).cast("double"), nanVal = 0.0)
+    case "ne"  => cmpNanGuard(l, r, (l =!= r).cast("double"), nanVal = 1.0)
+    case "lt"  => cmpNanGuard(l, r, (l < r).cast("double"), nanVal = 0.0)
+    case "gt"  => cmpNanGuard(l, r, (l > r).cast("double"), nanVal = 0.0)
+    case "le"  => cmpNanGuard(l, r, (l <= r).cast("double"), nanVal = 0.0)
+    case "ge"  => cmpNanGuard(l, r, (l >= r).cast("double"), nanVal = 0.0)
     case "add" => l + r
     case "sub" => l - r
     case "mul" => l * r
@@ -275,12 +289,21 @@ object Compiler {
     case _                       => false
   }
 
-  /** True when evaluating `n` will hit the zipGrids self-join — a
-    * series⊕series Bin where a side changes the row set (rolling,
-    * rateofchange, aggregate, resample below it). Callers should
-    * persist the base grid first: the join re-evaluates the grid's
-    * entire upstream plan once per side otherwise.
+  /** True when the subtree is SCALAR-VALUED end to end — a number or
+    * arithmetic over numbers. The reference evaluates such a subtree
+    * to a plain Python number (operations.py:334-335 short-circuits
+    * `isinstance(nodes, numbers.Number)` before any ndarray work), so
+    * it can never flip the is_aggregated flag.
     */
+  private def isScalarTree(n: Node): Boolean = n match {
+    case Num(_)          => true
+    case Bin(_, l, r)    => isScalarTree(l) && isScalarTree(r)
+    case Un(_, s)        => isScalarTree(s)
+    case Clip(s, lo, hi) =>
+      isScalarTree(s) && isScalarTree(lo) && isScalarTree(hi)
+    case _               => false
+  }
+
   /** Whether the operations tree "aggregates" in the reference's sense
     * (operations.py): `handle_aggregate` always returns True
     * (operations.py:232-240), and a binary/ternary op whose operands
@@ -296,7 +319,10 @@ object Compiler {
   def isAggregated(n: Node): Boolean = n match {
     case AggAcross(_, _) => true
     case Bin(_, l, r) =>
-      (!l.isInstanceOf[Num] && !r.isInstanceOf[Num]) ||
+      // a SCALAR-VALUED subtree ((+ 1 2), (abs -3)) is a plain number
+      // to the reference, not a series — isInstanceOf[Num] alone would
+      // wrongly flip the flag for it
+      (!isScalarTree(l) && !isScalarTree(r)) ||
         isAggregated(l) || isAggregated(r)
     case Clip(s, _, _)      => isAggregated(s)
     case Un(_, s)           => isAggregated(s)
@@ -306,6 +332,12 @@ object Compiler {
     case _                  => false
   }
 
+  /** True when evaluating `n` will hit the zipGrids self-join — a
+    * series⊕series Bin where a side changes the row set (rolling,
+    * rateofchange, aggregate, resample below it). Callers should
+    * persist the base grid first: the join re-evaluates the grid's
+    * entire upstream plan once per side otherwise.
+    */
   def hasGridJoin(n: Node): Boolean = n match {
     case Bin(_, l, r) if !l.isInstanceOf[Num] && !r.isInstanceOf[Num] =>
       !(ewShape(l) && ewShape(r)) || hasGridJoin(l) || hasGridJoin(r)

@@ -859,9 +859,20 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           else searched
         // ?sort/?marker/?limit keyset-paginate the search page exactly
         // like the listing route (rest/api.py:1453-1481;
-        // gabbits/search.yaml "search with paging"); ?attrs projects
-        val paged = graft.catalog.Pagination(scoped,
-          q.get("sort").map(parseSorts).getOrElse(Seq("id" -> true)),
+        // gabbits/search.yaml "search with paging"); ?attrs projects.
+        // The HISTORY frame is multi-revision per id, so `id` alone is
+        // not a unique key — append the revision tiebreaker exactly as
+        // listResourcesHistory does, or revisions straddling a page
+        // boundary would silently drop
+        val baseSorts = q.get("sort").map(parseSorts)
+          .getOrElse(Seq("id" -> true))
+        val sorts2 =
+          if (q.get("history").contains("true") &&
+              scoped.columns.contains("revision") &&
+              !baseSorts.exists(_._1 == "revision"))
+            baseSorts :+ ("revision" -> true)
+          else baseSorts
+        val paged = graft.catalog.Pagination(scoped, sorts2,
           "id", q.get("marker"),
           q.get("limit").map(_.toInt).getOrElse(1000))
         ok(attrsProject(frameJson(paged, Int.MaxValue), q))

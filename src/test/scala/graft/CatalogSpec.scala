@@ -70,6 +70,20 @@ class CatalogSpec extends SparkSpec {
     // pyparsing QuotedString(escChar='\\'): every \x pair unescapes
     assert(FilterParser.parse("name = 'a\\\\b'") ==
       Filter.Cmp("=", "name", "a\\b"))
+    // unicode boolean forms, like the already-supported ≠/≤/≥
+    assert(FilterParser.parse("a = 1 ∧ b = 2") == Filter.And(Seq(
+      Filter.Cmp("=", "a", 1L), Filter.Cmp("=", "b", 2L))))
+    assert(FilterParser.parse("a = 1 ∨ ¬ b = 2") == Filter.Or(Seq(
+      Filter.Cmp("=", "a", 1L), Filter.Not(Filter.Cmp("=", "b", 2L)))))
+    // `like null` is a clean parse error, not an NPE-backed 500
+    val lk = intercept[IllegalArgumentException](
+      FilterParser.parse("name like null"))
+    assert(lk.getMessage.contains("like"))
+    // '&&' inside a glob class is three literals, not Java class
+    // intersection
+    assert(Fnmatch.matches("[a&&b]", "&"))
+    assert(Fnmatch.matches("[a&&b]", "a"))
+    assert(!Fnmatch.matches("[a&&b]", "c"))
     val s = spark
     import s.implicits._
     val df = Seq(("r1", 1L), ("r2", 2L)).toDF("id", "n")

@@ -30,6 +30,33 @@ class OpsSpec extends SparkSpec {
     ("m2/mean", "2014-01-01 12:01:00", 5.0),
     ("m2/mean", "2014-01-01 12:02:00", 6.0))
 
+  test("comparisons follow numpy NaN semantics: every NaN comparison " +
+      "is 0.0 except != which is 1.0 (operations.py binary ufuncs — " +
+      "Spark's own NaN===NaN/NaN-sorts-last would flip these)") {
+    val g = mkGrid(
+      ("m/mean", "2014-01-01 12:00:00", Double.NaN),
+      ("m/mean", "2014-01-01 12:01:00", 5.0))
+    def head(ops: String): Double =
+      Compiler.eval(Parser.parse(ops), g).df.orderBy("bucket")
+        .collect()(0).getDouble(1)
+    assert(head("(= (metric m mean) (metric m mean))") == 0.0) // nan = nan
+    assert(head("(!= (metric m mean) (metric m mean))") == 1.0)
+    assert(head("(> (metric m mean) 0)") == 0.0) // NaN not > anything
+    assert(head("(<= (metric m mean) 0)") == 0.0)
+    // the non-NaN bucket keeps plain comparison results
+    assert(Compiler.eval(Parser.parse("(> (metric m mean) 0)"), g)
+      .df.orderBy("bucket").collect()(1).getDouble(1) == 1.0)
+  }
+
+  test("isAggregated ignores scalar-valued subtrees: (* (+ 1 2) " +
+      "(metric m mean)) is scalar x series, not series x series " +
+      "(operations.py:334-335 short-circuits plain numbers)") {
+    assert(!Compiler.isAggregated(Parser.parse(
+      "(* (+ 1 2) (metric m mean))")))
+    assert(Compiler.isAggregated(Parser.parse(
+      "(* (metric m1 mean) (metric m2 mean))")))
+  }
+
   test("scalar broadcast: (* 4 (metric m1 mean))") {
     val g = Compiler.eval(Parser.parse("(* 4 (metric m1 mean))"), mkGrid(twoSeries: _*))
     assert(values(g).map(_._2.head) == Seq(4.0, 8.0, 12.0))
