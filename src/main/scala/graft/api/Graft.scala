@@ -119,7 +119,11 @@ class Graft(val spark: SparkSession, root: String) {
     * silently orphan its stored aggregates). */
   def createMetric(id: String, policyName: String,
                    unit: Option[String]): Unit = {
-    GraftError.found(policies.contains(policyName), s"no policy $policyName")
+    // a metric-creation body naming an unknown policy is BAD INPUT
+    // (rest/api.py:688 aborts 400 on indexer.NoSuchArchivePolicy),
+    // unlike the 404 of looking UP /v1/archive_policy/<name>
+    GraftError.valid(policies.contains(policyName),
+      s"Archive policy $policyName does not exist")
     unit.foreach(u => require(u.length <= 31,
       s"unit too long (${u.length} > 31)"))
     GraftError.fresh(metricPolicy.putIfAbsent(id, policyName).isEmpty,
@@ -162,7 +166,11 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def createPolicyRule(name: String, pattern: String,
                        policyName: String): Unit = {
-    GraftError.found(policies.contains(policyName), s"no policy $policyName")
+    // rule bodies naming an unknown policy → 400 (rest/api.py
+    // ArchivePolicyRulesController.post aborts 400 on
+    // NoSuchArchivePolicy)
+    GraftError.valid(policies.contains(policyName),
+      s"Archive policy $policyName does not exist")
     stagingLock.synchronized {
       require(!policyRules.exists(_._1 == name),
         s"Archive policy rule $name already exists.")
@@ -192,8 +200,11 @@ class Graft(val spark: SparkSession, root: String) {
   private def rulePolicy(metricName: String): String = policyRules
     .filter { case (_, p, _) => graft.catalog.Fnmatch.matches(p, metricName) }
     .sortBy { case (_, p, _) => (-p.length, p) }
-    .headOption.map(_._3).getOrElse(GraftError.notFound(
-      s"no archive policy rule matches metric $metricName"))
+    // no matching rule is a 400 on every creation door (the
+    // MetricSchema classmethod aborts 400, rest/api.py:608-616)
+    .headOption.map(_._3).getOrElse(GraftError.badInput(
+      "No archive policy name specified and no archive policy rule " +
+        s"found matching the metric name $metricName"))
 
   /** Create a metric letting the rules pick the policy. */
   def createMetric(id: String): Unit = createMetric(id, rulePolicy(id))
@@ -380,7 +391,8 @@ class Graft(val spark: SparkSession, root: String) {
           case None if createMetrics =>
             val id = s"$rid/$name"
             val pol = polOpt.getOrElse(rulePolicy(name)) // throws: no rule
-            GraftError.found(policies.contains(pol), s"no policy $pol")
+            GraftError.valid(policies.contains(pol),
+              s"Archive policy $pol does not exist")
             GraftError.fresh(!hasMetric(id) && !toCreate.exists(_._1 == id),
               s"metric $id already exists")
             toCreate += ((id, rid, name, pol))
@@ -1170,17 +1182,33 @@ class Graft(val spark: SparkSession, root: String) {
     val bad = updates.keySet -- res.columns
     require(bad.isEmpty, s"unknown attributes: ${bad.toSeq.sorted.mkString(", ")}")
     val cur = res.filter(col("id") === id)
-    GraftError.found(!cur.isEmpty, s"no resource $id")
+    // revision only when a submitted value actually DIFFERS from the
+    // stored one (utils.is_resource_revision_needed:358-370) — a
+    // same-value patch is an existence check, no useless history row.
+    // One action covers the 404 check and the diff.
+    val changed = updates.map { case (k, v) =>
+      !(col(k) <=> lit(v).cast(res.schema(k).dataType))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val curRows = cur.select(changed.as("c")).collect()
+    GraftError.found(curRows.nonEmpty, s"no resource $id")
+    if (!curRows.head.getBoolean(0)) return // nothing to write
     resourceHistoryTbl = resourceHistoryTbl.map(_.unionByName(
       cur.withColumn("revision_end",
         to_timestamp(from_unixtime(lit(nowS)))),
       allowMissingColumns = true))
+    // the surviving row's revision restarts at the patch time
+    // (sqlalchemy.py:934 `r.revision_start = now`)
+    val revised =
+      if (res.columns.contains("revision_start"))
+        updates + ("revision_start" ->
+          new java.sql.Timestamp(nowS * 1000L))
+      else updates
     // ONE projection over a SINGLE reference to the catalog frame — a
     // filter(≠id) ∪ patched-filter(=id) formulation references the
     // previous catalog plan twice, so sustained patching doubles the
     // plan tree per call (exponential analysis blow-up long before the
     // periodic compaction can cut it; OOMed at ~25 patches).
-    val patched = updates.foldLeft(res) { case (df, (k, v)) =>
+    val patched = revised.foldLeft(res) { case (df, (k, v)) =>
       df.withColumn(k, when(col("id") === id,
         lit(v).cast(res.schema(k).dataType)).otherwise(col(k)))
     }
@@ -1316,6 +1344,35 @@ class Graft(val spark: SparkSession, root: String) {
     metrics.map { case (n, _) => (n, byName(n)) }
   }
 
+  /** MetricsSchema validation with NO state mutated — shared by the
+    * attach path and the create-resource-with-metrics path so a metric
+    * failure can't leave a half-created resource behind: slash names
+    * (rest/api.py:604-606), existing-id attaches
+    * (indexer NoSuchMetric), policy/rule resolution for creates, and
+    * derived-id freshness (a mid-loop createMetric Conflict would
+    * leave earlier names created but unregistered).
+    */
+  def validateMetricsSchema(
+      resourceId: String,
+      metrics: Map[String, Either[String, Option[String]]]): Unit = {
+    for (_ <- metrics.keys.find(_.contains('/')))
+      GraftError.badInput("'/' is not supported in metric name")
+    metrics.foreach {
+      case (_, Left(mid)) =>
+        // a bad attach BODY is the reference's 400, not a 404 — so a
+        // plain IllegalArgumentException, not GraftError.NotFound
+        if (!hasMetric(mid)) throw new IllegalArgumentException(
+          s"Metric $mid does not exist")
+      case (n, Right(pol)) =>
+        val p = pol.getOrElse(rulePolicy(n)) // throws when no rule matches
+        GraftError.valid(policies.contains(p),
+          s"Archive policy $p does not exist")
+    }
+    for ((n, Right(_)) <- metrics)
+      GraftError.fresh(!hasMetric(s"$resourceId/$n"),
+        s"metric $resourceId/$n already exists")
+  }
+
   /** The full MetricsSchema attach contract (rest/api.py:732-746):
     * per name either Left(existing metric id to ATTACH) or
     * Right(policy option) to CREATE (None → the R9 rules pick).
@@ -1337,23 +1394,7 @@ class Graft(val spark: SparkSession, root: String) {
     for (n <- metrics.keys.find(existing.contains))
       GraftError.conflict(
         s"metric $n already exists for resource $resourceId")
-    // validate everything up front — no mutation yet
-    metrics.foreach {
-      case (_, Left(mid)) =>
-        // a bad attach BODY is the reference's 400, not a 404 — so a
-        // plain IllegalArgumentException, not GraftError.NotFound
-        if (!hasMetric(mid)) throw new IllegalArgumentException(
-          s"metric $mid does not exist")
-      case (n, Right(pol)) =>
-        val p = pol.getOrElse(rulePolicy(n)) // throws when no rule matches
-        GraftError.found(policies.contains(p), s"no policy $p")
-    }
-    // derived metric ids must also be free: a mid-loop createMetric
-    // Conflict would leave earlier names created but unregistered,
-    // breaking the all-or-nothing contract above
-    for ((n, Right(_)) <- metrics)
-      GraftError.fresh(!hasMetric(s"$resourceId/$n"),
-        s"metric $resourceId/$n already exists")
+    validateMetricsSchema(resourceId, metrics)
     val attached = metrics.toSeq.sortBy(_._1).map {
       case (name, Left(mid)) => (mid, resourceId, name)
       case (name, Right(pol)) =>
@@ -1367,6 +1408,46 @@ class Graft(val spark: SparkSession, root: String) {
       .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
     attached.map(c => (c._3, c._1))
   }
+
+  /** POST /v1/resource/<type> with an inline `metrics` map
+    * (ResourceSchema's Optional('metrics'), rest/api.py:1060-1069):
+    * the reference creates resource + metrics in ONE indexer call and
+    * aborts 400 with nothing created when a metric is invalid — so the
+    * metrics validate BEFORE the resource row lands.
+    */
+  def createResourceWithMetrics(
+      tpe: String, id: String, json: String,
+      metrics: Map[String, Either[String, Option[String]]],
+      creator: Option[String] = None): Unit = {
+    val rid = graft.catalog.ResourceUuid.transform(id, creator)
+    validateMetricsSchema(rid, metrics)
+    createResource(tpe, id, json, creator)
+    if (metrics.nonEmpty) attachMetricsSchema(rid, metrics)
+  }
+
+  /** PATCH /v1/resource/<type>/<id> `metrics` semantics
+    * (sqlalchemy.py:958-966): REPLACE — every currently-attached
+    * metric detaches (resource_id → NULL; the metric itself survives,
+    * the reference's janitor reaps detached metrics separately), then
+    * the new map attaches.
+    */
+  def replaceResourceMetrics(
+      resourceId: String,
+      metrics: Map[String, Either[String, Option[String]]])
+      : Seq[(String, String)] = {
+    validateMetricsSchema(resourceId, metrics)
+    metricsCatalog = metricsCatalog.map(_.withColumn("resource_id",
+      when(col("resource_id") === resourceId, lit(null))
+        .otherwise(col("resource_id"))))
+    noteCatalogMutation()
+    if (metrics.isEmpty) Nil else attachMetricsSchema(resourceId, metrics)
+  }
+
+  /** The registered resource catalog's columns — the REST door's
+    * input-schema surface (schema_for(), rest/api.py:1153-1155). */
+  def resourceColumns: Seq[String] =
+    resources.getOrElse(throw new IllegalStateException(
+      "no resource table registered — call setResources(df) first")).columns.toSeq
 
   /** One resource's revision rows from the registered history table,
     * ordered by revision_start (the resource history endpoint; the

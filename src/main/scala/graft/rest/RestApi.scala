@@ -88,6 +88,45 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     case other => throw new IllegalArgumentException(s"expected string: $other")
   }
 
+  /** MetricsSchema wire form (rest/api.py:732-746): per name either an
+    * EXISTING metric id (string) to attach or an object creating one
+    * ({"archive_policy_name": p} / {} for the R9 rules). Intra-body
+    * duplicate names reject up front.
+    */
+  private def parseMetricsSchema(
+      v: JValue): Map[String, Either[String, Option[String]]] = v match {
+    case JObject(fields) =>
+      val dup = fields.map(_._1).groupBy(identity)
+        .collect { case (n, more) if more.size > 1 => n }
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"duplicate metric names: ${dup.toSeq.sorted.mkString(", ")}")
+      fields.map {
+        case (n, JString(existing)) => n -> Left(existing)
+        case (n, o: JObject) => o \ "archive_policy_name" match {
+          case JString(p) => n -> Right(Some(p))
+          case _          => n -> Right(None)
+        }
+        case (n, _) => n -> Right(None)
+      }.toMap
+    case other =>
+      throw new IllegalArgumentException(s"bad metrics body: $other")
+  }
+
+  /** Resource-body keys the door accepts: the registered catalog's
+    * columns minus the server-managed ones, plus the inline `metrics`
+    * map — the reference's schema_for() voluptuous surface, where an
+    * extra key is a 400 (rest/api.py:1060-1069; PREVENT_EXTRA).
+    */
+  private def resourceInputKeys(g: Graft): Set[String] =
+    g.resourceColumns.toSet -- Set("id", "type", "creator",
+      "original_resource_id", "revision_start", "revision_end") + "metrics"
+
+  private def rejectExtraKeys(fields: List[(String, JValue)],
+                              allowed: Set[String]): Unit =
+    for (k <- fields.map(_._1).find(!allowed.contains(_)))
+      throw new IllegalArgumentException(
+        s"Invalid input: extra keys not allowed @ data['$k']")
+
   /** Measure-search boolean tree (rest/api.py:1514-1652 MeasureQuery):
     * `{"and": [...]}`/`{"or"}`/`{"not"}`, comparison nodes
     * `{">=": [operand, operand]}` with the shorthand `{">=": 10}` for
@@ -576,6 +615,18 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         case t => if (rawIdExists(id)) id else t.fold(throw _, identity)
       }
     })
+    // one resource row with its named-metric map embedded — the
+    // reference's resource jsonify shape shared by GET/POST/PATCH
+    def resourceWithMetrics(id: String): Option[JValue] =
+      frameJson(g.searchResources(s"id = '${qesc(rid(id))}'"), 2) match {
+        case JArray(List(JObject(fields))) =>
+          Some(JObject(fields :+ ("metrics" -> JObject(
+            g.metricsForResources(Seq(rid(id)))
+              .getOrElse(rid(id), Nil).toList
+              .map { case (n, mid) => n -> (JString(mid): JValue) }))))
+        case JArray(List(one)) => Some(one)
+        case _                 => None
+      }
     (method, segs) match {
       // -------------------------------------------------- root + capability
       // version document (rest/api.py:2423-2438; gabbits/base.yaml
@@ -1126,25 +1177,29 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         ok(page).copy(headers = nextLink)
 
       case ("GET", List("v1", "resource", _, id)) =>
-        frameJson(g.searchResources(s"id = '${qesc(rid(id))}'"), 2) match {
-          case JArray(List(JObject(fields))) =>
-            // the reference's resource jsonify embeds metrics {name: id}
-            ok(JObject(fields :+ ("metrics" -> JObject(
-              g.metricsForResources(Seq(rid(id)))
-                .getOrElse(rid(id), Nil).toList
-                .map { case (n, mid) => n -> (JString(mid): JValue) }))))
-          case JArray(List(one)) => ok(one)
-          case JArray(Nil)       => err(404, s"no resource $id")
-          case _                 => err(500, s"duplicate resource id $id")
+        resourceWithMetrics(id) match {
+          case Some(one) => ok(one)
+          case None      => err(404, s"no resource $id")
         }
 
       // POST /v1/resource/<type>: create one resource row against the
-      // registered catalog schema; duplicate id → 409. Non-UUID ids
-      // transform (uuid5 under the creator) inside the facade.
+      // registered catalog schema; duplicate id → 409, an unknown body
+      // key → 400 (schema_for() PREVENT_EXTRA), and an inline
+      // `metrics` map creates/attaches named metrics atomically with
+      // the resource (ResourceSchema, rest/api.py:1060-1069). Non-UUID
+      // ids transform (uuid5 under the creator) inside the facade.
       case ("POST", List("v1", "resource", tpe)) =>
         enforceAuthed(creator)
-        val b = body()
-        val id = jstr(b \ "id")
+        val fields = body() match {
+          case JObject(fs) => fs
+          case other => throw new IllegalArgumentException(s"bad body: $other")
+        }
+        rejectExtraKeys(fields, resourceInputKeys(g) + "id")
+        val id = jstr(JObject(fields) \ "id")
+        val metrics = (JObject(fields) \ "metrics") match {
+          case JNothing => Map.empty[String, Either[String, Option[String]]]
+          case mv       => parseMetricsSchema(mv)
+        }
         // an externally-registered row keyed by this RAW id is a
         // conflict too: creation always stores the transformed id, and
         // a raw twin would shadow it at every lookup (rid prefers the
@@ -1152,30 +1207,43 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         if (graft.catalog.ResourceUuid.transform(id, creator) != id &&
             rawIdExists(id))
           return err(409, s"resource $id already exists")
-        g.createResource(tpe, id, RestApi.renderJson(b), creator)
-        created(frameJson(g.searchResources(s"id = '${qesc(rid(id))}'"), 1) match {
-          case JArray(List(one)) => one; case _ => b
-        })
+        g.createResourceWithMetrics(tpe, id,
+          RestApi.renderJson(JObject(fields.filterNot(_._1 == "metrics"))),
+          metrics, creator)
+        created(resourceWithMetrics(id).getOrElse(JObject(fields)))
 
-      // PATCH /v1/resource/<type>/<id>: update attributes; the
-      // pre-patch row end-dates into the history table.
+      // PATCH /v1/resource/<type>/<id>: update attributes — the
+      // pre-patch row end-dates into the history table only when a
+      // value actually changes — and/or REPLACE the named-metric set
+      // via an inline `metrics` map. Unknown keys (including `id`) are
+      // the schema's extra-keys 400.
       case ("PATCH", List("v1", "resource", _, id)) =>
         enforceResourceOwner(creator, rid(id))
-        val updates = body() match {
-          case JObject(fields) => fields.toMap.map {
-            case (k, JString(s))  => k -> (s: Any)
-            case (k, JBool(v))    => k -> (v: Any)
-            case (k, JNull)       => k -> (null: Any)
-            case (k, n)           => k -> (jnum(n): Any)
-          }
+        val fields = body() match {
+          case JObject(fs) => fs
+          case JNothing    => Nil // "{}" existence check
           case other => throw new IllegalArgumentException(s"bad patch: $other")
         }
+        rejectExtraKeys(fields, resourceInputKeys(g))
+        val metricsJv = fields.collectFirst { case ("metrics", v) => v }
+        val updates = fields.filterNot(_._1 == "metrics").toMap.map {
+          case (k, JString(s))  => k -> (s: Any)
+          case (k, JBool(v))    => k -> (v: Any)
+          case (k, JNull)       => k -> (null: Any)
+          case (k, n)           => k -> (jnum(n): Any)
+        }
+        // metrics validate BEFORE any attribute lands (the reference's
+        // update_resource is one transaction — a bad metrics map must
+        // not leave the attributes half-patched)
+        val parsedMetrics = metricsJv.map(parseMetricsSchema)
+        parsedMetrics.foreach(g.validateMetricsSchema(rid(id), _))
         g.patchResource(rid(id), updates,
           q.get("now").map(_.toLong).getOrElse(
             java.time.Instant.now.getEpochSecond))
-        frameJson(g.searchResources(s"id = '${qesc(rid(id))}'"), 1) match {
-          case JArray(List(one)) => ok(one)
-          case _                 => err(404, s"no resource $id")
+        parsedMetrics.foreach(g.replaceResourceMetrics(rid(id), _))
+        resourceWithMetrics(id) match {
+          case Some(one) => ok(one)
+          case None      => err(404, s"no resource $id")
         }
 
       // DELETE /v1/resource/<type>: delete-by-query — body is the
@@ -1241,24 +1309,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         if (g.searchResources(s"id = '${qesc(rid(id))}'").isEmpty)
           err(404, s"no resource $id")
         else {
-          val metrics: Map[String, Either[String, Option[String]]] =
-            body() match {
-              case JObject(fields) =>
-                val dup = fields.map(_._1).groupBy(identity)
-                  .collect { case (n, more) if more.size > 1 => n }
-                if (dup.nonEmpty) throw new IllegalArgumentException(
-                  s"duplicate metric names: ${dup.toSeq.sorted.mkString(", ")}")
-                fields.map {
-                case (n, JString(existing)) => n -> Left(existing)
-                case (n, o: JObject) => o \ "archive_policy_name" match {
-                  case JString(p) => n -> Right(Some(p))
-                  case _          => n -> Right(None)
-                }
-                case (n, _) => n -> Right(None)
-              }.toMap
-              case other =>
-                throw new IllegalArgumentException(s"bad metrics body: $other")
-            }
+          val metrics = parseMetricsSchema(body())
           created(JArray(g.attachMetricsSchema(rid(id), metrics).map {
             case (n, mid) =>
               JObject(List("name" -> JString(n), "id" -> JString(mid)))

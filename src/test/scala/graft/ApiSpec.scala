@@ -292,7 +292,7 @@ class ApiSpec extends SparkSpec {
     g.createPolicyRule("*", "gabbi-low")
     g.createPolicyRule("disk.*", "gabbi-low")
     val e = intercept[IllegalArgumentException](g.createPolicyRule("x", "nope"))
-    assert(e.getMessage.contains("no policy"))
+    assert(e.getMessage.contains("Archive policy nope does not exist"))
     g.createMetric("disk.io.read") // matches both; longest pattern wins
     g.createMetric("cpu.util")     // matches "*"
     g.addMeasures("disk.io.read", Seq(("2015-03-06 14:33:57", 1.0)))

@@ -1024,6 +1024,144 @@ class RestSpec extends SparkSpec {
     assert(api.dispatch("DELETE", "/v1/resource/generic/r2").status === 404)
   }
 
+  test("resource POST/PATCH ResourceSchema surface: inline metrics, " +
+      "extra-keys 400, revision only when a value changes " +
+      "(gabbits/resource.yaml; rest/api.py:1060-1069, utils.py:358-370)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(("r0", "seed", null: java.sql.Timestamp))
+      .toDF("id", "user_id", "revision_start"))
+    g.setResourceHistory(Seq.empty[(String, String, java.sql.Timestamp,
+      java.sql.Timestamp)]
+      .toDF("id", "user_id", "revision_start", "revision_end"))
+    assert(api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "medium", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""",
+      creator = Some("admin")).status === 201)
+
+    // unknown body key → the voluptuous extra-keys 400
+    val extra = api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "rx", "nope": 1}""")
+    assert(extra.status === 400)
+    assert(jstrOf(extra.body \ "description")
+      .contains("extra keys not allowed @ data['nope']"))
+
+    // create with an empty metrics dict → 201 and $.metrics == {}
+    val c = api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "res-a", "user_id": "u1", "metrics": {}}""")
+    assert(c.status === 201)
+    assert(c.body \ "metrics" === JObject(Nil))
+
+    // inline-metric failures are ATOMIC — no resource row lands.
+    // slash name (rest/api.py:604-606):
+    val slash = api.dispatch("POST", "/v1/resource/generic", body =
+      """{"id": "res-b",
+          "metrics": {"disk/iops": {"archive_policy_name": "medium"}}}""")
+    assert(slash.status === 400)
+    assert(jstrOf(slash.body \ "description") ===
+      "'/' is not supported in metric name")
+    assert(api.dispatch("GET", "/v1/resource/generic/res-b").status === 404)
+    // unknown existing-metric uuid:
+    val ghost = api.dispatch("POST", "/v1/resource/generic", body =
+      """{"id": "res-b",
+          "metrics": {"cpu": "00000000-0000-0000-0000-000000000000"}}""")
+    assert(ghost.status === 400)
+    assert(jstrOf(ghost.body \ "description").contains("does not exist"))
+    assert(api.dispatch("GET", "/v1/resource/generic/res-b").status === 404)
+    // unknown policy, and no matching R9 rule:
+    assert(api.dispatch("POST", "/v1/resource/generic", body =
+      """{"id": "res-b",
+          "metrics": {"cpu": {"archive_policy_name": "noexist"}}}""")
+      .status === 400)
+    val norule = api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "res-b", "metrics": {"cpu": {}}}""")
+    assert(norule.status === 400)
+    assert(jstrOf(norule.body \ "description").contains(
+      "No archive policy name specified and no archive policy rule found"))
+
+    // create WITH an inline metric: response and single GET embed it
+    val ok1 = api.dispatch("POST", "/v1/resource/generic", body =
+      """{"id": "res-b",
+          "metrics": {"disk.iops": {"archive_policy_name": "medium"}}}""")
+    assert(ok1.status === 201)
+    val mid = jstrOf(ok1.body \ "metrics" \ "disk.iops")
+    assert(mid.nonEmpty)
+    assert(api.dispatch("GET", "/v1/resource/generic/res-b")
+      .body \ "metrics" \ "disk.iops" === JString(mid))
+
+    // attach an EXISTING free-standing metric by uuid at create time
+    assert(api.dispatch("POST", "/v1/metric", body =
+      """{"id": "5a301761-bbbb-46e2-8900-8b4f6fe6675a",
+          "archive_policy_name": "medium"}""").status === 201)
+    val okAttach = api.dispatch("POST", "/v1/resource/generic", body =
+      """{"id": "res-d",
+          "metrics": {"cpu": "5a301761-bbbb-46e2-8900-8b4f6fe6675a"}}""")
+    assert(okAttach.status === 201)
+    assert(okAttach.body \ "metrics" \ "cpu" ===
+      JString("5a301761-bbbb-46e2-8900-8b4f6fe6675a"))
+
+    // ---- PATCH: revision bookkeeping + metric REPLACE semantics ----
+    val cc = api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "res-c", "user_id": "u2"}""")
+    assert(cc.status === 201)
+    def histSize: Int = api.dispatch("GET",
+      "/v1/resource/generic/res-c/history")
+      .body.asInstanceOf[JArray].arr.size
+    val p1 = api.dispatch("PATCH", "/v1/resource/generic/res-c",
+      query = Map("now" -> "1700000000"), body = """{"user_id": "foobar"}""")
+    assert(p1.status === 200 && p1.body \ "user_id" === JString("foobar"))
+    assert(histSize === 1) // one end-dated revision
+    // same-value patch: no useless revision, revision_start untouched
+    val p2 = api.dispatch("PATCH", "/v1/resource/generic/res-c",
+      query = Map("now" -> "1700000100"), body = """{"user_id": "foobar"}""")
+    assert(p2.status === 200)
+    assert(p2.body \ "revision_start" === p1.body \ "revision_start")
+    assert(histSize === 1)
+    // metrics-only patch: metric set changes, NO revision
+    // (is_resource_revision_needed skips the metrics key)
+    val pm = api.dispatch("PATCH", "/v1/resource/generic/res-c", body =
+      """{"metrics": {"disk.iops": {"archive_policy_name": "medium"}}}""")
+    assert(pm.status === 200)
+    assert(jstrOf(pm.body \ "metrics" \ "disk.iops").nonEmpty)
+    assert(histSize === 1)
+    // a bad metrics map patches NOTHING (validate-before-detach)
+    val pbad = api.dispatch("PATCH", "/v1/resource/generic/res-c", body =
+      """{"user_id": "never",
+          "metrics": {"x": "00000000-0000-0000-0000-000000000000"}}""")
+    assert(pbad.status === 400)
+    val after = api.dispatch("GET", "/v1/resource/generic/res-c")
+    assert(after.body \ "user_id" === JString("foobar"))
+    assert(jstrOf(after.body \ "metrics" \ "disk.iops").nonEmpty)
+    // REPLACE: a rule-resolved metric swaps the whole named set
+    assert(api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"name": "io-rule", "metric_pattern": "disk.io.*",
+          "archive_policy_name": "medium"}""",
+      creator = Some("admin")).status === 201)
+    val pr = api.dispatch("PATCH", "/v1/resource/generic/res-c",
+      body = """{"metrics": {"disk.io.rate": {}}}""")
+    assert(pr.status === 200)
+    assert(pr.body \ "metrics" \ "disk.iops" === JNothing)
+    assert(jstrOf(pr.body \ "metrics" \ "disk.io.rate").nonEmpty)
+    // patching `id` is the schema's extra-keys 400 (gabbi pins
+    // detail: ["id"])
+    val pid = api.dispatch("PATCH", "/v1/resource/generic/res-c",
+      body = """{"id": "foobar"}""")
+    assert(pid.status === 400)
+    assert(jstrOf(pid.body \ "description")
+      .contains("extra keys not allowed @ data['id']"))
+    // "{}" is an existence check: 200, current state echoed
+    val pe = api.dispatch("PATCH", "/v1/resource/generic/res-c",
+      body = "{}")
+    assert(pe.status === 200)
+    assert(pe.body \ "user_id" === JString("foobar"))
+    assert(jstrOf(pe.body \ "metrics" \ "disk.io.rate").nonEmpty)
+    assert(api.dispatch("PATCH", "/v1/resource/generic/nothere",
+      body = "{}").status === 404)
+  }
+
   test("resource metric list/append, history, and resource-type listing " +
       "routes") {
     val s = spark
@@ -1612,10 +1750,14 @@ class RestSpec extends SparkSpec {
       body = """{"and": {"=": {"zone": "fr"}}}""").status === 400)
     assert(api.dispatch("POST", "/v1/search/resource/generic",
       body = """{"or": 7}""").status === 400)
-    // typed NotFound: unknown policy on metric create → 404 (the
-    // pre-ADT message-inspection mapping, now carried by the type)
-    assert(api.dispatch("POST", "/v1/metric",
-      body = """{"id": "m", "archive_policy_name": "nope"}""").status === 404)
+    // unknown policy on metric CREATE is bad input → 400 with the
+    // reference's message (gabbits/metric.yaml "create metric bad
+    // archive policy"; rest/api.py:688 abort(400, NoSuchArchivePolicy))
+    val badPol = api.dispatch("POST", "/v1/metric",
+      body = """{"id": "m", "archive_policy_name": "nope"}""")
+    assert(badPol.status === 400)
+    assert(jstrOf(badPol.body \ "description")
+      .contains("Archive policy nope does not exist"))
     assert(api.dispatch("GET", "/v1/metric/ghost/measures").status === 404)
     // typed Conflict: duplicate metric id → 409
     api.dispatch("POST", "/v1/archive_policy", body =
