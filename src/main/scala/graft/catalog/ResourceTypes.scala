@@ -74,6 +74,13 @@ object ResourceTypes {
         a.required && !df.columns.contains(a.name))
       require(missingRequired.isEmpty,
         s"missing required attributes: ${missingRequired.map(_.name)}")
+      // a column that is neither a built-in nor a declared attribute is
+      // INVALID INPUT, schema-level (the reference's voluptuous schema
+      // rejects extra keys, rest/api.py:1060-1069) — rejecting loudly
+      // beats the silent drop the final projection used to apply
+      val unknown = df.columns.filterNot(structType.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"Invalid input: extra keys not allowed: ${unknown.sorted.mkString(", ")}")
       val withAll = structType.fields.foldLeft(df) { (d, f) =>
         if (d.columns.contains(f.name)) d
         else d.withColumn(f.name, lit(null).cast(f.dataType))

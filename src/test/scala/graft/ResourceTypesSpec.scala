@@ -59,6 +59,16 @@ class ResourceTypesSpec extends SparkSpec {
     assert(e.getMessage.contains("flavor"))
   }
 
+  test("a column that is neither built-in nor declared rejects loudly " +
+      "(the reference's extra-keys invalid input), not a silent drop") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[IllegalArgumentException](instanceType.validate(
+      Seq(("r1", "small", "oops")).toDF("id", "flavor", "undeclared")))
+    assert(e.getMessage.contains("extra keys not allowed"))
+    assert(e.getMessage.contains("undeclared"))
+  }
+
   test("ALTER: add with fill, required-without-fill rejected, drop") {
     // required + fill backfills existing rows (sqlalchemy.py:394-460)
     val (t2, backfill) = instanceType.addAttribute(
