@@ -42,6 +42,10 @@ class RestServer(api: RestApi) {
   }
 
   def serve(port: Int = 8041): Int = {
+    // one server per lifecycle: a second serve() would silently leak
+    // the first HttpServer (only the last lands in `server`, so stop()
+    // could never reach the earlier one's port)
+    require(server.isEmpty, "server already started — stop() it first")
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
@@ -105,7 +109,13 @@ class RestServer(api: RestApi) {
         ex.close()
       }
     })
-    s.setExecutor(null) // caller threads; Spark jobs serialize on the driver anyway
+    // null executor = the server's single dispatcher thread. This is
+    // LOAD-BEARING: the facade's catalog mutations (patchResource,
+    // setResources swaps) are read-modify-write without a lock — safe
+    // only because every HTTP request runs on this one thread (the
+    // socket daemons touch only the lock-guarded ingest paths). A
+    // thread-pool executor here needs a mutation lock in Graft first.
+    s.setExecutor(null)
     s.start()
     server = Some(s)
     s.getAddress.getPort

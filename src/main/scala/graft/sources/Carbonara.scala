@@ -65,6 +65,12 @@ object Carbonara {
     require(data.length >= 4, s"lz4 block too short: ${data.length}")
     val n = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN).getInt()
     require(n >= 0, s"negative lz4 payload length $n")
+    // LZ4 expands at most 255x + a small constant: a header claiming
+    // more is corrupt, and allocating it first would OOM the executor
+    // before the decompressor ever complains
+    require(n <= (data.length.toLong - 4) * 255 + 16,
+      s"lz4 header claims $n bytes from a ${data.length - 4}-byte " +
+        "block — over the format's maximum ratio, corrupt object")
     val out = new Array[Byte](n)
     val got = lz4.safeDecompressor().decompress(data, 4, data.length - 4, out, 0)
     require(got == n,
@@ -125,6 +131,12 @@ object Carbonara {
   def decodeAgg(data: Array[Byte], keyEpochSec: Double,
                 granSec: Double): (Array[Long], Array[Double]) = {
     if (data.isEmpty) return (Array.empty, Array.empty)
+    // a zero/negative granularity can only come from a corrupt object
+    // name — decoding with it would silently collapse every point onto
+    // the split key
+    require(granSec > 0,
+      s"non-positive granularity ${granSec}s in split object name — " +
+        "corrupt object")
     val keyNs = math.round(keyEpochSec * 1e9)
     val granNs = math.round(granSec * 1e9)
     if (data(0) == 'c'.toByte) {

@@ -91,6 +91,21 @@ class CarbonaraSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // padded: 9n + 5
       Carbonara.decodeAgg(new Array[Byte](14), aggKey, aggGran)
     }
+    // an lz4 header claiming more than the format's max expansion is
+    // corrupt — and must reject BEFORE the output allocation, not OOM
+    val bomb = new Array[Byte](8)
+    java.nio.ByteBuffer.wrap(bomb)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue)
+    val claimed = intercept[IllegalArgumentException] {
+      Carbonara.lz4Decompress(bomb)
+    }
+    assert(claimed.getMessage.contains("maximum ratio"))
+    // a zero/negative granularity in a split name would collapse every
+    // decoded point onto the split key — reject loudly
+    val zg = intercept[IllegalArgumentException] {
+      Carbonara.decodeAgg(new Array[Byte](9), aggKey, 0.0)
+    }
+    assert(zg.getMessage.contains("non-positive granularity"))
     // padded encoder refuses what the compressed one refuses:
     // unaligned timestamps (silent shift) and same-slot collisions
     // (silent overwrite)
