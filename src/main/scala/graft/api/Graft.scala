@@ -1382,7 +1382,8 @@ class Graft(val spark: SparkSession, root: String) {
     * late failure can't leave earlier metrics created but unregistered.
     */
   def attachMetricsSchema(resourceId: String,
-                          metrics: Map[String, Either[String, Option[String]]])
+                          metrics: Map[String, Either[String, Option[String]]],
+                          units: Map[String, String] = Map.empty)
       : Seq[(String, String)] = {
     // tolerate an unregistered metrics catalog: the first attach
     // bootstraps it (the union at the tail handles None), exactly as
@@ -1399,7 +1400,7 @@ class Graft(val spark: SparkSession, root: String) {
       case (name, Left(mid)) => (mid, resourceId, name)
       case (name, Right(pol)) =>
         val id = s"$resourceId/$name"
-        createMetric(id, pol.getOrElse(rulePolicy(name)))
+        createMetric(id, pol.getOrElse(rulePolicy(name)), units.get(name))
         (id, resourceId, name)
     }
     import spark.implicits._

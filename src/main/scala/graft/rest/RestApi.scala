@@ -63,8 +63,10 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
   private def qesc(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
 
-  /** Accept ISO-8601 (Z or offset or bare), SQL timestamp strings, and
-    * epoch numbers — the reference's utils.to_timestamp surface.
+  /** Accept ISO-8601 (Z or offset or bare), SQL timestamp strings,
+    * epoch numbers, and RELATIVE timespans ("-5 minutes", "2h32m")
+    * resolved against now — the reference's utils.to_timestamp
+    * surface (utils.py:86-123, pytimeparse fallback at :103-109).
     */
   private def parseTs(s: String): java.sql.Timestamp =
     if (s.matches("^-?[0-9]+(\\.[0-9]+)?$"))
@@ -73,7 +75,39 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       java.sql.Timestamp.from(java.time.Instant.parse(
         if (!s.endsWith("Z") && !s.matches(".*[+-][0-9]{2}:[0-9]{2}$")) s + "Z"
         else s))
-    else java.sql.Timestamp.valueOf(s)
+    else parseTimespanS(s) match {
+      case Some(spanS) => new java.sql.Timestamp(
+        System.currentTimeMillis() + (spanS * 1000).toLong)
+      case None => java.sql.Timestamp.valueOf(s)
+    }
+
+  private val relUnitS: Map[String, Double] = Map(
+    "s" -> 1, "sec" -> 1, "secs" -> 1, "second" -> 1, "seconds" -> 1,
+    "m" -> 60, "min" -> 60, "mins" -> 60, "minute" -> 60, "minutes" -> 60,
+    "h" -> 3600, "hr" -> 3600, "hrs" -> 3600, "hour" -> 3600,
+    "hours" -> 3600, "d" -> 86400, "day" -> 86400, "days" -> 86400,
+    "w" -> 604800, "wk" -> 604800, "wks" -> 604800,
+    "week" -> 604800, "weeks" -> 604800).map { case (k, v) => k -> v.toDouble }
+
+  private val relSeg =
+    java.util.regex.Pattern.compile("\\s*([+-]?[0-9]*\\.?[0-9]+)\\s*([a-z]+)")
+
+  /** pytimeparse-lite: signed "<n><unit>" segments ("-5 minutes",
+    * "2h32m", "1.5 days"); None when the string is not a timespan. */
+  private def parseTimespanS(s0: String): Option[Double] = {
+    val s = s0.trim.toLowerCase
+    if (s.isEmpty) return None
+    val m = relSeg.matcher(s)
+    var total = 0.0
+    var pos = 0
+    while (pos < s.length) {
+      if (!m.find(pos) || m.start != pos) return None
+      val unit = relUnitS.getOrElse(m.group(2), return None)
+      total += m.group(1).toDouble * unit
+      pos = m.end
+    }
+    Some(total)
+  }
 
   private def iso(t: java.sql.Timestamp): String = t.toInstant.toString
 
@@ -817,29 +851,96 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       case ("POST", List("v1", "metric")) =>
         enforceAuthed(creator)
         val b = body()
-        val id = jstr(b \ "id" match { case JNothing => b \ "name"; case v => v })
         val unit = b \ "unit" match {
           case JString(u) => Some(u); case _ => None
         }
-        b \ "archive_policy_name" match {
-          case JString(pol) => g.createMetric(id, pol, unit)
-          case _            => g.createMetricRuled(id, unit) // R9 rules
+        val polOpt = b \ "archive_policy_name" match {
+          case JString(pol) => Some(pol); case _ => None
         }
-        creator.foreach(g.setMetricCreator(id, _))
-        created(("id" -> id) ~ ("unit" -> unit) ~
-          ("creator" -> creator))
+        b \ "resource_id" match {
+          // resource-attached form (MetricSchema's resource_id,
+          // rest/api.py:596+622-632; gabbits/
+          // create-metric-with-resource-id.yaml): the id transforms
+          // under the creator, `name` is mandatory, and a duplicate
+          // (resource, name) is a 400 here — unlike the named-metric
+          // door's 409 (abort(400, NamedMetricAlreadyExists) at :666
+          // vs :792)
+          case JString(extId) =>
+            val name = b \ "name" match {
+              case JString(n) => n
+              case _ => throw new IllegalArgumentException(
+                "Attribute value error: name — Name cannot be null " +
+                  "if resource_id is not null")
+            }
+            val ridT = rid(extId)
+            val attached =
+              try g.attachMetricsSchema(ridT, Map(name -> Right(polOpt)),
+                unit.map(name -> _).toMap)
+              catch {
+                case _: graft.api.GraftError.Conflict =>
+                  throw new IllegalArgumentException(
+                    s"Named metric $name already exists")
+              }
+            val mid = attached.head._2
+            creator.foreach(g.setMetricCreator(mid, _))
+            created(("id" -> mid) ~ ("name" -> name) ~
+              ("resource_id" -> ridT) ~ ("unit" -> unit) ~
+              ("creator" -> creator) ~
+              ("archive_policy_name" -> g.metricPolicyName(mid)))
+          case _ =>
+            val id = jstr(b \ "id" match {
+              case JNothing => b \ "name"; case v => v })
+            polOpt match {
+              case Some(pol) => g.createMetric(id, pol, unit)
+              case None      => g.createMetricRuled(id, unit) // R9 rules
+            }
+            creator.foreach(g.setMetricCreator(id, _))
+            created(("id" -> id) ~ ("unit" -> unit) ~
+              ("creator" -> creator))
+        }
 
       case ("DELETE", List("v1", "metric", id)) =>
         enforceAuthed(creator)
         g.deleteMetric(id); noContent
 
-      // POST measures — 202, deferred processing (rest/api.py:488-494)
+      // POST measures — 202, deferred processing (rest/api.py:488-494).
+      // The timestamp FORMAT is decided by the first element and
+      // applied to the whole batch (utils.to_timestamps:86-123): epoch
+      // numbers, ISO strings, or relative timespans — mixing formats
+      // is the reference's 400 (gabbits/metric-timestamp-format.yaml).
       case ("POST", List("v1", "metric", id, "measures")) =>
         enforceAuthed(creator)
-        val points = body().asInstanceOf[JArray].arr.map { m =>
-          val ts = m \ "timestamp" match {
-            case JString(s) => parseTs(s)
-            case n => new java.sql.Timestamp((jnum(n) * 1000).toLong)
+        val arr = body().asInstanceOf[JArray].arr
+        val nowMs = System.currentTimeMillis() // ONE now for the batch
+        sealed trait TsMode
+        object Epoch extends TsMode; object Iso extends TsMode
+        object Rel extends TsMode
+        val mode: TsMode = arr.headOption.map(_ \ "timestamp") match {
+          case Some(JString(s)) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
+            Epoch
+          case Some(JString(s)) =>
+            if (parseTimespanS(s).isDefined && !s.contains("T")) Rel else Iso
+          case _ => Epoch
+        }
+        val points = arr.map { m =>
+          val ts = (mode, m \ "timestamp") match {
+            case (Epoch, JString(s)) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
+              new java.sql.Timestamp((s.toDouble * 1000).toLong)
+            case (Epoch, JString(s)) => throw new IllegalArgumentException(
+              s"mixed timestamp formats: epoch batch got '$s'")
+            case (Epoch, n) => new java.sql.Timestamp((jnum(n) * 1000).toLong)
+            case (Rel, JString(s)) => parseTimespanS(s) match {
+              case Some(spanS) =>
+                new java.sql.Timestamp(nowMs + (spanS * 1000).toLong)
+              case None => throw new IllegalArgumentException(
+                s"mixed timestamp formats: relative batch got '$s'")
+            }
+            // any absolute string form (ISO or SQL-style) — a relative
+            // one in an ISO batch is the mixed-format 400
+            case (Iso, JString(s)) if parseTimespanS(s).isEmpty =>
+              parseTs(s)
+            case (_, other) => throw new IllegalArgumentException(
+              s"mixed timestamp formats: got $other")
           }
           (ts.toString, jnum(m \ "value"))
         }

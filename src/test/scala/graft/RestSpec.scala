@@ -1162,6 +1162,99 @@ class RestSpec extends SparkSpec {
       body = "{}").status === 404)
   }
 
+  test("measure timestamps: relative timespans accepted, format fixed " +
+      "by the first element (utils.to_timestamps:86-123; gabbits/" +
+      "metric-timestamp-format.yaml)") {
+    val g = new graft.api.Graft(spark,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    assert(api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "cookies", "definition": [{"granularity": "1"}],
+          "aggregation_methods": ["mean"]}""",
+      creator = Some("admin")).status === 201)
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "mrel", "archive_policy_name": "cookies"}""")
+      .status === 201)
+    // relative timestamp lands now-anchored (pytimeparse fallback)
+    assert(api.dispatch("POST", "/v1/metric/mrel/measures", body =
+      """[{"timestamp": "-5 minutes", "value": 43.1}]""").status === 202)
+    val got = api.dispatch("GET", "/v1/metric/mrel/measures",
+      query = Map("refresh" -> "true"))
+    val vals = got.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(_, _, JDouble(v))) => v; case other => fail(s"$other")
+    }
+    assert(vals === List(43.1))
+    // a batch whose FIRST stamp is epoch rejects a relative follower
+    // (the gabbi's mixed-timestamps 400)
+    assert(api.dispatch("POST", "/v1/metric/mrel/measures", body =
+      """[{"timestamp": 1478012832, "value": 43.1},
+          {"timestamp": "-5 minutes", "value": 43.1}]""").status === 400)
+    // and an ISO batch rejects a relative follower
+    assert(api.dispatch("POST", "/v1/metric/mrel/measures", body =
+      """[{"timestamp": "2015-03-06T14:33:57Z", "value": 1.0},
+          {"timestamp": "2h32m", "value": 2.0}]""").status === 400)
+    // compact multi-segment timespans parse ("2h32m" = 9120 s)
+    assert(api.dispatch("POST", "/v1/metric/mrel/measures", body =
+      """[{"timestamp": "-2h32m", "value": 7.0}]""").status === 202)
+  }
+
+  test("POST /v1/metric with resource_id attaches a NAMED metric " +
+      "(gabbits/create-metric-with-resource-id.yaml; MetricSchema " +
+      "rest/api.py:596,622-632)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq.empty[(String, String, String)]
+      .toDF("id", "creator", "original_resource_id"))
+    g.setResourceHistory(Seq.empty[(String, String, String,
+      java.sql.Timestamp)]
+      .toDF("id", "creator", "original_resource_id", "revision_end"))
+    assert(api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "medium", "definition": [{"granularity": "1"}],
+          "aggregation_methods": ["mean"]}""",
+      creator = Some("admin")).status === 201)
+    assert(api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "foobar"}""", creator = Some("foobar"))
+      .status === 201)
+
+    val c = api.dispatch("POST", "/v1/metric", body =
+      """{"resource_id": "foobar", "archive_policy_name": "medium",
+          "name": "cpu"}""", creator = Some("foobar"))
+    assert(c.status === 201)
+    // the resource id transforms under the creator — the gabbi pins
+    // this exact uuid5
+    assert(c.body \ "resource_id" ===
+      JString("2fbfbb20-8d56-5e1e-afb9-b3007da11fdf"))
+    assert(c.body \ "name" === JString("cpu"))
+    assert(c.body \ "creator" === JString("foobar"))
+    assert(c.body \ "archive_policy_name" === JString("medium"))
+    // listed under the resource's named metrics
+    val listed = api.dispatch("GET", "/v1/resource/generic/foobar/metric",
+      creator = Some("foobar"))
+    assert(listed.body.asInstanceOf[JArray].arr.exists(m =>
+      m \ "name" === JString("cpu")))
+
+    // duplicate (resource, name) on THIS door is 400 (abort(400,
+    // NamedMetricAlreadyExists), rest/api.py:665-666), not the named
+    // door's 409
+    val dup = api.dispatch("POST", "/v1/metric", body =
+      """{"resource_id": "foobar", "archive_policy_name": "medium",
+          "name": "cpu"}""", creator = Some("foobar"))
+    assert(dup.status === 400)
+    assert(jstrOf(dup.body \ "description")
+      .contains("Named metric cpu already exists"))
+
+    // resource_id without a name is the reference's attribute error
+    val noname = api.dispatch("POST", "/v1/metric", body =
+      """{"resource_id": "foobar", "archive_policy_name": "medium"}""",
+      creator = Some("foobar"))
+    assert(noname.status === 400)
+    assert(jstrOf(noname.body \ "description")
+      .contains("Name cannot be null if resource_id is not null"))
+  }
+
   test("resource metric list/append, history, and resource-type listing " +
       "routes") {
     val s = spark
