@@ -1645,6 +1645,28 @@ object Oracles {
                   AS scrub_md5
          FROM p""",
 
+    // fasttext-style linear scorer: identical md5-hex-digit bucket and
+    // pseudo-weight arithmetic on both engines; the left-fold addition
+    // order over the SAME token sequence makes the doubles exact
+    "qf2_linear_score" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, len(toks) AS n,
+                  list_sum(list_transform(toks, w ->
+                    CAST((((strpos('0123456789abcdef', substr(md5(w),1,1)) - 1)
+                             * 16 +
+                           (strpos('0123456789abcdef', substr(md5(w),2,1)) - 1))
+                            * 37 + 11) % 101 AS DOUBLE) / 50.5 - 1.0)) AS sc
+           FROM t)
+         SELECT doc_id,
+                CAST(1.0/(1.0 + exp(-(COALESCE(sc, 0.0)/GREATEST(n, 1))))
+                  AS REAL) AS quality_prob
+         FROM s""",
+
     "qf1_quality_filter" ->
       """WITH q AS (
            SELECT doc_id,

@@ -1730,6 +1730,12 @@ object Queries {
     "qf1_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(table(s, dir, "documents"))
         .select(col("doc_id"), col("keep"), col("reasons"))),
+    // model-based quality scoring: fasttext-style linear classifier
+    // over md5-hashing-trick features (deterministic pseudo-weights)
+    "qf2_linear_score" -> ((s, dir) =>
+      TextAnalysis.linearQualityScore(table(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("quality_prob").cast("float").as("quality_prob"))),
     // paragraph-style dedup over delimiter-free text: 10-word segments,
     // first occurrence (min doc, min position) wins corpus-wide, docs
     // reassembled from survivors — reassembly sits under the md5 hash

@@ -33,6 +33,44 @@ object TextAnalysis {
 
 
 
+  /** Model-based quality scoring, fasttext-style: a linear classifier
+    * over hashing-trick bag-of-words features, the standard
+    * learned-filter stage of LLM data pipelines (CCNet/LLaMA-style
+    * quality classifiers) next to [[qualityFilter]]'s heuristics.
+    *
+    * Features hash through md5 (engine-portable: the bucket is the
+    * first two hex digits, 256 buckets); the weight vector here is a
+    * deterministic pseudo-model `w(b) = ((37b+11) mod 101)/50.5 - 1`
+    * standing in for trained weights (swap [[bucketWeight]] for a
+    * broadcast lookup of real ones). Score = sigmoid(mean token
+    * weight). Pure per-row map — transform/aggregate higher-order
+    * functions inside whole-stage codegen, no shuffle, no UDF — so the
+    * plan scales linearly with the corpus.
+    */
+  def linearQualityScore(df: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val acc = aggregate(toks, lit(0.0),
+      (s, w) => s + bucketWeight(md5Bucket(w)))
+    df.select(col(idCol),
+      (lit(1.0) / (lit(1.0) +
+        exp(-(acc / greatest(size(toks), lit(1)))))).as("quality_prob"))
+  }
+
+  /** Hashing-trick bucket 0..255 from the first two md5 hex digits —
+    * the same arithmetic is expressible in any engine with md5 +
+    * strpos, which is what makes the scorer oracle-checkable. */
+  private def md5Bucket(w: Column): Column = {
+    val hexDigits = "0123456789abcdef"
+    (instr(lit(hexDigits), substring(md5(w), 1, 1)) - 1) * 16 +
+      (instr(lit(hexDigits), substring(md5(w), 2, 1)) - 1)
+  }
+
+  private def bucketWeight(b: Column): Column =
+    ((b * 37 + 11) % 101).cast("double") / 50.5 - 1.0
+
   /** Quality signals (length, punctuation ratio, stopword ratio, mean
     * word length) + a composite score in [0, 1]. Heuristics in the
     * spirit of C4/Gopher quality filters.

@@ -157,6 +157,19 @@ class LlmSpec extends SparkSpec {
     assert(q > 0.8) // all-stopword text
   }
 
+  test("linear quality scorer: md5-bucket weights, sigmoid of the " +
+      "token mean; empty text is the 0.5 prior") {
+    val d = docs((1L, "hello"), (2L, "hello world"), (3L, ""),
+      (4L, "  hello  "))
+    val got = TextAnalysis.linearQualityScore(d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // hand-derived: md5("hello")=5d41... -> bucket 93 -> w=-0.64356...
+    assert(math.abs(got(1L) - 0.3444412567945848) < 1e-12)
+    assert(math.abs(got(2L) - 0.51979163372766) < 1e-12)
+    assert(got(3L) === 0.5) // no tokens -> sigmoid(0)
+    assert(got(4L) === got(1L)) // whitespace-insensitive tokenization
+  }
+
   test("language scores favor matching marker set") {
     val d = docs((1L, "the cat and the dog of the house"),
       (2L, "el gato y la casa por la noche"))
