@@ -43,7 +43,17 @@ class Graft(val spark: SparkSession, root: String) {
         if (g.size == 2) g(0).unionByName(g(1)) else g(0)).toSeq
     level.headOption
   }
-  private var resources: Option[DataFrame] = None
+  @volatile private var resources: Option[DataFrame] = None
+
+  // `catalogLock` serializes the catalog read-modify-write mutators
+  // (create/patch/delete resources, metric attachment, ALTER
+  // backfills, the periodic compaction) so the REST door can run
+  // multi-threaded: a lost update between two concurrent PATCHes would
+  // silently drop one. Reads stay lock-free — the frames are
+  // volatile-published immutable plans. Order discipline: never take
+  // stagingLock while holding catalogLock — callees under this lock
+  // must not reach storeOf/addMeasures.
+  private val catalogLock = new Object
 
   /** Catalog mutations (row CRUD, end-dating, resurrection, ALTER
     * backfills) stack plan nodes on the in-memory catalog frames; a
@@ -58,7 +68,7 @@ class Graft(val spark: SparkSession, root: String) {
   // twice per call, so its tree can still double per mutation — 2^8
   // nodes is the worst pre-compaction plan
   private val catalogCompactEvery = 8
-  private def noteCatalogMutation(): Unit = {
+  private def noteCatalogMutation(): Unit = catalogLock.synchronized {
     catalogMutations += 1
     if (catalogMutations % catalogCompactEvery == 0) {
       resources = resources.map(_.localCheckpoint(true))
@@ -256,7 +266,7 @@ class Graft(val spark: SparkSession, root: String) {
   def deleteResources(filterStr: String): Long =
     deleteResources(FilterParser.parse(filterStr))
 
-  def deleteResources(f: Filter): Long = {
+  def deleteResources(f: Filter): Long = catalogLock.synchronized {
     // SQL DELETE semantics: only rows where the predicate is TRUE are
     // deleted. A bare `!pred` would also drop NULL-predicate rows
     // (null attributes) silently and uncounted — three-valued logic.
@@ -418,8 +428,10 @@ class Graft(val spark: SparkSession, root: String) {
       import spark.implicits._
       val rows = toCreate.toSeq.map { case (id, rid, name, _) =>
         (id, rid, name) }.toDF("metric_id", "resource_id", "name")
-      metricsCatalog = Some(metricsCatalog
-        .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
+      catalogLock.synchronized {
+        metricsCatalog = Some(metricsCatalog
+          .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
+      }
     }
     stagingLock.synchronized { pending ++= staged }
   }
@@ -521,9 +533,14 @@ class Graft(val spark: SparkSession, root: String) {
       // materialize eagerly: the catalog (driver-bounded metadata)
       // must not keep a lazy reference to this batch's frames past the
       // unpersists below — same localCheckpoint the periodic catalog
-      // compaction already uses
-      resources = Some(graft.catalog.Maintenance.resurrect(res, activity)
-        .localCheckpoint(true))
+      // compaction already uses. Re-read `resources` INSIDE the lock:
+      // the `res` binding above predates it, and a concurrent PATCH in
+      // between would be silently overwritten.
+      catalogLock.synchronized {
+        resources = resources.map(r =>
+          graft.catalog.Maintenance.resurrect(r, activity)
+            .localCheckpoint(true))
+      }
       noteCatalogMutation()
     }
     maximaDf.unpersist()
@@ -991,9 +1008,11 @@ class Graft(val spark: SparkSession, root: String) {
     * dangling row would keep listing the metric and crash later
     * glob-matched group-by aggregates on the missing policy entry. */
   private def dropFromMetricsCatalog(ids: Seq[String]): Unit =
-    for (cat <- metricsCatalog) {
-      metricsCatalog = Some(cat.filter(!col("metric_id").isin(ids: _*)))
-      noteCatalogMutation()
+    catalogLock.synchronized {
+      for (cat <- metricsCatalog) {
+        metricsCatalog = Some(cat.filter(!col("metric_id").isin(ids: _*)))
+        noteCatalogMutation()
+      }
     }
 
   /** Bulk deletion — the janitor batch (J4 at fleet scale,
@@ -1144,7 +1163,8 @@ class Graft(val spark: SparkSession, root: String) {
     * registered catalog carries those columns.
     */
   def createResource(tpe: String, id: String, json: String,
-                     creator: Option[String] = None): Unit = {
+                     creator: Option[String] = None): Unit =
+      catalogLock.synchronized {
     val res = resources.getOrElse(throw new IllegalStateException(
       "no resource table registered — call setResources(df) first"))
     val rid = graft.catalog.ResourceUuid.transform(id, creator)
@@ -1176,7 +1196,7 @@ class Graft(val spark: SparkSession, root: String) {
     * the column's type.
     */
   def patchResource(id: String, updates: Map[String, Any],
-                    nowS: Long): Unit = {
+                    nowS: Long): Unit = catalogLock.synchronized {
     val res = resources.getOrElse(throw new IllegalStateException(
       "no resource table registered — call setResources(df) first"))
     val bad = updates.keySet -- res.columns
@@ -1247,7 +1267,8 @@ class Graft(val spark: SparkSession, root: String) {
       name: String,
       add: Seq[(graft.catalog.ResourceTypes.AttrSpec, Option[Any])] = Nil,
       del: Seq[String] = Nil,
-      update: Seq[(String, Boolean, Option[Any])] = Nil): Unit = {
+      update: Seq[(String, Boolean, Option[Any])] = Nil): Unit =
+      catalogLock.synchronized {
     var rt = resourceType(name)
     val fns = scala.collection.mutable.ArrayBuffer[DataFrame => DataFrame]()
     for ((spec, fill) <- add) {
@@ -1286,7 +1307,7 @@ class Graft(val spark: SparkSession, root: String) {
     resourceTypes.remove(name)
   }
 
-  private var metricsCatalog: Option[DataFrame] = None
+  @volatile private var metricsCatalog: Option[DataFrame] = None
 
   /** Metric catalog `(metric_id, resource_id, name)` — the named-metric
     * side of resources (indexer metric table, sqlalchemy_base.py:79-122).
@@ -1384,7 +1405,7 @@ class Graft(val spark: SparkSession, root: String) {
   def attachMetricsSchema(resourceId: String,
                           metrics: Map[String, Either[String, Option[String]]],
                           units: Map[String, String] = Map.empty)
-      : Seq[(String, String)] = {
+      : Seq[(String, String)] = catalogLock.synchronized {
     // tolerate an unregistered metrics catalog: the first attach
     // bootstraps it (the union at the tail handles None), exactly as
     // the batch-ingest door does
@@ -1419,7 +1440,7 @@ class Graft(val spark: SparkSession, root: String) {
   def createResourceWithMetrics(
       tpe: String, id: String, json: String,
       metrics: Map[String, Either[String, Option[String]]],
-      creator: Option[String] = None): Unit = {
+      creator: Option[String] = None): Unit = catalogLock.synchronized {
     val rid = graft.catalog.ResourceUuid.transform(id, creator)
     validateMetricsSchema(rid, metrics)
     createResource(tpe, id, json, creator)
@@ -1435,7 +1456,7 @@ class Graft(val spark: SparkSession, root: String) {
   def replaceResourceMetrics(
       resourceId: String,
       metrics: Map[String, Either[String, Option[String]]])
-      : Seq[(String, String)] = {
+      : Seq[(String, String)] = catalogLock.synchronized {
     validateMetricsSchema(resourceId, metrics)
     metricsCatalog = metricsCatalog.map(_.withColumn("resource_id",
       when(col("resource_id") === resourceId, lit(null))
@@ -1627,7 +1648,7 @@ class Graft(val spark: SparkSession, root: String) {
     }
   }
 
-  private var resourceHistoryTbl: Option[DataFrame] = None
+  @volatile private var resourceHistoryTbl: Option[DataFrame] = None
 
   /** Resource revision history (ResourceHistory table,
     * sqlalchemy_base.py:301-318): one row per attribute revision with

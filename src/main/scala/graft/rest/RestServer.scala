@@ -109,13 +109,12 @@ class RestServer(api: RestApi) {
         ex.close()
       }
     })
-    // null executor = the server's single dispatcher thread. This is
-    // LOAD-BEARING: the facade's catalog mutations (patchResource,
-    // setResources swaps) are read-modify-write without a lock — safe
-    // only because every HTTP request runs on this one thread (the
-    // socket daemons touch only the lock-guarded ingest paths). A
-    // thread-pool executor here needs a mutation lock in Graft first.
-    s.setExecutor(null)
+    // a small pool: long reads (measures scans) must not block
+    // healthchecks or ingest. Safe because the facade's catalog
+    // mutators serialize on Graft.catalogLock and Spark actions are
+    // thread-safe; daemon threads so a leaked server can't pin the JVM
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     s.start()
     server = Some(s)
     s.getAddress.getPort
@@ -139,6 +138,14 @@ class RestServer(api: RestApi) {
     statsd.foreach { s => closing("statsd") { s.stop(); s.flush() } }
     amqp.foreach { a => closing("amqp1d") { a.stop(); a.flush() } }
     statsd = None; amqp = None
-    server.foreach(_.stop(0)); server = None
+    server.foreach { s =>
+      val ex = s.getExecutor
+      s.stop(0)
+      ex match {
+        case p: java.util.concurrent.ExecutorService => p.shutdown()
+        case _ => ()
+      }
+    }
+    server = None
   }
 }

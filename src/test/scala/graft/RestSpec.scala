@@ -1162,6 +1162,44 @@ class RestSpec extends SparkSpec {
       body = "{}").status === 404)
   }
 
+  test("catalog mutators are thread-safe under the multi-threaded " +
+      "door: concurrent creates and same-row patches lose nothing") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    g.setResources(Seq(("r0", "z0", 0.0)).toDF("id", "zone", "weight"))
+    g.setResourceHistory(Seq.empty[(String, String, Double,
+      java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("id", "zone", "weight", "revision_start", "revision_end"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      // 16 concurrent creates: every one must land (a lost update
+      // would silently drop a whole row)
+      val creates = (1 to 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = api.dispatch("POST", "/v1/resource/generic",
+            body = s"""{"id": "c$i", "zone": "z"}""").status
+        })
+      }
+      assert(creates.map(_.get()).count(_ == 201) === 16)
+      assert(g.searchResources("zone = \"z\"").count() === 16)
+      // 8 concurrent patches of ONE row with distinct values: each
+      // change end-dates a revision — a lost update shows as a
+      // missing history row
+      val patches = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = api.dispatch("PATCH", "/v1/resource/generic/r0",
+            query = Map("now" -> (1700000000L + i).toString),
+            body = s"""{"weight": $i.5}""").status
+        })
+      }
+      assert(patches.map(_.get()).count(_ == 200) === 8)
+      assert(g.resourceHistory("r0").count() === 8)
+    } finally pool.shutdown()
+  }
+
   test("measure timestamps: relative timespans accepted, format fixed " +
       "by the first element (utils.to_timestamps:86-123; gabbits/" +
       "metric-timestamp-format.yaml)") {
