@@ -21,14 +21,55 @@ object JsonMeasures {
       StructField("timestamp", StringType),
       StructField("value", DoubleType))))
 
-  /** ISO string or epoch-seconds number → timestamp (utils.py:72-122).
-    * The numeric branch is regex-guarded so neither cast ever sees the
-    * other form (ANSI mode makes malformed casts throw, not null). */
+  /** ISO string, epoch-seconds number, or relative timespan
+    * ("-5 minutes", "2h32m") → timestamp (utils.py:72-123; the
+    * pytimeparse fallback at :103-109). All three branches are
+    * regex-guarded pure Catalyst so no cast ever sees another form
+    * (ANSI mode makes malformed casts throw, not null); relative
+    * stamps anchor on `current_timestamp()`, which Spark folds to ONE
+    * value per query — the reference's single `utcnow()` per batch.
+    * Divergence note: the reference fixes the FORMAT per measure list
+    * from its first element (mixed → 400, enforced at the
+    * single-metric REST door); this bulk parser is per-element
+    * lenient.
+    */
+  private val relUnits: Seq[(String, Double)] = Seq(
+    "seconds" -> 1, "second" -> 1, "secs" -> 1, "sec" -> 1, "s" -> 1,
+    "minutes" -> 60, "minute" -> 60, "mins" -> 60, "min" -> 60, "m" -> 60,
+    "hours" -> 3600, "hour" -> 3600, "hrs" -> 3600, "hr" -> 3600,
+    "h" -> 3600, "days" -> 86400, "day" -> 86400, "d" -> 86400,
+    "weeks" -> 604800, "week" -> 604800, "wks" -> 604800, "wk" -> 604800,
+    "w" -> 604800).map { case (k, v) => k -> v.toDouble }
+  // longest alternatives first, so "mins" can't half-match as "m"+"ins"
+  private val unitAlt = relUnits.map(_._1).sortBy(-_.length).mkString("|")
+  // pytimeparse grammar: ONE optional leading sign applying to the
+  // WHOLE expression, then unsigned <n><unit> segments —
+  // "-2h32m" = -(2h + 32m) = -9120 s, not -2h + 32m
+  private val segPat = s"([0-9]*\\.?[0-9]+)\\s*($unitAlt)"
+  private val relPat =
+    s"^\\s*[+-]?\\s*(?:[0-9]*\\.?[0-9]+\\s*(?:$unitAlt)\\s*)+$$"
+
+  private def unitSeconds(u: Column): Column =
+    relUnits.foldLeft(lit(null).cast("double")) { case (acc, (name, s)) =>
+      when(u === name, lit(s)).otherwise(acc)
+    }
+
+  private def relSeconds(ts: Column): Column = {
+    val mag = aggregate(
+      regexp_extract_all(lower(ts), lit(segPat), lit(0)), lit(0.0),
+      (acc, seg) => acc + regexp_extract(seg, segPat, 1).cast("double") *
+        unitSeconds(regexp_extract(seg, segPat, 2)))
+    when(ltrim(ts).startsWith("-"), -mag).otherwise(mag)
+  }
+
   private def parseTs(ts: Column): Column =
     // epoch numbers include scientific notation (1.7e9 is a valid
     // JSON number a float-epoch sender can emit)
     when(ts.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$"),
       timestamp_micros((ts.cast("double") * 1e6).cast("long")))
+      .when(lower(ts).rlike(relPat), timestamp_micros(
+        unix_micros(current_timestamp()) +
+          (relSeconds(ts) * 1e6).cast("long")))
       .otherwise(to_timestamp(ts))
 
   /** Single-metric form: rows of (metric id, JSON array body). */

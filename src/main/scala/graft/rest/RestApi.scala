@@ -90,12 +90,20 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     "week" -> 604800, "weeks" -> 604800).map { case (k, v) => k -> v.toDouble }
 
   private val relSeg =
-    java.util.regex.Pattern.compile("\\s*([+-]?[0-9]*\\.?[0-9]+)\\s*([a-z]+)")
+    java.util.regex.Pattern.compile("\\s*([0-9]*\\.?[0-9]+)\\s*([a-z]+)")
 
-  /** pytimeparse-lite: signed "<n><unit>" segments ("-5 minutes",
-    * "2h32m", "1.5 days"); None when the string is not a timespan. */
+  /** pytimeparse-lite: ONE optional leading sign applying to the
+    * whole expression, then unsigned "<n><unit>" segments
+    * ("-5 minutes", "2h32m" = 9120, "-2h32m" = -9120, "1.5 days");
+    * None when the string is not a timespan. */
   private def parseTimespanS(s0: String): Option[Double] = {
-    val s = s0.trim.toLowerCase
+    val t = s0.trim.toLowerCase
+    if (t.isEmpty) return None
+    val (sign, s) = t.charAt(0) match {
+      case '-' => (-1.0, t.substring(1))
+      case '+' => (1.0, t.substring(1))
+      case _   => (1.0, t)
+    }
     if (s.isEmpty) return None
     val m = relSeg.matcher(s)
     var total = 0.0
@@ -106,7 +114,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       total += m.group(1).toDouble * unit
       pos = m.end
     }
-    Some(total)
+    Some(sign * total)
   }
 
   private def iso(t: java.sql.Timestamp): String = t.toInstant.toString

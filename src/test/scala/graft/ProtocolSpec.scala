@@ -100,6 +100,29 @@ class ProtocolSpec extends SparkSpec {
       .groupBy("metric_id").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("m1" -> 1L, "m2" -> 2L))
+
+    // relative timespans (utils.py:103-109 pytimeparse fallback):
+    // "-5 minutes" lands 300 s before now, multi-segment "2h32m" adds
+    // up, and the whole batch shares ONE now (current_timestamp is
+    // query-constant)
+    val before = System.currentTimeMillis()
+    val rel = graft.ingest.JsonMeasures.parse(Seq(
+      ("m1", """[{"timestamp": "-5 minutes", "value": 1.0},
+                 {"timestamp": "-2h32m", "value": 2.0}]"""))
+      .toDF("metric_id", "body"))
+      .orderBy(org.apache.spark.sql.functions.desc("timestamp"))
+      .collect().map(_.getTimestamp(1).getTime)
+    val after = System.currentTimeMillis()
+    assert(rel(0) >= before - 300_000 && rel(0) <= after - 300_000 + 1000)
+    assert(math.abs((rel(0) - rel(1)) - (9120_000L - 300_000L)) < 5,
+      s"relative spacing off: ${rel.toSeq}")
+    // an unknown unit is NOT silently a date — it falls through to
+    // to_timestamp, which rejects under ANSI
+    intercept[Exception] {
+      graft.ingest.JsonMeasures.parse(Seq(
+        ("m1", """[{"timestamp": "5 lightyears", "value": 1.0}]"""))
+        .toDF("metric_id", "body")).collect()
+    }
   }
 
   private def newGraft() = new graft.api.Graft(spark,
