@@ -73,6 +73,10 @@ class Graft(val spark: SparkSession, root: String) {
     if (catalogMutations % catalogCompactEvery == 0) {
       resources = resources.map(_.localCheckpoint(true))
       resourceHistoryTbl = resourceHistoryTbl.map(_.localCheckpoint(true))
+      // the metric-attachment catalog stacks a plan node per attach /
+      // detach / expunge — sustained metric churn on a long-lived
+      // server would grow its lineage unboundedly without the same cut
+      metricsCatalog = metricsCatalog.map(_.localCheckpoint(true))
     }
   }
 
@@ -412,7 +416,13 @@ class Graft(val spark: SparkSession, root: String) {
         for (id <- metricId; m <- measures) m match {
           case JObject(f) =>
             val fm = f.toMap
-            staged += ((id, tsOf(fm("timestamp")), numOf(fm("value"))))
+            // a measure missing either key is malformed INPUT (400), not
+            // a bare map miss (NoSuchElementException maps to 404)
+            val ts = fm.getOrElse("timestamp",
+              GraftError.badInput(s"measure for $id is missing 'timestamp'"))
+            val v = fm.getOrElse("value",
+              GraftError.badInput(s"measure for $id is missing 'value'"))
+            staged += ((id, tsOf(ts), numOf(v)))
           case other => throw new IllegalArgumentException(s"bad measure: $other")
         }
       }
@@ -431,6 +441,7 @@ class Graft(val spark: SparkSession, root: String) {
       catalogLock.synchronized {
         metricsCatalog = Some(metricsCatalog
           .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
+        noteCatalogMutation()
       }
     }
     stagingLock.synchronized { pending ++= staged }
@@ -583,6 +594,10 @@ class Graft(val spark: SparkSession, root: String) {
       resample: Option[Granularity] = None,
       refreshFirst: Boolean = false): Seq[(java.sql.Timestamp, Long, Double)] = {
     if (refreshFirst) refresh(metricId)
+    // a method the policy never stored is the reference's 404
+    // ("Aggregation method X does not exist for this metric",
+    // rest/api.py:508-515), not an empty 200
+    requireMethod(metricId, method)
     val pol = policies(metricPolicy(metricId))
     val polGrans = pol.definition.map(_.granularity).collect {
       case Granularity.Fixed(ns) => ns / 1_000_000_000L
@@ -624,8 +639,12 @@ class Graft(val spark: SparkSession, root: String) {
 
   private def requireMethod(metricId: String, method: String): Unit = {
     val pol = policies(metricPolicy(metricId))
+    // 404, not 400: the reference aborts 404 on AggregationDoesNotExist
+    // everywhere — the aggregates door ("Metrics with unknown
+    // aggregation", rest/aggregates/api.py:186-188, 605) and the legacy
+    // door (rest/api.py:2102-2112) alike
     if (!pol.aggregationMethods.contains(method))
-      throw new IllegalArgumentException(
+      GraftError.notFound(
         s"Aggregation method '$method' for metric $metricId does not exist")
   }
 
@@ -1307,7 +1326,9 @@ class Graft(val spark: SparkSession, root: String) {
     resourceTypes.remove(name)
   }
 
-  @volatile private var metricsCatalog: Option[DataFrame] = None
+  // private[graft]: specs assert the compaction keeps this frame's
+  // lineage bounded under attach churn
+  @volatile private[graft] var metricsCatalog: Option[DataFrame] = None
 
   /** Metric catalog `(metric_id, resource_id, name)` — the named-metric
     * side of resources (indexer metric table, sqlalchemy_base.py:79-122).
@@ -1428,6 +1449,7 @@ class Graft(val spark: SparkSession, root: String) {
     val rows = attached.toDF("metric_id", "resource_id", "name")
     metricsCatalog = Some(metricsCatalog
       .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
+    noteCatalogMutation()
     attached.map(c => (c._3, c._1))
   }
 
@@ -1505,13 +1527,15 @@ class Graft(val spark: SparkSession, root: String) {
       .drop("gran_s")
 
   /** Legacy `/v1/aggregation/resource/<type>/metric/<name>` semantics
-    * (rest/api.py AggregationController + gabbits/resource-aggregation
-    * .yaml): the NAMED metric across the searched resources, optional
-    * `groupby` attribute list, optional `resample` (each metric's
-    * series re-buckets BEFORE cross-metric aggregation), numeric
-    * `fill` (each metric pads to the bucket union), and — with no
-    * granularity — EVERY common granularity of the matched metrics,
-    * coarse→fine. Output: `(groupby..., bucket, gran_s, value)`.
+    * (rest/api.py:1893-1937 AggregationResourceController.post → one
+    * `get_cross_metric_measures_from_objs` call per GROUP): the NAMED
+    * metric across the searched resources, optional `groupby`
+    * attribute list. Resolves the per-group metric lists (catalog
+    * metadata, driver-bounded by contract) and hands them to
+    * [[legacyCrossAggregation]] — all groups evaluate in ONE plan.
+    * Output: `(groupby..., bucket, gran_s, value)`; groups with no
+    * matched metric emit nothing here (the REST door lists them with
+    * empty measures from the resolved scope, rest/api.py:2028-2029).
     */
   def legacyResourceAggregation(metricName: String, method: String,
       granS: Option[Long], resScope: DataFrame, groupby: Seq[String],
@@ -1520,82 +1544,264 @@ class Graft(val spark: SparkSession, root: String) {
       to: Option[java.sql.Timestamp] = None,
       resampleS: Option[Long] = None,
       fill: Option[String] = None,
-      refreshFirst: Boolean = false): DataFrame = {
+      refreshFirst: Boolean = false,
+      neededOverlap: Double = 100.0): DataFrame = {
     // groupby must name real resource attributes (rest/api.py:1700-1703
     // "Invalid groupby attribute")
     groupby.find(a => !resScope.columns.contains(a)).foreach { a =>
       throw new IllegalArgumentException(s"Invalid groupby attribute: $a") }
-    // full fnmatch semantics incl. `?` and char classes
-    // (rest/aggregates/api.py:684-710)
+    // full fnmatch semantics incl. `?` and char classes — a glob
+    // EXTENSION over the reference's exact `r.get_metric(name)` lookup
+    // (a wildcard-free name matches exactly, same as the reference)
     val mets = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
       .filter(col("name").rlike(graft.catalog.Fnmatch.regex(metricName)))
       .join(broadcast(resScope.select((col("id").as("resource_id") +:
         groupby.map(col)): _*)), Seq("resource_id"))
-    val ids = mets.select("metric_id").distinct()
-      .collect().map(_.getString(0)).toSeq // metric list, as the reference
-    // ?refresh=true drains each metric's backlog before the read
-    // (rest/api.py MetricsMeasuresBatchController refresh semantics)
-    if (refreshFirst) ids.foreach(refresh)
-    val acrossCol = acrossAgg match {
-      case "mean" => avg(col("value")); case "sum" => sum(col("value"))
-      case "min" => min(col("value")); case "max" => max(col("value"))
-      case "count" => count(col("value")).cast("double")
-      case other => sys.error(s"unsupported across-agg $other")
+    legacyCrossAggregation(
+      mets.select((col("metric_id") +: groupby.map(col)): _*).distinct(),
+      groupby, method, acrossAgg, granS, neededOverlap, fill, resampleS,
+      from, to, refreshFirst)
+  }
+
+  /** The reference's `get_cross_metric_measures_from_objs`
+    * (rest/api.py:2014-2131), vectorized over GROUPS: each distinct
+    * groupby-attribute tuple of `metGroups` is one reference call, but
+    * every group evaluates in one shared plan per granularity.
+    *
+    * Faithful surface:
+    *  - `fill` is the FillSchema (rest/api.py:1941-1944): any
+    *    float()-coercible literal, or one of null / dropna / ffill /
+    *    bfill / full_ffill / full_bfill — anything else is a 400 with
+    *    the schema's message. Numeric fill pads each group's
+    *    (metric × bucket-union) grid; the *fill modes forward/backward
+    *    fill each series over its group's bucket union; `null`/`dropna`
+    *    leave the grid sparse (their grid filler is NaN ≡ absent here).
+    *  - no `fill` → the overlap contract (processor.py:200-220) PER
+    *    GROUP: buckets where every series has a value are the overlap;
+    *    none at all (incl. a group with a measure-less metric) errors
+    *    "No overlap" when `neededOverlap` > 0; the span trims to the
+    *    overlapping range on sides without an explicit bound, and the
+    *    overlap fraction of the trimmed span must reach `neededOverlap`
+    *    (default 100, as the route's signature) or the whole request
+    *    errors, exactly like the reference's per-group abort.
+    *  - `resample` re-buckets each series with the SAME fetch method
+    *    AFTER fill/trim (the reference puts resample inside the built
+    *    operations tree, rest/api.py:2073-2085) using the carbonara
+    *    kernels ([[Compiler.resampleAgg]]); requires an explicit
+    *    granularity (rest/api.py:2032-2034).
+    *  - cross-metric reaggregation is the nan-skipping AGG_MAP
+    *    ([[Compiler.nanSkipAgg]]); with a dropna-family fill the
+    *    aggregated output drops NaN/±inf positions
+    *    (processor.py:237-244).
+    *  - a group resolving to ONE metric short-circuits to the raw
+    *    store read — no reaggregation, fill, or overlap check
+    *    (rest/api.py:2098-2121).
+    *  - no granularity → EVERY granularity common to the group's
+    *    metrics, coarse→fine, per group (rest/api.py:2041-2058);
+    *    an empty intersection errors "No granularity match".
+    *  - a method some matched metric's policy never stored is the
+    *    404 AggregationDoesNotExist (rest/api.py:2063-2068).
+    *
+    * Known pinned divergence (shared with the whole DSL surface, see
+    * NOTES): absent grid cells are null, not numpy-NaN operands — a
+    * resampled bucket that covers an absent fine bucket aggregates the
+    * present cells instead of going NaN.
+    *
+    * `metGroups`: one row per (metric_id, groupby attr values...).
+    * Output: `(groupby..., bucket, gran_s, value)`.
+    */
+  def legacyCrossAggregation(metGroups: DataFrame, groupby: Seq[String],
+      method: String, reagg: String, granS: Option[Long],
+      neededOverlap: Double, fill: Option[String], resampleS: Option[Long],
+      from: Option[java.sql.Timestamp], to: Option[java.sql.Timestamp],
+      refreshFirst: Boolean): DataFrame = {
+    import spark.implicits._
+    // FillSchema (rest/api.py:1941-1944) — validate BEFORE any work
+    val fillModes =
+      Set("null", "dropna", "ffill", "bfill", "full_ffill", "full_bfill")
+    val numericFill: Option[Double] = fill.filterNot(fillModes).map { f =>
+      f.trim.toLowerCase match {
+        case "inf" | "+inf" | "infinity" | "+infinity" =>
+          Double.PositiveInfinity
+        case "-inf" | "-infinity" => Double.NegativeInfinity
+        case "nan" | "+nan" | "-nan" => Double.NaN
+        case s => s.toDoubleOption.getOrElse(GraftError.badInput(
+          "Must be a float, 'dropna', 'null', 'ffill', 'bfill', " +
+            "'full_ffill' or 'full_bfill'"))
+      }
     }
-    if (ids.isEmpty) {
-      // no metric matched: empty page (the gabbi "no data" golden)
-      val e = MetricStore.emptyAggregates(spark)
-        .select(col("bucket"), col("value"))
+    GraftError.valid(resampleS.isEmpty || granS.isDefined,
+      "A granularity must be specified to resample")
+    // resolved scope: driver-bounded catalog metadata by contract (the
+    // reference materializes the same per-group metric lists,
+    // rest/api.py:1916-1931)
+    val metRows: Seq[(String, Seq[Any])] = metGroups.collect().toSeq
+      .map(r => (r.getString(0), groupby.map(a => r.getAs[Any](a))))
+    val outCols = (groupby.map(col) ++
+      Seq(col("bucket"), col("gran_s"), col("value")))
+    if (metRows.isEmpty)
+      // no metric matched anywhere: empty page with the scope's
+      // attribute column types (the gabbi "no data" golden)
+      return metGroups.limit(0).select(groupby.map(col): _*)
+        .withColumn("bucket", lit(null).cast("timestamp"))
         .withColumn("gran_s", lit(granS.getOrElse(0L)))
-      return groupby.foldLeft(e)((d, a) =>
-          d.withColumn(a, lit(null).cast("string")))
-        .select((groupby.map(col) ++
-          Seq(col("bucket"), col("gran_s"), col("value"))): _*)
+        .withColumn("value", lit(null).cast("double"))
+        .select(outCols: _*)
+    if (refreshFirst) metRows.map(_._1).distinct.foreach(refresh)
+    metRows.map(_._1).distinct.foreach { id =>
+      val pol = policies(metricPolicyName(id))
+      GraftError.found(pol.aggregationMethods.contains(method),
+        s"Aggregation method '$method' for metric $id does not exist")
     }
-    // resampling multiple source granularities at once would union
-    // duplicate copies of every output bucket — the reference requires
-    // an explicit granularity with resample
-    require(resampleS.isEmpty || granS.isDefined,
-      "resample requires an explicit granularity")
-    val grans = granS.map(Seq(_)).getOrElse(commonGranularities(ids))
-    grans.map { gr =>
-      var series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
+    // group index: metric → group is unique (a resource carries one
+    // attribute tuple), so the driver key never round-trips through a
+    // value rendering — joins ride a broadcast (metric_id, __g) map
+    val groups: Map[Seq[Any], Seq[String]] =
+      metRows.groupBy(_._2).view.mapValues(_.map(_._1).distinct).toMap
+    val gIndex: Map[Seq[Any], Int] = groups.keys.toSeq.zipWithIndex.toMap
+    val keyDf = broadcast(metRows.map { case (mid, k) => (mid, gIndex(k)) }
+      .toDF("metric_id", "__g"))
+    val sizeOf: Map[Int, Int] =
+      groups.map { case (k, ids) => gIndex(k) -> ids.size }
+    // per-GROUP common granularities when none requested (each group is
+    // its own get_cross_metric_measures call, rest/api.py:2041-2058)
+    val gransBy: Map[Int, Seq[Long]] = groups.map { case (k, ids) =>
+      gIndex(k) -> granS.map(Seq(_)).getOrElse(commonGranularities(ids)) }
+    val allGrans = gransBy.values.flatten.toSeq.distinct.sorted.reverse
+    val sizeDf = broadcast(sizeOf.toSeq.toDF("__g", "__gn"))
+    // groupby attr values per group, for the output join (types come
+    // from the catalog frame, not a driver re-rendering)
+    val attrsByG = broadcast(metGroups.join(keyDf, Seq("metric_id"))
+      .select((col("__g") +: groupby.map(col)): _*).distinct())
+    val perGran = allGrans.map { gr =>
+      val gIds = groups.collect {
+        case (k, ids) if gransBy(gIndex(k)).contains(gr) => ids
+      }.flatten.toSeq.distinct
+      val series = gIds.groupBy(metricPolicy).map { case (pol, polIds) =>
         storeOf(pol).getMeasuresMany(polIds, Seq(method), gr, from, to)
       }.reduceOption(_ unionByName _)
         .getOrElse(MetricStore.emptyAggregates(spark)
           .select("metric_id", "method", "bucket", "value"))
-      // resample BEFORE the cross-metric aggregation, re-bucketing each
-      // metric's series with the SAME method (carbonara's same-method
-      // resample: mean-of-means, max-of-maxes, counts sum)
-      val outGran = resampleS.getOrElse(gr)
-      for (rs <- resampleS) series = series
-        .withColumn("bucket", graft.timeseries.Bucketing.floorTimestamp(
-          col("bucket"), rs * 1_000_000_000L))
-        .groupBy(col("metric_id"), col("bucket"))
-        .agg((method match {
-          case "mean"         => avg(col("value"))
-          case "sum" | "count" => sum(col("value"))
-          case "min"          => min(col("value"))
-          case "max"          => max(col("value"))
-          case other => sys.error(s"unsupported resample method $other")
-        }).as("value"))
-        .select(col("metric_id"), col("bucket"), col("value"))
-      // numeric fill: pad each metric to the union of buckets so every
-      // metric contributes to every bucket (processor fill semantics)
-      for (f <- fill if f.matches("-?[0-9.]+")) {
-        val buckets = series.select("bucket").distinct()
-        val metIds = series.select("metric_id").distinct()
-        series = buckets.crossJoin(broadcast(metIds))
-          .join(series, Seq("metric_id", "bucket"), "left")
-          .select(col("metric_id"), col("bucket"),
-            coalesce(col("value"), lit(f.toDouble)).as("value"))
+        .select("metric_id", "bucket", "value")
+      val labeled = series.join(keyDf, Seq("metric_id"))
+        .join(sizeDf, Seq("__g"))
+      // single-metric groups short-circuit to the raw read
+      // (rest/api.py:2098-2121): no reaggregation, fill, overlap
+      val single = labeled.filter(col("__gn") === 1)
+      val multi0 = labeled.filter(col("__gn") > 1)
+        .select("__g", "__gn", "metric_id", "bucket", "value")
+      // ---- fill / overlap on the multi-metric groups (one grid per
+      // group in the reference; here one sparse long frame for all)
+      val multiFilled: DataFrame = fill match {
+        case None =>
+          // overlap check + trim-to-overlap (processor.py:200-220),
+          // per group, erroring the WHOLE request like the per-group
+          // abort does. Group stats are #groups rows — driver-bounded.
+          val perBucket = multi0.groupBy(col("__g"), col("__gn"),
+              col("bucket"))
+            .agg(count(when(!isnan(col("value")), 1)).as("__k"))
+            .withColumn("__c", col("__k") === col("__gn"))
+          val gstats = perBucket.groupBy(col("__g"))
+            .agg(min(when(col("__c"), col("bucket"))).as("firstC"),
+              max(when(col("__c"), col("bucket"))).as("lastC"),
+              sum(when(col("__c"), 1L).otherwise(0L)).as("nC"))
+            .collect().map(r => r.getInt(0) ->
+              (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toMap
+          val expected = sizeOf.collect {
+            case (gi, n) if n > 1 && gransBy(gi).contains(gr) => gi }
+          val spans = expected.flatMap { gi =>
+            val (firstC, lastC, nC) = gstats.getOrElse(gi,
+              (null: java.sql.Timestamp, null: java.sql.Timestamp, 0L))
+            if (nC == 0L) {
+              // a multi-metric group with no fully-covered bucket —
+              // including one whose metric never got measures — is the
+              // reference's UnAggregableTimeseries (processor.py:203-206)
+              GraftError.valid(neededOverlap <= 0, "No overlap")
+              None
+            } else Some((gi, firstC, lastC, nC))
+          }.toSeq
+          if (spans.isEmpty) multi0
+          else {
+            val spanDf = broadcast(spans
+              .map { case (gi, f0, l0, _) => (gi, f0, l0) }
+              .toDF("__g", "__firstC", "__lastC"))
+            val trimmed = multi0.join(spanDf, Seq("__g"), "left").filter(
+              (if (from.isDefined) lit(true)
+               else col("__firstC").isNull || col("bucket") >= col("__firstC")) &&
+              (if (to.isDefined) lit(true)
+               else col("__lastC").isNull || col("bucket") <= col("__lastC")))
+              .drop("__firstC", "__lastC")
+            // % of trimmed-span buckets that fully overlap, per group
+            val nB = trimmed.groupBy(col("__g"))
+              .agg(countDistinct(col("bucket")).as("nB"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            for ((gi, _, _, nC) <- spans; b <- nB.get(gi)) {
+              val pct = nC * 100.0 / b
+              GraftError.valid(pct >= neededOverlap,
+                f"Less than $neededOverlap%f%% of datapoints overlap in " +
+                  f"this timespan ($pct%.2f%%)")
+            }
+            trimmed
+          }
+        case Some(m) if fillModes(m) && m != "null" && m != "dropna" =>
+          // ffill-family: pad each series to its GROUP's bucket union,
+          // then forward/backward fill per series (processor.py:184-196)
+          val buckets = multi0.select(col("__g"), col("bucket")).distinct()
+          val gmets = multi0.select(col("__g"), col("metric_id")).distinct()
+          val padded = buckets.join(gmets, Seq("__g"))
+            .join(multi0.select("metric_id", "bucket", "value"),
+              Seq("metric_id", "bucket"), "left")
+          graft.timeseries.TimeSeriesOps.fill(padded, Seq("value"), m,
+              partitionCols = Seq("metric_id"))
+            .filter(col("value").isNotNull) // residual edge gaps ≡ NaN
+        case _ =>
+          numericFill.filterNot(_.isNaN) match {
+            case Some(d) =>
+              // numeric pad: absent cells take the filler, stored NaN
+              // stays NaN (the reference's grid is initialized with the
+              // filler and then overwritten by series values)
+              val buckets = multi0.select(col("__g"), col("bucket")).distinct()
+              val gmets = multi0.select(col("__g"), col("metric_id")).distinct()
+              buckets.join(gmets, Seq("__g"))
+                .join(multi0.select("metric_id", "bucket", "value"),
+                  Seq("metric_id", "bucket"), "left")
+                .withColumn("value", coalesce(col("value"), lit(d)))
+            // null / dropna / NaN-numeric: the grid filler is NaN ≡
+            // absent — evaluation stays sparse and nan-skipping
+            case None => multi0
+          }
       }
-      series.join(broadcast(mets.select(
-          (col("metric_id") +: groupby.map(col)): _*)), Seq("metric_id"))
-        .groupBy((groupby.map(col) :+ col("bucket")): _*)
-        .agg(acrossCol.as("value"))
+      // ---- resample AFTER fill/trim, same-method carbonara kernels
+      val outGran = resampleS.getOrElse(gr)
+      def resampled(df: DataFrame): DataFrame = resampleS match {
+        case None => df.select("__g", "metric_id", "bucket", "value")
+        case Some(rs) => df
+          .withColumn("__b", graft.timeseries.Bucketing.floorTimestamp(
+            col("bucket"), rs * 1_000_000_000L))
+          .groupBy(col("__g"), col("metric_id"), col("__b"))
+          .agg(Compiler.resampleAgg(method, col("value"), col("bucket"))
+            .as("value"))
+          .select(col("__g"), col("metric_id"), col("__b").as("bucket"),
+            col("value"))
+      }
+      // ---- cross-metric reaggregation: nan-skipping AGG_MAP
+      val multiOut0 = resampled(multiFilled)
+        .groupBy(col("__g"), col("bucket"))
+        .agg(Compiler.nanSkipAgg(reagg, col("value")).as("value"))
+      // output-stage drop for the dropna family (processor.py:237-244);
+      // the single-metric short-circuit bypasses it, as the reference
+      val multiOut =
+        if (fill.exists(OutputDropFills)) multiOut0.filter(
+          !isnan(col("value")) &&
+            abs(col("value")) =!= lit(Double.PositiveInfinity))
+        else multiOut0
+      resampled(single).select(col("__g"), col("bucket"), col("value"))
+        .unionByName(multiOut)
         .withColumn("gran_s", lit(outGran))
-    }.reduce(_ unionByName _)
+    }
+    perGran.reduce(_ unionByName _)
+      .join(attrsByG, Seq("__g"))
+      .select(outCols: _*)
   }
 
   /** G2+X*: resource-grouped evaluation of an ARBITRARY nested

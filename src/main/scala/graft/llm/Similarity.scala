@@ -368,6 +368,10 @@ object Similarity {
         call_function("lsh_keys", col(vecCol), lit(bits), lit(tables))))
       .select(col("query_id"),
         xxhash64(col("pos").cast("long"), col("col")).as("ck"))
+      // carry the partition key so the bucket join ALSO matches on ckp:
+      // that's what lets dynamic partition pruning fire on the
+      // oversized-batch path (a ck-only join never prunes directories)
+      .withColumn("ckp", pmod(col("ck"), lit(NumPostingParts)))
     // the probe side is broadcast-sized by contract: its distinct
     // bucket keys become driver-side literals for the scan pushdown
     // (the attribution join below still uses the frame)
@@ -381,7 +385,7 @@ object Similarity {
           col("ck").isin(cks.toSeq: _*))
       else postings0
     val cand = postings
-      .join(broadcast(probed), Seq("ck"))
+      .join(broadcast(probed), Seq("ckp", "ck"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("corpus_id")).distinct()
     val cv = spark.read.parquet(s"$path/vectors")

@@ -109,7 +109,7 @@ object Compiler {
     * raw values matches carbonara's NON-skipping kernels instead
     * (resample, §A10); pick per the reference's call site.
     */
-  private[ops] def nanSkipAgg(agg: String, v0: Column): Column = {
+  private[graft] def nanSkipAgg(agg: String, v0: Column): Column = {
     val v = when(!isnan(v0), v0) // null for NaN and null alike
     agg match {
       case "sum"   => coalesce(sum(v), lit(0.0))
@@ -121,7 +121,7 @@ object Compiler {
   /** [[nanSkipAgg]] as a window aggregate — `.over` must bind to the
     * aggregate itself, inside the null-handling wrapper.
     */
-  private[ops] def nanSkipAggOver(agg: String, v0: Column,
+  private[graft] def nanSkipAggOver(agg: String, v0: Column,
       w: org.apache.spark.sql.expressions.WindowSpec): Column = {
     val v = when(!isnan(v0), v0)
     agg match {
@@ -143,7 +143,7 @@ object Compiler {
     * NaN-greatest ordering reproduces the min/max/percentile edge
     * behavior (see KernelsSpec's NaN golden).
     */
-  private[ops] def resampleAgg(agg: String, v: Column,
+  private[graft] def resampleAgg(agg: String, v: Column,
                                origBucket: Column): Column = agg match {
     case "var" => throw new IllegalArgumentException(
       "var is not available in resample (RESAMPLE_AVAILABLE_AGG_MAP)")

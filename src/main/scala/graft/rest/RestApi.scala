@@ -1509,25 +1509,32 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       case ("GET", List("v1", "aggregation", "metric")) =>
         val ids = q.getOrElse("metric",
           throw new IllegalArgumentException("metric required"))
-          .split(",").toSeq.filter(_.nonEmpty)
-        // ?refresh=true drains staged measures first, as the measures
-        // GET (gabbits/aggregation.yaml uses it on this route)
-        if (q.get("refresh").contains("true")) ids.foreach(g.refresh)
+          .split(",").toSeq.filter(_.nonEmpty).distinct
+        ids.foreach(g.metricPolicyName) // unknown id → 404, as the lookup
         val agg = q.getOrElse("aggregation", "mean")
-        val ops =
-          if (ids.size == 1) s"(metric ${ids.head} $agg)"
-          else s"(aggregate $agg (metric ${
-            ids.map(i => s"($i $agg)").mkString(" ")}))"
-        val granS = q.get("granularity").map(_.toLong).getOrElse(
-          g.commonGranularities(ids).headOption.getOrElse(
-            throw new IllegalArgumentException("no common granularity")))
-        var rows = g.shaped(
-          g.aggregates(ops, granS, q.get("fill"),
-            q.get("needed_overlap").map(_.toDouble)), granS)
-        for (f <- q.get("start").map(parseTs))
-          rows = rows.filter(!_._1.before(f))
-        for (t <- q.get("stop").map(parseTs))
-          rows = rows.filter(_._1.before(t))
+        val s = g.spark; import s.implicits._
+        // one anonymous group holding the whole id list — the reference
+        // route IS one get_cross_metric_measures_from_objs call
+        // (rest/api.py:2137-2163): reaggregation defaults to the fetch
+        // aggregation, no granularity = every common one coarse→fine,
+        // needed_overlap defaults 100, single id short-circuits to the
+        // raw read
+        val df = g.legacyCrossAggregation(ids.toDF("metric_id"), Nil,
+          agg, q.getOrElse("reaggregation", agg),
+          q.get("granularity").map(_.toLong),
+          q.get("needed_overlap").map(v =>
+            v.toDoubleOption.getOrElse(graft.api.GraftError.badInput(
+              "Must be a number"))).getOrElse(100.0),
+          q.get("fill"), q.get("resample").map(_.toDouble.toLong),
+          q.get("start").map(parseTs), q.get("stop").map(parseTs),
+          refreshFirst = q.get("refresh").contains("true"))
+        val rows = df.orderBy(
+            org.apache.spark.sql.functions.col("gran_s").desc,
+            org.apache.spark.sql.functions.col("bucket"))
+          .limit(100000).collect().toSeq.map { r =>
+            (r.getAs[java.sql.Timestamp]("bucket"),
+              r.getAs[Long]("gran_s"), r.getAs[Double]("value"))
+          }
         ok(measuresTriples(rows))
 
       // Legacy resource-scoped aggregation (rest/api.py
@@ -1547,17 +1554,24 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           }
         }
         val agg = q.getOrElse("aggregation", "mean")
-        // repeated ?groupby= keys arrive comma-joined from the transport
+        // repeated ?groupby= keys arrive comma-joined from the
+        // transport; the reference sorts the unique attribute list
+        // (rest/api.py:1898 `sorted(set(arg_to_list(groupby)))`)
         val grpBy = q.get("groupby").map(_.split(",").toSeq
-          .filter(_.nonEmpty)).getOrElse(Nil).distinct
+          .filter(_.nonEmpty)).getOrElse(Nil).distinct.sorted
         val df = g.legacyResourceAggregation(name, agg,
           q.get("granularity").map(_.toLong), scope, grpBy,
-          acrossAgg = q.getOrElse("reaggregation", "mean"),
+          // reaggregation defaults to the FETCH aggregation
+          // (rest/api.py:2021-2022), not to mean
+          acrossAgg = q.getOrElse("reaggregation", agg),
           from = q.get("start").map(parseTs),
           to = q.get("stop").map(parseTs),
           resampleS = q.get("resample").map(_.toDouble.toLong),
           fill = q.get("fill"),
-          refreshFirst = q.get("refresh").contains("true"))
+          refreshFirst = q.get("refresh").contains("true"),
+          neededOverlap = q.get("needed_overlap").map(v =>
+            v.toDoubleOption.getOrElse(graft.api.GraftError.badInput(
+              "Must be a number"))).getOrElse(100.0))
         // coarse→fine within each group (rest/api.py cross-measures
         // page order)
         val rows = df.orderBy((grpBy.map(
@@ -1572,16 +1586,22 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           })
         if (grpBy.isEmpty) ok(triplesOf(rows.toSeq))
         else {
-          // legacy grouped shape: [{measures: [...], group: {...}}]
-          val groups = scala.collection.mutable.LinkedHashMap
-            .empty[Seq[Any], scala.collection.mutable.ListBuffer[
-              org.apache.spark.sql.Row]]
-          rows.foreach { r =>
-            groups.getOrElseUpdate(grpBy.map(a => r.getAs[Any](a)),
-              scala.collection.mutable.ListBuffer.empty) += r
-          }
-          ok(JArray(groups.toList.map { case (key, rs) =>
-            ("measures" -> triplesOf(rs.toSeq)) ~
+          // legacy grouped shape: [{measures: [...], group: {...}}] —
+          // EVERY group of the resolved scope appears, in sorted-key
+          // order; a group with no matched metric carries an empty
+          // measures list (rest/api.py:1925-1937 loops the sorted
+          // resources and get_cross_metric_measures returns [] for an
+          // empty metric list). The universe is catalog metadata —
+          // driver-bounded by contract.
+          val universe = scope
+            .select(grpBy.map(org.apache.spark.sql.functions.col): _*)
+            .distinct().collect()
+            .map(r => grpBy.map(a => r.getAs[Any](a))).toSeq
+            .sortBy(_.map(v => if (v == null) "" else v.toString)
+              .mkString(" "))
+          val byKey = rows.toSeq.groupBy(r => grpBy.map(a => r.getAs[Any](a)))
+          ok(JArray(universe.toList.map { key =>
+            ("measures" -> triplesOf(byKey.getOrElse(key, Nil))) ~
               ("group" -> JObject(grpBy.zip(key).toList.map {
                 case (a, v) => a -> anyJ(v) }))
           }))

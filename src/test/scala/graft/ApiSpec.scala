@@ -283,6 +283,14 @@ class ApiSpec extends SparkSpec {
     val planNodes = g.searchResources("id = 'r1'")
       .queryExecution.analyzed.collect { case n => n }.size
     assert(planNodes < 100, s"catalog lineage grew to $planNodes nodes")
+    // metric-attachment churn stacks a union per attach on the metrics
+    // catalog — the same periodic cut must bound it
+    for (i <- 1 to 40)
+      g.attachMetrics(s"res-$i", Seq(s"m$i" -> Some("gabbi-low")))
+    assert(g.resourceMetrics("res-40") == Seq((s"m40", "res-40/m40")))
+    val metNodes = g.metricsCatalog.get
+      .queryExecution.analyzed.collect { case n => n }.size
+    assert(metNodes < 60, s"metrics-catalog lineage grew to $metNodes nodes")
   }
 
   test("R9 policy rules: longest glob wins; R8 delete-by-query counts") {

@@ -156,6 +156,11 @@ class RestSpec extends SparkSpec {
       query = Map("granularity" -> "42")).status === 404)
     assert(api.dispatch("GET", "/v1/metric/mg/measures",
       query = Map("granularity" -> "60")).status === 200)
+    // an aggregation the policy never stored is also a 404, not an
+    // empty 200 (rest/api.py:508-515 "Aggregation method ... does not
+    // exist for this metric"; gabbits/metric.yaml)
+    assert(api.dispatch("GET", "/v1/metric/mg/measures",
+      query = Map("aggregation" -> "median")).status === 404)
   }
 
   test("measure search compiles the boolean tree (rest/api.py:1514-1652)") {
@@ -229,6 +234,25 @@ class RestSpec extends SparkSpec {
       query = Map("details" -> "true"),
       body = """{"operations": "(metric ghost mean)",
         "granularity": 300}""").status === 404)
+    // unknown AGGREGATION METHOD is also a 404, not a 400 — the
+    // reference's AggregationDoesNotExist ("Metrics with unknown
+    // aggregation", rest/aggregates/api.py:186-188)
+    assert(api.dispatch("POST", "/v1/aggregates",
+      body = """{"operations": "(metric r1/cpu median)",
+        "granularity": 300}""").status === 404)
+
+    // a measure missing timestamp/value is malformed INPUT → 400 (not
+    // a 404 from the raw map miss), with nothing staged
+    val noVal = api.dispatch("POST", "/v1/batch/resources/metrics/measures",
+      body = """{"r1": {"cpu": [{"timestamp": "2014-01-01T00:04:00Z"}]}}""")
+    assert(noVal.status === 400)
+    assert((noVal.body \ "description").asInstanceOf[JString].s
+      .contains("missing 'value'"))
+    val noTs = api.dispatch("POST", "/v1/batch/resources/metrics/measures",
+      body = """{"r1": {"cpu": [{"value": 4.5}]}}""")
+    assert(noTs.status === 400)
+    assert((noTs.body \ "description").asInstanceOf[JString].s
+      .contains("missing 'timestamp'"))
   }
 
   test("aggregates per-reference shape: unaggregated trees fan out " +
@@ -533,7 +557,9 @@ class RestSpec extends SparkSpec {
     assert(fv.size === 1)
     assert(math.abs(fv.head - (27.55 + 15.5 + 137.705) / 3) < 1e-9)
     // ?resample re-buckets each metric with the SAME method before the
-    // cross-metric mean — max-of-maxes, not avg (r10 review)
+    // cross-metric reaggregation — max-of-maxes, not avg (r10 review).
+    // With no ?reaggregation the cross-metric agg defaults to the FETCH
+    // aggregation (rest/api.py:2021-2022): max across the maxes
     val rs = api.dispatch("POST",
       "/v1/aggregation/resource/generic/metric/cpu.util",
       query = Map("granularity" -> "1", "resample" -> "600",
@@ -541,11 +567,129 @@ class RestSpec extends SparkSpec {
     val rv = rs.body.asInstanceOf[JArray].arr.map(t =>
       t.asInstanceOf[JArray].arr(2)).collect { case JDouble(v) => v }
     assert(rv.size === 1)
-    assert(math.abs(rv.head - (43.1 + 23.0 + 230.0) / 3) < 1e-9)
+    assert(math.abs(rv.head - 230.0) < 1e-9)
+    // explicit ?reaggregation=mean restores the mean-across form
+    val rsMean = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/cpu.util",
+      query = Map("granularity" -> "1", "resample" -> "600",
+        "aggregation" -> "max", "reaggregation" -> "mean"))
+    val rvMean = rsMean.body.asInstanceOf[JArray].arr.map(t =>
+      t.asInstanceOf[JArray].arr(2)).collect { case JDouble(v) => v }
+    assert(rvMean.size === 1)
+    assert(math.abs(rvMean.head - (43.1 + 23.0 + 230.0) / 3) < 1e-9)
     // resample without an explicit granularity is ambiguous → 400
     assert(api.dispatch("POST",
       "/v1/aggregation/resource/generic/metric/cpu.util",
       query = Map("resample" -> "600")).status === 400)
+  }
+
+  test("legacy aggregation carries the reference's full fill / " +
+      "needed_overlap / trim-to-overlap contract (rest/api.py:2014-2131, " +
+      "processor.py:200-220)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "two", "definition": [{"granularity": "300"},
+          {"granularity": "60"}], "aggregation_methods": ["mean", "max"]}""")
+    // a has two 60s buckets (12:00, 12:01); b only the first — 50%
+    // overlap when both buckets are in range
+    for ((m, pts) <- Seq(
+        "a" -> Seq("2015-01-01T12:00:10Z" -> 10.0,
+          "2015-01-01T12:01:10Z" -> 20.0),
+        "b" -> Seq("2015-01-01T12:00:20Z" -> 30.0))) {
+      api.dispatch("POST", "/v1/metric",
+        body = s"""{"id": "$m", "archive_policy_name": "two"}""")
+      api.dispatch("POST", s"/v1/metric/$m/measures", body =
+        pts.map { case (t, v) => s"""{"timestamp": "$t", "value": $v}""" }
+          .mkString("[", ",", "]"))
+    }
+    g.process()
+    def vals(r: graft.rest.Response): Seq[(Double, Double)] =
+      r.body.asInstanceOf[JArray].arr.map(_.asInstanceOf[JArray].arr)
+        .map(t => (t(1), t(2)) match {
+          case (JDouble(gr), JDouble(v)) => (gr, v)
+          case other => fail(s"bad triple: $other")
+        })
+    // no fill, no bounds: the span TRIMS to the overlapping range
+    // (processor.py:207-214) — only the complete 12:00 bucket survives
+    val trimmedR = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "60"))
+    assert(trimmedR.status === 200)
+    assert(vals(trimmedR) === Seq((60.0, 20.0)))
+    // an explicit stop keeps the partial tail bucket in the span →
+    // 50% < the default needed_overlap=100 → 400 with the reference
+    // message
+    val under = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "60",
+        "stop" -> "2015-01-01T12:05:00Z"))
+    assert(under.status === 400)
+    assert((under.body \ "description").asInstanceOf[JString].s
+      .contains("datapoints overlap in this timespan (50.00%)"))
+    // lowering needed_overlap admits the partial bucket: the 12:01
+    // value aggregates nan-skipping (a alone)
+    val loose = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "60",
+        "stop" -> "2015-01-01T12:05:00Z", "needed_overlap" -> "50"))
+    assert(loose.status === 200)
+    assert(vals(loose) === Seq((60.0, 20.0), (60.0, 20.0)))
+    // numeric fill pads b's missing bucket (and skips the overlap
+    // check): mean(20, 0) = 10 at 12:01
+    val filled = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "60", "fill" -> "0"))
+    assert(vals(filled) === Seq((60.0, 20.0), (60.0, 10.0)))
+    // ffill carries b's 12:00 value forward: mean(20, 30) = 25
+    val ffilled = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "60",
+        "fill" -> "ffill"))
+    assert(vals(ffilled) === Seq((60.0, 20.0), (60.0, 25.0)))
+    // FillSchema rejection (rest/api.py:1941-1944) and the
+    // needed_overlap number check (validate_qs)
+    val badFill = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "60",
+        "fill" -> "bogus"))
+    assert(badFill.status === 400)
+    assert((badFill.body \ "description").asInstanceOf[JString].s
+      .contains("Must be a float, 'dropna', 'null', 'ffill'"))
+    assert(api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "60",
+        "needed_overlap" -> "many")).status === 400)
+    // disjoint series with no fill → the reference's "No overlap";
+    // needed_overlap=0 waives it and emits both partial buckets
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "c", "archive_policy_name": "two"}""")
+    api.dispatch("POST", "/v1/metric/c/measures", body =
+      """[{"timestamp": "2015-01-01T12:03:10Z", "value": 50.0}]""")
+    g.process()
+    val disjoint = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "b,c", "granularity" -> "60"))
+    assert(disjoint.status === 400)
+    assert((disjoint.body \ "description").asInstanceOf[JString].s
+      .contains("No overlap"))
+    val waived = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "b,c", "granularity" -> "60",
+        "needed_overlap" -> "0"))
+    assert(vals(waived) === Seq((60.0, 30.0), (60.0, 50.0)))
+    // no granularity → EVERY common granularity, coarse→fine
+    // (rest/api.py:2041-2058) — 300s first, then the 60s rows
+    val all = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a", "aggregation" -> "max"))
+    assert(vals(all) === Seq((300.0, 20.0), (60.0, 10.0), (60.0, 20.0)))
+    // grouped route: a group whose resources own no matching metric
+    // still appears, with empty measures (rest/api.py:1925-1937)
+    g.setResources(Seq(("r1", "east"), ("r2", "east"), ("r3", "west"))
+      .toDF("id", "zone"))
+    g.setMetrics(Seq(("a", "r1", "cpu"), ("b", "r2", "cpu"))
+      .toDF("metric_id", "resource_id", "name"))
+    val grouped = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/cpu",
+      query = Map("granularity" -> "60", "groupby" -> "zone"))
+    val arr = grouped.body.asInstanceOf[JArray].arr
+    assert(arr.map(_ \ "group") === List(
+      JObject("zone" -> JString("east")), JObject("zone" -> JString("west"))))
+    assert((arr(1) \ "measures").asInstanceOf[JArray].arr.isEmpty)
   }
 
   test("over-stale lock holds count as lock_leaks in /v1/status " +
