@@ -648,6 +648,27 @@ class Graft(val spark: SparkSession, root: String) {
         s"Aggregation method '$method' for metric $metricId does not exist")
   }
 
+  /** [[requireMethod]] plus the granularity-exists check: a (method,
+    * granularity) pair the metric's policy never stored is the
+    * reference's AggregationDoesNotExist 404 on every cross-metric door
+    * (`archive_policy.get_aggregation` returning None —
+    * rest/api.py:2063-2068, rest/aggregates/api.py:603-607,
+    * gabbits/aggregation.yaml "non existing granularity",
+    * gnocchi issue #148) — not an empty 200 from a bucket-less scan.
+    */
+  private def requireAgg(metricId: String, method: String,
+                         granS: Long): Unit = {
+    requireMethod(metricId, method)
+    val pol = policies(metricPolicy(metricId))
+    val ok = pol.definition.map(_.granularity).exists {
+      case Granularity.Fixed(ns) => ns / 1_000_000_000L == granS
+      case _ => false
+    }
+    if (!ok) GraftError.notFound(
+      s"Aggregation method '$method' at granularity '${granS.toDouble}' " +
+        s"for metric $metricId does not exist")
+  }
+
   /** POST /v1/aggregates with plan-time granularity resolution: no
     * `granS` → evaluate at every common granularity, coarse→fine,
     * concatenated with a `gran_s` column (processor.py:229-272 output
@@ -709,7 +730,7 @@ class Graft(val spark: SparkSession, root: String) {
                  from: Option[java.sql.Timestamp],
                  to: Option[java.sql.Timestamp]): graft.ops.Grid = {
     val refs = collectRefs(ast)
-    refs.foreach { case (m, a) => requireMethod(m, a) }
+    refs.foreach { case (m, a) => requireAgg(m, a, granS) }
     val effFill = fill
     // P2: one pruned scan per policy store with IN predicates, not a
     // read per referenced series (processor.py:134-137); start/stop
@@ -1649,9 +1670,11 @@ class Graft(val spark: SparkSession, root: String) {
         .select(outCols: _*)
     if (refreshFirst) metRows.map(_._1).distinct.foreach(refresh)
     metRows.map(_._1).distinct.foreach { id =>
-      val pol = policies(metricPolicyName(id))
-      GraftError.found(pol.aggregationMethods.contains(method),
-        s"Aggregation method '$method' for metric $id does not exist")
+      metricPolicyName(id) // unknown metric → 404 before the agg check
+      granS match {
+        case Some(g) => requireAgg(id, method, g)
+        case None    => requireMethod(id, method)
+      }
     }
     // group index: metric → group is unique (a resource carries one
     // attribute tuple), so the driver key never round-trips through a
@@ -1834,7 +1857,7 @@ class Graft(val spark: SparkSession, root: String) {
           groupby.map(col)): _*)), Seq("resource_id"))
       val ids = mets.select("metric_id").distinct()
         .collect().map(_.getString(0)).toSeq // metric list, as the reference
-      ids.foreach(requireMethod(_, method))
+      ids.foreach(requireAgg(_, method, granS))
       val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
         storeOf(pol).getMeasuresMany(polIds, Seq(method), granS, from, to)
       }.reduceOption(_ unionByName _)
@@ -1976,7 +1999,7 @@ class Graft(val spark: SparkSession, root: String) {
           .join(broadcast(resIds), Seq("resource_id"))
         val ids = mets.select("metric_id").distinct()
           .collect().map(_.getString(0)).toSeq // metric list, as the reference
-        ids.foreach(requireMethod(_, method))
+        ids.foreach(requireAgg(_, method, granS))
         val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
           storeOf(pol).getMeasuresMany(polIds, Seq(method), granS, from, to)
         }.reduceOption(_ unionByName _)

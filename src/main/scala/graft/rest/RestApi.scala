@@ -1506,10 +1506,22 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // routed): ?metric=id1,id2&aggregation=mean[&granularity=s]
       // [&start=][&stop=] → flat measure triples via the aggregates
       // DSL's (aggregate agg (metric ...)) form.
-      case ("GET", List("v1", "aggregation", "metric")) =>
-        val ids = q.getOrElse("metric",
-          throw new IllegalArgumentException("metric required"))
-          .split(",").toSeq.filter(_.nonEmpty).distinct
+      case ("GET" | "POST", List("v1", "aggregation", "metric")) =>
+        // POST carries the id list as the JSON body (MetricIDsSchema,
+        // rest/api.py:2133-2150 `post_metric = get_metric`); GET as
+        // repeated ?metric= keys (comma-joined at the transport)
+        val ids = (if (method == "POST") body() match {
+            case JArray(items) => items.map {
+              case JString(s) => s
+              case other => throw new IllegalArgumentException(
+                s"Invalid input: $other is not a metric id")
+            }
+            case other => throw new IllegalArgumentException(
+              s"Invalid input: expected a metric id list, got $other")
+          }
+          else q.getOrElse("metric",
+            throw new IllegalArgumentException("metric required"))
+            .split(",").toSeq.filter(_.nonEmpty)).distinct
         ids.foreach(g.metricPolicyName) // unknown id → 404, as the lookup
         val agg = q.getOrElse("aggregation", "mean")
         val s = g.spark; import s.implicits._

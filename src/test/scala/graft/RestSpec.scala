@@ -677,6 +677,23 @@ class RestSpec extends SparkSpec {
     val all = api.dispatch("GET", "/v1/aggregation/metric",
       query = Map("metric" -> "a", "aggregation" -> "max"))
     assert(vals(all) === Seq((300.0, 20.0), (60.0, 10.0), (60.0, 20.0)))
+    // POST form: the id list rides in the JSON body (MetricIDsSchema,
+    // rest/api.py:2133-2163 post_metric = get_metric)
+    val posted = api.dispatch("POST", "/v1/aggregation/metric",
+      query = Map("granularity" -> "60"), body = """["a", "b"]""")
+    assert(posted.status === 200)
+    assert(vals(posted) === Seq((60.0, 20.0)))
+    // a granularity the policies never stored → 404 with the
+    // reference's AggregationDoesNotExist message (gnocchi issue #148),
+    // on the legacy door AND the aggregates DSL door
+    val noGran = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "42"))
+    assert(noGran.status === 404)
+    assert((noGran.body \ "description").asInstanceOf[JString].s
+      .contains("at granularity '42.0' for metric"))
+    assert(api.dispatch("POST", "/v1/aggregates",
+      body = """{"operations": "(metric a mean)",
+        "granularity": 42}""").status === 404)
     // grouped route: a group whose resources own no matching metric
     // still appears, with empty measures (rest/api.py:1925-1937)
     g.setResources(Seq(("r1", "east"), ("r2", "east"), ("r3", "west"))
