@@ -1885,50 +1885,32 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def setResourceHistory(df: DataFrame): Unit = resourceHistoryTbl = Some(df)
 
-  /** G3/G4 `use_history=true` group-by aggregation end-to-end
-    * (rest/aggregates/api.py:191-493): revision windows come from the
-    * catalog's resource history — a resource contributes each bucket to
-    * the group its attribute had AT THAT TIME, fractionally
-    * (overlap/granularity) where a bucket straddles a revision edge,
-    * summed per (group, bucket) (api.py:231-259,462-470).
+  /** G3/G4 `use_history=true` group-by aggregation, single-attribute
+    * convenience form (rest/aggregates/api.py:191-493): revision
+    * windows come from the catalog's resource history — a resource
+    * contributes each bucket to the group its attribute had AT THAT
+    * TIME, fractionally (overlap/granularity) where a bucket straddles
+    * a revision edge, summed per (group, bucket) (api.py:231-259,
+    * 462-470). Delegates to the generalized Grouper door
+    * ([[groupByAggregatesHistoryOps]]) with an `(aggregate sum ...)`
+    * tree: per-metric weighting then group-summing equals per-resource
+    * summing then weighting by linearity (a resource's window weights
+    * every one of its metrics identically), and the delegation gives
+    * this form the same `truncate_resource_time_window` semantics
+    * (first-revision reach-back, window clamping) as the REST door —
+    * the two used to diverge. Output: `(grp, bucket_s, v)`.
     */
   def groupByAggregatesHistory(metricName: String, method: String,
                                granS: Long, filterStr: String,
                                groupby: String,
                                from: Option[java.sql.Timestamp] = None,
-                               to: Option[java.sql.Timestamp] = None): DataFrame = {
-    val pred = Filter.compile(FilterParser.parse(filterStr))
-    var hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
-      "no resource history table — call setResourceHistory(df) first"))
-      .filter(pred)
-    // G4 period filter (api.py:279-299): prune revisions outside the
-    // query window before the interval join
-    for (f <- from) hist = hist.filter(
-      col("revision_end").isNull || col("revision_end") >= f)
-    for (t <- to) hist = hist.filter(col("revision_start") < t)
-    val mets = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
-      .filter(col("name").rlike(graft.catalog.Fnmatch.regex(metricName)))
-    // revision windows per metric, epoch-second bounds; open revisions
-    // (NULL revision_end) extend to +inf
-    val revs = mets.join(
-        hist.select(col("id").as("resource_id"),
-          col(groupby).as("grp"),
-          unix_timestamp(col("revision_start")).as("rev_start_s"),
-          coalesce(unix_timestamp(col("revision_end")),
-            lit(Long.MaxValue / 4)).as("rev_end_s")),
-        Seq("resource_id"))
-      .select(col("metric_id"), col("grp"), col("rev_start_s"), col("rev_end_s"))
-    val ids = revs.select("metric_id").distinct()
-      .collect().map(_.getString(0)).toSeq // metric list, as the reference
-    val series = ids.groupBy(metricPolicy).map { case (pol, polIds) =>
-      storeOf(pol).getMeasuresMany(polIds, Seq(method), granS, from, to)
-    }.reduceOption(_ unionByName _)
-      .getOrElse(MetricStore.emptyAggregates(spark)
-        .select("metric_id", "method", "bucket", "value"))
-      .select(col("metric_id"),
-        unix_timestamp(col("bucket")).cast("long").as("ts_s"), col("value"))
-    graft.catalog.HistoryAgg.weightedGroupAgg(series, revs, granS, "metric_id")
-  }
+                               to: Option[java.sql.Timestamp] = None): DataFrame =
+    groupByAggregatesHistoryOps(
+        s"(aggregate sum (metric $metricName $method))",
+        granS, filterStr, Seq(groupby), None, from, to)
+      .select(col(groupby).as("grp"),
+        unix_timestamp(col("bucket")).cast("long").as("bucket_s"),
+        col("value").as("v"))
 
   /** G3/G4 generalized `use_history=true` — the reference's full
     * Grouper surface (rest/aggregates/api.py:258-493): a groupby

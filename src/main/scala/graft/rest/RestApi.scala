@@ -117,6 +117,26 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     Some(sign * total)
   }
 
+  /** `granularity`/`resample` query params carry the reference's
+    * utils.to_timespan surface (utils.py:138-150): plain seconds (int
+    * or float) or a pytimeparse timespan ("1h", "5 minutes"), positive
+    * only, with the reference's error strings. The engine's bucket
+    * model is whole seconds, so a sub-second span is a clean 400
+    * instead of a silent floor.
+    */
+  private def parseGranS(s: String): Long = {
+    val spanS: Double = s.trim.toDoubleOption
+      .orElse(parseTimespanS(s))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Unable to parse timespan: $s"))
+    if (spanS <= 0)
+      throw new IllegalArgumentException("Timespan must be positive")
+    val g = spanS.toLong
+    if (g.toDouble != spanS) throw new IllegalArgumentException(
+      s"sub-second granularity is not supported: $s")
+    g
+  }
+
   private def iso(t: java.sql.Timestamp): String = t.toInstant.toString
 
   private def jnum(v: JValue): Double = v match {
@@ -958,7 +978,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       case ("GET", List("v1", "metric", id, "measures")) =>
         val rows = g.getMeasures(id,
           method = q.getOrElse("aggregation", "mean"),
-          granS = q.get("granularity").map(_.toLong),
+          granS = q.get("granularity").map(parseGranS),
           from = q.get("start").map(parseTs(_).toString),
           to = q.get("stop").map(parseTs(_).toString),
           resample = q.get("resample").map(Granularity.parse),
@@ -1043,7 +1063,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           .split(",").toSeq
         val df = g.searchMetricValues(ids,
           q.getOrElse("aggregation", "mean"),
-          q.get("granularity").map(_.toLong).getOrElse(
+          q.get("granularity").map(parseGranS).getOrElse(
             throw new IllegalArgumentException("granularity required")),
           parsePred(body()))
         ok(frameJson(df.orderBy("metric_id", "bucket"), 10000))
@@ -1102,9 +1122,10 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         // one series per group via GroupedOps
         if (search.isDefined || groupby.nonEmpty) {
           val granS = b \ "granularity" match {
-            case JNothing => q.getOrElse("granularity",
+            case JNothing => parseGranS(q.getOrElse("granularity",
               throw new IllegalArgumentException(
-                "granularity required with search/groupby")).toLong
+                "granularity required with search/groupby")))
+            case JString(sp) => parseGranS(sp)
             case n => jnum(n).toLong
           }
           val flt = search.getOrElse(throw new IllegalArgumentException(
@@ -1202,7 +1223,8 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         // .yaml "get aggregates, no references").
         val aggregated = g.aggregatesIsAggregated(operations)
         (b \ "granularity" match {
-          case JNothing => q.get("granularity").map(_.toLong)
+          case JNothing => q.get("granularity").map(parseGranS)
+          case JString(sp) => Some(parseGranS(sp)) // "1h" timespan form
           case n => Some(jnum(n).toLong)
         }) match {
           case None => // P1: every common granularity, coarse→fine
@@ -1533,11 +1555,11 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         // raw read
         val df = g.legacyCrossAggregation(ids.toDF("metric_id"), Nil,
           agg, q.getOrElse("reaggregation", agg),
-          q.get("granularity").map(_.toLong),
+          q.get("granularity").map(parseGranS),
           q.get("needed_overlap").map(v =>
             v.toDoubleOption.getOrElse(graft.api.GraftError.badInput(
               "Must be a number"))).getOrElse(100.0),
-          q.get("fill"), q.get("resample").map(_.toDouble.toLong),
+          q.get("fill"), q.get("resample").map(parseGranS),
           q.get("start").map(parseTs), q.get("stop").map(parseTs),
           refreshFirst = q.get("refresh").contains("true"))
         val rows = df.orderBy(
@@ -1572,13 +1594,13 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         val grpBy = q.get("groupby").map(_.split(",").toSeq
           .filter(_.nonEmpty)).getOrElse(Nil).distinct.sorted
         val df = g.legacyResourceAggregation(name, agg,
-          q.get("granularity").map(_.toLong), scope, grpBy,
+          q.get("granularity").map(parseGranS), scope, grpBy,
           // reaggregation defaults to the FETCH aggregation
           // (rest/api.py:2021-2022), not to mean
           acrossAgg = q.getOrElse("reaggregation", agg),
           from = q.get("start").map(parseTs),
           to = q.get("stop").map(parseTs),
-          resampleS = q.get("resample").map(_.toDouble.toLong),
+          resampleS = q.get("resample").map(parseGranS),
           fill = q.get("fill"),
           refreshFirst = q.get("refresh").contains("true"),
           neededOverlap = q.get("needed_overlap").map(v =>

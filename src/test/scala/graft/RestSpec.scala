@@ -645,6 +645,21 @@ class RestSpec extends SparkSpec {
       query = Map("metric" -> "a,b", "granularity" -> "60",
         "fill" -> "ffill"))
     assert(vals(ffilled) === Seq((60.0, 20.0), (60.0, 25.0)))
+    // granularity accepts the reference's to_timespan surface
+    // (utils.py:138-150): float seconds and pytimeparse spans; garbage
+    // is a 400 (gabbits/aggregation.yaml "granularity not float")
+    assert(vals(api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "60.0")))
+      === Seq((60.0, 20.0)))
+    assert(vals(api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "1 minute")))
+      === Seq((60.0, 20.0)))
+    assert(api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "foobar"))
+      .status === 400)
+    assert(api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "a,b", "granularity" -> "-60"))
+      .status === 400)
     // FillSchema rejection (rest/api.py:1941-1944) and the
     // needed_overlap number check (validate_qs)
     val badFill = api.dispatch("GET", "/v1/aggregation/metric",
