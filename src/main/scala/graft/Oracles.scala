@@ -1253,6 +1253,37 @@ object Oracles {
 
     // ---- store plane: the oracle recomputes what the materialized
     // store must contain after each write/maintenance sequence.
+    // independent derivation of the legacy cross-metric read: dedup per
+    // (metric, ts) by max event_id (the store's new-wins merge), apply
+    // the two ingest window restrictions, hourly per-metric means, then
+    // the trim-to-overlap span = [first, last] bucket where ALL 5
+    // series are present, and the nan-skipping cross-metric mean
+    // (present series only) inside it
+    "g7_legacy_overlap" ->
+      """WITH d AS (SELECT event_type AS mid, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events GROUP BY 1, 2),
+         pts AS (SELECT mid, ts, value FROM d
+                 WHERE (mid <> 'signup' OR ts >= TIMESTAMP '2024-01-05')
+                   AND (mid <> 'click'  OR ts <  TIMESTAMP '2024-01-20')),
+         series AS (SELECT mid,
+                           CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT)
+                             AS bucket_s,
+                           avg(value) AS v
+                    FROM pts GROUP BY 1, 2),
+         perb AS (SELECT bucket_s, count(*) AS k, avg(v) AS value
+                  FROM series GROUP BY 1),
+         span AS (SELECT min(bucket_s) FILTER (WHERE k = 5) AS lo,
+                         max(bucket_s) FILTER (WHERE k = 5) AS hi
+                  FROM perb)
+         SELECT p.bucket_s, CAST(p.value AS REAL) AS value
+         FROM perb p, span
+         -- no fully-covered bucket at all (sparse sf): overlap.size==0
+         -- means NO trim in the reference (processor.py:207-214 guards
+         -- on overlap.size) — needed_overlap=0 already waived the error
+         WHERE span.lo IS NULL
+            OR (p.bucket_s >= span.lo AND p.bucket_s <= span.hi)""",
+
     "j1_store_roundtrip" ->
       """WITH d AS (SELECT event_type AS metric_id, ts,
                            arg_max(value, event_id) AS value

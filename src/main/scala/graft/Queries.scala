@@ -1392,6 +1392,42 @@ object Queries {
     // incoming/__init__.py:202-214) — the measures stay a DataFrame end
     // to end; status() reduces them to per-metric pending counts with
     // one aggregate, never a row collect.
+    // Legacy /v1/aggregation cross-metric contract under the oracle
+    // (rest/api.py:2014-2131 via Graft.legacyCrossAggregation):
+    // five per-event-type metrics ingest through the facade with two of
+    // them WINDOW-RESTRICTED (signup starts Jan 5, click ends Jan 20),
+    // then the no-fill read trims to the span where every series has a
+    // bucket (processor.py:200-220 — first/last fully-covered bucket;
+    // needed_overlap=0 so partial coverage inside the span aggregates
+    // nan-skipping instead of erroring) and means across the present
+    // series per bucket. The oracle reproduces the dedup, the window
+    // restrictions, the completeness span, and the nan-skipping mean
+    // independently in SQL.
+    "g7_legacy_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val root = storeRoot("g7", dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val g = new graft.api.Graft(s, root)
+      g.createPolicy(ArchivePolicy("g7", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean")))
+      allTypes.foreach(t => g.createMetric(t, "g7"))
+      g.batchAddMeasures(dedupMeasures(s, dir).filter(
+        (col("metric_id") =!= "signup" ||
+          col("timestamp") >= lit("2024-01-05").cast("timestamp")) &&
+        (col("metric_id") =!= "click" ||
+          col("timestamp") < lit("2024-01-20").cast("timestamp"))))
+      g.process()
+      g.setResources(allTypes.map(t => (s"r-$t", "z")).toDF("id", "zone"))
+      g.setMetrics(allTypes.map(t => (t, s"r-$t", "load"))
+        .toDF("metric_id", "resource_id", "name"))
+      g.legacyResourceAggregation("load", "mean", Some(3600L),
+          g.searchResources("zone = 'z'"), Nil, acrossAgg = "mean",
+          neededOverlap = 0.0)
+        .select(bucketS(), r6(col("value")).as("value"))
+    }),
     "j7_backlog" -> ((s, dir) => {
       import s.implicits._
       val g = new graft.api.Graft(s,
