@@ -360,7 +360,14 @@ class Graft(val spark: SparkSession, root: String) {
           .select("resource_id", "name", "metric_id").collect()
           .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap)
       .getOrElse(Map.empty)
-    def tsOf(v: JValue): java.sql.Timestamp = v match {
+    def tsOf(v: JValue): java.sql.Timestamp = {
+      val t = tsOf0(v)
+      // the reference rejects pre-epoch timestamps on every measure
+      // door (utils.to_timestamps, utils.py:119-120)
+      GraftError.valid(t.getTime >= 0, "Timestamp must be after Epoch")
+      t
+    }
+    def tsOf0(v: JValue): java.sql.Timestamp = v match {
       case JString(s) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
         new java.sql.Timestamp((s.toDouble * 1000).toLong)
       // bare ISO gets a Z appended — but NOT when the string already
@@ -598,6 +605,11 @@ class Graft(val spark: SparkSession, root: String) {
     // ("Aggregation method X does not exist for this metric",
     // rest/api.py:508-515), not an empty 200
     requireMethod(metricId, method)
+    // resampling without a source granularity is ambiguous — the
+    // reference 400s (rest/api.py measures GET;
+    // gabbits/metric.yaml "resample no granularity")
+    GraftError.valid(resample.isEmpty || granS.isDefined,
+      "A granularity must be specified to resample")
     val pol = policies(metricPolicy(metricId))
     val polGrans = pol.definition.map(_.granularity).collect {
       case Granularity.Fixed(ns) => ns / 1_000_000_000L

@@ -158,7 +158,14 @@ object FilterParser {
             while (!peek.contains("]")) {
               vs += value(next()); if (peek.contains(",")) next()
             }
-            expect("]"); In(attr, vs.toSeq)
+            expect("]")
+            // the reference's REST schema requires a non-empty value
+            // list (gabbits/search.yaml "empty in_" → 400); programmatic
+            // In(attr, Nil) still compiles to FALSE at the indexer
+            // layer (sqlalchemy.py:1462-1466)
+            if (vs.isEmpty) throw new IllegalArgumentException(
+              s"'in' requires at least one value: $attr in []")
+            In(attr, vs.toSeq)
           case "like" => value(next()) match {
             // a null literal after `like` must be the same clean parse
             // error every other malformed filter raises, not an NPE

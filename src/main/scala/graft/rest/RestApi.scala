@@ -241,6 +241,11 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         }
         case "not" | "¬" => Not(parseFilterTree(arg))
         case "in" => arg match {
+          case JObject(List((attr, JArray(Nil)))) =>
+            // voluptuous Length(min=1) on the in-list
+            // (gabbits/search.yaml "empty in_" → 400)
+            throw new IllegalArgumentException(
+              s"'in' requires at least one value: $attr")
           case JObject(List((attr, JArray(vs)))) => In(attr, vs.map(anyOf))
           case other => throw new IllegalArgumentException(s"bad in: $other")
         }
@@ -970,6 +975,11 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
             case (_, other) => throw new IllegalArgumentException(
               s"mixed timestamp formats: got $other")
           }
+          // pre-epoch timestamps reject on every measure door
+          // (utils.to_timestamps, utils.py:119-120;
+          // gabbits/metric.yaml "before epoch")
+          if (ts.getTime < 0) throw new IllegalArgumentException(
+            "Timestamp must be after Epoch")
           (ts.toString, jnum(m \ "value"))
         }
         g.addMeasures(id, points)
@@ -1018,12 +1028,18 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // ?filter= / x-www-form form) or the raw attribute-filter JSON
       // tree ({"and": [{"=": {...}}, ...]}, rest/api.py:1381-1437).
       case ("POST", List("v1", "search", "resource", tpe)) =>
-        val parsed = body() match {
-          case JObject(List(("filter", JString(s)))) =>
-            graft.catalog.FilterParser.parse(s)
-          case JNothing => // empty body matches everything, as the reference
-            graft.catalog.Filter.Like("id", "%")
-          case tree => parseFilterTree(tree)
+        // ?filter= carries the string grammar (gabbits/search.yaml
+        // "search in_ query string"); otherwise the body is either
+        // {"filter": "<string>"} or the raw attribute-filter tree
+        val parsed = q.get("filter") match {
+          case Some(s) => graft.catalog.FilterParser.parse(s)
+          case None => body() match {
+            case JObject(List(("filter", JString(s)))) =>
+              graft.catalog.FilterParser.parse(s)
+            case JNothing => // empty body matches everything, as the reference
+              graft.catalog.Filter.Like("id", "%")
+            case tree => parseFilterTree(tree)
+          }
         }
         // ?history=true searches across every revision
         // (rest/api.py:1453-1475)

@@ -98,6 +98,11 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("unexpected end"))
     assert(intercept[IllegalArgumentException](
       FilterParser.parse("a =")).getMessage.contains("unexpected end"))
+    // empty in-list is the reference's REST 400 (gabbits/search.yaml
+    // "empty in_ query string"), raised at parse time
+    assert(intercept[IllegalArgumentException](
+      FilterParser.parse("id in []")).getMessage
+      .contains("at least one value"))
   }
 
   test("pagination marker: id containing '@' with non-numeric suffix " +

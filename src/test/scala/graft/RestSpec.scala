@@ -161,6 +161,20 @@ class RestSpec extends SparkSpec {
     // exist for this metric"; gabbits/metric.yaml)
     assert(api.dispatch("GET", "/v1/metric/mg/measures",
       query = Map("aggregation" -> "median")).status === 404)
+    // resample without a granularity is ambiguous → 400
+    // (gabbits/metric.yaml "resample no granularity")
+    val noG = api.dispatch("GET", "/v1/metric/mg/measures",
+      query = Map("resample" -> "120"))
+    assert(noG.status === 400)
+    assert((noG.body \ "description").asInstanceOf[JString].s
+      .contains("A granularity must be specified to resample"))
+    // pre-epoch timestamps reject on the measure doors
+    // (utils.to_timestamps; gabbits/metric.yaml "before epoch")
+    val preEpoch = api.dispatch("POST", "/v1/metric/mg/measures",
+      body = """[{"timestamp": "1915-03-06T14:33:57Z", "value": 43.1}]""")
+    assert(preEpoch.status === 400)
+    assert((preEpoch.body \ "description").asInstanceOf[JString].s
+      .contains("Timestamp must be after Epoch"))
   }
 
   test("measure search compiles the boolean tree (rest/api.py:1514-1652)") {
@@ -253,6 +267,14 @@ class RestSpec extends SparkSpec {
     assert(noTs.status === 400)
     assert((noTs.body \ "description").asInstanceOf[JString].s
       .contains("missing 'timestamp'"))
+    // pre-epoch timestamps reject on the batch door too
+    // (utils.to_timestamps, utils.py:119-120)
+    val preEpoch = api.dispatch("POST", "/v1/batch/resources/metrics/measures",
+      body = """{"r1": {"cpu": [{"timestamp": "1915-01-01T00:00:00Z",
+        "value": 1.0}]}}""")
+    assert(preEpoch.status === 400)
+    assert((preEpoch.body \ "description").asInstanceOf[JString].s
+      .contains("Timestamp must be after Epoch"))
   }
 
   test("aggregates per-reference shape: unaggregated trees fan out " +
@@ -368,6 +390,19 @@ class RestSpec extends SparkSpec {
     assert(resp.status === 200)
     assert(resp.body.asInstanceOf[JArray].arr.map(_ \ "id")
       === List(JString("r1")))
+    // empty in-list rejects on both wire shapes (gabbits/search.yaml
+    // "search empty in_" / "empty in_ query string" → 400)
+    assert(api2.dispatch("POST", "/v1/search/resource/generic",
+      body = """{"in": {"id": []}}""").status === 400)
+    assert(api2.dispatch("POST", "/v1/search/resource/generic",
+      query = Map("filter" -> "id in []")).status === 400)
+    // ?filter= carries the string grammar on the search route
+    // (gabbits/search.yaml "search in_ query string")
+    val qf = api2.dispatch("POST", "/v1/search/resource/generic",
+      query = Map("filter" -> "id in ['r1', 'r3']"))
+    assert(qf.status === 200)
+    assert(qf.body.asInstanceOf[JArray].arr.map(_ \ "id")
+      === List(JString("r1"), JString("r3")))
 
     // the raw attribute-filter JSON tree is the same body's native
     // wire shape (rest/api.py:1381-1437)
