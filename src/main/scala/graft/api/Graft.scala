@@ -1731,52 +1731,62 @@ class Graft(val spark: SparkSession, root: String) {
         case None =>
           // overlap check + trim-to-overlap (processor.py:200-220),
           // per group, erroring the WHOLE request like the per-group
-          // abort does. Group stats are #groups rows — driver-bounded.
+          // abort does. ONE action computes everything: per-bucket
+          // completeness collapses the fetched frame to (group, bucket)
+          // rows, a window over that SMALL frame finds each group's
+          // overlap span, and one aggregate emits (nC, nB-in-span,
+          // span) per group — #groups rows, driver-bounded.
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__g"))
           val perBucket = multi0.groupBy(col("__g"), col("__gn"),
               col("bucket"))
             .agg(count(when(!isnan(col("value")), 1)).as("__k"))
             .withColumn("__c", col("__k") === col("__gn"))
+            .withColumn("__firstC",
+              min(when(col("__c"), col("bucket"))).over(w))
+            .withColumn("__lastC",
+              max(when(col("__c"), col("bucket"))).over(w))
+          // buckets counting toward the trimmed span: sides with an
+          // explicit bound don't trim (processor.py:207-214)
+          val inSpan =
+            (if (from.isDefined) lit(true) else col("bucket") >= col("__firstC")) &&
+            (if (to.isDefined) lit(true) else col("bucket") <= col("__lastC"))
           val gstats = perBucket.groupBy(col("__g"))
-            .agg(min(when(col("__c"), col("bucket"))).as("firstC"),
-              max(when(col("__c"), col("bucket"))).as("lastC"),
-              sum(when(col("__c"), 1L).otherwise(0L)).as("nC"))
+            .agg(sum(when(col("__c"), 1L).otherwise(0L)).as("nC"),
+              count(when(inSpan, 1)).as("nB"),
+              min(col("__firstC")).as("firstC"),
+              max(col("__lastC")).as("lastC"))
             .collect().map(r => r.getInt(0) ->
-              (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toMap
+              (r.getLong(1), r.getLong(2), r.getTimestamp(3),
+                r.getTimestamp(4))).toMap
           val expected = sizeOf.collect {
             case (gi, n) if n > 1 && gransBy(gi).contains(gr) => gi }
           val spans = expected.flatMap { gi =>
-            val (firstC, lastC, nC) = gstats.getOrElse(gi,
-              (null: java.sql.Timestamp, null: java.sql.Timestamp, 0L))
+            val (nC, nB, firstC, lastC) = gstats.getOrElse(gi,
+              (0L, 0L, null: java.sql.Timestamp, null: java.sql.Timestamp))
             if (nC == 0L) {
               // a multi-metric group with no fully-covered bucket —
               // including one whose metric never got measures — is the
               // reference's UnAggregableTimeseries (processor.py:203-206)
               GraftError.valid(neededOverlap <= 0, "No overlap")
               None
-            } else Some((gi, firstC, lastC, nC))
+            } else {
+              val pct = nC * 100.0 / nB
+              GraftError.valid(pct >= neededOverlap,
+                f"Less than $neededOverlap%f%% of datapoints overlap in " +
+                  f"this timespan ($pct%.2f%%)")
+              Some((gi, firstC, lastC))
+            }
           }.toSeq
           if (spans.isEmpty) multi0
           else {
-            val spanDf = broadcast(spans
-              .map { case (gi, f0, l0, _) => (gi, f0, l0) }
-              .toDF("__g", "__firstC", "__lastC"))
-            val trimmed = multi0.join(spanDf, Seq("__g"), "left").filter(
+            val spanDf = broadcast(spans.toDF("__g", "__firstC", "__lastC"))
+            multi0.join(spanDf, Seq("__g"), "left").filter(
               (if (from.isDefined) lit(true)
                else col("__firstC").isNull || col("bucket") >= col("__firstC")) &&
               (if (to.isDefined) lit(true)
                else col("__lastC").isNull || col("bucket") <= col("__lastC")))
               .drop("__firstC", "__lastC")
-            // % of trimmed-span buckets that fully overlap, per group
-            val nB = trimmed.groupBy(col("__g"))
-              .agg(countDistinct(col("bucket")).as("nB"))
-              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-            for ((gi, _, _, nC) <- spans; b <- nB.get(gi)) {
-              val pct = nC * 100.0 / b
-              GraftError.valid(pct >= neededOverlap,
-                f"Less than $neededOverlap%f%% of datapoints overlap in " +
-                  f"this timespan ($pct%.2f%%)")
-            }
-            trimmed
           }
         case Some(m) if fillModes(m) && m != "null" && m != "dropna" =>
           // ffill-family: pad each series to its GROUP's bucket union,
