@@ -919,6 +919,52 @@ class Graft(val spark: SparkSession, root: String) {
         col("bucket"), col("value"))
   }
 
+  /** Common granularities of every metric the operations' name
+    * wildcards resolve to within the filtered scope — the
+    * no-granularity form of the search-scoped/grouped doors
+    * (rest/aggregates/api.py passes granularity=None through to the
+    * processor's P1 planning; gabbits/aggregates-with-resources.yaml
+    * "batch get" cases return every common granularity coarse→fine).
+    * No resolved metric at all → NotFound, as `_get_measures_by_name`.
+    * Catalog metadata — driver-bounded by contract.
+    */
+  def commonGranularitiesByResource(operations: String,
+                                    filterStr: String): Seq[Long] = {
+    val pats = collectRefs(Parser.parse(operations)).map(_._1).distinct
+    val res = searchResources(filterStr)
+    val cat = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
+      .join(broadcast(res.select(col("id").as("resource_id"))),
+        Seq("resource_id"))
+    val nameMatch = pats.map(p =>
+      col("name").rlike(graft.catalog.Fnmatch.regex(p))).reduce(_ || _)
+    val ids = cat.filter(nameMatch).select("metric_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (ids.isEmpty) throw new GraftError.NotFound(
+      s"Metrics not found: ${pats.sorted.mkString(", ")}")
+    commonGranularities(ids)
+  }
+
+  /** Every (resource_id, metric name, method) the operations' wildcards
+    * resolve to within the filtered scope — the key universe of the
+    * per-resource fan-out response: a resolved metric with NO measures
+    * still appears with an empty list
+    * (gabbits/aggregates-with-resources.yaml "batch get list" pins
+    * `cpu.idle.mean: []`). Catalog metadata, driver-bounded.
+    */
+  def resolvedResourceMetricRefs(operations: String,
+      filterStr: String): Seq[(String, String, String)] = {
+    val refs = collectRefs(Parser.parse(operations))
+    val res = searchResources(filterStr)
+    val cat = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
+      .join(broadcast(res.select(col("id").as("resource_id"))),
+        Seq("resource_id"))
+    refs.flatMap { case (pat, m) =>
+      cat.filter(col("name").rlike(graft.catalog.Fnmatch.regex(pat)))
+        .select("resource_id", "name").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), m))
+    }.distinct
+  }
+
   /** Resources matched by `filterStr` that own at least one metric
     * matching a leaf wildcard of `operations` — the resource set the
     * reference's `_get_measures_by_name` builds its `references`

@@ -384,18 +384,37 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     * `{resource_id: {metric_name: {method: [[ts, gran, v], ...]}}}`.
     */
   private def resourceMeasuresJson(df: org.apache.spark.sql.DataFrame,
-                                   granS: Long): JValue = {
+                                   granS: Option[Long],
+                                   seed: Seq[(String, String, String)] = Nil)
+      : JValue = {
     import org.apache.spark.sql.functions.col
-    val ordered = df.orderBy(col("resource_id"), col("metric_name"),
-      col("method"), col("bucket")).limit(100000).collect()
+    // None = the every-common-granularity form: the frame carries a
+    // `gran_s` column and each reference's triples run coarse→fine
+    val ordered = (granS match {
+      case Some(_) => df.orderBy(col("resource_id"), col("metric_name"),
+        col("method"), col("bucket"))
+      case None => df.orderBy(col("resource_id"), col("metric_name"),
+        col("method"), col("gran_s").desc, col("bucket"))
+    }).limit(100000).collect()
     val byRes = scala.collection.mutable.LinkedHashMap.empty[String,
       scala.collection.mutable.LinkedHashMap[String,
         scala.collection.mutable.LinkedHashMap[String,
           scala.collection.mutable.ListBuffer[JValue]]]]
+    // the RESOLVED key universe first: a resolved metric whose series
+    // produced no rows still appears with an empty list
+    // (gabbits/aggregates-with-resources.yaml `cpu.idle.mean: []`)
+    seed.sorted.foreach { case (rid, name, m) =>
+      byRes.getOrElseUpdate(rid,
+          scala.collection.mutable.LinkedHashMap.empty)
+        .getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap.empty)
+        .getOrElseUpdate(m, scala.collection.mutable.ListBuffer.empty)
+    }
     ordered.foreach { r =>
+      val gv = granS.getOrElse(r.getAs[Long]("gran_s"))
       val triple: JValue = JArray(List(
         JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
-        JDouble(granS.toDouble), JDouble(r.getAs[Double]("value"))))
+        JDouble(gv.toDouble), JDouble(r.getAs[Double]("value"))))
       byRes.getOrElseUpdate(r.getAs[String]("resource_id"),
           scala.collection.mutable.LinkedHashMap.empty)
         .getOrElseUpdate(r.getAs[String]("metric_name"),
@@ -436,13 +455,18 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     * (api.py:602-606) on both doors.
     */
   private def groupedMeasuresJson(df: org.apache.spark.sql.DataFrame,
-      groupby: Seq[String], granS: Long, operations: String,
+      groupby: Seq[String], granS: Option[Long], operations: String,
       scope: Seq[(Seq[Any], String)],
       groupsFromScope: Boolean,
       details: Boolean): JValue = {
     import org.apache.spark.sql.functions.col
-    val ordered = df.orderBy((groupby :+ "bucket").map(col): _*)
-      .limit(100000).collect()
+    // None = every-common-granularity form (gran_s column, coarse→fine
+    // within each group)
+    val ordered = (granS match {
+      case Some(_) => df.orderBy((groupby :+ "bucket").map(col): _*)
+      case None => df.orderBy(groupby.map(col) ++
+        Seq(col("gran_s").desc, col("bucket")): _*)
+    }).limit(100000).collect()
     val groups = scala.collection.mutable.LinkedHashMap
       .empty[Seq[Any], scala.collection.mutable.ListBuffer[JValue]]
     ordered.foreach { r =>
@@ -450,9 +474,10 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // null cells (absent grid positions under fill=null) skip, as the
       // single-series door's shaped() — triples carry present points
       if (!r.isNullAt(vi)) {
+        val gv = granS.getOrElse(r.getAs[Long]("gran_s"))
         val triple: JValue = JArray(List(
           JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
-          JDouble(granS.toDouble), JDouble(r.getDouble(vi))))
+          JDouble(gv.toDouble), JDouble(r.getDouble(vi))))
         groups.getOrElseUpdate(groupby.map(a => r.getAs[Any](a)),
           scala.collection.mutable.ListBuffer.empty) += triple
       }
@@ -1137,15 +1162,39 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         // metric leaves resolve by NAME against the searched resources,
         // one series per group via GroupedOps
         if (search.isDefined || groupby.nonEmpty) {
-          val granS = b \ "granularity" match {
-            case JNothing => parseGranS(q.getOrElse("granularity",
-              throw new IllegalArgumentException(
-                "granularity required with search/groupby")))
-            case JString(sp) => parseGranS(sp)
-            case n => jnum(n).toLong
+          val granOpt: Option[Long] = b \ "granularity" match {
+            case JNothing => q.get("granularity").map(parseGranS)
+            case JString(sp) => Some(parseGranS(sp))
+            case n => Some(jnum(n).toLong)
           }
-          val flt = search.getOrElse(throw new IllegalArgumentException(
+          val fltRaw = search.getOrElse(throw new IllegalArgumentException(
             "search required with groupby"))
+          // the body's resource_type scopes the search (FetchController
+          // .post's resource_type="generic" default — an instance-typed
+          // query must never read other types' resources,
+          // gabbits/aggregates-with-resources.yaml "groupby on
+          // flavor_id" posts resource_type: instance)
+          val rtype = b \ "resource_type" match {
+            case JString(t) => t; case _ => "generic"
+          }
+          val flt =
+            if (rtype != "generic" && g.resourceColumns.contains("type"))
+              s"type = '${qesc(rtype)}' and ($fltRaw)"
+            else fltRaw
+          // no granularity → EVERY granularity common to the resolved
+          // metrics, coarse→fine (gabbits/aggregates-with-resources
+          // .yaml "batch get" cases; processor P1 planning)
+          lazy val grans: Seq[Long] = granOpt.map(Seq(_)).getOrElse(
+            g.commonGranularitiesByResource(operations, flt))
+          // evaluate `per` at each granularity and union with gran_s;
+          // single-granularity requests skip the extra column
+          def overGrans(per: Long => org.apache.spark.sql.DataFrame)
+              : org.apache.spark.sql.DataFrame = granOpt match {
+            case Some(gr) => per(gr)
+            case None => grans.map(gr => per(gr).withColumn("gran_s",
+              org.apache.spark.sql.functions.lit(gr)))
+              .reduce(_ unionByName _)
+          }
           val det = q.get("details").contains("true") ||
             b \ "details" == JBool(true)
           // groupby attributes are deduped and sorted (api.py:557
@@ -1161,9 +1210,9 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           val useHistory = q.get("use_history").contains("true") ||
             b \ "use_history" == JBool(true)
           if (useHistory && grpSorted.nonEmpty) {
-            val df = g.groupByAggregatesHistoryOps(operations, granS, flt,
-              grpSorted, fill, from, to)
-            return ok(groupedMeasuresJson(df, grpSorted, granS, operations,
+            val df = overGrans(gr => g.groupByAggregatesHistoryOps(
+              operations, gr, flt, grpSorted, fill, from, to))
+            return ok(groupedMeasuresJson(df, grpSorted, granOpt, operations,
               scope = if (det) g.resolvedResourceScopeHistory(operations,
                 flt, grpSorted) else Nil,
               groupsFromScope = false, details = det))
@@ -1175,8 +1224,9 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           // queries) keep the scoped/grouped series form.
           if (grpSorted.isEmpty && !g.aggregatesIsAggregated(operations)) {
             val m = resourceMeasuresJson(
-              g.aggregatesByResource(operations, granS, flt, fill,
-                overlap, from, to), granS)
+              overGrans(gr => g.aggregatesByResource(operations, gr, flt,
+                fill, overlap, from, to)), granOpt,
+              seed = g.resolvedResourceMetricRefs(operations, flt))
             // details=true attaches every matched resource
             // (rest/aggregates/api.py:708-709 response["references"] =
             // resources) — from the RESOLVED scope, not the emitted
@@ -1192,22 +1242,25 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           if (grpSorted.isEmpty) {
             // search-scoped AGGREGATED tree without groupby
             // (api.py:562-569 → _get_measures_by_name): ONE
-            // {"aggregated": [...]} block; details=true attaches the
-            // resolved resource scope
-            val df = g.groupByAggregatesOps(operations, granS, flt, Nil,
-              fill, from, to)
-            val m: JValue = "aggregated" -> measuresTriples(g.shaped(df, granS))
+            // {"aggregated": [...]} block, coarse→fine across the
+            // common granularities when none was requested;
+            // details=true attaches the resolved resource scope
+            val rows = grans.flatMap { gr =>
+              g.shaped(g.groupByAggregatesOps(operations, gr, flt, Nil,
+                fill, from, to), gr)
+            }
+            val m: JValue = "aggregated" -> measuresTriples(rows)
             return ok(
               if (!det) "measures" -> m
               else ("measures" -> m) ~ ("references" ->
                 JArray(g.resolvedResourceScope(operations, flt).map(_._2)
                   .distinct.sorted.toList.map(id => (("id" -> id): JValue)))))
           }
-          val df = g.groupByAggregatesOps(operations, granS, flt,
-            grpSorted, fill, from, to)
+          val df = overGrans(gr => g.groupByAggregatesOps(operations, gr,
+            flt, grpSorted, fill, from, to))
           // the group list comes from the RESOLVED scope: a group whose
           // metrics produced no measures still appears (empty list)
-          return ok(groupedMeasuresJson(df, grpSorted, granS, operations,
+          return ok(groupedMeasuresJson(df, grpSorted, granOpt, operations,
             scope = g.resolvedResourceScope(operations, flt, grpSorted),
             groupsFromScope = true, details = det))
         }

@@ -759,6 +759,82 @@ class RestSpec extends SparkSpec {
     assert((arr(1) \ "measures").asInstanceOf[JArray].arr.isEmpty)
   }
 
+  test("search-scoped /v1/aggregates without granularity returns every " +
+      "common granularity coarse->fine, and resolved measure-less " +
+      "metrics list as [] (gabbits/aggregates-with-resources.yaml " +
+      "'batch get list')") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low2", "definition": [{"granularity": "300"},
+          {"granularity": "1"}], "aggregation_methods": ["mean"]}""")
+    for ((m, v) <- Seq("c1" -> 10.0, "c2" -> 30.0)) {
+      api.dispatch("POST", "/v1/metric",
+        body = s"""{"id": "$m", "archive_policy_name": "low2"}""")
+      api.dispatch("POST", s"/v1/metric/$m/measures", body =
+        s"""[{"timestamp": "2015-03-06T14:33:57Z", "value": $v}]""")
+    }
+    // idle exists on r1 but never receives measures
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "i1", "archive_policy_name": "low2"}""")
+    g.process()
+    g.setResources(Seq(("r1", "east"), ("r2", "west")).toDF("id", "zone"))
+    g.setMetrics(Seq(("c1", "r1", "cpu.util"), ("c2", "r2", "cpu.util"),
+      ("i1", "r1", "cpu.idle")).toDF("metric_id", "resource_id", "name"))
+    def triples(v: JValue) = v.asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JArray].arr).map { t =>
+        (t(1), t(2)) match {
+          case (JDouble(gr), JDouble(x)) => (gr, x)
+          case other => fail(s"bad triple: $other")
+        }
+      }
+    // non-aggregated fan-out, NO granularity: coarse→fine per metric,
+    // and the resolved-but-empty cpu.idle appears as []
+    val fan = api.dispatch("POST", "/v1/aggregates", body =
+      """{"search": "id like '%'",
+          "operations": "(metric (cpu.util mean) (cpu.idle mean))"}""")
+    assert(fan.status === 200)
+    assert(triples(fan.body \ "measures" \ "r1" \ "cpu.util" \ "mean")
+      === List((300.0, 10.0), (1.0, 10.0)))
+    assert(triples(fan.body \ "measures" \ "r2" \ "cpu.util" \ "mean")
+      === List((300.0, 30.0), (1.0, 30.0)))
+    assert((fan.body \ "measures" \ "r1" \ "cpu.idle" \ "mean")
+      === JArray(Nil))
+    // aggregated scoped tree, NO granularity: one list coarse→fine
+    val agg = api.dispatch("POST", "/v1/aggregates", body =
+      """{"search": "id like '%'",
+          "operations": "(aggregate mean (metric cpu.util mean))"}""")
+    assert(agg.status === 200)
+    assert(triples(agg.body \ "measures" \ "aggregated")
+      === List((300.0, 20.0), (1.0, 20.0)))
+    // grouped, NO granularity: per-group coarse→fine
+    val grp = api.dispatch("POST", "/v1/aggregates",
+      query = Map("groupby" -> "zone"), body =
+      """{"search": "id like '%'",
+          "operations": "(aggregate mean (metric cpu.util mean))"}""")
+    assert(grp.status === 200)
+    val arr = grp.body.asInstanceOf[JArray].arr
+    assert(arr.map(_ \ "group") === List(
+      JObject("zone" -> JString("east")), JObject("zone" -> JString("west"))))
+    assert(triples(arr(0) \ "measures" \ "measures" \ "aggregated")
+      === List((300.0, 10.0), (1.0, 10.0)))
+    // the body's resource_type scopes the search when the catalog is
+    // typed (FetchController resource_type="generic" default) — an
+    // instance-scoped query must not see generic resources
+    g.setResources(Seq(("r1", "east", "generic"), ("r2", "west", "instance"))
+      .toDF("id", "zone", "type"))
+    val typed = api.dispatch("POST", "/v1/aggregates", body =
+      """{"search": "id like '%'", "resource_type": "instance",
+          "operations": "(aggregate mean (metric cpu.util mean))",
+          "granularity": 300}""")
+    assert(typed.status === 200)
+    assert(triples(typed.body \ "measures" \ "aggregated")
+      === List((300.0, 30.0))) // c2 only — r1 is generic-typed
+  }
+
   test("over-stale lock holds count as lock_leaks in /v1/status " +
       "metricd statistics (misconfigured lockStaleMs is observable)") {
     val s = spark
