@@ -929,11 +929,31 @@ class Graft(val spark: SparkSession, root: String) {
     * Catalog metadata — driver-bounded by contract.
     */
   def commonGranularitiesByResource(operations: String,
-                                    filterStr: String): Seq[Long] = {
+                                    filterStr: String): Seq[Long] =
+    commonGranularitiesScoped(operations, searchResources(filterStr))
+
+  /** [[commonGranularitiesByResource]] against the HISTORY-resolved
+    * scope — the use_history doors draw their metrics from the
+    * revision table, and a resource whose attributes have since
+    * changed must still plan its granularities. */
+  def commonGranularitiesByResourceHistory(operations: String,
+                                           filterStr: String): Seq[Long] = {
+    val pred = Filter.compile(FilterParser.parse(filterStr))
+    commonGranularitiesScoped(operations,
+      resourceHistoryTbl.getOrElse(throw new IllegalStateException(
+        "no resource history table — call setResourceHistory(df) first"))
+        .filter(pred))
+  }
+
+  private def commonGranularitiesScoped(operations: String,
+                                        res: DataFrame): Seq[Long] = {
     val pats = collectRefs(Parser.parse(operations)).map(_._1).distinct
-    val res = searchResources(filterStr)
+    // a leaf-less tree (pure scalars) references no metric — clean 400,
+    // not an empty-reduce crash
+    GraftError.valid(pats.nonEmpty,
+      "Operations must reference at least one metric")
     val cat = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
-      .join(broadcast(res.select(col("id").as("resource_id"))),
+      .join(broadcast(res.select(col("id").as("resource_id")).distinct()),
         Seq("resource_id"))
     val nameMatch = pats.map(p =>
       col("name").rlike(graft.catalog.Fnmatch.regex(p))).reduce(_ || _)
@@ -958,10 +978,19 @@ class Graft(val spark: SparkSession, root: String) {
     val cat = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
       .join(broadcast(res.select(col("id").as("resource_id"))),
         Seq("resource_id"))
+    // ONE collect of the union-matched rows; per-pattern attribution is
+    // a driver-side fnmatch over the (catalog-bounded) name list — not
+    // one Spark job per reference
+    val pats = refs.map(_._1).distinct
+    if (pats.isEmpty) return Nil
+    val nameMatch = pats.map(p =>
+      col("name").rlike(graft.catalog.Fnmatch.regex(p))).reduce(_ || _)
+    val rows = cat.filter(nameMatch)
+      .select("resource_id", "name").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
     refs.flatMap { case (pat, m) =>
-      cat.filter(col("name").rlike(graft.catalog.Fnmatch.regex(pat)))
-        .select("resource_id", "name").distinct().collect()
-        .map(r => (r.getString(0), r.getString(1), m))
+      rows.collect { case (rid, name)
+        if graft.catalog.Fnmatch.matches(pat, name) => (rid, name, m) }
     }.distinct
   }
 
@@ -1699,15 +1728,10 @@ class Graft(val spark: SparkSession, root: String) {
     val fillModes =
       Set("null", "dropna", "ffill", "bfill", "full_ffill", "full_bfill")
     val numericFill: Option[Double] = fill.filterNot(fillModes).map { f =>
-      f.trim.toLowerCase match {
-        case "inf" | "+inf" | "infinity" | "+infinity" =>
-          Double.PositiveInfinity
-        case "-inf" | "-infinity" => Double.NegativeInfinity
-        case "nan" | "+nan" | "-nan" => Double.NaN
-        case s => s.toDoubleOption.getOrElse(GraftError.badInput(
+      graft.timeseries.TimeSeriesOps.parseFloatLiteral(f).getOrElse(
+        GraftError.badInput(
           "Must be a float, 'dropna', 'null', 'ffill', 'bfill', " +
             "'full_ffill' or 'full_bfill'"))
-      }
     }
     GraftError.valid(resampleS.isEmpty || granS.isDefined,
       "A granularity must be specified to resample")
@@ -1773,6 +1797,15 @@ class Graft(val spark: SparkSession, root: String) {
         .select("__g", "__gn", "metric_id", "bucket", "value")
       // ---- fill / overlap on the multi-metric groups (one grid per
       // group in the reference; here one sparse long frame for all)
+      // (group bucket-union × group metrics) padding grid, shared by
+      // the numeric and ffill-family fills
+      def paddedGrid(m0: DataFrame): DataFrame = {
+        val buckets = m0.select(col("__g"), col("bucket")).distinct()
+        val gmets = m0.select(col("__g"), col("metric_id")).distinct()
+        buckets.join(gmets, Seq("__g"))
+          .join(m0.select("metric_id", "bucket", "value"),
+            Seq("metric_id", "bucket"), "left")
+      }
       val multiFilled: DataFrame = fill match {
         case None =>
           // overlap check + trim-to-overlap (processor.py:200-220),
@@ -1837,13 +1870,8 @@ class Graft(val spark: SparkSession, root: String) {
         case Some(m) if fillModes(m) && m != "null" && m != "dropna" =>
           // ffill-family: pad each series to its GROUP's bucket union,
           // then forward/backward fill per series (processor.py:184-196)
-          val buckets = multi0.select(col("__g"), col("bucket")).distinct()
-          val gmets = multi0.select(col("__g"), col("metric_id")).distinct()
-          val padded = buckets.join(gmets, Seq("__g"))
-            .join(multi0.select("metric_id", "bucket", "value"),
-              Seq("metric_id", "bucket"), "left")
-          graft.timeseries.TimeSeriesOps.fill(padded, Seq("value"), m,
-              partitionCols = Seq("metric_id"))
+          graft.timeseries.TimeSeriesOps.fill(paddedGrid(multi0),
+              Seq("value"), m, partitionCols = Seq("metric_id"))
             .filter(col("value").isNotNull) // residual edge gaps ≡ NaN
         case _ =>
           numericFill.filterNot(_.isNaN) match {
@@ -1851,11 +1879,7 @@ class Graft(val spark: SparkSession, root: String) {
               // numeric pad: absent cells take the filler, stored NaN
               // stays NaN (the reference's grid is initialized with the
               // filler and then overwritten by series values)
-              val buckets = multi0.select(col("__g"), col("bucket")).distinct()
-              val gmets = multi0.select(col("__g"), col("metric_id")).distinct()
-              buckets.join(gmets, Seq("__g"))
-                .join(multi0.select("metric_id", "bucket", "value"),
-                  Seq("metric_id", "bucket"), "left")
+              paddedGrid(multi0)
                 .withColumn("value", coalesce(col("value"), lit(d)))
             // null / dropna / NaN-numeric: the grid filler is NaN ≡
             // absent — evaluation stays sparse and nan-skipping
@@ -1879,13 +1903,10 @@ class Graft(val spark: SparkSession, root: String) {
       val multiOut0 = resampled(multiFilled)
         .groupBy(col("__g"), col("bucket"))
         .agg(Compiler.nanSkipAgg(reagg, col("value")).as("value"))
-      // output-stage drop for the dropna family (processor.py:237-244);
-      // the single-metric short-circuit bypasses it, as the reference
-      val multiOut =
-        if (fill.exists(OutputDropFills)) multiOut0.filter(
-          !isnan(col("value")) &&
-            abs(col("value")) =!= lit(Double.PositiveInfinity))
-        else multiOut0
+      // output-stage drop for the dropna family (processor.py:237-244
+      // — the ONE shared spelling of that contract); the single-metric
+      // short-circuit bypasses it, as the reference
+      val multiOut = outputDrop(multiOut0, Seq("value"), fill)
       resampled(single).select(col("__g"), col("bucket"), col("value"))
         .unionByName(multiOut)
         .withColumn("gran_s", lit(outGran))

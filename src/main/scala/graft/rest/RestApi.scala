@@ -137,6 +137,18 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     g
   }
 
+  /** Body-JSON numeric granularity — the same whole-second/positive
+    * contract as [[parseGranS]]'s string forms (a 0.5 body literal must
+    * not silently floor to 0 and surface as a bogus 404). */
+  private def granFromNum(d: Double): Long = {
+    if (d <= 0)
+      throw new IllegalArgumentException("Timespan must be positive")
+    val g = d.toLong
+    if (g.toDouble != d) throw new IllegalArgumentException(
+      s"sub-second granularity is not supported: $d")
+    g
+  }
+
   private def iso(t: java.sql.Timestamp): String = t.toInstant.toString
 
   private def jnum(v: JValue): Double = v match {
@@ -483,11 +495,10 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       }
     }
     // group list: the resolved scope (plain door) or the measure keys
-    // (history door), sorted by the stringified key tuple — the
-    // reference sorts resources by the groupby attributes
+    // (history door); the reference sorts resources by the groupby
+    // attribute VALUES (typed)
     val keys: Seq[Seq[Any]] =
-      if (groupsFromScope) scope.map(_._1).distinct
-        .sortBy(_.map(String.valueOf).mkString("\u0000"))
+      if (groupsFromScope) scope.map(_._1).distinct.sorted(groupKeyOrd)
       else groups.keys.toSeq
     if (keys.isEmpty) {
       val names = graft.ops.GroupedOps.collectRefs(
@@ -507,6 +518,26 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       ("group" -> JObject(groupby.zip(key).toList.map {
         case (a, v) => a -> anyJ(v) })) ~ ("measures" -> inner)
     })
+  }
+
+  /** Typed ordering for group-key tuples: numbers compare numerically
+    * (the reference sorts resources by the ATTRIBUTE VALUES, so integer
+    * flavors order 2 < 9 < 10, not the lexicographic '10' < '2' < '9'),
+    * timestamps chronologically, nulls first, everything else as text.
+    */
+  private val groupValOrd: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
+    case (null, null) => 0
+    case (null, _)    => -1
+    case (_, null)    => 1
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue, y.doubleValue)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+  }
+  private val groupKeyOrd: Ordering[Seq[Any]] = {
+    implicit val v: Ordering[Any] = groupValOrd
+    Ordering.Implicits.seqOrdering[Seq, Any]
   }
 
   /** Row attribute value → JSON (group keys carry the catalog's own
@@ -1165,7 +1196,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           val granOpt: Option[Long] = b \ "granularity" match {
             case JNothing => q.get("granularity").map(parseGranS)
             case JString(sp) => Some(parseGranS(sp))
-            case n => Some(jnum(n).toLong)
+            case n => Some(granFromNum(jnum(n)))
           }
           val fltRaw = search.getOrElse(throw new IllegalArgumentException(
             "search required with groupby"))
@@ -1187,14 +1218,21 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           lazy val grans: Seq[Long] = granOpt.map(Seq(_)).getOrElse(
             g.commonGranularitiesByResource(operations, flt))
           // evaluate `per` at each granularity and union with gran_s;
-          // single-granularity requests skip the extra column
-          def overGrans(per: Long => org.apache.spark.sql.DataFrame)
+          // single-granularity requests skip the extra column.
+          // `resolve` supplies the no-granularity plan — the history
+          // door resolves against the REVISION table, not the current
+          // attributes (a resource whose zone has since changed must
+          // still plan from its historical scope)
+          def overGransWith(resolve: => Seq[Long])(
+              per: Long => org.apache.spark.sql.DataFrame)
               : org.apache.spark.sql.DataFrame = granOpt match {
             case Some(gr) => per(gr)
-            case None => grans.map(gr => per(gr).withColumn("gran_s",
+            case None => resolve.map(gr => per(gr).withColumn("gran_s",
               org.apache.spark.sql.functions.lit(gr)))
               .reduce(_ unionByName _)
           }
+          def overGrans(per: Long => org.apache.spark.sql.DataFrame)
+              : org.apache.spark.sql.DataFrame = overGransWith(grans)(per)
           val det = q.get("details").contains("true") ||
             b \ "details" == JBool(true)
           // groupby attributes are deduped and sorted (api.py:557
@@ -1210,8 +1248,10 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           val useHistory = q.get("use_history").contains("true") ||
             b \ "use_history" == JBool(true)
           if (useHistory && grpSorted.nonEmpty) {
-            val df = overGrans(gr => g.groupByAggregatesHistoryOps(
-              operations, gr, flt, grpSorted, fill, from, to))
+            val df = overGransWith(
+              g.commonGranularitiesByResourceHistory(operations, flt))(
+              gr => g.groupByAggregatesHistoryOps(
+                operations, gr, flt, grpSorted, fill, from, to))
             return ok(groupedMeasuresJson(df, grpSorted, granOpt, operations,
               scope = if (det) g.resolvedResourceScopeHistory(operations,
                 flt, grpSorted) else Nil,
@@ -1294,7 +1334,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         (b \ "granularity" match {
           case JNothing => q.get("granularity").map(parseGranS)
           case JString(sp) => Some(parseGranS(sp)) // "1h" timespan form
-          case n => Some(jnum(n).toLong)
+          case n => Some(granFromNum(jnum(n)))
         }) match {
           case None => // P1: every common granularity, coarse→fine
             if (aggregated) {
@@ -1700,8 +1740,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
             .select(grpBy.map(org.apache.spark.sql.functions.col): _*)
             .distinct().collect()
             .map(r => grpBy.map(a => r.getAs[Any](a))).toSeq
-            .sortBy(_.map(v => if (v == null) "" else v.toString)
-              .mkString(" "))
+            .sorted(groupKeyOrd) // typed: numeric attrs order numerically
           val byKey = rows.toSeq.groupBy(r => grpBy.map(a => r.getAs[Any](a)))
           ok(JArray(universe.toList.map { key =>
             ("measures" -> triplesOf(byKey.getOrElse(key, Nil))) ~

@@ -327,21 +327,25 @@ object TimeSeriesOps {
         val b = fill(grid, cols, "bfill", tsCol, partitionCols)
         fill(b, cols, "ffill", tsCol, partitionCols)
       case num =>
-        // any float(x)-coercible literal is a valid numeric fill in the
-        // reference (rest/api.py voluptuous.Coerce(float)) — scientific
-        // notation ("1e5"), "inf", "nan" included, not just plain
-        // decimals. Python float() spellings that Java's parseDouble
-        // rejects map explicitly.
-        val v = num.trim.toLowerCase match {
-          case "inf" | "+inf" | "infinity" | "+infinity" =>
-            Double.PositiveInfinity
-          case "-inf" | "-infinity" => Double.NegativeInfinity
-          case "nan" | "+nan" | "-nan" => Double.NaN
-          case s => s.toDoubleOption.getOrElse(
-            throw new IllegalArgumentException(s"fill policy $num"))
-        }
+        val v = parseFloatLiteral(num).getOrElse(
+          throw new IllegalArgumentException(s"fill policy $num"))
         cols.foldLeft(grid)((d, c) =>
           d.withColumn(c, coalesce(denan(col(c)), lit(v))))
     }
+  }
+
+  /** Any python float(x)-coercible literal — the reference's numeric
+    * fill surface (rest/api.py voluptuous.Coerce(float)): scientific
+    * notation ("1e5"), "inf", "nan" included, not just plain decimals.
+    * Python float() spellings that Java's parseDouble rejects map
+    * explicitly. Shared by the grid fill above and the legacy
+    * cross-metric door's FillSchema so the two can never diverge.
+    */
+  def parseFloatLiteral(s: String): Option[Double] = s.trim.toLowerCase match {
+    case "inf" | "+inf" | "infinity" | "+infinity" =>
+      Some(Double.PositiveInfinity)
+    case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
+    case "nan" | "+nan" | "-nan" => Some(Double.NaN)
+    case t => t.toDoubleOption
   }
 }

@@ -833,6 +833,28 @@ class RestSpec extends SparkSpec {
     assert(typed.status === 200)
     assert(triples(typed.body \ "measures" \ "aggregated")
       === List((300.0, 30.0))) // c2 only — r1 is generic-typed
+    // a leaf-less operations tree with search and no granularity is a
+    // clean 400, not an empty-reduce crash
+    assert(api.dispatch("POST", "/v1/aggregates", body =
+      """{"search": "id like '%'", "operations": "(+ 1 1)"}""")
+      .status === 400)
+    // a sub-second body-JSON granularity must not silently floor to 0
+    val subSec = api.dispatch("POST", "/v1/aggregates", body =
+      """{"search": "id like '%'", "granularity": 0.5,
+          "operations": "(aggregate mean (metric cpu.util mean))"}""")
+    assert(subSec.status === 400)
+    assert((subSec.body \ "description").asInstanceOf[JString].s
+      .contains("sub-second"))
+    // numeric groupby attributes order NUMERICALLY in the legacy
+    // grouped response (the reference sorts typed attribute values:
+    // 2 before 10, not '10' before '2')
+    g.setResources(Seq(("r1", 10L), ("r2", 2L)).toDF("id", "rank"))
+    val lg = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/cpu.util",
+      query = Map("granularity" -> "300", "groupby" -> "rank"))
+    assert(lg.status === 200)
+    assert(lg.body.asInstanceOf[JArray].arr.map(_ \ "group") === List(
+      JObject("rank" -> JInt(2)), JObject("rank" -> JInt(10))))
   }
 
   test("over-stale lock holds count as lock_leaks in /v1/status " +
