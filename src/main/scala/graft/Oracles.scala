@@ -1259,6 +1259,28 @@ object Oracles {
     // the trim-to-overlap span = [first, last] bucket where ALL 5
     // series are present, and the nan-skipping cross-metric mean
     // (present series only) inside it
+    // same cross-metric contract as g7 but over the FULL deduped event
+    // series (no window restrictions) — the engine side crosses a
+    // facade restart, which must be observationally invisible
+    "cat1_restart_roundtrip" ->
+      """WITH d AS (SELECT event_type AS mid, ts,
+                           arg_max(value, event_id) AS value
+                    FROM events GROUP BY 1, 2),
+         series AS (SELECT mid,
+                           CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT)
+                             AS bucket_s,
+                           avg(value) AS v
+                    FROM d GROUP BY 1, 2),
+         perb AS (SELECT bucket_s, count(*) AS k, avg(v) AS value
+                  FROM series GROUP BY 1),
+         span AS (SELECT min(bucket_s) FILTER (WHERE k = 5) AS lo,
+                         max(bucket_s) FILTER (WHERE k = 5) AS hi
+                  FROM perb)
+         SELECT p.bucket_s, CAST(p.value AS REAL) AS value
+         FROM perb p, span
+         WHERE span.lo IS NULL
+            OR (p.bucket_s >= span.lo AND p.bucket_s <= span.hi)""",
+
     "g7_legacy_overlap" ->
       """WITH d AS (SELECT event_type AS mid, ts,
                            arg_max(value, event_id) AS value

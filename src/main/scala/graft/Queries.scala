@@ -436,7 +436,11 @@ object Queries {
     // it exactly (sf-independent by construction).
     "p1_granularities" -> ((s, dir) => {
       import graft.model.{ArchivePolicy, ArchivePolicyItem, Granularity}
-      val g = new graft.api.Graft(s, s"/tmp/graft-q-store/p1-unused")
+      // fresh root (see j7): the durable catalog journals policy events
+      val p1root = storeRoot("p1", dir)
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p1root), true)
+      val g = new graft.api.Graft(s, p1root)
       def pol(name: String, grans: Long*): Unit = g.createPolicy(
         ArchivePolicy(name, 0,
           grans.map(x => ArchivePolicyItem(Granularity.seconds(x), None, None)),
@@ -1428,10 +1432,45 @@ object Queries {
           neededOverlap = 0.0)
         .select(bucketS(), r6(col("value")).as("value"))
     }),
+    // Durable catalog plane (CatalogStore; the reference's persistent
+    // indexer, indexer/sqlalchemy.py): ingest through facade #1, TEAR
+    // IT DOWN, reconstruct facade #2 on the same root with NO
+    // re-registration, and serve the search-scoped legacy aggregation
+    // through the reloaded policies / metric→policy map / resources /
+    // metric attachments. The oracle recomputes the same cross-metric
+    // mean with trim-to-overlap independently in SQL — identical to a
+    // never-restarted read, which is the whole durability contract.
+    "cat1_restart_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val root = storeRoot("cat1", dir)
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val g1 = new graft.api.Graft(s, root)
+      g1.createPolicy(ArchivePolicy("cat1", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
+        Set("mean")))
+      allTypes.foreach(t => g1.createMetric(t, "cat1"))
+      g1.setResources(allTypes.map(t => (s"r-$t", "z")).toDF("id", "zone"))
+      g1.setMetrics(allTypes.map(t => (t, s"r-$t", "load"))
+        .toDF("metric_id", "resource_id", "name"))
+      g1.batchAddMeasures(dedupMeasures(s, dir))
+      g1.process()
+      g1.persistCatalog() // capture the bulk-registered frames
+      // ---- restart: everything below runs on the RELOADED catalog
+      val g2 = new graft.api.Graft(s, root)
+      g2.legacyResourceAggregation("load", "mean", Some(3600L),
+          g2.searchResources("zone = 'z'"), Nil, acrossAgg = "mean",
+          neededOverlap = 0.0)
+        .select(bucketS(), r6(col("value")).as("value"))
+    }),
     "j7_backlog" -> ((s, dir) => {
       import s.implicits._
-      val g = new graft.api.Graft(s,
-        s"/tmp/graft-q-store/j7-${math.abs(dir.hashCode)}")
+      // fresh root: the now-durable catalog would otherwise replay the
+      // previous run's metric registrations and collide on create
+      val j7root = storeRoot("j7", dir)
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(j7root), true)
+      val g = new graft.api.Graft(s, j7root)
       allTypes.foreach(t => g.createMetric(t, "low"))
       g.batchAddMeasures(events(s, dir)
         .filter(col("ts") < lit("2024-01-02").cast("timestamp"))

@@ -68,6 +68,80 @@ class Graft(val spark: SparkSession, root: String) {
   // twice per call, so its tree can still double per mutation — 2^8
   // nodes is the worst pre-compaction plan
   private val catalogCompactEvery = 8
+
+  // ---- durable catalog plane ----------------------------------------
+  // The reference's indexer is persistent SQL (indexer/sqlalchemy.py);
+  // this facade journals every catalog mutation as ONE JSON event under
+  // `<root>/_catalog` (O(1) per mutation, like a SQL row write) and
+  // cuts full snapshots at rotation points — see
+  // [[graft.catalog.CatalogStore]]. Loading happens at the constructor
+  // TAIL (bottom of this class), after every field initializes.
+  private val catalogStore = new graft.catalog.CatalogStore(spark, root)
+  // true while the constructor replays the journal: mutators run their
+  // normal bodies but journal() no-ops (events must not re-journal)
+  private var replayingCatalog = false
+  // set by the non-replayable frame doors (setResources / setMetrics /
+  // setResourceHistory / resurrection): the next journal append cuts a
+  // snapshot FIRST, so replay never applies an event to stale frames
+  @volatile private var framesDirty = false
+  private var journaledEvents = 0
+  private val journalRotateEvery = 256
+
+  private def jevt(op: String,
+                   fields: (String, org.json4s.JValue)*): org.json4s.JValue =
+    org.json4s.JObject(
+      ("op" -> (org.json4s.JString(op): org.json4s.JValue)) :: fields.toList)
+
+  /** Append one post-mutation event. Rotation happens AFTER the append
+    * (the snapshot then reflects the event's outcome and the journal
+    * starts empty — replay-consistent either way). A pending dirty
+    * frame must instead flush at door ENTRY ([[flushDirtyFrames]]):
+    * snapshotting between a mutation and its own event would capture
+    * the mutation in the snapshot AND replay it from the journal.
+    */
+  private def journal(evt: org.json4s.JValue): Unit =
+    if (!replayingCatalog) {
+      catalogStore.append(evt)
+      journaledEvents += 1
+      if (journaledEvents >= journalRotateEvery) persistCatalog()
+    }
+
+  /** Door-entry barrier: capture any non-replayable frame registration
+    * (setResources / setMetrics / setResourceHistory / resurrection)
+    * BEFORE a journaled mutation runs, so replay applies the event to
+    * the exact frames it saw live. No-op when clean.
+    */
+  private def flushDirtyFrames(): Unit =
+    if (!replayingCatalog && framesDirty) persistCatalog()
+
+  /** Cut a full catalog snapshot (maps + frames) and rotate the
+    * journal — the explicit flush point for clean shutdown; also called
+    * automatically before a journaled event when a bulk frame
+    * registration is pending, and at the rotation bound.
+    */
+  def persistCatalog(): Unit = if (!replayingCatalog) {
+    import org.json4s._
+    import graft.catalog.CatalogJson
+    val maps = JObject(List(
+      "policies" -> JArray(policies.values.toList.sortBy(_.name)
+        .map(CatalogJson.policyToJson)),
+      "rules" -> JArray(policyRules.toList.map { case (n, p, a) =>
+        JArray(List(JString(n), JString(p), JString(a))) }),
+      "metric_policy" -> JObject(metricPolicy.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }),
+      "metric_unit" -> JObject(metricUnit.toList
+        .map { case (k, v) => k -> (JString(v): JValue) }),
+      "metric_creator" -> JObject(metricCreator.toList
+        .map { case (k, v) => k -> (JString(v): JValue) }),
+      "resource_types" -> JArray(resourceTypes.values.toList
+        .sortBy(_.name).map(CatalogJson.rtToJson))))
+    catalogStore.snapshot(maps, Map(
+      "resources" -> resources,
+      "metrics_catalog" -> metricsCatalog,
+      "resource_history" -> resourceHistoryTbl))
+    framesDirty = false
+    journaledEvents = 0
+  }
   private def noteCatalogMutation(): Unit = catalogLock.synchronized {
     catalogMutations += 1
     if (catalogMutations % catalogCompactEvery == 0) {
@@ -86,8 +160,13 @@ class Graft(val spark: SparkSession, root: String) {
     * re-opens its store lazily so reads and ingest never mix the old
     * and new definitions. */
   def createPolicy(p: ArchivePolicy): Unit = {
+    flushDirtyFrames()
     policies(p.name) = p
     stores.remove(p.name)
+    journal(graft.catalog.CatalogJson.policyToJson(p) match {
+      case org.json4s.JObject(fs) => jevt("policy_create", fs: _*)
+      case other => sys.error(s"bad policy json: $other")
+    })
   }
 
   /** PATCH /v1/archive_policy/<name> (sqlalchemy.py:642-662): only
@@ -101,6 +180,7 @@ class Graft(val spark: SparkSession, root: String) {
   def updatePolicy(name: String,
                    items: Seq[graft.model.ArchivePolicyItem],
                    backWindow: Option[Int] = None): Unit = {
+    flushDirtyFrames()
     val cur = policies.getOrElse(name,
       GraftError.notFound(s"no policy $name"))
     require(cur.definition.size == items.size,
@@ -113,6 +193,13 @@ class Graft(val spark: SparkSession, root: String) {
     policies(name) = cur.copy(definition = items,
       backWindow = backWindow.getOrElse(cur.backWindow))
     stores.remove(name) // reopen lazily with the updated policy
+    journal(jevt("policy_update",
+      "name" -> org.json4s.JString(name),
+      "definition" -> org.json4s.JArray(
+        items.toList.map(graft.catalog.CatalogJson.itemToJson)),
+      "back_window" -> backWindow.map(b =>
+        org.json4s.JLong(b.toLong): org.json4s.JValue)
+        .getOrElse(org.json4s.JNull)))
   }
 
   /** GET /v1/capability (rest/api.py:2172-2177): the closed operator
@@ -133,6 +220,7 @@ class Graft(val spark: SparkSession, root: String) {
     * silently orphan its stored aggregates). */
   def createMetric(id: String, policyName: String,
                    unit: Option[String]): Unit = {
+    flushDirtyFrames()
     // a metric-creation body naming an unknown policy is BAD INPUT
     // (rest/api.py:688 aborts 400 on indexer.NoSuchArchivePolicy),
     // unlike the 404 of looking UP /v1/archive_policy/<name>
@@ -143,6 +231,10 @@ class Graft(val spark: SparkSession, root: String) {
     GraftError.fresh(metricPolicy.putIfAbsent(id, policyName).isEmpty,
       s"metric $id already exists")
     unit.foreach(metricUnit(id) = _)
+    journal(jevt("metric_create", "id" -> org.json4s.JString(id),
+      "policy" -> org.json4s.JString(policyName),
+      "unit" -> unit.map(u => org.json4s.JString(u): org.json4s.JValue)
+        .getOrElse(org.json4s.JNull)))
   }
 
   private val metricUnit = scala.collection.concurrent.TrieMap[String, String]()
@@ -153,8 +245,12 @@ class Graft(val spark: SparkSession, root: String) {
   // value lands on the metric row, rest/api.py MetricsController.post)
   private val metricCreator = scala.collection.concurrent.TrieMap[String, String]()
 
-  def setMetricCreator(id: String, creator: String): Unit =
+  def setMetricCreator(id: String, creator: String): Unit = {
+    flushDirtyFrames()
     metricCreator(id) = creator
+    journal(jevt("metric_creator", "id" -> org.json4s.JString(id),
+      "creator" -> org.json4s.JString(creator)))
+  }
 
   def metricCreatorOf(id: String): Option[String] = metricCreator.get(id)
 
@@ -185,10 +281,14 @@ class Graft(val spark: SparkSession, root: String) {
     // NoSuchArchivePolicy)
     GraftError.valid(policies.contains(policyName),
       s"Archive policy $policyName does not exist")
+    flushDirtyFrames()
     stagingLock.synchronized {
       require(!policyRules.exists(_._1 == name),
         s"Archive policy rule $name already exists.")
       policyRules :+= ((name, pattern, policyName))
+      journal(jevt("rule_create", "name" -> org.json4s.JString(name),
+        "pattern" -> org.json4s.JString(pattern),
+        "policy" -> org.json4s.JString(policyName)))
     }
   }
 
@@ -200,14 +300,18 @@ class Graft(val spark: SparkSession, root: String) {
     * (rest/api.py ArchivePolicyRuleController.patch — name is the only
     * mutable field; a taken target name is a client error).
     */
-  def renamePolicyRule(name: String, newName: String): Unit =
+  def renamePolicyRule(name: String, newName: String): Unit = {
+    flushDirtyFrames()
     stagingLock.synchronized {
       val i = policyRules.indexWhere(_._1 == name)
       GraftError.found(i >= 0, s"no archive policy rule $name")
       require(!policyRules.exists(_._1 == newName),
         s"Archive policy rule $newName already exists.")
       policyRules = policyRules.updated(i, policyRules(i).copy(_1 = newName))
+      journal(jevt("rule_rename", "name" -> org.json4s.JString(name),
+        "new_name" -> org.json4s.JString(newName)))
     }
+  }
 
   /** Longest-matching-rule policy for a metric name
     * (indexer/__init__.py:460-466). */
@@ -236,10 +340,12 @@ class Graft(val spark: SparkSession, root: String) {
     * uses the policy (indexer ArchivePolicyInUse → 400).
     */
   def deletePolicy(name: String): Unit = {
+    flushDirtyFrames()
     GraftError.found(policies.contains(name), s"no policy $name")
     require(!metricPolicy.values.exists(_ == name),
       s"archive policy $name is still in use")
     policies.remove(name)
+    journal(jevt("policy_delete", "name" -> org.json4s.JString(name)))
   }
 
   /** GET /v1/archive_policy_rule — (name, pattern, policy) rules in
@@ -249,10 +355,14 @@ class Graft(val spark: SparkSession, root: String) {
   def listPolicyRules: Seq[(String, String, String)] =
     policyRules.toSeq.sortBy { case (_, p, _) => (-p.length, p) }
 
-  def deletePolicyRule(name: String): Unit = stagingLock.synchronized {
-    val i = policyRules.indexWhere(_._1 == name)
-    GraftError.found(i >= 0, s"no archive policy rule $name")
-    policyRules = policyRules.patch(i, Nil, 1)
+  def deletePolicyRule(name: String): Unit = {
+    flushDirtyFrames()
+    stagingLock.synchronized {
+      val i = policyRules.indexWhere(_._1 == name)
+      GraftError.found(i >= 0, s"no archive policy rule $name")
+      policyRules = policyRules.patch(i, Nil, 1)
+      journal(jevt("rule_delete", "name" -> org.json4s.JString(name)))
+    }
   }
 
   /** GET /v1/metric — the registered metrics as (id, policy name),
@@ -271,6 +381,7 @@ class Graft(val spark: SparkSession, root: String) {
     deleteResources(FilterParser.parse(filterStr))
 
   def deleteResources(f: Filter): Long = catalogLock.synchronized {
+    flushDirtyFrames()
     // SQL DELETE semantics: only rows where the predicate is TRUE are
     // deleted. A bare `!pred` would also drop NULL-predicate rows
     // (null attributes) silently and uncounted — three-valued logic.
@@ -280,6 +391,8 @@ class Graft(val spark: SparkSession, root: String) {
     val n = current.filter(pred).count()
     resources = Some(current.filter(!pred))
     noteCatalogMutation()
+    journal(jevt("res_delete",
+      "filter" -> graft.catalog.CatalogJson.filterToJson(f)))
     n
   }
 
@@ -341,7 +454,9 @@ class Graft(val spark: SparkSession, root: String) {
     * reference-shaped clients send UUID keys, which the transformation
     * passes through unchanged anyway.
     */
-  def batchAddMeasures(json: String, createMetrics: Boolean = false): Unit = {
+  def batchAddMeasures(json: String, createMetrics: Boolean = false,
+                       nowMs: Long = System.currentTimeMillis()): Unit = {
+    flushDirtyFrames()
     import org.json4s._
     // JsonCodec, not the stock json4s mapper: a batch body carrying a
     // bare NaN measure literal must ingest, same as the single door
@@ -360,28 +475,54 @@ class Graft(val spark: SparkSession, root: String) {
           .select("resource_id", "name", "metric_id").collect()
           .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap)
       .getOrElse(Map.empty)
-    def tsOf(v: JValue): java.sql.Timestamp = {
-      val t = tsOf0(v)
+    // The timestamp FORMAT is fixed per measure LIST by its first
+    // element (utils.to_timestamps:86-123 parses the whole list in one
+    // mode): epoch numbers, ISO/SQL strings, or relative timespans —
+    // mixing formats within one list is the reference's 400
+    // (gabbits/metric-timestamp-format.yaml). Relative stamps anchor on
+    // ONE now per request.
+    sealed trait TsMode
+    object Epoch extends TsMode; object Iso extends TsMode
+    object Rel extends TsMode
+    def modeOf(first: JValue): TsMode = first match {
+      case JString(s) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") => Epoch
+      case JString(s) =>
+        if (graft.model.Timespan.parseS(s).isDefined && !s.contains("T")) Rel
+        else Iso
+      case _ => Epoch
+    }
+    def tsOf(v: JValue, mode: TsMode): java.sql.Timestamp = {
+      val t = tsOf0(v, mode)
       // the reference rejects pre-epoch timestamps on every measure
       // door (utils.to_timestamps, utils.py:119-120)
       GraftError.valid(t.getTime >= 0, "Timestamp must be after Epoch")
       t
     }
-    def tsOf0(v: JValue): java.sql.Timestamp = v match {
-      case JString(s) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
+    def tsOf0(v: JValue, mode: TsMode): java.sql.Timestamp = (mode, v) match {
+      case (Epoch, JString(s)) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
         new java.sql.Timestamp((s.toDouble * 1000).toLong)
+      case (Rel, JString(s)) => graft.model.Timespan.parseS(s) match {
+        case Some(spanS) =>
+          new java.sql.Timestamp(nowMs + (spanS * 1000).toLong)
+        case None => GraftError.badInput(
+          s"mixed timestamp formats: relative batch got '$s'")
+      }
       // bare ISO gets a Z appended — but NOT when the string already
       // carries an offset, positive OR negative (a "+" check alone
-      // rejected valid "-05:00" timestamps)
-      case JString(s) => java.sql.Timestamp.from(java.time.Instant.parse(
-        if (s.contains("T") && !s.endsWith("Z") &&
-            !s.matches(".*[+-][0-9]{2}:?[0-9]{2}$")) s + "Z"
-        else s))
-      case JInt(n)     => new java.sql.Timestamp(n.toLong * 1000)
-      case JLong(n)    => new java.sql.Timestamp(n * 1000)
-      case JDouble(n)  => new java.sql.Timestamp((n * 1000).toLong)
-      case JDecimal(n) => new java.sql.Timestamp((n * 1000).toLong)
-      case other => throw new IllegalArgumentException(s"bad timestamp: $other")
+      // rejected valid "-05:00" timestamps). A relative or epoch-number
+      // string in an ISO batch is the mixed-format 400.
+      case (Iso, JString(s)) if graft.model.Timespan.parseS(s).isEmpty &&
+          !s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          if (s.contains("T") && !s.endsWith("Z") &&
+              !s.matches(".*[+-][0-9]{2}:?[0-9]{2}$")) s + "Z"
+          else s))
+      case (Epoch, JInt(n))     => new java.sql.Timestamp(n.toLong * 1000)
+      case (Epoch, JLong(n))    => new java.sql.Timestamp(n * 1000)
+      case (Epoch, JDouble(n))  => new java.sql.Timestamp((n * 1000).toLong)
+      case (Epoch, JDecimal(n)) => new java.sql.Timestamp((n * 1000).toLong)
+      case (_, other) => throw new IllegalArgumentException(
+        s"mixed timestamp formats: got $other")
     }
     def numOf(v: JValue): Double = v match {
       case JInt(n) => n.toDouble; case JLong(n) => n.toDouble
@@ -420,6 +561,8 @@ class Graft(val spark: SparkSession, root: String) {
             Some(id)
           case None => unknown += ((rid, name)); None
         }
+        val listMode = measures.headOption
+          .map(m => modeOf(m \ "timestamp")).getOrElse(Epoch)
         for (id <- metricId; m <- measures) m match {
           case JObject(f) =>
             val fm = f.toMap
@@ -429,7 +572,7 @@ class Graft(val spark: SparkSession, root: String) {
               GraftError.badInput(s"measure for $id is missing 'timestamp'"))
             val v = fm.getOrElse("value",
               GraftError.badInput(s"measure for $id is missing 'value'"))
-            staged += ((id, tsOf(ts), numOf(v)))
+            staged += ((id, tsOf(ts, listMode), numOf(v)))
           case other => throw new IllegalArgumentException(s"bad measure: $other")
         }
       }
@@ -449,6 +592,10 @@ class Graft(val spark: SparkSession, root: String) {
         metricsCatalog = Some(metricsCatalog
           .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
         noteCatalogMutation()
+        journal(jevt("metric_attach", "rows" -> org.json4s.JArray(
+          toCreate.toList.map { case (id, rid, name, _) =>
+            org.json4s.JArray(List(org.json4s.JString(id),
+              org.json4s.JString(rid), org.json4s.JString(name))) })))
       }
     }
     stagingLock.synchronized { pending ++= staged }
@@ -558,6 +705,10 @@ class Graft(val spark: SparkSession, root: String) {
         resources = resources.map(r =>
           graft.catalog.Maintenance.resurrect(r, activity)
             .localCheckpoint(true))
+        // resurrection is derived from the (already durable) measure
+        // plane, not replayable from an event — dirty-mark so the next
+        // snapshot point captures it
+        framesDirty = true
       }
       noteCatalogMutation()
     }
@@ -945,6 +1096,74 @@ class Graft(val spark: SparkSession, root: String) {
         .filter(pred))
   }
 
+  /** Per-GROUP granularity planning for the grouped aggregates door's
+    * no-granularity form: the reference's get_measures_grouping calls
+    * `_get_measures_by_name` PER GROUP (rest/aggregates/api.py:649-672),
+    * so each group's common granularities come from ITS OWN resolved
+    * metrics — heterogeneous archive policies across groups evaluate
+    * each group at its own set (a single global intersection would omit
+    * finer per-group granularities, or throw where the reference
+    * succeeds). A group with no matched metric drops (the per-group
+    * NoSuchMetric `pass`, api.py:671-672); a group whose metrics share
+    * no granularity errors the WHOLE request ("No granularity match"
+    * aborts 400 via get_measures_or_abort); no group resolving any
+    * metric is the 404. Catalog metadata — driver-bounded by contract.
+    * Returns (group attr tuple, coarse→fine granularities) pairs.
+    */
+  def commonGranularitiesByGroup(operations: String, filterStr: String,
+      groupby: Seq[String]): Seq[(Seq[Any], Seq[Long])] = {
+    val pats = collectRefs(Parser.parse(operations)).map(_._1).distinct
+    GraftError.valid(pats.nonEmpty,
+      "Operations must reference at least one metric")
+    val res = searchResources(filterStr)
+    val nameMatch = pats.map(p =>
+      col("name").rlike(graft.catalog.Fnmatch.regex(p))).reduce(_ || _)
+    val rows = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
+      .filter(nameMatch)
+      .join(broadcast(res.select((col("id").as("resource_id") +:
+        groupby.map(col)): _*).distinct()), Seq("resource_id"))
+      .select((col("metric_id") +: groupby.map(col)): _*).distinct()
+      .collect().toSeq
+      .map(r => (groupby.map(a => r.getAs[Any](a)), r.getString(0)))
+    if (rows.isEmpty) throw new GraftError.NotFound(
+      s"Metrics not found: ${pats.sorted.mkString(", ")}")
+    rows.groupBy(_._1).toSeq.map { case (k, rs) =>
+      k -> commonGranularities(rs.map(_._2).distinct)
+    }
+  }
+
+  /** Per-RESOURCE granularity planning for the use_history grouped
+    * door's no-granularity form: the Grouper evaluates each resource
+    * revision slice through its own `_get_measures_by_name` call
+    * (rest/aggregates/api.py:383-417), so common granularities resolve
+    * per RESOURCE against the history-matched scope. Resources with no
+    * matched metric drop (the per-slice NoSuchMetric `continue`).
+    * Returns (resource id, coarse→fine granularities) pairs.
+    */
+  def commonGranularitiesPerResourceHistory(operations: String,
+      filterStr: String): Seq[(String, Seq[Long])] = {
+    val pats = collectRefs(Parser.parse(operations)).map(_._1).distinct
+    GraftError.valid(pats.nonEmpty,
+      "Operations must reference at least one metric")
+    val pred = Filter.compile(FilterParser.parse(filterStr))
+    val hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
+      "no resource history table — call setResourceHistory(df) first"))
+      .filter(pred)
+    val nameMatch = pats.map(p =>
+      col("name").rlike(graft.catalog.Fnmatch.regex(p))).reduce(_ || _)
+    val rows = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
+      .filter(nameMatch)
+      .join(broadcast(hist.select(col("id").as("resource_id")).distinct()),
+        Seq("resource_id"))
+      .select("resource_id", "metric_id").distinct()
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    if (rows.isEmpty) throw new GraftError.NotFound(
+      s"Metrics not found: ${pats.sorted.mkString(", ")}")
+    rows.groupBy(_._1).toSeq.map { case (rid, rs) =>
+      rid -> commonGranularities(rs.map(_._2).distinct)
+    }
+  }
+
   private def commonGranularitiesScoped(operations: String,
                                         res: DataFrame): Seq[Long] = {
     val pats = collectRefs(Parser.parse(operations)).map(_._1).distinct
@@ -1119,6 +1338,7 @@ class Graft(val spark: SparkSession, root: String) {
     * here — idempotent rewrites replace the janitor's locking.
     */
   def deleteMetric(metricId: String): Unit = {
+    flushDirtyFrames()
     GraftError.found(metricPolicy.contains(metricId), s"unknown metric $metricId")
     stagingLock.synchronized {
       pending.filterInPlace(_._1 != metricId)
@@ -1129,6 +1349,8 @@ class Graft(val spark: SparkSession, root: String) {
     metricUnit.remove(metricId)
     metricCreator.remove(metricId)
     dropFromMetricsCatalog(Seq(metricId))
+    journal(jevt("metric_delete", "ids" -> org.json4s.JArray(
+      List(org.json4s.JString(metricId)))))
   }
 
   /** Forget deleted metrics in the resource-attachment catalog — a
@@ -1147,6 +1369,7 @@ class Graft(val spark: SparkSession, root: String) {
     * POLICY for the whole batch, not one per metric.
     */
   def deleteMetrics(metricIds: Seq[String]): Unit = {
+    flushDirtyFrames()
     val unknown = metricIds.filterNot(metricPolicy.contains)
     GraftError.valid(unknown.isEmpty,
       s"unknown metrics: ${unknown.distinct.sorted.mkString(", ")}")
@@ -1163,6 +1386,8 @@ class Graft(val spark: SparkSession, root: String) {
       metricPolicy.remove(id); metricUnit.remove(id); metricCreator.remove(id)
     }
     dropFromMetricsCatalog(ids)
+    journal(jevt("metric_delete", "ids" -> org.json4s.JArray(
+      ids.toList.map(org.json4s.JString(_)))))
   }
 
   /** POST /v1/search/metric (S1). */
@@ -1176,7 +1401,13 @@ class Graft(val spark: SparkSession, root: String) {
   /** Resource catalog: register a typed resource table + search with the
     * filter DSL (string grammar or tree).
     */
-  def setResources(df: DataFrame): Unit = resources = Some(df)
+  def setResources(df: DataFrame): Unit = {
+    resources = Some(df)
+    // bulk frame registration is not replayable from a journal event —
+    // mark dirty so the next journaled mutation (or explicit
+    // persistCatalog) cuts a snapshot capturing it first
+    framesDirty = true
+  }
 
   def searchResources(filterStr: String): DataFrame =
     searchResources(FilterParser.parse(filterStr))
@@ -1292,6 +1523,7 @@ class Graft(val spark: SparkSession, root: String) {
   def createResource(tpe: String, id: String, json: String,
                      creator: Option[String] = None): Unit =
       catalogLock.synchronized {
+    flushDirtyFrames()
     val res = resources.getOrElse(throw new IllegalStateException(
       "no resource table registered — call setResources(df) first"))
     val rid = graft.catalog.ResourceUuid.transform(id, creator)
@@ -1312,6 +1544,10 @@ class Graft(val spark: SparkSession, root: String) {
       row = row.withColumn("type", coalesce(col("type"), lit(tpe)))
     resources = Some(res.unionByName(row))
     noteCatalogMutation()
+    journal(jevt("res_create", "tpe" -> org.json4s.JString(tpe),
+      "id" -> org.json4s.JString(id), "json" -> org.json4s.JString(json),
+      "creator" -> creator.map(c =>
+        org.json4s.JString(c): org.json4s.JValue).getOrElse(org.json4s.JNull)))
   }
 
   /** PATCH /v1/resource/<type>/<id>: update attribute values on the
@@ -1324,6 +1560,7 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def patchResource(id: String, updates: Map[String, Any],
                     nowS: Long): Unit = catalogLock.synchronized {
+    flushDirtyFrames()
     val res = resources.getOrElse(throw new IllegalStateException(
       "no resource table registered — call setResources(df) first"))
     val bad = updates.keySet -- res.columns
@@ -1361,6 +1598,10 @@ class Graft(val spark: SparkSession, root: String) {
     }
     resources = Some(patched)
     noteCatalogMutation()
+    journal(jevt("res_patch", "id" -> org.json4s.JString(id),
+      "updates" -> org.json4s.JObject(updates.toList.map { case (k, v) =>
+        k -> graft.catalog.CatalogJson.anyToJson(v) }),
+      "now_s" -> org.json4s.JLong(nowS)))
   }
 
   /** DELETE /v1/resource/<type>/<id> — 404 when absent. */
@@ -1380,10 +1621,13 @@ class Graft(val spark: SparkSession, root: String) {
     * `tablename` and `tablename_history`.
     */
   def createResourceType(rt: graft.catalog.ResourceTypes.ResourceType): Unit = {
+    flushDirtyFrames()
     GraftError.fresh(!resourceTypes.contains(rt.name),
       s"resource type ${rt.name} already exists")
     rt.attrs.foreach(a => graft.catalog.ResourceTypes.requireValidName(a.name))
     resourceTypes(rt.name) = rt
+    journal(jevt("rt_create",
+      "rt" -> graft.catalog.CatalogJson.rtToJson(rt)))
   }
 
   def resourceType(name: String): graft.catalog.ResourceTypes.ResourceType =
@@ -1396,6 +1640,7 @@ class Graft(val spark: SparkSession, root: String) {
       del: Seq[String] = Nil,
       update: Seq[(String, Boolean, Option[Any])] = Nil): Unit =
       catalogLock.synchronized {
+    flushDirtyFrames()
     var rt = resourceType(name)
     val fns = scala.collection.mutable.ArrayBuffer[DataFrame => DataFrame]()
     for ((spec, fill) <- add) {
@@ -1421,9 +1666,19 @@ class Graft(val spark: SparkSession, root: String) {
     resourceHistoryTbl = resourceHistoryTbl.map(retype)
     noteCatalogMutation()
     resourceTypes(name) = rt
+    journal(jevt("rt_patch", "name" -> org.json4s.JString(name),
+      "add" -> org.json4s.JArray(add.toList.map { case (spec, fill) =>
+        org.json4s.JArray(List(graft.catalog.CatalogJson.attrToJson(spec),
+          graft.catalog.CatalogJson.anyToJson(fill))) }),
+      "del" -> org.json4s.JArray(del.toList.map(org.json4s.JString(_))),
+      "update" -> org.json4s.JArray(update.toList.map {
+        case (attr, required, fill) => org.json4s.JArray(List(
+          org.json4s.JString(attr), org.json4s.JBool(required),
+          graft.catalog.CatalogJson.anyToJson(fill))) })))
   }
 
   def deleteResourceType(name: String): Unit = {
+    flushDirtyFrames()
     val _ = resourceType(name)
     // the reference 400s when resources of the type still exist
     // (sqlalchemy.py delete_resource_type → ResourceTypeInUse)
@@ -1432,6 +1687,7 @@ class Graft(val spark: SparkSession, root: String) {
         s"resource type $name is still in use")
     }
     resourceTypes.remove(name)
+    journal(jevt("rt_delete", "name" -> org.json4s.JString(name)))
   }
 
   // private[graft]: specs assert the compaction keeps this frame's
@@ -1441,7 +1697,10 @@ class Graft(val spark: SparkSession, root: String) {
   /** Metric catalog `(metric_id, resource_id, name)` — the named-metric
     * side of resources (indexer metric table, sqlalchemy_base.py:79-122).
     */
-  def setMetrics(df: DataFrame): Unit = metricsCatalog = Some(df)
+  def setMetrics(df: DataFrame): Unit = {
+    metricsCatalog = Some(df)
+    framesDirty = true // see setResources
+  }
 
   /** Metric NAME from the catalog (None for standalone metrics or when
     * no catalog is registered) — the `name` field the reference's
@@ -1535,6 +1794,7 @@ class Graft(val spark: SparkSession, root: String) {
                           metrics: Map[String, Either[String, Option[String]]],
                           units: Map[String, String] = Map.empty)
       : Seq[(String, String)] = catalogLock.synchronized {
+    flushDirtyFrames()
     // tolerate an unregistered metrics catalog: the first attach
     // bootstraps it (the union at the tail handles None), exactly as
     // the batch-ingest door does
@@ -1558,6 +1818,10 @@ class Graft(val spark: SparkSession, root: String) {
     metricsCatalog = Some(metricsCatalog
       .map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows))
     noteCatalogMutation()
+    journal(jevt("metric_attach", "rows" -> org.json4s.JArray(
+      attached.toList.map { case (mid, rid, name) =>
+        org.json4s.JArray(List(org.json4s.JString(mid),
+          org.json4s.JString(rid), org.json4s.JString(name))) })))
     attached.map(c => (c._3, c._1))
   }
 
@@ -1587,11 +1851,14 @@ class Graft(val spark: SparkSession, root: String) {
       resourceId: String,
       metrics: Map[String, Either[String, Option[String]]])
       : Seq[(String, String)] = catalogLock.synchronized {
+    flushDirtyFrames()
     validateMetricsSchema(resourceId, metrics)
     metricsCatalog = metricsCatalog.map(_.withColumn("resource_id",
       when(col("resource_id") === resourceId, lit(null))
         .otherwise(col("resource_id"))))
     noteCatalogMutation()
+    journal(jevt("metric_detach_all",
+      "resource_id" -> org.json4s.JString(resourceId)))
     if (metrics.isEmpty) Nil else attachMetricsSchema(resourceId, metrics)
   }
 
@@ -1763,6 +2030,18 @@ class Graft(val spark: SparkSession, root: String) {
     // value rendering — joins ride a broadcast (metric_id, __g) map
     val groups: Map[Seq[Any], Seq[String]] =
       metRows.groupBy(_._2).view.mapValues(_.map(_._1).distinct).toMap
+    // fan-out guard (same discipline as the dedup bucket caps): the
+    // per-group driver planning loop below (commonGranularities per
+    // distinct groupby tuple) is the reference's own per-group loop
+    // (rest/api.py:1916-1931), but a high-cardinality `groupby` would
+    // silently turn it into the bottleneck at fleet scale — cap it with
+    // a clear error instead (spark.graft.aggregation.maxGroups)
+    val maxGroups = spark.conf
+      .get("spark.graft.aggregation.maxGroups", "10000").toInt
+    GraftError.valid(groups.size <= maxGroups,
+      s"groupby resolves ${groups.size} groups, above the " +
+        s"spark.graft.aggregation.maxGroups cap ($maxGroups) — group on " +
+        "a lower-cardinality attribute or raise the cap")
     val gIndex: Map[Seq[Any], Int] = groups.keys.toSeq.zipWithIndex.toMap
     val keyDf = broadcast(metRows.map { case (mid, k) => (mid, gIndex(k)) }
       .toDF("metric_id", "__g"))
@@ -1774,10 +2053,21 @@ class Graft(val spark: SparkSession, root: String) {
       gIndex(k) -> granS.map(Seq(_)).getOrElse(commonGranularities(ids)) }
     val allGrans = gransBy.values.flatten.toSeq.distinct.sorted.reverse
     val sizeDf = broadcast(sizeOf.toSeq.toDF("__g", "__gn"))
-    // groupby attr values per group, for the output join (types come
-    // from the catalog frame, not a driver re-rendering)
-    val attrsByG = broadcast(metGroups.join(keyDf, Seq("metric_id"))
-      .select((col("__g") +: groupby.map(col)): _*).distinct())
+    // groupby attr values per group, built from the DRIVER-side gIndex
+    // map (attr column TYPES come from the metGroups schema). Joining
+    // metGroups back to keyDf on metric_id would cross-product a metric
+    // attached under SEVERAL groupby tuples: each group index would
+    // inherit every attr tuple of the metric, duplicating output rows
+    // across groups.
+    val attrSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        groupby.map(a => metGroups.schema(a)))
+    val attrRows: java.util.List[org.apache.spark.sql.Row] =
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        gIndex.toSeq.map { case (k, gi) =>
+          org.apache.spark.sql.Row.fromSeq(gi +: k) }).asJava
+    val attrsByG = broadcast(spark.createDataFrame(attrRows, attrSchema))
     val perGran = allGrans.map { gr =>
       val gIds = groups.collect {
         case (k, ids) if gransBy(gIndex(k)).contains(gr) => ids
@@ -1934,9 +2224,20 @@ class Graft(val spark: SparkSession, root: String) {
                            filterStr: String, groupby: Seq[String],
                            fill: Option[String] = None,
                            from: Option[java.sql.Timestamp] = None,
-                           to: Option[java.sql.Timestamp] = None): DataFrame = {
+                           to: Option[java.sql.Timestamp] = None,
+                           onlyGroups: Option[Seq[Seq[Any]]] = None)
+      : DataFrame = {
     import graft.ops.GroupedOps
-    val res = searchResources(filterStr)
+    // onlyGroups: the no-granularity REST form evaluates each
+    // granularity only over the groups whose OWN common set contains it
+    // ([[commonGranularitiesByGroup]]) — a metric of an excluded group
+    // may not store this granularity at all, and must not 404 the
+    // requireAgg check below
+    val res = onlyGroups match {
+      case None => searchResources(filterStr)
+      case Some(keys) =>
+        searchResources(filterStr).filter(groupKeysPred(groupby, keys))
+    }
     // expand each distinct ref once: glob-match the catalog, label with
     // the resource's group attrs, one pruned store scan per policy
     GroupedOps.run(Parser.parse(operations), groupby, { case (name, method) =>
@@ -1966,13 +2267,25 @@ class Graft(val spark: SparkSession, root: String) {
     }
   }
 
+  /** Membership predicate for a driver-bounded set of groupby-attribute
+    * tuples (null-safe: `<=>` matches null attribute values). */
+  private def groupKeysPred(groupby: Seq[String],
+      keys: Seq[Seq[Any]]): Column =
+    keys.map(k => groupby.zip(k).map { case (a, v) =>
+      col(a) <=> lit(v)
+    }.reduceOption(_ && _).getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
   @volatile private var resourceHistoryTbl: Option[DataFrame] = None
 
   /** Resource revision history (ResourceHistory table,
     * sqlalchemy_base.py:301-318): one row per attribute revision with
     * `revision_start`/`revision_end` (NULL end = current row).
     */
-  def setResourceHistory(df: DataFrame): Unit = resourceHistoryTbl = Some(df)
+  def setResourceHistory(df: DataFrame): Unit = {
+    resourceHistoryTbl = Some(df)
+    framesDirty = true // see setResources
+  }
 
   /** G3/G4 `use_history=true` group-by aggregation, single-attribute
     * convenience form (rest/aggregates/api.py:191-493): revision
@@ -1994,8 +2307,12 @@ class Graft(val spark: SparkSession, root: String) {
                                groupby: String,
                                from: Option[java.sql.Timestamp] = None,
                                to: Option[java.sql.Timestamp] = None): DataFrame =
-    groupByAggregatesHistoryOps(
-        s"(aggregate sum (metric $metricName $method))",
+    // build the (aggregate sum (metric name method)) tree DIRECTLY — a
+    // metric name carrying parser-significant characters (spaces,
+    // parentheses) must not round-trip through the ops grammar
+    groupByAggregatesHistoryAst(
+        graft.ops.AggAcross("sum",
+          graft.ops.MetricLeaf(Seq((metricName, method)))),
         granS, filterStr, Seq(groupby), None, from, to)
       .select(col(groupby).as("grp"),
         unix_timestamp(col("bucket")).cast("long").as("bucket_s"),
@@ -2032,12 +2349,31 @@ class Graft(val spark: SparkSession, root: String) {
       filterStr: String, groupby: Seq[String],
       fill: Option[String] = None,
       from: Option[java.sql.Timestamp] = None,
-      to: Option[java.sql.Timestamp] = None): DataFrame = {
+      to: Option[java.sql.Timestamp] = None,
+      onlyResources: Option[Seq[String]] = None): DataFrame =
+    groupByAggregatesHistoryAst(Parser.parse(operations), granS, filterStr,
+      groupby, fill, from, to, onlyResources)
+
+  /** AST form of [[groupByAggregatesHistoryOps]] (see
+    * [[groupByAggregatesHistory]] for why the convenience door must not
+    * round-trip names through the grammar). */
+  def groupByAggregatesHistoryAst(ast: graft.ops.Node, granS: Long,
+      filterStr: String, groupby: Seq[String],
+      fill: Option[String] = None,
+      from: Option[java.sql.Timestamp] = None,
+      to: Option[java.sql.Timestamp] = None,
+      onlyResources: Option[Seq[String]] = None): DataFrame = {
     import graft.ops.GroupedOps
     val pred = Filter.compile(FilterParser.parse(filterStr))
     var hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
       "no resource history table — call setResourceHistory(df) first"))
       .filter(pred)
+    // onlyResources: the no-granularity REST form evaluates each
+    // granularity only over the resources whose OWN common set contains
+    // it ([[commonGranularitiesPerResourceHistory]]); restriction is by
+    // resource ID, so every kept resource keeps ALL its revisions and
+    // the first-revision reach-back is unchanged
+    for (ids <- onlyResources) hist = hist.filter(col("id").isin(ids: _*))
     // G4 period filter (api.py:279-299): prune revisions outside the
     // query window before the interval join
     for (f <- from) hist = hist.filter(
@@ -2063,7 +2399,7 @@ class Graft(val spark: SparkSession, root: String) {
       .select((col("id").as("__rid") +: groupby.map(col)) ++
         Seq(col("rev_start_s"), col("rev_end_s")): _*)
     val resIds = hist.select(col("id").as("resource_id")).distinct()
-    val per = GroupedOps.run(Parser.parse(operations), Seq("__rid"),
+    val per = GroupedOps.run(ast, Seq("__rid"),
       { case (name, method) =>
         val mets = metricsCatalog.getOrElse(sys.error("no metrics catalog"))
           .filter(col("name").rlike(graft.catalog.Fnmatch.regex(name)))
@@ -2113,5 +2449,146 @@ class Graft(val spark: SparkSession, root: String) {
       .map { r =>
         (r.getAs[java.sql.Timestamp]("bucket"), granS, r.getDouble(vi))
       }
+  }
+
+  // ---- durable-catalog replay ---------------------------------------
+
+  /** Apply one journaled catalog event. Map-plane events replay through
+    * the SAME public mutators (journal() no-ops while replaying); the
+    * events whose live door also touched the measure plane (metric
+    * deletion → store expunge) or created entities journaled separately
+    * (attach rows) apply their catalog-side residue directly.
+    */
+  private def replayEvent(evt: org.json4s.JValue): Unit = {
+    import org.json4s._
+    import graft.catalog.CatalogJson
+    def str(v: JValue): String = v.asInstanceOf[JString].s
+    def optStr(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s); case _ => None
+    }
+    (evt \ "op") match {
+      case JString("policy_create") =>
+        createPolicy(CatalogJson.policyFromJson(evt))
+      case JString("policy_update") => updatePolicy(str(evt \ "name"),
+        (evt \ "definition").asInstanceOf[JArray].arr
+          .map(CatalogJson.itemFromJson),
+        evt \ "back_window" match {
+          case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt)
+          case _ => None
+        })
+      case JString("policy_delete") => deletePolicy(str(evt \ "name"))
+      case JString("rule_create") => createPolicyRule(str(evt \ "name"),
+        str(evt \ "pattern"), str(evt \ "policy"))
+      case JString("rule_rename") =>
+        renamePolicyRule(str(evt \ "name"), str(evt \ "new_name"))
+      case JString("rule_delete") => deletePolicyRule(str(evt \ "name"))
+      case JString("metric_create") => createMetric(str(evt \ "id"),
+        str(evt \ "policy"), optStr(evt \ "unit"))
+      case JString("metric_creator") =>
+        setMetricCreator(str(evt \ "id"), str(evt \ "creator"))
+      case JString("metric_delete") =>
+        // catalog-side residue only: the store expunge already happened
+        // (and persisted) before this event landed
+        val ids = (evt \ "ids").asInstanceOf[JArray].arr.map(str)
+        ids.foreach { id =>
+          metricPolicy.remove(id); metricUnit.remove(id)
+          metricCreator.remove(id)
+        }
+        dropFromMetricsCatalog(ids)
+      case JString("metric_attach") =>
+        // the metric_create events preceded this one; only the catalog
+        // attachment rows replay here
+        import spark.implicits._
+        val rows = (evt \ "rows").asInstanceOf[JArray].arr.map {
+          case JArray(List(m, r, n)) => (str(m),
+            (r match { case JString(s) => s; case _ => null }), str(n))
+          case other => throw new IllegalStateException(s"bad attach: $other")
+        }
+        catalogLock.synchronized {
+          val df = rows.toDF("metric_id", "resource_id", "name")
+          metricsCatalog = Some(metricsCatalog
+            .map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df))
+          noteCatalogMutation()
+        }
+      case JString("metric_detach_all") =>
+        val rid = str(evt \ "resource_id")
+        catalogLock.synchronized {
+          metricsCatalog = metricsCatalog.map(_.withColumn("resource_id",
+            when(col("resource_id") === rid, lit(null))
+              .otherwise(col("resource_id"))))
+          noteCatalogMutation()
+        }
+      case JString("res_create") => createResource(str(evt \ "tpe"),
+        str(evt \ "id"), str(evt \ "json"), optStr(evt \ "creator"))
+      case JString("res_patch") =>
+        val updates = (evt \ "updates").asInstanceOf[JObject].obj.map {
+          case (k, v) => k -> CatalogJson.anyFromJson(v)
+        }.toMap
+        patchResource(str(evt \ "id"), updates, evt \ "now_s" match {
+          case JInt(n) => n.toLong; case JLong(n) => n
+          case other => throw new IllegalStateException(s"bad now_s: $other")
+        })
+      case JString("res_delete") =>
+        deleteResources(CatalogJson.filterFromJson(evt \ "filter"))
+      case JString("rt_create") =>
+        createResourceType(CatalogJson.rtFromJson(evt \ "rt"))
+      case JString("rt_patch") =>
+        patchResourceType(str(evt \ "name"),
+          add = (evt \ "add").asInstanceOf[JArray].arr.map {
+            case JArray(List(spec, fill)) =>
+              (CatalogJson.attrFromJson(spec),
+                Option(CatalogJson.anyFromJson(fill)))
+            case other => throw new IllegalStateException(s"bad add: $other")
+          },
+          del = (evt \ "del").asInstanceOf[JArray].arr.map(str),
+          update = (evt \ "update").asInstanceOf[JArray].arr.map {
+            case JArray(List(n, req, fill)) => (str(n),
+              req.asInstanceOf[JBool].value,
+              Option(CatalogJson.anyFromJson(fill)))
+            case other => throw new IllegalStateException(s"bad update: $other")
+          })
+      case JString("rt_delete") => deleteResourceType(str(evt \ "name"))
+      case other => throw new IllegalStateException(
+        s"unknown catalog event: $other")
+    }
+  }
+
+  // ---- constructor TAIL: load the durable catalog -------------------
+  // Every field above is initialized before replay touches it. A fresh
+  // root is a no-op; an existing catalog loads its snapshot and replays
+  // the journal through the mutators (journaling suppressed).
+  locally {
+    for (maps <- catalogStore.loadMaps()) {
+      replayingCatalog = true
+      try {
+        import org.json4s._
+        import graft.catalog.CatalogJson
+        policies.clear()
+        (maps \ "policies").asInstanceOf[JArray].arr
+          .map(CatalogJson.policyFromJson).foreach(p => policies(p.name) = p)
+        policyRules = (maps \ "rules").asInstanceOf[JArray].arr.map {
+          case JArray(List(JString(n), JString(p), JString(a))) => (n, p, a)
+          case other => throw new IllegalStateException(s"bad rule: $other")
+        }.toVector
+        def strMap(v: JValue): Seq[(String, String)] = v match {
+          case JObject(fields) => fields.collect {
+            case (k, JString(s)) => k -> s
+          }
+          case _ => Nil
+        }
+        metricPolicy ++= strMap(maps \ "metric_policy")
+        metricUnit ++= strMap(maps \ "metric_unit")
+        metricCreator ++= strMap(maps \ "metric_creator")
+        (maps \ "resource_types").asInstanceOf[JArray].arr
+          .map(CatalogJson.rtFromJson)
+          .foreach(rt => resourceTypes(rt.name) = rt)
+        resources = catalogStore.loadFrame("resources")
+        metricsCatalog = catalogStore.loadFrame("metrics_catalog")
+        resourceHistoryTbl = catalogStore.loadFrame("resource_history")
+        val events = catalogStore.journalEvents()
+        events.foreach(replayEvent)
+        journaledEvents = events.size
+      } finally replayingCatalog = false
+    }
   }
 }

@@ -1,0 +1,345 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Durable catalog plane under `<root>/_catalog` — the Spark-side
+  * analogue of the reference's persistent indexer
+  * (indexer/sqlalchemy.py; models at sqlalchemy_base.py:79-318). The
+  * measure plane (MetricStore parquet) was already durable; without
+  * this, a process restart orphaned every stored aggregate: the data
+  * survived but the metric→policy bindings, resource rows, revision
+  * history, and rules that make it readable were session memory.
+  *
+  * Layout (same atomic-rename discipline as MetricStore's split
+  * writes):
+  * {{{
+  *   _catalog/MANIFEST          # {"gen": N} — renamed into place
+  *   _catalog/gen_N/maps.json   # driver-bounded catalog maps
+  *   _catalog/gen_N/resources/          # parquet, optional
+  *   _catalog/gen_N/metrics_catalog/    # parquet, optional
+  *   _catalog/gen_N/resource_history/   # parquet, optional
+  *   _catalog/journal_N.jsonl   # one JSON event per catalog mutation
+  * }}}
+  *
+  * Write path: each catalog mutation appends ONE journal line (O(1),
+  * like the reference's SQL row write — never an O(catalog) rewrite on
+  * the mutation hot path); a new GENERATION (full snapshot + journal
+  * rotation) is cut when a non-replayable frame registration must be
+  * captured, when the journal grows past the rotation bound, or on an
+  * explicit persist. Events are flushed per append (durable against
+  * process exit — the restart scenario); the snapshot path goes through
+  * the filesystem rename barrier.
+  *
+  * Read path: load `gen_N` maps + frames, then replay `journal_N`
+  * through the same facade mutators (with journaling suppressed).
+  */
+class CatalogStore(spark: SparkSession, root: String) {
+
+  private val dir = s"$root/_catalog"
+  // A PRIVATE, raw (checksum-free) filesystem handle: the shared cached
+  // LocalFileSystem is checksummed, and its output stream buffers whole
+  // 512-byte chunks until close — a flushed journal line would not be
+  // on disk, defeating the durability contract. Raw local flush()es
+  // straight through. (HDFS-style filesystems are not checksum-wrapped
+  // and pass through unchanged.)
+  private val fs = {
+    val f = org.apache.hadoop.fs.FileSystem.newInstance(
+      new java.net.URI(dir match {
+        case d if d.contains("://") => d
+        case d => s"file:$d"
+      }), spark.sparkContext.hadoopConfiguration)
+    f match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+  }
+  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private val journalLock = new Object
+  private var gen: Int = -1
+  private var journalOut: Option[java.io.OutputStream] = None
+
+  /** Generation found on disk at construction, None for a fresh root. */
+  val loadedGen: Option[Int] = {
+    val mf = path(s"$dir/MANIFEST")
+    if (fs.exists(mf)) {
+      val in = fs.open(mf)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      JsonMethods.parse(txt) \ "gen" match {
+        case JInt(n)  => gen = n.toInt; Some(n.toInt)
+        case JLong(n) => gen = n.toInt; Some(n.toInt)
+        case _        => None
+      }
+    } else None
+  }
+
+  /** maps.json of the loaded generation. */
+  def loadMaps(): Option[JValue] = loadedGen.map { g =>
+    val p = path(s"$dir/gen_$g/maps.json")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    JsonMethods.parse(txt)
+  }
+
+  /** A frame snapshot of the loaded generation, if it was registered. */
+  def loadFrame(name: String): Option[DataFrame] = loadedGen.flatMap { g =>
+    val p = s"$dir/gen_$g/$name"
+    if (fs.exists(path(p))) Some(spark.read.parquet(p)) else None
+  }
+
+  // The journal is a sequence of write-once SEGMENTS (journal_N.jsonl,
+  // journal_N_1.jsonl, …): each process lifetime writes a fresh
+  // segment, because Hadoop's checksummed LocalFileSystem does not
+  // support append(). Replay reads segments in order.
+  private def segPath(g: Int, k: Int) = path(
+    if (k == 0) s"$dir/journal_$g.jsonl" else s"$dir/journal_${g}_$k.jsonl")
+
+  /** The loaded generation's journal events, in append order across
+    * all segments. */
+  def journalEvents(): Seq[JValue] = loadedGen.toSeq.flatMap { g =>
+    Iterator.from(0).map(segPath(g, _)).takeWhile(fs.exists)
+      .flatMap { p =>
+        val in = fs.open(p)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+          .map(JsonMethods.parse(_))
+      }.toSeq
+  }
+
+  /** Append one event to the current generation's journal (flushed, so
+    * it survives process exit). Cuts generation 0 implicitly on the
+    * first event of a fresh root.
+    */
+  def append(evt: JValue): Unit = journalLock.synchronized {
+    val out = journalOut.getOrElse {
+      if (gen < 0) { gen = 0; writeManifest(0) }
+      val k = Iterator.from(0).find(i => !fs.exists(segPath(gen, i))).get
+      val o = fs.create(segPath(gen, k))
+      journalOut = Some(o)
+      o
+    }
+    out.write((JsonMethods.compact(JsonMethods.render(evt)) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.flush()
+    out match {
+      case h: org.apache.hadoop.fs.FSDataOutputStream => h.hflush()
+      case _ =>
+    }
+  }
+
+  /** Cut a new generation: full maps + frame snapshot, fresh journal.
+    * The manifest rename is the commit point; a crash mid-snapshot
+    * leaves the previous generation intact.
+    */
+  def snapshot(maps: JValue,
+               frames: Map[String, Option[DataFrame]]): Unit =
+      journalLock.synchronized {
+    val next = gen + 1
+    val genDir = s"$dir/gen_$next"
+    fs.delete(path(genDir), true)
+    fs.mkdirs(path(genDir))
+    val mp = fs.create(path(s"$genDir/maps.json"))
+    try mp.write(JsonMethods.compact(JsonMethods.render(maps))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mp.close()
+    for ((name, Some(df)) <- frames)
+      df.write.mode("overwrite").parquet(s"$genDir/$name")
+    // fresh journal BEFORE the manifest flips: the commit point must
+    // never expose a generation paired with a stale journal
+    Iterator.from(0).map(segPath(next, _)).takeWhile(fs.exists)
+      .foreach(fs.delete(_, false))
+    journalOut.foreach(_.close())
+    journalOut = None
+    writeManifest(next)
+    val prev = gen
+    gen = next
+    if (prev >= 0) { // best-effort cleanup of the superseded generation
+      fs.delete(path(s"$dir/gen_$prev"), true)
+      Iterator.from(0).map(segPath(prev, _)).takeWhile(fs.exists)
+        .foreach(fs.delete(_, false))
+    }
+  }
+
+  private def writeManifest(g: Int): Unit = {
+    val tmp = path(s"$dir/MANIFEST.tmp")
+    fs.delete(tmp, false)
+    val o = fs.create(tmp)
+    try o.write(s"""{"gen": $g}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
+    val mf = path(s"$dir/MANIFEST")
+    fs.delete(mf, false)
+    fs.rename(tmp, mf)
+  }
+
+  def close(): Unit = journalLock.synchronized {
+    journalOut.foreach(_.close())
+    journalOut = None
+  }
+}
+
+/** JSON codecs for the catalog plane's driver-side values: archive
+  * policies, rules, resource types, filter trees, and the `Any` values
+  * riding patch/fill events. Kept beside [[CatalogStore]] so the
+  * journal's wire shape has ONE home.
+  */
+object CatalogJson {
+  import graft.model.{ArchivePolicy, ArchivePolicyItem, Granularity}
+  import ResourceTypes.{AttrSpec, AttrType, ResourceType}
+
+  // ---- Any values (patch updates, resource-type fills) ----
+  def anyToJson(v: Any): JValue = v match {
+    case null                   => JNull
+    case None                   => JNull
+    case Some(x)                => anyToJson(x)
+    case s: String              => JString(s)
+    case b: Boolean             => JBool(b)
+    case i: Int                 => JLong(i.toLong)
+    case l: Long                => JLong(l)
+    case f: Float               => JDouble(f.toDouble)
+    case d: Double              => JDouble(d)
+    case n: BigDecimal          => JDecimal(n)
+    case n: java.math.BigDecimal => JDecimal(BigDecimal(n))
+    case t: java.sql.Timestamp  =>
+      JObject(List("__ts__" -> JLong(t.getTime)))
+    case d: java.sql.Date       =>
+      JObject(List("__date__" -> JLong(d.getTime)))
+    case other => throw new IllegalArgumentException(
+      s"unserializable catalog value: $other (${other.getClass})")
+  }
+
+  def anyFromJson(v: JValue): Any = v match {
+    case JNull | JNothing => null
+    case JString(s)  => s
+    case JBool(b)    => b
+    case JInt(n)     => n.toLong
+    case JLong(n)    => n
+    case JDouble(n)  => n
+    case JDecimal(n) => n
+    case JObject(List(("__ts__", JLong(ms)))) => new java.sql.Timestamp(ms)
+    case JObject(List(("__ts__", JInt(ms)))) =>
+      new java.sql.Timestamp(ms.toLong)
+    case JObject(List(("__date__", JLong(ms)))) => new java.sql.Date(ms)
+    case JObject(List(("__date__", JInt(ms)))) => new java.sql.Date(ms.toLong)
+    case other => throw new IllegalArgumentException(s"bad value: $other")
+  }
+
+  // ---- archive policies ----
+  def policyToJson(p: ArchivePolicy): JValue = JObject(List(
+    "name" -> JString(p.name),
+    "back_window" -> JLong(p.backWindow.toLong),
+    "methods" -> JArray(p.aggregationMethods.toList.sorted.map(JString(_))),
+    "definition" -> JArray(p.definition.toList.map(itemToJson))))
+
+  def itemToJson(i: ArchivePolicyItem): JValue = JObject(List(
+    "granularity" -> JString(i.granularity.token),
+    "points" -> i.points.map(JLong(_)).getOrElse(JNull),
+    "timespan_ns" -> i.timespanNs.map(JLong(_)).getOrElse(JNull)))
+
+  def policyFromJson(v: JValue): ArchivePolicy = ArchivePolicy(
+    name = (v \ "name").asInstanceOf[JString].s,
+    backWindow = longOf(v \ "back_window").toInt,
+    definition = (v \ "definition").asInstanceOf[JArray].arr.map(itemFromJson),
+    aggregationMethods = (v \ "methods").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JString].s).toSet)
+
+  def itemFromJson(v: JValue): ArchivePolicyItem = ArchivePolicyItem(
+    granularity = Granularity.parse((v \ "granularity").asInstanceOf[JString].s),
+    points = optLong(v \ "points"),
+    timespanNs = optLong(v \ "timespan_ns"))
+
+  private def longOf(v: JValue): Long = v match {
+    case JInt(n) => n.toLong; case JLong(n) => n
+    case JDouble(n) => n.toLong
+    case other => throw new IllegalArgumentException(s"bad long: $other")
+  }
+  private def optLong(v: JValue): Option[Long] = v match {
+    case JNull | JNothing => None
+    case other => Some(longOf(other))
+  }
+
+  // ---- resource types ----
+  def rtToJson(rt: ResourceType): JValue = JObject(List(
+    "name" -> JString(rt.name),
+    "attrs" -> JArray(rt.attrs.toList.map(attrToJson))))
+
+  def attrToJson(a: AttrSpec): JValue = {
+    val t: JValue = a.tpe match {
+      case AttrType.Str(max) =>
+        JObject(List("kind" -> JString("str"), "max" -> JLong(max.toLong)))
+      case AttrType.Uuid     => JObject(List("kind" -> JString("uuid")))
+      case AttrType.Datetime => JObject(List("kind" -> JString("datetime")))
+      case AttrType.Num(mn, mx) => JObject(List(
+        "kind" -> JString("num"),
+        "min" -> mn.map(JDouble(_)).getOrElse(JNull),
+        "max" -> mx.map(JDouble(_)).getOrElse(JNull)))
+      case AttrType.Bool     => JObject(List("kind" -> JString("bool")))
+    }
+    JObject(List("name" -> JString(a.name), "type" -> t,
+      "required" -> JBool(a.required)))
+  }
+
+  def rtFromJson(v: JValue): ResourceType = ResourceType(
+    (v \ "name").asInstanceOf[JString].s,
+    (v \ "attrs").asInstanceOf[JArray].arr.map(attrFromJson))
+
+  def attrFromJson(v: JValue): AttrSpec = {
+    val t = v \ "type"
+    val tpe: AttrType = (t \ "kind").asInstanceOf[JString].s match {
+      case "str"      => AttrType.Str(longOf(t \ "max").toInt)
+      case "uuid"     => AttrType.Uuid
+      case "datetime" => AttrType.Datetime
+      case "num"      => AttrType.Num(
+        optDouble(t \ "min"), optDouble(t \ "max"))
+      case "bool"     => AttrType.Bool
+      case other => throw new IllegalArgumentException(s"bad attr kind: $other")
+    }
+    AttrSpec((v \ "name").asInstanceOf[JString].s, tpe,
+      (v \ "required").asInstanceOf[JBool].value)
+  }
+
+  private def optDouble(v: JValue): Option[Double] = v match {
+    case JNull | JNothing => None
+    case JDouble(n) => Some(n)
+    case JInt(n) => Some(n.toDouble)
+    case JLong(n) => Some(n.toDouble)
+    case other => throw new IllegalArgumentException(s"bad double: $other")
+  }
+
+  // ---- filter trees (the reference's wire shape, rest/api.py:1381+) ----
+  def filterToJson(f: Filter): JValue = f match {
+    case Filter.Cmp(op, attr, value) =>
+      JObject(List(op -> JObject(List(attr -> anyToJson(value)))))
+    case Filter.In(attr, values) =>
+      JObject(List("in" -> JObject(List(
+        attr -> JArray(values.toList.map(anyToJson))))))
+    case Filter.Like(attr, pat) =>
+      JObject(List("like" -> JObject(List(attr -> JString(pat)))))
+    case Filter.And(subs) =>
+      JObject(List("and" -> JArray(subs.toList.map(filterToJson))))
+    case Filter.Or(subs) =>
+      JObject(List("or" -> JArray(subs.toList.map(filterToJson))))
+    case Filter.Not(sub) =>
+      JObject(List("not" -> filterToJson(sub)))
+  }
+
+  def filterFromJson(v: JValue): Filter = v match {
+    case JObject(List(("and", JArray(subs)))) =>
+      Filter.And(subs.map(filterFromJson))
+    case JObject(List(("or", JArray(subs)))) =>
+      Filter.Or(subs.map(filterFromJson))
+    case JObject(List(("not", sub))) => Filter.Not(filterFromJson(sub))
+    case JObject(List(("like", JObject(List((attr, JString(p))))))) =>
+      Filter.Like(attr, p)
+    case JObject(List(("in", JObject(List((attr, JArray(vs))))))) =>
+      Filter.In(attr, vs.map(anyFromJson))
+    case JObject(List((op, JObject(List((attr, value)))))) =>
+      Filter.Cmp(op, attr, anyFromJson(value))
+    case other => throw new IllegalArgumentException(s"bad filter: $other")
+  }
+}

@@ -28,10 +28,14 @@ object JsonMeasures {
     * (ANSI mode makes malformed casts throw, not null); relative
     * stamps anchor on `current_timestamp()`, which Spark folds to ONE
     * value per query — the reference's single `utcnow()` per batch.
-    * Divergence note: the reference fixes the FORMAT per measure list
-    * from its first element (mixed → 400, enforced at the
-    * single-metric REST door); this bulk parser is per-element
-    * lenient.
+    * Divergence note (pinned by IngestSpec "bulk parser is per-element
+    * lenient"): the reference fixes the FORMAT per measure list from
+    * its first element (mixed → 400, utils.to_timestamps:86-123) —
+    * that contract is enforced at every REST measure door
+    * (RestApi.parseMeasureList, Graft.batchAddMeasures); THIS
+    * corpus-scale parser stays per-element lenient, since a per-list
+    * mode would need a second pass over each body to find its first
+    * element before any row could parse.
     */
   private val relUnits: Seq[(String, Double)] = Seq(
     "seconds" -> 1, "second" -> 1, "secs" -> 1, "sec" -> 1, "s" -> 1,

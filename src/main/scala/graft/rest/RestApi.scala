@@ -63,10 +63,29 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
   private def qesc(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
 
+  /** ONE `utcnow()` anchor per dispatched request (utils.py:80-84): a
+    * `start=-5 minutes&stop=-1 second` pair must resolve against the
+    * SAME now. Set at [[dispatchBytes]] entry, cleared on exit; a
+    * facade-level caller outside a dispatch falls back to the clock.
+    */
+  private val requestNow = new ThreadLocal[java.lang.Long]
+
+  private def nowMs: Long = {
+    val anchored = requestNow.get
+    if (anchored ne null) anchored.longValue else System.currentTimeMillis()
+  }
+
+  /** Test seam: run `f` with the request-now anchor pinned to `ms`. */
+  private[graft] def withRequestNow[T](ms: Long)(f: => T): T = {
+    requestNow.set(ms)
+    try f finally requestNow.remove()
+  }
+
   /** Accept ISO-8601 (Z or offset or bare), SQL timestamp strings,
     * epoch numbers, and RELATIVE timespans ("-5 minutes", "2h32m")
-    * resolved against now — the reference's utils.to_timestamp
-    * surface (utils.py:86-123, pytimeparse fallback at :103-109).
+    * resolved against the per-request now — the reference's
+    * utils.to_timestamp surface (utils.py:86-123, pytimeparse fallback
+    * at :103-109).
     */
   private def parseTs(s: String): java.sql.Timestamp =
     if (s.matches("^-?[0-9]+(\\.[0-9]+)?$"))
@@ -77,44 +96,61 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         else s))
     else parseTimespanS(s) match {
       case Some(spanS) => new java.sql.Timestamp(
-        System.currentTimeMillis() + (spanS * 1000).toLong)
+        nowMs + (spanS * 1000).toLong)
       case None => java.sql.Timestamp.valueOf(s)
     }
 
-  private val relUnitS: Map[String, Double] = Map(
-    "s" -> 1, "sec" -> 1, "secs" -> 1, "second" -> 1, "seconds" -> 1,
-    "m" -> 60, "min" -> 60, "mins" -> 60, "minute" -> 60, "minutes" -> 60,
-    "h" -> 3600, "hr" -> 3600, "hrs" -> 3600, "hour" -> 3600,
-    "hours" -> 3600, "d" -> 86400, "day" -> 86400, "days" -> 86400,
-    "w" -> 604800, "wk" -> 604800, "wks" -> 604800,
-    "week" -> 604800, "weeks" -> 604800).map { case (k, v) => k -> v.toDouble }
+  private def parseTimespanS(s0: String): Option[Double] =
+    graft.model.Timespan.parseS(s0)
 
-  private val relSeg =
-    java.util.regex.Pattern.compile("\\s*([0-9]*\\.?[0-9]+)\\s*([a-z]+)")
-
-  /** pytimeparse-lite: ONE optional leading sign applying to the
-    * whole expression, then unsigned "<n><unit>" segments
-    * ("-5 minutes", "2h32m" = 9120, "-2h32m" = -9120, "1.5 days");
-    * None when the string is not a timespan. */
-  private def parseTimespanS(s0: String): Option[Double] = {
-    val t = s0.trim.toLowerCase
-    if (t.isEmpty) return None
-    val (sign, s) = t.charAt(0) match {
-      case '-' => (-1.0, t.substring(1))
-      case '+' => (1.0, t.substring(1))
-      case _   => (1.0, t)
+  /** Measure-list body → (timestamp, value) points. The timestamp
+    * FORMAT is decided by the first element and applied to the whole
+    * list (utils.to_timestamps:86-123): epoch numbers, ISO strings, or
+    * relative timespans — mixing formats is the reference's 400
+    * (gabbits/metric-timestamp-format.yaml). Relative stamps anchor on
+    * the per-request now.
+    */
+  private def parseMeasureList(arr: List[JValue]): Seq[(String, Double)] = {
+    sealed trait TsMode
+    object Epoch extends TsMode; object Iso extends TsMode
+    object Rel extends TsMode
+    val mode: TsMode = arr.headOption.map(_ \ "timestamp") match {
+      case Some(JString(s)) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
+        Epoch
+      case Some(JString(s)) =>
+        if (parseTimespanS(s).isDefined && !s.contains("T")) Rel else Iso
+      case _ => Epoch
     }
-    if (s.isEmpty) return None
-    val m = relSeg.matcher(s)
-    var total = 0.0
-    var pos = 0
-    while (pos < s.length) {
-      if (!m.find(pos) || m.start != pos) return None
-      val unit = relUnitS.getOrElse(m.group(2), return None)
-      total += m.group(1).toDouble * unit
-      pos = m.end
+    arr.map { m =>
+      val ts = (mode, m \ "timestamp") match {
+        case (Epoch, JString(s)) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
+          new java.sql.Timestamp((s.toDouble * 1000).toLong)
+        case (Epoch, JString(s)) => throw new IllegalArgumentException(
+          s"mixed timestamp formats: epoch batch got '$s'")
+        case (Epoch, n) => new java.sql.Timestamp((jnum(n) * 1000).toLong)
+        case (Rel, JString(s)) => parseTimespanS(s) match {
+          case Some(spanS) =>
+            new java.sql.Timestamp(nowMs + (spanS * 1000).toLong)
+          case None => throw new IllegalArgumentException(
+            s"mixed timestamp formats: relative batch got '$s'")
+        }
+        // any absolute string form (ISO or SQL-style) — a relative or
+        // epoch-number one in an ISO batch is the mixed-format 400 (the
+        // reference's datetime64 parse of an epoch string lands in a
+        // nonsense far-future year and never ingests cleanly)
+        case (Iso, JString(s)) if parseTimespanS(s).isEmpty &&
+            !s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
+          parseTs(s)
+        case (_, other) => throw new IllegalArgumentException(
+          s"mixed timestamp formats: got $other")
+      }
+      // pre-epoch timestamps reject on every measure door
+      // (utils.to_timestamps, utils.py:119-120;
+      // gabbits/metric.yaml "before epoch")
+      if (ts.getTime < 0) throw new IllegalArgumentException(
+        "Timestamp must be after Epoch")
+      (ts.toString, jnum(m \ "value"))
     }
-    Some(sign * total)
   }
 
   /** `granularity`/`resample` query params carry the reference's
@@ -376,14 +412,18 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       scala.collection.mutable.LinkedHashMap[String,
         scala.collection.mutable.ListBuffer[JValue]]]
     ordered.foreach { r =>
-      val g = granS.getOrElse(r.getAs[Long]("gran_s"))
-      val triple: JValue = JArray(List(
-        JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
-        JDouble(g.toDouble), JDouble(r.getAs[Double]("value"))))
-      byMetric.getOrElseUpdate(r.getAs[String]("metric_id"),
-          scala.collection.mutable.LinkedHashMap.empty)
-        .getOrElseUpdate(r.getAs[String]("method"),
-          scala.collection.mutable.ListBuffer.empty) += triple
+      // null value cells are absent points, not 0.0 (unchecked
+      // getAs[Double] unboxes null to 0) — skip, as groupedMeasuresJson
+      if (!r.isNullAt(r.fieldIndex("value"))) {
+        val g = granS.getOrElse(r.getAs[Long]("gran_s"))
+        val triple: JValue = JArray(List(
+          JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
+          JDouble(g.toDouble), JDouble(r.getAs[Double]("value"))))
+        byMetric.getOrElseUpdate(r.getAs[String]("metric_id"),
+            scala.collection.mutable.LinkedHashMap.empty)
+          .getOrElseUpdate(r.getAs[String]("method"),
+            scala.collection.mutable.ListBuffer.empty) += triple
+      }
     }
     JObject(byMetric.toList.map { case (mid, methods) =>
       mid -> (JObject(methods.toList.map { case (m, ts) =>
@@ -423,16 +463,20 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         .getOrElseUpdate(m, scala.collection.mutable.ListBuffer.empty)
     }
     ordered.foreach { r =>
-      val gv = granS.getOrElse(r.getAs[Long]("gran_s"))
-      val triple: JValue = JArray(List(
-        JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
-        JDouble(gv.toDouble), JDouble(r.getAs[Double]("value"))))
-      byRes.getOrElseUpdate(r.getAs[String]("resource_id"),
-          scala.collection.mutable.LinkedHashMap.empty)
-        .getOrElseUpdate(r.getAs[String]("metric_name"),
-          scala.collection.mutable.LinkedHashMap.empty)
-        .getOrElseUpdate(r.getAs[String]("method"),
-          scala.collection.mutable.ListBuffer.empty) += triple
+      // null value cells skip (absent points, not 0.0); the resolved
+      // seed above keeps the metric visible with an empty list
+      if (!r.isNullAt(r.fieldIndex("value"))) {
+        val gv = granS.getOrElse(r.getAs[Long]("gran_s"))
+        val triple: JValue = JArray(List(
+          JString(iso(r.getAs[java.sql.Timestamp]("bucket"))),
+          JDouble(gv.toDouble), JDouble(r.getAs[Double]("value"))))
+        byRes.getOrElseUpdate(r.getAs[String]("resource_id"),
+            scala.collection.mutable.LinkedHashMap.empty)
+          .getOrElseUpdate(r.getAs[String]("metric_name"),
+            scala.collection.mutable.LinkedHashMap.empty)
+          .getOrElseUpdate(r.getAs[String]("method"),
+            scala.collection.mutable.ListBuffer.empty) += triple
+      }
     }
     JObject(byRes.toList.map { case (rid, mets) =>
       rid -> (JObject(mets.toList.map { case (m, aggs) =>
@@ -631,6 +675,10 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       if (s.trim.isEmpty) JNothing else RestApi.parseJson(s)
     }
+    // respect an outer anchor (the withRequestNow test seam); a real
+    // dispatch stack sets it exactly once, at the outermost entry
+    val outerAnchor = requestNow.get
+    if (outerAnchor eq null) requestNow.set(System.currentTimeMillis())
     try route(method.toUpperCase, segs, query, () => json, bytes, creator,
       reqHeaders)
     catch {
@@ -650,6 +698,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       case _: SecurityException =>
         err(403, "Access was denied to this resource")
     }
+    finally if (outerAnchor eq null) requestNow.remove()
   }
 
   // ---- minimal enforce hook (rest/api.py:113; default policy.json) ----
@@ -999,46 +1048,7 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // is the reference's 400 (gabbits/metric-timestamp-format.yaml).
       case ("POST", List("v1", "metric", id, "measures")) =>
         enforceAuthed(creator)
-        val arr = body().asInstanceOf[JArray].arr
-        val nowMs = System.currentTimeMillis() // ONE now for the batch
-        sealed trait TsMode
-        object Epoch extends TsMode; object Iso extends TsMode
-        object Rel extends TsMode
-        val mode: TsMode = arr.headOption.map(_ \ "timestamp") match {
-          case Some(JString(s)) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
-            Epoch
-          case Some(JString(s)) =>
-            if (parseTimespanS(s).isDefined && !s.contains("T")) Rel else Iso
-          case _ => Epoch
-        }
-        val points = arr.map { m =>
-          val ts = (mode, m \ "timestamp") match {
-            case (Epoch, JString(s)) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
-              new java.sql.Timestamp((s.toDouble * 1000).toLong)
-            case (Epoch, JString(s)) => throw new IllegalArgumentException(
-              s"mixed timestamp formats: epoch batch got '$s'")
-            case (Epoch, n) => new java.sql.Timestamp((jnum(n) * 1000).toLong)
-            case (Rel, JString(s)) => parseTimespanS(s) match {
-              case Some(spanS) =>
-                new java.sql.Timestamp(nowMs + (spanS * 1000).toLong)
-              case None => throw new IllegalArgumentException(
-                s"mixed timestamp formats: relative batch got '$s'")
-            }
-            // any absolute string form (ISO or SQL-style) — a relative
-            // one in an ISO batch is the mixed-format 400
-            case (Iso, JString(s)) if parseTimespanS(s).isEmpty =>
-              parseTs(s)
-            case (_, other) => throw new IllegalArgumentException(
-              s"mixed timestamp formats: got $other")
-          }
-          // pre-epoch timestamps reject on every measure door
-          // (utils.to_timestamps, utils.py:119-120;
-          // gabbits/metric.yaml "before epoch")
-          if (ts.getTime < 0) throw new IllegalArgumentException(
-            "Timestamp must be after Epoch")
-          (ts.toString, jnum(m \ "value"))
-        }
-        g.addMeasures(id, points)
+        g.addMeasures(id, parseMeasureList(body().asInstanceOf[JArray].arr))
         accepted
 
       case ("GET", List("v1", "metric", id, "measures")) =>
@@ -1054,7 +1064,8 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
       // -------------------------------------------------- batch ingest
       case ("POST", List("v1", "batch", "resources", "metrics", "measures")) =>
         g.batchAddMeasures(RestApi.renderJson(body()),
-          createMetrics = q.get("create_metrics").contains("true"))
+          createMetrics = q.get("create_metrics").contains("true"),
+          nowMs = nowMs)
         accepted
 
       // POST /v1/batch/metrics/measures (rest/api.py:1694-1723): body
@@ -1067,15 +1078,11 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         val unknown = entries.map(_._1).filterNot(g.hasMetric)
         if (unknown.nonEmpty)
           return err(400, s"unknown metrics: ${unknown.sorted.mkString(", ")}")
+        // same fixed-format-per-list contract as the single door — the
+        // reference runs every batch list through utils.to_timestamps
+        // (rest/api.py:1694-1723), so a mixed list 400s here too
         entries.foreach { case (id, ms) =>
-          val points = ms.asInstanceOf[JArray].arr.map { m =>
-            val ts = m \ "timestamp" match {
-              case JString(s) => parseTs(s)
-              case n => new java.sql.Timestamp((jnum(n) * 1000).toLong)
-            }
-            (ts.toString, jnum(m \ "value"))
-          }
-          g.addMeasures(id, points)
+          g.addMeasures(id, parseMeasureList(ms.asInstanceOf[JArray].arr))
         }
         accepted
 
@@ -1248,10 +1255,25 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           val useHistory = q.get("use_history").contains("true") ||
             b \ "use_history" == JBool(true)
           if (useHistory && grpSorted.nonEmpty) {
-            val df = overGransWith(
-              g.commonGranularitiesByResourceHistory(operations, flt))(
-              gr => g.groupByAggregatesHistoryOps(
-                operations, gr, flt, grpSorted, fill, from, to))
+            // no granularity → PER-RESOURCE common granularities: the
+            // Grouper runs one _get_measures_by_name per revision slice
+            // (rest/aggregates/api.py:383-417), so each resource plans
+            // from its own metrics' policies
+            val df = granOpt match {
+              case Some(gr) => g.groupByAggregatesHistoryOps(
+                operations, gr, flt, grpSorted, fill, from, to)
+              case None =>
+                val byRes =
+                  g.commonGranularitiesPerResourceHistory(operations, flt)
+                byRes.flatMap(_._2).distinct.sorted.reverse.map { gr =>
+                  g.groupByAggregatesHistoryOps(operations, gr, flt,
+                    grpSorted, fill, from, to,
+                    onlyResources = Some(byRes.filter(_._2.contains(gr))
+                      .map(_._1)))
+                    .withColumn("gran_s",
+                      org.apache.spark.sql.functions.lit(gr))
+                }.reduce(_ unionByName _)
+            }
             return ok(groupedMeasuresJson(df, grpSorted, granOpt, operations,
               scope = if (det) g.resolvedResourceScopeHistory(operations,
                 flt, grpSorted) else Nil,
@@ -1296,8 +1318,24 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
                 JArray(g.resolvedResourceScope(operations, flt).map(_._2)
                   .distinct.sorted.toList.map(id => (("id" -> id): JValue)))))
           }
-          val df = overGrans(gr => g.groupByAggregatesOps(operations, gr,
-            flt, grpSorted, fill, from, to))
+          // no granularity → PER-GROUP common granularities: each group
+          // is its own _get_measures_by_name call (rest/aggregates/
+          // api.py:649-672), so heterogeneous archive policies across
+          // groups evaluate each group at its own set
+          val df = granOpt match {
+            case Some(gr) => g.groupByAggregatesOps(operations, gr, flt,
+              grpSorted, fill, from, to)
+            case None =>
+              val byGroup =
+                g.commonGranularitiesByGroup(operations, flt, grpSorted)
+              byGroup.flatMap(_._2).distinct.sorted.reverse.map { gr =>
+                g.groupByAggregatesOps(operations, gr, flt, grpSorted,
+                  fill, from, to, onlyGroups =
+                    Some(byGroup.filter(_._2.contains(gr)).map(_._1)))
+                  .withColumn("gran_s",
+                    org.apache.spark.sql.functions.lit(gr))
+              }.reduce(_ unionByName _)
+          }
           // the group list comes from the RESOLVED scope: a group whose
           // metrics produced no measures still appears (empty list)
           return ok(groupedMeasuresJson(df, grpSorted, granOpt, operations,
@@ -1671,10 +1709,15 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
           q.get("fill"), q.get("resample").map(parseGranS),
           q.get("start").map(parseTs), q.get("stop").map(parseTs),
           refreshFirst = q.get("refresh").contains("true"))
+        // null cells (all-NaN buckets under fill=null) are absent
+        // points, not 0.0 — an unchecked getAs[Double] unboxes null
+        // to 0 (same isNullAt skip as groupedMeasuresJson)
         val rows = df.orderBy(
             org.apache.spark.sql.functions.col("gran_s").desc,
             org.apache.spark.sql.functions.col("bucket"))
-          .limit(100000).collect().toSeq.map { r =>
+          .limit(100000).collect().toSeq
+          .filter(r => !r.isNullAt(r.fieldIndex("value")))
+          .map { r =>
             (r.getAs[java.sql.Timestamp]("bucket"),
               r.getAs[Long]("gran_s"), r.getAs[Double]("value"))
           }
@@ -1722,11 +1765,14 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
             org.apache.spark.sql.functions.col("gran_s").desc,
             org.apache.spark.sql.functions.col("bucket"))): _*)
           .limit(100000).collect()
+        // null value cells skip (see the metric-list route above)
         def triplesOf(rs: Seq[org.apache.spark.sql.Row]): JValue =
-          measuresTriples(rs.map { r =>
-            (r.getAs[java.sql.Timestamp]("bucket"), r.getAs[Long]("gran_s"),
-              r.getAs[Double]("value"))
-          })
+          measuresTriples(rs
+            .filter(r => !r.isNullAt(r.fieldIndex("value")))
+            .map { r =>
+              (r.getAs[java.sql.Timestamp]("bucket"), r.getAs[Long]("gran_s"),
+                r.getAs[Double]("value"))
+            })
         if (grpBy.isEmpty) ok(triplesOf(rows.toSeq))
         else {
           // legacy grouped shape: [{measures: [...], group: {...}}] —

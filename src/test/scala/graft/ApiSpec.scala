@@ -92,13 +92,19 @@ class ApiSpec extends SparkSpec {
       """{"r1": {"mem": [{"timestamp": "2015-03-06T14:33:57", "value": 2}]}}"""))
     assert(e.getMessage.contains("r1/mem"))
     // with create_metrics: rules pick the policy; catalog gains the row
+    // NB the timestamp FORMAT is fixed per list by its first element
+    // (utils.to_timestamps:86-123) — a mixed ISO+epoch list is a 400
     g.batchAddMeasures(
       """{"r1": {"cpu": [{"timestamp": "2015-03-06T14:33:57", "value": 43.1},
-                         {"timestamp": 1425652452, "value": 12}],
+                         {"timestamp": "2015-03-06T14:34:12", "value": 12}],
                  "mem": {"archive_policy_name": "gabbi-low",
                          "measures": [{"timestamp": "2015-03-06T14:33:57",
                                        "value": 2.0}]}}}""",
       createMetrics = true)
+    val eMix = intercept[IllegalArgumentException](g.batchAddMeasures(
+      """{"r1": {"cpu": [{"timestamp": "2015-03-06T14:33:57", "value": 1},
+                         {"timestamp": 1425652452, "value": 2}]}}"""))
+    assert(eMix.getMessage.contains("mixed timestamp formats"))
     g.process()
     assert(g.getMeasures("m-cpu", "mean", granS = Some(300))
       .map(_._3) == Seq(27.55))
@@ -492,5 +498,26 @@ class ApiSpec extends SparkSpec {
     assert(g.status()("bk") === 200L)
     g.process()
     assert(g.getMeasures("bk", "mean", Some(300)).nonEmpty)
+  }
+
+  test("legacy aggregation guards the per-group planning fan-out " +
+      "(spark.graft.aggregation.maxGroups)") {
+    val g = freshGraft()
+    val s = spark
+    import s.implicits._
+    for (i <- 1 to 3) g.createMetric(s"fan$i", "gabbi-low")
+    g.setResources((1 to 3).map(i => (s"fr$i", s"zone$i")).toDF("id", "zone"))
+    g.setMetrics((1 to 3).map(i => (s"fan$i", s"fr$i", "cpu"))
+      .toDF("metric_id", "resource_id", "name"))
+    s.conf.set("spark.graft.aggregation.maxGroups", "2")
+    try {
+      val e = intercept[IllegalArgumentException](
+        g.legacyResourceAggregation("cpu", "mean", Some(300L),
+          g.searchResources("id like '%'"), Seq("zone")).collect())
+      assert(e.getMessage.contains("maxGroups"))
+      // under the cap: plans fine (3 groups → 1 group key set of 1)
+      assert(g.legacyResourceAggregation("cpu", "mean", Some(300L),
+        g.searchResources("zone = 'zone1'"), Seq("zone")).collect() != null)
+    } finally s.conf.unset("spark.graft.aggregation.maxGroups")
   }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import graft.api.Graft
+import graft.model.{ArchivePolicy, ArchivePolicyItem, Granularity}
+import graft.catalog.ResourceTypes.{AttrSpec, AttrType, ResourceType}
+import org.apache.spark.sql.functions._
+
+/** Durable catalog plane (CatalogStore): the reference's indexer
+  * survives restarts (indexer/sqlalchemy.py); every facade catalog
+  * mutation must too — a reconstructed Graft on the same root serves
+  * the same reads without re-registration.
+  */
+class CatalogPersistSpec extends SparkSpec {
+
+  private def freshRoot =
+    java.nio.file.Files.createTempDirectory("graft-persist").toString
+
+  test("restart roundtrip: policy/rule/metric/resource through the " +
+      "facade, ingest, tear down, reconstruct — getMeasures and " +
+      "searchResources serve identically") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("dur", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean", "max")))
+    g1.createPolicyRule("every*", "dur")
+    g1.createMetric("m1", "dur", Some("requests"))
+    g1.createMetric("everything-counts") // via the rule
+    g1.setMetricCreator("m1", "alice")
+    // resource plane: schema frame, then REST-shaped creates
+    g1.setResources(Seq.empty[(String, String, String)]
+      .toDF("id", "type", "zone"))
+    g1.createResource("server", "r1", """{"zone": "east"}""")
+    g1.createResource("server", "r2", """{"zone": "west"}""")
+    g1.attachMetricsSchema("r1", Map("cpu" -> Left("m1")))
+    g1.addMeasures("m1", Seq(
+      ("2015-01-01 12:00:10", 2.0), ("2015-01-01 12:00:40", 4.0),
+      ("2015-01-01 12:01:10", 6.0)))
+    g1.process()
+    val before = g1.getMeasures("m1", "mean")
+    val beforeRes = g1.searchResources("zone = 'east'")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty && beforeRes.nonEmpty)
+
+    // restart: a brand-new Graft on the same root, no re-registration
+    val g2 = new Graft(s, root)
+    assert(g2.listPolicies.map(_.name).contains("dur"))
+    assert(g2.listPolicyRules === g1.listPolicyRules)
+    assert(g2.listMetrics === g1.listMetrics)
+    assert(g2.metricUnitOf("m1") === Some("requests"))
+    assert(g2.metricCreatorOf("m1") === Some("alice"))
+    assert(g2.metricPolicyName("everything-counts") === "dur")
+    assert(g2.getMeasures("m1", "mean") === before)
+    assert(g2.getMeasures("m1", "max").map(_._3) === Seq(4.0, 6.0))
+    assert(g2.searchResources("zone = 'east'")
+      .orderBy("id").collect().map(_.toSeq).toSeq === beforeRes)
+    assert(g2.metricsForResources(Seq("r1")) ===
+      Map("r1" -> Seq(("cpu", "m1"))))
+    // the reloaded catalog keeps accepting mutations (journal reopens
+    // as a fresh segment)
+    g2.createMetric("m2", "dur")
+    val g3 = new Graft(s, root)
+    assert(g3.hasMetric("m2"))
+  }
+
+  test("journal replay covers patch / delete-by-query / resource-type " +
+      "ALTER / detach / metric deletion") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("dur2", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g1.createResourceType(ResourceType("vm",
+      Seq(AttrSpec("zone", AttrType.Str(64)))))
+    g1.setResources(Seq.empty[(String, String, String, java.sql.Timestamp)]
+      .toDF("id", "type", "zone", "revision_start"))
+    g1.setResourceHistory(
+      Seq.empty[(String, String, String, java.sql.Timestamp,
+        java.sql.Timestamp)]
+        .toDF("id", "type", "zone", "revision_start", "revision_end"))
+    // non-UUID ids uuid5-transform at the create door (ResourceUUID)
+    val List(a1, a2, a3) = List("a1", "a2", "a3")
+      .map(graft.catalog.ResourceUuid.transform(_, None))
+    g1.createResource("vm", "a1", """{"zone": "east"}""")
+    g1.createResource("vm", "a2", """{"zone": "east"}""")
+    g1.createResource("vm", "a3", """{"zone": "west"}""")
+    g1.patchResource(a1, Map("zone" -> "south"), nowS = 1420113600L)
+    assert(g1.deleteResources("zone = 'west'") === 1L)
+    // resource-type ALTER backfills both frames
+    g1.patchResourceType("vm",
+      add = Seq((AttrSpec("tier", AttrType.Str(16)), Some("std"))))
+    g1.createMetric("d1", "dur2")
+    g1.createMetric("d2", "dur2")
+    g1.setMetrics(Seq(("d1", a1, "cpu"), ("d2", a2, "cpu"))
+      .toDF("metric_id", "resource_id", "name"))
+    g1.replaceResourceMetrics(a2, Map.empty) // detach-all
+    g1.deleteMetric("d2")
+
+    val g2 = new Graft(s, root)
+    val rows = g2.searchResources("id like '%'")
+      .orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("id")).toSeq === Seq(a1, a2).sorted)
+    val zoneById = rows.map(r =>
+      r.getAs[String]("id") -> r.getAs[String]("zone")).toMap
+    assert(zoneById === Map(a1 -> "south", a2 -> "east"))
+    assert(rows.map(_.getAs[String]("tier")).toSeq === Seq("std", "std"))
+    // the pre-patch revision survived into history
+    val hist = g2.resourceHistory(a1).collect()
+    assert(hist.exists(r => r.getAs[String]("zone") == "east"))
+    assert(g2.resourceType("vm").attrs.map(_.name).contains("tier"))
+    assert(!g2.hasMetric("d2"))
+    assert(g2.hasMetric("d1"))
+    assert(g2.metricsForResources(Seq(a1, a2)) ===
+      Map(a1 -> Seq(("cpu", "d1"))))
+  }
+
+  test("explicit persistCatalog snapshots bulk-registered frames even " +
+      "with no subsequent journaled mutation") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.setResources(Seq(("x1", "east"), ("x2", "west")).toDF("id", "zone"))
+    g1.persistCatalog()
+    val g2 = new Graft(s, root)
+    assert(g2.searchResources("zone = 'east'").collect()
+      .map(_.getAs[String]("id")).toSeq === Seq("x1"))
+  }
+
+  test("a fresh root stays write-free until the first catalog mutation") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot
+    val g = new Graft(s, root)
+    g.setResources(Seq(("y1", "east")).toDF("id", "zone"))
+    g.searchResources("zone = 'east'").collect()
+    // read-only workloads (bench query setup) must not pay catalog IO
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_catalog", "MANIFEST")))
+  }
+}

@@ -2329,4 +2329,223 @@ class RestSpec extends SparkSpec {
       assert(vals === List(6.0)) // one 60 s bucket, mean(4, 8)
     } finally server.stop()
   }
+
+  test("grouped /v1/aggregates with NO granularity plans PER GROUP: " +
+      "heterogeneous archive policies across groups each evaluate at " +
+      "their own common set (rest/aggregates/api.py:649-672)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "polA", "definition": [{"granularity": "3600"},
+          {"granularity": "300"}], "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "polB", "definition": [{"granularity": "3600"},
+          {"granularity": "60"}], "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "mA", "archive_policy_name": "polA"}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "mB", "archive_policy_name": "polB"}""")
+    api.dispatch("POST", "/v1/metric/mA/measures", body =
+      """[{"timestamp": "2015-01-01T12:00:30Z", "value": 2.0},
+          {"timestamp": "2015-01-01T12:03:10Z", "value": 4.0}]""")
+    api.dispatch("POST", "/v1/metric/mB/measures", body =
+      """[{"timestamp": "2015-01-01T12:00:20Z", "value": 10.0},
+          {"timestamp": "2015-01-01T12:01:10Z", "value": 20.0}]""")
+    g.process()
+    g.setResources(Seq(("r1", "east"), ("r2", "west")).toDF("id", "zone"))
+    g.setMetrics(Seq(("mA", "r1", "cpu"), ("mB", "r2", "cpu"))
+      .toDF("metric_id", "resource_id", "name"))
+    val resp = api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": "(aggregate mean (metric cpu mean))",
+          "search": "id like '%'",
+          "groupby": ["zone"]}""")
+    assert(resp.status === 200, s"body: ${resp.body}")
+    val arr = resp.body.asInstanceOf[JArray].arr
+    assert(arr.map(_ \ "group") === List(
+      JObject("zone" -> JString("east")), JObject("zone" -> JString("west"))))
+    def triples(i: Int): Seq[(Double, Double)] =
+      (arr(i) \ "measures" \ "measures" \ "aggregated")
+        .asInstanceOf[JArray].arr.map(_.asInstanceOf[JArray].arr)
+        .map(t => (t(1), t(2)) match {
+          case (JDouble(gr), JDouble(v)) => (gr, v)
+          case other => fail(s"bad triple tail: $other")
+        })
+    // east plans {3600, 300} (polA), west plans {3600, 60} (polB) —
+    // a single GLOBAL intersection would emit only the shared 3600
+    assert(triples(0) === Seq((3600.0, 3.0), (300.0, 3.0)))
+    assert(triples(1) === Seq((3600.0, 15.0), (60.0, 10.0), (60.0, 20.0)))
+    // disjoint policy sets: global intersection is EMPTY (the old
+    // plan threw "No granularity match"); per-group planning succeeds
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "polC", "definition": [{"granularity": "120"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "mC", "archive_policy_name": "polC"}""")
+    api.dispatch("POST", "/v1/metric/mC/measures", body =
+      """[{"timestamp": "2015-01-01T12:00:40Z", "value": 7.0}]""")
+    g.process()
+    g.setResources(Seq(("r1", "east"), ("r3", "south"))
+      .toDF("id", "zone"))
+    g.setMetrics(Seq(("mA", "r1", "cpu"), ("mC", "r3", "cpu"))
+      .toDF("metric_id", "resource_id", "name"))
+    val dj = api.dispatch("POST", "/v1/aggregates", body =
+      """{"operations": "(aggregate mean (metric cpu mean))",
+          "search": "id like '%'",
+          "groupby": ["zone"]}""")
+    assert(dj.status === 200)
+    val djArr = dj.body.asInstanceOf[JArray].arr
+    assert(djArr.map(_ \ "group") === List(
+      JObject("zone" -> JString("east")), JObject("zone" -> JString("south"))))
+  }
+
+  test("batch measure doors enforce the fixed-format-per-list contract " +
+      "(utils.to_timestamps:86-123, gabbits/metric-timestamp-format.yaml)") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "bm1", "archive_policy_name": "low"}""")
+    // /v1/batch/metrics/measures: ISO list with an epoch intruder → 400
+    val mixed = api.dispatch("POST", "/v1/batch/metrics/measures", body =
+      """{"bm1": [{"timestamp": "2015-01-01T12:00:00Z", "value": 1.0},
+                  {"timestamp": "1420113600", "value": 2.0}]}""")
+    assert(mixed.status === 400)
+    assert((mixed.body \ "description").asInstanceOf[JString].s
+      .contains("mixed timestamp formats"))
+    // nothing staged by the rejected batch
+    assert(api.dispatch("GET", "/v1/status")
+      .body \ "storage" \ "summary" \ "measures" === JInt(0))
+    // a uniform list lands
+    assert(api.dispatch("POST", "/v1/batch/metrics/measures", body =
+      """{"bm1": [{"timestamp": "2015-01-01T12:00:00Z", "value": 1.0},
+                  {"timestamp": "2015-01-01T12:00:30Z", "value": 3.0}]}""")
+      .status === 202)
+    // batch/resources door (Graft.batchAddMeasures): same contract
+    val g = api.dispatch("POST", "/v1/batch/resources/metrics/measures",
+      query = Map("create_metrics" -> "true"), body =
+      """{"rX": {"cpu": {"archive_policy_name": "low", "measures":
+           [{"timestamp": "2015-01-01T12:00:00Z", "value": 1.0},
+            {"timestamp": 1420113600, "value": 2.0}]}}}""")
+    assert(g.status === 400)
+    assert((g.body \ "description").asInstanceOf[JString].s
+      .contains("mixed timestamp formats"))
+    // relative-timespan list: accepted, and anchored on ONE now
+    assert(api.dispatch("POST", "/v1/batch/metrics/measures", body =
+      """{"bm1": [{"timestamp": "-5 minutes", "value": 5.0},
+                  {"timestamp": "-1 minute", "value": 7.0}]}""")
+      .status === 202)
+    // mixing relative with ISO in one list → 400
+    assert(api.dispatch("POST", "/v1/batch/metrics/measures", body =
+      """{"bm1": [{"timestamp": "-5 minutes", "value": 5.0},
+                  {"timestamp": "2015-01-01T12:00:00Z", "value": 7.0}]}""")
+      .status === 400)
+  }
+
+  test("relative start/stop params resolve against ONE request now " +
+      "(utils.py:80-84)") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/metric",
+      body = """{"id": "rn1", "archive_policy_name": "low"}""")
+    // anchor: 2015-01-01T12:10:00Z
+    val anchor = java.time.Instant.parse("2015-01-01T12:10:00Z")
+      .toEpochMilli
+    api.withRequestNow(anchor) {
+      // relative ingest stamps anchor on the pinned now
+      assert(api.dispatch("POST", "/v1/metric/rn1/measures", body =
+        """[{"timestamp": "-10 minutes", "value": 1.0},
+            {"timestamp": "-4 minutes", "value": 3.0}]""").status === 202)
+    }
+    // window [-7 min, -1 min] of the SAME anchor contains only the
+    // -4 min point; with two different nows the boundary could drift
+    val got = api.withRequestNow(anchor) {
+      api.dispatch("GET", "/v1/metric/rn1/measures",
+        query = Map("refresh" -> "true",
+          "start" -> "-7 minutes", "stop" -> "-1 minute"))
+    }
+    assert(got.status === 200)
+    val vals = got.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(t), _, JDouble(v))) => (t, v)
+      case other => fail(s"bad triple: $other")
+    }
+    assert(vals === List(("2015-01-01T12:06:00Z", 3.0)))
+  }
+
+  test("legacy aggregation: a null cross-metric cell is an absent " +
+      "point, not 0.0; a metric under several groups labels each group " +
+      "with its OWN attr tuple") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    for (m <- Seq("n1", "n2"))
+      api.dispatch("POST", "/v1/metric",
+        body = s"""{"id": "$m", "archive_policy_name": "low"}""")
+    // both metrics NaN at 12:00, real values at 12:01 → the 12:00
+    // cross-metric mean is null (all-NaN) and must NOT surface as 0.0
+    g.addMeasures("n1", Seq(("2015-01-01 12:00:30", Double.NaN),
+      ("2015-01-01 12:01:30", 1.0)))
+    g.addMeasures("n2", Seq(("2015-01-01 12:00:40", Double.NaN),
+      ("2015-01-01 12:01:40", 3.0)))
+    g.process()
+    // fill=null keeps the all-NaN bucket as NaN (numpy nanmean of
+    // all-NaN) — and NEVER as 0.0
+    val resp = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "n1,n2", "granularity" -> "60",
+        "fill" -> "null"))
+    assert(resp.status === 200)
+    val vals = resp.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(t), _, JDouble(v))) => (t, v)
+      case other => fail(s"bad triple: $other")
+    }
+    assert(vals.map(_._1) ===
+      List("2015-01-01T12:00:00Z", "2015-01-01T12:01:00Z"))
+    assert(vals(0)._2.isNaN)
+    assert(vals(1)._2 === 2.0)
+    // fill=dropna drops the NaN position from the OUTPUT
+    // (processor.py:237-244) — absent, not 0.0
+    val dn = api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "n1,n2", "granularity" -> "60",
+        "fill" -> "dropna"))
+    assert(dn.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(t), _, JDouble(v))) => (t, v)
+      case other => fail(s"bad triple: $other")
+    } === List(("2015-01-01T12:01:00Z", 2.0)))
+
+    // one metric attached under TWO groupby tuples: each group's rows
+    // carry only its own tuple (the old metric_id join cross-producted)
+    g.setResources(Seq(("r1", "east"), ("r2", "west")).toDF("id", "zone"))
+    g.setMetrics(Seq(("n1", "r1", "cpu"), ("n1", "r2", "cpu"))
+      .toDF("metric_id", "resource_id", "name"))
+    val grouped = api.dispatch("POST",
+      "/v1/aggregation/resource/generic/metric/cpu",
+      query = Map("granularity" -> "60", "groupby" -> "zone"))
+    assert(grouped.status === 200)
+    val arr = grouped.body.asInstanceOf[JArray].arr
+    assert(arr.map(_ \ "group") === List(
+      JObject("zone" -> JString("east")), JObject("zone" -> JString("west"))))
+    // single-metric groups short-circuit to the raw read (NaN bucket
+    // included): each group sees n1's series exactly ONCE (the
+    // cross-product duplicated it)
+    for (i <- 0 to 1) {
+      val ms = (arr(i) \ "measures").asInstanceOf[JArray].arr.map {
+        case JArray(List(JString(t), _, JDouble(v))) => (t, v)
+        case other => fail(s"bad triple: $other")
+      }
+      assert(ms.map(_._1) ===
+        List("2015-01-01T12:00:00Z", "2015-01-01T12:01:00Z"))
+      assert(ms(0)._2.isNaN)
+      assert(ms(1)._2 === 1.0)
+    }
+  }
 }
