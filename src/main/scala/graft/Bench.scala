@@ -58,7 +58,24 @@ object Bench {
     * Hand-rolled extraction (flat `"name": seconds` maps under
     * "standard"/"scale") — no JSON lib on the classpath by design.
     */
+  /** Adjudicated per-row ISOLATED floors (seconds). Some rows measure
+    * very differently warm-in-sequence vs fresh-context: st1's drain is
+    * ~6 s with a warm page cache mid-sweep but ~10 s fresh (r8 paired
+    * isolated runs; r12 StreamProfile breakdown: the cost is
+    * store.addMeasures inside foreachBatch plus one-time codegen on the
+    * prep, NOT staging IO or checkpoint fsyncs). A min-of-runs baseline
+    * merge keeps whichever context happened to be warm, so the
+    * self-check cried wolf every round the gate recorded the fresh
+    * number. Flooring the LOADED baseline here makes the comparison
+    * like-with-like regardless of how the committed file was merged.
+    */
+  private val isolatedFloorSec: Map[String, Double] =
+    Map("st1_streaming_ingest" -> 10.1)
+
   private def loadBaseline(path: String): (Map[String, Double], Map[String, Double]) = {
+    def floored(m: Map[String, Double]): Map[String, Double] =
+      m.map { case (k, v) =>
+        k -> isolatedFloorSec.get(k).map(math.max(v, _)).getOrElse(v) }
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
@@ -73,7 +90,7 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       }
-      (section("standard"), section("scale"))
+      (floored(section("standard")), floored(section("scale")))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] no baseline at $path (${e.getMessage}); " +
         "self-check uses structural thresholds only")
@@ -568,6 +585,12 @@ object Bench {
     //  * inv_runtime_ratio — worst of dd6/es1/sd1 t(32x)/t(1x); must
     //    sit inside a linear envelope (<= 40x, or 10 s absolute) —
     //    a quadratic blow-up reads ~1000x here.
+    //  * inv_skew_* — the same bucket-cap / candidate-volume / runtime
+    //    claims on a ZIPF-SKEWED 32x corpus (~20% of rows rewritten to
+    //    ONE text: a dominant duplicate group = a hot LSH band), for
+    //    dd2 stats, dd6 clustering, and the lm1 bigram LM. Uniform
+    //    amplification can't catch a collapse or cap that only breaks
+    //    under boilerplate.
     val invariants: Seq[(String, Double)] =
       if (scaleF <= 1 || !selected("scale_invariants")) Nil
       else {
@@ -591,10 +614,12 @@ object Bench {
         System.err.println(s"[bench] invariants: lsh stats 1x=$s1 ${scaleF}x=$sN")
         def t(name: String)(f: => DataFrame): Double =
           measure(name, () => noop(f))
+        val dd6base = math.max(t("inv_dd6_1x")(graft.llm.Dedup.fuzzyClusters(
+          docs(sfDir), n = 3, numHashes = 64, bands = 16, threshold = 0.4)),
+          0.25)
         val dd6r = t("inv_dd6_32x")(graft.llm.Dedup.fuzzyClusters(
-            docs(scaleDir), n = 3, numHashes = 64, bands = 16, threshold = 0.4)) /
-          math.max(t("inv_dd6_1x")(graft.llm.Dedup.fuzzyClusters(
-            docs(sfDir), n = 3, numHashes = 64, bands = 16, threshold = 0.4)), 0.25)
+          docs(scaleDir), n = 3, numHashes = 64, bands = 16,
+          threshold = 0.4)) / dd6base
         val es1r = t("inv_es1_32x")(graft.llm.Dedup.removeRepeatedSpans(
             docs(scaleDir), w = 5)) /
           math.max(t("inv_es1_1x")(graft.llm.Dedup.removeRepeatedSpans(
@@ -606,6 +631,33 @@ object Bench {
         val runtimeRatio = Seq(dd6r, es1r, sd1r).max
         val candRatio =
           sN.candidatePairs.toDouble / math.max(s1.candidatePairs, 1L)
+        // ---- Zipf-skew variants: uniform amplification can't catch a
+        // collapse or bucket cap that only breaks under BOILERPLATE —
+        // one dominant duplicate group / hot LSH band. Rewrite ~20% of
+        // the 32x corpus (distinct doc ids) to ONE text: collapse-first
+        // must keep raw buckets under the cap and candidate volume near
+        // the unskewed 1x point, and the dd2-shaped clustering + the
+        // collapse-weighted bigram LM must stay inside the same linear
+        // runtime envelope. Runs BEFORE the spill read below, so
+        // inv_spill_bytes covers the skew arms too.
+        def skewed(df: DataFrame): DataFrame = {
+          val hot = broadcast(df.orderBy(col("doc_id")).limit(1)
+            .select(col("text").as("__hot")))
+          df.crossJoin(hot).withColumn("text",
+              when(pmod(xxhash64(col("doc_id")), lit(5)) === 0, col("__hot"))
+                .otherwise(col("text")))
+            .drop("__hot")
+        }
+        val sk = graft.llm.DedupDiag.lshCandidateStats(skewed(docs(scaleDir)))
+        System.err.println(s"[bench] invariants: lsh stats skew${scaleF}x=$sk")
+        val dd6skr = t("inv_skew_dd6_32x")(graft.llm.Dedup.fuzzyClusters(
+          skewed(docs(scaleDir)), n = 3, numHashes = 64, bands = 16,
+          threshold = 0.4)) / dd6base
+        val lm1base = math.max(t("inv_lm1_1x")(
+          graft.llm.TextAnalysis.perplexity(docs(sfDir))), 0.25)
+        val lm1skr = t("inv_skew_lm1_32x")(graft.llm.TextAnalysis.perplexity(
+          skewed(docs(scaleDir)))) / lm1base
+        val skewRuntimeRatio = Seq(dd6skr, lm1skr).max
         // the listener bus is ASYNC: late task-end events could read as
         // spill=0 (a false pass). No public drain API — poll until the
         // counter is stable across two 250 ms windows (bounded 5 s)
@@ -617,6 +669,8 @@ object Bench {
           val now = spilled.get()
           if (now == last) stableFor += 1 else { stableFor = 0; last = now }
         }
+        val skewCandRatio =
+          sk.candidatePairs.toDouble / math.max(s1.candidatePairs, 1L)
         Seq(
           "inv_dd2_max_raw_bucket" ->
             (if (sN.maxRawBucket <= 100000L) sN.maxRawBucket.toDouble else 1e9),
@@ -625,7 +679,14 @@ object Bench {
           "inv_spill_bytes" ->
             (if (spilled.get() == 0L) 0.0 else 1e9),
           "inv_runtime_ratio" ->
-            (if (runtimeRatio <= 40.0) runtimeRatio else 1e9))
+            (if (runtimeRatio <= 40.0) runtimeRatio else 1e9),
+          // skew section: same four claims under one dominant dup group
+          "inv_skew_max_raw_bucket" ->
+            (if (sk.maxRawBucket <= 100000L) sk.maxRawBucket.toDouble else 1e9),
+          "inv_skew_candidate_ratio" ->
+            (if (skewCandRatio <= 4.0) skewCandRatio else 1e9),
+          "inv_skew_runtime_ratio" ->
+            (if (skewRuntimeRatio <= 40.0) skewRuntimeRatio else 1e9))
       }
     val invariantsOk = invariants.nonEmpty && invariants.forall(_._2 < 1e9)
     invariants.foreach { case (k, v) =>
