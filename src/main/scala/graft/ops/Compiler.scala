@@ -127,6 +127,20 @@ object Compiler {
     agg match {
       case "sum"   => coalesce(sum(v).over(w), lit(0.0))
       case "count" => count(v).over(w).cast("double")
+      // Spark's median rejects window frames
+      // (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC — fuzz-found, r12):
+      // collect the frame's non-null values and interpolate exactly.
+      // Rolling windows are small by construction (the reference
+      // strides a bounded window over the series), so the per-row list
+      // is a few elements.
+      case "median" =>
+        val arr = sort_array(collect_list(v).over(w)) // nulls excluded
+        val n = size(arr)
+        def at(i: Column) = element_at(arr, i.cast("int"))
+        when(n === 0, lit(Double.NaN))
+          .when(pmod(n, lit(2)) === 1, at((n + lit(1)) / lit(2)))
+          .otherwise(
+            (at(n / lit(2)) + at(n / lit(2) + lit(1))) / lit(2.0))
       case other   => coalesce(acrossAgg(other, v).over(w), lit(Double.NaN))
     }
   }
@@ -148,8 +162,12 @@ object Compiler {
     case "var" => throw new IllegalArgumentException(
       "var is not available in resample (RESAMPLE_AVAILABLE_AGG_MAP)")
     case "std"    => stddev_samp(v) // carbonara sample std, not AGG_MAP's pop
-    case "last"   => max_by(v, origBucket)
-    case "first"  => min_by(v, origBucket)
+    // first/last are over the series' PRESENT points — an absent grid
+    // cell is not a point, so a null value must not win on bucket order
+    // (fuzz-found, r12: max_by returned the null at the latest bucket).
+    // Nulling the KEY drops the row from min_by/max_by consideration.
+    case "last"   => max_by(v, when(v.isNotNull, origBucket))
+    case "first"  => min_by(v, when(v.isNotNull, origBucket))
     case PctRe(n) => percentile(v, lit(n.toInt / 100.0))
     case other    => acrossAgg(other, v)
   }
@@ -193,8 +211,13 @@ object Compiler {
     // numpy.mod (operations.py:84-85) is FLOOR mod — the result takes
     // the DIVISOR's sign; Spark's % is truncated mod (dividend's sign),
     // diverging for mixed-sign operands. mod-by-zero keeps numpy's NaN.
+    // The null guard mirrors div's: an ABSENT cell must stay absent
+    // even against a zero divisor (the bare when(r===0, NaN) fired for
+    // null dividends and manufactured a NaN out of a gap).
     case "mod" =>
-      when(r === 0, lit(Double.NaN)).otherwise(l - floor(l / r) * r)
+      when(l.isNull || r.isNull, lit(null).cast("double"))
+        .when(r === 0, lit(Double.NaN))
+        .otherwise(l - floor(l / r) * r)
     case "pow" => pow(l, r)
     // the reference's binary max is numpy.fmax (operations.py:105) —
     // NaN-IGNORING: fmax(2, nan) = 2. Spark's greatest orders NaN above
@@ -209,9 +232,20 @@ object Compiler {
     // NaN cell to the bound instead
     // …and a missing cell stays missing: greatest/least SKIP nulls, so
     // without the guard clip(absent) would manufacture the bound out
-    // of a gap (numpy: clip(nan)=nan → skipped by every nan-agg)
-    case "clip_min" => when(l.isNull || isnan(l), l).otherwise(greatest(l, r))
-    case "clip_max" => when(l.isNull || isnan(l), l).otherwise(least(l, r))
+    // of a gap (numpy: clip(nan)=nan → skipped by every nan-agg).
+    // A NaN BOUND also poisons (numpy clip(2, nan, None) = nan —
+    // fuzz-found, r12: least(l, NaN) kept l because NaN sorts greatest),
+    // and an absent bound cell propagates absence like every binary op.
+    case "clip_min" =>
+      when(l.isNull || isnan(l), l)
+        .when(r.isNull, lit(null).cast("double"))
+        .when(isnan(r), r)
+        .otherwise(greatest(l, r))
+    case "clip_max" =>
+      when(l.isNull || isnan(l), l)
+        .when(r.isNull, lit(null).cast("double"))
+        .when(isnan(r), r)
+        .otherwise(least(l, r))
   }
 
   /** Ternary clip, NaN-propagating like numpy.clip (a NaN cell stays
@@ -228,8 +262,10 @@ object Compiler {
     case "cos"   => cos(c)
     case "sin"   => sin(c)
     case "tan"   => tan(c)
-    case "floor" => floor(c).cast("double")
-    case "ceil"  => ceil(c).cast("double")
+    // Spark's floor/ceil(double) return LONG, and the cast turns a NaN
+    // cell into 0 — numpy floor/ceil(nan) = nan (fuzz-found, r12)
+    case "floor" => when(isnan(c), c).otherwise(floor(c).cast("double"))
+    case "ceil"  => when(isnan(c), c).otherwise(ceil(c).cast("double"))
   }
 
   /** Key columns of a grid: grouping dims + the bucket timestamp. */
