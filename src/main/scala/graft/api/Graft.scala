@@ -114,6 +114,15 @@ class Graft(val spark: SparkSession, root: String) {
   private def flushDirtyFrames(): Unit =
     if (!replayingCatalog && framesDirty) persistCatalog()
 
+  /** Clean shutdown: snapshot any pending frame registrations and
+    * release the journal stream. The journal itself is already durable
+    * per event, so skipping close() loses nothing but the last dirty
+    * set* frames. */
+  def close(): Unit = {
+    if (framesDirty) persistCatalog()
+    catalogStore.close()
+  }
+
   /** Cut a full catalog snapshot (maps + frames) and rotate the
     * journal — the explicit flush point for clean shutdown; also called
     * automatically before a journaled event when a bulk frame
@@ -139,6 +148,17 @@ class Graft(val spark: SparkSession, root: String) {
       "resources" -> resources,
       "metrics_catalog" -> metricsCatalog,
       "resource_history" -> resourceHistoryTbl))
+    // re-point the frames at the NEW generation: the superseded
+    // generation's files were just deleted, so a frame LOADED from it
+    // would throw FileNotFound on its next action. Also cuts any
+    // mutation-chain lineage (the snapshot is the localCheckpoint's
+    // durable twin).
+    resources = resources.flatMap(_ =>
+      catalogStore.currentFrame("resources"))
+    metricsCatalog = metricsCatalog.flatMap(_ =>
+      catalogStore.currentFrame("metrics_catalog"))
+    resourceHistoryTbl = resourceHistoryTbl.flatMap(_ =>
+      catalogStore.currentFrame("resource_history"))
     framesDirty = false
     journaledEvents = 0
   }
@@ -1407,6 +1427,40 @@ class Graft(val spark: SparkSession, root: String) {
     // mark dirty so the next journaled mutation (or explicit
     // persistCatalog) cuts a snapshot capturing it first
     framesDirty = true
+  }
+
+  /** Whether a resource catalog frame is registered — wire doors
+    * (influx/prometheus) auto-create resources only when one is. */
+  def hasResourceTable: Boolean = resources.isDefined
+
+  /** Register catalog attachment rows for EXISTING metrics — the wire
+    * doors' get_or_create_resource_and_metrics residue
+    * (rest/api.py:398-458): influx/prometheus writes auto-create
+    * `<resource>/<name>` metrics and must surface them as the
+    * resource's NAMED metrics. Already-attached (resource, name) pairs
+    * skip. Rows are wire-body bounded.
+    */
+  def attachExistingMetrics(rows: Seq[(String, String, String)]): Unit =
+      catalogLock.synchronized {
+    flushDirtyFrames()
+    if (rows.isEmpty) return
+    import spark.implicits._
+    val rids = rows.map(_._2).distinct
+    val existing: Set[(String, String)] = metricsCatalog.map(
+        _.filter(col("resource_id").isin(rids: _*))
+          .select("resource_id", "name").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet)
+      .getOrElse(Set.empty)
+    val fresh = rows.distinct.filterNot(r => existing((r._2, r._3)))
+    if (fresh.isEmpty) return
+    val df = fresh.toDF("metric_id", "resource_id", "name")
+    metricsCatalog = Some(metricsCatalog
+      .map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df))
+    noteCatalogMutation()
+    journal(jevt("metric_attach", "rows" -> org.json4s.JArray(
+      fresh.toList.map { case (mid, rid, name) =>
+        org.json4s.JArray(List(org.json4s.JString(mid),
+          org.json4s.JString(rid), org.json4s.JString(name))) })))
   }
 
   def searchResources(filterStr: String): DataFrame =

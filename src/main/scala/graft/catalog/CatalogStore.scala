@@ -34,6 +34,12 @@ import org.json4s.jackson.JsonMethods
   *
   * Read path: load `gen_N` maps + frames, then replay `journal_N`
   * through the same facade mutators (with journaling suppressed).
+  *
+  * Single-writer by contract, like the reference's one-indexer
+  * deployment: concurrent facades on one root would interleave journal
+  * segments written under different loaded states. Multi-writer
+  * atomicity belongs to the MEASURE plane (MetricStore.withStoreLock),
+  * not the catalog.
   */
 class CatalogStore(spark: SparkSession, root: String) {
 
@@ -177,6 +183,20 @@ class CatalogStore(spark: SparkSession, root: String) {
     fs.rename(tmp, mf)
   }
 
+  /** Frame of the CURRENT generation (valid right after [[snapshot]]) —
+    * callers re-point their in-memory frames here, because the
+    * superseded generation's files are deleted and a plan still reading
+    * them would throw FileNotFound on its next action.
+    */
+  def currentFrame(name: String): Option[DataFrame] =
+      journalLock.synchronized {
+    if (gen < 0) None
+    else {
+      val p = s"$dir/gen_$gen/$name"
+      if (fs.exists(path(p))) Some(spark.read.parquet(p)) else None
+    }
+  }
+
   def close(): Unit = journalLock.synchronized {
     journalOut.foreach(_.close())
     journalOut = None
@@ -270,8 +290,9 @@ object CatalogJson {
 
   def attrToJson(a: AttrSpec): JValue = {
     val t: JValue = a.tpe match {
-      case AttrType.Str(max) =>
-        JObject(List("kind" -> JString("str"), "max" -> JLong(max.toLong)))
+      case AttrType.Str(max, min) =>
+        JObject(List("kind" -> JString("str"), "max" -> JLong(max.toLong),
+          "min" -> JLong(min.toLong)))
       case AttrType.Uuid     => JObject(List("kind" -> JString("uuid")))
       case AttrType.Datetime => JObject(List("kind" -> JString("datetime")))
       case AttrType.Num(mn, mx) => JObject(List(
@@ -291,7 +312,8 @@ object CatalogJson {
   def attrFromJson(v: JValue): AttrSpec = {
     val t = v \ "type"
     val tpe: AttrType = (t \ "kind").asInstanceOf[JString].s match {
-      case "str"      => AttrType.Str(longOf(t \ "max").toInt)
+      case "str"      => AttrType.Str(longOf(t \ "max").toInt,
+        optLong(t \ "min").map(_.toInt).getOrElse(0))
       case "uuid"     => AttrType.Uuid
       case "datetime" => AttrType.Datetime
       case "num"      => AttrType.Num(

@@ -15,7 +15,8 @@ object ResourceTypes {
   sealed trait AttrType { def dataType: DataType }
   object AttrType {
     /** max_length bound enforced by validate() (resource_type.py:131-150) */
-    final case class Str(maxLength: Int = 255) extends AttrType {
+    final case class Str(maxLength: Int = 255,
+                         minLength: Int = 0) extends AttrType {
       val dataType: DataType = StringType
     }
     case object Uuid extends AttrType { val dataType: DataType = StringType }
@@ -104,7 +105,8 @@ object ResourceTypes {
       val checks: Seq[org.apache.spark.sql.Column] = attrs.flatMap { a =>
         val c = col(a.name)
         val bounds = a.tpe match {
-          case AttrType.Str(maxLen) => Seq(length(c) <= maxLen)
+          case AttrType.Str(maxLen, minLen) =>
+            Seq(length(c) <= maxLen, length(c) >= minLen)
           case AttrType.Num(mn, mx) =>
             mn.map(v => c >= v).toSeq ++ mx.map(v => c <= v).toSeq
           case AttrType.Uuid => Seq(c.rlike(

@@ -48,7 +48,7 @@ object RestApi {
     graft.api.JsonCodec.render(v)
 }
 
-class RestApi(g: Graft, requireAuth: Boolean = false) {
+class RestApi(val g: Graft, requireAuth: Boolean = false) {
 
   private def ok(b: JValue) = Response(200, b)
   private def created(b: JValue) = Response(201, b)
@@ -355,13 +355,41 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     import graft.catalog.ResourceTypes.AttrType._
     def numOpt(k: String): Option[Double] =
       spec \ k match { case JNothing => None; case v => Some(jnum(v)) }
-    jstr(spec \ "type") match {
-      case "string"   => Str((spec \ "max_length" match {
-        case JNothing => 255; case v => jnum(v).toInt
-      }))
+    // the reference's ResourceTypeSchema is a CLOSED voluptuous schema
+    // per type (resource_type.py) — unknown keys and inverted bounds
+    // are 400s (gabbits/resource-type.yaml "bad string" /
+    // "bad min_length value" / "bad min value")
+    val tpe = jstr(spec \ "type")
+    val allowed: Set[String] = Set("type", "required", "options") ++ (tpe match {
+      case "string" => Set("max_length", "min_length")
+      case "number" => Set("min", "max")
+      case _        => Set.empty[String]
+    })
+    spec match {
+      case JObject(fields) =>
+        for (k <- fields.map(_._1).find(!allowed(_)))
+          throw new IllegalArgumentException(
+            s"extra keys not allowed @ attribute spec: $k")
+      case _ => ()
+    }
+    tpe match {
+      case "string" =>
+        val maxL = spec \ "max_length" match {
+          case JNothing => 255; case v => jnum(v).toInt
+        }
+        val minL = spec \ "min_length" match {
+          case JNothing => 0; case v => jnum(v).toInt
+        }
+        require(minL <= maxL,
+          s"min_length ($minL) greater than max_length ($maxL)")
+        Str(maxL, minL)
       case "uuid"     => Uuid
       case "datetime" => Datetime
-      case "number"   => Num(numOpt("min"), numOpt("max"))
+      case "number"   =>
+        val (mn, mx) = (numOpt("min"), numOpt("max"))
+        for (a <- mn; b <- mx) require(a <= b,
+          s"min ($a) greater than max ($b)")
+        Num(mn, mx)
       case "bool"     => Bool
       case other => throw new IllegalArgumentException(s"unknown attr type $other")
     }
@@ -372,8 +400,8 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     import graft.catalog.ResourceTypes.AttrType._
     ("name" -> rt.name) ~ ("attributes" -> JObject(rt.attrs.toList.map { a =>
       val base: List[(String, JValue)] = a.tpe match {
-        case Str(ml)    => List("type" -> JString("string"),
-          "max_length" -> JInt(ml))
+        case Str(ml, mn) => List("type" -> JString("string"),
+          "max_length" -> JInt(ml), "min_length" -> JInt(mn))
         case Uuid       => List("type" -> JString("uuid"))
         case Datetime   => List("type" -> JString("datetime"))
         case Num(mn, mx) => List[(String, JValue)]("type" -> JString("number")) ++
@@ -749,6 +777,46 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
     ids.filterNot(g.hasMetric).foreach(g.createMetric(_))
     g.batchAddMeasures(parsed)
   }
+
+  /** The wire doors' get_or_create_resource_and_metrics resource side
+    * (rest/api.py:398-458 via influxdb.py:229-240 / the prometheus
+    * controller): ensure each wire resource exists with the route's
+    * type — an existing SAME-type row passes, a different-type one is
+    * the reference's 409 — creating missing ones (uuid5 id,
+    * original_resource_id, creator). No-op without a registered
+    * resource catalog (the facade's metric-only mode). Returns the 409
+    * to short-circuit with, if any. `pairs` are wire-body bounded.
+    */
+  private def wireResources(resourceIds: Seq[String], tpe: String,
+      creator: Option[String],
+      attrsOf: String => JValue = _ => JObject(Nil)): Option[Response] = {
+    if (!g.hasResourceTable) return None
+    for (rv <- resourceIds.distinct) {
+      val tid = graft.catalog.ResourceUuid.transform(rv, creator)
+      val rows = g.searchResources(
+        graft.catalog.Filter.Cmp("=", "id", tid)).limit(1).collect()
+      rows.headOption match {
+        case Some(row) if row.schema.fieldNames.contains("type") &&
+            Option(row.getAs[String]("type")).exists(_ != tpe) =>
+          return Some(Response(409, JObject(List(
+            "cause" -> JString("Resource already exists"),
+            "detail" -> JString(tid)))))
+        case Some(_) => ()
+        case None => g.createResource(tpe, rv,
+          RestApi.renderJson(attrsOf(rv)), creator)
+      }
+    }
+    None
+  }
+
+  /** Register the wire write's metrics as the resource's NAMED metrics
+    * (the other half of get_or_create_resource_and_metrics). */
+  private def wireAttach(pairs: Seq[(String, String)],
+                         creator: Option[String]): Unit =
+    if (g.hasResourceTable)
+      g.attachExistingMetrics(pairs.map { case (rv, name) =>
+        (s"$rv/$name", graft.catalog.ResourceUuid.transform(rv, creator),
+          name) })
 
   private def route(method: String, segs: List[String],
                     q: Map[String, String], body: () => JValue,
@@ -1866,12 +1934,22 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
             "cause" -> JString("Value error"),
             "detail" -> JString("key"),
             "reason" -> JString(s"Unable to find key `$rtag' in tags")))
+        // get_or_create resources of the db's type + named-metric
+        // attachments (influxdb.py:229-240; ?db= defaults "influxdb");
+        // the wire body is request-bounded, so the pair collect is O(body)
+        val influxPairs = parsed.select(col("resource_id"), col("metric"))
+          .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+          .toSeq
+        val db = q.getOrElse("db", "influxdb")
+        for (conflict <- wireResources(influxPairs.map(_._1), db, creator))
+          return conflict
         stageWire(parsed
           .select(
             concat(col("resource_id"), lit("/"), col("metric")).as("metric_id"),
             coalesce(timestamp_micros((col("ts_ns") / 1000).cast("long")),
               current_timestamp()).as("timestamp"),
             col("value")))
+        wireAttach(influxPairs, creator)
         noContent
 
       // Prometheus remote-write (rest/api.py:2337-2371): snappy-framed
@@ -1881,10 +1959,29 @@ class RestApi(g: Graft, requireAuth: Boolean = false) {
         import s.implicits._
         import org.apache.spark.sql.functions._
         val bodies = Seq(raw).toDF("body")
-        stageWire(graft.ingest.RemoteWrite.remoteWriteToMeasures(bodies)
+        val promMeasures =
+          graft.ingest.RemoteWrite.remoteWriteToMeasures(bodies)
+        // get_or_create "prometheus"-typed resources carrying the
+        // job/instance attributes split back out of "job@instance"
+        // (rest/api.py:2319-2361) + named-metric attachments
+        val promPairs = promMeasures.select(col("resource_id"), col("metric"))
+          .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+          .toSeq
+        for (conflict <- wireResources(promPairs.map(_._1), "prometheus",
+            creator, attrsOf = rv => {
+              val Array(job, instance) = rv.split("@", 2) match {
+                case a if a.length == 2 => a
+                case a => Array(a(0), "none")
+              }
+              JObject(List("job" -> JString(job),
+                "instance" -> JString(instance)))
+            }))
+          return conflict
+        stageWire(promMeasures
           .select(
             concat(col("resource_id"), lit("/"), col("metric")).as("metric_id"),
             col("timestamp"), col("value")))
+        wireAttach(promPairs, creator)
         accepted
 
       // a wrong METHOD on a known collection route is 405, not 404

@@ -11,8 +11,35 @@ import org.json4s.JNothing
   * Zero extra dependencies: `com.sun.net.httpserver` ships with the
   * JDK. Start with `serve()`; returns the bound port (pass 0 to pick a
   * free one).
+  *
+  * Deployment shell matching the reference's app wrapping
+  * (rest/app.py:186 wraps the app in oslo CORS middleware; the
+  * auth_mode selects the auth_helper):
+  *  - `allowedOrigins`: CORS origins ("*" wildcards). Empty = CORS off
+  *    (oslo's default until allowed_origin is configured). A preflight
+  *    OPTIONS from an allowed origin answers 200 with the reference's
+  *    allow-headers set (opts.py:250-257); allowed simple requests
+  *    carry Access-Control-Allow-Origin on the response.
+  *  - `authMode`: "basic" (Authorization user, identification-only —
+  *    auth_helper.BasicAuthHelper), "remoteuser" (the proxy's
+  *    X-Remote-User — RemoteUserAuthHelper's request.remote_user), or
+  *    "keystone" (X-User-Id/X-Project-Id → "user:project" —
+  *    KeystoneAuthHelper.get_current_user).
   */
-class RestServer(api: RestApi) {
+class RestServer(api: RestApi,
+                 allowedOrigins: Seq[String] = Nil,
+                 authMode: String = "basic") {
+
+  require(Set("basic", "remoteuser", "keystone").contains(authMode),
+    s"unknown auth mode: $authMode")
+
+  // the reference's CORS allow-headers defaults (opts.py set_defaults)
+  private val corsAllowHeaders = Seq("Authorization", "X-Auth-Token",
+    "X-Subject-Token", "X-User-Id", "X-Domain-Id", "X-Project-Id",
+    "X-Roles", "Content-Type").mkString(",")
+
+  private def originAllowed(o: String): Boolean =
+    allowedOrigins.contains("*") || allowedOrigins.contains(o)
 
   @volatile private var server: Option[HttpServer] = None
   @volatile private var statsd: Option[graft.ingest.StatsdServer] = None
@@ -49,6 +76,28 @@ class RestServer(api: RestApi) {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        // CORS preflight (rest/app.py:186 oslo middleware): an OPTIONS
+        // with Origin + Access-Control-Request-Method never reaches the
+        // app; an allowed origin gets the allow-* header set, a
+        // disallowed one a bare 200 with no CORS headers (oslo's
+        // posture — not an error)
+        val origin = Option(ex.getRequestHeaders.getFirst("Origin"))
+        val preflightMethod = Option(
+          ex.getRequestHeaders.getFirst("Access-Control-Request-Method"))
+        if (ex.getRequestMethod == "OPTIONS" && origin.isDefined &&
+            preflightMethod.isDefined) {
+          ex.getRequestBody.readAllBytes()
+          if (origin.exists(originAllowed)) {
+            val h = ex.getResponseHeaders
+            h.add("Access-Control-Allow-Origin", origin.get)
+            h.add("Access-Control-Allow-Methods", preflightMethod.get)
+            h.add("Access-Control-Allow-Headers", corsAllowHeaders)
+            h.add("Vary", "Origin")
+          }
+          ex.sendResponseHeaders(200, -1)
+          ex.close()
+          return
+        }
         val resp =
           try {
             val body = ex.getRequestBody.readAllBytes()
@@ -66,18 +115,28 @@ class RestServer(api: RestApi) {
               }.groupBy(_._1).view
                 .mapValues(_.map(_._2).mkString(",")).toMap)
               .getOrElse(Map.empty[String, String])
-            // basic-auth user → the dispatcher's creator (the
-            // reference's auth_helper surface; password unchecked —
-            // identification, not authentication, as gnocchi's own
-            // `basic` mode)
-            val creator = Option(ex.getRequestHeaders.getFirst("Authorization"))
-              .map(_.trim).filter(_.toLowerCase.startsWith("basic "))
-              .flatMap { h =>
-                try Some(new String(
-                  java.util.Base64.getDecoder.decode(h.substring(6).trim),
-                  StandardCharsets.UTF_8).split(":", 2)(0))
-                catch { case _: IllegalArgumentException => None }
-              }.filter(_.nonEmpty)
+            // auth_helper seam → the dispatcher's creator: the mode
+            // picks where the identity comes from (identification, not
+            // authentication — as gnocchi's own `basic` mode)
+            val creator: Option[String] = authMode match {
+              case "basic" =>
+                Option(ex.getRequestHeaders.getFirst("Authorization"))
+                  .map(_.trim).filter(_.toLowerCase.startsWith("basic "))
+                  .flatMap { h =>
+                    try Some(new String(
+                      java.util.Base64.getDecoder.decode(h.substring(6).trim),
+                      StandardCharsets.UTF_8).split(":", 2)(0))
+                    catch { case _: IllegalArgumentException => None }
+                  }.filter(_.nonEmpty)
+              case "remoteuser" => // the proxy's REMOTE_USER
+                Option(ex.getRequestHeaders.getFirst("X-Remote-User"))
+                  .filter(_.nonEmpty)
+              case "keystone" => // "user:project" (auth_helper.py:31-35)
+                val u = Option(ex.getRequestHeaders.getFirst("X-User-Id"))
+                val p = Option(ex.getRequestHeaders.getFirst("X-Project-Id"))
+                if (u.isEmpty && p.isEmpty) None
+                else Some(u.getOrElse("") + ":" + p.getOrElse(""))
+            }
             // raw path: the dispatcher decodes per-segment, so ids with
             // an encoded slash survive routing
             // first value per header name — the routes that read
@@ -103,6 +162,11 @@ class RestServer(api: RestApi) {
         if (bytes.nonEmpty)
           ex.getResponseHeaders.add("Content-Type", "application/json")
         resp.headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+        // allowed simple cross-origin requests carry the allow header
+        if (origin.exists(originAllowed)) {
+          ex.getResponseHeaders.add("Access-Control-Allow-Origin", origin.get)
+          ex.getResponseHeaders.add("Vary", "Origin")
+        }
         ex.sendResponseHeaders(resp.status,
           if (bytes.isEmpty) -1 else bytes.length.toLong)
         if (bytes.nonEmpty) ex.getResponseBody.write(bytes)

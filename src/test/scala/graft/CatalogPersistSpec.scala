@@ -131,6 +131,24 @@ class CatalogPersistSpec extends SparkSpec {
       .map(_.getAs[String]("id")).toSeq === Seq("x1"))
   }
 
+  test("a reloaded catalog survives its own NEXT snapshot: frames " +
+      "re-point to the new generation before the old one is deleted") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.setResources(Seq(("z1", "east")).toDF("id", "zone"))
+    g1.persistCatalog() // gen 1
+    val g2 = new Graft(s, root) // resources ← gen_1 parquet
+    assert(g2.searchResources("zone = 'east'").count() === 1L)
+    g2.persistCatalog() // gen 2 — deletes gen_1's files
+    // without the re-point this threw FileNotFound (stale gen_1 plan)
+    assert(g2.searchResources("zone = 'east'").count() === 1L)
+    // and a third lifetime still loads cleanly
+    val g3 = new Graft(s, root)
+    assert(g3.searchResources("zone = 'east'").count() === 1L)
+  }
+
   test("a fresh root stays write-free until the first catalog mutation") {
     val s = spark
     import s.implicits._

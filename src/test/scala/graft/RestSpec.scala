@@ -2330,6 +2330,189 @@ class RestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("resource-type attribute schema is CLOSED: extra keys, inverted " +
+      "min_length/max_length and min/max bounds are 400s; min_length " +
+      "round-trips (gabbits/resource-type.yaml)") {
+    val api = newApi
+    // extra key in an attribute spec
+    assert(api.dispatch("POST", "/v1/resource_type", body =
+      """{"name": "rt1", "attributes": {"foo": {"type": "string",
+          "max_length": 32, "min_length": 5, "noexist": "foo"}}}""")
+      .status === 400)
+    // min_length > max_length
+    assert(api.dispatch("POST", "/v1/resource_type", body =
+      """{"name": "rt1", "attributes": {"name": {"type": "string",
+          "required": true, "max_length": 2, "min_length": 5}}}""")
+      .status === 400)
+    // min > max on number
+    assert(api.dispatch("POST", "/v1/resource_type", body =
+      """{"name": "rt1", "attributes": {"int": {"type": "number",
+          "required": false, "max": 3, "min": 8}}}""")
+      .status === 400)
+    // nothing half-created by the rejected bodies
+    assert(api.dispatch("GET", "/v1/resource_type/rt1").status === 404)
+    // a valid min_length lands and reads back
+    val ok = api.dispatch("POST", "/v1/resource_type", body =
+      """{"name": "rt1", "attributes": {"name": {"type": "string",
+          "required": true, "max_length": 64, "min_length": 2}}}""")
+    assert(ok.status === 201)
+    val got = api.dispatch("GET", "/v1/resource_type/rt1")
+    assert(got.body \ "attributes" \ "name" \ "min_length" === JInt(2))
+    assert(got.body \ "attributes" \ "name" \ "max_length" === JInt(64))
+  }
+
+  test("influx write get-or-creates typed resources with named-metric " +
+      "attachments; type conflict is the 409 " +
+      "(gabbits/influxdb.yaml, rest/api.py:398-458)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g)
+    // a registered catalog with the reference's builtin columns
+    g.setResources(
+      Seq.empty[(String, String, String, String)]
+        .toDF("id", "type", "creator", "original_resource_id"))
+    api.dispatch("POST", "/v1/influxdb/query",
+      query = Map("q" -> "create database influxdbtest"))
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "3600"}],
+          "aggregation_methods": ["mean"]}""")
+    api.dispatch("POST", "/v1/archive_policy_rule", body =
+      """{"name": "all", "metric_pattern": "*",
+          "archive_policy_name": "low"}""")
+    val w = api.dispatch("POST", "/v1/influxdb/write",
+      query = Map("db" -> "influxdbtest"),
+      body = "mymetric,host=foobar,mytag=myvalue field=123 " +
+        "1510581804179554816",
+      creator = Some("admin"))
+    assert(w.status === 204)
+    // the resource landed: uuid5 id, original id, creator, db type
+    // (gabbits/influxdb.yaml "check resource created")
+    val rid = graft.catalog.ResourceUuid.transform("foobar", Some("admin"))
+    assert(rid === "b4d568e4-7af1-5aec-ac3f-9c09fa3685a9") // the gabbi id
+    val row = g.searchResources(s"id = '$rid'").collect().head
+    assert(row.getAs[String]("type") === "influxdbtest")
+    assert(row.getAs[String]("original_resource_id") === "foobar")
+    assert(row.getAs[String]("creator") === "admin")
+    // the metric is attached by NAME and readable via the resource
+    // route (gabbi "check measures processed")
+    val got = api.dispatch("GET",
+      s"/v1/resource/influxdbtest/foobar/metric/" +
+        "mymetric.field@mytag=myvalue/measures",
+      query = Map("refresh" -> "true"), creator = Some("admin"))
+    assert(got.status === 200)
+    assert(got.body.asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(t), JDouble(gr), JDouble(v))) => (t, gr, v)
+      case other => fail(s"bad triple: $other")
+    } === List(("2017-11-13T14:00:00Z", 3600.0, 123.0)))
+    // re-write: same resource passes (no duplicate), measures stage
+    assert(api.dispatch("POST", "/v1/influxdb/write",
+      query = Map("db" -> "influxdbtest"),
+      body = "mymetric,host=foobar field=1 1510581805179554816",
+      creator = Some("admin")).status === 204)
+    assert(g.searchResources(s"id = '$rid'").count() === 1L)
+    // an existing resource of a DIFFERENT type is the reference's 409
+    // with the transformed id as detail
+    api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "conflict"}""", creator = Some("admin"))
+    val cf = api.dispatch("POST", "/v1/influxdb/write",
+      query = Map("db" -> "influxdbtest"),
+      body = "mymetric,host=conflict field=1 1510581804179554816",
+      creator = Some("admin"))
+    assert(cf.status === 409)
+    assert(cf.body \ "cause" === JString("Resource already exists"))
+    assert(cf.body \ "detail" === JString(
+      graft.catalog.ResourceUuid.transform("conflict", Some("admin"))))
+  }
+
+  test("CORS preflight + auth-mode seam on the server shell " +
+      "(rest/app.py:186, auth_helper.py)") {
+    val api = newApi
+    api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "low", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""")
+    val server = new graft.rest.RestServer(api,
+      allowedOrigins = Seq("http://grafana.local"), authMode = "keystone")
+    val port = server.serve(0)
+    // raw socket: HttpURLConnection strips restricted headers (Origin)
+    def http(method: String, path: String,
+             headers: Map[String, String] = Map.empty,
+             body: String = ""): (Int, Map[String, String], String) = {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val bodyBytes = body.getBytes("UTF-8")
+        val head = new StringBuilder(s"$method $path HTTP/1.1\r\n")
+          .append(s"Host: 127.0.0.1:$port\r\n")
+          .append("Connection: close\r\n")
+        headers.foreach { case (k, v) => head.append(s"$k: $v\r\n") }
+        head.append(s"Content-Length: ${bodyBytes.length}\r\n\r\n")
+        sock.getOutputStream.write(head.toString.getBytes("UTF-8"))
+        sock.getOutputStream.write(bodyBytes)
+        sock.getOutputStream.flush()
+        val raw = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        val Array(hdrPart, bodyPart) = raw.split("\r\n\r\n", 2) match {
+          case a if a.length == 2 => a
+          case a => Array(a(0), "")
+        }
+        val lines = hdrPart.split("\r\n")
+        val code = lines(0).split(" ")(1).toInt
+        // the JDK server normalizes header case — key on lowercase
+        val hs = lines.drop(1).flatMap(_.split(":", 2) match {
+          case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
+          case _ => None
+        }).toMap
+        (code, hs, bodyPart)
+      } finally sock.close()
+    }
+    try {
+      // preflight from the allowed origin: allow-* headers
+      val (pc, ph, _) = http("OPTIONS", "/v1/metric", Map(
+        "Origin" -> "http://grafana.local",
+        "Access-Control-Request-Method" -> "POST"))
+      assert(pc === 200)
+      assert(ph.get("access-control-allow-origin") ===
+        Some("http://grafana.local"))
+      assert(ph.get("access-control-allow-methods") === Some("POST"))
+      assert(ph("access-control-allow-headers").contains("X-User-Id"))
+      // preflight from a DISALLOWED origin: bare 200, no CORS headers
+      val (dc, dh, _) = http("OPTIONS", "/v1/metric", Map(
+        "Origin" -> "http://evil.example",
+        "Access-Control-Request-Method" -> "POST"))
+      assert(dc === 200)
+      assert(!dh.contains("access-control-allow-origin"))
+      // simple request from the allowed origin carries the allow header
+      val (sc, sh, _) = http("GET", "/v1/status",
+        Map("Origin" -> "http://grafana.local"))
+      assert(sc === 200)
+      assert(sh.get("access-control-allow-origin") ===
+        Some("http://grafana.local"))
+      // keystone auth mode: X-User-Id/X-Project-Id → "user:project"
+      // creator recorded on the created metric
+      val (mc, _, _) = http("POST", "/v1/metric",
+        Map("Content-Type" -> "application/json",
+          "X-User-Id" -> "u1", "X-Project-Id" -> "p1"),
+        """{"id": "km1", "archive_policy_name": "low"}""")
+      assert(mc === 201)
+      assert(api.g.metricCreatorOf("km1") === Some("u1:p1"))
+    } finally server.stop()
+    // remoteuser mode reads the proxy's X-Remote-User
+    val server2 = new graft.rest.RestServer(api, authMode = "remoteuser")
+    val port2 = server2.serve(0)
+    try {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port2/v1/metric")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("X-Remote-User", "ops")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"id": "rm1", "archive_policy_name": "low"}""".getBytes("UTF-8"))
+      assert(conn.getResponseCode === 201)
+      conn.disconnect()
+      assert(api.g.metricCreatorOf("rm1") === Some("ops"))
+    } finally server2.stop()
+  }
+
   test("grouped /v1/aggregates with NO granularity plans PER GROUP: " +
       "heterogeneous archive policies across groups each evaluate at " +
       "their own common set (rest/aggregates/api.py:649-672)") {
