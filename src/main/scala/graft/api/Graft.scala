@@ -1147,7 +1147,17 @@ class Graft(val spark: SparkSession, root: String) {
       .map(r => (groupby.map(a => r.getAs[Any](a)), r.getString(0)))
     if (rows.isEmpty) throw new GraftError.NotFound(
       s"Metrics not found: ${pats.sorted.mkString(", ")}")
-    rows.groupBy(_._1).toSeq.map { case (k, rs) =>
+    val byGroup = rows.groupBy(_._1)
+    // same fan-out guard as the legacy door: per-group planning is the
+    // reference's own per-group loop, but a high-cardinality groupby
+    // must fail loudly instead of silently owning the driver
+    val maxGroups = spark.conf
+      .get("spark.graft.aggregation.maxGroups", "10000").toInt
+    GraftError.valid(byGroup.size <= maxGroups,
+      s"groupby resolves ${byGroup.size} groups, above the " +
+        s"spark.graft.aggregation.maxGroups cap ($maxGroups) — group on " +
+        "a lower-cardinality attribute or raise the cap")
+    byGroup.toSeq.map { case (k, rs) =>
       k -> commonGranularities(rs.map(_._2).distinct)
     }
   }
@@ -2286,11 +2296,25 @@ class Graft(val spark: SparkSession, root: String) {
     // granularity only over the groups whose OWN common set contains it
     // ([[commonGranularitiesByGroup]]) — a metric of an excluded group
     // may not store this granularity at all, and must not 404 the
-    // requireAgg check below
+    // requireAgg check below. Restriction is a BROADCAST null-safe
+    // semi-join on the attr tuple: an OR-of-AND predicate would grow
+    // one term per group and blow up analysis at fleet group counts.
     val res = onlyGroups match {
       case None => searchResources(filterStr)
       case Some(keys) =>
-        searchResources(filterStr).filter(groupKeysPred(groupby, keys))
+        val res0 = searchResources(filterStr)
+        if (keys.isEmpty) res0.limit(0)
+        else {
+          val schema = org.apache.spark.sql.types.StructType(
+            groupby.map(a => res0.schema(a)))
+          val keyRows: java.util.List[org.apache.spark.sql.Row] =
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              keys.map(k => org.apache.spark.sql.Row.fromSeq(k))).asJava
+          val keyDf = spark.createDataFrame(keyRows, schema)
+          res0.join(broadcast(keyDf),
+            groupby.map(a => res0(a) <=> keyDf(a)).reduce(_ && _),
+            "left_semi")
+        }
     }
     // expand each distinct ref once: glob-match the catalog, label with
     // the resource's group attrs, one pruned store scan per policy
@@ -2320,15 +2344,6 @@ class Graft(val spark: SparkSession, root: String) {
       case out => outputDrop(out, Seq("value"), fill)
     }
   }
-
-  /** Membership predicate for a driver-bounded set of groupby-attribute
-    * tuples (null-safe: `<=>` matches null attribute values). */
-  private def groupKeysPred(groupby: Seq[String],
-      keys: Seq[Seq[Any]]): Column =
-    keys.map(k => groupby.zip(k).map { case (a, v) =>
-      col(a) <=> lit(v)
-    }.reduceOption(_ && _).getOrElse(lit(true)))
-      .reduceOption(_ || _).getOrElse(lit(false))
 
   @volatile private var resourceHistoryTbl: Option[DataFrame] = None
 

@@ -149,6 +149,32 @@ class CatalogPersistSpec extends SparkSpec {
     assert(g3.searchResources("zone = 'east'").count() === 1L)
   }
 
+  test("journal rotation: past the rotation bound a snapshot cuts " +
+      "automatically and the reload replays snapshot + tail journal") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("rot", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    // 300 metric creates cross the 256-event rotation bound
+    for (i <- 1 to 300) g1.createMetric(s"rot-$i", "rot")
+    // the rotation cut a generation > 0
+    val cat = java.nio.file.Paths.get(root, "_catalog")
+    val gens = java.nio.file.Files.list(cat).iterator()
+    var sawLaterGen = false
+    while (gens.hasNext) {
+      val n = gens.next().getFileName.toString
+      if (n.startsWith("gen_") && n.stripPrefix("gen_").toInt >= 1)
+        sawLaterGen = true
+    }
+    assert(sawLaterGen, "no rotated generation found")
+    val g2 = new Graft(s, root)
+    assert(g2.listMetrics.size === 300)
+    assert(g2.hasMetric("rot-1") && g2.hasMetric("rot-300"))
+  }
+
   test("a fresh root stays write-free until the first catalog mutation") {
     val s = spark
     import s.implicits._

@@ -506,4 +506,69 @@ class PropertySpec extends SparkSpec {
       got == exp
     }, n = 20)
   }
+
+  test("filter DSL fuzz: random trees render to the string grammar and " +
+      "parse back identical; the catalog-journal JSON codec round-trips " +
+      "too (R1/R2 + CatalogJson)") {
+    import graft.catalog.{Filter, FilterParser, CatalogJson}
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(120012L))
+    val attrs = Vector("zone", "n", "flag", "name", "started_at")
+    val strs = Vector("east", "a b", "it's", "x\\y", "中文", "a%",
+      "3fa85f64-5717-4562-b3fc-2c963f66afa6", "")
+    val ops = Vector("=", "<", ">", "<=", ">=", "!=")
+    def genVal(): Any = rnd.nextInt(5) match {
+      case 0 => strs(rnd.nextInt(strs.size))
+      case 1 => rnd.nextInt(2000) - 1000L
+      case 2 => (rnd.nextInt(200) - 100) / 4.0 match {
+        case d if d == d.floor => d + 0.5 // keep a '.' so it stays Double
+        case d => d
+      }
+      case 3 => rnd.nextBoolean()
+      case 4 => null
+    }
+    def genTree(depth: Int): Filter =
+      if (depth == 0) rnd.nextInt(4) match {
+        case 0 | 1 => Filter.Cmp(ops(rnd.nextInt(ops.size)),
+          attrs(rnd.nextInt(attrs.size)), genVal())
+        case 2 => Filter.In(attrs(rnd.nextInt(attrs.size)),
+          (1 to 1 + rnd.nextInt(3)).map(_ => genVal()).filter(_ != null)
+            match { case Nil => Seq("x"); case vs => vs })
+        case 3 => Filter.Like(attrs(rnd.nextInt(attrs.size)),
+          strs(rnd.nextInt(strs.size)) + "%")
+      }
+      else rnd.nextInt(4) match {
+        case 0 => Filter.And(Seq(genTree(depth - 1), genTree(depth - 1)))
+        case 1 => Filter.Or(Seq(genTree(depth - 1), genTree(depth - 1)))
+        case 2 => Filter.Not(genTree(depth - 1))
+        case 3 => genTree(0)
+      }
+    def q(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def rv(v: Any): String = v match {
+      case null => "null"
+      case s: String => q(s)
+      case b: Boolean => b.toString
+      case d: Double => d.toString // simple decimals only (no exponent)
+      case x => x.toString
+    }
+    def render(f: Filter): String = f match {
+      case Filter.Cmp(op, a, v) => s"$a $op ${rv(v)}"
+      case Filter.In(a, vs) => s"$a in [${vs.map(rv).mkString(", ")}]"
+      case Filter.Like(a, p) => s"$a like ${q(p)}"
+      case Filter.And(Seq(l, r)) => s"(${render(l)} and ${render(r)})"
+      case Filter.Or(Seq(l, r)) => s"(${render(l)} or ${render(r)})"
+      case Filter.Not(s0) => s"not (${render(s0)})"
+      case other => sys.error(s"unrenderable: $other")
+    }
+    for (k <- 1 to 300) {
+      val tree = genTree(1 + rnd.nextInt(3))
+      val s = render(tree)
+      val reparsed = FilterParser.parse(s)
+      assert(reparsed === tree, s"#$k grammar round-trip: $s")
+      // the durable-catalog journal codec must round-trip the same tree
+      val viaJson = CatalogJson.filterFromJson(CatalogJson.filterToJson(tree))
+      assert(viaJson === tree, s"#$k json round-trip: $tree")
+    }
+  }
 }
