@@ -92,18 +92,34 @@ class Graft(val spark: SparkSession, root: String) {
     org.json4s.JObject(
       ("op" -> (org.json4s.JString(op): org.json4s.JValue)) :: fields.toList)
 
+  // serializes append+rotate against explicit persists, so a rotation
+  // can never drop a journal segment out from under a concurrent
+  // append (the RestServer pool runs mutators on 8 threads). Ordering:
+  // persistLock may be taken while holding catalogLock/stagingLock
+  // (mutators journal at the end of their locked bodies); nothing
+  // holding persistLock takes those locks.
+  private val persistLock = new Object
+
   /** Append one post-mutation event. Rotation happens AFTER the append
     * (the snapshot then reflects the event's outcome and the journal
     * starts empty — replay-consistent either way). A pending dirty
     * frame must instead flush at door ENTRY ([[flushDirtyFrames]]):
     * snapshotting between a mutation and its own event would capture
     * the mutation in the snapshot AND replay it from the journal.
+    * Because mutation and append are not one atomic step, a rotation
+    * racing the gap can snapshot a mutation whose event then lands in
+    * the NEW journal — replay is DUPLICATE-TOLERANT for exactly that
+    * (at-least-once journal semantics, see the load block).
     */
   private def journal(evt: org.json4s.JValue): Unit =
-    if (!replayingCatalog) {
+    if (!replayingCatalog) persistLock.synchronized {
+      // the FIRST-ever event cuts a proper generation-0 snapshot
+      // (maps + any registered frames), so a journal-only lifetime
+      // always leaves a loadable maps.json behind
+      if (!catalogStore.initialized) persistCatalogLocked()
       catalogStore.append(evt)
       journaledEvents += 1
-      if (journaledEvents >= journalRotateEvery) persistCatalog()
+      if (journaledEvents >= journalRotateEvery) persistCatalogLocked()
     }
 
   /** Door-entry barrier: capture any non-replayable frame registration
@@ -126,9 +142,13 @@ class Graft(val spark: SparkSession, root: String) {
   /** Cut a full catalog snapshot (maps + frames) and rotate the
     * journal — the explicit flush point for clean shutdown; also called
     * automatically before a journaled event when a bulk frame
-    * registration is pending, and at the rotation bound.
+    * registration is pending, at the rotation bound, and on the first
+    * event of a fresh root.
     */
-  def persistCatalog(): Unit = if (!replayingCatalog) {
+  def persistCatalog(): Unit =
+    if (!replayingCatalog) persistLock.synchronized { persistCatalogLocked() }
+
+  private def persistCatalogLocked(): Unit = {
     import org.json4s._
     import graft.catalog.CatalogJson
     val maps = JObject(List(
@@ -496,59 +516,11 @@ class Graft(val spark: SparkSession, root: String) {
           .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap)
       .getOrElse(Map.empty)
     // The timestamp FORMAT is fixed per measure LIST by its first
-    // element (utils.to_timestamps:86-123 parses the whole list in one
-    // mode): epoch numbers, ISO/SQL strings, or relative timespans —
-    // mixing formats within one list is the reference's 400
-    // (gabbits/metric-timestamp-format.yaml). Relative stamps anchor on
-    // ONE now per request.
-    sealed trait TsMode
-    object Epoch extends TsMode; object Iso extends TsMode
-    object Rel extends TsMode
-    def modeOf(first: JValue): TsMode = first match {
-      case JString(s) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") => Epoch
-      case JString(s) =>
-        if (graft.model.Timespan.parseS(s).isDefined && !s.contains("T")) Rel
-        else Iso
-      case _ => Epoch
-    }
-    def tsOf(v: JValue, mode: TsMode): java.sql.Timestamp = {
-      val t = tsOf0(v, mode)
-      // the reference rejects pre-epoch timestamps on every measure
-      // door (utils.to_timestamps, utils.py:119-120)
-      GraftError.valid(t.getTime >= 0, "Timestamp must be after Epoch")
-      t
-    }
-    def tsOf0(v: JValue, mode: TsMode): java.sql.Timestamp = (mode, v) match {
-      case (Epoch, JString(s)) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
-        new java.sql.Timestamp((s.toDouble * 1000).toLong)
-      case (Rel, JString(s)) => graft.model.Timespan.parseS(s) match {
-        case Some(spanS) =>
-          new java.sql.Timestamp(nowMs + (spanS * 1000).toLong)
-        case None => GraftError.badInput(
-          s"mixed timestamp formats: relative batch got '$s'")
-      }
-      // bare ISO gets a Z appended — but NOT when the string already
-      // carries an offset, positive OR negative (a "+" check alone
-      // rejected valid "-05:00" timestamps). A relative or epoch-number
-      // string in an ISO batch is the mixed-format 400.
-      case (Iso, JString(s)) if graft.model.Timespan.parseS(s).isEmpty &&
-          !s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
-        java.sql.Timestamp.from(java.time.Instant.parse(
-          if (s.contains("T") && !s.endsWith("Z") &&
-              !s.matches(".*[+-][0-9]{2}:?[0-9]{2}$")) s + "Z"
-          else s))
-      case (Epoch, JInt(n))     => new java.sql.Timestamp(n.toLong * 1000)
-      case (Epoch, JLong(n))    => new java.sql.Timestamp(n * 1000)
-      case (Epoch, JDouble(n))  => new java.sql.Timestamp((n * 1000).toLong)
-      case (Epoch, JDecimal(n)) => new java.sql.Timestamp((n * 1000).toLong)
-      case (_, other) => throw new IllegalArgumentException(
-        s"mixed timestamp formats: got $other")
-    }
-    def numOf(v: JValue): Double = v match {
-      case JInt(n) => n.toDouble; case JLong(n) => n.toDouble
-      case JDouble(n) => n;       case JDecimal(n) => n.toDouble
-      case other => throw new IllegalArgumentException(s"bad value: $other")
-    }
+    // element, mixing is the 400, relative stamps anchor on ONE now
+    // per request — the shared door contract lives in
+    // [[graft.ingest.MeasureList]].
+    import graft.ingest.MeasureList
+    def numOf(v: JValue): Double = MeasureList.numOf(v)
     // PHASE 1 — parse and validate the WHOLE body with no state
     // mutation: a failure on a later entry must not leave earlier
     // metrics created but unregistered (non-atomic 400s)
@@ -581,8 +553,8 @@ class Graft(val spark: SparkSession, root: String) {
             Some(id)
           case None => unknown += ((rid, name)); None
         }
-        val listMode = measures.headOption
-          .map(m => modeOf(m \ "timestamp")).getOrElse(Epoch)
+        val listMode = MeasureList.modeOf(measures.headOption
+          .map(m => m \ "timestamp").getOrElse(JNothing))
         for (id <- metricId; m <- measures) m match {
           case JObject(f) =>
             val fm = f.toMap
@@ -592,7 +564,7 @@ class Graft(val spark: SparkSession, root: String) {
               GraftError.badInput(s"measure for $id is missing 'timestamp'"))
             val v = fm.getOrElse("value",
               GraftError.badInput(s"measure for $id is missing 'value'"))
-            staged += ((id, tsOf(ts, listMode), numOf(v)))
+            staged += ((id, MeasureList.tsOf(ts, listMode, nowMs), numOf(v)))
           case other => throw new IllegalArgumentException(s"bad measure: $other")
         }
       }
@@ -1102,19 +1074,6 @@ class Graft(val spark: SparkSession, root: String) {
   def commonGranularitiesByResource(operations: String,
                                     filterStr: String): Seq[Long] =
     commonGranularitiesScoped(operations, searchResources(filterStr))
-
-  /** [[commonGranularitiesByResource]] against the HISTORY-resolved
-    * scope — the use_history doors draw their metrics from the
-    * revision table, and a resource whose attributes have since
-    * changed must still plan its granularities. */
-  def commonGranularitiesByResourceHistory(operations: String,
-                                           filterStr: String): Seq[Long] = {
-    val pred = Filter.compile(FilterParser.parse(filterStr))
-    commonGranularitiesScoped(operations,
-      resourceHistoryTbl.getOrElse(throw new IllegalStateException(
-        "no resource history table — call setResourceHistory(df) first"))
-        .filter(pred))
-  }
 
   /** Per-GROUP granularity planning for the grouped aggregates door's
     * no-granularity form: the reference's get_measures_grouping calls
@@ -2627,35 +2586,54 @@ class Graft(val spark: SparkSession, root: String) {
   // root is a no-op; an existing catalog loads its snapshot and replays
   // the journal through the mutators (journaling suppressed).
   locally {
-    for (maps <- catalogStore.loadMaps()) {
+    if (catalogStore.loadedGen.isDefined) {
       replayingCatalog = true
       try {
         import org.json4s._
         import graft.catalog.CatalogJson
-        policies.clear()
-        (maps \ "policies").asInstanceOf[JArray].arr
-          .map(CatalogJson.policyFromJson).foreach(p => policies(p.name) = p)
-        policyRules = (maps \ "rules").asInstanceOf[JArray].arr.map {
-          case JArray(List(JString(n), JString(p), JString(a))) => (n, p, a)
-          case other => throw new IllegalStateException(s"bad rule: $other")
-        }.toVector
-        def strMap(v: JValue): Seq[(String, String)] = v match {
-          case JObject(fields) => fields.collect {
-            case (k, JString(s)) => k -> s
+        // maps.json may be absent for a generation cut implicitly by a
+        // journal-only lifetime — the journal then replays over the
+        // DEFAULT state, which is exactly what it recorded
+        for (maps <- catalogStore.loadMaps()) {
+          policies.clear()
+          (maps \ "policies").asInstanceOf[JArray].arr
+            .map(CatalogJson.policyFromJson).foreach(p => policies(p.name) = p)
+          policyRules = (maps \ "rules").asInstanceOf[JArray].arr.map {
+            case JArray(List(JString(n), JString(p), JString(a))) => (n, p, a)
+            case other => throw new IllegalStateException(s"bad rule: $other")
+          }.toVector
+          def strMap(v: JValue): Seq[(String, String)] = v match {
+            case JObject(fields) => fields.collect {
+              case (k, JString(s)) => k -> s
+            }
+            case _ => Nil
           }
-          case _ => Nil
+          metricPolicy ++= strMap(maps \ "metric_policy")
+          metricUnit ++= strMap(maps \ "metric_unit")
+          metricCreator ++= strMap(maps \ "metric_creator")
+          (maps \ "resource_types").asInstanceOf[JArray].arr
+            .map(CatalogJson.rtFromJson)
+            .foreach(rt => resourceTypes(rt.name) = rt)
         }
-        metricPolicy ++= strMap(maps \ "metric_policy")
-        metricUnit ++= strMap(maps \ "metric_unit")
-        metricCreator ++= strMap(maps \ "metric_creator")
-        (maps \ "resource_types").asInstanceOf[JArray].arr
-          .map(CatalogJson.rtFromJson)
-          .foreach(rt => resourceTypes(rt.name) = rt)
         resources = catalogStore.loadFrame("resources")
         metricsCatalog = catalogStore.loadFrame("metrics_catalog")
         resourceHistoryTbl = catalogStore.loadFrame("resource_history")
         val events = catalogStore.journalEvents()
-        events.foreach(replayEvent)
+        events.foreach { ev =>
+          // at-least-once journal: a rotation racing the tiny gap
+          // between a mutation and its own append can leave the event
+          // in BOTH the snapshot and the new journal — a duplicate
+          // CREATE then replays as a 409, which is a skip, not
+          // corruption (every other event class is naturally
+          // idempotent: patch re-applies as a same-value no-op,
+          // deletes of the absent are handled by their doors)
+          try replayEvent(ev)
+          catch {
+            case e: graft.api.GraftError.Conflict =>
+              System.err.println(
+                s"[catalog] skipping duplicate journal event: ${e.getMessage}")
+          }
+        }
         journaledEvents = events.size
       } finally replayingCatalog = false
     }

@@ -49,17 +49,22 @@ class CatalogStore(spark: SparkSession, root: String) {
   // 512-byte chunks until close — a flushed journal line would not be
   // on disk, defeating the durability contract. Raw local flush()es
   // straight through. (HDFS-style filesystems are not checksum-wrapped
-  // and pass through unchanged.)
-  private val fs = {
-    val f = org.apache.hadoop.fs.FileSystem.newInstance(
-      new java.net.URI(dir match {
-        case d if d.contains("://") => d
-        case d => s"file:$d"
-      }), spark.sparkContext.hadoopConfiguration)
-    f match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case other => other
-    }
+  // and pass through unchanged.) Resolved via Path.getFileSystem so a
+  // SCHEMELESS root lands on the same default filesystem Spark's
+  // df.write/spark.read use for the frame snapshots — pinning "file:"
+  // here would split the manifest/journal plane from the parquet plane
+  // on any cluster whose fs.defaultFS is not file://.
+  private val fsOuter = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+    // getFileSystem returns the CACHED shared instance; newInstance a
+    // private one so unwrapping checksums can't affect other users
+    case shared =>
+      org.apache.hadoop.fs.FileSystem.newInstance(
+        shared.getUri, spark.sparkContext.hadoopConfiguration)
+  }
+  private val fs = fsOuter match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
   }
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
@@ -67,28 +72,65 @@ class CatalogStore(spark: SparkSession, root: String) {
   private var gen: Int = -1
   private var journalOut: Option[java.io.OutputStream] = None
 
-  /** Generation found on disk at construction, None for a fresh root. */
+  /** Generation found on disk at construction, None for a fresh root.
+    * When the MANIFEST is missing but generation snapshots exist (a
+    * crash in the manifest's delete→rename window), recovery picks the
+    * HIGHEST generation carrying a maps.json — a later snapshot always
+    * subsumes everything before it, so the newest complete one is the
+    * correct restore point.
+    */
   val loadedGen: Option[Int] = {
     val mf = path(s"$dir/MANIFEST")
-    if (fs.exists(mf)) {
-      val in = fs.open(mf)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      JsonMethods.parse(txt) \ "gen" match {
-        case JInt(n)  => gen = n.toInt; Some(n.toInt)
-        case JLong(n) => gen = n.toInt; Some(n.toInt)
-        case _        => None
+    val fromManifest: Option[Int] =
+      if (!fs.exists(mf)) None
+      else {
+        val in = fs.open(mf)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        JsonMethods.parse(txt) \ "gen" match {
+          case JInt(n)  => Some(n.toInt)
+          case JLong(n) => Some(n.toInt)
+          case _        => None
+        }
       }
-    } else None
+    val resolved = fromManifest.orElse {
+      if (!fs.exists(path(dir))) None
+      else {
+        val gens = fs.listStatus(path(dir)).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("gen_") =>
+            n.stripPrefix("gen_").toIntOption }
+          .flatten
+          .filter(g => fs.exists(path(s"$dir/gen_$g/maps.json")))
+        val best = gens.maxOption
+        best.foreach { g =>
+          System.err.println(s"[catalog] no MANIFEST under $dir — " +
+            s"recovered generation $g from the snapshot scan")
+          writeManifest(g)
+        }
+        best
+      }
+    }
+    resolved.foreach(gen = _)
+    resolved
   }
 
-  /** maps.json of the loaded generation. */
-  def loadMaps(): Option[JValue] = loadedGen.map { g =>
+  /** Whether any on-disk catalog state exists yet. */
+  def initialized: Boolean = gen >= 0
+
+  /** maps.json of the loaded generation — None when the generation was
+    * cut implicitly (journal-only lifetimes before the first snapshot
+    * wrote no maps.json); the caller then replays the journal over the
+    * DEFAULT state, which is exactly what such a journal contains. */
+  def loadMaps(): Option[JValue] = loadedGen.flatMap { g =>
     val p = path(s"$dir/gen_$g/maps.json")
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    JsonMethods.parse(txt)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(JsonMethods.parse(txt))
+    }
   }
 
   /** A frame snapshot of the loaded generation, if it was registered. */
@@ -105,16 +147,28 @@ class CatalogStore(spark: SparkSession, root: String) {
     if (k == 0) s"$dir/journal_$g.jsonl" else s"$dir/journal_${g}_$k.jsonl")
 
   /** The loaded generation's journal events, in append order across
-    * all segments. */
+    * all segments. A TORN FINAL line (the process died mid-write of an
+    * event — the raw write is not atomic) is dropped with a warning
+    * instead of bricking every subsequent open; a malformed line
+    * anywhere else is real corruption and still throws.
+    */
   def journalEvents(): Seq[JValue] = loadedGen.toSeq.flatMap { g =>
-    Iterator.from(0).map(segPath(g, _)).takeWhile(fs.exists)
+    val lines = Iterator.from(0).map(segPath(g, _)).takeWhile(fs.exists)
       .flatMap { p =>
         val in = fs.open(p)
         val txt = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8) finally in.close()
         txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-          .map(JsonMethods.parse(_))
-      }.toSeq
+      }.toVector
+    lines.zipWithIndex.flatMap { case (line, i) =>
+      try Some(JsonMethods.parse(line))
+      catch {
+        case e: Throwable if i == lines.size - 1 =>
+          System.err.println(s"[catalog] dropping torn journal tail " +
+            s"(${line.length} bytes): ${e.getMessage}")
+          None
+      }
+    }
   }
 
   /** Append one event to the current generation's journal (flushed, so
@@ -179,8 +233,12 @@ class CatalogStore(spark: SparkSession, root: String) {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
     val mf = path(s"$dir/MANIFEST")
+    // Hadoop rename won't overwrite, so the delete→rename pair has a
+    // manifest-less crash window — the loadedGen snapshot-scan recovery
+    // covers it; the rename RESULT is still checked so a silent
+    // filesystem refusal can't strand the tmp file as the only copy
     fs.delete(mf, false)
-    fs.rename(tmp, mf)
+    require(fs.rename(tmp, mf), s"could not publish $mf")
   }
 
   /** Frame of the CURRENT generation (valid right after [[snapshot]]) —
@@ -200,6 +258,9 @@ class CatalogStore(spark: SparkSession, root: String) {
   def close(): Unit = journalLock.synchronized {
     journalOut.foreach(_.close())
     journalOut = None
+    // newInstance bypasses the Hadoop FS cache, so this instance is
+    // ours to close (leaked sockets/threads on HDFS-style filesystems)
+    try fsOuter.close() catch { case _: Throwable => () }
   }
 }
 

@@ -110,48 +110,9 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
     * (gabbits/metric-timestamp-format.yaml). Relative stamps anchor on
     * the per-request now.
     */
-  private def parseMeasureList(arr: List[JValue]): Seq[(String, Double)] = {
-    sealed trait TsMode
-    object Epoch extends TsMode; object Iso extends TsMode
-    object Rel extends TsMode
-    val mode: TsMode = arr.headOption.map(_ \ "timestamp") match {
-      case Some(JString(s)) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
-        Epoch
-      case Some(JString(s)) =>
-        if (parseTimespanS(s).isDefined && !s.contains("T")) Rel else Iso
-      case _ => Epoch
-    }
-    arr.map { m =>
-      val ts = (mode, m \ "timestamp") match {
-        case (Epoch, JString(s)) if s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
-          new java.sql.Timestamp((s.toDouble * 1000).toLong)
-        case (Epoch, JString(s)) => throw new IllegalArgumentException(
-          s"mixed timestamp formats: epoch batch got '$s'")
-        case (Epoch, n) => new java.sql.Timestamp((jnum(n) * 1000).toLong)
-        case (Rel, JString(s)) => parseTimespanS(s) match {
-          case Some(spanS) =>
-            new java.sql.Timestamp(nowMs + (spanS * 1000).toLong)
-          case None => throw new IllegalArgumentException(
-            s"mixed timestamp formats: relative batch got '$s'")
-        }
-        // any absolute string form (ISO or SQL-style) — a relative or
-        // epoch-number one in an ISO batch is the mixed-format 400 (the
-        // reference's datetime64 parse of an epoch string lands in a
-        // nonsense far-future year and never ingests cleanly)
-        case (Iso, JString(s)) if parseTimespanS(s).isEmpty &&
-            !s.matches("^-?[0-9]+(\\.[0-9]+)?$") =>
-          parseTs(s)
-        case (_, other) => throw new IllegalArgumentException(
-          s"mixed timestamp formats: got $other")
-      }
-      // pre-epoch timestamps reject on every measure door
-      // (utils.to_timestamps, utils.py:119-120;
-      // gabbits/metric.yaml "before epoch")
-      if (ts.getTime < 0) throw new IllegalArgumentException(
-        "Timestamp must be after Epoch")
-      (ts.toString, jnum(m \ "value"))
-    }
-  }
+  private def parseMeasureList(arr: List[JValue]): Seq[(String, Double)] =
+    graft.ingest.MeasureList.parse(arr, nowMs)
+      .map { case (t, v) => (t.toString, v) }
 
   /** `granularity`/`resample` query params carry the reference's
     * utils.to_timespan surface (utils.py:138-150): plain seconds (int
@@ -791,21 +752,26 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
       creator: Option[String],
       attrsOf: String => JValue = _ => JObject(Nil)): Option[Response] = {
     if (!g.hasResourceTable) return None
-    for (rv <- resourceIds.distinct) {
-      val tid = graft.catalog.ResourceUuid.transform(rv, creator)
-      val rows = g.searchResources(
-        graft.catalog.Filter.Cmp("=", "id", tid)).limit(1).collect()
-      rows.headOption match {
-        case Some(row) if row.schema.fieldNames.contains("type") &&
-            Option(row.getAs[String]("type")).exists(_ != tpe) =>
-          return Some(Response(409, JObject(List(
-            "cause" -> JString("Resource already exists"),
-            "detail" -> JString(tid)))))
-        case Some(_) => ()
-        case None => g.createResource(tpe, rv,
-          RestApi.renderJson(attrsOf(rv)), creator)
-      }
-    }
+    val byTid = resourceIds.distinct.map(rv =>
+      graft.catalog.ResourceUuid.transform(rv, creator) -> rv).toMap
+    // ONE catalog scan resolves every existing wire resource (steady
+    // state: zero per-id jobs on the highest-frequency ingest door);
+    // only first-contact resources pay a create each, matching the
+    // reference's per-resource indexer insert
+    val existing = g.searchResources(
+        graft.catalog.Filter.In("id", byTid.keys.toSeq))
+      .collect().map { row =>
+        row.getAs[String]("id") ->
+          (if (row.schema.fieldNames.contains("type"))
+             Option(row.getAs[String]("type"))
+           else None)
+      }.toMap
+    for ((tid, rtype) <- existing if rtype.exists(_ != tpe))
+      return Some(Response(409, JObject(List(
+        "cause" -> JString("Resource already exists"),
+        "detail" -> JString(tid)))))
+    for ((tid, rv) <- byTid if !existing.contains(tid))
+      g.createResource(tpe, rv, RestApi.renderJson(attrsOf(rv)), creator)
     None
   }
 

@@ -175,6 +175,56 @@ class CatalogPersistSpec extends SparkSpec {
     assert(g2.hasMetric("rot-1") && g2.hasMetric("rot-300"))
   }
 
+  test("journal-only lifetime restarts cleanly: the first event cuts a " +
+      "loadable generation-0 snapshot (no frames ever registered)") {
+    val s = spark
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("j0", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g1.createMetric("jm1", "j0")
+    // metric-only mode: no setResources, no persistCatalog, < rotation
+    val g2 = new Graft(s, root)
+    assert(g2.hasMetric("jm1"))
+    assert(g2.metricPolicyName("jm1") === "j0")
+  }
+
+  test("a torn journal tail (crash mid-write) drops with a warning; " +
+      "a missing MANIFEST recovers from the snapshot scan") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("tt", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g1.createMetric("t1", "tt")
+    g1.createMetric("t2", "tt")
+    // simulate a kill -9 mid-append: a partial JSON line at the tail
+    val seg = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "_catalog")).iterator()
+    var journal: Option[java.nio.file.Path] = None
+    while (seg.hasNext) {
+      val p = seg.next()
+      if (p.getFileName.toString.startsWith("journal_")) journal = Some(p)
+    }
+    java.nio.file.Files.write(journal.get,
+      """{"op":"metric_cre""".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val g2 = new Graft(s, root) // must not throw
+    assert(g2.hasMetric("t1") && g2.hasMetric("t2"))
+    // manifest loss (crash in the delete→rename window): recovery
+    // scans for the newest complete generation
+    g2.setResources(Seq(("m1r", "east")).toDF("id", "zone"))
+    g2.persistCatalog()
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_catalog", "MANIFEST"))
+    val g3 = new Graft(s, root)
+    assert(g3.hasMetric("t1"))
+    assert(g3.searchResources("zone = 'east'").count() === 1L)
+  }
+
   test("a fresh root stays write-free until the first catalog mutation") {
     val s = spark
     import s.implicits._
