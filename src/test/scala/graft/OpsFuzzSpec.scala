@@ -385,4 +385,102 @@ class OpsFuzzSpec extends SparkSpec {
       s"${failures.size} divergences (seed $seed):\n" +
         failures.reverse.take(5).mkString("\n"))
   }
+
+  test("grouped-door fuzz: the long-format GroupedOps evaluator == the " +
+      "grid Compiler on the same stored series (60 random aggregated " +
+      "trees through the full facade)") {
+    val s = spark
+    import s.implicits._
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(120012L)
+    val rnd = new scala.util.Random(seed + 1)
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-gfuzz").toString)
+    g.createPolicy(graft.model.ArchivePolicy("gf", 0,
+      Seq(graft.model.ArchivePolicyItem(
+        graft.model.Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g.createMetric("gm1", "gf"); g.createMetric("gm2", "gf")
+    // the SAME gappy/NaN fixture as the compiler fuzz (raw==mean at one
+    // point per bucket)
+    def pts(cells: Vector[Option[Double]]): Seq[(String, Double)] =
+      bucketsS.zipWithIndex.flatMap { case (b, i) =>
+        cells(i).map(v =>
+          (new java.sql.Timestamp(b * 1000).toString, v))
+      }
+    g.addMeasures("gm1", pts(m1))
+    g.addMeasures("gm2", pts(m2))
+    g.process()
+    // ONE group holding both series under one metric NAME: the grouped
+    // leaf (metric load mean) expands to exactly the multi-ref leaf
+    // (metric (gm1 mean) (gm2 mean)) of the ungrouped door
+    g.setResources(Seq(("gr1", "z")).toDF("id", "zone"))
+    g.setMetrics(Seq(("gm1", "gr1", "load"), ("gm2", "gr1", "load"))
+      .toDF("metric_id", "resource_id", "name"))
+    val aggs = Vector("mean", "sum", "min", "max", "count", "std")
+    def genEw(depth: Int): Node =
+      if (depth == 0) MetricLeaf(Seq(("load", "mean")))
+      else rnd.nextInt(3) match {
+        case 0 => Bin(Parser.binOps(
+          Vector("add", "mul", "div", "clip_min")(rnd.nextInt(4))),
+          genEw(depth - 1), Num(nums(rnd.nextInt(nums.size))))
+        case 1 => Un(unOpsGen(rnd.nextInt(unOpsGen.size)), genEw(depth - 1))
+        case 2 => genEw(0)
+      }
+    def genAgg(): Node = AggAcross(aggs(rnd.nextInt(aggs.size)),
+      genEw(rnd.nextInt(2)))
+    def genTop(depth: Int): Node =
+      if (depth == 0) genAgg()
+      else rnd.nextInt(6) match {
+        case 0 => Bin(Parser.binOps(
+          Vector("add", "sub", "mul", "div")(rnd.nextInt(4))),
+          genTop(depth - 1), genTop(0))
+        case 1 => Un(unOpsGen(rnd.nextInt(unOpsGen.size)), genTop(depth - 1))
+        case 2 => Rolling(aggs(rnd.nextInt(aggs.size)),
+          1 + rnd.nextInt(3), genTop(depth - 1))
+        case 3 => RateOfChange(rnd.nextBoolean(), genTop(depth - 1))
+        case 4 => Resample("mean", graft.model.Granularity.seconds(120),
+          genTop(depth - 1))
+        case 5 => genAgg()
+      }
+    def twin(n: Node): Node = n match { // grouped leaf → explicit refs
+      case MetricLeaf(Seq(("load", a))) =>
+        MetricLeaf(Seq(("gm1", a), ("gm2", a)))
+      case Bin(op, l, r) => Bin(op, twin(l), twin(r))
+      case Clip(c, lo, hi) => Clip(twin(c), lo, hi)
+      case Un(op, c) => Un(op, twin(c))
+      case RateOfChange(p, c) => RateOfChange(p, twin(c))
+      case AggAcross(a, c) => AggAcross(a, twin(c))
+      case Rolling(a, w, c) => Rolling(a, w, twin(c))
+      case Resample(a, gr, c) => Resample(a, gr, twin(c))
+      case other => other
+    }
+    var failures = List.empty[String]
+    for (k <- 1 to 60) {
+      val tree = genTop(1 + rnd.nextInt(2))
+      def rows(df: org.apache.spark.sql.DataFrame, valueCol: String)
+          : Vector[(Long, Option[Double])] =
+        df.orderBy("bucket").collect().toVector.map { r =>
+          val vi = r.fieldIndex(valueCol)
+          (r.getAs[java.sql.Timestamp]("bucket").getTime / 1000,
+            if (r.isNullAt(vi)) None else Some(r.getDouble(vi)))
+        }
+      try {
+        val grouped = rows(g.groupByAggregatesOps(render(tree), 60L,
+          "zone = 'z'", Seq("zone")), "value")
+        val flat0 = g.aggregates(render(twin(tree)), 60L)
+        val flat = rows(flat0, flat0.columns.filterNot(_ == "bucket").head)
+        val ok = grouped.size == flat.size && grouped.zip(flat).forall {
+          case ((gb, gv), (fb, fv)) => gb == fb && sameCell(gv, fv)
+        }
+        if (!ok) failures ::= s"#$k DIVERGED: ${render(tree)}\n" +
+          s"  grouped: $grouped\n  flat: $flat"
+      } catch {
+        case e: Throwable =>
+          failures ::= s"#$k THREW: ${render(tree)} -> ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} grouped divergences (seed $seed):\n" +
+        failures.reverse.take(4).mkString("\n"))
+  }
 }
