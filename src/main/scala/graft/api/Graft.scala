@@ -2525,7 +2525,11 @@ class Graft(val spark: SparkSession, root: String) {
         dropFromMetricsCatalog(ids)
       case JString("metric_attach") =>
         // the metric_create events preceded this one; only the catalog
-        // attachment rows replay here
+        // attachment rows replay here. Dedupe against already-attached
+        // (resource, name) pairs: under at-least-once journal semantics
+        // a rotation racing the mutation-vs-append gap can leave this
+        // event in BOTH the snapshot and the journal, and a blind union
+        // would duplicate the catalog rows.
         import spark.implicits._
         val rows = (evt \ "rows").asInstanceOf[JArray].arr.map {
           case JArray(List(m, r, n)) => (str(m),
@@ -2533,10 +2537,21 @@ class Graft(val spark: SparkSession, root: String) {
           case other => throw new IllegalStateException(s"bad attach: $other")
         }
         catalogLock.synchronized {
-          val df = rows.toDF("metric_id", "resource_id", "name")
-          metricsCatalog = Some(metricsCatalog
-            .map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df))
-          noteCatalogMutation()
+          val rids = rows.map(_._2).filter(_ != null).distinct
+          val existing: Set[(String, String)] = metricsCatalog.map(
+              _.filter(col("resource_id").isin(rids: _*))
+                .select("resource_id", "name").collect()
+                .map(r => (r.getString(0), r.getString(1))).toSet)
+            .getOrElse(Set.empty)
+          val fresh = rows.filterNot(r =>
+            r._2 != null && existing((r._2, r._3)))
+          if (fresh.nonEmpty) {
+            val df = fresh.toDF("metric_id", "resource_id", "name")
+            metricsCatalog = Some(metricsCatalog
+              .map(_.unionByName(df, allowMissingColumns = true))
+              .getOrElse(df))
+            noteCatalogMutation()
+          }
         }
       case JString("metric_detach_all") =>
         val rid = str(evt \ "resource_id")
@@ -2561,20 +2576,28 @@ class Graft(val spark: SparkSession, root: String) {
       case JString("rt_create") =>
         createResourceType(CatalogJson.rtFromJson(evt \ "rt"))
       case JString("rt_patch") =>
-        patchResourceType(str(evt \ "name"),
-          add = (evt \ "add").asInstanceOf[JArray].arr.map {
-            case JArray(List(spec, fill)) =>
-              (CatalogJson.attrFromJson(spec),
-                Option(CatalogJson.anyFromJson(fill)))
-            case other => throw new IllegalStateException(s"bad add: $other")
-          },
-          del = (evt \ "del").asInstanceOf[JArray].arr.map(str),
-          update = (evt \ "update").asInstanceOf[JArray].arr.map {
-            case JArray(List(n, req, fill)) => (str(n),
-              req.asInstanceOf[JBool].value,
+        // idempotent re-apply (at-least-once journal): adds whose attr
+        // already exists and dels whose attr is already gone skip —
+        // a duplicated event otherwise throws mid-replay
+        val rtName = str(evt \ "name")
+        val have: Set[String] = resourceTypes.get(rtName)
+          .map(_.attrs.map(_.name).toSet).getOrElse(Set.empty)
+        val adds = (evt \ "add").asInstanceOf[JArray].arr.map {
+          case JArray(List(spec, fill)) =>
+            (CatalogJson.attrFromJson(spec),
               Option(CatalogJson.anyFromJson(fill)))
-            case other => throw new IllegalStateException(s"bad update: $other")
-          })
+          case other => throw new IllegalStateException(s"bad add: $other")
+        }.filterNot { case (spec, _) => have(spec.name) }
+        val dels = (evt \ "del").asInstanceOf[JArray].arr.map(str)
+          .filter(have)
+        val updates = (evt \ "update").asInstanceOf[JArray].arr.map {
+          case JArray(List(n, req, fill)) => (str(n),
+            req.asInstanceOf[JBool].value,
+            Option(CatalogJson.anyFromJson(fill)))
+          case other => throw new IllegalStateException(s"bad update: $other")
+        }
+        if (adds.nonEmpty || dels.nonEmpty || updates.nonEmpty)
+          patchResourceType(rtName, adds, dels, updates)
       case JString("rt_delete") => deleteResourceType(str(evt \ "name"))
       case other => throw new IllegalStateException(
         s"unknown catalog event: $other")

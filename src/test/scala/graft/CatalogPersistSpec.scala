@@ -225,6 +225,39 @@ class CatalogPersistSpec extends SparkSpec {
     assert(g3.searchResources("zone = 'east'").count() === 1L)
   }
 
+  test("duplicate journal events (at-least-once semantics) replay as " +
+      "skips: no crash, no duplicate catalog rows") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("dup", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g1.createMetric("du1", "dup")
+    g1.setMetrics(Seq.empty[(String, String, String)]
+      .toDF("metric_id", "resource_id", "name"))
+    g1.attachExistingMetrics(Seq(("du1", "dr1", "cpu")))
+    g1.createResourceType(graft.catalog.ResourceTypes.ResourceType("vm2",
+      Seq(AttrSpec("zone", AttrType.Str(64)))))
+    // duplicate every journaled event once (the rotation-race shape)
+    val cat = java.nio.file.Paths.get(root, "_catalog")
+    val segs = java.nio.file.Files.list(cat).iterator()
+    while (segs.hasNext) {
+      val p = segs.next()
+      if (p.getFileName.toString.startsWith("journal_")) {
+        val lines = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.write(p, lines,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    }
+    val g2 = new Graft(s, root) // must not throw on the duplicates
+    assert(g2.hasMetric("du1"))
+    assert(g2.metricsForResources(Seq("dr1")) ===
+      Map("dr1" -> Seq(("cpu", "du1")))) // ONE attachment row, not two
+    assert(g2.resourceType("vm2").attrs.map(_.name) === Seq("zone"))
+  }
+
   test("a fresh root stays write-free until the first catalog mutation") {
     val s = spark
     import s.implicits._
