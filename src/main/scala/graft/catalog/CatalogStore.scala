@@ -218,9 +218,15 @@ class CatalogStore(spark: SparkSession, root: String) {
     writeManifest(next)
     val prev = gen
     gen = next
-    if (prev >= 0) { // best-effort cleanup of the superseded generation
-      fs.delete(path(s"$dir/gen_$prev"), true)
-      Iterator.from(0).map(segPath(prev, _)).takeWhile(fs.exists)
+    // Cleanup with ONE generation of GRACE: the caller re-points its
+    // frames at `next` right after this returns, but a query already
+    // in flight may still hold a plan reading `prev` — deleting it here
+    // would fail that read mid-flight. Deleting `prev - 1` instead
+    // bounds storage at two generations while giving in-flight readers
+    // a full rotation to drain.
+    if (prev >= 1) {
+      fs.delete(path(s"$dir/gen_${prev - 1}"), true)
+      Iterator.from(0).map(segPath(prev - 1, _)).takeWhile(fs.exists)
         .foreach(fs.delete(_, false))
     }
   }

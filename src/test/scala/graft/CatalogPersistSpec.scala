@@ -141,8 +141,11 @@ class CatalogPersistSpec extends SparkSpec {
     g1.persistCatalog() // gen 1
     val g2 = new Graft(s, root) // resources ← gen_1 parquet
     assert(g2.searchResources("zone = 'east'").count() === 1L)
-    g2.persistCatalog() // gen 2 — deletes gen_1's files
-    // without the re-point this threw FileNotFound (stale gen_1 plan)
+    // TWO rotations: deletion carries one generation of grace for
+    // in-flight readers, so only the second would expose a stale gen_1
+    // plan — the re-point after each snapshot keeps reads alive
+    g2.persistCatalog() // gen 2
+    g2.persistCatalog() // gen 3 — gen_1's files are gone now
     assert(g2.searchResources("zone = 'east'").count() === 1L)
     // and a third lifetime still loads cleanly
     val g3 = new Graft(s, root)
