@@ -1456,6 +1456,7 @@ object Queries {
       g1.batchAddMeasures(dedupMeasures(s, dir))
       g1.process()
       g1.persistCatalog() // capture the bulk-registered frames
+      g1.close() // real teardown: releases the catalog writer lock
       // ---- restart: everything below runs on the RELOADED catalog
       val g2 = new graft.api.Graft(s, root)
       g2.legacyResourceAggregation("load", "mean", Some(3600L),

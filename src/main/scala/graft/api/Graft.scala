@@ -85,7 +85,25 @@ class Graft(val spark: SparkSession, root: String) {
   // snapshot FIRST, so replay never applies an event to stale frames
   @volatile private var framesDirty = false
   private var journaledEvents = 0
-  private val journalRotateEvery = 256
+  // Rotation is COST-PROPORTIONAL (amortized doubling), not a fixed
+  // event count: a snapshot rewrites the FULL driver maps + all three
+  // catalog frames — O(catalog) — so cutting one every fixed-256
+  // events made N metric creates pay O(N²/256) total snapshot work,
+  // where the reference's SQL indexer writes one row per mutation,
+  // O(1) forever (indexer/sqlalchemy.py). Rotating only once the
+  // journal has outgrown the size of the LAST snapshot means each
+  // snapshot captures a catalog at least twice the previous one, so
+  // total snapshot work telescopes to O(N) for N mutations — while
+  // replay-on-load stays bounded by one catalog's worth of journal.
+  private val journalRotateMin = 256
+  // map entries + frame rows captured by the last snapshot; set by
+  // persistCatalogLocked, seeded from the loaded maps at construction
+  private var lastSnapshotSize = 0L
+  private def journalRotateBound: Long =
+    math.max(journalRotateMin.toLong, lastSnapshotSize)
+  private def catalogMapEntries: Long =
+    (policies.size + policyRules.size + resourceTypes.size +
+      metricPolicy.size + metricUnit.size + metricCreator.size).toLong
 
   private def jevt(op: String,
                    fields: (String, org.json4s.JValue)*): org.json4s.JValue =
@@ -119,8 +137,22 @@ class Graft(val spark: SparkSession, root: String) {
       if (!catalogStore.initialized) persistCatalogLocked()
       catalogStore.append(evt)
       journaledEvents += 1
-      if (journaledEvents >= journalRotateEvery) persistCatalogLocked()
+      if (journaledEvents >= journalRotateBound) persistCatalogLocked()
     }
+
+  /** Journal an event, rolling the door's in-memory mutation back if
+    * the append refuses (writer-lock conflict, generation fence): the
+    * caller's retry after resolving the conflict must not see a
+    * half-applied state that was never durable. Map-plane doors pass a
+    * cheap inverse; frame-plane doors (attach, resource CRUD) journal
+    * residue whose inverse is a frame rebuild — there a refused append
+    * leaves the facade condemned for writes, which the thrown Conflict
+    * already signals.
+    */
+  private def journalOrRollback(evt: org.json4s.JValue)
+                               (rollback: => Unit): Unit =
+    try journal(evt)
+    catch { case t: Throwable => rollback; throw t }
 
   /** Door-entry barrier: capture any non-replayable frame registration
     * (setResources / setMetrics / setResourceHistory / resurrection)
@@ -181,6 +213,13 @@ class Graft(val spark: SparkSession, root: String) {
       catalogStore.currentFrame("resource_history"))
     framesDirty = false
     journaledEvents = 0
+    // the next rotation bound: this snapshot's size. Frame counts are
+    // three small jobs over the just-written parquet (footer-count
+    // scans) — O(catalog), same class as the snapshot that preceded
+    // them, and they only run at rotation points
+    lastSnapshotSize = catalogMapEntries +
+      Seq(resources, metricsCatalog, resourceHistoryTbl)
+        .flatten.map(_.count()).sum
   }
   private def noteCatalogMutation(): Unit = catalogLock.synchronized {
     catalogMutations += 1
@@ -201,12 +240,24 @@ class Graft(val spark: SparkSession, root: String) {
     * and new definitions. */
   def createPolicy(p: ArchivePolicy): Unit = {
     flushDirtyFrames()
-    policies(p.name) = p
-    stores.remove(p.name)
-    journal(graft.catalog.CatalogJson.policyToJson(p) match {
-      case org.json4s.JObject(fs) => jevt("policy_create", fs: _*)
-      case other => sys.error(s"bad policy json: $other")
-    })
+    // mutation+journal under ONE lock: two racing non-commutative
+    // writes on the same key must journal in the order they applied,
+    // or a restart replays to a state the live facade never served
+    catalogLock.synchronized {
+      val prev = policies.get(p.name)
+      policies(p.name) = p
+      stores.remove(p.name)
+      journalOrRollback(graft.catalog.CatalogJson.policyToJson(p) match {
+        case org.json4s.JObject(fs) => jevt("policy_create", fs: _*)
+        case other => sys.error(s"bad policy json: $other")
+      }) {
+        prev match {
+          case Some(old) => policies(p.name) = old
+          case None      => policies.remove(p.name)
+        }
+        stores.remove(p.name)
+      }
+    }
   }
 
   /** PATCH /v1/archive_policy/<name> (sqlalchemy.py:642-662): only
@@ -221,25 +272,29 @@ class Graft(val spark: SparkSession, root: String) {
                    items: Seq[graft.model.ArchivePolicyItem],
                    backWindow: Option[Int] = None): Unit = {
     flushDirtyFrames()
-    val cur = policies.getOrElse(name,
-      GraftError.notFound(s"no policy $name"))
-    require(cur.definition.size == items.size,
-      s"$name: Cannot add or drop granularities")
-    val curSorted = cur.definition.sortBy(_.granularity.token)
-    val newSorted = items.sortBy(_.granularity.token)
-    for ((c, n) <- curSorted.zip(newSorted))
-      require(c.granularity == n.granularity,
-        s"$name: ${c.granularity.token} granularity interval was changed")
-    policies(name) = cur.copy(definition = items,
-      backWindow = backWindow.getOrElse(cur.backWindow))
-    stores.remove(name) // reopen lazily with the updated policy
-    journal(jevt("policy_update",
-      "name" -> org.json4s.JString(name),
-      "definition" -> org.json4s.JArray(
-        items.toList.map(graft.catalog.CatalogJson.itemToJson)),
-      "back_window" -> backWindow.map(b =>
-        org.json4s.JLong(b.toLong): org.json4s.JValue)
-        .getOrElse(org.json4s.JNull)))
+    catalogLock.synchronized {
+      val cur = policies.getOrElse(name,
+        GraftError.notFound(s"no policy $name"))
+      require(cur.definition.size == items.size,
+        s"$name: Cannot add or drop granularities")
+      val curSorted = cur.definition.sortBy(_.granularity.token)
+      val newSorted = items.sortBy(_.granularity.token)
+      for ((c, n) <- curSorted.zip(newSorted))
+        require(c.granularity == n.granularity,
+          s"$name: ${c.granularity.token} granularity interval was changed")
+      policies(name) = cur.copy(definition = items,
+        backWindow = backWindow.getOrElse(cur.backWindow))
+      stores.remove(name) // reopen lazily with the updated policy
+      journalOrRollback(jevt("policy_update",
+        "name" -> org.json4s.JString(name),
+        "definition" -> org.json4s.JArray(
+          items.toList.map(graft.catalog.CatalogJson.itemToJson)),
+        "back_window" -> backWindow.map(b =>
+          org.json4s.JLong(b.toLong): org.json4s.JValue)
+          .getOrElse(org.json4s.JNull))) {
+        policies(name) = cur; stores.remove(name)
+      }
+    }
   }
 
   /** GET /v1/capability (rest/api.py:2172-2177): the closed operator
@@ -268,13 +323,18 @@ class Graft(val spark: SparkSession, root: String) {
       s"Archive policy $policyName does not exist")
     unit.foreach(u => require(u.length <= 31,
       s"unit too long (${u.length} > 31)"))
-    GraftError.fresh(metricPolicy.putIfAbsent(id, policyName).isEmpty,
-      s"metric $id already exists")
-    unit.foreach(metricUnit(id) = _)
-    journal(jevt("metric_create", "id" -> org.json4s.JString(id),
-      "policy" -> org.json4s.JString(policyName),
-      "unit" -> unit.map(u => org.json4s.JString(u): org.json4s.JValue)
-        .getOrElse(org.json4s.JNull)))
+    catalogLock.synchronized {
+      GraftError.fresh(metricPolicy.putIfAbsent(id, policyName).isEmpty,
+        s"metric $id already exists")
+      unit.foreach(metricUnit(id) = _)
+      journalOrRollback(jevt("metric_create",
+        "id" -> org.json4s.JString(id),
+        "policy" -> org.json4s.JString(policyName),
+        "unit" -> unit.map(u => org.json4s.JString(u): org.json4s.JValue)
+          .getOrElse(org.json4s.JNull))) {
+        metricPolicy.remove(id); metricUnit.remove(id)
+      }
+    }
   }
 
   private val metricUnit = scala.collection.concurrent.TrieMap[String, String]()
@@ -287,9 +347,18 @@ class Graft(val spark: SparkSession, root: String) {
 
   def setMetricCreator(id: String, creator: String): Unit = {
     flushDirtyFrames()
-    metricCreator(id) = creator
-    journal(jevt("metric_creator", "id" -> org.json4s.JString(id),
-      "creator" -> org.json4s.JString(creator)))
+    catalogLock.synchronized {
+      val prev = metricCreator.get(id)
+      metricCreator(id) = creator
+      journalOrRollback(jevt("metric_creator",
+        "id" -> org.json4s.JString(id),
+        "creator" -> org.json4s.JString(creator))) {
+        prev match {
+          case Some(old) => metricCreator(id) = old
+          case None      => metricCreator.remove(id)
+        }
+      }
+    }
   }
 
   def metricCreatorOf(id: String): Option[String] = metricCreator.get(id)
@@ -323,12 +392,18 @@ class Graft(val spark: SparkSession, root: String) {
       s"Archive policy $policyName does not exist")
     flushDirtyFrames()
     stagingLock.synchronized {
-      require(!policyRules.exists(_._1 == name),
+      // 409, not 400: ArchivePolicyRuleAlreadyExists aborts 409
+      // (rest/api.py:403-404) — and Conflict is what journal replay
+      // skips under at-least-once duplication
+      GraftError.fresh(!policyRules.exists(_._1 == name),
         s"Archive policy rule $name already exists.")
       policyRules :+= ((name, pattern, policyName))
-      journal(jevt("rule_create", "name" -> org.json4s.JString(name),
+      journalOrRollback(jevt("rule_create",
+        "name" -> org.json4s.JString(name),
         "pattern" -> org.json4s.JString(pattern),
-        "policy" -> org.json4s.JString(policyName)))
+        "policy" -> org.json4s.JString(policyName))) {
+        policyRules = policyRules.filterNot(_._1 == name)
+      }
     }
   }
 
@@ -347,9 +422,13 @@ class Graft(val spark: SparkSession, root: String) {
       GraftError.found(i >= 0, s"no archive policy rule $name")
       require(!policyRules.exists(_._1 == newName),
         s"Archive policy rule $newName already exists.")
-      policyRules = policyRules.updated(i, policyRules(i).copy(_1 = newName))
-      journal(jevt("rule_rename", "name" -> org.json4s.JString(name),
-        "new_name" -> org.json4s.JString(newName)))
+      val old = policyRules(i)
+      policyRules = policyRules.updated(i, old.copy(_1 = newName))
+      journalOrRollback(jevt("rule_rename",
+        "name" -> org.json4s.JString(name),
+        "new_name" -> org.json4s.JString(newName))) {
+        policyRules = policyRules.updated(i, old)
+      }
     }
   }
 
@@ -381,11 +460,16 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def deletePolicy(name: String): Unit = {
     flushDirtyFrames()
-    GraftError.found(policies.contains(name), s"no policy $name")
-    require(!metricPolicy.values.exists(_ == name),
-      s"archive policy $name is still in use")
-    policies.remove(name)
-    journal(jevt("policy_delete", "name" -> org.json4s.JString(name)))
+    catalogLock.synchronized {
+      GraftError.found(policies.contains(name), s"no policy $name")
+      require(!metricPolicy.values.exists(_ == name),
+        s"archive policy $name is still in use")
+      val removed = policies.remove(name)
+      journalOrRollback(
+        jevt("policy_delete", "name" -> org.json4s.JString(name))) {
+        removed.foreach(policies(name) = _)
+      }
+    }
   }
 
   /** GET /v1/archive_policy_rule — (name, pattern, policy) rules in
@@ -400,8 +484,12 @@ class Graft(val spark: SparkSession, root: String) {
     stagingLock.synchronized {
       val i = policyRules.indexWhere(_._1 == name)
       GraftError.found(i >= 0, s"no archive policy rule $name")
+      val old = policyRules(i)
       policyRules = policyRules.patch(i, Nil, 1)
-      journal(jevt("rule_delete", "name" -> org.json4s.JString(name)))
+      journalOrRollback(
+        jevt("rule_delete", "name" -> org.json4s.JString(name))) {
+        policyRules = policyRules.patch(i, Seq(old), 0)
+      }
     }
   }
 
@@ -2645,19 +2733,29 @@ class Graft(val spark: SparkSession, root: String) {
         events.foreach { ev =>
           // at-least-once journal: a rotation racing the tiny gap
           // between a mutation and its own append can leave the event
-          // in BOTH the snapshot and the new journal — a duplicate
-          // CREATE then replays as a 409, which is a skip, not
-          // corruption (every other event class is naturally
-          // idempotent: patch re-applies as a same-value no-op,
-          // deletes of the absent are handled by their doors)
+          // in BOTH the snapshot and the new journal. A duplicate
+          // CREATE then replays as a 409 and a duplicate DELETE/RENAME
+          // as a 404 — both are skips, not corruption (patches and
+          // detaches re-apply as same-value no-ops). Any OTHER failure
+          // still throws: an event that can't replay for a reason
+          // beyond at-least-once duplication is real corruption and
+          // must not load half a catalog silently.
           try replayEvent(ev)
           catch {
             case e: graft.api.GraftError.Conflict =>
               System.err.println(
                 s"[catalog] skipping duplicate journal event: ${e.getMessage}")
+            case e: graft.api.GraftError.NotFound =>
+              System.err.println("[catalog] skipping journal event for " +
+                s"an already-deleted entity: ${e.getMessage}")
           }
         }
         journaledEvents = events.size
+        // seed the rotation bound from the loaded catalog so a reloaded
+        // facade doesn't fall back to min-bound rotation cadence; frame
+        // rows are folded in at the next snapshot (counting them here
+        // would put three Spark jobs on EVERY facade construction)
+        lastSnapshotSize = catalogMapEntries
       } finally replayingCatalog = false
     }
   }

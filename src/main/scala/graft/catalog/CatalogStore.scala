@@ -35,11 +35,31 @@ import org.json4s.jackson.JsonMethods
   * Read path: load `gen_N` maps + frames, then replay `journal_N`
   * through the same facade mutators (with journaling suppressed).
   *
-  * Single-writer by contract, like the reference's one-indexer
-  * deployment: concurrent facades on one root would interleave journal
-  * segments written under different loaded states. Multi-writer
-  * atomicity belongs to the MEASURE plane (MetricStore.withStoreLock),
-  * not the catalog.
+  * Single-WRITER by contract, like the reference's one-indexer
+  * deployment — and since round 13 the contract is ENFORCED, not just
+  * documented: the first journal write (append or snapshot) takes a
+  * token-bearing writer lock (`_catalog/LOCK`, the same atomic-create
+  * discipline as MetricStore.withStoreLock) held until [[close]]. A
+  * second writer on the same root gets a loud
+  * [[graft.api.GraftError.Conflict]] instead of silently interleaving
+  * journal segments written under different loaded states. Read-only
+  * facades never lock (the reference's many-API-worker analogue: N
+  * readers, one writer). A lock whose owning PROCESS is provably dead
+  * (same host, pid gone) is broken with a warning; a lock from a live
+  * or unverifiable owner must be removed by hand. Acquisition also
+  * fences on the GENERATION: if the manifest or journal advanced since
+  * this facade loaded, writing would fork history, so the acquisition
+  * throws and the caller reconstructs the facade.
+  *
+  * Durability contract: every append is flushed (and hflushed on
+  * streams that support it) — durable against PROCESS EXIT, which is
+  * the restart scenario the plane exists for. It is NOT durable
+  * against power loss by default: a raw-local flush leaves the page
+  * cache in charge, where the reference's SQL WAL fsyncs. Set
+  * `spark.graft.catalog.journalSync=force` to hsync (fsync) every
+  * event where the stream supports Syncable, trading mutation latency
+  * for power-loss durability. Multi-writer atomicity belongs to the
+  * MEASURE plane (MetricStore.withStoreLock), not the catalog.
   */
 class CatalogStore(spark: SparkSession, root: String) {
 
@@ -71,6 +91,102 @@ class CatalogStore(spark: SparkSession, root: String) {
   private val journalLock = new Object
   private var gen: Int = -1
   private var journalOut: Option[java.io.OutputStream] = None
+
+  // ---- writer lock ---------------------------------------------------
+  private val lockFile = path(s"$dir/LOCK")
+  private val writerToken = java.util.UUID.randomUUID().toString
+  private var lockHeld = false
+  // canonical key for the same-JVM live-writer registry
+  private lazy val dirKey = fs.makeQualified(path(dir)).toString
+  private val journalSyncForce =
+    spark.conf.getOption("spark.graft.catalog.journalSync")
+      .contains("force")
+
+  /** Take the writer lock (idempotent once held). Called at the top of
+    * [[append]] and [[snapshot]] — the two write doors — NOT at
+    * construction, so read-only facades stay lock- and write-free.
+    * Three failure modes, all loud:
+    *  - a live facade in THIS JVM holds it → Conflict naming the root;
+    *  - a lock from another process: pid provably dead on this host →
+    *    broken with a warning; alive or unverifiable → Conflict;
+    *  - the catalog ADVANCED since this facade loaded (manifest
+    *    generation or journal segment count moved — a previous writer
+    *    came and went) → Conflict telling the caller to reconstruct,
+    *    because appending under stale in-memory state would fork
+    *    history. The atomic-create is the same discipline as
+    *    MetricStore.withStoreLock; on raw local filesystems
+    *    create(overwrite=false) is check-then-create, which is loud-
+    *    failure grade, not mutual-exclusion grade — matching the
+    *    reference's one-indexer deployment contract.
+    */
+  private def ensureWriterLock(): Unit = {
+    if (lockHeld) return
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val pid = ProcessHandle.current().pid()
+    def tryCreate(): Boolean =
+      try {
+        val o = fs.create(lockFile, false)
+        try o.write(
+          s"""{"token":"$writerToken","pid":$pid,"host":"$host"}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally o.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val txt = try {
+        val in = fs.open(lockFile)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      } catch { case _: java.io.IOException => "" }
+      val j = try JsonMethods.parse(txt) catch { case _: Throwable => JNothing }
+      val lockToken = j \ "token" match { case JString(s) => s; case _ => "" }
+      val lockHost = j \ "host" match { case JString(s) => s; case _ => "" }
+      val lockPid = j \ "pid" match {
+        case JInt(n) => n.toLong; case JLong(n) => n; case _ => -1L
+      }
+      if (lockToken.nonEmpty &&
+          CatalogStore.activeWriters.get(dirKey) == lockToken)
+        graft.api.GraftError.conflict(
+          s"catalog at $root is locked by another live writer facade " +
+            "in this process; close it before writing here")
+      val holder = ProcessHandle.of(lockPid)
+      val provablyDead = lockHost == host && lockPid > 0 &&
+        !(holder.isPresent && holder.get.isAlive)
+      if (!provablyDead)
+        graft.api.GraftError.conflict(
+          s"catalog at $root is locked by writer pid $lockPid on " +
+            s"$lockHost; if that process is dead, delete $dir/LOCK")
+      System.err.println(s"[catalog] breaking stale writer lock of dead " +
+        s"pid $lockPid on $root")
+      fs.delete(lockFile, false)
+      require(tryCreate(), s"could not take writer lock $dir/LOCK")
+    }
+    // generation fence — under the lock, so nobody can advance it now
+    def fenceFail(what: String): Nothing = {
+      fs.delete(lockFile, false)
+      graft.api.GraftError.conflict(
+        s"catalog at $root advanced since this facade loaded ($what); " +
+          "reconstruct the facade to write here")
+    }
+    val mf = path(s"$dir/MANIFEST")
+    if (fs.exists(mf)) {
+      val in = fs.open(mf)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val mfGen = JsonMethods.parse(txt) \ "gen" match {
+        case JInt(n) => n.toInt; case JLong(n) => n.toInt; case _ => -1
+      }
+      if (mfGen != gen) fenceFail(s"generation $mfGen, loaded $gen")
+    } else if (gen >= 0) fenceFail(s"manifest gone, loaded $gen")
+    if (gen >= 0) {
+      val segsNow = Iterator.from(0).map(segPath(gen, _))
+        .takeWhile(fs.exists).size
+      if (segsNow != segsAtLoad)
+        fenceFail(s"journal segments $segsNow, loaded $segsAtLoad")
+    }
+    CatalogStore.activeWriters.put(dirKey, writerToken)
+    lockHeld = true
+  }
 
   /** Generation found on disk at construction, None for a fresh root.
     * When the MANIFEST is missing but generation snapshots exist (a
@@ -114,6 +230,13 @@ class CatalogStore(spark: SparkSession, root: String) {
     resolved.foreach(gen = _)
     resolved
   }
+
+  /** Journal segments present at load time — the writer-lock fence
+    * compares against this to detect a writer that came and went after
+    * this facade loaded its state. */
+  private val segsAtLoad: Int = loadedGen.map(g =>
+    Iterator.from(0).map(segPath(g, _)).takeWhile(fs.exists).size)
+    .getOrElse(0)
 
   /** Whether any on-disk catalog state exists yet. */
   def initialized: Boolean = gen >= 0
@@ -176,6 +299,7 @@ class CatalogStore(spark: SparkSession, root: String) {
     * first event of a fresh root.
     */
   def append(evt: JValue): Unit = journalLock.synchronized {
+    ensureWriterLock()
     val out = journalOut.getOrElse {
       if (gen < 0) { gen = 0; writeManifest(0) }
       val k = Iterator.from(0).find(i => !fs.exists(segPath(gen, i))).get
@@ -187,7 +311,11 @@ class CatalogStore(spark: SparkSession, root: String) {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.flush()
     out match {
-      case h: org.apache.hadoop.fs.FSDataOutputStream => h.hflush()
+      case h: org.apache.hadoop.fs.FSDataOutputStream =>
+        // hflush = durable against process exit; hsync (conf-gated,
+        // spark.graft.catalog.journalSync=force) = fsync per event, the
+        // reference's SQL-WAL power-loss contract
+        if (journalSyncForce) h.hsync() else h.hflush()
       case _ =>
     }
   }
@@ -199,6 +327,7 @@ class CatalogStore(spark: SparkSession, root: String) {
   def snapshot(maps: JValue,
                frames: Map[String, Option[DataFrame]]): Unit =
       journalLock.synchronized {
+    ensureWriterLock()
     val next = gen + 1
     val genDir = s"$dir/gen_$next"
     fs.delete(path(genDir), true)
@@ -264,10 +393,25 @@ class CatalogStore(spark: SparkSession, root: String) {
   def close(): Unit = journalLock.synchronized {
     journalOut.foreach(_.close())
     journalOut = None
+    if (lockHeld) {
+      try fs.delete(lockFile, false) catch { case _: Throwable => () }
+      CatalogStore.activeWriters.remove(dirKey, writerToken)
+      lockHeld = false
+    }
     // newInstance bypasses the Hadoop FS cache, so this instance is
     // ours to close (leaked sockets/threads on HDFS-style filesystems)
     try fsOuter.close() catch { case _: Throwable => () }
   }
+}
+
+object CatalogStore {
+  /** Live writer-lock holders in THIS JVM, canonical-dir → token. Lets
+    * a second facade in the same process fail with a precise message
+    * (the pid in the lock file is ours either way); entries leave on
+    * [[CatalogStore.close]]. A facade abandoned without close keeps its
+    * entry — by contract, close your facades. */
+  private val activeWriters =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }
 
 /** JSON codecs for the catalog plane's driver-side values: archive

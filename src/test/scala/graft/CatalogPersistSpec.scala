@@ -43,6 +43,7 @@ class CatalogPersistSpec extends SparkSpec {
     val beforeRes = g1.searchResources("zone = 'east'")
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(before.nonEmpty && beforeRes.nonEmpty)
+    g1.close() // release the catalog writer lock — g2 mutates below
 
     // restart: a brand-new Graft on the same root, no re-registration
     val g2 = new Graft(s, root)
@@ -139,6 +140,7 @@ class CatalogPersistSpec extends SparkSpec {
     val g1 = new Graft(s, root)
     g1.setResources(Seq(("z1", "east")).toDF("id", "zone"))
     g1.persistCatalog() // gen 1
+    g1.close() // g2 snapshots below — the writer lock must be free
     val g2 = new Graft(s, root) // resources ← gen_1 parquet
     assert(g2.searchResources("zone = 'east'").count() === 1L)
     // TWO rotations: deletion carries one generation of grace for
@@ -178,6 +180,27 @@ class CatalogPersistSpec extends SparkSpec {
     assert(g2.hasMetric("rot-1") && g2.hasMetric("rot-300"))
   }
 
+  test("rotation is cost-proportional (amortized doubling): N metric " +
+      "creates cut O(log N) generations, not N/256") {
+    val s = spark
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("amort", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    for (i <- 1 to 2000) g1.createMetric(s"am-$i", "amort")
+    g1.close()
+    // doubling cadence: rotations at ~256, ~513, ~1027 events → gen 3.
+    // The old fixed-256 bound would have cut floor(2001/256) = 7.
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_catalog", "MANIFEST")), "UTF-8")
+    val gen = """"gen":\s*(\d+)""".r.findFirstMatchIn(mf).get.group(1).toInt
+    assert(gen >= 2 && gen <= 4,
+      s"expected O(log N) generations for 2000 creates, got $gen")
+    val g2 = new Graft(s, root)
+    assert(g2.listMetrics.size === 2000)
+  }
+
   test("journal-only lifetime restarts cleanly: the first event cuts a " +
       "loadable generation-0 snapshot (no frames ever registered)") {
     val s = spark
@@ -204,6 +227,7 @@ class CatalogPersistSpec extends SparkSpec {
       Set("mean")))
     g1.createMetric("t1", "tt")
     g1.createMetric("t2", "tt")
+    g1.close() // free the writer lock; g2 persists below
     // simulate a kill -9 mid-append: a partial JSON line at the tail
     val seg = java.nio.file.Files.list(
         java.nio.file.Paths.get(root, "_catalog")).iterator()
@@ -229,7 +253,8 @@ class CatalogPersistSpec extends SparkSpec {
   }
 
   test("duplicate journal events (at-least-once semantics) replay as " +
-      "skips: no crash, no duplicate catalog rows") {
+      "skips: no crash, no duplicate catalog rows — across create, " +
+      "attach, rule create/rename/delete, and policy delete") {
     val s = spark
     import s.implicits._
     val root = freshRoot
@@ -243,15 +268,30 @@ class CatalogPersistSpec extends SparkSpec {
     g1.attachExistingMetrics(Seq(("du1", "dr1", "cpu")))
     g1.createResourceType(graft.catalog.ResourceTypes.ResourceType("vm2",
       Seq(AttrSpec("zone", AttrType.Str(64)))))
-    // duplicate every journaled event once (the rotation-race shape)
+    // a full rule lifecycle + a policy deletion: their duplicates
+    // replay as 404 skips (rule_create's as a 409 skip), not crashes
+    g1.createPolicyRule("dupr", "du*", "dup")
+    g1.renamePolicyRule("dupr", "dupr2")
+    g1.deletePolicyRule("dupr2")
+    g1.createPolicy(ArchivePolicy("gone", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g1.deletePolicy("gone")
+    g1.createPolicyRule("kept", "du*", "dup")
+    // duplicate every journaled event IN PLACE (a,a,b,b,…) — the
+    // rotation-race shape is ONE event landing in both the snapshot
+    // and the journal, i.e. adjacent re-application, not a replay of
+    // the whole log twice
     val cat = java.nio.file.Paths.get(root, "_catalog")
     val segs = java.nio.file.Files.list(cat).iterator()
     while (segs.hasNext) {
       val p = segs.next()
       if (p.getFileName.toString.startsWith("journal_")) {
-        val lines = java.nio.file.Files.readAllBytes(p)
-        java.nio.file.Files.write(p, lines,
-          java.nio.file.StandardOpenOption.APPEND)
+        val doubled = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala
+          .filter(_.nonEmpty).flatMap(l => Seq(l, l))
+        java.nio.file.Files.write(p,
+          (doubled.mkString("\n") + "\n").getBytes("UTF-8"))
       }
     }
     val g2 = new Graft(s, root) // must not throw on the duplicates
@@ -259,6 +299,108 @@ class CatalogPersistSpec extends SparkSpec {
     assert(g2.metricsForResources(Seq("dr1")) ===
       Map("dr1" -> Seq(("cpu", "du1")))) // ONE attachment row, not two
     assert(g2.resourceType("vm2").attrs.map(_.name) === Seq("zone"))
+    assert(g2.listPolicyRules.map(_._1) === Seq("kept"))
+    assert(!g2.listPolicies.map(_.name).contains("gone"))
+  }
+
+  test("second writer facade on one root fails loudly (Conflict), " +
+      "never corrupts; after the holder closes, a fresh facade writes") {
+    val s = spark
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("lk", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g1.createMetric("lk1", "lk") // g1 now holds the writer lock
+    val g2 = new Graft(s, root)  // constructing (read) is always fine
+    assert(g2.hasMetric("lk1"))
+    val e = intercept[graft.api.GraftError.Conflict](
+      g2.createMetric("lk2", "lk"))
+    assert(e.getMessage.contains("locked by another live writer"))
+    g1.close()
+    // the next WRITE of an already-open stale facade still fences on
+    // the journal having advanced… here nothing advanced since g2
+    // loaded except g1's own pre-load events, so a FRESH facade (the
+    // documented recovery: reconstruct) writes cleanly
+    val g3 = new Graft(s, root)
+    g3.createMetric("lk3", "lk")
+    g3.close()
+    val g4 = new Graft(s, root)
+    assert(g4.hasMetric("lk1") && g4.hasMetric("lk3"))
+  }
+
+  test("generation fence: a facade whose root ADVANCED since load " +
+      "(another writer rotated) refuses to write instead of forking " +
+      "history") {
+    val s = spark
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("fence", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g1.createMetric("f1", "fence")
+    g1.close()
+    val g2 = new Graft(s, root) // loads generation 0
+    val g1b = new Graft(s, root)
+    g1b.persistCatalog() // rotates to generation 1
+    g1b.close()
+    val e = intercept[graft.api.GraftError.Conflict](
+      g2.createMetric("f2", "fence"))
+    assert(e.getMessage.contains("advanced since this facade loaded"))
+    // a reconstructed facade sees the advanced state and writes fine
+    val g3 = new Graft(s, root)
+    g3.createMetric("f2", "fence")
+    g3.close()
+  }
+
+  test("a stale lock from a provably dead process breaks with a " +
+      "warning; a lock from an unverifiable owner refuses") {
+    val s = spark
+    val root = freshRoot
+    val g0 = new Graft(s, root)
+    g0.createPolicy(ArchivePolicy("stale", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g0.close()
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val lock = java.nio.file.Paths.get(root, "_catalog", "LOCK")
+    // an UNVERIFIABLE owner: our own (live) pid under a foreign token —
+    // exactly what a crashed-and-restarted writer can NOT look like
+    java.nio.file.Files.write(lock,
+      s"""{"token":"dead-beef","pid":${ProcessHandle.current().pid()},"host":"$host"}"""
+        .getBytes("UTF-8"))
+    val g1 = new Graft(s, root)
+    val e = intercept[graft.api.GraftError.Conflict](
+      g1.createMetric("s1", "stale"))
+    assert(e.getMessage.contains("delete"))
+    // a provably DEAD pid on this host: the lock breaks and the write
+    // proceeds
+    val deadPid = Iterator.from(999983)
+      .find(p => !ProcessHandle.of(p.toLong).isPresent).get
+    java.nio.file.Files.write(lock,
+      s"""{"token":"dead-beef","pid":$deadPid,"host":"$host"}"""
+        .getBytes("UTF-8"))
+    g1.createMetric("s1", "stale")
+    g1.close()
+    val g2 = new Graft(s, root)
+    assert(g2.hasMetric("s1"))
+  }
+
+  test("journalSync=force (fsync-per-event power-loss contract) " +
+      "appends and reloads identically") {
+    val s = spark
+    val root = freshRoot
+    s.conf.set("spark.graft.catalog.journalSync", "force")
+    try {
+      val g1 = new Graft(s, root)
+      g1.createPolicy(ArchivePolicy("sync", 0,
+        Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+        Set("mean")))
+      g1.createMetric("sy1", "sync")
+      g1.close()
+      val g2 = new Graft(s, root)
+      assert(g2.hasMetric("sy1"))
+    } finally s.conf.unset("spark.graft.catalog.journalSync")
   }
 
   test("a fresh root stays write-free until the first catalog mutation") {

@@ -1243,10 +1243,11 @@ class RestSpec extends SparkSpec {
     assert(taken.status === 400)
     assert((taken.body \ "description").asInstanceOf[JString].s
       .contains("already exists"))
-    // duplicate CREATE under one name → 400 too
+    // duplicate CREATE under one name → 409
+    // (ArchivePolicyRuleAlreadyExists, rest/api.py:403-404)
     assert(api.dispatch("POST", "/v1/archive_policy_rule", body =
       """{"name": "rule3_renamed", "metric_pattern": "x.*",
-          "archive_policy_name": "a-pol"}""").status === 400)
+          "archive_policy_name": "a-pol"}""").status === 409)
     assert(api.dispatch("DELETE", "/v1/archive_policy_rule/rule3_renamed")
       .status === 204)
 
