@@ -75,6 +75,16 @@ object Bench {
   private def loadBaseline(path: String): (Map[String, Double], Map[String, Double]) = {
     def floored(m: Map[String, Double]): Map[String, Double] =
       m.map { case (k, v) =>
+        isolatedFloorSec.get(k).filter(_ > v).foreach { fl =>
+          // LOUD: a committed value under the adjudicated isolated
+          // floor means a warm-context number got merged in — the
+          // override keeps the self-check honest, but the committed
+          // file should be re-merged from an isolated run
+          // (scripts/merge_baseline.py refuses such merges)
+          System.err.println(f"[bench] baseline override: $k committed " +
+            f"$v%.2f s < adjudicated isolated floor $fl%.2f s — using " +
+            "the floor; re-merge the baseline from an isolated run")
+        }
         k -> isolatedFloorSec.get(k).map(math.max(v, _)).getOrElse(v) }
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
@@ -583,8 +593,12 @@ object Bench {
     //  * inv_spill_bytes — task spill (memory+disk) across the dd2
     //    stats + dd6/es1/sd1 runs at 32x; must be exactly 0.
     //  * inv_runtime_ratio — worst of dd6/es1/sd1 t(32x)/t(1x); must
-    //    sit inside a linear envelope (<= 40x, or 10 s absolute) —
-    //    a quadratic blow-up reads ~1000x here.
+    //    sit inside a linear envelope (<= 12x over min-of-2 floored
+    //    1x denominators) — a quadratic blow-up reads ~1000x here.
+    //  * inv_cat_churn_* — 20k vs 2k metric creates through the
+    //    durable-catalog journal: time ratio ~linear (<= 25) and
+    //    snapshot generations O(log N) (<= 12) — the amortized
+    //    rotation claim, measured.
     //  * inv_skew_* — the same bucket-cap / candidate-volume / runtime
     //    claims on a ZIPF-SKEWED 32x corpus (~20% of rows rewritten to
     //    ONE text: a dominant duplicate group = a hot LSH band), for
@@ -614,20 +628,27 @@ object Bench {
         System.err.println(s"[bench] invariants: lsh stats 1x=$s1 ${scaleF}x=$sN")
         def t(name: String)(f: => DataFrame): Double =
           measure(name, () => noop(f))
-        val dd6base = math.max(t("inv_dd6_1x")(graft.llm.Dedup.fuzzyClusters(
-          docs(sfDir), n = 3, numHashes = 64, bands = 16, threshold = 0.4)),
-          0.25)
+        // 1x DENOMINATOR arms: min-of-2 measure() calls + a 1 s floor.
+        // r12's single-shot denominators wobbled 4x with warm/cold
+        // context (inv_runtime_ratio 2.73 → 10.89 with untouched
+        // numerators), which buried the invariant's regression signal
+        // in denominator noise; a stable floored denominator lets the
+        // bound sit near the honest measured point instead of 40.
+        def tDen(name: String)(f: => DataFrame): Double =
+          math.max(1.0, math.min(t(name)(f), t(s"${name}b")(f)))
+        val dd6base = tDen("inv_dd6_1x")(graft.llm.Dedup.fuzzyClusters(
+          docs(sfDir), n = 3, numHashes = 64, bands = 16, threshold = 0.4))
         val dd6r = t("inv_dd6_32x")(graft.llm.Dedup.fuzzyClusters(
           docs(scaleDir), n = 3, numHashes = 64, bands = 16,
           threshold = 0.4)) / dd6base
         val es1r = t("inv_es1_32x")(graft.llm.Dedup.removeRepeatedSpans(
             docs(scaleDir), w = 5)) /
-          math.max(t("inv_es1_1x")(graft.llm.Dedup.removeRepeatedSpans(
-            docs(sfDir), w = 5)), 0.25)
+          tDen("inv_es1_1x")(graft.llm.Dedup.removeRepeatedSpans(
+            docs(sfDir), w = 5))
         val sd1r = t("inv_sd1_32x")(graft.llm.Dedup.semDedup(em(scaleDir),
             nClusters = 256, threshold = 0.95, iters = 2, sampleMod = 8)) /
-          math.max(t("inv_sd1_1x")(graft.llm.Dedup.semDedup(em(sfDir),
-            nClusters = 256, threshold = 0.95, iters = 2, sampleMod = 8)), 0.25)
+          tDen("inv_sd1_1x")(graft.llm.Dedup.semDedup(em(sfDir),
+            nClusters = 256, threshold = 0.95, iters = 2, sampleMod = 8))
         val runtimeRatio = Seq(dd6r, es1r, sd1r).max
         val candRatio =
           sN.candidatePairs.toDouble / math.max(s1.candidatePairs, 1L)
@@ -653,8 +674,8 @@ object Bench {
         val dd6skr = t("inv_skew_dd6_32x")(graft.llm.Dedup.fuzzyClusters(
           skewed(docs(scaleDir)), n = 3, numHashes = 64, bands = 16,
           threshold = 0.4)) / dd6base
-        val lm1base = math.max(t("inv_lm1_1x")(
-          graft.llm.TextAnalysis.perplexity(docs(sfDir))), 0.25)
+        val lm1base = tDen("inv_lm1_1x")(
+          graft.llm.TextAnalysis.perplexity(docs(sfDir)))
         val lm1skr = t("inv_skew_lm1_32x")(graft.llm.TextAnalysis.perplexity(
           skewed(docs(scaleDir)))) / lm1base
         val skewRuntimeRatio = Seq(dd6skr, lm1skr).max
@@ -671,6 +692,44 @@ object Bench {
         }
         val skewCandRatio =
           sk.candidatePairs.toDouble / math.max(s1.candidatePairs, 1L)
+        // ---- catalog-churn invariant (r13): N metric creates through
+        // the journaled durable-catalog door must scale ~LINEARLY and
+        // cut O(log N) snapshot generations. The r12 fixed-256
+        // rotation bound cut N/256 full snapshots — O(N²/256) total
+        // snapshot work on a metric-churn fleet, vs the reference
+        // indexer's O(1) SQL row writes. 10x the creates must cost
+        // ~10x the time (bound 25 allows noise at these sub-second-
+        // per-1k absolute times) and the generation counter — a
+        // deterministic, timing-free witness of the amortized-doubling
+        // cadence — must stay ≤ 12 where the old bound cut 78.
+        def churn(n: Int, tag: String): Double = {
+          val croot = s"/tmp/graft-bench-catchurn-$tag"
+          org.apache.hadoop.fs.FileSystem.get(
+              sess.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(croot), true)
+          timed {
+            val g = new graft.api.Graft(sess, croot)
+            g.createPolicy(graft.model.ArchivePolicy("churn", 0,
+              Seq(graft.model.ArchivePolicyItem(
+                graft.model.Granularity.seconds(60), None, None)),
+              Set("mean")))
+            var i = 0
+            while (i < n) { g.createMetric(s"c-$i", "churn"); i += 1 }
+            g.close()
+          }
+        }
+        val churn2k = math.max(churn(2000, "2k"), 0.25)
+        val churn20k = churn(20000, "20k")
+        val churnRatio = churn20k / churn2k
+        val churnGens = {
+          val mf = java.nio.file.Paths.get(
+            "/tmp/graft-bench-catchurn-20k", "_catalog", "MANIFEST")
+          val txt = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+          """"gen":\s*(\d+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble).getOrElse(1e9)
+        }
+        System.err.println(f"[bench] invariants: cat churn 2k=$churn2k%.2f" +
+          f"s 20k=$churn20k%.2fs gens=$churnGens%.0f")
         Seq(
           "inv_dd2_max_raw_bucket" ->
             (if (sN.maxRawBucket <= 100000L) sN.maxRawBucket.toDouble else 1e9),
@@ -678,15 +737,22 @@ object Bench {
             (if (candRatio <= 4.0) candRatio else 1e9),
           "inv_spill_bytes" ->
             (if (spilled.get() == 0L) 0.0 else 1e9),
+          // bound 12 (was 40): with stable floored denominators the
+          // honest measured point is ~4-5x — 12 leaves headroom for
+          // box noise while an actual quadratic blow-up reads ~1000x
           "inv_runtime_ratio" ->
-            (if (runtimeRatio <= 40.0) runtimeRatio else 1e9),
+            (if (runtimeRatio <= 12.0) runtimeRatio else 1e9),
+          "inv_cat_churn_ratio" ->
+            (if (churnRatio <= 25.0) churnRatio else 1e9),
+          "inv_cat_churn_gens" ->
+            (if (churnGens <= 12.0) churnGens else 1e9),
           // skew section: same four claims under one dominant dup group
           "inv_skew_max_raw_bucket" ->
             (if (sk.maxRawBucket <= 100000L) sk.maxRawBucket.toDouble else 1e9),
           "inv_skew_candidate_ratio" ->
             (if (skewCandRatio <= 4.0) skewCandRatio else 1e9),
           "inv_skew_runtime_ratio" ->
-            (if (skewRuntimeRatio <= 40.0) skewRuntimeRatio else 1e9))
+            (if (skewRuntimeRatio <= 12.0) skewRuntimeRatio else 1e9))
       }
     val invariantsOk = invariants.nonEmpty && invariants.forall(_._2 < 1e9)
     invariants.foreach { case (k, v) =>

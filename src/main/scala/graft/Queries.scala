@@ -395,7 +395,8 @@ object Queries {
     }),
     "p5_overlap" -> ((s, dir) => {
       val g = grid(s, dir, allTypes)
-      val (_, pct) = Compiler.overlapPercent(g, trim = false)
+      val (_, pct) = Compiler.overlapPercent(g,
+        trimHead = false, trimTail = false)
       import s.implicits._
       Seq(pct.toFloat).toDF("pct")
     }),

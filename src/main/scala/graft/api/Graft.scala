@@ -996,10 +996,12 @@ class Graft(val spark: SparkSession, root: String) {
       granS * 1_000_000_000L)
     val checked = neededOverlap match {
       case Some(need) if effFill.isEmpty =>
-        // the reference trims to the overlapping span only when the
-        // caller gave no explicit bounds (processor.py:200-220)
+        // per-EDGE trim (processor.py:206-212): head trims only when
+        // `from` is unset, tail only when `to` is unset — a caller
+        // bounding one side keeps the other side's non-overlapping rows
+        // out of the percent denominator via the trim, not the bound
         val (trimmed, pct) = Compiler.overlapPercent(grid,
-          trim = from.isEmpty && to.isEmpty)
+          trimHead = from.isEmpty, trimTail = to.isEmpty)
         if (pct < need) throw new IllegalArgumentException(
           f"Unable to aggregate: overlap $pct%.1f%% < needed $need%.1f%%")
         trimmed

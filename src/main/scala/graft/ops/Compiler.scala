@@ -62,20 +62,29 @@ object Compiler {
   }
 
   /** P5 overlap: fraction (0-100) of grid rows where every series is
-    * present. When from/to are unset the reference first trims the grid
-    * to [first, last] fully-overlapping row (processor.py:200-220).
+    * present. The reference trims each EDGE independently — the tail to
+    * the last fully-overlapping row when `to` is unset, the head to the
+    * first when `from` is unset (processor.py:206-212: two separate
+    * `if` guards, not one) — and only when at least one overlapping row
+    * exists (both trims gate on `overlap.size`; with zero overlap the
+    * grid passes through untrimmed and the percent check decides).
     */
-  def overlapPercent(grid: Grid, trim: Boolean): (Grid, Double) = {
+  def overlapPercent(grid: Grid, trimHead: Boolean,
+                     trimTail: Boolean): (Grid, Double) = {
     val allPresent = grid.cols.map(c => col(c).isNotNull && !isnan(col(c)))
       .reduce(_ && _)
-    val trimmed = if (trim) {
+    val trimmed = if (trimHead || trimTail) {
       val bounds = grid.df.filter(allPresent)
         .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
         .collect()(0)
-      if (bounds.isNullAt(0)) grid.copy(df = grid.df.limit(0))
-      else grid.copy(df = grid.df.filter(
-        col("bucket") >= bounds.getTimestamp(0) &&
-        col("bucket") <= bounds.getTimestamp(1)))
+      if (bounds.isNullAt(0)) grid // no overlapping row → no trim
+      else {
+        val lo = if (trimHead)
+          Some(col("bucket") >= bounds.getTimestamp(0)) else None
+        val hi = if (trimTail)
+          Some(col("bucket") <= bounds.getTimestamp(1)) else None
+        grid.copy(df = Seq(lo, hi).flatten.foldLeft(grid.df)(_ filter _))
+      }
     } else grid
     val counts = trimmed.df
       .agg(count(lit(1)).as("n"), count(when(allPresent, 1)).as("k"))
@@ -459,6 +468,15 @@ object Compiler {
 
     case Rolling(agg, n, sub) =>
       val g = eval(sub, base)
+      // scale guard (the maxGroups discipline): the rolling-median path
+      // collects the frame's values per OUTPUT ROW, so an unbounded
+      // window parameter is an unbounded per-row array — reject beyond
+      // a configurable cap instead of building 100k-element arrays
+      val maxWindow = g.df.sparkSession.conf
+        .get("spark.graft.rolling.maxWindow", "10000").toInt
+      graft.api.GraftError.valid(n <= maxWindow,
+        s"rolling window $n exceeds the spark.graft.rolling.maxWindow " +
+          s"cap ($maxWindow)")
       val (isRate, a) =
         if (agg.startsWith("rate:")) (true, agg.stripPrefix("rate:")) else (false, agg)
       val w = seriesWindow(g).rowsBetween(-(n - 1), 0)

@@ -295,9 +295,10 @@ object TimeSeriesOps {
     */
   def fill(grid: DataFrame, cols: Seq[String], policy: String,
            tsCol: String = "bucket", partitionCols: Seq[String] = Nil): DataFrame = {
-    // NaN is the numpy reference's missing marker, same as NULL here —
-    // every policy treats it as a gap (dropna already did; ffill/bfill/
-    // constant would otherwise propagate the NaN into downstream sums)
+    // NaN is the numpy reference's missing marker for the KEYWORD
+    // policies — dropna and the directional fills treat a NaN cell as
+    // a gap, same as NULL here. The NUMERIC policy is the exception:
+    // it only pre-fills absent cells (see the `num` case).
     def denan(c: org.apache.spark.sql.Column) =
       when(isnan(c), lit(null)).otherwise(c)
     def wAsc = {
@@ -329,8 +330,14 @@ object TimeSeriesOps {
       case num =>
         val v = parseFloatLiteral(num).getOrElse(
           throw new IllegalArgumentException(s"fill policy $num"))
+        // numeric fill pre-fills only ABSENT cells: the reference
+        // initializes the grid with the filler and then overwrites it
+        // with the actual values — NaN included (processor.py:172-181),
+        // so a stored NaN survives a numeric fill. ffill/bfill differ
+        // only because numpy cannot tell a data NaN from the NaN
+        // filler there; here denan applies to those policies alone.
         cols.foldLeft(grid)((d, c) =>
-          d.withColumn(c, coalesce(denan(col(c)), lit(v))))
+          d.withColumn(c, coalesce(col(c), lit(v))))
     }
   }
 

@@ -189,36 +189,38 @@ class OpsFuzzSpec extends SparkSpec {
     })
   }
 
-  private def ev(node: Node, base: RG): RG = node match {
+  private def ev(node: Node, base: RG,
+                 names: Vector[String] = refNames): RG = node match {
     case MetricLeaf(refs) =>
-      val idx = refs.map { case (m, a) => refNames.indexOf(s"$m/$a") }
+      val idx = refs.map { case (m, a) => names.indexOf(s"$m/$a") }
       RG(base.rows.map { case (b, cells) => b -> idx.toVector.map(cells) })
     case Num(v) => RG(base.rows.map { case (b, _) => b -> Vector(Some(v)) })
     case Bin(op, Num(v), rn) =>
-      mapCells(ev(rn, base), c => binCell(op, Some(v), c))
+      mapCells(ev(rn, base, names), c => binCell(op, Some(v), c))
     case Bin(op, ln, Num(v)) =>
-      mapCells(ev(ln, base), c => binCell(op, c, Some(v)))
+      mapCells(ev(ln, base, names), c => binCell(op, c, Some(v)))
     case Bin(op, ln, rn) =>
-      zipRG(ev(ln, base), ev(rn, base), (a, b) => binCell(op, a, b))
+      zipRG(ev(ln, base, names), ev(rn, base, names),
+        (a, b) => binCell(op, a, b))
     case Clip(sub, Num(lo), Num(hi)) =>
-      mapCells(ev(sub, base), c =>
+      mapCells(ev(sub, base, names), c =>
         if (c.isEmpty || isNaN(c)) c
         else Some(math.min(math.max(c.get, lo), hi)))
     case Clip(_, _, _) => sys.error("clip bounds must be scalars")
-    case Un(op, sub) => mapCells(ev(sub, base), c => unCell(op, c))
-    case RateOfChange(perSec, sub) => rateOf(ev(sub, base), perSec)
+    case Un(op, sub) => mapCells(ev(sub, base, names), c => unCell(op, c))
+    case RateOfChange(perSec, sub) => rateOf(ev(sub, base, names), perSec)
     case AggAcross(agg0, sub) =>
       val (isRate, agg) =
         if (agg0.startsWith("rate:")) (true, agg0.stripPrefix("rate:"))
         else (false, agg0)
-      val g0 = ev(sub, base)
+      val g0 = ev(sub, base, names)
       val g = if (isRate) rateOf(g0, perSec = false) else g0
       RG(g.rows.map { case (b, cells) => b -> Vector(nanSkip(agg, cells)) })
     case Rolling(agg0, n, sub) =>
       val (isRate, agg) =
         if (agg0.startsWith("rate:")) (true, agg0.stripPrefix("rate:"))
         else (false, agg0)
-      val g = ev(sub, base)
+      val g = ev(sub, base, names)
       val rolled = RG(g.rows.zipWithIndex.drop(n - 1).map { case ((b, _), i) =>
         val window = g.rows.slice(i - n + 1, i + 1).map(_._2)
         b -> Vector.tabulate(g.width)(c => nanSkip(agg, window.map(_(c))))
@@ -232,7 +234,7 @@ class OpsFuzzSpec extends SparkSpec {
         case Granularity.Fixed(ns) => ns / 1_000_000_000L
         case _ => sys.error("calendar resample not fuzzed")
       }
-      val g0 = ev(sub, base)
+      val g0 = ev(sub, base, names)
       val g = if (isRate) rateOf(g0, perSec = false) else g0
       val grouped = g.rows.groupBy { case (b, _) =>
         math.floorDiv(b, granS) * granS }.toVector.sortBy(_._1)
@@ -482,5 +484,219 @@ class OpsFuzzSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} grouped divergences (seed $seed):\n" +
         failures.reverse.take(4).mkString("\n"))
+  }
+
+  test("door fuzz: 200 random fill × needed_overlap × from/to × " +
+      "ragged-series grids through the full aggregates door == a " +
+      "processor.py transcription (grid build, per-edge overlap trim, " +
+      "fill, output drop)") {
+    val s = spark
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(120012L)
+    val rnd = new scala.util.Random(seed + 2)
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-dfuzz").toString)
+    g.createPolicy(graft.model.ArchivePolicy("pf", 0,
+      Seq(graft.model.ArchivePolicyItem(
+        graft.model.Granularity.seconds(60), None, None)),
+      Set("mean")))
+    // 4 stored ragged series over 12 buckets: absent 25% / NaN 15% /
+    // value 60% (values on a 0.25 lattice so stored means are bit-exact)
+    val nBuckets = 12
+    val mNames = Vector("fm1", "fm2", "fm3", "fm4")
+    val patterns: Vector[Vector[Option[Double]]] = mNames.map { _ =>
+      val cells = Vector.tabulate(nBuckets) { _ =>
+        rnd.nextInt(20) match {
+          case x if x < 5 => None
+          case x if x < 8 => Some(Double.NaN)
+          case _          => Some((rnd.nextInt(41) - 20) * 0.25)
+        }
+      }
+      if (cells.exists(c => c.exists(!_.isNaN))) cells
+      else cells.updated(0, Some(1.0)) // the store needs ≥1 real point
+    }
+    for ((m, cells) <- mNames.zip(patterns)) {
+      g.createMetric(m, "pf")
+      g.addMeasures(m, cells.zipWithIndex.collect { case (Some(v), i) =>
+        (new java.sql.Timestamp(i * 60L * 1000).toString, v) })
+    }
+    g.process()
+
+    val keywordFills =
+      Set("null", "dropna", "ffill", "bfill", "full_ffill", "full_bfill")
+
+    /** processor.py transcription of the DOOR around the (already
+      * differentially-fuzzed) evaluator: fetch slice → union grid with
+      * the numeric-or-absent filler → directional fills (NaN ≡ gap,
+      * numpy can't tell a data NaN from the NaN filler) → the per-EDGE
+      * overlap trim + percent gate (only when fill is unset,
+      * processor.py:200-220) → evaluate → output drop for dropna and
+      * the directional fills (NaN/±inf/absent positions removed,
+      * processor.py:237-244). Left = the door must throw.
+      */
+    def doorRef(tree: Node, chosen: Vector[Int], fill: Option[String],
+                needed: Option[Double], fromS: Option[Long], toS: Option[Long])
+        : Either[String, Vector[(Long, Option[Double])]] = {
+      val numFill = fill.filterNot(keywordFills).map(_.toDouble)
+      // fetch (A12): bucket >= from (60 s-aligned here), bucket < to
+      val pts: Vector[Vector[(Long, Double)]] = chosen.map(i =>
+        patterns(i).zipWithIndex.collect { case (Some(v), k)
+            if fromS.forall(k * 60L >= _) && toS.forall(k * 60L < _) =>
+          (k * 60L, v)
+        })
+      val times = pts.flatten.map(_._1).distinct.sorted
+      var grid: Vector[(Long, Vector[Option[Double]])] = times.map { t =>
+        t -> chosen.indices.toVector.map { c =>
+          pts(c).find(_._1 == t) match {
+            case Some((_, v)) => Some(v) // data NaN SURVIVES numeric fill
+            case None         => numFill
+          }
+        }
+      }
+      def gap(c: Option[Double]) = c.isEmpty || c.exists(_.isNaN)
+      def dirFill(rows: Vector[(Long, Vector[Option[Double]])],
+                  forward: Boolean) = {
+        val ordered = if (forward) rows else rows.reverse
+        val w = ordered.head._2.size
+        val lastReal = Array.fill[Option[Double]](w)(None)
+        val filled = ordered.map { case (b, cells) =>
+          b -> Vector.tabulate(w) { c =>
+            if (!gap(cells(c))) { lastReal(c) = cells(c); cells(c) }
+            else lastReal(c)
+          }
+        }
+        if (forward) filled else filled.reverse
+      }
+      fill match {
+        case Some("ffill") if grid.nonEmpty => grid = dirFill(grid, true)
+        case Some("bfill") if grid.nonEmpty => grid = dirFill(grid, false)
+        case Some("full_ffill") if grid.nonEmpty =>
+          grid = dirFill(dirFill(grid, true), false)
+        case Some("full_bfill") if grid.nonEmpty =>
+          grid = dirFill(dirFill(grid, false), true)
+        case _ => ()
+      }
+      if (fill.isEmpty && needed.isDefined) {
+        val need = needed.get
+        val overlapIdx = grid.zipWithIndex.collect {
+          case ((_, cells), i) if cells.forall(c => c.exists(!_.isNaN)) => i
+        }
+        if (overlapIdx.isEmpty && need > 0) return Left("No overlap")
+        if (grid.nonEmpty) {
+          if (toS.isEmpty && overlapIdx.nonEmpty)
+            grid = grid.take(overlapIdx.last + 1)
+          if (fromS.isEmpty && overlapIdx.nonEmpty)
+            grid = grid.drop(overlapIdx.head)
+          val pct = overlapIdx.size * 100.0 / grid.size
+          if (pct < need) return Left(f"overlap $pct%.1f%% < $need%.1f%%")
+        }
+      }
+      val names = chosen.map(i => s"${mNames(i)}/mean")
+      val out = ev(tree, RG(grid), names).rows.map {
+        case (b, cells) => (b, cells.head)
+      }
+      Right(
+        if (fill.exists(f => f == "dropna" || f.endsWith("ffill") ||
+            f.endsWith("bfill")))
+          out.filter { case (_, c) => c.exists(v => !v.isNaN && !v.isInfinite) }
+        else out)
+    }
+
+    // trees end AGGREGATED (single output series — the reference's
+    // exact per-series output-drop path), optionally wrapped in a
+    // rolling or resample on the aggregated series
+    val ewBin = Vector("add", "sub", "mul", "div", "clip_min", "clip_max")
+    def genEw(chosen: Vector[Int], depth: Int): Node = {
+      def leafN = MetricLeaf(chosen.map(i => (mNames(i), "mean")))
+      if (depth == 0) leafN
+      else rnd.nextInt(4) match {
+        case 0 => Bin(Parser.binOps(ewBin(rnd.nextInt(ewBin.size))),
+          genEw(chosen, depth - 1), Num(nums(rnd.nextInt(nums.size))))
+        case 1 => Un(unOpsGen(rnd.nextInt(unOpsGen.size)),
+          genEw(chosen, depth - 1))
+        case 2 => Clip(genEw(chosen, depth - 1), Num(-1.0), Num(3.0))
+        case 3 => leafN
+      }
+    }
+    def genDoorTree(chosen: Vector[Int]): Node = {
+      val top = AggAcross(acrossAggs(rnd.nextInt(acrossAggs.size)),
+        genEw(chosen, rnd.nextInt(3)))
+      rnd.nextInt(5) match {
+        case 0 => Rolling(acrossAggs(rnd.nextInt(acrossAggs.size)),
+          1 + rnd.nextInt(3), top)
+        case 1 => Resample(resampleAggs(rnd.nextInt(resampleAggs.size)),
+          Granularity.seconds(if (rnd.nextBoolean()) 120 else 300), top)
+        case _ => top
+      }
+    }
+
+    var failures = List.empty[String]
+    for (k <- 1 to 200) {
+      val chosen = rnd.shuffle(mNames.indices.toVector)
+        .take(1 + rnd.nextInt(3)).sorted
+      val tree = genDoorTree(chosen)
+      val fill = rnd.nextInt(10) match {
+        case 0 | 9 => None
+        case 1 => Some("null")
+        case 2 => Some("dropna")
+        case 3 => Some("ffill")
+        case 4 => Some("bfill")
+        case 5 => Some("full_ffill")
+        case 6 => Some("full_bfill")
+        case 7 => Some("0")
+        case 8 => Some("2.5")
+      }
+      val needed: Option[Double] =
+        if (fill.isEmpty) Vector[Option[Double]](None, Some(0.0), Some(25.0),
+          Some(50.0), Some(75.0), Some(100.0))(rnd.nextInt(6))
+        else if (rnd.nextInt(5) == 0) Some(50.0) // the fill-set gate: ignored
+        else None
+      val f0 = if (rnd.nextInt(10) < 3)
+        Some(rnd.nextInt(nBuckets).toLong * 60) else None
+      val t0 = if (rnd.nextInt(10) < 3)
+        Some((1 + rnd.nextInt(nBuckets)).toLong * 60) else None
+      val (fromS, toS) = (f0, t0) match {
+        case (Some(f), Some(t)) if t <= f => (Some(t - 60), Some(f + 60))
+        case other => other
+      }
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      val desc = s"#$k ${render(tree)} fill=$fill needed=$needed " +
+        s"from=$fromS to=$toS refs=${chosen.map(mNames)}"
+      val want = doorRef(tree, chosen, fill, needed, fromS, toS)
+      val got: Either[String, Vector[(Long, Option[Double])]] =
+        try {
+          val df = g.aggregates(render(tree), 60L, fill, needed,
+            fromS.map(ts), toS.map(ts))
+          val vCol = df.columns.filterNot(_ == "bucket").head
+          Right(df.orderBy("bucket").collect().toVector.map { r =>
+            (r.getAs[java.sql.Timestamp]("bucket").getTime / 1000,
+              if (r.isNullAt(r.fieldIndex(vCol))) None
+              else Some(r.getDouble(r.fieldIndex(vCol))))
+          })
+        } catch {
+          case e: IllegalArgumentException if e.getMessage != null &&
+              e.getMessage.startsWith("Unable to aggregate") =>
+            Left(e.getMessage)
+          case e: Throwable =>
+            failures ::= s"$desc ENGINE THREW: ${e.getMessage}"
+            Left("__threw__")
+        }
+      (want, got) match {
+        case (_, Left("__threw__")) => ()
+        case (Left(_), Left(_))     => ()
+        case (Left(w), Right(r))    =>
+          failures ::= s"$desc: reference errors ($w), engine returned $r"
+        case (Right(w), Left(e))    =>
+          failures ::= s"$desc: engine errors ($e), reference returned $w"
+        case (Right(w), Right(r))   =>
+          val ok = r.size == w.size && r.zip(w).forall {
+            case ((gb, gc), (wb, wc)) => gb == wb && sameCell(gc, wc)
+          }
+          if (!ok)
+            failures ::= s"$desc DIVERGED\n  engine: $r\n  reference: $w"
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} door divergences (seed $seed):\n" +
+        failures.reverse.take(5).mkString("\n"))
   }
 }

@@ -123,6 +123,16 @@ class OpsSpec extends SparkSpec {
     assert(g.df.count() == 0)
   }
 
+  test("rolling window beyond spark.graft.rolling.maxWindow rejects " +
+      "with a clear error (scale guard: the median path collects the " +
+      "frame per output row)") {
+    val e = intercept[graft.api.GraftError.BadInput] {
+      Compiler.eval(Parser.parse("(rolling sum 100000 (metric m1 mean))"),
+        mkGrid(twoSeries: _*))
+    }
+    assert(e.getMessage.contains("spark.graft.rolling.maxWindow"))
+  }
+
   test("clip over a partially-overlapping series: missing cells stay " +
       "missing (greatest/least skip nulls — an unguarded clip would " +
       "manufacture the bound out of a gap)") {
@@ -259,23 +269,29 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(1.0, 1.0, 3.0))
   }
 
-  test("fill: NaN is a gap for every policy (numpy missing marker), " +
-      "and the numeric guard rejects malformed policies typed-ly") {
+  test("fill: NaN is a gap for the directional policies (numpy cannot " +
+      "tell a data NaN from the NaN grid filler) but SURVIVES a " +
+      "numeric fill (processor.py:172-181 pre-fills only absent " +
+      "cells); the numeric guard rejects malformed policies typed-ly") {
     val s = spark
     import s.implicits._
     val grid = Seq(
-      ("2014-01-01 12:00:00", 1.0),
-      ("2014-01-01 12:01:00", Double.NaN),
-      ("2014-01-01 12:02:00", 3.0))
+      ("2014-01-01 12:00:00", Some(1.0)),
+      ("2014-01-01 12:01:00", Some(Double.NaN)),
+      ("2014-01-01 12:02:00", None),
+      ("2014-01-01 12:03:00", Some(3.0)))
       .toDF("bucket", "a")
       .withColumn("bucket", org.apache.spark.sql.functions.to_timestamp(
         org.apache.spark.sql.functions.col("bucket")))
     def vals(policy: String) =
       TimeSeriesOps.fill(grid, Seq("a"), policy)
         .orderBy("bucket").select("a").collect().map(_.getDouble(0)).toSeq
-    assert(vals("ffill") == Seq(1.0, 1.0, 3.0))
-    assert(vals("bfill") == Seq(1.0, 3.0, 3.0))
-    assert(vals("0") == Seq(1.0, 0.0, 3.0))
+    assert(vals("ffill") == Seq(1.0, 1.0, 1.0, 3.0))
+    assert(vals("bfill") == Seq(1.0, 3.0, 3.0, 3.0))
+    // numeric fill: the absent cell takes 0, the data NaN stays NaN
+    val filled0 = vals("0")
+    assert(filled0(0) == 1.0 && filled0(1).isNaN &&
+      filled0(2) == 0.0 && filled0(3) == 3.0)
     val e = intercept[IllegalArgumentException](vals("1.2.3"))
     assert(e.getMessage.contains("fill policy"))
   }
@@ -367,10 +383,21 @@ class OpsSpec extends SparkSpec {
       ("b", "2014-01-01 12:02:00", 9.0),
       ("b", "2014-01-01 12:03:00", 9.5))
     val g = mkGrid(sparse: _*)
-    val (trimmed, pct) = Compiler.overlapPercent(g, trim = true)
+    val (trimmed, pct) = Compiler.overlapPercent(g,
+      trimHead = true, trimTail = true)
     assert(pct == 100.0) // within trimmed [12:01, 12:02] all present
     assert(trimmed.df.count() == 2)
-    val (_, pctNoTrim) = Compiler.overlapPercent(g, trim = false)
+    val (_, pctNoTrim) = Compiler.overlapPercent(g,
+      trimHead = false, trimTail = false)
     assert(pctNoTrim == 50.0)
+    // per-EDGE trim (processor.py:206-212): bounded `to` keeps the
+    // tail's non-overlapping row in the denominator, bounded `from`
+    // keeps the head's
+    val (headOnly, pctHead) = Compiler.overlapPercent(g,
+      trimHead = true, trimTail = false)
+    assert(pctHead * headOnly.df.count() == 200.0) // 2 of 3 rows overlap
+    val (tailOnly, pctTail) = Compiler.overlapPercent(g,
+      trimHead = false, trimTail = true)
+    assert(pctTail * tailOnly.df.count() == 200.0)
   }
 }
