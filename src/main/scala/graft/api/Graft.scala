@@ -1472,8 +1472,31 @@ class Graft(val spark: SparkSession, root: String) {
   /** POST /v1/search/metric (S1). */
   def searchMetricValues(metricIds: Seq[String], method: String, granS: Long,
                          pred: MeasureSearch.Pred): DataFrame =
-    metricIds.map { m =>
-      storeOf(metricPolicy(m)).getMeasures(m, method, granS)
+    searchMetricValuesMulti(metricIds, method, Some(Seq(granS)), pred)
+
+  /** S1 over MULTIPLE granularities with a fetch window
+    * (SearchMetricController.post, rest/api.py:1654-1705: repeated
+    * ?granularity= params each search their own stored series; absent
+    * granularity searches every granularity of each metric's policy;
+    * a granularity the policy never stored is the reference's
+    * storage.AggregationDoesNotExist → 400 at the REST layer). */
+  def searchMetricValuesMulti(metricIds: Seq[String], method: String,
+                              granS: Option[Seq[Long]],
+                              pred: MeasureSearch.Pred,
+                              from: Option[java.sql.Timestamp] = None,
+                              to: Option[java.sql.Timestamp] = None)
+      : DataFrame =
+    metricIds.flatMap { m =>
+      val polGrans = policies(metricPolicy(m)).definition
+        .map(_.granularity).collect {
+          case graft.model.Granularity.Fixed(ns) => ns / 1_000_000_000L
+        }
+      val gs = granS.getOrElse(polGrans.sorted.reverse)
+      gs.map { g =>
+        GraftError.valid(polGrans.contains(g),
+          s"Aggregation does not exist: granularity $g, method $method")
+        storeOf(metricPolicy(m)).getMeasures(m, method, g, from, to)
+      }
     }.reduce(_ unionByName _)
       .filter(MeasureSearch.compile(pred, col("value")))
 
@@ -1486,6 +1509,35 @@ class Graft(val spark: SparkSession, root: String) {
     // mark dirty so the next journaled mutation (or explicit
     // persistCatalog) cuts a snapshot capturing it first
     framesDirty = true
+  }
+
+  /** The reference's BASE resource schema (ResourceSchema,
+    * rest/api.py:1060-1066 + the Resource model): a fresh deployment
+    * accepts generic resources carrying started_at / ended_at /
+    * user_id / project_id out of the box — no frame-registration step
+    * exists there. A fresh facade therefore bootstraps EMPTY
+    * resources/history frames with the base columns on the first
+    * resource-plane touch; setResources / setResourceHistory still
+    * replace them for custom-attribute fixtures (async.yaml posts a
+    * generic resource before anything else).
+    */
+  private def bootstrapResourcePlane(): Unit = {
+    import org.apache.spark.sql.types._
+    val base = StructType(Seq(
+      StructField("id", StringType),
+      StructField("type", StringType),
+      StructField("creator", StringType),
+      StructField("original_resource_id", StringType),
+      StructField("started_at", TimestampType),
+      StructField("ended_at", TimestampType),
+      StructField("user_id", StringType),
+      StructField("project_id", StringType),
+      StructField("revision_start", TimestampType)))
+    def empty(s: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    if (resources.isEmpty) setResources(empty(base))
+    if (resourceHistoryTbl.isEmpty) setResourceHistory(empty(StructType(
+      base.fields :+ StructField("revision_end", TimestampType))))
   }
 
   /** Whether a resource catalog frame is registered — wire doors
@@ -1637,8 +1689,8 @@ class Graft(val spark: SparkSession, root: String) {
                      creator: Option[String] = None): Unit =
       catalogLock.synchronized {
     flushDirtyFrames()
-    val res = resources.getOrElse(throw new IllegalStateException(
-      "no resource table registered — call setResources(df) first"))
+    if (resources.isEmpty) bootstrapResourcePlane()
+    val res = resources.get
     val rid = graft.catalog.ResourceUuid.transform(id, creator)
     GraftError.fresh(res.filter(col("id") === rid).isEmpty,
       s"resource $rid already exists")
@@ -1977,9 +2029,10 @@ class Graft(val spark: SparkSession, root: String) {
 
   /** The registered resource catalog's columns — the REST door's
     * input-schema surface (schema_for(), rest/api.py:1153-1155). */
-  def resourceColumns: Seq[String] =
-    resources.getOrElse(throw new IllegalStateException(
-      "no resource table registered — call setResources(df) first")).columns.toSeq
+  def resourceColumns: Seq[String] = catalogLock.synchronized {
+    if (resources.isEmpty) bootstrapResourcePlane()
+    resources.get.columns.toSeq
+  }
 
   /** One resource's revision rows from the registered history table,
     * ordered by revision_start (the resource history endpoint; the

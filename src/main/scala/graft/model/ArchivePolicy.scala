@@ -33,12 +33,13 @@ object Granularity {
 
   /** Parse "300", "300.5" (seconds), "1s"/"5m"-style, "<n>ns" (the
     * token form [[Fixed.token]] EMITS for sub-second granularities —
-    * the API must accept its own output), or calendar tokens. */
-  def parse(s: String): Granularity = s match {
-    case u if Calendar.units.contains(u) => Calendar(u)
-    case _ if s.endsWith("ns") =>
-      Fixed(BigDecimal(s.dropRight(2)).toLongExact)
-    case _ =>
+    * the API must accept its own output), calendar tokens, or any
+    * pytimeparse phrase ("1 second", "2h32m" — utils.to_timespan
+    * tries float(value) first, then pytimeparse, utils.py:138-150;
+    * async.yaml posts `granularity: 1 second`). */
+  def parse(s0: String): Granularity = {
+    val s = s0.trim
+    def short: Option[Fixed] = scala.util.Try {
       val (num, mult) = s.last match {
         case 's' => (s.dropRight(1), 1_000_000_000L)
         case 'm' => (s.dropRight(1), 60L * 1_000_000_000L)
@@ -47,6 +48,17 @@ object Granularity {
         case _   => (s, 1_000_000_000L)
       }
       Fixed((BigDecimal(num) * mult).toLongExact)
+    }.toOption
+    if (Calendar.units.contains(s)) Calendar(s)
+    else if (s.endsWith("ns") && s.length > 2 &&
+        s.dropRight(2).forall(_.isDigit))
+      Fixed(BigDecimal(s.dropRight(2)).toLongExact)
+    else short.getOrElse {
+      val secs = Timespan.parseS(s).getOrElse(
+        throw new IllegalArgumentException(s"bad granularity: $s0"))
+      require(secs > 0, "Timespan must be positive")
+      Fixed((BigDecimal(secs) * 1_000_000_000L).toLongExact)
+    }
   }
 }
 

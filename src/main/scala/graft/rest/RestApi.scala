@@ -305,6 +305,12 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
         d \ "points" match { case JNothing => None; case n => Some(jnum(n).toLong) },
         d \ "timespan" match {
           case JNothing => None
+          // utils.to_timespan surface: numbers (seconds) or pytimeparse
+          // phrases — search-metric.yaml posts `timespan: 1 hour`
+          case JString(s) => Some((s.trim.toDoubleOption
+            .orElse(parseTimespanS(s))
+            .getOrElse(throw new IllegalArgumentException(
+              s"Unable to parse timespan: $s")) * 1e9).toLong)
           case n => Some((jnum(n) * 1e9).toLong)
         }).completed
     }
@@ -1005,12 +1011,16 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
               }.mkString("&")
             Map("Link" -> s"</v1/metric?$qs>; rel=\"next\"")
           } else Map.empty[String, String]
+        // list rows carry the NESTED archive_policy (the reference's
+        // list endpoint loads the relation, so Metric.jsonify emits
+        // the full policy — sqlalchemy_base.py:138-141;
+        // resample-calendar.yaml asserts $[0].archive_policy.name)
         ok(JArray(page.map { case (id, pol) =>
           ("id" -> id) ~
             ("name" -> names.get(id)) ~
             ("unit" -> g.metricUnitOf(id)) ~
             ("creator" -> g.metricCreatorOf(id)) ~
-            ("archive_policy_name" -> pol)
+            ("archive_policy" -> policyJson(g.policies(pol)))
         })).copy(headers = hdrs)
 
       case ("GET", List("v1", "metric", id)) =>
@@ -1060,15 +1070,26 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
               ("creator" -> creator) ~
               ("archive_policy_name" -> g.metricPolicyName(mid)))
           case _ =>
-            val id = jstr(b \ "id" match {
-              case JNothing => b \ "name"; case v => v })
+            // id defaults to name; with NEITHER given the server
+            // assigns a uuid4, as MetricsController.post
+            // (rest/api.py:683-704 indexer.create_metric(uuid.uuid4()))
+            val id = (b \ "id" match {
+              case JNothing => b \ "name"; case v => v }) match {
+              case JNothing => java.util.UUID.randomUUID().toString
+              case v        => jstr(v)
+            }
             polOpt match {
               case Some(pol) => g.createMetric(id, pol, unit)
               case None      => g.createMetricRuled(id, unit) // R9 rules
             }
             creator.foreach(g.setMetricCreator(id, _))
+            // the create response carries the FLAT policy name
+            // (Metric.jsonify with archive_policy unloaded,
+            // sqlalchemy_base.py:138-141; metric-list.yaml asserts
+            // $.archive_policy_name on every POST)
             created(("id" -> id) ~ ("unit" -> unit) ~
-              ("creator" -> creator))
+              ("creator" -> creator) ~
+              ("archive_policy_name" -> g.metricPolicyName(id)))
         }
 
       case ("DELETE", List("v1", "metric", id)) =>
@@ -1086,14 +1107,29 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
         accepted
 
       case ("GET", List("v1", "metric", id, "measures")) =>
+        val resample = q.get("resample").map(Granularity.parse)
         val rows = g.getMeasures(id,
           method = q.getOrElse("aggregation", "mean"),
           granS = q.get("granularity").map(parseGranS),
           from = q.get("start").map(parseTs(_).toString),
           to = q.get("stop").map(parseTs(_).toString),
-          resample = q.get("resample").map(Granularity.parse),
+          resample = resample,
           refreshFirst = q.get("refresh").contains("true"))
-        ok(measuresTriples(rows))
+        // a resampled read reports the RESAMPLED granularity in each
+        // triple (rest/api.py:552: results carry the post-resample
+        // aggregation) — 60.0 for fixed (metric.yaml), the calendar
+        // token STRING for Y/H/Q/M/W (resample-calendar.yaml)
+        ok(resample match {
+          case None => measuresTriples(rows)
+          case Some(r) =>
+            val gj: JValue = r match {
+              case graft.model.Granularity.Fixed(ns) => JDouble(ns / 1e9)
+              case graft.model.Granularity.Calendar(u) => JString(u)
+            }
+            JArray(rows.toList.map { case (t, _, v) =>
+              JArray(List(JString(iso(t)), gj, JDouble(v)))
+            })
+        })
 
       // -------------------------------------------------- batch ingest
       case ("POST", List("v1", "batch", "resources", "metrics", "measures")) =>
@@ -1174,11 +1210,36 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
         val ids = q.getOrElse("metric_id",
           throw new IllegalArgumentException("metric_id required"))
           .split(",").toSeq
-        val df = g.searchMetricValues(ids,
-          q.getOrElse("aggregation", "mean"),
-          q.get("granularity").map(parseGranS).getOrElse(
-            throw new IllegalArgumentException("granularity required")),
-          parsePred(body()))
+        val method = q.getOrElse("aggregation", "mean")
+        // start/stop validate with the reference's exact 400 text
+        // (rest/api.py:1668-1678), BEFORE the query body parses
+        val fromTs = q.get("start").map(s =>
+          try parseTs(s) catch { case _: Throwable =>
+            return err(400, "Invalid value for start") })
+        val toTs = q.get("stop").map(s =>
+          try parseTs(s) catch { case _: Throwable =>
+            return err(400, "Invalid value for stop") })
+        // repeated ?granularity= params arrive comma-joined from the
+        // server (arg_to_list surface); each parses as a timespan
+        val grans = q.get("granularity").map(_.split(",").toSeq
+          .map(parseGranS))
+        // a granularity the metric's policy never stored is the
+        // reference's storage.AggregationDoesNotExist → a STRUCTURED
+        // 400 (search-metric.yaml pins description.cause/detail)
+        for (gs <- grans; m <- ids) {
+          val polGrans = g.policies(g.metricPolicyName(m)).definition
+            .map(_.granularity).collect {
+              case graft.model.Granularity.Fixed(ns) =>
+                ns / 1_000_000_000L
+            }
+          for (missing <- gs.find(!polGrans.contains(_)))
+            return Response(400, ("code" -> 400) ~ ("description" ->
+              (("cause" -> "Aggregation does not exist") ~
+                ("detail" -> (("granularity" -> missing) ~
+                  ("aggregation_method" -> method))))))
+        }
+        val df = g.searchMetricValuesMulti(ids, method, grans,
+          parsePred(body()), fromTs, toTs)
         ok(frameJson(df.orderBy("metric_id", "bucket"), 10000))
 
       // -------------------------------------------------- aggregates DSL

@@ -2732,4 +2732,236 @@ class RestSpec extends SparkSpec {
       assert(ms(1)._2 === 1.0)
     }
   }
+
+  test("async.yaml walk: inline metric at resource create, " +
+      "empty-measures read is 200 [], resource-scoped POST is 202, " +
+      "?refresh=true drains before the read") {
+    val api = newApi
+    assert(api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "moderate",
+          "definition": [{"granularity": "1 second"}]}""").status === 201)
+    assert(api.dispatch("POST", "/v1/resource/generic", body =
+      """{"id": "41937416-1644-497d-a0ed-b43d55a2b0ea",
+          "started_at": "2015-06-06T02:02:02.000000",
+          "metrics": {"some.counter":
+            {"archive_policy_name": "moderate"}}}""").status === 201)
+    // "confirm no metrics yet": a metric with no measures reads 200 []
+    val empty = api.dispatch("GET", "/v1/resource/generic/" +
+      "41937416-1644-497d-a0ed-b43d55a2b0ea/metric/some.counter/measures")
+    assert(empty.status === 200)
+    assert(empty.body === JArray(Nil))
+    assert(api.dispatch("POST", "/v1/resource/generic/" +
+      "41937416-1644-497d-a0ed-b43d55a2b0ea/metric/some.counter/measures",
+      body = """[{"timestamp": "2015-06-06T14:33:00", "value": 11},
+                 {"timestamp": "2015-06-06T14:35:00", "value": 12}]""")
+      .status === 202)
+    val got = api.dispatch("GET", "/v1/resource/generic/" +
+      "41937416-1644-497d-a0ed-b43d55a2b0ea/metric/some.counter/measures",
+      query = Map("refresh" -> "true"))
+    assert(got.status === 200)
+    val rows = got.body.asInstanceOf[JArray].arr
+    assert(rows.nonEmpty)
+    // $[-1][-1]: 12 — the last triple's value
+    rows.last match {
+      case JArray(List(_, _, v)) => assert(v === JDouble(12.0))
+      case other => fail(s"bad last triple: $other")
+    }
+  }
+
+  test("metric-derived.yaml walk: rate:mean/95pct/max goldens, " +
+      "server-assigned metric id, and a mid-series split push (drained " +
+      "between chunks) computes identical rates") {
+    val api = newApi
+    assert(api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "carrot-cake",
+          "aggregation_methods": ["rate:mean", "rate:max", "rate:95pct",
+                                  "max"],
+          "definition": [{"granularity": "1 minute"}]}""").status === 201)
+    val created1 = api.dispatch("POST", "/v1/metric",
+      body = """{"archive_policy_name": "carrot-cake"}""")
+    assert(created1.status === 201)
+    val m1 = (created1.body \ "id").asInstanceOf[JString].s
+    assert(m1.nonEmpty)
+    val all = Seq(
+      "14:33:00" -> 10, "14:34:10" -> 13, "14:34:20" -> 13,
+      "14:34:30" -> 15, "14:34:40" -> 18, "14:34:50" -> 20,
+      "14:35:00" -> 22, "14:35:10" -> 26, "14:35:20" -> 30,
+      "14:35:30" -> 31, "14:35:40" -> 37, "14:35:50" -> 55,
+      "14:36:00" -> 62, "14:36:10" -> 100, "14:36:20" -> 102,
+      "14:36:30" -> 103, "14:36:40" -> 104, "14:36:50" -> 110)
+    def measuresJson(xs: Seq[(String, Int)]) = xs.map { case (t, v) =>
+      s"""{"timestamp": "2015-03-06T$t", "value": $v}"""
+    }.mkString("[", ",", "]")
+    assert(api.dispatch("POST", s"/v1/metric/$m1/measures",
+      body = measuresJson(all)).status === 202)
+    def read(mid: String, agg: String, refresh: Boolean = false) = {
+      val r = api.dispatch("GET", s"/v1/metric/$mid/measures",
+        query = Map("aggregation" -> agg) ++
+          (if (refresh) Map("refresh" -> "true") else Map.empty))
+      assert(r.status === 200)
+      r.body.asInstanceOf[JArray].arr.map {
+        case JArray(List(JString(t), _, JDouble(v))) => (t, v)
+        case other => fail(s"bad triple: $other")
+      }
+    }
+    def ts(hm: String) = s"2015-03-06T$hm:00Z"
+    val rateMean = read(m1, "rate:mean", refresh = true)
+    assert(rateMean === List(
+      (ts("14:34"), 2.0), (ts("14:35"), 5.833333333333333),
+      (ts("14:36"), 9.166666666666666)))
+    assert(read(m1, "rate:95pct") === List(
+      (ts("14:34"), 3.0), (ts("14:35"), 15.0), (ts("14:36"), 30.25)))
+    assert(read(m1, "rate:max") === List(
+      (ts("14:34"), 3.0), (ts("14:35"), 18.0), (ts("14:36"), 38.0)))
+    assert(read(m1, "max") === List(
+      (ts("14:33"), 10.0), (ts("14:34"), 20.0), (ts("14:35"), 55.0),
+      (ts("14:36"), 110.0)))
+    // second metric: the SAME data split MID-SERIES across two pushes,
+    // drained in between — the incremental job must diff the new
+    // chunk's first point (30 @14:35:20) against the previous chunk's
+    // LAST RAW point (26 @14:35:10), so every rate matches one-shot
+    val created2 = api.dispatch("POST", "/v1/metric",
+      body = """{"archive_policy_name": "carrot-cake"}""")
+    val m2 = (created2.body \ "id").asInstanceOf[JString].s
+    assert(m2 !== m1)
+    assert(api.dispatch("POST", s"/v1/metric/$m2/measures",
+      body = measuresJson(all.take(8))).status === 202)
+    assert(read(m2, "rate:mean", refresh = true).nonEmpty)
+    assert(api.dispatch("POST", s"/v1/metric/$m2/measures",
+      body = measuresJson(all.drop(8))).status === 202)
+    assert(read(m2, "rate:mean", refresh = true) === rateMean)
+    assert(read(m2, "rate:95pct") === List(
+      (ts("14:34"), 3.0), (ts("14:35"), 15.0), (ts("14:36"), 30.25)))
+    assert(read(m2, "rate:max") === List(
+      (ts("14:34"), 3.0), (ts("14:35"), 18.0), (ts("14:36"), 38.0)))
+    assert(read(m2, "max") === List(
+      (ts("14:33"), 10.0), (ts("14:34"), 20.0), (ts("14:35"), 55.0),
+      (ts("14:36"), 110.0)))
+  }
+
+  test("resample-calendar.yaml walk: ?resample=Y/H/Q/M/W over a daily " +
+      "policy — calendar token in the gran slot, nested archive_policy " +
+      "in the metric list, archive_policy_name on create") {
+    val api = newApi
+    assert(api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "cookies",
+          "definition": [{"granularity": "1 day"}]}""").status === 201)
+    val emptyList = api.dispatch("GET", "/v1/metric")
+    assert(emptyList.status === 200 && emptyList.body === JArray(Nil))
+    val created = api.dispatch("POST", "/v1/metric",
+      body = """{"archive_policy_name": "cookies"}""")
+    assert(created.status === 201)
+    assert(created.body \ "archive_policy_name" === JString("cookies"))
+    val mid = (created.body \ "id").asInstanceOf[JString].s
+    assert(api.dispatch("GET", s"/v1/metric/$mid").body \
+      "archive_policy" \ "name" === JString("cookies"))
+    val listed = api.dispatch("GET", "/v1/metric")
+    assert(listed.body.asInstanceOf[JArray].arr.head \
+      "archive_policy" \ "name" === JString("cookies"))
+    assert(api.dispatch("POST", s"/v1/metric/$mid/measures", body =
+      """[{"timestamp": "2015-03-01T14:34:12", "value": 10},
+          {"timestamp": "2015-03-06T14:34:12", "value": 12},
+          {"timestamp": "2015-04-01T14:34:12", "value": 2},
+          {"timestamp": "2015-04-06T14:34:12", "value": 4},
+          {"timestamp": "2015-10-06T14:34:12", "value": 7},
+          {"timestamp": "2016-01-06T14:34:12", "value": 12},
+          {"timestamp": "2016-02-06T14:34:12", "value": 4}]""")
+      .status === 202)
+    def cal(unit: String) = {
+      val r = api.dispatch("GET", s"/v1/metric/$mid/measures",
+        query = Map("resample" -> unit, "granularity" -> "86400"))
+      assert(r.status === 200)
+      r.body.asInstanceOf[JArray].arr.map {
+        case JArray(List(JString(t), gran, JDouble(v))) =>
+          assert(gran === JString(unit)) // calendar token, not 86400.0
+          (t, v)
+        case other => fail(s"bad triple: $other")
+      }
+    }
+    // plain daily read first (drains staging via refresh)
+    val daily = api.dispatch("GET", s"/v1/metric/$mid/measures",
+      query = Map("refresh" -> "true"))
+    assert(daily.body.asInstanceOf[JArray].arr.size === 7)
+    assert(cal("Y") === List(
+      ("2015-01-01T00:00:00Z", 7.0), ("2016-01-01T00:00:00Z", 8.0)))
+    assert(cal("H") === List(
+      ("2015-01-01T00:00:00Z", 7.0), ("2015-07-01T00:00:00Z", 7.0),
+      ("2016-01-01T00:00:00Z", 8.0)))
+    assert(cal("Q") === List(
+      ("2015-01-01T00:00:00Z", 11.0), ("2015-04-01T00:00:00Z", 3.0),
+      ("2015-10-01T00:00:00Z", 7.0), ("2016-01-01T00:00:00Z", 8.0)))
+    assert(cal("M") === List(
+      ("2015-03-01T00:00:00Z", 11.0), ("2015-04-01T00:00:00Z", 3.0),
+      ("2015-10-01T00:00:00Z", 7.0), ("2016-01-01T00:00:00Z", 12.0),
+      ("2016-02-01T00:00:00Z", 4.0)))
+    assert(cal("W") === List(
+      ("2015-03-01T00:00:00Z", 11.0), ("2015-03-29T00:00:00Z", 2.0),
+      ("2015-04-05T00:00:00Z", 4.0), ("2015-10-04T00:00:00Z", 7.0),
+      ("2016-01-03T00:00:00Z", 12.0), ("2016-01-31T00:00:00Z", 4.0)))
+  }
+
+  test("search-metric.yaml walk: repeated granularity params, " +
+      "pytimeparse spellings, structured 400 for a missing " +
+      "aggregation, and Invalid value for start/stop") {
+    val api = newApi
+    assert(api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "high",
+          "definition": [
+            {"granularity": "1 second", "timespan": "1 hour"},
+            {"granularity": "2 second", "timespan": "1 hour"}]}""")
+      .status === 201)
+    val created = api.dispatch("POST", "/v1/metric",
+      body = """{"archive_policy_name": "high"}""")
+    assert(created.status === 201)
+    val mid = (created.body \ "id").asInstanceOf[JString].s
+    val measures = (0 until 12).map(i =>
+      s"""{"timestamp": "2014-10-06T14:34:${12 + 2 * i}", "value": 12}""")
+      .mkString("[", ",", "]")
+    assert(api.dispatch("POST", "/v1/batch/metrics/measures",
+      body = s"""{"$mid": $measures}""").status === 202)
+    assert(api.dispatch("GET", s"/v1/metric/$mid/measures",
+      query = Map("refresh" -> "true")).status === 200) // drain
+    // one correct granularity, "1s" spelling
+    val one = api.dispatch("POST", "/v1/search/metric",
+      query = Map("metric_id" -> mid, "granularity" -> "1s"),
+      body = """{"=": 12}""")
+    assert(one.status === 200)
+    // repeated granularity params comma-join at the server — both the
+    // "1second" and "2s" spellings parse, both series search
+    val multi = api.dispatch("POST", "/v1/search/metric",
+      query = Map("metric_id" -> mid, "granularity" -> "1second,2s"),
+      body = """{"=": 12}""")
+    assert(multi.status === 200)
+    // correct + incorrect → the STRUCTURED AggregationDoesNotExist 400
+    val mixed = api.dispatch("POST", "/v1/search/metric",
+      query = Map("metric_id" -> mid, "granularity" -> "1s,300"),
+      body = """{"=": 12}""")
+    assert(mixed.status === 400)
+    assert(mixed.body \ "description" \ "cause" ===
+      JString("Aggregation does not exist"))
+    assert(mixed.body \ "description" \ "detail" \ "granularity" ===
+      JInt(300))
+    assert(mixed.body \ "description" \ "detail" \ "aggregation_method" ===
+      JString("mean"))
+    // pure incorrect → same shape
+    val wrong = api.dispatch("POST", "/v1/search/metric",
+      query = Map("metric_id" -> mid, "granularity" -> "300"),
+      body = """{"=": 12}""")
+    assert(wrong.status === 400)
+    assert(wrong.body \ "description" \ "cause" ===
+      JString("Aggregation does not exist"))
+    // unicode operators in the body; bad start/stop pin their 400s
+    val badStart = api.dispatch("POST", "/v1/search/metric",
+      query = Map("metric_id" -> mid, "start" -> "foobar"),
+      body = """{"∧": [{"≥": 1000}]}""")
+    assert(badStart.status === 400)
+    assert((badStart.body \ "description").asInstanceOf[JString].s
+      .contains("Invalid value for start"))
+    val badStop = api.dispatch("POST", "/v1/search/metric",
+      query = Map("metric_id" -> mid, "stop" -> "foobar"),
+      body = """{"∧": [{"≥": 1000}]}""")
+    assert(badStop.status === 400)
+    assert((badStop.body \ "description").asInstanceOf[JString].s
+      .contains("Invalid value for stop"))
+  }
 }
