@@ -98,7 +98,7 @@ object Similarity {
     // full scans. Whenever the corpus fits in the sample the result is
     // bit-identical to the distributed greedy (same summation order,
     // same (maxCosine, hash) argmin tiebreak).
-    val sample: Array[(Long, Seq[Double])] = train
+    val sample0: Array[(Long, Seq[Double])] = train
       .withColumn("__h", xxhash64(col("cid")))
       .orderBy("__h").limit(seedSample)
       // normalize to double BEFORE collecting: float-array input would
@@ -106,6 +106,22 @@ object Similarity {
       // and crash the first multiply (cast is a no-op for double input)
       .select(col("__h"), col("cv").cast("array<double>")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // zero-norm vectors are SEED POISON under the max-min-cosine
+    // greedy: their cosine to everything is NaN, so their running max
+    // never rises above the -2 sentinel and the greedy would pick them
+    // FIRST — wasting cells on centroids no vector can ever be
+    // assigned to (NaN cosine loses every argmax). Drop them from the
+    // seed pool; they still participate in Lloyd assignment (where
+    // they land nowhere, matching the reference's degenerate-vector
+    // behavior). Keep the raw sample only if everything is zero-norm.
+    val sample: Array[(Long, Seq[Double])] = {
+      val nonZero = sample0.filter { case (_, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        s > 0.0
+      }
+      if (nonZero.nonEmpty) nonZero else sample0
+    }
     require(sample.nonEmpty,
       "kmeansCentroids: empty training sample — the corpus is empty" +
         (if (sampleMod > 1) s" or sampleMod=$sampleMod filtered every row"
