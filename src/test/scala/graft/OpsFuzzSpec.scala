@@ -117,12 +117,21 @@ class OpsFuzzSpec extends SparkSpec {
     math.sqrt(v.map(x => (x - m) * (x - m)).sum / v.size)
   }
 
-  /** Exact interpolated percentile over a SORTED sequence. */
+  /** Exact interpolated percentile over a SORTED sequence — the
+    * ENGINE's lerp form (Spark Percentile.getPercentile:
+    * `lower*(1-frac) + higher*frac`, exact index short-circuits).
+    * ±Inf edges follow IEEE on THIS form — numpy's two-branch lerp
+    * instead NaN-poisons whenever an infinity enters the pair (even
+    * lerp(inf, inf, t)). Adjudicated divergence (see NOTES r13): an
+    * Inf can only be produced by the DSL's already-pinned
+    * div-by-zero total-function divergence, never by stored data, so
+    * the engine keeps Spark's codegen'd percentile; the seed-777 door
+    * fuzz found the two formulas disagreeing on an all-Inf bucket. */
   private def interp(sorted: Seq[Double], p: Double): Double = {
     val idx = p * (sorted.size - 1)
     val lo = math.floor(idx).toInt; val hi = math.ceil(idx).toInt
     if (lo == hi) sorted(lo)
-    else sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+    else sorted(lo) * (hi - idx) + sorted(hi) * (idx - lo)
   }
 
   /** Carbonara (NON-skipping) resample kernel: nulls skipped, NaN
