@@ -713,6 +713,14 @@ object Bench {
               Seq(graft.model.ArchivePolicyItem(
                 graft.model.Granularity.seconds(60), None, None)),
               Set("mean")))
+            // register REAL catalog frames (n/10 resources) so each
+            // rotation pays the full snapshot cost the invariant
+            // polices — maps AND the three frame rewrites, not a
+            // maps-only shortcut with frames absent
+            val sp = sess
+            import sp.implicits._
+            g.setResources((0 until n / 10)
+              .map(i => (s"cr-$i", "zone")).toDF("id", "zone"))
             var i = 0
             while (i < n) { g.createMetric(s"c-$i", "churn"); i += 1 }
             g.close()

@@ -1106,10 +1106,20 @@ object Queries {
       val em = table(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = em.filter(col("vec_id") < 10)
-      val books = Pq.train(em, m = 8, k = 16, iters = 10, sampleN = 2048)
+      // k*=256 sub-quantizers — the PQ paper's standard codebook size
+      // (Jégou et al. §V: k*=256, one byte per code). The r13 full
+      // sf0.1 sidecar caught the old k=16 toy codebook under-recalling
+      // (0.40@50 / 0.58@100 on the 2k-vector corpus): 16 centroids per
+      // 8-dim subspace is too coarse for near-tie neighborhoods.
+      // Measured at sf0.1: k=256 + shortlist 200 → recall 1.000
+      // (k=16+sl=50 → 0.40). Shortlist scales ~10% of the corpus with
+      // a floor of 50 — the re-rank still touches only
+      // |queries|·shortlist raw vectors.
+      val books = Pq.train(em, m = 8, k = 256, iters = 10, sampleN = 2048)
+      val shortlist = math.max(50, (em.count() / 10).toInt)
       annRecallRows(em, q,
-        Pq.adcTopK(em, q, books, k = 5, shortlist = 50),
-        minRecall = 0.65) // measured 0.80 at sf0.01 (coarsest index here)
+        Pq.adcTopK(em, q, books, k = 5, shortlist = shortlist),
+        minRecall = 0.65)
     }),
     "dd7_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(table(s, dir, "documents"), w = 5)
