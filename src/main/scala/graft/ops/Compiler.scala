@@ -272,9 +272,15 @@ object Compiler {
     case "sin"   => sin(c)
     case "tan"   => tan(c)
     // Spark's floor/ceil(double) return LONG, and the cast turns a NaN
-    // cell into 0 — numpy floor/ceil(nan) = nan (fuzz-found, r12)
-    case "floor" => when(isnan(c), c).otherwise(floor(c).cast("double"))
-    case "ceil"  => when(isnan(c), c).otherwise(ceil(c).cast("double"))
+    // cell into 0 — numpy floor/ceil(nan) = nan (fuzz-found, r12).
+    // ±Inf must pass through too: the LONG cast otherwise SATURATES it
+    // to ±Long.Max — a bogus finite 9.22e18 that then survives the
+    // keyword-fill output drop where numpy's inf is removed
+    // (refs-door fuzz, seed 987654, r13)
+    case "floor" => when(isnan(c) || abs(c) === lit(Double.PositiveInfinity),
+      c).otherwise(floor(c).cast("double"))
+    case "ceil"  => when(isnan(c) || abs(c) === lit(Double.PositiveInfinity),
+      c).otherwise(ceil(c).cast("double"))
   }
 
   /** Key columns of a grid: grouping dims + the bucket timestamp. */

@@ -403,6 +403,43 @@ class CatalogPersistSpec extends SparkSpec {
     } finally s.conf.unset("spark.graft.catalog.journalSync")
   }
 
+  test("8 threads of journaled mutations through rotation boundaries " +
+      "reload exactly-once: no lost creates, no duplicates, no deadlock") {
+    val s = spark
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("mt", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    val perThread = 120 // 8*120 = 960 events → multiple rotations
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        try {
+          var i = 0
+          while (i < perThread) {
+            g1.createMetric(s"mt-$t-$i", "mt")
+            if (i % 7 == 0) g1.setMetricCreator(s"mt-$t-$i", s"u$t")
+            if (i % 31 == 0) g1.createPolicyRule(s"r-$t-$i", s"mt-$t*", "mt")
+            i += 1
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "mutator threads deadlocked")
+    assert(errs.isEmpty, s"mutators threw: ${errs.peek()}")
+    g1.close()
+    val g2 = new Graft(s, root)
+    val metrics = g2.listMetrics.map(_._1).filter(_.startsWith("mt-"))
+    assert(metrics.size === 8 * perThread) // exactly once, none lost
+    assert(metrics.distinct.size === metrics.size)
+    assert(g2.metricCreatorOf("mt-3-7") === Some("u3"))
+    assert(g2.listPolicyRules.count(_._1.startsWith("r-")) ===
+      8 * ((perThread + 30) / 31))
+  }
+
   test("a fresh root stays write-free until the first catalog mutation") {
     val s = spark
     import s.implicits._

@@ -542,9 +542,10 @@ class OpsFuzzSpec extends SparkSpec {
       * the directional fills (NaN/±inf/absent positions removed,
       * processor.py:237-244). Left = the door must throw.
       */
-    def doorRef(tree: Node, chosen: Vector[Int], fill: Option[String],
-                needed: Option[Double], fromS: Option[Long], toS: Option[Long])
-        : Either[String, Vector[(Long, Option[Double])]] = {
+    def doorGrid(chosen: Vector[Int], fill: Option[String],
+                 needed: Option[Double], fromS: Option[Long],
+                 toS: Option[Long])
+        : Either[String, Vector[(Long, Vector[Option[Double]])]] = {
       val numFill = fill.filterNot(keywordFills).map(_.toDouble)
       // fetch (A12): bucket >= from (60 s-aligned here), bucket < to
       val pts: Vector[Vector[(Long, Double)]] = chosen.map(i =>
@@ -599,16 +600,50 @@ class OpsFuzzSpec extends SparkSpec {
           if (pct < need) return Left(f"overlap $pct%.1f%% < $need%.1f%%")
         }
       }
-      val names = chosen.map(i => s"${mNames(i)}/mean")
-      val out = ev(tree, RG(grid), names).rows.map {
-        case (b, cells) => (b, cells.head)
-      }
-      Right(
-        if (fill.exists(f => f == "dropna" || f.endsWith("ffill") ||
-            f.endsWith("bfill")))
-          out.filter { case (_, c) => c.exists(v => !v.isNaN && !v.isInfinite) }
-        else out)
+      Right(grid)
     }
+
+    def dropKeyword(fill: Option[String]): Boolean =
+      fill.exists(f => f == "dropna" || f.endsWith("ffill") ||
+        f.endsWith("bfill"))
+
+    /** AGGREGATED arm: single output series, output-drop per the
+      * processor's aggregated branch (processor.py:237-244). */
+    def doorRef(tree: Node, chosen: Vector[Int], fill: Option[String],
+                needed: Option[Double], fromS: Option[Long], toS: Option[Long])
+        : Either[String, Vector[(Long, Option[Double])]] =
+      doorGrid(chosen, fill, needed, fromS, toS).map { grid =>
+        val names = chosen.map(i => s"${mNames(i)}/mean")
+        val out = ev(tree, RG(grid), names).rows.map {
+          case (b, cells) => (b, cells.head)
+        }
+        if (dropKeyword(fill))
+          out.filter { case (_, c) => c.exists(v => !v.isNaN && !v.isInfinite) }
+        else out
+      }
+
+    /** NON-aggregated (refs fan-out) arm: per-series long output —
+      * absent cells never emit a row (the engine's pinned
+      * absent≡no-point divergence from the reference's NaN-filled
+      * m_output), keyword fills also drop NaN/±Inf per series
+      * (processor.py:257-262). */
+    def doorRefRefs(tree: Node, chosen: Vector[Int], fill: Option[String],
+                    needed: Option[Double], fromS: Option[Long],
+                    toS: Option[Long])
+        : Either[String, Vector[(String, Long, Double)]] =
+      doorGrid(chosen, fill, needed, fromS, toS).map { grid =>
+        val names = chosen.map(i => s"${mNames(i)}/mean")
+        val rg = ev(tree, RG(grid), names)
+        val w = rg.rows.headOption.map(_._2.size).getOrElse(names.size)
+        (0 until w).flatMap { c =>
+          rg.rows.flatMap { case (b, cells) =>
+            cells(c).collect {
+              case v if !dropKeyword(fill) || (!v.isNaN && !v.isInfinite) =>
+                (names(c), b, v)
+            }
+          }
+        }.toVector.sortBy(t => (t._1, t._2))
+      }
 
     // trees end AGGREGATED (single output series — the reference's
     // exact per-series output-drop path), optionally wrapped in a
@@ -699,6 +734,83 @@ class OpsFuzzSpec extends SparkSpec {
         case (Right(w), Right(r))   =>
           val ok = r.size == w.size && r.zip(w).forall {
             case ((gb, gc), (wb, wc)) => gb == wb && sameCell(gc, wc)
+          }
+          if (!ok)
+            failures ::= s"$desc DIVERGED\n  engine: $r\n  reference: $w"
+      }
+    }
+    // ---- refs fan-out arm: 100 NON-aggregated trees through
+    // aggregatesRefs — per-series long output, per-series drops
+    def sameTriple(a: (String, Long, Double), b: (String, Long, Double)) =
+      a._1 == b._1 && a._2 == b._2 &&
+        ((a._3.isNaN && b._3.isNaN) || a._3 == b._3 ||
+          math.abs(a._3 - b._3) <= 1e-9 * math.max(1.0,
+            math.max(a._3.abs, b._3.abs)))
+    for (k <- 1 to 100) {
+      val chosen = rnd.shuffle(mNames.indices.toVector)
+        .take(1 + rnd.nextInt(3)).sorted
+      val base = genEw(chosen, 1 + rnd.nextInt(2))
+      val tree = rnd.nextInt(4) match {
+        case 0 => Rolling(acrossAggs(rnd.nextInt(acrossAggs.size)),
+          1 + rnd.nextInt(3), base)
+        case 1 => Resample(resampleAggs(rnd.nextInt(resampleAggs.size)),
+          Granularity.seconds(if (rnd.nextBoolean()) 120 else 300), base)
+        case 2 => RateOfChange(rnd.nextBoolean(), base)
+        case _ => base
+      }
+      val fill = rnd.nextInt(9) match {
+        case 0 | 8 => None
+        case 1 => Some("null")
+        case 2 => Some("dropna")
+        case 3 => Some("ffill")
+        case 4 => Some("bfill")
+        case 5 => Some("full_ffill")
+        case 6 => Some("full_bfill")
+        case 7 => Some("0")
+      }
+      val needed: Option[Double] =
+        if (fill.isEmpty) Vector[Option[Double]](None, Some(0.0), Some(50.0),
+          Some(100.0))(rnd.nextInt(4))
+        else None
+      val f0 = if (rnd.nextInt(10) < 3)
+        Some(rnd.nextInt(nBuckets).toLong * 60) else None
+      val t0 = if (rnd.nextInt(10) < 3)
+        Some((1 + rnd.nextInt(nBuckets)).toLong * 60) else None
+      val (fromS, toS) = (f0, t0) match {
+        case (Some(f), Some(t)) if t <= f => (Some(t - 60), Some(f + 60))
+        case other => other
+      }
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      val desc = s"refs#$k ${render(tree)} fill=$fill needed=$needed " +
+        s"from=$fromS to=$toS refs=${chosen.map(mNames)}"
+      val want = doorRefRefs(tree, chosen, fill, needed, fromS, toS)
+      val got: Either[String, Vector[(String, Long, Double)]] =
+        try {
+          val df = g.aggregatesRefs(render(tree), 60L, fill, needed,
+            fromS.map(ts), toS.map(ts))
+          Right(df.collect().toVector.map { r =>
+            (r.getAs[String]("metric_id") + "/" + r.getAs[String]("method"),
+              r.getAs[java.sql.Timestamp]("bucket").getTime / 1000,
+              r.getAs[Double]("value"))
+          }.sortBy(t => (t._1, t._2)))
+        } catch {
+          case e: IllegalArgumentException if e.getMessage != null &&
+              e.getMessage.startsWith("Unable to aggregate") =>
+            Left(e.getMessage)
+          case e: Throwable =>
+            failures ::= s"$desc ENGINE THREW: ${e.getMessage}"
+            Left("__threw__")
+        }
+      (want, got) match {
+        case (_, Left("__threw__")) => ()
+        case (Left(_), Left(_))     => ()
+        case (Left(w), Right(r))    =>
+          failures ::= s"$desc: reference errors ($w), engine returned $r"
+        case (Right(w), Left(e))    =>
+          failures ::= s"$desc: engine errors ($e), reference returned $w"
+        case (Right(w), Right(r))   =>
+          val ok = r.size == w.size && r.zip(w).forall {
+            case (a, b) => sameTriple(a, b)
           }
           if (!ok)
             failures ::= s"$desc DIVERGED\n  engine: $r\n  reference: $w"
