@@ -550,7 +550,10 @@ class OpsFuzzSpec extends SparkSpec {
       // fetch (A12): bucket >= from (60 s-aligned here), bucket < to
       val pts: Vector[Vector[(Long, Double)]] = chosen.map(i =>
         patterns(i).zipWithIndex.collect { case (Some(v), k)
-            if fromS.forall(k * 60L >= _) && toS.forall(k * 60L < _) =>
+            // A12 fetch: `from` FLOORS to the granularity, `to` is a
+            // raw exclusive bound (TimeSeriesOps.fetch)
+            if fromS.forall(f => k * 60L >= math.floorDiv(f, 60L) * 60L) &&
+              toS.forall(k * 60L < _) =>
           (k * 60L, v)
         })
       val times = pts.flatten.map(_._1).distinct.sorted
@@ -694,10 +697,13 @@ class OpsFuzzSpec extends SparkSpec {
           Some(50.0), Some(75.0), Some(100.0))(rnd.nextInt(6))
         else if (rnd.nextInt(5) == 0) Some(50.0) // the fill-set gate: ignored
         else None
+      // UNALIGNED bounds too: `from` must floor to the granularity
+      // (A12), `to` stays a raw exclusive bound
       val f0 = if (rnd.nextInt(10) < 3)
-        Some(rnd.nextInt(nBuckets).toLong * 60) else None
+        Some(rnd.nextInt(nBuckets).toLong * 60 + rnd.nextInt(2) * 30) else None
       val t0 = if (rnd.nextInt(10) < 3)
-        Some((1 + rnd.nextInt(nBuckets)).toLong * 60) else None
+        Some((1 + rnd.nextInt(nBuckets)).toLong * 60 + rnd.nextInt(2) * 30)
+      else None
       val (fromS, toS) = (f0, t0) match {
         case (Some(f), Some(t)) if t <= f => (Some(t - 60), Some(f + 60))
         case other => other
@@ -772,10 +778,13 @@ class OpsFuzzSpec extends SparkSpec {
         if (fill.isEmpty) Vector[Option[Double]](None, Some(0.0), Some(50.0),
           Some(100.0))(rnd.nextInt(4))
         else None
+      // UNALIGNED bounds too: `from` must floor to the granularity
+      // (A12), `to` stays a raw exclusive bound
       val f0 = if (rnd.nextInt(10) < 3)
-        Some(rnd.nextInt(nBuckets).toLong * 60) else None
+        Some(rnd.nextInt(nBuckets).toLong * 60 + rnd.nextInt(2) * 30) else None
       val t0 = if (rnd.nextInt(10) < 3)
-        Some((1 + rnd.nextInt(nBuckets)).toLong * 60) else None
+        Some((1 + rnd.nextInt(nBuckets)).toLong * 60 + rnd.nextInt(2) * 30)
+      else None
       val (fromS, toS) = (f0, t0) match {
         case (Some(f), Some(t)) if t <= f => (Some(t - 60), Some(f + 60))
         case other => other
