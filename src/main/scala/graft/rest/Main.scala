@@ -18,6 +18,10 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val g = new graft.api.Graft(spark, root)
+    // clean shutdown snapshots pending frame registrations and releases
+    // the catalog WRITER LOCK (a kill -9 leaves it; the next start
+    // breaks it automatically once the pid is provably dead)
+    sys.addShutdownHook(g.close())
     val bound = new RestServer(new RestApi(g)).serve(port)
     println(s"graft REST listening on :$bound (store root $root)")
     Thread.currentThread.join() // serve until killed
