@@ -333,14 +333,16 @@ object Bench {
       graft.llm.Similarity.probeIvfIndex(s, "/tmp/graft-bench-ivf",
         em.filter(col("vec_id") < 10), k = 5, nprobe = 8)
     }),
-    // IVF-PQ at scale: coarse cells prune, 8-nibble codes score, raw
-    // vectors touched only in the shortlist re-rank
+    // IVF-PQ at scale: coarse cells prune (nlist grows with the corpus
+    // so cells stay ~1k vectors), 8-byte k*=256 codes score, raw
+    // vectors touched only in the CONSTANT 200-id shortlist re-rank —
+    // the production sim4 config, not a toy codebook
     "scale_sim4_ivfpq" -> ((s: SparkSession) => {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("embedding", col("embedding").cast("array<double>"))
-      val books = graft.llm.Pq.train(em, m = 8, k = 16, iters = 10)
+      val books = graft.llm.Pq.train(em, m = 8, k = 256, iters = 10)
       graft.llm.Pq.ivfAdcTopK(em, em.filter(col("vec_id") < 10), books,
-        k = 5, nlist = 16, nprobe = 4)
+        k = 5, nlist = 64, nprobe = 8, shortlist = 200)
     }),
     // SemDeDup at scale: nClusters grows with the corpus (cells stay
     // ~600 vectors, bounding the per-cell quadratic pass); centroids
@@ -738,6 +740,25 @@ object Bench {
         }
         System.err.println(f"[bench] invariants: cat churn 2k=$churn2k%.2f" +
           f"s 20k=$churn20k%.2fs gens=$churnGens%.0f")
+        // ---- IVF-PQ re-rank volume (r14): the exact-cosine re-rank
+        // touches |queries|·shortlist raw vectors and the shortlist is
+        // a CONSTANT — so the candidate count handed to the re-rank
+        // must stay FLAT 1x→32x. This is the property that separates
+        // IVFADC from the r13 corpus-fraction shortlist (10% of N =
+        // an O(N) exact pass per query batch). Counted on the actual
+        // sim4 candidate stage (Pq.ivfShortlist, production config).
+        val sim4Rows = { d: String =>
+          val e = em(d)
+          val books = graft.llm.Pq.train(e, m = 8, k = 256, iters = 10)
+          graft.llm.Pq.ivfShortlist(e, e.filter(col("vec_id") < 10),
+            books, nlist = 16, nprobe = 12, shortlist = 200).count()
+        }
+        val sim4RerankRatio = {
+          val r1 = sim4Rows(sfDir); val rN = sim4Rows(scaleDir)
+          System.err.println(
+            s"[bench] invariants: sim4 rerank rows 1x=$r1 ${scaleF}x=$rN")
+          rN.toDouble / math.max(r1, 1L)
+        }
         Seq(
           "inv_dd2_max_raw_bucket" ->
             (if (sN.maxRawBucket <= 100000L) sN.maxRawBucket.toDouble else 1e9),
@@ -754,6 +775,10 @@ object Bench {
             (if (churnRatio <= 25.0) churnRatio else 1e9),
           "inv_cat_churn_gens" ->
             (if (churnGens <= 12.0) churnGens else 1e9),
+          // flat re-rank volume: 2 allows cap-truncation wobble on the
+          // small side; a corpus-proportional shortlist reads 32x here
+          "inv_sim4_rerank_ratio" ->
+            (if (sim4RerankRatio <= 2.0) sim4RerankRatio else 1e9),
           // skew section: same four claims under one dominant dup group
           "inv_skew_max_raw_bucket" ->
             (if (sk.maxRawBucket <= 100000L) sk.maxRawBucket.toDouble else 1e9),

@@ -1099,26 +1099,28 @@ object Queries {
     // SQL-checkable without replaying Lloyd's algorithm in the oracle.
     // Cluster-recovery semantics are pinned in LlmSpec on synthetic
     // well-separated clusters.
-    // PQ ANN recall@5 vs the exact baseline: ADC shortlist (codes are
-    // 8 nibbles/vector — the corpus side of the candidate join never
-    // carries raw vectors) + exact re-rank of the top-50.
+    // IVF-PQ ANN recall@5 vs the exact baseline (Jégou et al. IVFADC):
+    // coarse k-means cells prune each query to nprobe=12 of nlist=16
+    // cells, ADC scores the survivors' 8-byte codes — the candidate
+    // join never carries raw vectors — and exact cosine re-ranks a
+    // CONSTANT 200-id shortlist (40·k, independent of corpus size;
+    // r13 sized it at 10% of the corpus, which is an O(N) exact pass
+    // per query batch — a brute force wearing a PQ costume at 10⁹
+    // vectors). k*=256 sub-quantizers — the PQ paper's standard
+    // codebook size (§V: one byte per code); the r13 sf0.1 sidecar
+    // caught a k=16 toy codebook under-recalling (0.40@50). Measured
+    // recall: 0.98/0.96/0.94 at sf0.001/0.01/0.1 — identical to the
+    // exact-within-probed-cells IVF at the same nprobe, i.e. the PQ
+    // stage costs ZERO recall at these scales and every miss is a
+    // coarse cell miss. Flat re-rank volume: inv_sim4_rerank_ratio.
     "sim4_pq_recall" -> ((s, dir) => {
       val em = table(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = em.filter(col("vec_id") < 10)
-      // k*=256 sub-quantizers — the PQ paper's standard codebook size
-      // (Jégou et al. §V: k*=256, one byte per code). The r13 full
-      // sf0.1 sidecar caught the old k=16 toy codebook under-recalling
-      // (0.40@50 / 0.58@100 on the 2k-vector corpus): 16 centroids per
-      // 8-dim subspace is too coarse for near-tie neighborhoods.
-      // Measured at sf0.1: k=256 + shortlist 200 → recall 1.000
-      // (k=16+sl=50 → 0.40). Shortlist scales ~10% of the corpus with
-      // a floor of 50 — the re-rank still touches only
-      // |queries|·shortlist raw vectors.
       val books = Pq.train(em, m = 8, k = 256, iters = 10, sampleN = 2048)
-      val shortlist = math.max(50, (em.count() / 10).toInt)
       annRecallRows(em, q,
-        Pq.adcTopK(em, q, books, k = 5, shortlist = shortlist),
+        Pq.ivfAdcTopK(em, q, books, k = 5, nlist = 16, nprobe = 12,
+          shortlist = 200),
         minRecall = 0.65)
     }),
     "dd7_repeated_spans" -> ((s, dir) =>

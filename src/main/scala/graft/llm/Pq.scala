@@ -169,19 +169,21 @@ object Pq {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
-  /** IVF-PQ: the standard billion-scale index (IVFADC in the PQ
-    * paper §IV) — coarse k-means cells prune the search to `nprobe`
-    * cells per query, PQ codes score the survivors, exact cosine
-    * re-ranks the shortlist. The corpus table carries (id, cell, code)
-    * — at 100 TB, partition by `cell` on disk and a probe reads
-    * `nprobe/nlist` of the codes (bytes per vector), touching raw
-    * vectors only for `|queries|·shortlist` rows.
+  /** The IVF-PQ candidate stage, exposed for the scale invariant
+    * (`inv_sim4_rerank_ratio` counts these rows at 1x and 32x — the
+    * exact-re-rank volume must stay FLAT as the corpus grows, the
+    * property that separates IVFADC from a corpus-fraction brute
+    * force): coarse k-means cells prune to `nprobe` cells per query,
+    * ADC scores the surviving codes, and the top `shortlist` ids per
+    * query come back. `shortlist` is a CONSTANT (k·α, default 200 for
+    * k=5), never a corpus fraction — re-rank cost is
+    * `|queries|·shortlist` regardless of corpus size.
     */
-  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, books: Codebooks,
-                 k: Int, nlist: Int = 16, nprobe: Int = 4,
-                 kmeansIters: Int = 3, shortlist: Int = 50,
-                 idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+  def ivfShortlist(corpus: DataFrame, queries: DataFrame, books: Codebooks,
+                   nlist: Int = 16, nprobe: Int = 4,
+                   kmeansIters: Int = 3, shortlist: Int = 200,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
     val m = books.length
     val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
       idCol = idCol, vecCol = vecCol)
@@ -209,9 +211,26 @@ object Pq {
           element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("__score").desc, col("corpus_id").asc)
-    val short = approx.withColumn("__sr", row_number().over(ws))
+    approx.withColumn("__sr", row_number().over(ws))
       .filter(col("__sr") <= shortlist)
       .select("query_id", "corpus_id")
+  }
+
+  /** IVF-PQ: the standard billion-scale index (IVFADC in the PQ
+    * paper §IV) — coarse k-means cells prune the search to `nprobe`
+    * cells per query, PQ codes score the survivors, exact cosine
+    * re-ranks the [[ivfShortlist]]. The corpus table carries
+    * (id, cell, code) — at 100 TB, partition by `cell` on disk and a
+    * probe reads `nprobe/nlist` of the codes (bytes per vector),
+    * touching raw vectors only for `|queries|·shortlist` rows.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, books: Codebooks,
+                 k: Int, nlist: Int = 16, nprobe: Int = 4,
+                 kmeansIters: Int = 3, shortlist: Int = 200,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val short = ivfShortlist(corpus, queries, books, nlist, nprobe,
+      kmeansIters, shortlist, idCol, vecCol)
     val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv2"))
     val rer = short.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))

@@ -491,6 +491,16 @@ class LlmSpec extends SparkSpec {
     val gi = ivf.select("query_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gi == e1)
+    // the candidate stage hands the exact re-rank AT MOST
+    // |queries|·shortlist rows — the constant-volume contract
+    // inv_sim4_rerank_ratio polices at 32x (a corpus-proportional
+    // shortlist is an O(N) exact pass wearing a PQ costume)
+    val sl = llm.Pq.ivfShortlist(em, em.filter($"vec_id".isin(0L, 12L, 24L)),
+      books, nlist = 4, nprobe = 2, shortlist = 5)
+    assert(sl.count() <= 3 * 5)
+    val perQ = sl.groupBy("query_id").count()
+      .agg(max("count")).head.getLong(0)
+    assert(perQ <= 5, s"per-query shortlist $perQ > 5")
   }
 
   test("docFrequency counts each token once per document") {
