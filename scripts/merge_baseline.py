@@ -31,7 +31,7 @@ def rows(path):
     return d.get("queries", {}), d.get("scale", {}).get("queries", {})
 
 
-def merge(dst, src, section):
+def merge(dst, src, section, reset=()):
     for k, v in src.items():
         if v >= 1e9:  # failed row: never merge a sentinel
             print(f"  skip {section}/{k}: failed-run sentinel")
@@ -41,10 +41,34 @@ def merge(dst, src, section):
             print(f"  clamp {section}/{k}: {v:.2f}s < isolated floor "
                   f"{floor:.2f}s (warm-context run — floor kept)")
             v = floor
-        dst[k] = min(dst.get(k, v), v)
+        if k in reset:
+            # --reset rows take the RUN value outright: a deliberately
+            # changed workload (e.g. a bench arm re-configured to do
+            # more work) must not stay pinned to the old plan's min
+            print(f"  reset {section}/{k}: {dst.get(k)} -> {v:.2f}s")
+            dst[k] = v
+            continue
+        prev = dst.get(k)
+        if prev is not None and floor is not None and prev < floor:
+            # repair a drifted COMMITTED row too: an existing value
+            # below the floor got merged before the floor existed (or
+            # past a bug) — min() against it would keep the drift
+            # forever, with only Bench's runtime override masking it
+            print(f"  repair {section}/{k}: committed {prev:.2f}s < "
+                  f"floor {floor:.2f}s — clamped before min")
+            prev = floor
+        dst[k] = v if prev is None else min(prev, v)
 
 
 def main(argv):
+    reset = set()
+    args = []
+    for a in argv:
+        if a.startswith("--reset="):
+            reset.update(x for x in a[len("--reset="):].split(",") if x)
+        else:
+            args.append(a)
+    argv = args
     if not argv:
         print(__doc__)
         return 2
@@ -57,8 +81,8 @@ def main(argv):
     for p in argv:
         s, sc = rows(p)
         print(f"merging {p}: {len(s)} standard / {len(sc)} scale")
-        merge(std, s, "standard")
-        merge(scale, sc, "scale")
+        merge(std, s, "standard", reset)
+        merge(scale, sc, "scale", reset)
     with open(BASELINE, "w") as f:
         json.dump({"standard": std, "scale": scale}, f, indent=1,
                   sort_keys=True)

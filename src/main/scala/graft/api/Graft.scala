@@ -76,7 +76,10 @@ class Graft(val spark: SparkSession, root: String) {
   // cuts full snapshots at rotation points — see
   // [[graft.catalog.CatalogStore]]. Loading happens at the constructor
   // TAIL (bottom of this class), after every field initializes.
-  private val catalogStore = new graft.catalog.CatalogStore(spark, root)
+  // var, not val: [[reloadCatalog]] swaps in a fresh store when a read
+  // door's staleness probe sees another process's writer advance the
+  // on-disk generation (loadedGen/segment baselines are load-time vals)
+  private var catalogStore = new graft.catalog.CatalogStore(spark, root)
   // true while the constructor replays the journal: mutators run their
   // normal bodies but journal() no-ops (events must not re-journal)
   private var replayingCatalog = false
@@ -366,10 +369,12 @@ class Graft(val spark: SparkSession, root: String) {
   /** Bulk metric-id → catalog name map (one driver-bounded collect —
     * the listing door must not collect per row). Empty without a
     * registered catalog. */
-  def metricNames: Map[String, String] =
+  def metricNames: Map[String, String] = {
+    refreshIfStale()
     metricsCatalog.map(_.select("metric_id", "name").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap)
       .getOrElse(Map.empty)
+  }
 
   // @volatile immutable snapshot: the daemon flush threads read rules
   // through createMetric -> rulePolicy while the HTTP thread mutates.
@@ -453,7 +458,10 @@ class Graft(val spark: SparkSession, root: String) {
   def hasMetric(id: String): Boolean = metricPolicy.contains(id)
 
   /** GET /v1/archive_policy — all policies, name-sorted. */
-  def listPolicies: Seq[ArchivePolicy] = policies.values.toSeq.sortBy(_.name)
+  def listPolicies: Seq[ArchivePolicy] = {
+    refreshIfStale()
+    policies.values.toSeq.sortBy(_.name)
+  }
 
   /** DELETE /v1/archive_policy/<name>: refuses while any metric still
     * uses the policy (indexer ArchivePolicyInUse → 400).
@@ -476,8 +484,10 @@ class Graft(val spark: SparkSession, root: String) {
     * match-precedence order (longest pattern first, the order
     * [[rulePolicy]] applies them).
     */
-  def listPolicyRules: Seq[(String, String, String)] =
+  def listPolicyRules: Seq[(String, String, String)] = {
+    refreshIfStale()
     policyRules.toSeq.sortBy { case (_, p, _) => (-p.length, p) }
+  }
 
   def deletePolicyRule(name: String): Unit = {
     flushDirtyFrames()
@@ -497,7 +507,10 @@ class Graft(val spark: SparkSession, root: String) {
     * id-sorted (driver-local by the bounded-metric-set assumption the
     * catalog maps already make).
     */
-  def listMetrics: Seq[(String, String)] = metricPolicy.toSeq.sortBy(_._1)
+  def listMetrics: Seq[(String, String)] = {
+    refreshIfStale()
+    metricPolicy.toSeq.sortBy(_._1)
+  }
 
   def metricPolicyName(id: String): String = metricPolicy.getOrElse(id,
     GraftError.notFound(s"unknown metric $id"))
@@ -831,6 +844,7 @@ class Graft(val spark: SparkSession, root: String) {
       from: Option[String] = None, to: Option[String] = None,
       resample: Option[Granularity] = None,
       refreshFirst: Boolean = false): Seq[(java.sql.Timestamp, Long, Double)] = {
+    refreshIfStale()
     if (refreshFirst) refresh(metricId)
     // a method the policy never stored is the reference's 404
     // ("Aggregation method X does not exist for this metric",
@@ -921,6 +935,7 @@ class Graft(val spark: SparkSession, root: String) {
                      fill: Option[String] = None,
                      from: Option[java.sql.Timestamp] = None,
                      to: Option[java.sql.Timestamp] = None): DataFrame = {
+    refreshIfStale()
     val refs = collectRefs(Parser.parse(operations))
     commonGranularities(refs.map(_._1).distinct)
       .map(g => aggregates(operations, g, fill, from = from, to = to)
@@ -944,6 +959,7 @@ class Graft(val spark: SparkSession, root: String) {
                  neededOverlap: Option[Double] = None,
                  from: Option[java.sql.Timestamp] = None,
                  to: Option[java.sql.Timestamp] = None): DataFrame = {
+    refreshIfStale()
     val out = aggregatesGrid(operations, granS, fill, neededOverlap, from, to)
     // Output-stage drop (processor.py:237-244, 257-262): for
     // dropna/ffill/bfill/full_*, positions where the series value is
@@ -1396,6 +1412,7 @@ class Graft(val spark: SparkSession, root: String) {
     * pending (staged, unprocessed) measure counts per metric.
     */
   def status(): Map[String, Long] = {
+    refreshIfStale()
     val (seqSnap, dfSnap) = stagingLock.synchronized {
       (pending.toList, pendingDf)
     }
@@ -1485,8 +1502,9 @@ class Graft(val spark: SparkSession, root: String) {
                               pred: MeasureSearch.Pred,
                               from: Option[java.sql.Timestamp] = None,
                               to: Option[java.sql.Timestamp] = None)
-      : DataFrame =
-    metricIds.flatMap { m =>
+      : DataFrame = {
+    refreshIfStale()
+    val frames = metricIds.flatMap { m =>
       val polGrans = policies(metricPolicy(m)).definition
         .map(_.granularity).collect {
           case graft.model.Granularity.Fixed(ns) => ns / 1_000_000_000L
@@ -1497,8 +1515,25 @@ class Graft(val spark: SparkSession, root: String) {
           s"Aggregation does not exist: granularity $g, method $method")
         storeOf(metricPolicy(m)).getMeasures(m, method, g, from, to)
       }
-    }.reduce(_ unionByName _)
+    }
+    // the fold can be EMPTY: no metric ids, or a calendar-only policy
+    // searched with no ?granularity (polGrans collects only Fixed —
+    // calendar series have no wire representation in the reference's
+    // float-seconds ?granularity param, so absent-granularity search
+    // covers the fixed granularities and an all-calendar policy
+    // yields none). reduce on Nil throws; serve the empty result
+    // frame instead of an uncaught 500 at POST /v1/search/metric.
+    frames.reduceOption(_ unionByName _)
+      .getOrElse {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("metric_id", StringType),
+            StructField("bucket", TimestampType),
+            StructField("value", DoubleType))))
+      }
       .filter(MeasureSearch.compile(pred, col("value")))
+  }
 
   /** Resource catalog: register a typed resource table + search with the
     * filter DSL (string grammar or tree).
@@ -1521,9 +1556,9 @@ class Graft(val spark: SparkSession, root: String) {
     * replace them for custom-attribute fixtures (async.yaml posts a
     * generic resource before anything else).
     */
-  private def bootstrapResourcePlane(): Unit = {
+  private val baseResourceSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val base = StructType(Seq(
+    StructType(Seq(
       StructField("id", StringType),
       StructField("type", StringType),
       StructField("creator", StringType),
@@ -1533,6 +1568,11 @@ class Graft(val spark: SparkSession, root: String) {
       StructField("user_id", StringType),
       StructField("project_id", StringType),
       StructField("revision_start", TimestampType)))
+  }
+
+  private def bootstrapResourcePlane(): Unit = {
+    import org.apache.spark.sql.types._
+    val base = baseResourceSchema
     def empty(s: StructType) = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     if (resources.isEmpty) setResources(empty(base))
@@ -1579,10 +1619,12 @@ class Graft(val spark: SparkSession, root: String) {
 
   /** Pre-parsed filter-tree form (the REST search body's native shape,
     * rest/api.py:1381-1437). */
-  def searchResources(f: Filter): DataFrame =
+  def searchResources(f: Filter): DataFrame = {
+    refreshIfStale()
     resources.getOrElse(throw new IllegalStateException(
         "no resource table registered — call setResources(df) first"))
       .filter(Filter.compile(f))
+  }
 
   /** Scope a catalog frame to one resource type. `generic` is the
     * reference's type-unscoped view; any other route segment filters
@@ -1615,11 +1657,13 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def listResources(sorts: Seq[(String, Boolean)] = Seq("id" -> true),
                     marker: Option[Any] = None, limit: Int = 100,
-                    tpe: String = "generic"): DataFrame =
+                    tpe: String = "generic"): DataFrame = {
+    refreshIfStale()
     graft.catalog.Pagination(
       typeScoped(resources.getOrElse(throw new IllegalStateException(
         "no resource table registered — call setResources(df) first")), tpe),
       sorts, "id", marker, limit)
+  }
 
   /** R5 at the REST surface (`?history=true`,
     * sqlalchemy.py:1167-1270): every history revision ∪ the current
@@ -1628,6 +1672,7 @@ class Graft(val spark: SparkSession, root: String) {
     * per-id ordinal is the deterministic analogue).
     */
   def resourcesWithHistory: DataFrame = {
+    refreshIfStale()
     val res = resources.getOrElse(throw new IllegalStateException(
       "no resource table registered — call setResources(df) first"))
     val hist = resourceHistoryTbl.getOrElse(throw new IllegalStateException(
@@ -1660,7 +1705,8 @@ class Graft(val spark: SparkSession, root: String) {
     * eager-joins them, sqlalchemy.py:1346). The id list is REST-page
     * bounded, so this is one pruned collect — O(page), not O(fleet).
     */
-  def metricsForResources(ids: Seq[String]): Map[String, Seq[(String, String)]] =
+  def metricsForResources(ids: Seq[String]): Map[String, Seq[(String, String)]] = {
+    refreshIfStale()
     metricsCatalog match {
       case None => Map.empty
       case Some(mets) => mets
@@ -1673,6 +1719,7 @@ class Graft(val spark: SparkSession, root: String) {
           rid -> rows.toSeq.map(t => (t._2, t._3)).sortBy(_._1)
         }
     }
+  }
 
   /** POST /v1/resource/<type> (rest/api.py ResourcesController.post):
     * append one resource row parsed from the JSON body against the
@@ -1891,6 +1938,7 @@ class Graft(val spark: SparkSession, root: String) {
   /** Metrics attached to one resource, (name, metric_id) sorted by
     * name (NamedMetricController.get_all, rest/api.py:799-817). */
   def resourceMetrics(resourceId: String): Seq[(String, String)] = {
+    refreshIfStale()
     val cat = metricsCatalog.getOrElse(throw new IllegalStateException(
       "no metric catalog registered — call setMetrics(df) first"))
     cat.filter(col("resource_id") === resourceId)
@@ -2028,10 +2076,16 @@ class Graft(val spark: SparkSession, root: String) {
   }
 
   /** The registered resource catalog's columns — the REST door's
-    * input-schema surface (schema_for(), rest/api.py:1153-1155). */
+    * input-schema surface (schema_for(), rest/api.py:1153-1155). A
+    * GET is a pure read: with no frame registered it serves the BASE
+    * schema's names directly instead of bootstrapping frames — the
+    * bootstrap sets framesDirty, and a read-only facade that
+    * dirty-marked on a schema GET would snapshot at close(), taking
+    * the catalog writer lock it has no business holding. */
   def resourceColumns: Seq[String] = catalogLock.synchronized {
-    if (resources.isEmpty) bootstrapResourcePlane()
-    resources.get.columns.toSeq
+    refreshIfStale()
+    resources.map(_.columns.toSeq)
+      .getOrElse(baseResourceSchema.fieldNames.toSeq)
   }
 
   /** One resource's revision rows from the registered history table,
@@ -2047,8 +2101,10 @@ class Graft(val spark: SparkSession, root: String) {
 
   /** All registered resource types, sorted by name
     * (ResourceTypesController.get_all, rest/api.py:1283-1288). */
-  def listResourceTypes: Seq[graft.catalog.ResourceTypes.ResourceType] =
+  def listResourceTypes: Seq[graft.catalog.ResourceTypes.ResourceType] = {
+    refreshIfStale()
     resourceTypes.values.toSeq.sortBy(_.name)
+  }
 
   /** G1/G2 resource-scoped group-by aggregation
     * (rest/aggregates/api.py:541-672): resolve resources by filter,
@@ -2747,11 +2803,12 @@ class Graft(val spark: SparkSession, root: String) {
     }
   }
 
-  // ---- constructor TAIL: load the durable catalog -------------------
-  // Every field above is initialized before replay touches it. A fresh
-  // root is a no-op; an existing catalog loads its snapshot and replays
-  // the journal through the mutators (journaling suppressed).
-  locally {
+  /** Load the durable catalog from the current [[catalogStore]]: maps
+    * snapshot, frame snapshots, then journal replay through the same
+    * mutators (journaling suppressed). Called from the constructor
+    * tail and from [[reloadCatalog]].
+    */
+  private def loadCatalogFromDisk(): Unit = {
     if (catalogStore.loadedGen.isDefined) {
       replayingCatalog = true
       try {
@@ -2814,4 +2871,50 @@ class Graft(val spark: SparkSession, root: String) {
       } finally replayingCatalog = false
     }
   }
+
+  /** Drop every in-memory catalog structure and reload from disk — the
+    * read facade's answer to a writer in ANOTHER process advancing the
+    * catalog. The reference has no staleness problem by construction:
+    * every API worker request is a fresh SQL query against the current
+    * indexer state (indexer/sqlalchemy.py:1273-1402); this facade
+    * loads once, so read doors probe ([[refreshIfStale]]) and reload
+    * here rather than silently serving a dead generation forever.
+    * Measure-plane state (stores, staged measures) is untouched — only
+    * the catalog plane reloads.
+    */
+  private def reloadCatalog(): Unit = {
+    System.err.println(s"[catalog] on-disk catalog at $root advanced " +
+      "past this facade's loaded state — reloading")
+    catalogStore.close()
+    policies.clear(); policies ++= ArchivePolicy.defaults
+    policyRules = Vector.empty
+    metricPolicy.clear(); metricUnit.clear(); metricCreator.clear()
+    resourceTypes.clear()
+    resources = None; metricsCatalog = None; resourceHistoryTbl = None
+    framesDirty = false
+    journaledEvents = 0
+    lastSnapshotSize = 0L
+    catalogStore = new graft.catalog.CatalogStore(spark, root)
+    loadCatalogFromDisk()
+  }
+
+  /** Read-door freshness barrier: when the on-disk catalog advanced
+    * (cheap probe — one MANIFEST read + a stat per journal segment),
+    * reload before serving. Writers never reach the reload: a facade
+    * holding the writer lock is fresh by construction (the generation
+    * fence), and a stale would-be writer gets a loud Conflict from
+    * [[graft.catalog.CatalogStore]] instead. Double-checked under
+    * catalogLock so concurrent read doors reload once.
+    */
+  private def refreshIfStale(): Unit =
+    if (!replayingCatalog && catalogStore.stale())
+      catalogLock.synchronized {
+        if (catalogStore.stale()) reloadCatalog()
+      }
+
+  // ---- constructor TAIL: load the durable catalog -------------------
+  // Every field above is initialized before replay touches it. A fresh
+  // root is a no-op; an existing catalog loads its snapshot and replays
+  // the journal through the mutators (journaling suppressed).
+  locally { loadCatalogFromDisk() }
 }

@@ -113,25 +113,41 @@ class CatalogStore(spark: SparkSession, root: String) {
     *    generation or journal segment count moved — a previous writer
     *    came and went) → Conflict telling the caller to reconstruct,
     *    because appending under stale in-memory state would fork
-    *    history. The atomic-create is the same discipline as
-    *    MetricStore.withStoreLock; on raw local filesystems
-    *    create(overwrite=false) is check-then-create, which is loud-
-    *    failure grade, not mutual-exclusion grade — matching the
-    *    reference's one-indexer deployment contract.
+    *    history. On `file://` roots the create is java.nio
+    *    CREATE_NEW — O_EXCL, genuinely atomic mutual exclusion; on
+    *    HDFS-style stores Hadoop's create(overwrite=false) is already
+    *    an atomic namespace operation. Either way the stale-break
+    *    path re-reads the lock and verifies OUR token landed before
+    *    proceeding (create-then-verify), so two writers racing to
+    *    break the same dead pid's lock cannot both win.
     */
+  private val lockIsLocal = fs.getUri.getScheme == "file"
   private def ensureWriterLock(): Unit = {
     if (lockHeld) return
     val host = java.net.InetAddress.getLocalHost.getHostName
     val pid = ProcessHandle.current().pid()
+    val lockBytes =
+      s"""{"token":"$writerToken","pid":$pid,"host":"$host"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def tryCreate(): Boolean =
-      try {
-        val o = fs.create(lockFile, false)
-        try o.write(
-          s"""{"token":"$writerToken","pid":$pid,"host":"$host"}"""
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally o.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      if (lockIsLocal)
+        try {
+          // O_EXCL on the local plane: Hadoop's RawLocalFileSystem
+          // create(overwrite=false) is check-then-create, a real race
+          // window; Files.write(CREATE_NEW) is one atomic syscall
+          val p = java.nio.file.Paths.get(lockFile.toUri.getPath)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, lockBytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try {
+          val o = fs.create(lockFile, false)
+          try o.write(lockBytes) finally o.close()
+          true
+        } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
       val txt = try {
         val in = fs.open(lockFile)
@@ -158,8 +174,24 @@ class CatalogStore(spark: SparkSession, root: String) {
             s"$lockHost; if that process is dead, delete $dir/LOCK")
       System.err.println(s"[catalog] breaking stale writer lock of dead " +
         s"pid $lockPid on $root")
-      fs.delete(lockFile, false)
-      require(tryCreate(), s"could not take writer lock $dir/LOCK")
+      // Break via ATOMIC RENAME to a unique name, not delete: two
+      // writers recovering from the SAME dead pid would each read the
+      // stale lock, and with delete-then-create the second delete can
+      // remove the first winner's FRESH lock (TOCTOU) — both proceed
+      // as writers. Rename is atomic on local and HDFS namespaces, so
+      // exactly one breaker wins the stale lock; the loser's rename
+      // finds the source gone and conflicts out to retry against
+      // whatever lock the winner then created.
+      val broken = path(s"$dir/LOCK.broken.$writerToken")
+      if (!fs.rename(lockFile, broken))
+        graft.api.GraftError.conflict(
+          s"catalog at $root: another writer broke the same stale lock " +
+            "first; retry")
+      fs.delete(broken, false)
+      if (!tryCreate())
+        graft.api.GraftError.conflict(
+          s"catalog at $root: another writer took the lock while this " +
+            "facade was breaking a stale one; retry")
     }
     // generation fence — under the lock, so nobody can advance it now
     def fenceFail(what: String): Nothing = {
@@ -168,14 +200,8 @@ class CatalogStore(spark: SparkSession, root: String) {
         s"catalog at $root advanced since this facade loaded ($what); " +
           "reconstruct the facade to write here")
     }
-    val mf = path(s"$dir/MANIFEST")
-    if (fs.exists(mf)) {
-      val in = fs.open(mf)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      val mfGen = JsonMethods.parse(txt) \ "gen" match {
-        case JInt(n) => n.toInt; case JLong(n) => n.toInt; case _ => -1
-      }
+    val mfGen = readManifestGen()
+    if (mfGen >= 0) {
       if (mfGen != gen) fenceFail(s"generation $mfGen, loaded $gen")
     } else if (gen >= 0) fenceFail(s"manifest gone, loaded $gen")
     if (gen >= 0) {
@@ -237,6 +263,53 @@ class CatalogStore(spark: SparkSession, root: String) {
   private val segsAtLoad: Int = loadedGen.map(g =>
     Iterator.from(0).map(segPath(g, _)).takeWhile(fs.exists).size)
     .getOrElse(0)
+
+  // ---- read-facade staleness ------------------------------------------
+  // What this instance EXPECTS on disk: segment count and total journal
+  // bytes for the current generation. Our own appends/rotations move
+  // these in step with the filesystem, so [[stale]] reads OUR writes as
+  // fresh and only ANOTHER process's writes as staleness.
+  private var expectedSegs: Int = segsAtLoad
+  private var expectedJournalLen: Long = loadedGen.map(g =>
+    Iterator.from(0).map(segPath(g, _)).takeWhile(fs.exists)
+      .map(p => fs.getFileStatus(p).getLen).sum).getOrElse(0L)
+
+  /** `{"gen": N}` currently on disk, −1 when absent/unreadable. */
+  private def readManifestGen(): Int = {
+    val mf = path(s"$dir/MANIFEST")
+    if (!fs.exists(mf)) -1
+    else try {
+      val in = fs.open(mf)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      JsonMethods.parse(txt) \ "gen" match {
+        case JInt(n) => n.toInt; case JLong(n) => n.toInt; case _ => -1
+      }
+    } catch { case _: java.io.IOException => -1 }
+  }
+
+  /** True when the on-disk catalog has ADVANCED past this instance's
+    * view — another process's writer rotated a generation (MANIFEST
+    * moved), opened a fresh journal segment, or appended events
+    * (journal bytes grew). The reference's API workers read the
+    * CURRENT indexer state on every request
+    * (indexer/sqlalchemy.py:1273-1402); this probe is the long-lived
+    * read facade's analogue, cheap enough for a read door: one
+    * MANIFEST read plus a stat per journal segment. A facade holding
+    * the writer lock is never stale — the lock plus the generation
+    * fence guarantee nobody else can advance the catalog under it.
+    */
+  def stale(): Boolean = journalLock.synchronized {
+    if (lockHeld) false
+    else if (readManifestGen() != gen) true
+    else if (gen < 0) false
+    else {
+      val segs = Iterator.from(0).map(segPath(gen, _))
+        .takeWhile(fs.exists).toVector
+      segs.size != expectedSegs ||
+        segs.map(p => fs.getFileStatus(p).getLen).sum != expectedJournalLen
+    }
+  }
 
   /** Whether any on-disk catalog state exists yet. */
   def initialized: Boolean = gen >= 0
@@ -305,10 +378,13 @@ class CatalogStore(spark: SparkSession, root: String) {
       val k = Iterator.from(0).find(i => !fs.exists(segPath(gen, i))).get
       val o = fs.create(segPath(gen, k))
       journalOut = Some(o)
+      expectedSegs = k + 1
       o
     }
-    out.write((JsonMethods.compact(JsonMethods.render(evt)) + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = (JsonMethods.compact(JsonMethods.render(evt)) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.write(bytes)
+    expectedJournalLen += bytes.length
     out.flush()
     out match {
       case h: org.apache.hadoop.fs.FSDataOutputStream =>
@@ -347,6 +423,8 @@ class CatalogStore(spark: SparkSession, root: String) {
     writeManifest(next)
     val prev = gen
     gen = next
+    expectedSegs = 0
+    expectedJournalLen = 0L
     // Cleanup with ONE generation of GRACE: the caller re-points its
     // frames at `next` right after this returns, but a query already
     // in flight may still hold a plan reading `prev` — deleting it here

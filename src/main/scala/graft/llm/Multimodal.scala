@@ -333,6 +333,12 @@ object Multimodal {
     * the pixel math for a codec call, nothing else moves.
     */
   def resize(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    // same loud-failure rule as frameSample: a non-positive target
+    // would raise a raw NegativeArraySizeException mid-task (or emit
+    // silent zero-pixel grids for outW=0) — caller typos must fail at
+    // plan build, naming the arguments
+    require(outW > 0 && outH > 0,
+      s"resize target must be positive, got (${outW}x$outH)")
     val spark = media.sparkSession
     import spark.implicits._
     mediaRows(media)

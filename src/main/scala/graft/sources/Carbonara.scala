@@ -199,6 +199,13 @@ object Carbonara {
       val d = (tsNs(i) - prev) / granNs
       require(d >= 0 && d <= 0xffff,
         s"bucket delta $d out of u16 at $i (split too wide?)")
+      // same rule as the padded encoder: two points in one granule is
+      // an upstream bug (aggregated buckets are unique by
+      // construction) — a zero delta would silently encode a duplicate
+      // timestamp that re-imports as two coincident points
+      require(i == 0 || d > 0,
+        s"duplicate bucket timestamp ${tsNs(i)} at $i — aggregated " +
+          "points must be unique per granule")
       bb.putShort(i * 2, d.toShort)
       prev = tsNs(i)
       i += 1

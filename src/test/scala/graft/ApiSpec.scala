@@ -348,6 +348,48 @@ class ApiSpec extends SparkSpec {
     assert(divGot == Seq("m3"))
   }
 
+  test("S1 search over a calendar-only policy with no ?granularity " +
+      "serves the EMPTY frame, not an uncaught reduce-on-Nil 500") {
+    val g = freshGraft()
+    g.createPolicy(graft.model.ArchivePolicy("calonly", 0,
+      Seq(graft.model.ArchivePolicyItem(
+        graft.model.Granularity.parse("M"), None, None)),
+      Set("mean")))
+    // a calendar-only policy is catalogable but NOT storable
+    // (MetricStore requires one fixed granularity) — the search door
+    // still must not 500 on the metric's zero fixed granularities
+    g.createMetric("cal1", "calonly")
+    import MeasureSearch._
+    val got = g.searchMetricValuesMulti(Seq("cal1"), "mean", None,
+      Cmp(">", Value, Const(0)))
+    assert(got.columns.toSeq == Seq("metric_id", "bucket", "value"))
+    assert(got.count() == 0L)
+    // …and an EXPLICIT fixed granularity the policy never stored is
+    // still the structured AggregationDoesNotExist 400
+    val e = intercept[IllegalArgumentException](
+      g.searchMetricValuesMulti(Seq("cal1"), "mean", Some(Seq(300L)),
+        Cmp(">", Value, Const(0))).collect())
+    assert(e.getMessage.contains("Aggregation does not exist"))
+    // the zero-metric search is the same empty frame
+    assert(g.searchMetricValuesMulti(Nil, "mean", None,
+      Cmp(">", Value, Const(0))).count() == 0L)
+  }
+
+  test("resourceColumns on a bare facade serves the base schema " +
+      "WITHOUT registering frames (a GET must stay a pure read)") {
+    val s = spark
+    val root = Files.createTempDirectory("graft-rocols").toString
+    val g = new Graft(s, root)
+    assert(g.resourceColumns.contains("started_at"))
+    assert(g.resourceColumns.contains("project_id"))
+    // no frame registration happened: the facade is still bare and
+    // close() must not snapshot (no catalog writes from a pure read)
+    assert(!g.hasResourceTable)
+    g.close()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_catalog")))
+  }
+
   test("use_history group-by: revision windows weight buckets fractionally " +
       "(rest/aggregates/api.py:191-493)") {
     val s = spark

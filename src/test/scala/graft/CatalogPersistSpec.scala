@@ -440,6 +440,129 @@ class CatalogPersistSpec extends SparkSpec {
       8 * ((perThread + 30) / 31))
   }
 
+  test("read-facade staleness: a long-lived reader reloads when ANOTHER " +
+      "writer advances the catalog — plain appends AND a rotation") {
+    val s = spark
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("rf", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g1.createMetric("rf1", "rf")
+    g1.close()
+    val reader = new Graft(s, root) // loads generation 0, never writes
+    assert(reader.listMetrics.map(_._1).contains("rf1"))
+    // a second-process writer appends WITHOUT rotating: the reader's
+    // next read door must serve the new metric (the reference's API
+    // workers read the CURRENT indexer state on every request,
+    // sqlalchemy.py:1273-1402 — a reader pinned to its load-time
+    // state would serve the dead catalog forever)
+    val w = new Graft(s, root)
+    w.createMetric("rf2", "rf")
+    assert(reader.listMetrics.map(_._1).contains("rf2"))
+    // … and across a ROTATION (manifest generation moves)
+    w.createPolicyRule("rr", "rf*", "rf")
+    w.persistCatalog()
+    w.close()
+    assert(reader.listPolicyRules.exists(_._1 == "rr"))
+    assert(reader.listMetrics.map(_._1).toSet ==
+      Set("rf1", "rf2"))
+    reader.close()
+  }
+
+  test("writer-lock race on a fresh root: exactly one of 4 racing " +
+      "facades wins (atomic O_EXCL create, -Dtest.iterations to stress)") {
+    val s = spark
+    val iters = Integer.getInteger("test.iterations", 5).intValue()
+    for (k <- 0 until iters) {
+      val root = freshRoot
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val losses = new java.util.concurrent.atomic.AtomicInteger
+      val others = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val facades = (0 until 4).map(_ => new Graft(s, root))
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val ts = facades.zipWithIndex.map { case (g, t) =>
+        new Thread(() => {
+          barrier.await()
+          try { g.createMetric(s"race-$t", "low"); wins.incrementAndGet() }
+          catch {
+            case _: graft.api.GraftError.Conflict => losses.incrementAndGet()
+            case e: Throwable => others.add(e)
+          }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(60000))
+      assert(ts.forall(!_.isAlive), s"iter $k: racer deadlocked")
+      assert(others.isEmpty, s"iter $k: unexpected ${others.peek()}")
+      assert(wins.get() == 1, s"iter $k: ${wins.get()} writers won the lock")
+      assert(losses.get() == 3, s"iter $k: ${losses.get()} conflicts")
+      facades.foreach(_.close())
+    }
+  }
+
+  test("crash-point fuzz: the journal truncated at 200+ byte offsets " +
+      "always reloads a clean prefix and accepts new writes") {
+    val s = spark
+    val root = freshRoot
+    val g = new Graft(s, root)
+    g.createPolicy(ArchivePolicy("cz", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    for (i <- 0 until 8) g.createMetric(f"cz-$i%02d", "cz")
+    g.persistCatalog() // rotation: generation 1, fresh journal
+    for (i <- 8 until 48) g.createMetric(f"cz-$i%02d", "cz")
+    g.close()
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cat = Paths.get(root, "_catalog")
+    def ls(): Seq[java.nio.file.Path] = {
+      val st = Files.list(cat)
+      try st.iterator().asScala.toVector finally st.close()
+    }
+    val journal = ls().find(
+      _.getFileName.toString.startsWith("journal_")).get
+    val pristine = Files.readAllBytes(journal)
+    val manifest = Files.readAllBytes(cat.resolve("MANIFEST"))
+    val snapshotMetrics = (0 until 8).map(i => f"cz-$i%02d").toSet
+    // ≥200 crash points: every stride-spaced offset including 0 and
+    // exact line boundaries — each truncation is a simulated kill at
+    // that byte; the reload must recover EXACTLY the events the torn
+    // journal still carries, then keep working as a writer
+    val stride = math.max(1, pristine.length / 200)
+    val offsets = (0 to pristine.length by stride) :+ pristine.length
+    var points = 0
+    for (k <- offsets.distinct.sorted) {
+      // restore the pristine journal, drop residue from the last probe
+      ls().filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("journal_") || n == "LOCK"
+      }.foreach(p => Files.delete(p))
+      Files.write(journal, pristine.take(k).toArray)
+      Files.write(cat.resolve("MANIFEST"), manifest)
+      val txt = new String(pristine.take(k).toArray, "UTF-8")
+      val parts = txt.split("\n", -1)
+      val fullLines = parts.dropRight(1).count(_.trim.nonEmpty)
+      // a cut landing right after a line's closing '}' (before its \n)
+      // leaves a PARSEABLE tail — the store replays it, exactly like a
+      // write that made it to disk but died before the newline
+      val tail = parts.last.trim
+      val tailParses = tail.nonEmpty && (try {
+        org.json4s.jackson.JsonMethods.parse(tail); true
+      } catch { case _: Throwable => false })
+      val recovered = fullLines + (if (tailParses) 1 else 0)
+      val expected = snapshotMetrics ++
+        (8 until 8 + recovered).map(i => f"cz-$i%02d")
+      val r = new Graft(s, root)
+      assert(r.listMetrics.map(_._1).filter(_.startsWith("cz-")).toSet ==
+        expected, s"crash at byte $k of ${pristine.length}")
+      r.createMetric(s"cz-new-$k", "cz") // the survivor must still write
+      assert(r.hasMetric(s"cz-new-$k"))
+      r.close()
+      points += 1
+    }
+    assert(points >= 200, s"only $points crash points exercised")
+  }
+
   test("a fresh root stays write-free until the first catalog mutation") {
     val s = spark
     import s.implicits._
