@@ -2879,13 +2879,18 @@ class Graft(val spark: SparkSession, root: String) {
     * indexer state (indexer/sqlalchemy.py:1273-1402); this facade
     * loads once, so read doors probe ([[refreshIfStale]]) and reload
     * here rather than silently serving a dead generation forever.
-    * Measure-plane state (stores, staged measures) is untouched — only
-    * the catalog plane reloads.
+    * Staged measures are untouched (measure plane), but the
+    * MetricStore cache clears: stores derive from POLICY DEFINITIONS,
+    * and the advance may carry a policy update/delete+recreate whose
+    * new definition only the snapshot records — a same-facade
+    * updatePolicy invalidates its store entry, and a reload must
+    * invalidate identically or serve measures through the old config.
     */
   private def reloadCatalog(): Unit = {
     System.err.println(s"[catalog] on-disk catalog at $root advanced " +
       "past this facade's loaded state — reloading")
     catalogStore.close()
+    stores.clear()
     policies.clear(); policies ++= ArchivePolicy.defaults
     policyRules = Vector.empty
     metricPolicy.clear(); metricUnit.clear(); metricCreator.clear()

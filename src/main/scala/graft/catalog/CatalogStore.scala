@@ -300,14 +300,23 @@ class CatalogStore(spark: SparkSession, root: String) {
     * fence guarantee nobody else can advance the catalog under it.
     */
   def stale(): Boolean = journalLock.synchronized {
-    if (lockHeld) false
-    else if (readManifestGen() != gen) true
-    else if (gen < 0) false
-    else {
-      val segs = Iterator.from(0).map(segPath(gen, _))
-        .takeWhile(fs.exists).toVector
-      segs.size != expectedSegs ||
-        segs.map(p => fs.getFileStatus(p).getLen).sum != expectedJournalLen
+    try {
+      if (lockHeld) false
+      else if (readManifestGen() != gen) true
+      else if (gen < 0) false
+      else {
+        val segs = Iterator.from(0).map(segPath(gen, _))
+          .takeWhile(fs.exists).toVector
+        segs.size != expectedSegs ||
+          segs.map(p => fs.getFileStatus(p).getLen).sum != expectedJournalLen
+      }
+    } catch {
+      // never throw from the probe: a racing reload can close this
+      // instance between a caller's unlocked first check and its
+      // locked re-check — "filesystem closed" here means a fresher
+      // store is taking over, so report not-stale and let the caller's
+      // locked re-check run against the new instance
+      case _: java.io.IOException => false
     }
   }
 

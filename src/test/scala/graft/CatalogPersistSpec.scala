@@ -470,6 +470,81 @@ class CatalogPersistSpec extends SparkSpec {
     reader.close()
   }
 
+  test("staleness reload under concurrent readers: hooked doors never " +
+      "throw while another facade appends and rotates under them") {
+    val s = spark
+    val root = freshRoot
+    val g0 = new Graft(s, root)
+    g0.createPolicy(ArchivePolicy("cc", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g0.createMetric("cc-seed", "cc")
+    g0.close()
+    val reader = new Graft(s, root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (0 until 4).map { _ =>
+      new Thread(() => {
+        try while (!stop.get()) {
+          reader.listMetrics; reader.listPolicies; reader.listPolicyRules
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    readers.foreach(_.start())
+    // the writer keeps moving the on-disk catalog under the readers:
+    // plain appends (journal bytes grow) and periodic rotations
+    // (manifest generation moves) — every hooked read door races a
+    // reload-in-flight at some point
+    val w = new Graft(s, root)
+    for (i <- 0 until 60) {
+      w.createMetric(f"cc-$i%02d", "cc")
+      if (i % 20 == 19) w.persistCatalog()
+    }
+    w.close()
+    Thread.sleep(100) // let the readers observe the final state
+    stop.set(true)
+    readers.foreach(_.join(60000))
+    assert(readers.forall(!_.isAlive), "reader thread hung")
+    assert(errs.isEmpty, s"reader threw: ${errs.peek()}")
+    assert(reader.listMetrics.map(_._1).count(_.startsWith("cc-")) == 61)
+    reader.close()
+  }
+
+  test("staleness reload drops the MetricStore cache: a reader serves " +
+      "measures under the OTHER writer's updated policy definition") {
+    val s = spark
+    val root = freshRoot
+    val g1 = new Graft(s, root)
+    g1.createPolicy(ArchivePolicy("sp", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None,
+        Some(365L * 86400 * 1_000_000_000L))),
+      Set("mean")))
+    g1.createMetric("spm", "sp")
+    g1.addMeasures("spm", Seq(
+      ("2015-03-06 10:00:30", 1.0), ("2015-03-06 14:00:30", 2.0)))
+    g1.process()
+    g1.close()
+    val reader = new Graft(s, root)
+    assert(reader.getMeasures("spm", "mean").size == 2)
+    // a second-process writer SHRINKS the retention timespan — the
+    // definition lives in the policy, and the reader's cached
+    // MetricStore was built from the old one; a reload that kept the
+    // cache would keep serving the expired point
+    val w = new Graft(s, root)
+    w.updatePolicy("sp", Seq(ArchivePolicyItem(Granularity.seconds(60),
+      None, Some(3600L * 1_000_000_000L))))
+    // rotate so the update lives ONLY in the snapshot maps: a journal
+    // replay of policy_update would invalidate the store entry through
+    // the mutator anyway — the cache gap is specifically the
+    // snapshot-loaded path
+    w.persistCatalog()
+    w.close()
+    val got = reader.getMeasures("spm", "mean")
+    assert(got.size == 1 && got.head._3 == 2.0,
+      s"expected only the last point under the 1h timespan, got $got")
+    reader.close()
+  }
+
   test("writer-lock race on a fresh root: exactly one of 4 racing " +
       "facades wins (atomic O_EXCL create, -Dtest.iterations to stress)") {
     val s = spark
