@@ -354,6 +354,23 @@ object Bench {
       graft.llm.Pq.ivfAdcTopK(em, em.filter(col("vec_id") < 10), books,
         k = 5, nlist = 64, nprobe = 8, shortlist = 200)
     }),
+    // persisted IVF-PQ: build writes centroids+codebooks+cell-partitioned
+    // CODES (8 bytes/vector on disk); the probe's broadcast cell join
+    // DPP-prunes to nprobe/nlist of the code partitions
+    "scale_sim7_ivfpq_build" -> ((s: SparkSession) => {
+      val em = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val books = graft.llm.Pq.train(em, m = 8, k = 256, iters = 10)
+      graft.llm.Pq.writeIvfPqIndex(em, "/tmp/graft-bench-ivfpq", books,
+        nlist = 64)
+      s.range(1).toDF() // build is the timed side effect
+    }),
+    "scale_sim7_ivfpq_probe" -> ((s: SparkSession) => {
+      val em = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.llm.Pq.probeIvfPqIndex(s, "/tmp/graft-bench-ivfpq", em,
+        em.filter(col("vec_id") < 10), k = 5, nprobe = 8, shortlist = 200)
+    }),
     // SemDeDup at scale: nClusters grows with the corpus (cells stay
     // ~600 vectors, bounding the per-cell quadratic pass); centroids
     // train on a 1/8 hash-sample

@@ -994,6 +994,7 @@ object Oracles {
     "sim5_ivf_index" -> annRecallOracle,
     "sim6_lsh_index" -> annRecallOracle,
     "sim4_pq_recall" -> annRecallOracle,
+    "sim7_ivfpq_index" -> annRecallOracle,
 
     // winnowing over md5 k-gram digests — replayed step-for-step:
     // positional 3-gram md5s, window-4 lexicographic minima, sorted

@@ -814,6 +814,25 @@ object Queries {
         Similarity.probeIvfIndex(s, root, q, k = 5, nprobe = 8),
         minRecall = 0.7) // sim2's bound: same centroids and assignment
     }),
+    // Persisted IVF-PQ index (sim4's operator at sim5's
+    // build-once/probe-many split): centroids + codebooks + CODES
+    // partitioned by cell on disk — 8 bytes/vector where sim5's index
+    // carries raw vectors — probed with DPP cell pruning and the same
+    // constant-shortlist exact re-rank. Same deterministic centroids
+    // and codebooks as sim4 ⇒ identical candidate sets ⇒ sim4's
+    // measured recall (0.94-0.98) reproduces; bound carries margin.
+    "sim7_ivfpq_index" -> ((s, dir) => {
+      val em = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val root = s"/tmp/graft-q-ivfpq/sim7-${math.abs(dir.hashCode)}"
+      val books = Pq.train(em, m = 8, k = 256, iters = 10, sampleN = 2048)
+      Pq.writeIvfPqIndex(em, root, books, nlist = 16)
+      val q = em.filter(col("vec_id") < 10)
+      annRecallRows(em, q,
+        Pq.probeIvfPqIndex(s, root, em, q, k = 5, nprobe = 12,
+          shortlist = 200),
+        minRecall = 0.65)
+    }),
     "sim3_lsh_recall" -> ((s, dir) => {
       val em = table(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))

@@ -157,7 +157,17 @@ object Pq {
     val short = approx.withColumn("__r", row_number().over(ws))
       .filter(col("__r") <= shortlist)
       .select("query_id", "corpus_id")
-    // exact cosine re-rank over the shortlist only
+    rerank(short, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** Exact cosine re-rank of a `(query_id, corpus_id)` shortlist
+    * against the corpus raw vectors — the final IVFADC stage, shared
+    * by every PQ entry point. Touches `|queries|·shortlist` raw
+    * vectors: the shortlist side is the small one, the corpus join
+    * prunes to just those ids. */
+  private def rerank(short: DataFrame, corpus: DataFrame,
+                     queries: DataFrame, k: Int,
+                     idCol: String, vecCol: String): DataFrame = {
     val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv2"))
     val rer = short.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))
@@ -228,17 +238,95 @@ object Pq {
                  k: Int, nlist: Int = 16, nprobe: Int = 4,
                  kmeansIters: Int = 3, shortlist: Int = 200,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
-    val short = ivfShortlist(corpus, queries, books, nlist, nprobe,
-      kmeansIters, shortlist, idCol, vecCol)
-    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv2"))
-    val rer = short.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))
-      .withColumn("cosine", Similarity.cosine(col("__qv2"), col("__cv")))
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    rer.withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+                 vecCol: String = "embedding"): DataFrame =
+    rerank(
+      ivfShortlist(corpus, queries, books, nlist, nprobe,
+        kmeansIters, shortlist, idCol, vecCol),
+      corpus, queries, k, idCol, vecCol)
+
+  // ------------------------------------------------- persisted IVF-PQ index
+
+  /** Persist the IVFADC index: coarse centroids, PQ codebooks, and the
+    * corpus CODES partitioned by cell —
+    * {{{
+    *   <path>/centroids/   # (cell, centroid) — the coarse quantizer
+    *   <path>/codebooks/   # (subspace, centroid, values) — m·k rows
+    *   <path>/codes/cell=N # (id, pq_code) — 8 bytes/vector + the id
+    * }}}
+    * The build-once/probe-many split sim5 has for plain IVF, at PQ
+    * compression: the index holds CODES, not raw vectors (~100× less
+    * IO than sim5's cells/ layout at embedding dims that matter), and
+    * a probe's broadcast cell join lets dynamic partition pruning read
+    * `nprobe/nlist` of it. Raw vectors stay in the corpus table and
+    * are touched only by the exact re-rank of the constant shortlist.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, books: Codebooks,
+                      nlist: Int = 16, kmeansIters: Int = 3,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+      idCol = idCol, vecCol = vecCol)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (cbs, s) =>
+      cbs.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }.toSeq.toDF("subspace", "centroid", "values")
+      .repartition(1) // m·k tiny rows — one footer, not 32
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val withCell = Similarity.kmeansAssignWith(corpus, cents, idCol, vecCol)
+      .select(col(idCol), col("cell"))
+    encode(corpus, books, vecCol)
+      .select(col(idCol), col("pq_code"))
+      .join(withCell, Seq(idCol))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Codebooks back from `<path>/codebooks` (m·k driver-bounded rows). */
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Codebooks = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select("subspace", "centroid", "values").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"no codebooks under $path")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(_._3)
+    }.toArray
+  }
+
+  /** Probe a [[writeIvfPqIndex]] index: nprobe cells per query via the
+    * persisted coarse quantizer, ADC over the pruned code partitions
+    * (the broadcast cell join drives dynamic partition pruning — a
+    * probe READS `nprobe/nlist` of the index), exact cosine re-rank of
+    * the constant shortlist against the corpus raw vectors.
+    */
+  def probeIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, corpus: DataFrame, queries: DataFrame,
+                      k: Int, nprobe: Int = 4, shortlist: Int = 200,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val books = readCodebooks(spark, path)
+    val m = books.length
+    val cents = spark.read.parquet(s"$path/centroids")
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col(idCol).as("corpus_id"), col("pq_code"), col("cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__tc",
+        explode(Similarity.topCells(col("__qv"), cents, nprobe)))
+      .withColumn("__tbl",
+        call_function("pq_adc_table", col("__qv"), booksLit(books)))
+      .select(col("query_id"), col("__tc.cell").as("cell"), col("__tbl"))
+    val approx = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("__score", (0 until m).map(s =>
+        element_at(element_at(col("__tbl"), s + 1),
+          element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("corpus_id").asc)
+    val short = approx.withColumn("__sr", row_number().over(ws))
+      .filter(col("__sr") <= shortlist)
+      .select("query_id", "corpus_id")
+    rerank(short, corpus, queries, k, idCol, vecCol)
   }
 }

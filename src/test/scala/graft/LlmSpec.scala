@@ -501,6 +501,26 @@ class LlmSpec extends SparkSpec {
     val perQ = sl.groupBy("query_id").count()
       .agg(max("count")).head.getLong(0)
     assert(perQ <= 5, s"per-query shortlist $perQ > 5")
+    // persisted index: codebooks round-trip bit-exactly and the probe
+    // over the on-disk codes finds the same true NNs as the in-memory
+    // path (same centroids, codebooks, shortlist discipline)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq").toString
+    llm.Pq.writeIvfPqIndex(em, root, books, nlist = 4)
+    val booksBack = llm.Pq.readCodebooks(s, root)
+    assert(booksBack.length == books.length)
+    for (sp <- books.indices) {
+      assert(booksBack(sp).length == books(sp).length, s"subspace $sp")
+      for (c <- books(sp).indices)
+        assert(java.util.Arrays.equals(booksBack(sp)(c), books(sp)(c)),
+          s"codebook ($sp,$c) did not round-trip")
+    }
+    val probed = llm.Pq.probeIvfPqIndex(s, root, em,
+      em.filter($"vec_id".isin(0L, 12L, 24L)), k = 1, nprobe = 2,
+      shortlist = 12)
+    val gp = probed.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gp == e1)
   }
 
   test("docFrequency counts each token once per document") {
