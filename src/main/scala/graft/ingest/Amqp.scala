@@ -46,7 +46,9 @@ object Amqp {
       pos += 8; out
     }
     def bytes(n: Int): Array[Byte] = {
-      require(n >= 0 && pos + n <= until, s"bad length $n")
+      // compare in Long: a corrupt vbin32/str32 length near 2^31
+      // would overflow `pos + n` negative and sneak past this bound
+      require(n >= 0 && pos.toLong + n <= until, s"bad length $n")
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
     }
   }

@@ -68,15 +68,25 @@ object JsonMeasures {
 
   private def parseTs(ts: Column): Column =
     // epoch numbers include scientific notation (1.7e9 is a valid
-    // JSON number a float-epoch sender can emit)
+    // JSON number a float-epoch sender can emit). EVERY arm is
+    // poison-line-proof under ANSI: try_cast nulls an epoch whose
+    // microseconds overflow Long (a regex-legal "1e300" would throw
+    // from a bare cast), the relative arm runs its arithmetic in
+    // double before ONE try_cast (segment sums can exceed Long), and
+    // the ISO fallback is try_to_timestamp — a malformed string in a
+    // 100 TB backlog must drop as one bad row, never abort the batch
+    // (the REST door's strict per-list 400 contract lives in
+    // RestApi.parseMeasureList, not here).
     when(ts.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$"),
-      timestamp_micros((ts.cast("double") * 1e6).cast("long")))
+      timestamp_micros((ts.cast("double") * 1e6).try_cast("long")))
       .when(lower(ts).rlike(relPat), timestamp_micros(
-        unix_micros(current_timestamp()) +
-          (relSeconds(ts) * 1e6).cast("long")))
-      .otherwise(to_timestamp(ts))
+        (unix_micros(current_timestamp()).cast("double") +
+          relSeconds(ts) * 1e6).try_cast("long")))
+      .otherwise(try_to_timestamp(ts))
 
-  /** Single-metric form: rows of (metric id, JSON array body). */
+  /** Single-metric form: rows of (metric id, JSON array body).
+    * Rows whose timestamp is absent or unparseable DROP (skip-and-
+    * count corpus semantics, like LineProtocol's malformed lines). */
   def parse(df: DataFrame, idCol: String = "metric_id",
             bodyCol: String = "body"): DataFrame =
     df.select(col(idCol).as("metric_id"),
@@ -84,6 +94,7 @@ object JsonMeasures {
       .select(col("metric_id"),
         parseTs(col("m.timestamp")).as("timestamp"),
         col("m.value").as("value"))
+      .filter(col("timestamp").isNotNull)
 
   /** Batch form: rows of one JSON object body, metric id → array. */
   def parseBatch(df: DataFrame, bodyCol: String = "body"): DataFrame =
@@ -94,4 +105,5 @@ object JsonMeasures {
       .select(col("metric_id"),
         parseTs(col("m.timestamp")).as("timestamp"),
         col("m.value").as("value"))
+      .filter(col("timestamp").isNotNull)
 }

@@ -59,10 +59,14 @@ object PromProto {
 
     /** Length-delimited field: returns a sub-reader over its bytes. */
     def readSub(): Reader = {
-      val len = readVarint().toInt
-      require(len >= 0 && pos + len <= until, s"bad length $len")
-      val r = new Reader(buf, pos, pos + len)
-      pos += len
+      // compare in Long: a corrupt length near 2^31 would overflow
+      // `pos + len` negative and sneak PAST this bound (ending in a
+      // raw ArrayIndexOutOfBounds or a wrapped cursor instead of this
+      // descriptive failure)
+      val len = readVarint()
+      require(len >= 0 && pos.toLong + len <= until, s"bad length $len")
+      val r = new Reader(buf, pos, pos + len.toInt)
+      pos += len.toInt
       r
     }
 
@@ -76,11 +80,13 @@ object PromProto {
       case 1 => require(pos + 8 <= until, "truncated fixed64"); pos += 8
       case 2 =>
         // a corrupt length whose .toInt goes negative would move pos
-        // BACKWARDS and the parse loop would never terminate — bound it
-        val len = readVarint().toInt
-        require(len >= 0 && pos + len <= until,
+        // BACKWARDS and the parse loop would never terminate — bound
+        // it, comparing in Long (a length near 2^31 would overflow an
+        // Int `pos + len` past the bound)
+        val len = readVarint()
+        require(len >= 0 && pos.toLong + len <= until,
           s"corrupt length-delimited field: len=$len at $pos")
-        pos += len
+        pos += len.toInt
       case 5 => require(pos + 4 <= until, "truncated fixed32"); pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }

@@ -116,13 +116,19 @@ class ProtocolSpec extends SparkSpec {
     assert(rel(0) >= before - 300_000 && rel(0) <= after - 300_000 + 1000)
     assert(math.abs((rel(0) - rel(1)) - (9120_000L - 300_000L)) < 5,
       s"relative spacing off: ${rel.toSeq}")
-    // an unknown unit is NOT silently a date — it falls through to
-    // to_timestamp, which rejects under ANSI
-    intercept[Exception] {
-      graft.ingest.JsonMeasures.parse(Seq(
-        ("m1", """[{"timestamp": "5 lightyears", "value": 1.0}]"""))
-        .toDF("metric_id", "body")).collect()
-    }
+    // malformed stamps DROP as single bad rows — skip-and-count corpus
+    // semantics (r14: the old fall-through to ANSI to_timestamp made
+    // ONE poison row abort the whole batch; so did a regex-legal
+    // overflow epoch like 1e300 via the bare long cast). The strict
+    // 400 contract lives at the REST door (RestApi.parseMeasureList).
+    val poisoned = graft.ingest.JsonMeasures.parse(Seq(
+      ("m1", """[{"timestamp": "5 lightyears", "value": 1.0},
+                 {"timestamp": "1e300", "value": 2.0},
+                 {"timestamp": "999999999999999999999999s", "value": 3.0},
+                 {"timestamp": "2014-01-01T12:00:00", "value": 4.0}]"""))
+      .toDF("metric_id", "body")).collect()
+    assert(poisoned.length == 1 && poisoned.head.getDouble(2) == 4.0,
+      s"poison rows must drop, good rows survive: ${poisoned.toSeq}")
   }
 
   private def newGraft() = new graft.api.Graft(spark,
