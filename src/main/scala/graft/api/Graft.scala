@@ -2912,9 +2912,15 @@ class Graft(val spark: SparkSession, root: String) {
     * catalogLock so concurrent read doors reload once.
     */
   private def refreshIfStale(): Unit =
-    if (!replayingCatalog && catalogStore.stale())
+    // framesDirty = this facade holds LOCALLY registered frames
+    // (setResources/setMetrics) not yet persisted — an auto-reload
+    // would silently discard them. Keep serving the local view; the
+    // facade's next WRITE hits the generation fence (loud Conflict,
+    // documented recovery: reconstruct), which is the honest outcome
+    // for un-durable local state that lost the race.
+    if (!replayingCatalog && !framesDirty && catalogStore.stale())
       catalogLock.synchronized {
-        if (catalogStore.stale()) reloadCatalog()
+        if (!framesDirty && catalogStore.stale()) reloadCatalog()
       }
 
   // ---- constructor TAIL: load the durable catalog -------------------

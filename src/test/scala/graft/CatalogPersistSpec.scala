@@ -510,6 +510,28 @@ class CatalogPersistSpec extends SparkSpec {
     reader.close()
   }
 
+  test("staleness reload never discards locally registered frames: a " +
+      "facade with a pending setResources keeps serving it") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot
+    val g0 = new Graft(s, root)
+    g0.createPolicy(ArchivePolicy("fd", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    g0.close()
+    val a = new Graft(s, root)
+    a.setResources(Seq(("fd-r1", "east")).toDF("id", "zone")) // dirty, local
+    val w = new Graft(s, root)
+    w.createMetric("fd-m", "fd") // the catalog advances under A
+    w.close()
+    // A's read doors must NOT auto-reload (that would silently drop
+    // the registered frame); the local view keeps serving
+    assert(a.searchResources("zone = 'east'").count() == 1L)
+    // …and A's next write is the documented loud Conflict (fence)
+    intercept[graft.api.GraftError.Conflict](a.createMetric("fd-m2", "fd"))
+  }
+
   test("staleness reload drops the MetricStore cache: a reader serves " +
       "measures under the OTHER writer's updated policy definition") {
     val s = spark
