@@ -506,17 +506,51 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
           col("split").between(splitLo, splitHi))
       }
 
+    val rateMethods =
+      policy.aggregationMethods.toSeq.filter(_.startsWith("rate:")).sorted
+    val plainMethods =
+      policy.aggregationMethods.toSeq.filterNot(_.startsWith("rate:")).sorted
     val newAggRows = fixedGrans.map { granS =>
-      val affectedRaw = merged.join(hb(firstNew), Seq("metric_id"))
-        .filter(unix_timestamp(col("timestamp")) >=
-          (floor(col("__first_new_s") / granS) * granS - lit(blockS)).cast("long"))
+      val withFn = merged.join(hb(firstNew), Seq("metric_id"))
+      val winStart =
+        (floor(col("__first_new_s") / granS) * granS - lit(blockS)).cast("long")
+      val affectedRaw = withFn
+        .filter(unix_timestamp(col("timestamp")) >= winStart)
         .drop("__first_new_s")
       // one shared hash aggregate for every non-rate method (unpivoted
       // to long form), plus one pass per rate: method — the batch's
       // shuffle count no longer scales with the policy's method list
-      Kernels.aggregateAll(affectedRaw,
-          policy.aggregationMethods.toSeq.sorted, Granularity.seconds(granS),
-          Seq("metric_id"), "timestamp", "value")
+      val plainRows =
+        if (plainMethods.isEmpty) Nil
+        else Seq(Kernels.aggregateAll(affectedRaw, plainMethods,
+          Granularity.seconds(granS), Seq("metric_id"), "timestamp", "value"))
+      // rate: diffs at the window edge need each metric's LAST point
+      // BEFORE the window — the predecessor of an out-of-order point
+      // can sit arbitrarily far back (r14 fuzz: a point inserted
+      // between two stored points more than one block after its
+      // predecessor silently LOST its diff; the one-block history only
+      // covers gap ≤ block). The reference gets this by recomputing
+      // the whole retained back window every cycle (chef.py:261-262
+      // keeps back_window+1 blocks and re-aggregates from the window
+      // edge); this stays O(batch + 1 row/metric): one max_by over the
+      // already-pruned touched-sack merge. The predecessor's own
+      // bucket falls before the keep threshold, so only its
+      // CONTRIBUTION to the first in-window diff survives.
+      val rateRows =
+        if (rateMethods.isEmpty) Nil
+        else {
+          val preds = withFn
+            .filter(unix_timestamp(col("timestamp")) < winStart)
+            .groupBy("metric_id")
+            .agg(max_by(struct(col("timestamp"), col("value")),
+              col("timestamp")).as("__p"))
+            .select(col("metric_id"), col("__p.timestamp").as("timestamp"),
+              col("__p.value").as("value"))
+          Seq(Kernels.aggregateAll(affectedRaw.unionByName(preds),
+            rateMethods, Granularity.seconds(granS),
+            Seq("metric_id"), "timestamp", "value"))
+        }
+      (plainRows ++ rateRows).reduce(_ unionByName _)
         .join(hb(firstNew), Seq("metric_id"))
         .filter(unix_timestamp(col("bucket")) >=
           (floor(col("__first_new_s") / granS) * granS).cast("long"))

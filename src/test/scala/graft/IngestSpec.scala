@@ -140,6 +140,65 @@ class IngestSpec extends SparkSpec {
     assert(dump(storeInc) == dump(storeFull))
   }
 
+  test("FUZZ incremental == full recompute: random points across split " +
+      "boundaries, random batch partitions, two granularities, rate " +
+      "methods (storage/__init__.py:643-668)") {
+    // The fixed example above pins one shape; this arm explores the
+    // space that actually breaks incremental aggregation — points
+    // straddling the 3600-bucket split boundary, metrics whose batches
+    // interleave, coarse+fine granularities sharing one write, rate
+    // diffs across batch edges. backWindow is huge so no point
+    // rejects (the reject path has its own pins below) and generated
+    // timestamps are unique per metric (new-wins batch order is the
+    // m1 pin, not this one).
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(14141414L))
+    val baseS = ts("2014-01-01 00:00:00").getTime / 1000
+    for (round <- 0 until 6) {
+      val policy = ArchivePolicy("fz", 1000000,
+        Seq(ArchivePolicyItem(Granularity.seconds(60), None, None),
+          ArchivePolicyItem(Granularity.seconds(300), None, None)),
+        Set("mean", "sum", "max", "count", "rate:sum"))
+      def st() = new MetricStore(spark,
+        Files.createTempDirectory("graft-fuzz-store").toString, policy)
+      val storeInc = st(); val storeFull = st()
+      // ~50 points per metric over ~5 days — the 60s splits are 60 h
+      // wide, so a range past that crosses a split boundary sometimes;
+      // cluster some points tightly so buckets get multiple values
+      val pts = (for {
+        m <- Seq("a", "b", "c")
+        _ <- 0 until (20 + rnd.nextInt(40))
+      } yield {
+        val t = baseS + (rnd.nextInt(5 * 86400 / 30) * 30L) +
+          (if (rnd.nextBoolean()) rnd.nextInt(30) else 0)
+        (m, t, math.round(rnd.nextDouble() * 1000) / 10.0)
+      }).groupBy(p => (p._1, p._2)).map(_._2.head).toVector // unique ts/metric
+      val s = spark
+      import s.implicits._
+      def df(rows: Seq[(String, Long, Double)]) =
+        rows.map { case (m, t, v) =>
+          (m, new java.sql.Timestamp(t * 1000), v) }
+          .toDF("metric_id", "timestamp", "value")
+      // random partition into 1..5 batches, shuffled (order can't
+      // matter: unique timestamps, huge back window)
+      val shuffled = rnd.shuffle(pts)
+      val nb = 1 + rnd.nextInt(5)
+      val batches = shuffled.zipWithIndex.groupMap(_._2 % nb)(_._1)
+        .toSeq.sortBy(_._1).map(_._2)
+      batches.foreach(b => storeInc.addMeasures(df(b)))
+      storeFull.addMeasures(df(pts))
+      def dump(x: MetricStore) = x.aggregates
+        .select("metric_id", "method", "gran_s", "bucket", "value")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getAs[Number](2).longValue(),
+          r.getTimestamp(3).toString, r.getDouble(4))).toSet
+      val (di, dfu) = (dump(storeInc), dump(storeFull))
+      assert(di == dfu, s"round $round (${batches.size} batches, " +
+        s"${pts.size} points): inc-only=${(di -- dfu).take(5)} " +
+        s"full-only=${(dfu -- di).take(5)}")
+    }
+  }
+
   test("back-window rejects too-old points (carbonara.py:354-373)") {
     val store = newStore(backWindow = 0)
     store.addMeasures(measures(("m", "2014-01-01 13:00:00", 9.0)))
