@@ -660,6 +660,69 @@ class CatalogPersistSpec extends SparkSpec {
     assert(points >= 200, s"only $points crash points exercised")
   }
 
+  test("snapshot crash windows: every intermediate on-disk state of a " +
+      "rotation reloads the right generation and accepts writes") {
+    val s = spark
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    // healthy base: gen 0 (implicit first-event snapshot) rotated to
+    // gen 1 via persistCatalog, a few creates on each side
+    val base = freshRoot
+    val g = new Graft(s, base)
+    g.createPolicy(ArchivePolicy("sc", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean")))
+    for (i <- 0 until 4) g.createMetric(s"sc-$i", "sc")
+    g.persistCatalog() // gen 1 commits; journal_1 fresh
+    g.createMetric("sc-post", "sc")
+    g.close()
+    def copyTo(dst: String): Path = {
+      val from = Paths.get(base); val to = Paths.get(dst)
+      Files.walk(from).iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+      to.resolve("_catalog")
+    }
+    def assertHealthy(root: String, label: String): Unit = {
+      val r = new Graft(s, root)
+      val got = r.listMetrics.map(_._1).filter(_.startsWith("sc-")).toSet
+      assert(got == (0 until 4).map(i => s"sc-$i").toSet + "sc-post", label)
+      r.createMetric(s"sc-new", "sc") // survivor must still write
+      assert(r.hasMetric("sc-new"), label)
+      r.close()
+    }
+    // A: crash right after mkdirs of the NEXT gen dir (empty gen_2,
+    // manifest still at 1) — the partial dir must be ignored
+    val a = freshRoot; val ca = copyTo(a)
+    Files.createDirectories(ca.resolve("gen_2"))
+    assertHealthy(a, "A: empty next-gen dir")
+    // B: crash after the next gen's maps.json is written but BEFORE
+    // the manifest flips — still gen 1's world
+    val b = freshRoot; val cb = copyTo(b)
+    Files.createDirectories(cb.resolve("gen_2"))
+    Files.copy(cb.resolve("gen_1/maps.json"), cb.resolve("gen_2/maps.json"))
+    assertHealthy(b, "B: unflipped complete next gen")
+    // C: crash INSIDE writeManifest's delete->rename window — MANIFEST
+    // gone, MANIFEST.tmp carries the new gen, gen_1 complete. The
+    // snapshot-scan recovery must pick the highest COMPLETE generation
+    // and rewrite the manifest
+    val c = freshRoot; val cc = copyTo(c)
+    Files.move(cc.resolve("MANIFEST"), cc.resolve("MANIFEST.tmp"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assertHealthy(c, "C: manifest-less delete->rename window")
+    assert(Files.exists(cc.resolve("MANIFEST")),
+      "C: recovery must republish the manifest")
+    // D: crash after the flip but before old-generation cleanup — a
+    // stale gen_0 directory lingers alongside the committed gen_1
+    val d = freshRoot; val cd = copyTo(d)
+    Files.createDirectories(cd.resolve("gen_0"))
+    Files.copy(cd.resolve("gen_1/maps.json"), cd.resolve("gen_0/maps.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assertHealthy(d, "D: lingering superseded generation")
+  }
+
   test("a fresh root stays write-free until the first catalog mutation") {
     val s = spark
     import s.implicits._
