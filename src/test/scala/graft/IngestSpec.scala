@@ -199,6 +199,79 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("FUZZ back-window acceptance under random arrival order == the " +
+      "reference's sequential contract (carbonara.py:354-373)") {
+    // The huge-window fuzz above pins incremental==full where nothing
+    // rejects; this arm pins the M2 REJECT path: a tight back window,
+    // shuffled batches (so genuinely out-of-order arrivals), and an
+    // exact in-test oracle that replays the reference's acceptance
+    // sequentially — incoming point accepted iff
+    // ts >= floor(old_last/block)*block - backWindow*block, where
+    // old_last is the buffer's max BEFORE the batch; new-wins merge;
+    // aggregates over every point ever accepted (stored buckets are
+    // never un-computed by later truncation).
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(272727L))
+    val baseS = ts("2014-01-01 00:00:00").getTime / 1000
+    val backWindow = 2
+    val grans = Seq(60L, 300L)
+    val blockS = grans.max
+    for (round <- 0 until 5) {
+      val policy = ArchivePolicy("bw", backWindow,
+        grans.map(g => ArchivePolicyItem(Granularity.seconds(g), None, None)),
+        Set("mean", "sum", "max", "count"))
+      val store = new MetricStore(spark,
+        Files.createTempDirectory("graft-fuzz-bw").toString, policy)
+      val pts = (for {
+        m <- Seq("a", "b")
+        _ <- 0 until (30 + rnd.nextInt(30))
+      } yield (m, baseS + rnd.nextInt(8 * 3600).toLong,
+        math.round(rnd.nextDouble() * 1000) / 10.0))
+        .groupBy(p => (p._1, p._2)).map(_._2.head).toVector
+      val shuffled = rnd.shuffle(pts)
+      val nb = 2 + rnd.nextInt(4)
+      val batches = shuffled.zipWithIndex.groupMap(_._2 % nb)(_._1)
+        .toSeq.sortBy(_._1).map(_._2)
+      val s = spark
+      import s.implicits._
+      // oracle state: accepted points per metric, replayed in batch order
+      val acceptedState =
+        scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Long, Double]]
+      for (b <- batches) {
+        val oldLast: Map[String, Long] =
+          acceptedState.view.mapValues(_.keys.max).toMap
+        for ((m, t, v) <- b) {
+          val ok = oldLast.get(m).forall(l =>
+            t >= math.floorDiv(l, blockS) * blockS - blockS * backWindow)
+          if (ok) acceptedState.getOrElseUpdate(m,
+            scala.collection.mutable.Map.empty)(t) = v
+        }
+        store.addMeasures(b.map { case (m, t, v) =>
+          (m, new java.sql.Timestamp(t * 1000), v) }
+          .toDF("metric_id", "timestamp", "value"))
+      }
+      val expected = (for {
+        (m, ptsM) <- acceptedState.toSeq
+        g <- grans
+        (bucket, vs) <- ptsM.toSeq.groupBy { case (t, _) =>
+          math.floorDiv(t, g) * g }
+        vals = vs.map(_._2)
+        (method, v) <- Seq(
+          "mean" -> vals.sum / vals.size, "sum" -> vals.sum,
+          "max" -> vals.max, "count" -> vals.size.toDouble)
+      } yield (m, method, g, bucket, math.round(v * 1e6) / 1e6)).toSet
+      val got = store.aggregates
+        .select("metric_id", "method", "gran_s", "bucket", "value")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getAs[Number](2).longValue(),
+          r.getTimestamp(3).getTime / 1000,
+          math.round(r.getDouble(4) * 1e6) / 1e6)).toSet
+      assert(got == expected, s"round $round (${batches.size} batches): " +
+        s"store-only=${(got -- expected).take(4)} " +
+        s"oracle-only=${(expected -- got).take(4)}")
+    }
+  }
+
   test("back-window rejects too-old points (carbonara.py:354-373)") {
     val store = newStore(backWindow = 0)
     store.addMeasures(measures(("m", "2014-01-01 13:00:00", 9.0)))
