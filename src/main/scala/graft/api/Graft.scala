@@ -79,7 +79,15 @@ class Graft(val spark: SparkSession, root: String) {
   // var, not val: [[reloadCatalog]] swaps in a fresh store when a read
   // door's staleness probe sees another process's writer advance the
   // on-disk generation (loadedGen/segment baselines are load-time vals)
-  private var catalogStore = new graft.catalog.CatalogStore(spark, root)
+  @volatile private var catalogStore =
+    new graft.catalog.CatalogStore(spark, root)
+  // Set for the full duration of [[reloadCatalog]] (which only runs
+  // under catalogLock). [[refreshIfStale]] re-reads it AFTER probing
+  // the store: both vars are volatile, so a reader that observed the
+  // mid-reload fresh store (which already reads not-stale) must on its
+  // NEXT volatile read see the flag still true — and routes through
+  // catalogLock instead of reading half-rebuilt catalog maps.
+  @volatile private var reloadInProgress = false
   // true while the constructor replays the journal: mutators run their
   // normal bodies but journal() no-ops (events must not re-journal)
   private var replayingCatalog = false
@@ -2889,18 +2897,21 @@ class Graft(val spark: SparkSession, root: String) {
   private def reloadCatalog(): Unit = {
     System.err.println(s"[catalog] on-disk catalog at $root advanced " +
       "past this facade's loaded state — reloading")
-    catalogStore.close()
-    stores.clear()
-    policies.clear(); policies ++= ArchivePolicy.defaults
-    policyRules = Vector.empty
-    metricPolicy.clear(); metricUnit.clear(); metricCreator.clear()
-    resourceTypes.clear()
-    resources = None; metricsCatalog = None; resourceHistoryTbl = None
-    framesDirty = false
-    journaledEvents = 0
-    lastSnapshotSize = 0L
-    catalogStore = new graft.catalog.CatalogStore(spark, root)
-    loadCatalogFromDisk()
+    reloadInProgress = true
+    try {
+      catalogStore.close()
+      stores.clear()
+      policies.clear(); policies ++= ArchivePolicy.defaults
+      policyRules = Vector.empty
+      metricPolicy.clear(); metricUnit.clear(); metricCreator.clear()
+      resourceTypes.clear()
+      resources = None; metricsCatalog = None; resourceHistoryTbl = None
+      framesDirty = false
+      journaledEvents = 0
+      lastSnapshotSize = 0L
+      catalogStore = new graft.catalog.CatalogStore(spark, root)
+      loadCatalogFromDisk()
+    } finally reloadInProgress = false
   }
 
   /** Read-door freshness barrier: when the on-disk catalog advanced
@@ -2918,7 +2929,14 @@ class Graft(val spark: SparkSession, root: String) {
     // facade's next WRITE hits the generation fence (loud Conflict,
     // documented recovery: reconstruct), which is the honest outcome
     // for un-durable local state that lost the race.
-    if (!replayingCatalog && !framesDirty && catalogStore.stale())
+    // The flag is checked BOTH before and after the stale probe: the
+    // second volatile read is totally ordered after the (volatile)
+    // catalogStore read, so a reader that raced a mid-reload store
+    // swap — whose fresh store already reads not-stale — cannot also
+    // see the flag cleared, and serializes behind the reload instead
+    // of reading half-rebuilt maps.
+    if (!replayingCatalog && !framesDirty &&
+        (reloadInProgress || catalogStore.stale() || reloadInProgress))
       catalogLock.synchronized {
         if (!framesDirty && catalogStore.stale()) reloadCatalog()
       }

@@ -187,6 +187,31 @@ class CatalogStore(spark: SparkSession, root: String) {
         graft.api.GraftError.conflict(
           s"catalog at $root: another writer broke the same stale lock " +
             "first; retry")
+      // Rename-then-VERIFY: between our stale read and our rename,
+      // another breaker may have already broken the stale lock and
+      // created its own FRESH one — in which case the file we just
+      // renamed is a live writer's lock, not the stale one. Re-read
+      // what landed under LOCK.broken.<token>: if its token differs
+      // from the stale token we decided to break, put it back and
+      // conflict out instead of stealing a live lock.
+      val brokenTxt = try {
+        val in = fs.open(broken)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      } catch { case _: java.io.IOException => "" }
+      val brokenToken =
+        (try JsonMethods.parse(brokenTxt) catch {
+          case _: Throwable => JNothing
+        }) \ "token" match { case JString(s) => s; case _ => "" }
+      if (brokenToken != lockToken) {
+        val restored = fs.rename(broken, lockFile)
+        graft.api.GraftError.conflict(
+          s"catalog at $root: another writer recovered the stale lock " +
+            s"first and now holds a fresh one" +
+            (if (restored) "" else
+              s" (restore failed — move $dir/LOCK.broken.$writerToken " +
+                s"back to $dir/LOCK manually)") + "; retry")
+      }
       fs.delete(broken, false)
       if (!tryCreate())
         graft.api.GraftError.conflict(
