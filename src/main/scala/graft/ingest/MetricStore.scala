@@ -60,7 +60,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
   private def readOr(path: String, schemaOf: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasDataFiles(dir: org.apache.hadoop.fs.Path): Boolean = {
+    def hasDataFilesOnce(dir: org.apache.hadoop.fs.Path): Boolean = {
       val rootPrefix = fs.makeQualified(dir).toString
       val it = fs.listFiles(dir, true)
       var found = false
@@ -84,7 +84,33 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       }
       found
     }
-    if (fs.exists(p) && hasDataFiles(p)) spark.read.parquet(path)
+    // A CONCURRENT writer on other sacks may be mid-swap (delete(dest)
+    // → rename) while this walk or Spark's own file listing descends
+    // the tree: a directory can vanish between its parent listing and
+    // its own. Those partitions are never OURS — our sacks are either
+    // locked (mutators) or immutable for the read's duration isn't
+    // guaranteed anyway (reads are lock-free snapshots) — so a
+    // vanished-entry race is retried here and tolerated in the scan
+    // via the per-relation ignoreMissingFiles option (scoped to this
+    // read, NOT the session: a globally-missing file elsewhere must
+    // still fail loudly).
+    def hasDataFiles(dir: org.apache.hadoop.fs.Path): Boolean = {
+      var attempt = 0
+      while (true) {
+        try return hasDataFilesOnce(dir)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            attempt += 1
+            if (attempt > 3) throw e
+        }
+      }
+      false // unreachable
+    }
+    // Explicit schema: skips plan-time footer inference, which would
+    // otherwise open a file that a concurrent writer may be renaming.
+    if (fs.exists(p) && hasDataFiles(p))
+      spark.read.schema(schemaOf.schema)
+        .option("ignoreMissingFiles", "true").parquet(path)
     else schemaOf.limit(0)
   }
 
@@ -98,36 +124,63 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
-  /** Cross-writer mutual exclusion for store mutation (SURVEY §2.10 —
-    * the reference serializes writers per sack with tooz locks,
-    * chef.py:426-431). One lock file under the store root, taken for a
-    * whole mutation batch: acquisition is an ATOMIC create — HDFS-like
+  /** Cross-writer mutual exclusion for store mutation, PER SACK
+    * (SURVEY §2.10 — the reference serializes writers per sack with
+    * tooz locks, chef.py:426-431, and shards sacks across a metricd
+    * fleet, cli/metricd.py:160-220). One lock file per sack under the
+    * store root (`.lock.sack.N`), taken for a whole mutation batch:
+    * two ingest jobs touching DISJOINT sack sets commit fully in
+    * parallel — the fleet scale-out posture — while same-sack writers
+    * serialize. A batch acquires the locks of every sack it touches in
+    * ASCENDING sack order (ordered acquisition: no deadlock against
+    * any other writer, including store-wide maintenance, which takes
+    * all sacks). Acquisition is an ATOMIC create — HDFS-like
     * filesystems get create(overwrite=false) (atomic there); file://
     * roots get O_EXCL via nio CREATE_NEW, because Hadoop's
     * RawLocalFileSystem implements non-overwrite create as a racy
     * exists-then-create; object stores without atomic create keep the
-    * documented single-writer deployment contract. A second writer fails LOUDLY at entry, so it
+    * documented single-writer deployment contract. A HELD lock is
+    * waited on up to `spark.graft.ingest.lockWaitMs` (default 60 s —
+    * a colliding batch queues behind the holder, the reference's
+    * blocking tooz-lock posture), then the writer fails LOUDLY, so it
     * can never reach the stale-staging sweep and delete the holder's
     * in-flight staging (the lost-batch mode the r6 review called out).
     * A lock older than `spark.graft.ingest.lockStaleMs` (default 1 h,
     * far beyond any batch) is presumed crashed and broken — the
-    * staging sweep then sorts out whatever the dead writer left.
+    * (age-gated) staging sweep then sorts out whatever the dead writer
+    * left.
     */
-  private def withStoreLock[A](f: => A): A = {
+  private def lockStaleMs: Long = spark.conf
+    .getOption("spark.graft.ingest.lockStaleMs").map(_.toLong)
+    .getOrElse(3600_000L)
+
+  /** Store-wide mutation door: maintenance ops (compaction, retention,
+    * raw truncation, import) rewrite partitions of every sack, so they
+    * take ALL sack locks — still in ascending order, so they queue
+    * cleanly behind/ahead of any per-sack ingest batch.
+    */
+  private def withStoreLock[A](f: => A): A =
+    withSackLocks(0 until NumSacks)(f)
+
+  private def withSackLocks[A](sacks: Seq[Int])(f: => A): A = {
     // path-scoped FS: a store on s3a:// under an hdfs:// default FS
     // must not resolve to the default filesystem
-    val lock = new org.apache.hadoop.fs.Path(s"$root/.lock")
-    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(lock.getParent)
-    val staleMs = spark.conf
-      .getOption("spark.graft.ingest.lockStaleMs").map(_.toLong)
-      .getOrElse(3600_000L)
-    // ownership token: release only deletes the lock if it still holds
-    // OUR token — after a stale-break the (presumed-crashed but
-    // actually slow) old holder must not free the NEW holder's lock
-    // and re-open the concurrent-sweep window
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(rootP)
+    val staleMs = lockStaleMs
+    val waitMs = spark.conf
+      .getOption("spark.graft.ingest.lockWaitMs").map(_.toLong)
+      .getOrElse(60_000L)
+    // ownership token (shared by every sack lock of this batch):
+    // release only deletes a lock that still holds OUR token — after a
+    // stale-break the (presumed-crashed but actually slow) old holder
+    // must not free the NEW holder's lock and re-open the
+    // concurrent-sweep window
     val token = java.util.UUID.randomUUID().toString
-    def tryAcquire(): Boolean =
+    def lockOf(sack: Int) =
+      new org.apache.hadoop.fs.Path(s"$root/.lock.sack.$sack")
+    def tryAcquire(lock: org.apache.hadoop.fs.Path): Boolean =
       if (fs.getScheme == "file")
         // RawLocalFileSystem implements create(overwrite=false) as a
         // non-atomic exists-then-create, so two local writers could
@@ -159,62 +212,84 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
           false
         }
       }
-    if (!tryAcquire()) {
-      val age = try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-      // raced-away or crashed-stale: break once and retry; a LIVE
-      // holder keeps the lock and this writer fails loudly. The break
-      // is an atomic RENAME to a unique name — a bare delete would let
-      // two breakers both clear the stale lock and both acquire
-      if (age > staleMs) {
-        val broken = new org.apache.hadoop.fs.Path(s"$root/.lock.broken.$token")
-        if (try fs.rename(lock, broken) catch
-              { case _: java.io.IOException => false })
-          fs.delete(broken, false)
+    def acquire(sack: Int): Unit = {
+      val lock = lockOf(sack)
+      if (tryAcquire(lock)) return
+      val deadline = System.currentTimeMillis() + waitMs
+      while (true) {
+        val age = try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        // crashed-stale (or vanished mid-probe): break once and retry;
+        // a LIVE holder keeps the lock and this writer waits out the
+        // deadline, then fails loudly. The break is an atomic RENAME
+        // to a unique name — a bare delete would let two breakers both
+        // clear the stale lock and both acquire
+        if (age > staleMs) {
+          val broken = new org.apache.hadoop.fs.Path(
+            s"$root/.lock.sack.$sack.broken.$token")
+          if (try fs.rename(lock, broken) catch
+                { case _: java.io.IOException => false })
+            fs.delete(broken, false)
+        }
+        if (tryAcquire(lock)) return
+        if (System.currentTimeMillis() >= deadline)
+          throw new IllegalStateException(
+            s"store $root sack $sack is locked by another writer ($lock, " +
+              s"age ${age / 1000}s); retry this batch after it finishes " +
+              "or remove the lock if the holder crashed")
+        Thread.sleep(50)
       }
-      if (!tryAcquire())
-        throw new IllegalStateException(
-          s"store $root is locked by another writer ($lock, " +
-            s"age ${age / 1000}s); retry this batch after it finishes " +
-            "or remove the lock if the holder crashed")
     }
-    val acquiredAt = System.currentTimeMillis()
-    def release(): Unit = {
+    val sorted = sacks.distinct.sorted
+    val held = scala.collection.mutable.ListBuffer.empty[Int]
+    var acquiredAt = 0L
+    def releaseAll(): Unit = {
       // an over-stale hold must NOT delete at all: the token read and
       // the delete are not atomic, so a successor that just broke our
       // stale lock and acquired could lose ITS lock to our delete —
       // reopening the concurrent-writer window the lock exists to
       // close. Under staleMs no breaker may act, so check-then-delete
       // is race-free there.
-      if (System.currentTimeMillis() - acquiredAt > staleMs) {
+      if (held.nonEmpty &&
+          System.currentTimeMillis() - acquiredAt > staleMs) {
         // counted so operators SEE a misconfigured lockStaleMs (every
-        // over-stale batch leaks one lock file) — surfaced through
+        // over-stale batch leaks its lock files) — surfaced through
         // /v1/status metricd.statistics
-        MetricStore.lockLeaks.incrementAndGet()
+        held.foreach(_ => MetricStore.lockLeaks.incrementAndGet())
         System.err.println(
-          s"[graft] WARN: this batch held store lock $lock longer than " +
-            s"lockStaleMs=${staleMs}ms — leaving the lock for the next " +
-            "writer's stale break instead of racing a possible " +
-            "successor. Raise spark.graft.ingest.lockStaleMs above the " +
-            "longest batch.")
+          s"[graft] WARN: this batch held sack locks ${held.mkString(",")} " +
+            s"of $root longer than lockStaleMs=${staleMs}ms — leaving " +
+            "them for the next writer's stale break instead of racing a " +
+            "possible successor. Raise spark.graft.ingest.lockStaleMs " +
+            "above the longest batch.")
         return
       }
-      val mine =
-        try {
-          val in = fs.open(lock)
-          val held = try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          held == token
-        } catch { case _: java.io.IOException => false }
-      if (mine) fs.delete(lock, false)
-      else System.err.println(
-        s"[graft] WARN: store lock $lock no longer ours — a writer " +
-          "broke it as stale while this batch ran; its output may " +
-          "interleave with ours. Raise spark.graft.ingest.lockStaleMs " +
-          "above the longest batch.")
+      for (s <- held.reverseIterator) {
+        val lock = lockOf(s)
+        val mine =
+          try {
+            val in = fs.open(lock)
+            val heldTok = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+            heldTok == token
+          } catch { case _: java.io.IOException => false }
+        if (mine) fs.delete(lock, false)
+        else System.err.println(
+          s"[graft] WARN: sack lock $lock no longer ours — a writer " +
+            "broke it as stale while this batch ran; its output may " +
+            "interleave with ours. Raise spark.graft.ingest.lockStaleMs " +
+            "above the longest batch.")
+      }
     }
-    try f finally release()
+    try {
+      sorted.foreach { s =>
+        acquire(s)
+        if (held.isEmpty) acquiredAt = System.currentTimeMillis()
+        held += s
+      }
+      f
+    } finally releaseAll()
   }
 
   /** Replace the touched partitions of a partitioned parquet tree with
@@ -232,14 +307,18 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * on HDFS-like filesystems; object stores degrade to copies, the
     * same cost the Hadoop output committer already pays there.
     *
-    * SINGLE WRITER per store, by MECHANISM: every public mutator runs
-    * under [[withStoreLock]], so the stale-staging sweep below can
-    * only ever see staging left by a CRASHED writer, never a live
-    * concurrent one — a second writer fails loudly at lock
-    * acquisition instead of sweeping the holder's in-flight staging.
-    * The reference serializes writers with tooz sack locks
-    * (chef.py:426-431); the lock file is the same discipline without
-    * the lock service.
+    * SINGLE WRITER per SACK, by MECHANISM: every public mutator runs
+    * under [[withSackLocks]] for the sacks it touches, so two live
+    * writers can only ever rename DISJOINT leaf partitions of this
+    * tree. The stale-staging sweep below is therefore AGE-GATED on
+    * lockStaleMs: a fresh `.staging-*` dir may belong to a live
+    * concurrent writer on other sacks (dot-prefixed, so invisible to
+    * readers either way) and must survive; one older than the
+    * staleness threshold can only be a crashed writer's — no live
+    * batch outlives lockStaleMs by the lock contract. The reference
+    * serializes writers with tooz sack locks (chef.py:426-431); the
+    * per-sack lock files are the same discipline without the lock
+    * service.
     */
   private def swapWrite(df: DataFrame, path: String,
                         partCols: Seq[String], sortCols: Seq[String]): Unit = {
@@ -270,8 +349,14 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     //                        holds the ONLY copy of that partition —
     //                        refuse to proceed, loudly, instead of
     //                        destroying it.
+    val sweepStaleMs = lockStaleMs
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(base, ".staging-*")))
-      .foreach(_.foreach { s =>
+      .foreach(_.iterator
+        // fresh staging = possibly a LIVE writer on disjoint sacks —
+        // leave it; only age-stale staging is a crashed writer's
+        .filter(s => System.currentTimeMillis() - s.getModificationTime >
+          sweepStaleMs)
+        .foreach { s =>
         val committed = fs.exists(
           new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))
         val orphaned = committed &&
@@ -319,9 +404,57 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * (storage/__init__.py:643-668), and overwrite only the touched split
     * partitions.
     */
-  def addMeasures(batch: DataFrame): Unit = withStoreLock(addMeasuresImpl(batch))
+  def addMeasures(batch: DataFrame): Unit = {
+    // Batch-ONLY metadata — which metrics, their min/max timestamps,
+    // and from them WHICH SACKS the batch touches — is computed before
+    // any lock: it reads nothing from the store, and the sack set is
+    // exactly the lock set, so disjoint-sack batches ingest fully in
+    // parallel (the reference's per-sack tooz-lock regime,
+    // chef.py:426-431). Everything that reads or writes store state
+    // runs inside the sack locks.
+    import spark.implicits._
+    // The incoming batch feeds multiple independent actions (batch
+    // metadata, the merge materialization); unpersisted, each re-ran
+    // the caller's whole upstream pipeline — profiled at ~2 extra
+    // batch computations per ingest. One persist bounds it at one
+    // computation (the batch is ingest-sized; it gets written out
+    // anyway), and ONE aggregate carries all per-metric metadata —
+    // batch min/max per metric — so the cache is scanned once for it,
+    // not per metadatum.
+    val batchP = batch.select("metric_id", "timestamp", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchMetaDf = batchP.groupBy("metric_id")
+      .agg(min(unix_timestamp(col("timestamp"))).as("mn"),
+        max(unix_timestamp(col("timestamp"))).as("mx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxDriverMetrics = spark.conf
+        .get("spark.graft.ingest.maxDriverMetrics", "100000").toLong
+      val nMetrics = stage("metric count")(batchMetaDf.count())
+      val driverPath = nMetrics <= maxDriverMetrics || nMetrics == 0
+      val batchMeta: Array[(String, Long, Long)] =
+        if (!driverPath) Array.empty
+        else stage("batch metadata")(batchMetaDf.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+      // the sack set is ≤ NumSacks rows at ANY metric cardinality, so it
+      // stays a driver literal in both paths — partition pruning needs
+      // literals (a join on a partition column does not prune the scan)
+      val batchSacks: Seq[Int] =
+        if (driverPath) batchMeta.map(t => sackOfId(t._1)).distinct.toSeq
+        else batchMetaDf.select(sackOf(col("metric_id")).as("s")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+      withSackLocks(batchSacks)(
+        addMeasuresImpl(batchP, batchMetaDf, driverPath, batchMeta,
+          batchSacks))
+    } finally {
+      batchMetaDf.unpersist()
+      batchP.unpersist()
+    }
+  }
 
-  private def addMeasuresImpl(batch: DataFrame): Unit = {
+  private def addMeasuresImpl(batchP: DataFrame, batchMetaDf: DataFrame,
+      driverPath: Boolean, batchMeta: Array[(String, Long, Long)],
+      batchSacks: Seq[Int]): Unit = {
     val blockS = fixedGrans.max
     // rate: methods need one extra block of history (chef.py:261-262)
     val backBlocks = policy.backWindow +
@@ -351,39 +484,10 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // multi-million-element isin on the driver. The two paths produce
     // identical store bytes (IngestSpec pins this).
     import spark.implicits._
-    // The incoming batch feeds multiple independent actions (batch
-    // metadata, the merge materialization); unpersisted, each re-ran
-    // the caller's whole upstream pipeline — profiled at ~2 extra
-    // batch computations per ingest. One persist bounds it at one
-    // computation (the batch is ingest-sized; it gets written out
-    // anyway), and ONE aggregate carries all per-metric metadata —
-    // batch min/max per metric — so the cache is scanned once for it,
-    // not per metadatum.
-    val batchP = batch.select("metric_id", "timestamp", "value")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchMetaDf = batchP.groupBy("metric_id")
-      .agg(min(unix_timestamp(col("timestamp"))).as("mn"),
-        max(unix_timestamp(col("timestamp"))).as("mx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxDriverMetrics = spark.conf
-      .get("spark.graft.ingest.maxDriverMetrics", "100000").toLong
-    val nMetrics = stage("metric count")(batchMetaDf.count())
-    val driverPath = nMetrics <= maxDriverMetrics || nMetrics == 0
     // broadcast hint only on the fast path: at fallback cardinality the
     // per-metric frames are too big to broadcast — AQE picks the join
     val hb: DataFrame => DataFrame = if (driverPath) broadcast else identity
 
-    val batchMeta: Array[(String, Long, Long)] =
-      if (!driverPath) Array.empty
-      else stage("batch metadata")(batchMetaDf.collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
-    // the sack set is ≤ NumSacks rows at ANY metric cardinality, so it
-    // stays a driver literal in both paths — partition pruning needs
-    // literals (a join on a partition column does not prune the scan)
-    val batchSacks: Seq[Int] =
-      if (driverPath) batchMeta.map(t => sackOfId(t._1)).distinct.toSeq
-      else batchMetaDf.select(sackOf(col("metric_id")).as("s")).distinct()
-        .collect().map(_.getInt(0)).toSeq
     val rawTouched =
       rawBuffer.filter(col("sack").isin(batchSacks: _*))
         .select("metric_id", "timestamp", "value")
@@ -635,9 +739,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       .mode(SaveMode.Overwrite)
       .parquet(rawPath))
     merged.unpersist()
-    batchMetaDf.unpersist()
     persisted.foreach(_.unpersist())
-    batchP.unpersist()
   }
 
   /** Single-metric read (§3.1): partition-pruned scan + fetch slicing;
@@ -880,7 +982,10 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     * envelope the reference enumerates objects in.
     */
   def expungeMetrics(metricIds: Seq[String]): Unit =
-    withStoreLock(expungeMetricsImpl(metricIds))
+    // the ids name the touched sacks up front — lock only those, so an
+    // expunge batch runs beside ingest on other sacks
+    withSackLocks(metricIds.map(sackOfId).distinct)(
+      expungeMetricsImpl(metricIds))
 
   private def expungeMetricsImpl(metricIds: Seq[String]): Unit = {
     if (metricIds.isEmpty) return

@@ -472,13 +472,17 @@ class ApiSpec extends SparkSpec {
       Set("mean")))
     g.createMetric("m", "dur")
     g.addMeasures("m", Seq(("2014-01-01 12:00:01", 7.0)))
-    // hold the store lock so the drain's store write fails loudly
+    // hold m's SACK lock so the drain's store write fails loudly
+    // (no wait: the posture under test is the failure, not the queue)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val lock = new org.apache.hadoop.fs.Path(s"$dir/dur/.lock")
+    val lock = new org.apache.hadoop.fs.Path(
+      s"$dir/dur/.lock.sack.${graft.ingest.MetricStore.sackOfId("m")}")
     fs.mkdirs(lock.getParent)
     fs.create(lock, false).close()
-    intercept[IllegalStateException](g.process())
+    spark.conf.set("spark.graft.ingest.lockWaitMs", "0")
+    try intercept[IllegalStateException](g.process())
+    finally spark.conf.unset("spark.graft.ingest.lockWaitMs")
     assert(g.status().getOrElse("m", 0L) === 1L,
       "failed drain lost the staged measure")
     fs.delete(lock, false)

@@ -42,9 +42,9 @@ class IngestSpec extends SparkSpec {
     assert(got == Seq(("2014-01-01 12:00:00.0", 2.5)))
   }
 
-  test("store lock: a second writer fails loudly at entry and the " +
-      "holder's in-flight staging survives (tooz sack locks, " +
-      "chef.py:426-431, made mechanical)") {
+  test("store lock: a second SAME-SACK writer fails loudly (after the " +
+      "wait deadline) and the holder's in-flight staging survives " +
+      "(tooz sack locks, chef.py:426-431, made mechanical)") {
     val dir = Files.createTempDirectory("graft-lock").toString
     val policy = ArchivePolicy("test", 0,
       Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
@@ -53,23 +53,32 @@ class IngestSpec extends SparkSpec {
     store.addMeasures(measures(("m", "2014-01-01 12:00:01", 1.0)))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    // normal lifecycle (default staleness): the batch released its lock
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.lock")),
-      "lock not released after a successful batch")
-    // simulate a LIVE concurrent writer: its lock is held and it has
-    // in-flight staging under the agg plane
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/.lock"), false).close()
+    val mSack = MetricStore.sackOfId("m")
+    val mLock = new org.apache.hadoop.fs.Path(s"$dir/.lock.sack.$mSack")
+    // normal lifecycle (default staleness): the batch released its locks
+    assert(Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/.lock.sack.*")))
+      .forall(_.isEmpty), "sack locks not released after a batch")
+    // simulate a LIVE concurrent writer on m's sack: its lock is held
+    // and it has in-flight staging under the agg plane
+    fs.create(mLock, false).close()
     val winners = new org.apache.hadoop.fs.Path(s"$dir/agg/.staging-winner")
     fs.mkdirs(winners)
-    val e = intercept[IllegalStateException](
-      store.addMeasures(measures(("m", "2014-01-01 12:00:02", 2.0))))
+    // no wait so the loss is immediate (the waiting posture has its
+    // own arm below)
+    spark.conf.set("spark.graft.ingest.lockWaitMs", "0")
+    val e =
+      try intercept[IllegalStateException](
+        store.addMeasures(measures(("m", "2014-01-01 12:00:02", 2.0))))
+      finally spark.conf.unset("spark.graft.ingest.lockWaitMs")
     assert(e.getMessage.contains("locked by another writer"))
     assert(fs.exists(winners), "loser swept the live writer's staging")
     // the loser must not have mutated the store either
     assert(store.getMeasures("m", "mean", 60)
       .collect().map(_.getDouble(2)).toSeq == Seq(1.0))
     // a CRASHED writer's lock (older than the staleness threshold) is
-    // broken and the batch proceeds; the sweep then clears its staging
+    // broken and the batch proceeds; the (age-gated) sweep then clears
+    // its staging — under lockStaleMs=0 everything is instantly stale
     spark.conf.set("spark.graft.ingest.lockStaleMs", "0")
     try store.addMeasures(measures(("m", "2014-01-01 12:00:03", 5.0)))
     finally spark.conf.unset("spark.graft.ingest.lockStaleMs")
@@ -81,13 +90,137 @@ class IngestSpec extends SparkSpec {
     // successor's break (check-then-delete is only race-free when no
     // breaker may act); the leak self-heals via the next writer's
     // stale break — prove it by running one more batch
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.lock")),
+    assert(fs.exists(mLock),
       "over-stale hold should leave the lock for the successor's break")
     spark.conf.set("spark.graft.ingest.lockStaleMs", "0")
     try store.addMeasures(measures(("m", "2014-01-01 12:00:04", 6.0)))
     finally spark.conf.unset("spark.graft.ingest.lockStaleMs")
     assert(store.getMeasures("m", "mean", 60)
       .collect().map(_.getDouble(2)).toSeq == Seq(4.0)) // mean(1,5,6)
+  }
+
+  test("per-sack locks: a DISJOINT-sack batch proceeds while another " +
+      "sack's lock is held; a SAME-sack batch waits the holder out " +
+      "(metricd fleet posture, cli/metricd.py:160-220)") {
+    val dir = Files.createTempDirectory("graft-sacklock").toString
+    val policy = ArchivePolicy("test", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean"))
+    val store = new MetricStore(spark, dir, policy)
+    // two metric names in different sacks (deterministic xxhash map)
+    val mA = "m"
+    val mB = (1 to 1000).map("b" + _)
+      .find(MetricStore.sackOfId(_) != MetricStore.sackOfId(mA)).get
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lockB = new org.apache.hadoop.fs.Path(
+      s"$dir/.lock.sack.${MetricStore.sackOfId(mB)}")
+    fs.mkdirs(lockB.getParent)
+    fs.create(lockB, false).close()
+    // (a) disjoint: mA's batch must NOT wait on mB's held lock — with
+    // lockWaitMs=0 any contention would throw, so success here IS the
+    // concurrency proof
+    spark.conf.set("spark.graft.ingest.lockWaitMs", "0")
+    try store.addMeasures(measures((mA, "2014-01-01 12:00:01", 1.0)))
+    finally spark.conf.unset("spark.graft.ingest.lockWaitMs")
+    assert(store.getMeasures(mA, "mean", 60)
+      .collect().map(_.getDouble(2)).toSeq == Seq(1.0))
+    // (b) same sack: a writer on mB WAITS until the holder releases,
+    // then commits — serialization, not failure
+    spark.conf.set("spark.graft.ingest.lockWaitMs", "30000")
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var failure: Option[Throwable] = None
+    val t = new Thread(() => {
+      try store.addMeasures(measures((mB, "2014-01-01 12:00:01", 2.0)))
+      catch { case e: Throwable => failure = Some(e) }
+      finally done.countDown()
+    })
+    try {
+      t.start()
+      Thread.sleep(1500) // let the writer reach the lock wait
+      assert(done.getCount == 1, "same-sack writer did not wait")
+      fs.delete(lockB, false) // holder releases
+      assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "waiting writer never finished after the lock was released")
+      failure.foreach(throw _)
+    } finally {
+      spark.conf.unset("spark.graft.ingest.lockWaitMs")
+      t.join(60000)
+    }
+    assert(store.getMeasures(mB, "mean", 60)
+      .collect().map(_.getDouble(2)).toSeq == Seq(2.0))
+  }
+
+  test("FUZZ two concurrent writers on DISJOINT sacks == sequential " +
+      "ingest, with zero lock waits (concurrent-ingest scale-out)") {
+    // Two MetricStore facades over the SAME root ingest interleaved
+    // batches for metric sets living in disjoint sacks, from two
+    // threads, with lockWaitMs=0 — so ANY lock contention, staging
+    // sweep of a live writer, or listing race fails the run loudly.
+    // The final store bytes must equal a sequential single-writer
+    // ingest of the same points (the incremental==full contract,
+    // storage/__init__.py:643-668, under interleaving).
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(151515L))
+    val baseS = ts("2014-01-01 00:00:00").getTime / 1000
+    val policy = ArchivePolicy("cw", 1000000,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean", "sum", "count", "rate:sum"))
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(String, Long, Double)]) =
+      rows.map { case (m, t, v) =>
+        (m, new java.sql.Timestamp(t * 1000), v) }
+        .toDF("metric_id", "timestamp", "value")
+    for (round <- 0 until 2) {
+      val dir = Files.createTempDirectory("graft-conc").toString
+      // metric names for writer A and writer B, disjoint sack sets
+      val sackOfA = MetricStore.sackOfId("a1")
+      val as = (1 to 400).map("a" + _)
+        .filter(MetricStore.sackOfId(_) == sackOfA).take(3)
+      val bs = (1 to 400).map("b" + _)
+        .filter(m => MetricStore.sackOfId(m) != sackOfA).take(3)
+      def pts(ms: Seq[String]) = (for {
+        m <- ms; _ <- 0 until (15 + rnd.nextInt(20))
+      } yield (m, baseS + rnd.nextInt(86400 / 30) * 30L,
+        math.round(rnd.nextDouble() * 1000) / 10.0))
+        .groupBy(p => (p._1, p._2)).map(_._2.head).toVector
+      val (ptsA, ptsB) = (pts(as), pts(bs))
+      def batchesOf(p: Vector[(String, Long, Double)]) = {
+        val sh = rnd.shuffle(p); val nb = 2 + rnd.nextInt(2)
+        sh.zipWithIndex.groupMap(_._2 % nb)(_._1).toSeq.sortBy(_._1)
+          .map(_._2)
+      }
+      val (batchesA, batchesB) = (batchesOf(ptsA), batchesOf(ptsB))
+      spark.conf.set("spark.graft.ingest.lockWaitMs", "0")
+      val start = new java.util.concurrent.CyclicBarrier(2)
+      @volatile var failure: Option[Throwable] = None
+      def writer(batches: Seq[Seq[(String, Long, Double)]]) =
+        new Thread(() => {
+          try {
+            val st = new MetricStore(spark, dir, policy)
+            start.await()
+            batches.foreach(b => st.addMeasures(df(b)))
+          } catch { case e: Throwable => failure = Some(e) }
+        })
+      val (tA, tB) = (writer(batchesA), writer(batchesB))
+      try {
+        tA.start(); tB.start(); tA.join(300000); tB.join(300000)
+      } finally spark.conf.unset("spark.graft.ingest.lockWaitMs")
+      failure.foreach(throw _)
+      val seq = new MetricStore(spark,
+        Files.createTempDirectory("graft-conc-seq").toString, policy)
+      seq.addMeasures(df(ptsA ++ ptsB))
+      def dump(x: MetricStore) = x.aggregates
+        .select("metric_id", "method", "gran_s", "bucket", "value")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getAs[Number](2).longValue(),
+          r.getTimestamp(3).toString, r.getDouble(4))).toSet
+      val conc = dump(new MetricStore(spark, dir, policy))
+      val sq = dump(seq)
+      assert(conc == sq, s"round $round: conc-only=${(conc -- sq).take(5)} " +
+        s"seq-only=${(sq -- conc).take(5)}")
+    }
   }
 
   test("two batches accumulate; overlapping timestamps: new wins") {
@@ -495,12 +628,23 @@ class IngestSpec extends SparkSpec {
     Seq(("x", 1)).toDF("a", "b").write
       .parquet(s"$dir/agg/.staging-dead/method=mean/gran_s=60")
     assert(store.aggregates.filter(col("method") === "mean").count() == 1)
+    // FRESH staging may belong to a LIVE writer on other sacks — the
+    // sweep is age-gated, so a warm write leaves it alone
+    store.addMeasures(measures(("m", "2014-01-01 12:00:31", 5.0)))
+    assert(new java.io.File(s"$dir/agg/.staging-dead").exists(),
+      "fresh (possibly live) staging was swept")
+    // once OLDER than lockStaleMs it can only be a crashed writer's:
     // the next warm write clears the corpse and lands its own content
+    def ageDir(p: String): Unit = {
+      val f = new java.io.File(p)
+      f.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+    }
+    ageDir(s"$dir/agg/.staging-dead")
     store.addMeasures(measures(("m", "2014-01-01 12:01:01", 6.0)))
     assert(!new java.io.File(s"$dir/agg/.staging-dead").exists(),
       "stale staging survived a warm write")
     assert(store.getMeasures("m", "mean", 60).collect()
-      .map(_.getDouble(2)).sorted.toSeq == Seq(4.0, 6.0))
+      .map(_.getDouble(2)).sorted.toSeq == Seq(4.5, 6.0)) // mean(4,5), 6
   }
 
   test("expunge removes rate-method partitions (escaped dirs: " +
@@ -560,6 +704,11 @@ class IngestSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(staging.getPath + "/part-0.parquet"),
       Array[Byte](1, 2, 3))
+    // age the staging past lockStaleMs: the sweep only examines
+    // age-stale staging (fresh = possibly a live writer's)
+    def ageStaging(): Unit = new java.io.File(s"$dir/agg/.staging-dead")
+      .setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+    ageStaging()
     val e = intercept[IllegalStateException](
       store.addMeasures(measures(("m", "2014-01-01 12:01:01", 6.0))))
     assert(e.getMessage.contains("only copy"))
@@ -569,6 +718,7 @@ class IngestSpec extends SparkSpec {
     // swept, and the write proceeds
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(s"$dir/agg/.staging-dead/_SUCCESS"))
+    ageStaging() // the delete refreshed the dir mtime
     store.addMeasures(measures(("m", "2014-01-01 12:01:01", 6.0)))
     assert(!new java.io.File(s"$dir/agg/.staging-dead").exists)
     assert(store.getMeasures("m", "mean", 60).collect()
