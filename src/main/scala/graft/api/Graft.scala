@@ -1665,11 +1665,15 @@ class Graft(val spark: SparkSession, root: String) {
     */
   def listResources(sorts: Seq[(String, Boolean)] = Seq("id" -> true),
                     marker: Option[Any] = None, limit: Int = 100,
-                    tpe: String = "generic"): DataFrame = {
+                    tpe: String = "generic",
+                    scope: Option[Filter] = None): DataFrame = {
     refreshIfStale()
+    val base = typeScoped(resources.getOrElse(throw new IllegalStateException(
+      "no resource table registered — call setResources(df) first")), tpe)
+    // `scope` is the REST door's keystone policy filter — AND-merged
+    // before pagination so markers stay consistent with the page set
     graft.catalog.Pagination(
-      typeScoped(resources.getOrElse(throw new IllegalStateException(
-        "no resource table registered — call setResources(df) first")), tpe),
+      scope.fold(base)(f => base.filter(Filter.compile(f))),
       sorts, "id", marker, limit)
   }
 
@@ -1701,9 +1705,13 @@ class Graft(val spark: SparkSession, root: String) {
   def listResourcesHistory(sorts: Seq[(String, Boolean)] = Seq("id" -> true),
                            marker: Option[Any] = None,
                            limit: Int = 100,
-                           tpe: String = "generic"): DataFrame =
-    graft.catalog.Pagination(typeScoped(resourcesWithHistory, tpe),
+                           tpe: String = "generic",
+                           scope: Option[Filter] = None): DataFrame = {
+    val base = typeScoped(resourcesWithHistory, tpe)
+    graft.catalog.Pagination(
+      scope.fold(base)(f => base.filter(Filter.compile(f))),
       sorts :+ ("revision" -> true), "id", marker, limit)
+  }
 
   def searchResourcesHistory(f: Filter): DataFrame =
     resourcesWithHistory.filter(Filter.compile(f))

@@ -48,7 +48,8 @@ object RestApi {
     graft.api.JsonCodec.render(v)
 }
 
-class RestApi(val g: Graft, requireAuth: Boolean = false) {
+class RestApi(val g: Graft, requireAuth: Boolean = false,
+              authMode: String = "basic") {
 
   private def ok(b: JValue) = Response(200, b)
   private def created(b: JValue) = Response(201, b)
@@ -69,6 +70,16 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
     * facade-level caller outside a dispatch falls back to the clock.
     */
   private val requestNow = new ThreadLocal[java.lang.Long]
+
+  // Request-scoped keystone roles (X-Roles): the admin-enforcement
+  // points take only `creator`, so role-admin rides beside the request
+  // the same way the request clock does. Set at the outermost
+  // dispatch, cleared there too. Only keystone mode reads it — the
+  // reference's other auth helpers have no role plane.
+  private val requestRoles = new ThreadLocal[Set[String]]
+  private def roleAdmin: Boolean =
+    authMode == "keystone" &&
+      Option(requestRoles.get).exists(_.contains("admin"))
 
   private def nowMs: Long = {
     val anchored = requestNow.get
@@ -674,6 +685,12 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
     // dispatch stack sets it exactly once, at the outermost entry
     val outerAnchor = requestNow.get
     if (outerAnchor eq null) requestNow.set(System.currentTimeMillis())
+    val outerRoles = requestRoles.get
+    if (outerRoles eq null) requestRoles.set(
+      reqHeaders.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("X-Roles") => v
+      }.getOrElse("").split(",")
+        .map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
     try route(method.toUpperCase, segs, query, () => json, bytes, creator,
       reqHeaders)
     catch {
@@ -693,7 +710,10 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
       case _: SecurityException =>
         err(403, "Access was denied to this resource")
     }
-    finally if (outerAnchor eq null) requestNow.remove()
+    finally {
+      if (outerAnchor eq null) requestNow.remove()
+      if (outerRoles eq null) requestRoles.remove()
+    }
   }
 
   // ---- minimal enforce hook (rest/api.py:113; default policy.json) ----
@@ -705,8 +725,64 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
     }
 
   private def enforceAdmin(creator: Option[String]): Unit =
-    if (requireAuth && enforceAuthed(creator) != "admin")
+    // keystone role-admin (X-Roles carries "admin") satisfies the
+    // admin rule exactly as oslo policy's role:admin does; elsewhere
+    // the facade's "admin" creator is the admin identity
+    if (requireAuth && !roleAdmin && enforceAuthed(creator) != "admin")
       throw new graft.api.GraftError.Forbidden("admin required")
+
+  // ---- keystone-mode READ scoping (auth_helper.py:225-270 -----------
+  // get_resource_policy_filter / get_metric_policy_filter, merged into
+  // every search/list as rest/api.py:1457-1466 does). Under the
+  // reference's default policy a NON-admin keystone user only sees
+  // resources of their own project or created by their project; an
+  // admin (X-Roles carries "admin") reads unscoped. Other auth modes
+  // have no project plane — identification-only, unscoped, as the
+  // reference's basic helper (its policy filters key off
+  // X-Project-Id, which only keystone supplies).
+
+  /** Some(projectId) when this request's reads must be scoped:
+    * keystone mode, auth enforced, and the caller is not role-admin.
+    */
+  private def keystoneNonAdmin(creator: Option[String],
+      reqHeaders: Map[String, String]): Option[String] =
+    if (!requireAuth || authMode != "keystone") None
+    else {
+      val roles = reqHeaders.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("X-Roles") => v
+        }.getOrElse("").split(",").map(_.trim.toLowerCase).toSet
+      if (roles.contains("admin")) None
+      else {
+        // keystone identities are "user:project" (auth_helper.py:31-35)
+        val who = enforceAuthed(creator)
+        Some(who.split(":", 2) match {
+          case Array(_, p) => p
+          case _           => ""
+        })
+      }
+    }
+
+  /** The reference's resource policy filter
+    * {"or": [{"=": {"project_id": P}}, {"like": {"creator": "%:P"}}]}
+    * restricted to columns the registered catalog actually carries; a
+    * catalog carrying NEITHER has unknowable ownership → the
+    * reference's empty-policy-filter 403 (auth_helper.py:265-267).
+    */
+  private def resourcePolicyFilter(creator: Option[String],
+      reqHeaders: Map[String, String]): Option[graft.catalog.Filter] =
+    keystoneNonAdmin(creator, reqHeaders).map { project =>
+      val cols = g.resourceColumns.toSet
+      val clauses = Seq(
+        if (cols.contains("project_id"))
+          Some(graft.catalog.Filter.Cmp("=", "project_id", project))
+        else None,
+        if (cols.contains("creator"))
+          Some(graft.catalog.Filter.Like("creator", "%:" + project))
+        else None).flatten
+      if (clauses.isEmpty)
+        throw new graft.api.GraftError.Forbidden("Insufficient privileges")
+      graft.catalog.Filter.Or(clauses)
+    }
 
   /** Admin-or-creator on one resource row (policy.json
     * `admin_or_creator`). A NONEXISTENT resource passes through so the
@@ -718,7 +794,7 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
   private def enforceResourceOwner(creator: Option[String], rid: String): Unit =
     if (requireAuth) {
       val who = enforceAuthed(creator)
-      if (who != "admin") {
+      if (who != "admin" && !roleAdmin) {
         val rows = g.searchResources(s"id = '${qesc(rid)}'").limit(1).collect()
         if (rows.nonEmpty) {
           val owner =
@@ -966,6 +1042,12 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
         for (v <- q.get("creator"))
           rows = rows.filter(r => g.metricCreatorOf(r._1).contains(v))
         for (v <- q.get("archive_policy_name")) rows = rows.filter(_._2 == v)
+        // keystone read scoping: non-admin lists only metrics their
+        // project created — get_metric_policy_filter's
+        // {"like": {"creator": "%:" + project}} (auth_helper.py:273-300)
+        for (project <- keystoneNonAdmin(creator, reqHeaders))
+          rows = rows.filter(r =>
+            g.metricCreatorOf(r._1).exists(_.endsWith(":" + project)))
         val sorts = q.get("sort").map(parseSorts).getOrElse(Seq("id" -> true))
         // validate keys UP FRONT — a lazy check inside Ordering.compare
         // never fires on a 0/1-row page and the 400 contract must not
@@ -1164,7 +1246,7 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
         // ?filter= carries the string grammar (gabbits/search.yaml
         // "search in_ query string"); otherwise the body is either
         // {"filter": "<string>"} or the raw attribute-filter tree
-        val parsed = q.get("filter") match {
+        val parsed0 = q.get("filter") match {
           case Some(s) => graft.catalog.FilterParser.parse(s)
           case None => body() match {
             case JObject(List(("filter", JString(s)))) =>
@@ -1173,6 +1255,12 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
               graft.catalog.Filter.Like("id", "%")
             case tree => parseFilterTree(tree)
           }
+        }
+        // keystone read scoping: AND-merge the policy filter into the
+        // request's tree BEFORE compile (rest/api.py:1457-1466)
+        val parsed = resourcePolicyFilter(creator, reqHeaders) match {
+          case Some(pf) => graft.catalog.Filter.And(Seq(pf, parsed0))
+          case None     => parsed0
         }
         // ?history=true searches across every revision
         // (rest/api.py:1453-1475)
@@ -1499,9 +1587,14 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
           .getOrElse(Seq("id" -> true))
         val limit = q.get("limit").map(_.toInt).getOrElse(100)
         val history = q.get("history").contains("true")
+        // keystone read scoping (rest/api.py:1224 list_resources with
+        // the auth helper's policy filter)
+        val pf = resourcePolicyFilter(creator, reqHeaders)
         val page0 = frameJson(
-          if (history) g.listResourcesHistory(sorts, q.get("marker"), limit, tpe)
-          else g.listResources(sorts, q.get("marker"), limit, tpe), Int.MaxValue)
+          if (history)
+            g.listResourcesHistory(sorts, q.get("marker"), limit, tpe, pf)
+          else g.listResources(sorts, q.get("marker"), limit, tpe, pf),
+          Int.MaxValue)
         // ?details=true embeds metrics per resource; ?attrs=a,b projects
         // the listed attributes (rest/api.py:1219-1223 jsonify params)
         val page1 =
@@ -1551,7 +1644,24 @@ class RestApi(val g: Graft, requireAuth: Boolean = false) {
 
       case ("GET", List("v1", "resource", _, id)) =>
         resourceWithMetrics(id) match {
-          case Some(one) => ok(one)
+          case Some(one) =>
+            // keystone scoping on a single read: out-of-project rows
+            // answer 404, not 403 — the reference hides existence from
+            // enumeration (auth_helper.py:195-200 aborts NoSuchResource)
+            keystoneNonAdmin(creator, reqHeaders) match {
+              case Some(project) =>
+                val byCreator = one \ "creator" match {
+                  case JString(s) => s.endsWith(":" + project)
+                  case _          => false
+                }
+                val byProject = one \ "project_id" match {
+                  case JString(s) => s == project
+                  case _          => false
+                }
+                if (byCreator || byProject) ok(one)
+                else err(404, s"no resource $id")
+              case None => ok(one)
+            }
           case None      => err(404, s"no resource $id")
         }
 

@@ -2136,6 +2136,103 @@ class RestSpec extends SparkSpec {
       creator = Some("alice")).status === 204)
   }
 
+  test("keystone read scoping: non-admin search/list sees only its own " +
+      "project's resources, X-Roles admin sees all, out-of-project " +
+      "single reads 404 (auth_helper.py:225-270, rest/api.py:1457-1466)") {
+    val s = spark
+    import s.implicits._
+    val g = new graft.api.Graft(s,
+      java.nio.file.Files.createTempDirectory("graft-rest").toString)
+    val api = new RestApi(g, requireAuth = true, authMode = "keystone")
+    g.setResources(Seq.empty[(String, String, String, String)]
+      .toDF("id", "creator", "zone", "project_id"))
+    g.setResourceHistory(Seq.empty[(String, String, String,
+      java.sql.Timestamp)].toDF("id", "creator", "zone", "revision_end"))
+    val alice = Some("alice:proj1")
+    val bob = Some("bob:proj2")
+    val adminHdr = Map("X-Roles" -> "reader,admin")
+    assert(api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "boxa", "zone": "fr"}""", creator = alice)
+      .status === 201)
+    val rb = api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "boxb", "zone": "de"}""", creator = bob)
+    assert(rb.status === 201)
+    val bobInternal = jstrOf(rb.body \ "id")
+    // bob also creates a resource BELONGING to alice's project — the
+    // project_id arm of the policy filter must surface it to alice
+    assert(api.dispatch("POST", "/v1/resource/generic",
+      body = """{"id": "shared", "zone": "nl", "project_id": "proj1"}""",
+      creator = bob).status === 201)
+
+    def seen(r: graft.rest.Response): Set[String] = {
+      assert(r.status === 200, r.body)
+      r.body.asInstanceOf[JArray].arr.map(x => jstrOf(x \ "zone")).toSet
+    }
+    // search door: disjoint views per project; admin sees everything
+    assert(seen(api.dispatch("POST", "/v1/search/resource/generic",
+      creator = alice)) === Set("fr", "nl"))
+    assert(seen(api.dispatch("POST", "/v1/search/resource/generic",
+      creator = bob)) === Set("de", "nl"))
+    assert(seen(api.dispatch("POST", "/v1/search/resource/generic",
+      creator = Some("root:adm"), reqHeaders = adminHdr)) ===
+      Set("fr", "de", "nl"))
+    // the policy filter AND-merges with the request's own tree
+    assert(seen(api.dispatch("POST", "/v1/search/resource/generic",
+      body = """{"=": {"zone": "de"}}""", creator = alice)) === Set())
+    // listing door scopes identically
+    assert(seen(api.dispatch("GET", "/v1/resource/generic",
+      creator = alice)) === Set("fr", "nl"))
+    assert(seen(api.dispatch("GET", "/v1/resource/generic",
+      creator = Some("root:adm"), reqHeaders = adminHdr)) ===
+      Set("fr", "de", "nl"))
+    // unauthenticated keystone reads are 401 (enforce without identity)
+    assert(api.dispatch("POST", "/v1/search/resource/generic")
+      .status === 401)
+    // single read: out-of-project rows answer 404 (anti-enumeration,
+    // auth_helper.py:195-200); admin reads them fine
+    assert(api.dispatch("GET", s"/v1/resource/generic/$bobInternal",
+      creator = alice).status === 404)
+    assert(api.dispatch("GET", s"/v1/resource/generic/$bobInternal",
+      creator = bob).status === 200)
+    assert(api.dispatch("GET", s"/v1/resource/generic/$bobInternal",
+      creator = Some("root:adm"), reqHeaders = adminHdr).status === 200)
+
+    // mutations: a plain keystone user is NOT admin (403); X-Roles
+    // admin satisfies the admin rule, as oslo policy's role:admin
+    assert(api.dispatch("POST", "/v1/archive_policy",
+      body = """{"name": "ks", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""",
+      creator = alice).status === 403)
+    assert(api.dispatch("POST", "/v1/archive_policy",
+      body = """{"name": "ks", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""",
+      creator = Some("root:adm"), reqHeaders = adminHdr).status === 201)
+    // role-admin also reaches another project's resource mutations
+    // (admin_or_creator with role:admin)
+    assert(api.dispatch("PATCH", s"/v1/resource/generic/$bobInternal",
+      query = Map("now" -> "1700000000"), body = """{"zone": "at"}""",
+      creator = Some("root:adm"), reqHeaders = adminHdr).status === 200)
+    // metric listing scopes to the creator's project
+    // (get_metric_policy_filter: creator LIKE "%:project")
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "ma", "archive_policy_name": "ks"}""",
+      creator = alice).status === 201)
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "mb", "archive_policy_name": "ks"}""",
+      creator = bob).status === 201)
+    def metricIds(r: graft.rest.Response): Set[String] = {
+      assert(r.status === 200, r.body)
+      r.body.asInstanceOf[JArray].arr.map(x => jstrOf(x \ "id")).toSet
+    }
+    assert(metricIds(api.dispatch("GET", "/v1/metric",
+      creator = alice)) === Set("ma"))
+    assert(metricIds(api.dispatch("GET", "/v1/metric",
+      creator = bob)) === Set("mb"))
+    assert(metricIds(api.dispatch("GET", "/v1/metric",
+      creator = Some("root:adm"), reqHeaders = adminHdr)) ===
+      Set("ma", "mb"))
+  }
+
   test("MetricsSchema string values attach an EXISTING metric " +
       "(rest/api.py:732-746); duplicates in one request reject") {
     val s = spark
