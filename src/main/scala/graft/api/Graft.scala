@@ -1494,6 +1494,79 @@ class Graft(val spark: SparkSession, root: String) {
       ids.toList.map(org.json4s.JString(_)))))
   }
 
+  // ---- janitor maintenance doors (cli/metricd.py:262-299) -----------
+
+  /** J3 across the store plane: drop splits older than each policy's
+    * retention for every policy that currently stores metrics — the
+    * MetricJanitor cleanup pass made callable. Calendar-only policies
+    * have no store to expire.
+    */
+  def expireRetention(nowS: Long): Unit = {
+    refreshIfStale()
+    activeStorablePolicies.foreach(p => storeOf(p).expireRetention(nowS))
+  }
+
+  /** chef.py:186-243 clean_raw_data_inactive_metrics: re-truncate the
+    * raw buffers of every active store so metrics that stopped
+    * receiving measures still shed raw points after a back-window
+    * shrink (ingest-time truncation only runs when measures arrive).
+    * Idempotent — a buffer already inside its window rewrites to
+    * itself, so the janitor can run it on every cycle.
+    */
+  def truncateRawAll(): Unit = {
+    refreshIfStale()
+    activeStorablePolicies.foreach(p => storeOf(p).truncateRaw())
+  }
+
+  private def activeStorablePolicies: Set[String] =
+    metricPolicy.values.toSet.filter(p => policies(p).definition.exists(
+      _.granularity.isInstanceOf[Granularity.Fixed]))
+
+  /** J6 as the janitor runs it (cli/metricd.py:279-297):
+    * `inactiveAfterS` end-dates resources whose EVERY metric has been
+    * inactive longer than that (chef.py resource_ended_at_
+    * normalization — activity is the facade's last-measure cache, the
+    * reference's indexer last_measure_timestamp column);
+    * `cleanupAfterS` then deletes resources whose `ended_at` is more
+    * than that many seconds past (chef.py auto_clean_expired_
+    * resources — routed through [[deleteResources]], so the deletion
+    * journals and counts like any R8 delete). Either knob absent skips
+    * its pass, as the reference's disabled-by-default options.
+    * Returns the number of resources auto-cleaned.
+    */
+  def maintainResources(nowS: Long,
+                        inactiveAfterS: Option[Long] = None,
+                        cleanupAfterS: Option[Long] = None): Long = {
+    refreshIfStale()
+    import spark.implicits._
+    for (inactiveS <- inactiveAfterS;
+         res <- resources if res.columns.contains("ended_at");
+         mets <- metricsCatalog) {
+      val lm = lastMeasure.toSeq.map { case (m, t) => (m, t.getTime / 1000) }
+      val activity = lm.toDF("metric_id", "last_ts_s")
+        .join(mets.select("metric_id", "resource_id"), Seq("metric_id"))
+        .groupBy(col("resource_id"))
+        .agg(max(col("last_ts_s")).as("last_ts_s"))
+      // same eager-materialize + re-read-inside-lock discipline as the
+      // ingest resurrection pass above
+      catalogLock.synchronized {
+        resources = resources.map(r =>
+          graft.catalog.Maintenance
+            .endDateInactive(r, activity, nowS, inactiveS)
+            .localCheckpoint(true))
+        framesDirty = true
+      }
+      noteCatalogMutation()
+    }
+    (for (cleanupS <- cleanupAfterS;
+          res <- resources if res.columns.contains("ended_at")) yield {
+      val boundary = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(nowS - cleanupS))
+      // STRICTLY-older-than deletes, the autoClean boundary contract
+      deleteResources(Filter.Cmp("<", "ended_at", boundary.toString))
+    }).getOrElse(0L)
+  }
+
   /** POST /v1/search/metric (S1). */
   def searchMetricValues(metricIds: Seq[String], method: String, granS: Long,
                          pred: MeasureSearch.Pred): DataFrame =

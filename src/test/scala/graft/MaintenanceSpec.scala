@@ -85,6 +85,68 @@ class MaintenanceSpec extends SparkSpec {
     assert(g.lastMeasureTimestamp("m2").contains(ts("2024-01-01 10:00:00")))
   }
 
+  test("janitor service loop: drains the backlog, expires retention, " +
+      "end-dates inactive resources, auto-cleans expired ones; the " +
+      "stop-after-processing probe drains without timers " +
+      "(cli/metricd.py:160-358)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jan").toString
+    val g = new Graft(spark, root)
+    g.createPolicy(ArchivePolicy("jan", 0,
+      Seq(graft.model.ArchivePolicyItem(graft.model.Granularity.seconds(60),
+        None, Some(3600L * 1_000_000_000L))), // keep 1 h
+      Set("mean")))
+    g.createMetric("act", "jan") // stays active
+    g.createMetric("idle", "jan") // long inactive → its resource ends
+    g.setMetrics(Seq(("act", "ra", "cpu"), ("idle", "ri", "cpu"))
+      .toDF("metric_id", "resource_id", "name"))
+    g.setResources(Seq(
+      ("ra", Option.empty[java.sql.Timestamp]),
+      ("ri", Option.empty[java.sql.Timestamp]),
+      ("rx", Some(ts("2014-01-01 00:00:00")))) // ended long ago
+      .toDF("id", "ended_at"))
+    // an OLD split (outside retention at `now`) plus a recent bucket
+    g.addMeasures("act", Seq(("2014-01-01 00:00:30", 1.0),
+      ("2014-01-05 12:00:30", 2.0)))
+    g.addMeasures("idle", Seq(("2014-01-03 00:00:30", 7.0)))
+    val nowS = ts("2014-01-05 12:30:00").getTime / 1000
+    val jan = new graft.api.Janitor(g,
+      processingDelayS = 0.05, cleanupDelayS = 0.05,
+      reportingDelayS = 0.05,
+      metricInactiveAfterS = Some(24 * 3600L), // idle's last: 2.5 d back
+      resourceCleanupAfterS = Some(3 * 24 * 3600L), // rx: ended 4.5 d back
+      clockS = () => nowS)
+    assert(g.status().nonEmpty, "precondition: staged backlog")
+    jan.start()
+    val deadline = System.currentTimeMillis() + 180000
+    while ((jan.metricsProcessed < 2 || jan.cleanupPasses < 1) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    jan.stop()
+    assert(jan.metricsProcessed >= 2, "processor pass never drained")
+    assert(jan.cleanupPasses >= 1, "janitor pass never ran")
+    // processor drained: backlog empty and measures queryable
+    assert(g.status().isEmpty)
+    // J3 via the loop: the 2014-01-01 split expired, recent survives
+    assert(g.getMeasures("act", "mean").map(_._3) === Seq(2.0))
+    // J6 via the loop: ri end-dated (inactive > 24 h), ra untouched,
+    // rx deleted (ended > 3 d before now)
+    val ended = g.searchResources("id != \"z\"").collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap
+    assert(!ended.contains("rx"), "expired resource not auto-cleaned")
+    assert(ended("ra") == null, "active resource was end-dated")
+    assert(ended("ri") != null, "inactive resource not end-dated")
+    assert(jan.resourcesAutoCleaned === 1L)
+    // J7 via the loop: the last report reflects the drained state
+    assert(jan.lastBacklog.isEmpty ||
+      jan.reportOnce().isEmpty)
+    // probe mode (--stop-after-processing-metrics): stage more, drain
+    // without timers, report how many metrics were processed
+    g.addMeasures("act", Seq(("2014-01-05 12:10:30", 4.0)))
+    assert(jan.stopAfterProcessingMetrics(1) === 1L)
+    assert(g.status().isEmpty)
+  }
+
   test("endDateInactive + autoClean lifecycle (chef.py:126-133, 180-181)") {
     val s = spark
     import s.implicits._
