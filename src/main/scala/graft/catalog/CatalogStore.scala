@@ -88,6 +88,31 @@ class CatalogStore(spark: SparkSession, root: String) {
   }
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  // ---- filesystem contract gate: the writer lock (atomic create +
+  // rename-verified stale break) and the MANIFEST swap (delete →
+  // rename) both lean on atomic namespace operations. Object stores
+  // provide neither — the crash windows this plane carefully
+  // enumerates would silently widen — so a non-HDFS-class scheme must
+  // be explicitly accepted (single-writer, operator-managed recovery)
+  // or the catalog refuses to open.
+  locally {
+    // via the URI: RawLocalFileSystem (the checksum-unwrapped handle)
+    // does not implement getScheme()
+    val scheme = fs.getUri.getScheme
+    val atomicSchemes =
+      Set("file", "hdfs", "viewfs", "o3fs", "ofs", "abfs", "abfss")
+    if (!atomicSchemes.contains(scheme) &&
+        !spark.conf.getOption("spark.graft.store.acceptNonAtomicFs")
+          .contains("true"))
+      throw new IllegalStateException(
+        s"catalog at $root: filesystem scheme '$scheme' is not known to " +
+          "provide the atomic create/rename the catalog's writer lock " +
+          "and manifest swap rely on. Move the catalog to an HDFS-class " +
+          "filesystem, or pin a SINGLE writer at the deployment level " +
+          "and set spark.graft.store.acceptNonAtomicFs=true to accept " +
+          "that contract.")
+  }
+
   private val journalLock = new Object
   private var gen: Int = -1
   private var journalOut: Option[java.io.OutputStream] = None

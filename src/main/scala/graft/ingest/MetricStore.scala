@@ -40,6 +40,35 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     s"policy ${policy.name}: sub-second granularities are not supported " +
       "by MetricStore (second-aligned fixed granularities only)")
 
+  // ---- filesystem contract gate (the reference splits drivers on the
+  // same line: storage/ceph.py:53 WRITE_FULL vs storage/file.py:57
+  // rename-into-place). The writer locks and swapWrite lean on ATOMIC
+  // create / rename; HDFS-class filesystems provide both, object
+  // stores do not — there the locks narrow but cannot CLOSE the
+  // concurrent-writer window, so the deployment must pin a single
+  // writer per store and say so explicitly, or the store refuses to
+  // open (loud beats silently-corruptible).
+  locally {
+    // via the URI, not getScheme(): the latter is optional on the
+    // FileSystem API and raw/wrapped handles may not implement it
+    val scheme = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getUri.getScheme
+    val atomicSchemes =
+      Set("file", "hdfs", "viewfs", "o3fs", "ofs", "abfs", "abfss")
+    if (!atomicSchemes.contains(scheme) &&
+        !spark.conf.getOption("spark.graft.store.acceptNonAtomicFs")
+          .contains("true"))
+      throw new IllegalStateException(
+        s"store root $root: filesystem scheme '$scheme' is not known to " +
+          "provide the atomic create/rename the store's writer locks " +
+          "and partition swaps rely on. Move the store to an HDFS-class " +
+          "filesystem, or pin a SINGLE writer per store at the " +
+          "deployment level and set " +
+          "spark.graft.store.acceptNonAtomicFs=true to accept that " +
+          "contract.")
+  }
+
   private def fixedGrans: Seq[Long] = fixedGranNs.map(_ / 1_000_000_000L)
 
   private def timespanS(granS: Long): Option[Long] =
