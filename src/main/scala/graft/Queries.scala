@@ -1839,11 +1839,25 @@ object Queries {
       TextAnalysis.qualityFilter(table(s, dir, "documents"))
         .select(col("doc_id"), col("keep"), col("reasons"))),
     // model-based quality scoring: fasttext-style linear classifier
-    // over md5-hashing-trick features (deterministic pseudo-weights)
-    "qf2_linear_score" -> ((s, dir) =>
-      TextAnalysis.linearQualityScore(table(s, dir, "documents"))
+    // over md5-hashing-trick features. The weights ride the TRAINED-
+    // MODEL door: a (bucket, weight) parquet artifact written beside
+    // the run (carrying the documented pseudo-model — a real training
+    // job would drop its own file here) is loaded and broadcast into
+    // the scorer, so the swap point is exercised end to end while the
+    // DuckDB oracle reproduces the same values arithmetically.
+    "qf2_linear_score" -> ((s, dir) => {
+      val wPath = s"${System.getProperty("java.io.tmpdir")}/graft-qf2-weights"
+      val fs = new org.apache.hadoop.fs.Path(wPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$wPath/_SUCCESS")))
+        TextAnalysis.writeBucketWeights(s, wPath,
+          TextAnalysis.pseudoBucketWeights)
+      val w = TextAnalysis.loadBucketWeights(s, wPath)
+      TextAnalysis.linearQualityScore(table(s, dir, "documents"),
+          weights = Some(w))
         .select(col("doc_id"),
-          col("quality_prob").cast("float").as("quality_prob"))),
+          col("quality_prob").cast("float").as("quality_prob"))
+    }),
     // paragraph-style dedup over delimiter-free text: 10-word segments,
     // first occurrence (min doc, min position) wins corpus-wide, docs
     // reassembled from survivors — reassembly sits under the md5 hash

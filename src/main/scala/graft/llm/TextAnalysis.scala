@@ -48,15 +48,61 @@ object TextAnalysis {
     * plan scales linearly with the corpus.
     */
   def linearQualityScore(df: DataFrame, idCol: String = "doc_id",
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text",
+                         weights: Option[Array[Double]] = None): DataFrame = {
+    weights.foreach(w => require(w.length == 256,
+      s"bucket-weight vector must carry 256 entries, got ${w.length}"))
+    // file-loaded weights ride as a 256-double array LITERAL —
+    // plan-time broadcast, element_at stays inside codegen; absent,
+    // the deterministic pseudo-model arithmetic applies
+    val bw: Column => Column = b => weights match {
+      case Some(w) => element_at(lit(w), (b + lit(1)).cast("int"))
+      case None    => bucketWeight(b)
+    }
     val toks = when(length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
       .otherwise(split(trim(col(textCol)), "\\s+"))
     val acc = aggregate(toks, lit(0.0),
-      (s, w) => s + bucketWeight(md5Bucket(w)))
+      (s, w) => s + bw(md5Bucket(w)))
     df.select(col(idCol),
       (lit(1.0) / (lit(1.0) +
         exp(-(acc / greatest(size(toks), lit(1)))))).as("quality_prob"))
+  }
+
+  /** The deterministic pseudo-model [[linearQualityScore]] defaults
+    * to, as a materializable vector — so the trained-weights ARTIFACT
+    * door below can ship it (and specs can pin file-loaded ==
+    * arithmetic, byte for byte). */
+  def pseudoBucketWeights: Array[Double] =
+    Array.tabulate(256)(b => ((b * 37 + 11) % 101).toDouble / 50.5 - 1.0)
+
+  /** Trained-weights door: persist a 256-bucket weight vector as a
+    * (bucket, weight) parquet artifact a training job would produce.
+    */
+  def writeBucketWeights(spark: org.apache.spark.sql.SparkSession,
+                         path: String, weights: Array[Double]): Unit = {
+    require(weights.length == 256,
+      s"bucket-weight vector must carry 256 entries, got ${weights.length}")
+    import spark.implicits._
+    weights.zipWithIndex.map { case (w, b) => (b, w) }.toSeq
+      .toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a (bucket, weight) parquet artifact into the scorer's dense
+    * vector form, validating full 0..255 coverage — a sparse or
+    * duplicated artifact is a broken model export, not a scorable one.
+    */
+  def loadBucketWeights(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Array[Double] = {
+    val rows = spark.read.parquet(path).select("bucket", "weight")
+      .collect().map(r => r.getAs[Number](0).intValue() -> r.getDouble(1))
+    require(rows.length == 256 && rows.map(_._1).sorted.sameElements(0 until 256),
+      s"weights artifact at $path must carry each bucket 0..255 exactly " +
+        s"once (got ${rows.length} rows)")
+    val w = new Array[Double](256)
+    rows.foreach { case (b, v) => w(b) = v }
+    w
   }
 
   /** Hashing-trick bucket 0..255 from the first two md5 hex digits —

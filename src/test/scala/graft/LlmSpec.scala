@@ -170,6 +170,48 @@ class LlmSpec extends SparkSpec {
     assert(got(4L) === got(1L)) // whitespace-insensitive tokenization
   }
 
+  test("trained-weights door: a parquet weights artifact drives the " +
+      "scorer byte-for-byte, its bucketing matches the scorer's md5 " +
+      "hashing trick, and broken artifacts refuse to load") {
+    val d = docs((1L, "hello"), (2L, "hello world"), (3L, ""))
+    val arithmetic = TextAnalysis.linearQualityScore(d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // round-trip the pseudo-model through the artifact door: identical
+    // scores, exactly (same doubles, same fold)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-qf2w").toString + "/w"
+    TextAnalysis.writeBucketWeights(spark, path,
+      TextAnalysis.pseudoBucketWeights)
+    val loaded = TextAnalysis.loadBucketWeights(spark, path)
+    assert(loaded.sameElements(TextAnalysis.pseudoBucketWeights))
+    val viaFile = TextAnalysis.linearQualityScore(d, weights = Some(loaded))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaFile === arithmetic)
+    // bucketing agreement: an indicator vector at the SCALA-computed
+    // md5 bucket of "hello" must score sigmoid(1) for a one-word doc —
+    // pins that artifact indexing and the scorer's md5Bucket agree
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val bucket = Integer.parseInt(md5hex.take(2), 16)
+    val indicator = Array.tabulate(256)(i => if (i == bucket) 1.0 else 0.0)
+    val one = TextAnalysis.linearQualityScore(docs((9L, "hello")),
+        weights = Some(indicator))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(one(9L) - 1.0 / (1.0 + math.exp(-1.0))) < 1e-12)
+    // a sparse artifact (bucket missing) is a broken export: refuse
+    val s = spark
+    import s.implicits._
+    val sparsePath = java.nio.file.Files
+      .createTempDirectory("graft-qf2w").toString + "/sparse"
+    (0 until 255).map(b => (b, 0.0)).toDF("bucket", "weight")
+      .write.parquet(sparsePath)
+    intercept[IllegalArgumentException](
+      TextAnalysis.loadBucketWeights(spark, sparsePath))
+    intercept[IllegalArgumentException](
+      TextAnalysis.linearQualityScore(d, weights = Some(Array(1.0))))
+  }
+
   test("language scores favor matching marker set") {
     val d = docs((1L, "the cat and the dog of the house"),
       (2L, "el gato y la casa por la noche"))
