@@ -221,6 +221,47 @@ class IngestSpec extends SparkSpec {
       assert(conc == sq, s"round $round: conc-only=${(conc -- sq).take(5)} " +
         s"seq-only=${(sq -- conc).take(5)}")
     }
+
+    // SAME-sack contention arm: two writers over one metric set (one
+    // sack), waiting enabled — both must succeed (queueing behind the
+    // holder, never failing, never interleaving a batch), and the
+    // result must equal sequential ingest (timestamps unique, so batch
+    // order cannot matter)
+    val dir2 = Files.createTempDirectory("graft-conc-same").toString
+    val sameSack = MetricStore.sackOfId("s1")
+    val sm = ("s1" +: (1 to 400).map("s" + _))
+      .filter(MetricStore.sackOfId(_) == sameSack).take(3)
+    val ptsS = (for {
+      m <- sm; _ <- 0 until 25
+    } yield (m, baseS + rnd.nextInt(86400 / 30) * 30L,
+      math.round(rnd.nextDouble() * 1000) / 10.0))
+      .groupBy(p => (p._1, p._2)).map(_._2.head).toVector
+    val half = rnd.shuffle(ptsS).splitAt(ptsS.size / 2)
+    spark.conf.set("spark.graft.ingest.lockWaitMs", "120000")
+    val start2 = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var failure2: Option[Throwable] = None
+    def writer2(points: Vector[(String, Long, Double)]) = new Thread(() => {
+      try {
+        val st = new MetricStore(spark, dir2, policy)
+        start2.await()
+        points.grouped(math.max(1, points.size / 2))
+          .foreach(b => st.addMeasures(df(b)))
+      } catch { case e: Throwable => failure2 = Some(e) }
+    })
+    val (t1, t2) = (writer2(half._1), writer2(half._2))
+    try {
+      t1.start(); t2.start(); t1.join(300000); t2.join(300000)
+    } finally spark.conf.unset("spark.graft.ingest.lockWaitMs")
+    failure2.foreach(throw _)
+    val seq2 = new MetricStore(spark,
+      Files.createTempDirectory("graft-conc-same-seq").toString, policy)
+    seq2.addMeasures(df(ptsS))
+    def dump2(x: MetricStore) = x.aggregates
+      .select("metric_id", "method", "gran_s", "bucket", "value")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Number](2).longValue(),
+        r.getTimestamp(3).toString, r.getDouble(4))).toSet
+    assert(dump2(new MetricStore(spark, dir2, policy)) == dump2(seq2))
   }
 
   test("two batches accumulate; overlapping timestamps: new wins") {

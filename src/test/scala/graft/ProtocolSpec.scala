@@ -190,15 +190,19 @@ class ProtocolSpec extends SparkSpec {
       sock.send(new java.net.DatagramPacket(b, b.length,
         java.net.InetAddress.getLoopbackAddress, port))
       await("1 buffered line")(server.pendingLines == 1)
-      // a LIVE concurrent writer holds the per-policy store lock
+      // a LIVE concurrent writer holds the metric's SACK lock
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      val lock = new org.apache.hadoop.fs.Path(s"$dir/st/.lock")
+      val lock = new org.apache.hadoop.fs.Path(s"$dir/st/.lock.sack." +
+        graft.ingest.MetricStore.sackOfId("temp|g"))
       fs.mkdirs(lock.getParent)
       fs.create(lock, false).close()
       // landing fails loudly (the flush LOOP catches+logs+backs off;
-      // direct callers see the error) — staging kept the measure
-      intercept[IllegalStateException](server.flush())
+      // direct callers see the error) — staging kept the measure.
+      // no wait: the contract under test is the failure, not the queue
+      spark.conf.set("spark.graft.ingest.lockWaitMs", "0")
+      try intercept[IllegalStateException](server.flush())
+      finally spark.conf.unset("spark.graft.ingest.lockWaitMs")
       assert(server.pendingLines == 0, "line buffer drained into staging")
       assert(g.status().getOrElse("temp|g", 0L) === 1L,
         "failed landing lost the staged measure")
