@@ -784,6 +784,20 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
       graft.catalog.Filter.Or(clauses)
     }
 
+  /** "get metric" / "get measures" / "post measures" enforcement for
+    * keystone non-admins (rest/api.py:479-499 enforce_metric under the
+    * default admin_or_creator policy): the metric's recorded creator
+    * must belong to the caller's project, else the reference's
+    * enforce → abort(403). Callers resolve EXISTENCE first so an
+    * unknown id stays 404 (lookup-before-enforce, as the reference's
+    * controller construction).
+    */
+  private def enforceMetricScope(creator: Option[String],
+      reqHeaders: Map[String, String], metricId: String): Unit =
+    for (project <- keystoneNonAdmin(creator, reqHeaders))
+      if (!g.metricCreatorOf(metricId).exists(_.endsWith(":" + project)))
+        throw new graft.api.GraftError.Forbidden("not the metric creator")
+
   /** Admin-or-creator on one resource row (policy.json
     * `admin_or_creator`). A NONEXISTENT resource passes through so the
     * route 404s, matching the reference's lookup-before-enforce order.
@@ -1106,11 +1120,13 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
         })).copy(headers = hdrs)
 
       case ("GET", List("v1", "metric", id)) =>
+        val pol = g.metricPolicyName(id) // 404s unknown ids first
+        enforceMetricScope(creator, reqHeaders, id)
         ok(("id" -> id) ~
           ("name" -> g.metricNameOf(id)) ~
           ("unit" -> g.metricUnitOf(id)) ~
           ("creator" -> g.metricCreatorOf(id)) ~
-          ("archive_policy" -> policyJson(g.policies(g.metricPolicyName(id)))))
+          ("archive_policy" -> policyJson(g.policies(pol))))
 
       case ("POST", List("v1", "metric")) =>
         enforceAuthed(creator)
@@ -1176,6 +1192,7 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
 
       case ("DELETE", List("v1", "metric", id)) =>
         enforceAuthed(creator)
+        if (g.hasMetric(id)) enforceMetricScope(creator, reqHeaders, id)
         g.deleteMetric(id); noContent
 
       // POST measures — 202, deferred processing (rest/api.py:488-494).
@@ -1185,10 +1202,12 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
       // is the reference's 400 (gabbits/metric-timestamp-format.yaml).
       case ("POST", List("v1", "metric", id, "measures")) =>
         enforceAuthed(creator)
+        if (g.hasMetric(id)) enforceMetricScope(creator, reqHeaders, id)
         g.addMeasures(id, parseMeasureList(body().asInstanceOf[JArray].arr))
         accepted
 
       case ("GET", List("v1", "metric", id, "measures")) =>
+        if (g.hasMetric(id)) enforceMetricScope(creator, reqHeaders, id)
         val resample = q.get("resample").map(Granularity.parse)
         val rows = g.getMeasures(id,
           method = q.getOrElse("aggregation", "mean"),

@@ -2231,6 +2231,24 @@ class RestSpec extends SparkSpec {
     assert(metricIds(api.dispatch("GET", "/v1/metric",
       creator = Some("root:adm"), reqHeaders = adminHdr)) ===
       Set("ma", "mb"))
+    // single-metric doors enforce the same creator-project rule
+    // (enforce_metric, rest/api.py:479-499): foreign project 403,
+    // unknown id stays 404 (lookup-before-enforce), admin reads fine
+    assert(api.dispatch("GET", "/v1/metric/mb", creator = alice)
+      .status === 403)
+    assert(api.dispatch("GET", "/v1/metric/mb/measures", creator = alice)
+      .status === 403)
+    assert(api.dispatch("POST", "/v1/metric/mb/measures",
+      body = """[{"timestamp": "2014-01-01T12:00:01Z", "value": 1.0}]""",
+      creator = alice).status === 403)
+    assert(api.dispatch("DELETE", "/v1/metric/mb", creator = alice)
+      .status === 403)
+    assert(api.dispatch("GET", "/v1/metric/nope", creator = alice)
+      .status === 404)
+    assert(api.dispatch("GET", "/v1/metric/mb", creator = bob)
+      .status === 200)
+    assert(api.dispatch("GET", "/v1/metric/mb",
+      creator = Some("root:adm"), reqHeaders = adminHdr).status === 200)
   }
 
   test("MetricsSchema string values attach an EXISTING metric " +
