@@ -751,7 +751,10 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
       val roles = reqHeaders.collectFirst {
           case (k, v) if k.equalsIgnoreCase("X-Roles") => v
         }.getOrElse("").split(",").map(_.trim.toLowerCase).toSet
-      if (roles.contains("admin")) None
+      // roleAdmin rides the request-scoped ThreadLocal too: nested
+      // route() re-dispatches (resource→named-metric doors) don't
+      // thread reqHeaders, but the outermost dispatch recorded roles
+      if (roles.contains("admin") || roleAdmin) None
       else {
         // keystone identities are "user:project" (auth_helper.py:31-35)
         val who = enforceAuthed(creator)
@@ -797,6 +800,27 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
     for (project <- keystoneNonAdmin(creator, reqHeaders))
       if (!g.metricCreatorOf(metricId).exists(_.endsWith(":" + project)))
         throw new graft.api.GraftError.Forbidden("not the metric creator")
+
+  /** True when keystone scoping HIDES the resolved resource from this
+    * caller — the resource-scoped sub-routes (history, named metrics)
+    * then answer the same anti-enumeration 404 as the single read.
+    * Nonexistent resources return false: the route's own existence
+    * check owns that 404 and its message.
+    */
+  private def resourceHidden(creator: Option[String],
+      reqHeaders: Map[String, String], ridT: String): Boolean =
+    keystoneNonAdmin(creator, reqHeaders).exists { project =>
+      val rows = g.searchResources(s"id = '${qesc(ridT)}'").limit(1).collect()
+      rows.nonEmpty && {
+        val r = rows.head
+        val cols = r.schema.fieldNames.toSet
+        val byCreator = cols.contains("creator") &&
+          Option(r.getAs[String]("creator")).exists(_.endsWith(":" + project))
+        val byProject = cols.contains("project_id") &&
+          Option(r.getAs[String]("project_id")).contains(project)
+        !(byCreator || byProject)
+      }
+    }
 
   /** Admin-or-creator on one resource row (policy.json
     * `admin_or_creator`). A NONEXISTENT resource passes through so the
@@ -1776,26 +1800,27 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
       // plain metric-measures route.
       case ("GET", List("v1", "resource", _, id, "metric", name, "measures")) =>
         route("GET", List("v1", "metric", g.resourceMetricId(rid(id), name),
-          "measures"), q, body, raw, creator)
+          "measures"), q, body, raw, creator, reqHeaders)
 
       // POST .../metric/<name>/measures: ingest against the NAMED
       // metric (NamedMetricController route in the reference).
       case ("POST", List("v1", "resource", _, id, "metric", name, "measures")) =>
         route("POST", List("v1", "metric", g.resourceMetricId(rid(id), name),
-          "measures"), q, body, raw, creator)
+          "measures"), q, body, raw, creator, reqHeaders)
 
       // GET /v1/resource/<type>/<id>/metric/<name>: ONE named metric,
       // in the same shape as GET /v1/metric/<id>
       // (NamedMetricController lookup).
       case ("GET", List("v1", "resource", _, id, "metric", name)) =>
         route("GET", List("v1", "metric", g.resourceMetricId(rid(id), name)),
-          q, body, raw, creator)
+          q, body, raw, creator, reqHeaders)
 
       // GET /v1/resource/<type>/<id>/metric: the resource's named
       // metrics (NamedMetricController.get_all) — unknown resource is
       // 404 (rest/api.py:799-830), same check as the POST below.
       case ("GET", List("v1", "resource", _, id, "metric")) =>
-        if (g.searchResources(s"id = '${qesc(rid(id))}'").isEmpty)
+        if (g.searchResources(s"id = '${qesc(rid(id))}'").isEmpty ||
+            resourceHidden(creator, reqHeaders, rid(id)))
           err(404, s"no resource $id")
         else ok(JArray(g.resourceMetrics(rid(id)).map { case (n, mid) =>
           JObject(List("name" -> JString(n), "id" -> JString(mid)))
@@ -1808,7 +1833,8 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
       // Unknown resource → 404, name collision → 409, unknown
       // existing-metric id → 400.
       case ("POST", List("v1", "resource", _, id, "metric")) =>
-        if (g.searchResources(s"id = '${qesc(rid(id))}'").isEmpty)
+        if (g.searchResources(s"id = '${qesc(rid(id))}'").isEmpty ||
+            resourceHidden(creator, reqHeaders, rid(id)))
           err(404, s"no resource $id")
         else {
           val metrics = parseMetricsSchema(body())
@@ -1821,7 +1847,8 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
       // GET /v1/resource/<type>/<id>/history: the revision rows —
       // unknown resource is 404 (ResourceHistoryController).
       case ("GET", List("v1", "resource", _, id, "history")) =>
-        if (g.searchResources(s"id = '${qesc(rid(id))}'").isEmpty)
+        if (g.searchResources(s"id = '${qesc(rid(id))}'").isEmpty ||
+            resourceHidden(creator, reqHeaders, rid(id)))
           err(404, s"no resource $id")
         else ok(frameJson(g.resourceHistory(rid(id)), Int.MaxValue))
 

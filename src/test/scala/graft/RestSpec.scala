@@ -2147,7 +2147,10 @@ class RestSpec extends SparkSpec {
     g.setResources(Seq.empty[(String, String, String, String)]
       .toDF("id", "creator", "zone", "project_id"))
     g.setResourceHistory(Seq.empty[(String, String, String,
-      java.sql.Timestamp)].toDF("id", "creator", "zone", "revision_end"))
+      java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("id", "creator", "zone", "revision_start", "revision_end"))
+    g.setMetrics(Seq.empty[(String, String, String)]
+      .toDF("metric_id", "resource_id", "name"))
     val alice = Some("alice:proj1")
     val bob = Some("bob:proj2")
     val adminHdr = Map("X-Roles" -> "reader,admin")
@@ -2248,6 +2251,24 @@ class RestSpec extends SparkSpec {
     assert(api.dispatch("GET", "/v1/metric/mb", creator = bob)
       .status === 200)
     assert(api.dispatch("GET", "/v1/metric/mb",
+      creator = Some("root:adm"), reqHeaders = adminHdr).status === 200)
+    // resource-scoped sub-routes hide foreign resources the same way
+    // the single read does (history, named-metric list/attach)
+    assert(api.dispatch("GET",
+      s"/v1/resource/generic/$bobInternal/history", creator = alice)
+      .status === 404)
+    assert(api.dispatch("GET",
+      s"/v1/resource/generic/$bobInternal/metric", creator = alice)
+      .status === 404)
+    assert(api.dispatch("POST",
+      s"/v1/resource/generic/$bobInternal/metric",
+      body = """{"stealth": {"archive_policy_name": "ks"}}""",
+      creator = alice).status === 404)
+    assert(api.dispatch("GET",
+      s"/v1/resource/generic/$bobInternal/metric", creator = bob)
+      .status === 200)
+    assert(api.dispatch("GET",
+      s"/v1/resource/generic/$bobInternal/history",
       creator = Some("root:adm"), reqHeaders = adminHdr).status === 200)
   }
 
