@@ -264,6 +264,89 @@ class IngestSpec extends SparkSpec {
     assert(dump2(new MetricStore(spark, dir2, policy)) == dump2(seq2))
   }
 
+  test("FUZZ mixed concurrency: expunge runs beside disjoint-sack " +
+      "ingest with zero waits; all-sack compaction queues against an " +
+      "ingest via ordered acquisition (no deadlock)") {
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(161616L))
+    val baseS = ts("2014-01-01 00:00:00").getTime / 1000
+    val policy = ArchivePolicy("mx", 1000000,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean", "count"))
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(String, Long, Double)]) =
+      rows.map { case (m, t, v) =>
+        (m, new java.sql.Timestamp(t * 1000), v) }
+        .toDF("metric_id", "timestamp", "value")
+    val dir = Files.createTempDirectory("graft-mixed").toString
+    val sackOfA = MetricStore.sackOfId("a1")
+    val as = (1 to 400).map("a" + _)
+      .filter(MetricStore.sackOfId(_) == sackOfA).take(2)
+    val bs = (1 to 400).map("b" + _)
+      .filter(m => MetricStore.sackOfId(m) != sackOfA).take(2)
+    def pts(ms: Seq[String]) = (for {
+      m <- ms; _ <- 0 until 20
+    } yield (m, baseS + rnd.nextInt(86400 / 30) * 30L,
+      math.round(rnd.nextDouble() * 1000) / 10.0))
+      .groupBy(p => (p._1, p._2)).map(_._2.head).toVector
+    val (ptsA, ptsB) = (pts(as), pts(bs))
+    val seed = new MetricStore(spark, dir, policy)
+    seed.addMeasures(df(ptsB)) // B's rows exist before the expunge
+    // phase 1: ingest A beside expunge B — disjoint sacks, zero waits,
+    // so any lock contention or staging sweep of the live peer throws
+    spark.conf.set("spark.graft.ingest.lockWaitMs", "0")
+    val start = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var failure: Option[Throwable] = None
+    def th(f: => Unit) = new Thread(() => {
+      try { start.await(); f }
+      catch { case e: Throwable => failure = Some(e) }
+    })
+    val tIngest = th(new MetricStore(spark, dir, policy)
+      .addMeasures(df(ptsA)))
+    val tExpunge = th(new MetricStore(spark, dir, policy)
+      .expungeMetrics(bs))
+    try {
+      tIngest.start(); tExpunge.start()
+      tIngest.join(300000); tExpunge.join(300000)
+    } finally spark.conf.unset("spark.graft.ingest.lockWaitMs")
+    failure.foreach(throw _)
+    def dump(x: MetricStore) = x.aggregates
+      .select("metric_id", "method", "bucket", "value")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2).toString, r.getDouble(3))).toSet
+    val afterP1 = dump(new MetricStore(spark, dir, policy))
+    val expected = {
+      val ref = new MetricStore(spark,
+        Files.createTempDirectory("graft-mixed-ref").toString, policy)
+      ref.addMeasures(df(ptsA)); ref
+    }
+    assert(afterP1 == dump(expected),
+      "ingest(A) beside expunge(B) diverged from A-only sequential")
+    // phase 2: all-sack compaction queues against a concurrent ingest
+    // (ordered acquisition, generous wait) — both must complete and
+    // compaction must not change content
+    val ptsA2 = pts(as).map { case (m, t, v) => (m, t + 90 * 86400L, v) }
+    spark.conf.set("spark.graft.ingest.lockWaitMs", "120000")
+    val start2 = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var failure2: Option[Throwable] = None
+    def th2(f: => Unit) = new Thread(() => {
+      try { start2.await(); f }
+      catch { case e: Throwable => failure2 = Some(e) }
+    })
+    val tIngest2 = th2(new MetricStore(spark, dir, policy)
+      .addMeasures(df(ptsA2)))
+    val tCompact = th2(new MetricStore(spark, dir, policy).compact())
+    try {
+      tIngest2.start(); tCompact.start()
+      tIngest2.join(300000); tCompact.join(300000)
+    } finally spark.conf.unset("spark.graft.ingest.lockWaitMs")
+    failure2.foreach(throw _)
+    expected.addMeasures(df(ptsA2))
+    assert(dump(new MetricStore(spark, dir, policy)) == dump(expected),
+      "compaction beside ingest diverged from sequential")
+  }
+
   test("two batches accumulate; overlapping timestamps: new wins") {
     val store = newStore()
     store.addMeasures(measures(
