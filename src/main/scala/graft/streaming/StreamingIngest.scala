@@ -21,7 +21,24 @@ object StreamingIngest {
     * the store's idempotent split overwrites.
     */
   def start(spark: SparkSession, stagingDir: String, checkpointDir: String,
-            store: MetricStore): StreamingQuery = {
+            store: MetricStore): StreamingQuery =
+    start(spark, stagingDir, checkpointDir, store, 0, 1)
+
+  /** Sack-sharded drain — the metricd FLEET posture
+    * (cli/metricd.py:160-220: each worker owns a subset of sacks via
+    * the partitioned hash ring). `workers` drains share one staging
+    * directory; worker `workerId` ingests only measures whose metric
+    * hashes into its sack residue class, each under its OWN checkpoint.
+    * Disjoint sack sets mean the per-sack store locks never collide,
+    * so the workers' incremental jobs commit fully in parallel against
+    * one store. Membership is sack-deterministic (sackOf % workers), so
+    * re-sharding to a different worker count needs fresh checkpoints —
+    * exactly the reference's ring-rebalance restart.
+    */
+  def start(spark: SparkSession, stagingDir: String, checkpointDir: String,
+            store: MetricStore, workerId: Int, workers: Int): StreamingQuery = {
+    require(workers > 0 && workerId >= 0 && workerId < workers,
+      s"need 0 <= workerId < workers, got $workerId/$workers")
     val schema = MetricStore.emptyMeasures(spark).schema
     spark.readStream
       .schema(schema)
@@ -29,7 +46,12 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) store.addMeasures(batch)
+        val mine =
+          if (workers == 1) batch
+          else batch.filter(
+            pmod(MetricStore.sackOf(col("metric_id")), lit(workers))
+              === workerId)
+        if (!mine.isEmpty) store.addMeasures(mine)
       }
       .start()
   }

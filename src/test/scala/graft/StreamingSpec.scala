@@ -218,4 +218,49 @@ class StreamingSpec extends SparkSpec {
       assert(second == Set((ts("2024-01-01 10:00:00"), 4.0)))
     } finally q.stop()
   }
+
+  test("sack-sharded drains: two workers split one staging stream by " +
+      "sack ownership and commit in parallel against one store " +
+      "(metricd hash-ring posture, cli/metricd.py:160-220)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    val staging = s"$root/staging"
+    new java.io.File(staging).mkdirs()
+    val g = new graft.api.Graft(spark, root)
+    val store0 = new graft.ingest.MetricStore(spark, s"$root/low",
+      g.policies("low"))
+    val store1 = new graft.ingest.MetricStore(spark, s"$root/low",
+      g.policies("low"))
+    // metrics across several sacks so both residue classes are hit
+    val ms = (1 to 40).map("sh" + _)
+    val byWorker = ms.groupBy(m =>
+      Math.floorMod(graft.ingest.MetricStore.sackOfId(m), 2))
+    assert(byWorker.keySet == Set(0, 1),
+      "precondition: both workers own metrics")
+    // zero lock waits: if the two drains ever contended on a sack
+    // lock, one micro-batch would throw instead of queueing
+    spark.conf.set("spark.graft.ingest.lockWaitMs", "0")
+    val q0 = StreamingIngest.start(spark, staging, s"$root/ckpt0", store0,
+      workerId = 0, workers = 2)
+    val q1 = StreamingIngest.start(spark, staging, s"$root/ckpt1", store1,
+      workerId = 1, workers = 2)
+    try {
+      measures(ms.map(m => (m, "2024-01-01 10:00:00", 1.0)): _*)
+        .write.mode("append").parquet(staging)
+      q0.processAllAvailable(); q1.processAllAvailable()
+      measures(ms.map(m => (m, "2024-01-01 10:01:00", 3.0)): _*)
+        .write.mode("append").parquet(staging)
+      q0.processAllAvailable(); q1.processAllAvailable()
+    } finally {
+      q0.stop(); q1.stop()
+      spark.conf.unset("spark.graft.ingest.lockWaitMs")
+    }
+    // every metric landed exactly once, through exactly one worker
+    val reader = new graft.ingest.MetricStore(spark, s"$root/low",
+      g.policies("low"))
+    ms.foreach { m =>
+      val got = reader.getMeasures(m, "mean", 300)
+        .collect().map(r => (r.getTimestamp(1), r.getDouble(2))).toSet
+      assert(got == Set((ts("2024-01-01 10:00:00"), 2.0)), s"metric $m: $got")
+    }
+  }
 }
