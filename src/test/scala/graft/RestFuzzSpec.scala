@@ -77,4 +77,58 @@ class RestFuzzSpec extends SparkSpec {
     }
     assert(served == 1200)
   }
+
+  test("keystone-scoped fuzz: hostile requests under requireAuth + " +
+      "keystone with random identities/roles never 500 — the policy " +
+      "filter merge and scope checks hold on every door") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ksfuzz")
+      .toString
+    val g = new graft.api.Graft(spark, root)
+    val api = new RestApi(g, requireAuth = true, authMode = "keystone")
+    val s = spark
+    import s.implicits._
+    g.setResources(Seq(("r1", "u1:p1", "fr", "p1"))
+      .toDF("id", "creator", "zone", "project_id"))
+    assert(api.dispatch("POST", "/v1/archive_policy", body =
+      """{"name": "kz", "definition": [{"granularity": "60"}],
+          "aggregation_methods": ["mean"]}""",
+      creator = Some("admin")).status == 201)
+    assert(api.dispatch("POST", "/v1/metric",
+      body = """{"id": "kzm", "archive_policy_name": "kz"}""",
+      creator = Some("u1:p1")).status == 201)
+
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(31513513L))
+    val methods = Vector("GET", "POST", "PATCH", "DELETE")
+    val segs = Vector("v1", "metric", "resource", "generic", "search",
+      "kzm", "kz", "r1", "history", "measures", "metrics",
+      "archive_policy", "status", "aggregates", "zzz", "é中", "")
+    val creators = Vector(None, Some("u1:p1"), Some("u2:p2"),
+      Some("admin"), Some(":"), Some("u:"), Some(":p"), Some("nocolon"),
+      Some("a:b:c"))
+    val roleHdrs = Vector(Map.empty[String, String],
+      Map("X-Roles" -> "admin"), Map("X-Roles" -> "reader , ,admin"),
+      Map("X-Roles" -> ","), Map("x-roles" -> "ADMIN"),
+      Map("X-Roles" -> "member"))
+    val bodies = Vector("", "{}", """{"=": {"zone": "fr"}}""",
+      """{"=": {"creator": null}}""", """{"like": {"project_id": "%"}}""",
+      """{"and": [{"=": {"x": 1}}]}""", "[{]",
+      """[{"timestamp": "2014-01-01T12:00:01Z", "value": 1.0}]""")
+    for (i <- 0 until 600) {
+      val depth = 1 + rnd.nextInt(4)
+      val path = "/" + (Vector("v1") ++
+        Vector.fill(depth)(segs(rnd.nextInt(segs.size)))).mkString("/")
+      val resp =
+        try api.dispatch(methods(rnd.nextInt(methods.size)), path,
+          body = bodies(rnd.nextInt(bodies.size)),
+          creator = creators(rnd.nextInt(creators.size)),
+          reqHeaders = roleHdrs(rnd.nextInt(roleHdrs.size)))
+        catch {
+          case e: Throwable =>
+            fail(s"#$i $path ESCAPED: ${e.getClass.getName}: " +
+              s"${String.valueOf(e.getMessage).take(200)}")
+        }
+      assert(resp.status < 500, s"#$i $path -> ${resp.status}")
+    }
+  }
 }
