@@ -62,6 +62,16 @@ class NonLocalFsSpec extends SparkSpec {
       val g2 = new graft.api.Graft(spark, s"$root/graft")
       assert(g2.getMeasures("cm", "mean").map(_._3) == Seq(7.0))
       g2.close()
+      // maintenance plane through the shim: compaction, expunge, and
+      // retention expiry are all swapWrite/delete shapes — correct
+      // under copy+delete renames with a single writer
+      val store2 = new MetricStore(spark, s"$root/store", policy)
+      store2.compact()
+      assert(store2.getMeasures("m", "mean", 60).count() == 2)
+      store2.addMeasures(measures(("gone", "2014-01-01 12:00:05", 9.0)))
+      store2.expungeMetric("gone")
+      assert(store2.getMeasures("gone", "mean", 60).isEmpty)
+      assert(store2.getMeasures("m", "mean", 60).count() == 2)
     } finally spark.conf.unset("spark.graft.store.acceptNonAtomicFs")
   }
 }
