@@ -801,6 +801,26 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
       if (!g.metricCreatorOf(metricId).exists(_.endsWith(":" + project)))
         throw new graft.api.GraftError.Forbidden("not the metric creator")
 
+  /** [[resourcePolicyFilter]] rendered in the STRING filter grammar,
+    * for doors whose scope is a grammar filter (the aggregates search
+    * form). Same clauses, same empty-clause 403.
+    */
+  private def resourcePolicyFilterStr(creator: Option[String],
+      reqHeaders: Map[String, String]): Option[String] =
+    keystoneNonAdmin(creator, reqHeaders).map { project =>
+      val cols = g.resourceColumns.toSet
+      val clauses = Seq(
+        if (cols.contains("project_id"))
+          Some(s"project_id = '${qesc(project)}'")
+        else None,
+        if (cols.contains("creator"))
+          Some(s"creator like '%:${qesc(project)}'")
+        else None).flatten
+      if (clauses.isEmpty)
+        throw new graft.api.GraftError.Forbidden("Insufficient privileges")
+      clauses.mkString("(", " or ", ")")
+    }
+
   /** True when keystone scoping HIDES the resolved resource from this
     * caller — the resource-scoped sub-routes (history, named metrics)
     * then answer the same anti-enumeration 404 as the single read.
@@ -1341,6 +1361,10 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
         val ids = q.getOrElse("metric_id",
           throw new IllegalArgumentException("metric_id required"))
           .split(",").toSeq
+        // keystone: value search reads measures — scope known ids to
+        // the caller's project (unknown ids keep their existing path)
+        ids.filter(g.hasMetric)
+          .foreach(enforceMetricScope(creator, reqHeaders, _))
         val method = q.getOrElse("aggregation", "mean")
         // start/stop validate with the reference's exact 400 text
         // (rest/api.py:1668-1678), BEFORE the query body parses
@@ -1441,10 +1465,19 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
           val rtype = b \ "resource_type" match {
             case JString(t) => t; case _ => "generic"
           }
-          val flt =
+          val flt0 =
             if (rtype != "generic" && g.resourceColumns.contains("type"))
               s"type = '${qesc(rtype)}' and ($fltRaw)"
             else fltRaw
+          // keystone read scoping: the measure plane must not leak
+          // other projects' resources through the aggregates search —
+          // the reference merges the policy filter here too
+          // (rest/aggregates/api.py:545-556). Rendered in the string
+          // grammar because this door's scope IS a grammar filter.
+          val flt = resourcePolicyFilterStr(creator, reqHeaders) match {
+            case Some(pf) => s"$pf and ($flt0)"
+            case None     => flt0
+          }
           // no granularity → EVERY granularity common to the resolved
           // metrics, coarse→fine (gabbits/aggregates-with-resources
           // .yaml "batch get" cases; processor P1 planning)
@@ -1568,6 +1601,15 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
             scope = g.resolvedResourceScope(operations, flt, grpSorted),
             groupsFromScope = true, details = det))
         }
+        // keystone: the metric-ID form reads measures for explicit
+        // ids — every known referenced metric must belong to the
+        // caller's project (the reference's per-metric enforce when
+        // AggregatesController resolves ids); unknown ids keep their
+        // existing 404 path
+        for (_ <- keystoneNonAdmin(creator, reqHeaders))
+          g.aggregatesReferences(operations).map(_._1).distinct
+            .filter(g.hasMetric)
+            .foreach(enforceMetricScope(creator, reqHeaders, _))
         // ?details=true (query or body) attaches the RESOLVED metric
         // references next to the measures (rest/aggregates/api.py:
         // 639-646 response["references"] = metrics)
@@ -1943,6 +1985,7 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
             throw new IllegalArgumentException("metric required"))
             .split(",").toSeq.filter(_.nonEmpty)).distinct
         ids.foreach(g.metricPolicyName) // unknown id → 404, as the lookup
+        ids.foreach(enforceMetricScope(creator, reqHeaders, _)) // keystone
         val agg = q.getOrElse("aggregation", "mean")
         val s = g.spark; import s.implicits._
         // one anonymous group holding the whole id list — the reference
@@ -1982,14 +2025,23 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
         // POST body IS the attribute filter tree (ResourceSearchSchema;
         // `{"filter": "..."}` and empty-body = match-all also accepted,
         // gabbits/resource-aggregation.yaml)
-        val scope = q.get("filter") match {
-          case Some(f) => g.searchResources(f)
+        val scopeFilter0: graft.catalog.Filter = q.get("filter") match {
+          case Some(f) => graft.catalog.FilterParser.parse(f)
           case None => body() match {
-            case JNothing | JObject(Nil) => g.searchResources("id like '%'")
-            case JObject(List(("filter", JString(f)))) => g.searchResources(f)
-            case o => g.searchResources(parseFilterTree(o))
+            case JNothing | JObject(Nil) => graft.catalog.Filter.Like("id", "%")
+            case JObject(List(("filter", JString(f)))) =>
+              graft.catalog.FilterParser.parse(f)
+            case o => parseFilterTree(o)
           }
         }
+        // keystone read scoping on the legacy cross-metric door: the
+        // policy filter AND-merges into the resource scope exactly as
+        // on the search routes
+        val scope = g.searchResources(
+          resourcePolicyFilter(creator, reqHeaders) match {
+            case Some(pf) => graft.catalog.Filter.And(Seq(pf, scopeFilter0))
+            case None     => scopeFilter0
+          })
         val agg = q.getOrElse("aggregation", "mean")
         // repeated ?groupby= keys arrive comma-joined from the
         // transport; the reference sorts the unique attribute list

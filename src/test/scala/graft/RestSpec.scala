@@ -2270,6 +2270,19 @@ class RestSpec extends SparkSpec {
     assert(api.dispatch("GET",
       s"/v1/resource/generic/$bobInternal/history",
       creator = Some("root:adm"), reqHeaders = adminHdr).status === 200)
+    // measure-plane doors scope too: the metric-id aggregates forms
+    // and the value search refuse foreign metrics; the owner passes
+    assert(api.dispatch("POST", "/v1/aggregates",
+      body = """{"operations": "(metric mb mean)"}""",
+      creator = alice).status === 403)
+    assert(api.dispatch("GET", "/v1/aggregation/metric",
+      query = Map("metric" -> "mb"), creator = alice).status === 403)
+    assert(api.dispatch("POST", "/v1/search/metric",
+      query = Map("metric_id" -> "mb"), body = """{">": 0}""",
+      creator = alice).status === 403)
+    assert(api.dispatch("POST", "/v1/aggregates",
+      body = """{"operations": "(metric mb mean)"}""",
+      creator = bob).status === 200)
   }
 
   test("MetricsSchema string values attach an EXISTING metric " +
