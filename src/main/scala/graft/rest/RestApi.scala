@@ -1293,6 +1293,9 @@ class RestApi(val g: Graft, requireAuth: Boolean = false,
         val unknown = entries.map(_._1).filterNot(g.hasMetric)
         if (unknown.nonEmpty)
           return err(400, s"unknown metrics: ${unknown.sorted.mkString(", ")}")
+        // keystone: batch writes enforce the same per-metric
+        // creator-project rule as the single measures door
+        entries.map(_._1).foreach(enforceMetricScope(creator, reqHeaders, _))
         // same fixed-format-per-list contract as the single door — the
         // reference runs every batch list through utils.to_timestamps
         // (rest/api.py:1694-1723), so a mixed list 400s here too

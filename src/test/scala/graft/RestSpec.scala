@@ -2283,6 +2283,15 @@ class RestSpec extends SparkSpec {
     assert(api.dispatch("POST", "/v1/aggregates",
       body = """{"operations": "(metric mb mean)"}""",
       creator = bob).status === 200)
+    // batch measure writes enforce per-metric scope too
+    assert(api.dispatch("POST", "/v1/batch/metrics/measures",
+      body = """{"mb": [{"timestamp": "2014-01-01T12:00:01Z",
+                          "value": 1.0}]}""",
+      creator = alice).status === 403)
+    assert(api.dispatch("POST", "/v1/batch/metrics/measures",
+      body = """{"mb": [{"timestamp": "2014-01-01T12:00:01Z",
+                          "value": 1.0}]}""",
+      creator = bob).status === 202)
   }
 
   test("MetricsSchema string values attach an EXISTING metric " +
