@@ -99,6 +99,55 @@ class IngestSpec extends SparkSpec {
       .collect().map(_.getDouble(2)).toSeq == Seq(4.0)) // mean(1,5,6)
   }
 
+  test("sack-lock protocol edges: maintenance breaks MULTIPLE stale " +
+      "locks in one pass; a failed multi-sack acquisition releases " +
+      "what it already held") {
+    val dir = Files.createTempDirectory("graft-lockedge").toString
+    val policy = ArchivePolicy("le", 0,
+      Seq(ArchivePolicyItem(Granularity.seconds(60), None, None)),
+      Set("mean"))
+    val store = new MetricStore(spark, dir, policy)
+    store.addMeasures(measures(("m", "2014-01-01 12:00:01", 1.0)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // two crashed writers' stale locks on different sacks: an all-sack
+    // maintenance op must break BOTH and complete under the default
+    // staleness threshold
+    for (s <- Seq(3, 17)) {
+      val p = s"$dir/.lock.sack.$s"
+      fs.create(new org.apache.hadoop.fs.Path(p), false).close()
+      new java.io.File(p).setLastModified(
+        System.currentTimeMillis() - 2 * 3600 * 1000L)
+    }
+    store.compact() // takes all 32 sacks
+    assert(Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/.lock.sack.*")))
+      .forall(_.isEmpty), "stale locks not broken+released by compact")
+    // partial-release: a two-sack batch that loses the SECOND lock
+    // must free the first before failing — otherwise it leaks a lock
+    // that blocks every later writer on that sack
+    val mA = "m"
+    val sackA = MetricStore.sackOfId(mA)
+    val mB = (1 to 1000).map("q" + _)
+      .find(m => MetricStore.sackOfId(m) > sackA).getOrElse(
+        fail("no metric with a higher sack than m"))
+    val lockB = new org.apache.hadoop.fs.Path(
+      s"$dir/.lock.sack.${MetricStore.sackOfId(mB)}")
+    fs.create(lockB, false).close() // live holder on the higher sack
+    spark.conf.set("spark.graft.ingest.lockWaitMs", "0")
+    try intercept[IllegalStateException](store.addMeasures(measures(
+      (mA, "2014-01-01 12:00:02", 2.0), (mB, "2014-01-01 12:00:02", 3.0))))
+    finally spark.conf.unset("spark.graft.ingest.lockWaitMs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/.lock.sack.$sackA")),
+      "failed acquisition leaked the already-held lower sack lock")
+    fs.delete(lockB, false)
+    // the store still works afterwards
+    store.addMeasures(measures((mA, "2014-01-01 12:00:31", 5.0)))
+    assert(store.getMeasures(mA, "mean", 60)
+      .collect().map(_.getDouble(2)).toSeq == Seq(3.0)) // mean(1,5)
+  }
+
   test("per-sack locks: a DISJOINT-sack batch proceeds while another " +
       "sack's lock is held; a SAME-sack batch waits the holder out " +
       "(metricd fleet posture, cli/metricd.py:160-220)") {
