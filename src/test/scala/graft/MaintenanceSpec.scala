@@ -147,6 +147,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(g.status().isEmpty)
   }
 
+  test("janitor under churn: the loop drains while metrics are " +
+      "created, measured, and deleted from the caller thread") {
+    val root = java.nio.file.Files.createTempDirectory("graft-churnjan")
+      .toString
+    val g = new Graft(spark, root)
+    g.createPolicy(ArchivePolicy("cj", 0,
+      Seq(graft.model.ArchivePolicyItem(graft.model.Granularity.seconds(60),
+        None, None)), Set("mean", "count")))
+    val jan = new graft.api.Janitor(g,
+      processingDelayS = 0.05, cleanupDelayS = 0.2, reportingDelayS = 0.2)
+    jan.start()
+    try {
+      for (i <- 0 until 12) {
+        val m = s"cj$i"
+        g.createMetric(m, "cj")
+        g.addMeasures(m, Seq((f"2014-01-01 10:${i % 60}%02d:01", i.toDouble)))
+        if (i % 4 == 3) g.deleteMetric(s"cj${i - 1}")
+        if (i % 3 == 2) Thread.sleep(60) // let passes interleave
+      }
+    } finally jan.stop()
+    // one final drain settles whatever the loop had not reached yet
+    jan.processOnce()
+    assert(g.status().isEmpty, "backlog not drained after churn")
+    // deleted: cj2, cj6, cj10; everything else retains its measure
+    val expectGone = Set(2, 6, 10)
+    for (i <- 0 until 12) {
+      val m = s"cj$i"
+      if (expectGone(i))
+        intercept[NoSuchElementException](g.getMeasures(m, "mean"))
+      else {
+        val vs = g.getMeasures(m, "mean").map(_._3)
+        assert(vs == Seq(i.toDouble), s"$m: $vs")
+      }
+    }
+  }
+
   test("endDateInactive + autoClean lifecycle (chef.py:126-133, 180-181)") {
     val s = spark
     import s.implicits._
