@@ -1519,11 +1519,9 @@ object Queries {
     // must equal a one-shot batch ingest and the oracle recomputes it
     // directly from events.
     "st1_streaming_ingest" -> ((s, dir) => {
-      // backWindow = 744 blocks (the whole month): the running stream
-      // lists part-files as tasks commit them, so one chunk's files can
-      // split across micro-batches in any order — a month-wide back
-      // window makes every batching pattern equal to one-shot ingest
-      // (rejection semantics are m2's job; st1 exercises the drain)
+      // backWindow = 744 blocks (the whole month): batching patterns
+      // must all equal one-shot ingest (rejection semantics are m2's
+      // job; st1 exercises the drain)
       val store = freshStore(s, "st1", dir, ArchivePolicy("st1", 744,
         Seq(ArchivePolicyItem(Granularity.seconds(3600), None, None)),
         Set("mean", "count")))
@@ -1533,14 +1531,25 @@ object Queries {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/staging"))
       val d = dedupMeasures(s, dir).cache()
+      // ATOMIC chunk drops (the standard file-source ingestion
+      // pattern): each chunk is written BESIDE the watched tree and
+      // renamed in as ONE directory, so the continuously-polling drain
+      // can never list a half-committed chunk. Before this, the source
+      // raced the chunk writer's task commits and split a chunk into
+      // 2+ micro-batches — each paying a full incremental-ingest job
+      // (~40% of the row's cost, and the row's main variance source).
+      // Final store state is identical either way (month-wide back
+      // window, new-wins merge); the oracle pins it.
       val q = graft.streaming.StreamingIngest.start(
-        s, s"$root/staging", s"$root/ckpt", store)
+        s, s"$root/staging/*", s"$root/ckpt", store)
       try {
         val cuts = Seq(
           col("timestamp") < lit("2024-01-16").cast("timestamp"),
           col("timestamp") >= lit("2024-01-16").cast("timestamp"))
-        cuts.foreach { c =>
-          d.filter(c).write.mode("append").parquet(s"$root/staging")
+        cuts.zipWithIndex.foreach { case (c, i) =>
+          d.filter(c).write.mode("overwrite").parquet(s"$root/chunk-$i")
+          fs.rename(new org.apache.hadoop.fs.Path(s"$root/chunk-$i"),
+            new org.apache.hadoop.fs.Path(s"$root/staging/chunk-$i"))
           q.processAllAvailable()
         }
       } finally q.stop()

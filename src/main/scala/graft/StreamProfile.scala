@@ -44,8 +44,20 @@ object StreamProfile {
         dd.count(); dd
       }
       val q = time(s"p$pass" + "_stream_start") {
-        graft.streaming.StreamingIngest.start(
-          spark, s"$root/staging", s"$root/ckpt", store)
+        import org.apache.spark.sql.DataFrame
+        val schema = MetricStore.emptyMeasures(spark).schema
+        spark.readStream.schema(schema).parquet(s"$root/staging/*")
+          .writeStream.option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val t0 = System.nanoTime()
+            val n = batch.count()
+            val tc = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            if (n > 0) store.addMeasures(batch)
+            println(f"[stprof]   micro-batch $id: rows=$n " +
+              f"count=$tc%.2f s addMeasures=${(System.nanoTime() - t1) / 1e9}%.2f s")
+          }
+          .start()
       }
       try {
         val cuts = Seq(
@@ -53,7 +65,9 @@ object StreamProfile {
           col("timestamp") >= lit("2024-01-16").cast("timestamp"))
         cuts.zipWithIndex.foreach { case (c, i) =>
           time(s"p${pass}_stage_write_$i") {
-            d.filter(c).write.mode("append").parquet(s"$root/staging")
+            d.filter(c).write.mode("overwrite").parquet(s"$root/chunk-$i")
+            fs.rename(new org.apache.hadoop.fs.Path(s"$root/chunk-$i"),
+              new org.apache.hadoop.fs.Path(s"$root/staging/chunk-$i"))
           }
           val before = q.recentProgress.length
           time(s"p${pass}_drain_$i") { q.processAllAvailable() }

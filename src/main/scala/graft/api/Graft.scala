@@ -782,8 +782,13 @@ class Graft(val spark: SparkSession, root: String) {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxDriverMetrics = spark.conf
       .get("spark.graft.ingest.maxDriverMetrics", "100000").toLong
-    if (maximaDf.count() <= maxDriverMetrics)
-      maximaDf.collect().foreach { r =>
+    // one action, not count()+collect(): fetch up to the threshold+1
+    // rows — over it means a fleet-cardinality batch (cache skipped,
+    // rows discarded), at or under it the rows are the update itself
+    val overLimit = math.min(maxDriverMetrics, Int.MaxValue - 1L).toInt + 1
+    val maximaHead = maximaDf.limit(overLimit).collect()
+    if (maximaHead.length <= maxDriverMetrics)
+      maximaHead.foreach { r =>
         val (m, t) = (r.getString(0), r.getTimestamp(1))
         if (lastMeasure.get(m).forall(_.getTime < t.getTime)) lastMeasure(m) = t
       }

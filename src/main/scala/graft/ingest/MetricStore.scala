@@ -459,12 +459,19 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     try {
       val maxDriverMetrics = spark.conf
         .get("spark.graft.ingest.maxDriverMetrics", "100000").toLong
-      val nMetrics = stage("metric count")(batchMetaDf.count())
-      val driverPath = nMetrics <= maxDriverMetrics || nMetrics == 0
-      val batchMeta: Array[(String, Long, Long)] =
-        if (!driverPath) Array.empty
-        else stage("batch metadata")(batchMetaDf.collect()
+      // ONE action decides the path AND fetches the fast-path metadata:
+      // collect up to maxDriverMetrics+1 rows — more than the threshold
+      // means fallback (the rows are discarded unread), at or under it
+      // the collected rows ARE the batch metadata. The old count() +
+      // collect() pair cost a second job per ingest for the same
+      // information (the persisted aggregate is scanned either way).
+      val overLimit = math.min(maxDriverMetrics, Int.MaxValue - 1L).toInt + 1
+      val headMeta: Array[(String, Long, Long)] =
+        stage("batch metadata")(batchMetaDf.limit(overLimit).collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+      val driverPath = headMeta.length <= maxDriverMetrics
+      val batchMeta: Array[(String, Long, Long)] =
+        if (driverPath) headMeta else Array.empty
       // the sack set is ≤ NumSacks rows at ANY metric cardinality, so it
       // stays a driver literal in both paths — partition pruning needs
       // literals (a join on a partition column does not prune the scan)

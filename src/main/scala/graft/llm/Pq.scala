@@ -170,7 +170,13 @@ object Pq {
                      idCol: String, vecCol: String): DataFrame = {
     val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv2"))
-    val rer = short.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))
+    // the shortlist is |queries|·shortlist rows BY CONSTRUCTION (a
+    // constant, never a corpus fraction) — broadcast it explicitly so
+    // the corpus side is never shuffled by this join; without the hint
+    // the planner sizes the window subtree from its corpus-derived
+    // child estimate and can fall back to a full corpus sort-merge
+    val rer = broadcast(short).join(cv, Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine", Similarity.cosine(col("__qv2"), col("__cv")))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
@@ -197,13 +203,17 @@ object Pq {
     val m = books.length
     val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
       idCol = idCol, vecCol = vecCol)
-    // index side: cell + code per vector (built once; raw vectors are
-    // not carried past this point)
-    val assigned = Similarity.kmeansAssignWith(corpus, cents, idCol, vecCol)
-      .select(col(idCol).as("corpus_id"), col("cell"))
+    // index side: cell + code per vector, fused into ONE corpus pass —
+    // cell assignment and PQ encoding are both per-row projections
+    // against plan-time literals, so computing them in one select
+    // removes the encode ⋈ assign id join (two corpus scans + an
+    // exchange) the join formulation paid. Values are identical: same
+    // pq_encode call, same top-1 cell expression, 1:1 rows per id.
     val codes = encode(corpus, books, vecCol)
-      .select(col(idCol).as("corpus_id"), col("pq_code"))
-      .join(assigned, Seq("corpus_id"))
+      .withColumn("__tc",
+        element_at(Similarity.topCells(col(vecCol), cents, 1), 1))
+      .select(col(idCol).as("corpus_id"), col("pq_code"),
+        col("__tc.cell").as("cell"))
     // probe side: nprobe nearest cells + the ADC table per query —
     // the fused per-row kernel (same (cosine desc, cell asc) pick
     // order), not a crossJoin x nlist amplification + window shuffle
@@ -274,11 +284,13 @@ object Pq {
     }.toSeq.toDF("subspace", "centroid", "values")
       .repartition(1) // m·k tiny rows — one footer, not 32
       .write.mode("overwrite").parquet(s"$path/codebooks")
-    val withCell = Similarity.kmeansAssignWith(corpus, cents, idCol, vecCol)
-      .select(col(idCol), col("cell"))
+    // cell + code fused into ONE corpus pass (same rationale and same
+    // values as the ivfShortlist index side): the old
+    // encode ⋈ assign join cost a second corpus scan and an exchange
     encode(corpus, books, vecCol)
-      .select(col(idCol), col("pq_code"))
-      .join(withCell, Seq(idCol))
+      .withColumn("__tc",
+        element_at(Similarity.topCells(col(vecCol), cents, 1), 1))
+      .select(col(idCol), col("pq_code"), col("__tc.cell").as("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
   }
 
