@@ -398,9 +398,11 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       })
     val staging = new org.apache.hadoop.fs.Path(base,
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.repartition(partCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.partitionBy(partCols: _*).parquet(staging.toString)
+    stage(s"  swap:write ${base.getName}")(
+      df.repartition(partCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.partitionBy(partCols: _*).parquet(staging.toString))
+    stage(s"  swap:rename ${base.getName}")(
     for (st <- leafDirs(staging)) {
       val dest = destOf(staging, st)
       fs.delete(dest, true)
@@ -411,7 +413,7 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       require(fs.rename(st.getPath, dest),
         s"swapWrite: rename ${st.getPath} -> $dest failed; staged output " +
           "left in place")
-    }
+    })
     fs.delete(staging, true)
   }
 

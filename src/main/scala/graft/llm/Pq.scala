@@ -53,7 +53,13 @@ object Pq {
       while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }; s
     }
 
-    Array.tabulate(m) { s =>
+    // subspaces are independent — train them on driver cores in
+    // parallel (k=256 × 10 Lloyd iters over 2048 samples is ~0.3 s/
+    // subspace single-threaded). Each subspace's arithmetic is
+    // untouched (same summation order within a subspace), so the
+    // codebooks are bit-identical to the sequential form.
+    import scala.collection.parallel.CollectionConverters._
+    (0 until m).par.map { s =>
       val sub = sample.map { case (h, v) => (h, v.slice(s * d, (s + 1) * d)) }
       // k-center greedy seeding: start from the min-hash row; each next
       // seed is the point with the largest distance to its nearest
@@ -97,7 +103,7 @@ object Pq {
         }
       }
       cents
-    }
+    }.toArray
   }
 
   /** Attach `pq_code` (array<int>, length m): per subspace the L2
