@@ -452,8 +452,28 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // anyway), and ONE aggregate carries all per-metric metadata —
     // batch min/max per metric — so the cache is scanned once for it,
     // not per metadatum.
-    val batchP = batch.select("metric_id", "timestamp", "value")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    //
+    // EXCEPT scan-shaped batches: when the batch plan holds no
+    // aggregate/join/window/generate/sort (a plain projected+filtered
+    // source read — the fleet bulk-ingest shape), re-running the scan
+    // for the second consumer is cheaper than materializing every row
+    // into the cache first (measured: the cache write dominated the
+    // metadata stage at 32× — ~2.8 s of a 12.8 s ingest — for a batch
+    // whose scan recomputes in ~0.4 s). Expensive upstreams (the
+    // facade's deduped unions, anything pre-aggregated) keep the
+    // persist.
+    val scanShaped = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      batch.queryExecution.optimizedPlan.collectFirst {
+        case p @ (_: Aggregate | _: Join | _: Window | _: Generate |
+                  _: Sort | _: Distinct | _: Deduplicate) => p
+      }.isEmpty
+    }
+    val batchP0 = batch.select("metric_id", "timestamp", "value")
+    val batchP =
+      if (scanShaped) batchP0
+      else batchP0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchMetaDf = batchP.groupBy("metric_id")
       .agg(min(unix_timestamp(col("timestamp"))).as("mn"),
         max(unix_timestamp(col("timestamp"))).as("mx"))

@@ -937,4 +937,33 @@ class IngestSpec extends SparkSpec {
     assert(dumpRaw(fb) == dumpRaw(fast))
     assert(dumpAgg(fast).nonEmpty && dumpRaw(fast).nonEmpty)
   }
+
+  test("scan-shaped batches (persist skipped) ingest to the same store " +
+      "bytes as aggregate-shaped ones (persisted): the conditional " +
+      "batch persist is a pure optimization") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("m1", "2014-01-01 12:00:10", 1.0), ("m1", "2014-01-01 12:01:10", 2.0),
+      ("m2", "2014-01-01 12:00:40", 7.0), ("m2", "2014-01-01 12:05:10", 9.0))
+    // scan-shaped: a parquet-backed projection — no aggregate/join in
+    // the plan, so addMeasures skips its internal persist
+    val pq = java.nio.file.Files.createTempDirectory("graft-scanshape")
+      .toString + "/batch.parquet"
+    measures(rows: _*).write.parquet(pq)
+    val scanBatch = spark.read.parquet(pq)
+      .select("metric_id", "timestamp", "value")
+    // aggregate-shaped: identical rows behind a groupBy — takes the
+    // persisted path
+    val aggBatch = measures(rows: _*)
+      .groupBy("metric_id", "timestamp")
+      .agg(first(col("value")).as("value"))
+    def dump(s: MetricStore) = s.aggregates
+      .select("metric_id", "method", "gran_s", "split", "msack", "bucket",
+        "value")
+      .collect().map(_.toSeq).toSet
+    val a = newStore(); a.addMeasures(scanBatch)
+    val b = newStore(); b.addMeasures(aggBatch)
+    assert(dump(a) == dump(b))
+    assert(dump(a).nonEmpty)
+  }
 }
