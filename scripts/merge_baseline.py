@@ -18,7 +18,7 @@ import json
 import sys
 
 # keep in sync with Bench.isolatedFloorSec
-ISOLATED_FLOOR = {"st1_streaming_ingest": 9.8}  # r14 isolated run: 9.86 s
+ISOLATED_FLOOR = {"st1_streaming_ingest": 9.3}  # r15 re-adjudication (atomic chunk drops; isolated fresh 9.37 s)
 
 BASELINE = "BENCH_baseline.json"
 

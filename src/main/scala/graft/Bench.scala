@@ -82,7 +82,13 @@ object Bench {
     * like-with-like regardless of how the committed file was merged.
     */
   private val isolatedFloorSec: Map[String, Double] =
-    Map("st1_streaming_ingest" -> 9.8) // r14 isolated run: 9.86 s
+    // r15 re-adjudication: atomic chunk drops made st1's batching
+    // deterministic (exactly 2 micro-batches — the 2-4 split race was
+    // the old warm/fresh variance source), and the r15 isolated fresh
+    // run measured 9.37 s on a box ~40% slower than r14's gate box.
+    // The floor drops with it; the warm-in-sequence vs fresh codegen
+    // asymmetry it guards remains, so the mechanism stays.
+    Map("st1_streaming_ingest" -> 9.3)
 
   private def loadBaseline(path: String): (Map[String, Double], Map[String, Double]) = {
     def floored(m: Map[String, Double]): Map[String, Double] =
