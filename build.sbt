@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (r16): the gate driver captures only the last
+// ~2 KB of stdout and json-parses the final line. sbt's default
+// LoggedOutput prefixes every forked-process line with "[info] " and
+// appends a "[success] Total time..." banner — both of which have kept
+// the bench line unparseable since r05 (BENCH_r*: parsed null). Pass
+// the forked JVM's stdout through verbatim and drop the banner so the
+// bench's final JSON line is the literal last stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+// per-suite durations in test logs (-oD) so slow suites are visible
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -401,6 +401,70 @@ object Bench {
         iters = 2, sampleMod = 8)
     }))
 
+  /** Documents-only high-amplification cache (`bigF`×, key-shifted
+    * copies): shared by the 100x invariant arms and the scale100
+    * core-scaling rows. Fingerprinted against the source table like the
+    * 32x cache; returns the directory.
+    */
+  private def ensureDocs100(sess: SparkSession, sfDir: String,
+                            bigF: Int): String = {
+    val docs100Dir = s"/tmp/graft-bench-scale-${bigF}x-docs"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      sess.sparkContext.hadoopConfiguration)
+    val st = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$sfDir/documents.parquet"))
+    val srcFp =
+      s"documents:${st.map(s => s.getLen + s.getModificationTime).sum}"
+    val marker = new org.apache.hadoop.fs.Path(s"$docs100Dir/_done_v1")
+    val cached = fs.exists(marker) && {
+      val in = fs.open(marker)
+      val prev = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      prev == srcFp
+    }
+    if (!cached) {
+      fs.delete(new org.apache.hadoop.fs.Path(docs100Dir), true)
+      val rep = broadcast(
+        sess.range(bigF).select(col("id").as("__rep")))
+      sess.read.parquet(s"$sfDir/documents.parquet").crossJoin(rep)
+        .withColumn("doc_id",
+          col("doc_id") + col("__rep") * 1_000_000L)
+        .drop("__rep")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(s"$docs100Dir/documents.parquet")
+      val out = fs.create(marker)
+      try out.write(srcFp.getBytes("UTF-8")) finally out.close()
+    }
+    docs100Dir
+  }
+
+  /** Core-scaling rows (r16): document-plane operators at 100x, where
+    * per-task data/CPU work dominates the fixed job overhead that makes
+    * the sf0.1 standard rows core-count-insensitive. These are the rows
+    * whose 8-core/32-core ratio demonstrates (or falsifies) parallel
+    * scaling; they reuse the declared operators unchanged on the
+    * fingerprint-cached 100x documents.
+    */
+  private def scale100Queries(dir: String): Seq[(String, SparkSession => DataFrame)] = Seq(
+    // map-heavy text signals: pure per-row compute, no collapse — the
+    // clean linear-scan scaling witness
+    "scale100_txt2_quality" -> ((s: SparkSession) =>
+      Queries.all("txt2_quality")(s, dir)),
+    // bigram LM end to end (collapse-first + corpus counts + scoring)
+    "scale100_lm1_perplexity" -> ((s: SparkSession) =>
+      Queries.all("lm1_perplexity")(s, dir)),
+    // one content-hash exchange over 100x rows
+    "scale100_dd1_exact_dedup" -> ((s: SparkSession) =>
+      Queries.all("dd1_exact_dedup")(s, dir)),
+    // winnowing fingerprint + capped self-join on the all-dup corpus
+    "scale100_dd8_fingerprint" -> ((s: SparkSession) =>
+      graft.llm.Dedup.fingerprintDup(
+        s.read.parquet(s"$dir/documents.parquet"))),
+    // shingle explode + broadcast gram join (decontamination)
+    "scale100_dc1_decontaminate" -> ((s: SparkSession) =>
+      Queries.all("dc1_decontaminate")(s, dir)))
+
   /** J1/P2 at scale: time the WRITE path (sack-partitioned raw buffer +
     * split-partitioned incremental aggregation) and the multi-series
     * READ over the amplified events, 256 metrics. The standard queries
@@ -864,36 +928,7 @@ object Bench {
         // cap) and lm1's (corpus-proportional driver state) both read
         // quadratically — hundreds — here.
         val bigF = 100
-        val docs100Dir = s"/tmp/graft-bench-scale-${bigF}x-docs"
-        locally {
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            sess.sparkContext.hadoopConfiguration)
-          val st = fs.listStatus(new org.apache.hadoop.fs.Path(
-            s"$sfDir/documents.parquet"))
-          val srcFp =
-            s"documents:${st.map(s => s.getLen + s.getModificationTime).sum}"
-          val marker = new org.apache.hadoop.fs.Path(s"$docs100Dir/_done_v1")
-          val cached = fs.exists(marker) && {
-            val in = fs.open(marker)
-            val prev = try new String(in.readAllBytes(), "UTF-8")
-              finally in.close()
-            prev == srcFp
-          }
-          if (!cached) {
-            fs.delete(new org.apache.hadoop.fs.Path(docs100Dir), true)
-            val rep = broadcast(
-              sess.range(bigF).select(col("id").as("__rep")))
-            sess.read.parquet(s"$sfDir/documents.parquet").crossJoin(rep)
-              .withColumn("doc_id",
-                col("doc_id") + col("__rep") * 1_000_000L)
-              .drop("__rep")
-              .repartition(64)
-              .write.mode("overwrite")
-              .parquet(s"$docs100Dir/documents.parquet")
-            val out = fs.create(marker)
-            try out.write(srcFp.getBytes("UTF-8")) finally out.close()
-          }
-        }
+        val docs100Dir = ensureDocs100(sess, sfDir, bigF)
         val dd8base = tDen("inv_dd8_1x")(
           graft.llm.Dedup.fingerprintDup(docs(sfDir)))
         val dd8_100r = t("inv_dd8_100x")(
@@ -945,42 +980,123 @@ object Bench {
         (if (v >= 1e9) "  *** FAILED ***" else ""))
     }
 
+    // ---- scale100 core-scaling rows (r16): their own fresh section on
+    // the fingerprint-cached 100x documents, reported under "scale100"
+    // with their OWN total so the r15-comparable "scale" total is not
+    // inflated by the added rows. These rows exist to make the
+    // 8-core/32-core ratio measurable (the sf0.1 standard rows are
+    // job-overhead bound and read flat across core counts).
+    val s100Results: Seq[(String, Double)] =
+      if (scaleF <= 1) Nil
+      else {
+        sess = freshSession()
+        val d100 = ensureDocs100(sess, sfDir, 100)
+        def warm100(s: SparkSession): Unit = {
+          s.read.parquet(s"$d100/documents.parquet").count(); ()
+        }
+        warm100(sess)
+        val rows = scale100Queries(d100)
+          .filter(q => selected(q._1))
+          .map { case (name, fn) =>
+            val t = measure(name, () => noop(fn(sess)))
+            sess.catalog.clearCache()
+            System.gc()
+            (name, t)
+          }
+        val runMap = scale100Queries(d100).toMap
+        verified("scale100", rows, Map.empty, floorSec = 2.0,
+          () => freshSession(), warm100,
+          name => runMap.get(name)
+            .map(fn => (s: SparkSession) => noop(fn(s))))
+      }
+
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsmap(rs: Seq[(String, String)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val scaleTotal = scaleResults.filterNot(_._1 == "scale_amplify_write")
       .map(_._2).sum
+    val s100Total = s100Results.map(_._2).sum
     val invJson =
       if (invariants.isEmpty) ""
       else s""","invariants":${jmap(invariants)},"invariants_ok":$invariantsOk"""
+
+    // ---- driver-parseable FINAL line (r16, VERDICT item 2). The gate
+    // driver captures only the last ~2 KB of stdout and json-parses the
+    // final line; the full-name per-query map is ~4.5 KB and has never
+    // parsed (BENCH_r01..r15 all record `parsed: null`). The final line
+    // therefore carries EVERY row under a deterministic SHORT key
+    // (shortest unique name prefix; scale/scale100 rows drop their
+    // shared section prefix and gain a leading "s"/"h"), with values as
+    // integer CENTISECONDS ("qunit":"cs" — the resolution that keeps
+    // the complete ~180-row line inside the capture window; 8c/32c and
+    // round-over-round ratios are unit-invariant). The short->full map
+    // is embedded in BENCH_full.json as "key_map", and the full-name
+    // line is still printed (and filed) right above. Timing methodology
+    // is UNCHANGED — this is output formatting only.
+    def uniquePrefixes(names: Seq[String]): Map[String, String] = {
+      val all = names.distinct
+      all.map { n =>
+        val p = (2 to n.length).map(n.take)
+          .find(pref => all.count(_.startsWith(pref)) == 1)
+          .getOrElse(n)
+        n -> p
+      }.toMap
+    }
+    val keyOf: Map[String, String] = {
+      val stdKeys = uniquePrefixes(results.map(_._1))
+      val scaleKeys = uniquePrefixes(
+          scaleResults.map(_._1.stripPrefix("scale_")))
+        .map { case (n, p) => (s"scale_$n", s"s$p") }
+      val s100Keys = uniquePrefixes(
+          s100Results.map(_._1.stripPrefix("scale100_")))
+        .map { case (n, p) => (s"scale100_$n", s"h$p") }
+      // global-distinctness guard: a cross-section clash lengthens the
+      // later (sorted) name's key deterministically
+      val seen = scala.collection.mutable.Set[String]()
+      (stdKeys ++ scaleKeys ++ s100Keys).toSeq.sortBy(_._1).map {
+        case (n, k0) =>
+          var k = k0
+          while (!seen.add(k)) k = k + "_"
+          n -> k
+      }.toMap
+    }
+    val flatRows: Seq[(String, Double)] =
+      results ++ scaleResults ++ s100Results
+    def csOf(v: Double): Long = math.round(v * 100)
+    val compactQ = flatRows
+      .map { case (n, v) => "\"" + keyOf(n) + "\":" + csOf(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+      s""""queries":$compactQ,"sf":"$sfDir","qunit":"cs",""" +
+      f""""n":${flatRows.size},"scale_factor":$scaleF,""" +
+      f""""scale_total":$scaleTotal%.2f,"scale100_total":$s100Total%.2f""" +
+      (if (invariants.isEmpty) "}"
+       else s""","invariants_ok":$invariantsOk}""")
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING: compact line is " +
+        s"${compact.length} chars — may not fit the driver's 2 KB tail")
+
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jmap(results)},"sf":"$sfDir",""" +
       s""""scale":{"factor":$scaleF,"total":$scaleTotal,""" +
-      s""""queries":${jmap(scaleResults)}}$invJson}"""
-    // Full per-query JSON goes to a FILE (it is ~4 KB at 125 queries —
-    // larger than the gate driver's 2 KB stdout-tail capture, which is
-    // how BENCH_r05 ended up `parsed: null`), plus stdout for humans.
+      s""""queries":${jmap(scaleResults)}},""" +
+      s""""scale100":{"total":$s100Total,""" +
+      s""""queries":${jmap(s100Results)}}$invJson,""" +
+      s""""key_map":${jsmap(keyOf.toSeq.sortBy(_._1).map(_.swap))}}"""
+    // Full per-query JSON (full names, all sections, key map) goes to a
+    // FILE plus stdout for humans/the judge; the compact line is what
+    // the driver parses.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    println(fullJson)
-    // Compact summary guaranteed to fit the gate driver's 2 KB
-    // stdout-tail capture: totals plus the slowest rows of each
-    // section. Also persisted to BENCH_summary.json.
-    def top(rs: Seq[(String, Double)], n: Int): Seq[(String, Double)] =
-      rs.sortBy(-_._2).take(n)
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jmap(top(results, 8))},"sf":"$sfDir",""" +
-      s""""query_count":${results.size},"full":"$outPath",""" +
-      s""""scale":{"factor":$scaleF,"total":$scaleTotal,""" +
-      s""""queries":${jmap(top(scaleResults, 8))},""" +
-      s""""query_count":${scaleResults.size}}""" +
-      (if (invariants.isEmpty) "}"
-       else s""","invariants_ok":$invariantsOk}""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_summary.json"),
       (compact + "\n").getBytes("UTF-8"))
@@ -988,16 +1104,15 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_summary.json: " +
         e.getMessage)
     }
-    println(compact)
+    println(fullJson)
     // stop whichever session is live now (sections stop their own
     // predecessors as they start) BEFORE the final line, so no Spark
     // shutdown chatter can land after it
     SparkSession.getActiveSession.foreach(_.stop())
-    // the absolute last JVM output: the compact JSON again behind a
-    // greppable sentinel (a last-line parser on the sbt-wrapped stream
-    // sees "[success] Total time…" — the sentinel form is the one the
-    // driver can grep unambiguously)
-    println(s"BENCH-JSON: $compact")
+    // The absolute last JVM stdout: the compact complete-map JSON, at
+    // column 0 (build.sbt r16: run output passes through unprefixed and
+    // the [success] banner is off, so this line IS the stdout tail).
+    println(compact)
     System.out.flush()
   }
 }

@@ -1956,16 +1956,35 @@ object Queries {
       val docs = table(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 50 =!= 0)
       val bench = docs.filter(col("doc_id") % 50 === 0)
-      val keepIds = TextAnalysis.qualityFilter(corpus)
-        .filter(col("reasons") === 0).select("doc_id")
-      val kept = corpus.join(keepIds, Seq("doc_id"))
+      // Decide-then-attach (guide §8, r16): every stage decision flows
+      // as id-sized rows and the document TEXT never crosses a join —
+      // the old per-stage id joins each shuffled the text payload at
+      // scale. Equivalences (oracle hash-verified):
+      //  * the quality gate is a pure per-row map, so the old
+      //    corpus⋈keepIds self-join IS the filter predicate itself;
+      //  * Dedup.exact shuffles only (content_hash, id) — its input
+      //    text stays map-side;
+      //  * contamination is a pure function of CONTENT (decontaminate
+      //    collapses exact copies first and expands the verdict back),
+      //    so decontaminate(kept) ∩ canon ids ==
+      //    decontaminate(kept ⋈ canon) ids — no text re-attach to the
+      //    canonical set;
+      //  * the final stats need doc_id + n_words only, and the quality
+      //    pass already computed n_words from the same `signals` struct
+      //    field wordCount reads — so nothing re-reads text at the end.
+      val kept = TextAnalysis.qualityFilter(corpus)
+        .filter(col("reasons") === 0)
+        .select(col("doc_id"), col("text"), col("n_words"))
       val canon = Dedup.exact(kept).select(col("canonical_id").as("doc_id"))
-      val deduped = kept.join(canon, Seq("doc_id"))
-      val contaminated = Pipeline.decontaminate(deduped, bench, n = 3)
+      val contaminated = Pipeline.decontaminate(kept, bench, n = 3)
         .select("doc_id")
-      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      Pipeline.hashSplit(clean)
-        .withColumn("n_words", TextAnalysis.wordCount(col("text")))
+      // id-only joins from here down (shuffle_hash: both sides are
+      // corpus-sized id frames — sort-free at any scale)
+      val cleanIds = canon.join(contaminated.hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")
+      Pipeline.hashSplit(cleanIds)
+        .join(kept.select("doc_id", "n_words").hint("shuffle_hash"),
+          Seq("doc_id"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_words"))
     }))

@@ -762,9 +762,18 @@ class Graft(val spark: SparkSession, root: String) {
     // bulk plans are corpus-sized: pin the joined frame once instead of
     // re-reading the source per policy partition of the loop below
     if (hadBulk) byPolicy.persist()
-    policies.keys.foreach { pol =>
-      val sub = byPolicy.filter(col("policy") === pol).drop("policy")
-      if (!sub.isEmpty) storeOf(pol).addMeasures(sub)
+    // Which policies does the batch actually touch? ONE tiny aggregate
+    // over the (pinned) frame instead of one isEmpty probe per
+    // REGISTERED policy: the facade seeds 4 default policies, so every
+    // drain paid ~4 empty-probe Spark jobs before any real ingest.
+    // The distinct is exact, so the set of stores receiving addMeasures
+    // is identical; iteration order is irrelevant (stores are disjoint
+    // per policy) but kept sorted for determinism.
+    val present = byPolicy.select("policy").distinct()
+      .collect().map(_.getString(0)).toSet
+    policies.keys.toSeq.sorted.filter(present).foreach { pol =>
+      storeOf(pol).addMeasures(
+        byPolicy.filter(col("policy") === pol).drop("policy"))
     }
     // Metadata updates: last-measure timestamps + resource
     // resurrection. Resurrection stays a DISTRIBUTED join end to end —

@@ -464,10 +464,19 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // persist.
     val scanShaped = {
       import org.apache.spark.sql.catalyst.plans.logical._
-      batch.queryExecution.optimizedPlan.collectFirst {
+      val plan = batch.queryExecution.optimizedPlan
+      plan.collectFirst {
         case p @ (_: Aggregate | _: Join | _: Window | _: Generate |
                   _: Sort | _: Distinct | _: Deduplicate) => p
-      }.isEmpty
+      }.isEmpty &&
+      // determinism gate (r16): skipping the persist re-evaluates the
+      // batch plan once per consumer (metadata pass, then merge). A
+      // scan-shaped plan carrying a non-deterministic expression (e.g.
+      // a rand() sampling filter) can yield DIFFERENT rows on
+      // re-evaluation — the sack-lock set and driver metadata would
+      // then disagree with the rows actually ingested. Keep the persist
+      // for those.
+      plan.forall(_.expressions.forall(_.deterministic))
     }
     val batchP0 = batch.select("metric_id", "timestamp", "value")
     val batchP =
@@ -491,6 +500,14 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
       val headMeta: Array[(String, Long, Long)] =
         stage("batch metadata")(batchMetaDf.limit(overLimit).collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+      // EMPTY batch: nothing to accept, merge, or rewrite — the full
+      // pipeline below would run 4+ no-op Spark jobs to write nothing
+      // (an empty batch touches no sacks, so every downstream frame is
+      // empty and no partition is overwritten). The streaming drain
+      // relies on this early exit instead of paying its own
+      // isEmpty probe job per micro-batch. (An empty headMeta always
+      // lands on the driver path: 0 <= maxDriverMetrics.)
+      if (headMeta.isEmpty) return
       val driverPath = headMeta.length <= maxDriverMetrics
       val batchMeta: Array[(String, Long, Long)] =
         if (driverPath) headMeta else Array.empty
@@ -758,22 +775,23 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // aggPath (readOr fell back to an empty local relation), so first
     // ingests write straight through without staging renames.
     val aggExists = pathExists(aggPath)
-    if (aggExists)
-      stage("agg write")(swapWrite(
-        kept.select(newAggRows.columns.map(col).toSeq: _*)
-          .unionByName(newAggRows),
-        aggPath, Seq("method", "gran_s", "split", "msack"),
-        Seq("metric_id", "bucket")))
-    else stage("agg write")(newAggRows
-      .repartition(col("method"), col("gran_s"), col("split"), col("msack"))
-      .sortWithinPartitions("metric_id", "bucket")
-      .write
-      // scoped HERE, not on the shared session — a global conf flip
-      // would change overwrite semantics for every other writer
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("method", "gran_s", "split", "msack")
-      .mode(SaveMode.Overwrite)
-      .parquet(aggPath))
+    val aggJob: () => Unit = () =>
+      if (aggExists)
+        stage("agg write")(swapWrite(
+          kept.select(newAggRows.columns.map(col).toSeq: _*)
+            .unionByName(newAggRows),
+          aggPath, Seq("method", "gran_s", "split", "msack"),
+          Seq("metric_id", "bucket")))
+      else stage("agg write")(newAggRows
+        .repartition(col("method"), col("gran_s"), col("split"), col("msack"))
+        .sortWithinPartitions("metric_id", "bucket")
+        .write
+        // scoped HERE, not on the shared session — a global conf flip
+        // would change overwrite semantics for every other writer
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("method", "gran_s", "split", "msack")
+        .mode(SaveMode.Overwrite)
+        .parquet(aggPath))
 
     // Raw buffer is sack-partitioned (the reference's sack analogue,
     // incoming/__init__.py:243-244): a batch rewrites ONLY the sacks of
@@ -786,18 +804,40 @@ class MetricStore(spark: SparkSession, root: String, policy: ArchivePolicy) {
     // same warm/fresh split as the aggregate side: swapWrite drains
     // rawPath fully (including merged-cache recomputes on eviction)
     // before any rename touches it, so no checkpoint is needed
-    if (pathExists(rawPath))
-      stage("raw write")(swapWrite(rawOut, rawPath,
-        Seq("sack"), Seq("metric_id", "timestamp")))
-    else stage("raw write")(rawOut
-      .repartition(col("sack"))
-      .sortWithinPartitions("metric_id", "timestamp")
-      .write.option("partitionOverwriteMode", "dynamic")
-      .partitionBy("sack")
-      .mode(SaveMode.Overwrite)
-      .parquet(rawPath))
-    merged.unpersist()
-    persisted.foreach(_.unpersist())
+    val rawJob: () => Unit = () =>
+      if (pathExists(rawPath))
+        stage("raw write")(swapWrite(rawOut, rawPath,
+          Seq("sack"), Seq("metric_id", "timestamp")))
+      else stage("raw write")(rawOut
+        .repartition(col("sack"))
+        .sortWithinPartitions("metric_id", "timestamp")
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sack")
+        .mode(SaveMode.Overwrite)
+        .parquet(rawPath))
+
+    // The aggregate rewrite and the raw-buffer rewrite are INDEPENDENT
+    // jobs — disjoint output trees, both reading the same cached
+    // `merged` frame — so submit them concurrently (guide §2.6 overlap
+    // independent jobs): the raw write's tasks back-fill the agg
+    // write's stage tail instead of serializing after it. Both futures
+    // complete inside the caller's sack locks; unpersist only runs once
+    // neither job can still recompute from the cache, and the first
+    // failure is rethrown after both settle.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        MetricStore.storeWriteEc
+      val fa = Future(aggJob())
+      val fb = Future(rawJob())
+      val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+      val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+      merged.unpersist()
+      persisted.foreach(_.unpersist())
+      ra.get
+      rb.get
+    }
   }
 
   /** Single-metric read (§3.1): partition-pruned scan + fetch slicing;
@@ -1149,6 +1189,19 @@ object MetricStore {
     * lockStaleMs instead of it only WARNing into a log.
     */
   val lockLeaks = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Shared daemon pool for submitting a store's independent write
+    * jobs concurrently (agg + raw rewrite per ingest). Cached: at most
+    * 2 threads per in-flight ingest, idle threads reaped — the Spark
+    * scheduler does the real work, these only block on job completion.
+    */
+  private[ingest] val storeWriteEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-store-write")
+        t.setDaemon(true)
+        t
+      }))
 
   /** Partition-directory escaping, exactly as Spark's write path does
     * it (`method=rate:mean` lands as `method=rate%3Amean`). Every

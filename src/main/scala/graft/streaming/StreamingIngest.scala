@@ -51,7 +51,10 @@ object StreamingIngest {
           else batch.filter(
             pmod(MetricStore.sackOf(col("metric_id")), lit(workers))
               === workerId)
-        if (!mine.isEmpty) store.addMeasures(mine)
+        // no isEmpty probe (one extra Spark job per micro-batch):
+        // addMeasures discovers emptiness from its own single metadata
+        // action and exits before any store work
+        store.addMeasures(mine)
       }
       .start()
   }
